@@ -1,0 +1,245 @@
+"""File-backed commit log: the persistent ``TableVersions`` implementation.
+
+The reference only ships a driver-local in-memory store
+(``core/src/main/scala/com/gu/tableversions/core/InMemoryTableVersions.scala:10-12``
+— "Does not persist state"). We close that gap with a Delta-Lake-shaped
+transaction log on the table's storage:
+
+    <table-location>/
+      _meta.json                     # TableDefinition
+      _version_log/00000000.json ... # TableUpdate records, ordered
+      _version_log/_current          # commit-id pointer (rollback ≠ head)
+
+Semantics preserved from the reference interface
+(``core/.../TableVersions.scala:20-55``) and its in-memory impl
+(``core/.../InMemoryTableVersions.scala:16-58``):
+
+- ``init`` is idempotent (second init is a no-op).
+- ``commit`` appends an update and moves the pointer to it; unknown table ⇒ error.
+- ``set_current_version`` moves the pointer to an *existing* commit; unknown
+  commit id ⇒ error, state unchanged.
+- ``current_version`` folds operations of all commits **up to and including**
+  the pointer (reference ``TableVersions.scala:29-41``).
+- ``updates`` lists commit metadata most-recent-first
+  (``TableVersions.scala:44-45``).
+
+Atomicity: each commit file is created with ``O_CREAT|O_EXCL`` on the next
+sequence number — a filesystem compare-and-set replacing the reference's
+driver-local ``Ref`` CAS (``core/.../util/RichRef.scala:17-24``). On object
+stores without atomic create, a locking service would be substituted (same
+caveat Delta Lake documents for S3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from .model import (
+    InitTable,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+    TableName,
+    TableUpdate,
+    TableUpdateMetadata,
+    TableVersion,
+    apply_partition_updates,
+    latest_snapshot_table_version,
+    update_from_json,
+    update_to_json,
+)
+
+LOG_DIR = "_version_log"
+CURRENT_POINTER = "_current"
+COMMIT_WIDTH = 8  # 00000000.json
+
+
+class UnknownTableError(KeyError):
+    pass
+
+
+class UnknownCommitError(KeyError):
+    pass
+
+
+@dataclass(frozen=True)
+class TableState:
+    """Full history + pointer (reference ``TableVersions.scala:121-130``)."""
+
+    current_version: str  # commit id
+    updates: tuple[TableUpdate, ...]
+
+
+def _atomic_write(path: str, data: str) -> None:
+    """Write-then-rename so readers never observe partial content."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-", suffix=".json")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+class FileTableVersions:
+    """Commit-log store for one table rooted at ``location``."""
+
+    def __init__(self, location: str):
+        self.location = location.rstrip("/")
+        self.log_dir = os.path.join(self.location, LOG_DIR)
+
+    # -- existence ---------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and bool(self._commit_files())
+
+    def _require_exists(self, table: TableName | None = None) -> None:
+        if not self.exists():
+            name = table.fully_qualified_name if table else self.location
+            raise UnknownTableError(f"Unknown table: {name}")
+
+    # -- init --------------------------------------------------------------
+
+    def init(self, table: TableName, is_snapshot: bool, user_id: str,
+             message: str) -> None:
+        """Idempotent init (reference ``InMemoryTableVersions.scala:52-58``)."""
+        if self.exists():
+            return
+        os.makedirs(self.log_dir, exist_ok=True)
+        meta = TableUpdateMetadata.create(user_id, message)
+        update = TableUpdate(meta, (InitTable(table, is_snapshot),))
+        seq_path = os.path.join(self.log_dir, f"{0:0{COMMIT_WIDTH}d}.json")
+        try:
+            fd = os.open(seq_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # concurrent init won the race — idempotent
+        with os.fdopen(fd, "w") as f:
+            json.dump(update_to_json(update), f, indent=1)
+        self._write_pointer(meta.commit_id)
+
+    # -- commit ------------------------------------------------------------
+
+    def commit(self, table: TableName, update: TableUpdate) -> None:
+        """Append update, move pointer to it
+        (reference ``InMemoryTableVersions.scala:16-28``)."""
+        self._require_exists(table)
+        payload = json.dumps(update_to_json(update), indent=1)
+        seq = len(self._commit_files())
+        while True:
+            seq_path = os.path.join(self.log_dir, f"{seq:0{COMMIT_WIDTH}d}.json")
+            try:
+                fd = os.open(seq_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                seq += 1  # another writer landed first: CAS retry on next slot
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        self._write_pointer(update.metadata.commit_id)
+
+    # -- pointer -----------------------------------------------------------
+
+    def set_current_version(self, table: TableName, commit_id: str) -> None:
+        """Rollback/forward; unknown commit ⇒ error, no state change
+        (reference ``InMemoryTableVersions.scala:30-44``)."""
+        self._require_exists(table)
+        known = {u.metadata.commit_id for u in self._read_all_updates()}
+        if commit_id not in known:
+            raise UnknownCommitError(f"Unknown commit id: {commit_id}")
+        self._write_pointer(commit_id)
+
+    def _write_pointer(self, commit_id: str) -> None:
+        _atomic_write(os.path.join(self.log_dir, CURRENT_POINTER), commit_id)
+
+    def _read_pointer(self) -> str:
+        with open(os.path.join(self.log_dir, CURRENT_POINTER)) as f:
+            return f.read().strip()
+
+    # -- queries -----------------------------------------------------------
+
+    def table_state(self, table: TableName | None = None) -> TableState:
+        self._require_exists(table)
+        return TableState(self._read_pointer(), tuple(self._read_all_updates()))
+
+    def updates(self, table: TableName | None = None) -> list[TableUpdateMetadata]:
+        """History, most recent first (reference ``TableVersions.scala:44-45``)."""
+        self._require_exists(table)
+        return [u.metadata for u in reversed(self._read_all_updates())]
+
+    def current_version(self, table: TableName | None = None,
+                        at_commit: str | None = None) -> TableVersion:
+        """Fold ops up to (and incl.) the pointer — or an explicit commit for
+        time-travel reads (reference ``TableVersions.scala:29-41``)."""
+        state = self.table_state(table)
+        pointer = at_commit if at_commit is not None else state.current_version
+        in_scope: list[TableUpdate] = []
+        found = False
+        for u in state.updates:
+            in_scope.append(u)
+            if u.metadata.commit_id == pointer:
+                found = True
+                break
+        if not found:
+            raise UnknownCommitError(f"Unknown commit id: {pointer}")
+        ops = [op for u in in_scope for op in u.operations]
+        is_snapshot = any(isinstance(op, InitTable) and op.is_snapshot for op in ops)
+        if is_snapshot:
+            return latest_snapshot_table_version(ops)
+        return apply_partition_updates(PartitionedTableVersion({}), ops)
+
+    # -- internals ---------------------------------------------------------
+
+    def _commit_files(self) -> list[str]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        return sorted(f for f in os.listdir(self.log_dir)
+                      if f.endswith(".json") and not f.startswith("."))
+
+    def _read_all_updates(self) -> list[TableUpdate]:
+        out = []
+        for fname in self._commit_files():
+            with open(os.path.join(self.log_dir, fname)) as f:
+                out.append(update_from_json(json.load(f)))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Table metadata (_meta.json)
+# ---------------------------------------------------------------------------
+
+META_FILE = "_meta.json"
+
+
+def write_table_meta(defn: TableDefinition) -> None:
+    os.makedirs(defn.location, exist_ok=True)
+    payload = json.dumps({
+        "schema": defn.name.schema,
+        "name": defn.name.name,
+        "location": defn.location,
+        "partition_columns": list(defn.partition_schema.columns),
+        "format": defn.format,
+        "schema_ddl": defn.schema_ddl,
+    }, indent=1)
+    _atomic_write(os.path.join(defn.location, META_FILE), payload)
+
+
+def read_table_meta(location: str) -> TableDefinition:
+    from .model import PartitionSchema
+
+    path = os.path.join(location, META_FILE)
+    if not os.path.exists(path):
+        raise UnknownTableError(f"No table metadata at {location}")
+    with open(path) as f:
+        d = json.load(f)
+    return TableDefinition(
+        name=TableName(d["schema"], d["name"]),
+        location=d["location"],
+        partition_schema=PartitionSchema(tuple(d["partition_columns"])),
+        format=d["format"],
+        schema_ddl=d.get("schema_ddl"),
+    )

@@ -1,0 +1,340 @@
+"""Core data model: versions, partitions, tables, commits.
+
+Re-expresses the reference data model (guardian/table-versions) in Python:
+
+- ``Version`` — reference ``core/src/main/scala/com/gu/tableversions/core/Version.scala:15-57``.
+  The label format ``yyyyMMdd-HHmmss.nnnnnnnnn-<uuid>`` is a storage-layout
+  contract and is preserved exactly.
+- ``Partition`` / ``ColumnValue`` / ``PartitionSchema`` — reference
+  ``core/.../model.scala:10-83`` (render :23-24, parse regex :45-69).
+- ``TableName`` / ``TableDefinition`` — reference ``core/.../model.scala:89-95``.
+- ``TableUpdate`` + operation ADT — reference ``core/.../TableVersions.scala:75-119``.
+- ``TableVersion`` ADT — reference ``core/.../model.scala:100-102``.
+
+This module is pure Python (no Spark dependency) by design, mirroring the
+reference's ``core`` module split.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+import uuid as _uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Union
+
+
+# ---------------------------------------------------------------------------
+# Version
+# ---------------------------------------------------------------------------
+
+_VERSION_RE = re.compile(r"^(\d{8}-\d{6})\.(\d{9})-([0-9a-fA-F-]{36})$")
+_TS_FORMAT = "%Y%m%d-%H%M%S"
+
+
+@dataclass(frozen=True, order=True)
+class Version:
+    """An immutable version label: UTC timestamp (ns precision) + UUID.
+
+    Label format (contract with on-disk layout, identical to reference
+    ``Version.scala:19-24``): ``yyyyMMdd-HHmmss.nnnnnnnnn-<uuid>``.
+    """
+
+    epoch_seconds: int
+    nanos: int  # 0..999_999_999 fractional part
+    uuid: str  # canonical lowercase uuid string
+
+    @property
+    def label(self) -> str:
+        ts = datetime.fromtimestamp(self.epoch_seconds, tz=timezone.utc)
+        return f"{ts.strftime(_TS_FORMAT)}.{self.nanos:09d}-{self.uuid}"
+
+    @classmethod
+    def generate(cls) -> "Version":
+        ns = time.time_ns()
+        return cls(epoch_seconds=ns // 1_000_000_000, nanos=ns % 1_000_000_000,
+                   uuid=str(_uuid.uuid4()))
+
+    @classmethod
+    def parse(cls, label: str) -> "Version":
+        m = _VERSION_RE.match(label)
+        if not m:
+            raise ValueError(f"Invalid version label: {label!r}")
+        ts = datetime.strptime(m.group(1), _TS_FORMAT).replace(tzinfo=timezone.utc)
+        return cls(epoch_seconds=int(ts.timestamp()), nanos=int(m.group(2)),
+                   uuid=m.group(3).lower())
+
+    @classmethod
+    def is_version_label(cls, s: str) -> bool:
+        return _VERSION_RE.match(s) is not None
+
+    def is_unversioned(self) -> bool:
+        return self == UNVERSIONED
+
+
+#: Sentinel for "no version yet" (reference ``Version.scala:30``).
+UNVERSIONED = Version(epoch_seconds=0, nanos=0,
+                      uuid="00000000-0000-0000-0000-000000000000")
+
+
+# ---------------------------------------------------------------------------
+# Partitions
+# ---------------------------------------------------------------------------
+
+_PARTITION_COL_RE = re.compile(r"^([a-z_][a-z0-9_]*)=(.+)$")
+
+
+@dataclass(frozen=True, order=True)
+class ColumnValue:
+    """A single ``column=value`` pair; values are always strings
+    (reference ``model.scala:43``)."""
+
+    column: str
+    value: str
+
+
+@dataclass(frozen=True, order=True)
+class Partition:
+    """Ordered, non-empty list of column values.
+
+    Renders as a Hive-style relative path ``col1=v1/col2=v2``
+    (reference ``model.scala:23-24``).
+    """
+
+    column_values: tuple[ColumnValue, ...]
+
+    def __post_init__(self) -> None:
+        if not self.column_values:
+            raise ValueError("Partition must have at least one column value")
+
+    def render(self) -> str:
+        return "/".join(f"{cv.column}={cv.value}" for cv in self.column_values)
+
+    def resolve(self, base: str) -> str:
+        return f"{base.rstrip('/')}/{self.render()}"
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple(cv.column for cv in self.column_values)
+
+    @classmethod
+    def of(cls, *pairs: tuple[str, str] | ColumnValue) -> "Partition":
+        cvs = tuple(p if isinstance(p, ColumnValue) else ColumnValue(*p)
+                    for p in pairs)
+        return cls(cvs)
+
+    @classmethod
+    def parse(cls, s: str) -> "Partition":
+        """Parse ``col1=v1/col2=v2`` (reference ``model.scala:45-69``)."""
+        segments = [seg for seg in s.strip("/").split("/") if seg]
+        if not segments:
+            raise ValueError(f"Cannot parse partition from {s!r}")
+        cvs = []
+        for seg in segments:
+            m = _PARTITION_COL_RE.match(seg)
+            if not m:
+                raise ValueError(f"Invalid partition segment {seg!r} in {s!r}")
+            cvs.append(ColumnValue(m.group(1), m.group(2)))
+        return cls(tuple(cvs))
+
+
+@dataclass(frozen=True)
+class PartitionSchema:
+    """Ordered partition columns; empty ⇒ snapshot table
+    (reference ``model.scala:76-83``)."""
+
+    columns: tuple[str, ...] = ()
+
+    @property
+    def is_snapshot(self) -> bool:
+        return not self.columns
+
+
+SNAPSHOT_SCHEMA = PartitionSchema(())
+
+
+# ---------------------------------------------------------------------------
+# Tables
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True, order=True)
+class TableName:
+    schema: str
+    name: str
+
+    @property
+    def fully_qualified_name(self) -> str:
+        return f"{self.schema}.{self.name}"
+
+    @classmethod
+    def parse(cls, fqn: str) -> "TableName":
+        parts = fqn.split(".")
+        if len(parts) != 2:
+            raise ValueError(f"Expected 'schema.name', got {fqn!r}")
+        return cls(parts[0], parts[1])
+
+
+@dataclass(frozen=True)
+class TableDefinition:
+    """Reference ``model.scala:93-95`` + our extension: we persist the row
+    schema (as a Spark DDL string) so empty tables can be read with a stable
+    schema — a gap in the reference (schema lives only in Hive DDL there).
+    """
+
+    name: TableName
+    location: str
+    partition_schema: PartitionSchema
+    format: str = "parquet"  # "parquet" | "orc" (reference model.scala:104-109)
+    schema_ddl: str | None = None
+
+    @property
+    def is_snapshot(self) -> bool:
+        return self.partition_schema.is_snapshot
+
+
+# ---------------------------------------------------------------------------
+# Commit log records
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class InitTable:
+    table: TableName
+    is_snapshot: bool
+    op: str = field(default="init-table", repr=False)
+
+
+@dataclass(frozen=True)
+class AddTableVersion:
+    version: Version
+    op: str = field(default="add-table-version", repr=False)
+
+
+@dataclass(frozen=True)
+class AddPartitionVersion:
+    partition: Partition
+    version: Version
+    op: str = field(default="add-partition-version", repr=False)
+
+
+@dataclass(frozen=True)
+class RemovePartition:
+    partition: Partition
+    op: str = field(default="remove-partition", repr=False)
+
+
+TableOperation = Union[InitTable, AddTableVersion, AddPartitionVersion, RemovePartition]
+
+
+@dataclass(frozen=True)
+class TableUpdateMetadata:
+    """Reference ``TableVersions.scala:96-107``."""
+
+    commit_id: str
+    user_id: str
+    message: str
+    timestamp: str  # ISO-8601 UTC
+
+    @classmethod
+    def create(cls, user_id: str, message: str) -> "TableUpdateMetadata":
+        return cls(commit_id=str(_uuid.uuid4()), user_id=user_id, message=message,
+                   timestamp=datetime.now(timezone.utc).isoformat())
+
+
+@dataclass(frozen=True)
+class TableUpdate:
+    metadata: TableUpdateMetadata
+    operations: tuple[TableOperation, ...]
+
+
+# ---------------------------------------------------------------------------
+# Current table state (the fold target)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SnapshotTableVersion:
+    version: Version
+
+
+@dataclass(frozen=True)
+class PartitionedTableVersion:
+    partition_versions: dict[Partition, Version] = field(default_factory=dict)
+
+    def __hash__(self) -> int:  # pragma: no cover - convenience only
+        return hash(frozenset(self.partition_versions.items()))
+
+
+TableVersion = Union[SnapshotTableVersion, PartitionedTableVersion]
+
+
+def apply_partition_updates(initial: PartitionedTableVersion,
+                            operations: list[TableOperation]) -> PartitionedTableVersion:
+    """Fold commit-log ops into partition→version state
+    (reference ``TableVersions.scala:135-149``)."""
+    pv = dict(initial.partition_versions)
+    for op in operations:
+        if isinstance(op, AddPartitionVersion):
+            pv[op.partition] = op.version
+        elif isinstance(op, RemovePartition):
+            pv.pop(op.partition, None)
+        # InitTable / AddTableVersion ignored for partitioned state
+    return PartitionedTableVersion(pv)
+
+
+def latest_snapshot_table_version(operations: list[TableOperation]) -> SnapshotTableVersion:
+    """Last AddTableVersion wins; else Unversioned
+    (reference ``TableVersions.scala:154-159``)."""
+    version = UNVERSIONED
+    for op in operations:
+        if isinstance(op, AddTableVersion):
+            version = op.version
+    return SnapshotTableVersion(version)
+
+
+# ---------------------------------------------------------------------------
+# JSON (de)serialization of commit records
+# ---------------------------------------------------------------------------
+
+def operation_to_json(op: TableOperation) -> dict[str, Any]:
+    if isinstance(op, InitTable):
+        return {"op": "init-table", "table": op.table.fully_qualified_name,
+                "is_snapshot": op.is_snapshot}
+    if isinstance(op, AddTableVersion):
+        return {"op": "add-table-version", "version": op.version.label}
+    if isinstance(op, AddPartitionVersion):
+        return {"op": "add-partition-version", "partition": op.partition.render(),
+                "version": op.version.label}
+    if isinstance(op, RemovePartition):
+        return {"op": "remove-partition", "partition": op.partition.render()}
+    raise TypeError(f"Unknown operation {op!r}")
+
+
+def operation_from_json(d: dict[str, Any]) -> TableOperation:
+    kind = d["op"]
+    if kind == "init-table":
+        return InitTable(TableName.parse(d["table"]), d["is_snapshot"])
+    if kind == "add-table-version":
+        return AddTableVersion(Version.parse(d["version"]))
+    if kind == "add-partition-version":
+        return AddPartitionVersion(Partition.parse(d["partition"]),
+                                   Version.parse(d["version"]))
+    if kind == "remove-partition":
+        return RemovePartition(Partition.parse(d["partition"]))
+    raise ValueError(f"Unknown operation kind {kind!r}")
+
+
+def update_to_json(update: TableUpdate) -> dict[str, Any]:
+    return {
+        "commit_id": update.metadata.commit_id,
+        "user_id": update.metadata.user_id,
+        "message": update.metadata.message,
+        "timestamp": update.metadata.timestamp,
+        "operations": [operation_to_json(op) for op in update.operations],
+    }
+
+
+def update_from_json(d: dict[str, Any]) -> TableUpdate:
+    meta = TableUpdateMetadata(commit_id=d["commit_id"], user_id=d["user_id"],
+                               message=d["message"], timestamp=d["timestamp"])
+    ops = tuple(operation_from_json(o) for o in d["operations"])
+    return TableUpdate(metadata=meta, operations=ops)

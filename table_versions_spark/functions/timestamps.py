@@ -1,0 +1,26 @@
+"""Timestamp helpers.
+
+``to_utc_date`` ports the reference's UTC timestamp→date derivation used for
+partition values (``examples/src/main/scala/com/gu/tableversions/examples/DateTime.scala:10-13``).
+
+``ts_from_nanos`` handles nanosecond-precision parquet timestamps: Spark's
+parquet reader has no TIMESTAMP(NANOS) type, so with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) such columns
+arrive as ``bigint`` nanos-since-epoch; this converts them to a proper
+(microsecond) timestamp column JVM-side — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def ts_from_nanos(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+
+
+def to_utc_date(ts: Column | str) -> Column:
+    """UTC date of a timestamp (reference ``DateTime.scala:10-13``)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.to_date(c)

@@ -1,0 +1,216 @@
+"""End-to-end engine tests against a real local SparkSession + tmpdir warehouse.
+
+Ports the golden scenarios of the reference's example specs:
+
+- ``SnapshotTableLoaderSpec.scala`` — two snapshot writes, rollback,
+  roll-forward (:45-87).
+- ``DatePartitionedTableLoaderSpec.scala`` — three daily inserts accumulate
+  (:54-85), partition-pruned read (:86-101), reprocess of one day replaces only
+  that partition (:110-123), rollback across history incl. empty post-init
+  state (:125-137), insert-after-rollback returns to head (:139-148), on-disk
+  version dirs accumulate (:151-157).
+- ``MultiPartitionTableLoaderSpec.scala`` — two partition columns, ORC format,
+  late-arriving data (:37-45, scenario body).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from table_versions_spark.core.model import Partition, TableName
+
+
+def rows(df, *cols):
+    if cols:
+        df = df.select(*cols)
+    return sorted(tuple(r) for r in df.collect())
+
+
+USERS_V1 = [("user-1", "Alice", "alice@mail.com"),
+            ("user-2", "Bob", "bob@mail.com"),
+            ("user-3", "Carol", "carol@mail.com")]
+# v2 drops user-1, changes Carol's email, adds Dave (SnapshotTableLoaderSpec.scala:45-65)
+USERS_V2 = [("user-2", "Bob", "bob@mail.com"),
+            ("user-3", "Carol", "carol@gmail.com"),
+            ("user-4", "Dave", "dave@mail.com")]
+USERS_SCHEMA = "id string, name string, email string"
+
+
+class TestSnapshotTable:
+    def test_snapshot_write_read_rollback(self, spark, engine):
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        # empty before first insert
+        assert engine.read("db.users").count() == 0
+
+        r1 = engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                           "db.users", "alice", "v1")
+        assert rows(engine.read("db.users")) == sorted(USERS_V1)
+
+        r2 = engine.insert(spark.createDataFrame(USERS_V2, USERS_SCHEMA),
+                           "db.users", "alice", "v2")
+        assert rows(engine.read("db.users")) == sorted(USERS_V2)
+
+        # rollback → v1 visible again; roll forward → v2
+        engine.checkout("db.users", r1.commit_id)
+        assert rows(engine.read("db.users")) == sorted(USERS_V1)
+        engine.checkout("db.users", r2.commit_id)
+        assert rows(engine.read("db.users")) == sorted(USERS_V2)
+
+        # time-travel read without moving the pointer
+        assert rows(engine.read("db.users", at_commit=r1.commit_id)) == sorted(USERS_V1)
+        assert rows(engine.read("db.users")) == sorted(USERS_V2)
+
+    def test_history(self, spark, engine):
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.users", "alice", "first")
+        hist = engine.history("db.users").collect()
+        assert [h.message for h in hist] == ["first", "init"]
+        assert hist[0].user_id == "alice"
+
+
+PAGEVIEW_SCHEMA = "id string, path string, ts timestamp, date date"
+
+
+def pageviews(spark, day, rows_):
+    data = [Row(id=i, path=p, ts=None, date=None) for i, p in rows_]
+    df = spark.createDataFrame([(i, p) for i, p in rows_], "id string, path string")
+    return (df.withColumn("ts", F.to_timestamp(F.lit(f"{day} 10:00:00")))
+              .withColumn("date", F.to_date(F.lit(day))))
+
+
+DAY1 = [("user-1", "news/politics"), ("user-2", "sport/football")]
+DAY2 = [("user-1", "news/tech"), ("user-3", "culture/film")]
+DAY3 = [("user-2", "news/politics")]
+
+
+class TestDatePartitionedTable:
+    def test_daily_inserts_accumulate(self, spark, engine):
+        # DatePartitionedTableLoaderSpec.scala:54-85
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "day1")
+        assert engine.read("db.pageview").count() == 2
+        engine.insert(pageviews(spark, "2019-03-14", DAY2), "db.pageview", "u", "day2")
+        engine.insert(pageviews(spark, "2019-03-15", DAY3), "db.pageview", "u", "day3")
+        df = engine.read("db.pageview")
+        assert df.count() == 5
+        assert rows(df, "id", "path") == sorted(
+            [(i, p) for i, p in DAY1 + DAY2 + DAY3])
+
+    def test_partition_pruned_read(self, spark, engine):
+        # DatePartitionedTableLoaderSpec.scala:86-101
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        engine.insert(pageviews(spark, "2019-03-14", DAY2), "db.pageview", "u", "d2")
+        df = engine.read("db.pageview").where(F.col("date") == "2019-03-13")
+        assert rows(df, "id") == [("user-1",), ("user-2",)]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2019-03-13" in plan
+
+    def test_reprocess_replaces_only_touched_partition(self, spark, engine):
+        # DatePartitionedTableLoaderSpec.scala:110-123 — Hive overwrite semantics
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        engine.insert(pageviews(spark, "2019-03-14", DAY2), "db.pageview", "u", "d2")
+        # reprocess day 2 with different content
+        day2b = [("user-9", "reprocessed/page")]
+        engine.insert(pageviews(spark, "2019-03-14", day2b), "db.pageview", "u", "d2-fix")
+        df = engine.read("db.pageview")
+        assert rows(df, "id", "path") == sorted(
+            [(i, p) for i, p in DAY1 + day2b])
+        # both versions of day2 remain on disk (old versions never deleted —
+        # DatePartitionedTableLoaderSpec.scala:118-123)
+        defn = engine.definition("db.pageview")
+        d2dir = os.path.join(defn.location, "date=2019-03-14")
+        version_dirs = [d for d in os.listdir(d2dir) if not d.startswith(".")]
+        assert len(version_dirs) == 2
+
+    def test_rollback_and_insert_after_rollback(self, spark, engine):
+        # DatePartitionedTableLoaderSpec.scala:125-148
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        r1 = engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        r2 = engine.insert(pageviews(spark, "2019-03-14", DAY2), "db.pageview", "u", "d2")
+        engine.checkout("db.pageview", r1.commit_id)
+        assert engine.read("db.pageview").count() == 2
+        # rollback to empty post-init state
+        init_commit = engine.history("db.pageview").collect()[-1].commit_id
+        engine.checkout("db.pageview", init_commit)
+        assert engine.read("db.pageview").count() == 0
+        # next insert jumps back to head+1: all partitions visible again plus new
+        engine.insert(pageviews(spark, "2019-03-15", DAY3), "db.pageview", "u", "d3")
+        assert engine.read("db.pageview").count() == 5
+
+    def test_remove_partition_metadata_only(self, spark, engine):
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        engine.insert(pageviews(spark, "2019-03-14", DAY2), "db.pageview", "u", "d2")
+        engine.remove_partitions("db.pageview",
+                                 [Partition.parse("date=2019-03-13")], "u", "rm")
+        df = engine.read("db.pageview")
+        assert rows(df, "id") == [("user-1",), ("user-3",)]
+        # data still on disk
+        defn = engine.definition("db.pageview")
+        assert os.path.isdir(os.path.join(defn.location, "date=2019-03-13"))
+
+
+ADS_SCHEMA = ("user_id string, ad_id string, ts timestamp, "
+              "impression_date date, processed_date date")
+
+
+class TestMultiPartitionOrcTable:
+    def test_two_level_partitions_orc(self, spark, engine):
+        # MultiPartitionTableLoaderSpec.scala — ORC, late-arriving data
+        engine.create_table("db.ads", schema_ddl=ADS_SCHEMA,
+                            partition_columns=["impression_date", "processed_date"],
+                            format="orc")
+        batch1 = spark.createDataFrame(
+            [("u1", "ad1", "2019-03-13"), ("u2", "ad2", "2019-03-13"),
+             ("u3", "ad3", "2019-03-12")],  # late arrival
+            "user_id string, ad_id string, d string"
+        ).select(
+            "user_id", "ad_id",
+            F.to_timestamp(F.col("d")).alias("ts"),
+            F.to_date(F.col("d")).alias("impression_date"),
+            F.to_date(F.lit("2019-03-13")).alias("processed_date"))
+        engine.insert(batch1, "db.ads", "u", "b1")
+        df = engine.read("db.ads")
+        assert df.count() == 3
+        assert engine.definition("db.ads").format == "orc"
+        parts = engine.current_version("db.ads").partition_versions
+        assert len(parts) == 2  # (03-13, 03-13) and (03-12, 03-13)
+        # reprocess one (impression, processed) pair
+        batch2 = batch1.where(F.col("impression_date") == "2019-03-12") \
+                       .withColumn("ad_id", F.lit("ad3-fixed"))
+        engine.insert(batch2, "db.ads", "u", "b2")
+        df2 = engine.read("db.ads")
+        assert df2.count() == 3
+        assert rows(df2.where(F.col("impression_date") == "2019-03-12"), "ad_id") \
+            == [("ad3-fixed",)]
+
+
+class TestErrors:
+    def test_unknown_table_read(self, engine):
+        from table_versions_spark.core.log import UnknownTableError
+
+        with pytest.raises(UnknownTableError):
+            engine.read("db.nope")
+
+    def test_unknown_commit_checkout(self, spark, engine):
+        from table_versions_spark.core.log import UnknownCommitError
+
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        with pytest.raises(UnknownCommitError):
+            engine.checkout("db.users", "bogus")
+
+    def test_missing_partition_column(self, spark, engine):
+        engine.create_table("db.pv", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        bad = spark.createDataFrame([("a",)], "id string")
+        with pytest.raises(ValueError):
+            engine.insert(bad, "db.pv", "u", "bad")

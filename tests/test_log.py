@@ -1,0 +1,192 @@
+"""Commit-log behaviour tests.
+
+Black-box port of the reference's interface-level suite
+``core/src/test/scala/com/gu/tableversions/core/TableVersionsSpec.scala``:
+idempotent init (:32-52), partition add/update (:54-105), remove + re-add with
+fresh version (:107-162), snapshot versions (:164-196), rollback across history
+(:198-377), history ordering (:379-406), unknown-table/commit errors (:408-464).
+Run here against the persistent file-backed store (the reference had only an
+in-memory impl).
+"""
+
+import random
+
+import pytest
+
+from table_versions_spark.core.log import (
+    FileTableVersions,
+    UnknownCommitError,
+    UnknownTableError,
+)
+from table_versions_spark.core.model import (
+    UNVERSIONED,
+    AddPartitionVersion,
+    AddTableVersion,
+    Partition,
+    PartitionedTableVersion,
+    RemovePartition,
+    SnapshotTableVersion,
+    TableName,
+    TableUpdate,
+    TableUpdateMetadata,
+    Version,
+)
+
+T = TableName("db", "t")
+
+
+def mk_update(*ops, user="alice", message="msg"):
+    return TableUpdate(TableUpdateMetadata.create(user, message), tuple(ops))
+
+
+@pytest.fixture
+def log(tmp_path):
+    return FileTableVersions(str(tmp_path / "table"))
+
+
+class TestInit:
+    def test_init_creates_table(self, log):
+        log.init(T, is_snapshot=False, user_id="u", message="init")
+        assert log.exists()
+        assert log.current_version(T) == PartitionedTableVersion({})
+
+    def test_init_idempotent(self, log):
+        # reference TableVersionsSpec.scala:32-52
+        log.init(T, is_snapshot=False, user_id="u", message="init")
+        v = Version.generate()
+        log.commit(T, mk_update(AddPartitionVersion(Partition.parse("date=1"), v)))
+        log.init(T, is_snapshot=False, user_id="u", message="init again")
+        assert log.current_version(T) == PartitionedTableVersion(
+            {Partition.parse("date=1"): v})
+        assert len(log.updates(T)) == 2
+
+
+class TestPartitioned:
+    def test_add_and_update_partitions(self, log):
+        # reference TableVersionsSpec.scala:54-105
+        log.init(T, False, "u", "init")
+        p1, p2 = Partition.parse("date=2019-03-01"), Partition.parse("date=2019-03-02")
+        v1, v2, v3 = Version.generate(), Version.generate(), Version.generate()
+        log.commit(T, mk_update(AddPartitionVersion(p1, v1),
+                                AddPartitionVersion(p2, v1)))
+        assert log.current_version(T).partition_versions == {p1: v1, p2: v1}
+        log.commit(T, mk_update(AddPartitionVersion(p2, v2)))
+        assert log.current_version(T).partition_versions == {p1: v1, p2: v2}
+        log.commit(T, mk_update(AddPartitionVersion(p1, v3)))
+        assert log.current_version(T).partition_versions == {p1: v3, p2: v2}
+
+    def test_remove_and_readd_fresh_version(self, log):
+        # reference TableVersionsSpec.scala:107-162
+        log.init(T, False, "u", "init")
+        p = Partition.parse("date=2019-03-01")
+        v1, v2 = Version.generate(), Version.generate()
+        log.commit(T, mk_update(AddPartitionVersion(p, v1)))
+        log.commit(T, mk_update(RemovePartition(p)))
+        assert log.current_version(T).partition_versions == {}
+        log.commit(T, mk_update(AddPartitionVersion(p, v2)))
+        assert log.current_version(T).partition_versions == {p: v2}
+        assert v1 != v2  # re-added partition gets a fresh version
+
+
+class TestSnapshot:
+    def test_snapshot_updates(self, log):
+        # reference TableVersionsSpec.scala:164-196
+        log.init(T, True, "u", "init")
+        assert log.current_version(T) == SnapshotTableVersion(UNVERSIONED)
+        v1, v2 = Version.generate(), Version.generate()
+        log.commit(T, mk_update(AddTableVersion(v1)))
+        assert log.current_version(T) == SnapshotTableVersion(v1)
+        log.commit(T, mk_update(AddTableVersion(v2)))
+        assert log.current_version(T) == SnapshotTableVersion(v2)
+
+
+class TestRollback:
+    def test_rollback_partitioned(self, log):
+        # reference TableVersionsSpec.scala:198-292
+        log.init(T, False, "u", "init")
+        p = Partition.parse("date=2019-03-01")
+        v1, v2 = Version.generate(), Version.generate()
+        u1 = mk_update(AddPartitionVersion(p, v1))
+        u2 = mk_update(AddPartitionVersion(p, v2))
+        log.commit(T, u1)
+        log.commit(T, u2)
+        assert log.current_version(T).partition_versions == {p: v2}
+        log.set_current_version(T, u1.metadata.commit_id)
+        assert log.current_version(T).partition_versions == {p: v1}
+        # roll back to empty post-init state
+        init_commit = log.table_state(T).updates[0].metadata.commit_id
+        log.set_current_version(T, init_commit)
+        assert log.current_version(T).partition_versions == {}
+        # roll forward to head
+        log.set_current_version(T, u2.metadata.commit_id)
+        assert log.current_version(T).partition_versions == {p: v2}
+
+    def test_rollback_snapshot(self, log):
+        # reference TableVersionsSpec.scala:294-377
+        log.init(T, True, "u", "init")
+        v1, v2 = Version.generate(), Version.generate()
+        u1 = mk_update(AddTableVersion(v1))
+        u2 = mk_update(AddTableVersion(v2))
+        log.commit(T, u1)
+        log.commit(T, u2)
+        log.set_current_version(T, u1.metadata.commit_id)
+        assert log.current_version(T) == SnapshotTableVersion(v1)
+
+    def test_commit_after_rollback_continues_from_head(self, log):
+        # reference DatePartitionedTableLoaderSpec.scala:139-148 semantics:
+        # commits append at head even when the pointer is behind
+        log.init(T, False, "u", "init")
+        p = Partition.parse("date=1")
+        v1, v2 = Version.generate(), Version.generate()
+        u1 = mk_update(AddPartitionVersion(p, v1))
+        log.commit(T, u1)
+        log.set_current_version(T, u1.metadata.commit_id)
+        init_commit = log.table_state(T).updates[0].metadata.commit_id
+        log.set_current_version(T, init_commit)
+        u2 = mk_update(AddPartitionVersion(p, v2))
+        log.commit(T, u2)
+        # new commit contains full history and pointer at new head
+        assert log.current_version(T).partition_versions == {p: v2}
+        assert len(log.updates(T)) == 3
+
+
+class TestHistory:
+    def test_updates_most_recent_first(self, log):
+        # reference TableVersionsSpec.scala:379-406 (100 shuffled commits)
+        log.init(T, False, "u", "init")
+        ids = []
+        rng = random.Random(42)
+        for i in rng.sample(range(100), 100):
+            u = mk_update(
+                AddPartitionVersion(Partition.parse(f"date=d{i}"), Version.generate()),
+                message=f"commit {i}")
+            log.commit(T, u)
+            ids.append(u.metadata.commit_id)
+        metas = log.updates(T)
+        assert [m.commit_id for m in metas[:-1]] == list(reversed(ids))
+        assert metas[-1].message == "init"
+
+
+class TestErrors:
+    def test_unknown_table(self, log):
+        # reference TableVersionsSpec.scala:408-464
+        with pytest.raises(UnknownTableError):
+            log.current_version(T)
+        with pytest.raises(UnknownTableError):
+            log.commit(T, mk_update(AddTableVersion(Version.generate())))
+        with pytest.raises(UnknownTableError):
+            log.set_current_version(T, "some-id")
+        with pytest.raises(UnknownTableError):
+            log.updates(T)
+
+    def test_unknown_commit_id(self, log):
+        log.init(T, False, "u", "init")
+        before = log.current_version(T)
+        with pytest.raises(UnknownCommitError):
+            log.set_current_version(T, "not-a-commit")
+        assert log.current_version(T) == before  # state unchanged
+
+    def test_time_travel_to_unknown_commit(self, log):
+        log.init(T, False, "u", "init")
+        with pytest.raises(UnknownCommitError):
+            log.current_version(T, at_commit="nope")
