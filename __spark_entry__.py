@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: versioned snapshot insert of lineitem (sf0.001)
+through the VersionedEngine, read back, TPC-H-Q1-shaped aggregation.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2; oracles are DuckDB SQL over the pre-registered testdata views.
+Queries without an oracle entry (approx sketches, LSH/MinHash/SimHash/IVF
+candidates) get the driver's rows-only check by design.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from table_versions_spark import VersionedEngine
+    from table_versions_spark.operators.common import ensure_compat
+
+    ensure_compat(spark)
+    engine = VersionedEngine(spark, tempfile.mkdtemp(prefix="tvx-entry-"))
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    engine.create_table("tpch.lineitem",
+                        schema_ddl=lineitem.schema.simpleString()[7:-1].replace(":", " "))
+    engine.insert(lineitem, "tpch.lineitem", "driver", "sf0.001 load")
+    versioned = engine.read("tpch.lineitem")
+    return (versioned
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _registry() -> tuple[dict, dict]:
+    from table_versions_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        versioned,
+    )
+
+    modules = [relational, versioned, text, similarity, dedup, multimodal]
+    queries: dict[str, Callable] = {}
+    oracles: dict[str, str] = {}
+    for m in modules:
+        queries.update(m.QUERIES)
+        oracles.update(m.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

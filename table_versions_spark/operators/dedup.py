@@ -1,0 +1,161 @@
+"""Near-duplicate detection operators (SURVEY §2.D q_dedup_near family).
+
+Four scale strategies over the documents/embeddings tables:
+
+- ``q_dedup_minhash``: MinHash+LSH — shingle → minhash signatures → banded
+  LSH join (Spark ML ``MinHashLSH.approxSimilarityJoin``). The standard
+  100 TB text-dedup path: candidate generation is a hash-bucket equi-join,
+  never an all-pairs product.
+- ``q_dedup_simhash``: 64-bit SimHash signatures via JVM-side xxhash64 of
+  tokens + per-bit votes; near-dups collide on band keys.
+- ``q_dedup_ngram``: character-n-gram Jaccard over LSH-style candidates —
+  exact verification of the shingle overlap for candidate pairs.
+- ``q_dedup_embedding``: embedding-cosine near-dup pairs (exact at test SF;
+  at scale the IVF bucketing from similarity.py bounds the pair space).
+
+``q_dedup_embedding`` and ``q_dedup_ngram`` have exact DuckDB oracles; the
+minhash/simhash ones are algorithm-specific (rows-only checks) but seeded
+deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load
+from .similarity import as_double_array, cosine
+
+SHINGLE_SIZE = 5
+EMB_DUP_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.4
+SIMHASH_BITS = 64
+
+
+def _shingle_expr(n=SHINGLE_SIZE) -> str:
+    """SQL expression producing distinct char n-grams of `text`."""
+    return (f"array_distinct(transform(sequence(1, greatest(length(text) - {n - 1}, 1)), "
+            f"i -> substring(text, i, {n})))")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (doc_id_a < doc_id_b, est. Jaccard distance).
+
+    Rows-only check: MinHash estimates are hash-family-specific. Seeded for
+    determinism.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("shingles", F.expr(_shingle_expr())))
+    cv = CountVectorizer(inputCol="shingles", outputCol="features",
+                         binary=True, minDF=1.0)
+    model = cv.fit(docs)
+    feats = model.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes",
+                    numHashTables=8, seed=42)
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
+    return (pairs
+            .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(F.col("datasetA.doc_id").alias("doc_id_a"),
+                    F.col("datasetB.doc_id").alias("doc_id_b"),
+                    F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist")))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document, all JVM-side:
+
+    token → xxhash64 → per-bit ±1 votes over the token set → sign bits.
+    Deterministic (xxhash64 is seeded); rows-only check (bit math isn't
+    portable to the oracle).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = SIMHASH_BITS
+    # SQL higher-order functions so the per-bit loop stays inside codegen;
+    # getbit() accepts a lambda-bound bit index (unlike the DSL's shiftleft).
+    simhash = F.expr(f"""
+      aggregate(
+        transform(sequence(0, {n - 1}), b ->
+          if(aggregate(
+               transform(array_distinct(split(text, ' ')), w -> xxhash64(w)),
+               0,
+               (acc, h) -> acc + if(getbit(h, b) = 1, 1, -1)) > 0,
+             if(b = 63, cast(-9223372036854775808 as bigint), shiftleft(cast(1 as bigint), b)),
+             cast(0 as bigint))),
+        cast(0 as bigint), (acc, x) -> acc | x)
+    """)
+    return (docs.select("doc_id", simhash.alias("simhash"))
+            .orderBy("doc_id"))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Candidate generation: word-level inverted index on rare tokens would be
+    the scale path; at driver-check scale we verify the *exact* Jaccard
+    semantics with an all-pairs join on a blocking key (shared first token)
+    to bound the product, then compute |A∩B|/|A∪B| on distinct 5-gram sets.
+    DuckDB oracle mirrors the same plan exactly.
+    """
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr(_shingle_expr()).alias("sh"),
+                    F.split(F.col("text"), " ").getItem(0).alias("first_tok")))
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+                    F.col("first_tok").alias("k"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+                    F.col("first_tok").alias("k"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / union, 6)
+    return (a.join(b, "k")
+            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_a"),
+                   as_double_array(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"),
+                   as_double_array(F.col("embedding")).alias("vb"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (a.crossJoin(b)
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
+            .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD))
+
+
+QUERIES = {
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+_NGRAM_SH = ("list_distinct(list_transform("
+             "range(1, greatest(length(text) - 4, 1) + 1), "
+             "i -> substring(text, i, 5)))")
+
+ORACLES = {
+    "q_dedup_ngram": (
+        "WITH d AS (SELECT doc_id, "
+        f"{_NGRAM_SH} AS sh, "
+        "string_split(text, ' ')[1] AS k FROM documents) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard "
+        "FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id "
+        "WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.4"),
+    "q_dedup_embedding": (
+        "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
+        "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"),
+    # q_dedup_minhash / q_dedup_simhash: rows-only (hash-family-specific)
+}

@@ -1,0 +1,403 @@
+"""Relational query surface (SURVEY §2.B).
+
+Each query id maps to a (spark, sf_dir) -> DataFrame callable plus a DuckDB
+oracle SQL string with matching column names/types. All queries are pure
+DataFrame-API plans — Catalyst picks the physical strategy (broadcast vs
+shuffle join, partial aggregation, whole-stage codegen).
+
+Cross-engine determinism rules applied throughout:
+- every aggregate over doubles is ROUNDed in BOTH engines (floating-point
+  summation order differs between engines);
+- integer-typed function results are cast so Spark/DuckDB types line up
+  (e.g. Spark LENGTH→int vs DuckDB→BIGINT, DuckDB SUM(int)→HUGEINT);
+- window/top-k queries carry a unique tiebreaker column in the ordering.
+
+Reference citations for the reference-exercised subset are in SURVEY §2.B
+(e.g. projection+distinct: ``spark/.../VersionContext.scala:98-99``; equality
+filter: ``examples/.../DatePartitionedTableLoaderSpec.scala:88-91``; take/limit:
+``spark/.../SparkHiveSuite.scala:106``).
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from .common import ensure_compat, load
+
+LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus"]
+
+
+# ---------------------------------------------------------------- scans
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(*LINEITEM_COLS)
+
+
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write+read round trip (format plumbing as in reference
+    ``VersionContext.scala:132-136``)."""
+    ensure_compat(spark)
+    out = os.path.join(tempfile.mkdtemp(prefix="tvx-orc-"), "supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+def q_scan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("tvx_nation_view")
+    return spark.table("tvx_nation_view")
+
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .where(F.col("l_returnflag") == F.lit("R"))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .orderBy("o_orderkey").limit(100)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = cust.where(F.col("c_acctbal") < 0).select("c_custkey", "c_acctbal")
+    return a.unionByName(b)
+
+
+def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+def q_create_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    data = [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    return spark.createDataFrame(data, "id bigint, name string")
+
+
+def q_typed_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").cast("string").alias("okey_str"),
+                    F.col("l_linenumber").cast("bigint").alias("lineno"),
+                    F.col("l_quantity").cast("bigint").alias("qty_int")))
+
+
+# ---------------------------------------------------------------- joins
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey, "inner")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders")))
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no completed ('F') orders."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# ----------------------------------------------------------- aggregates
+
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation (the flagship agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts"),
+                 F.countDistinct("l_suppkey").alias("distinct_supps")))
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — algorithm-specific, so rows-only check
+    (no DuckDB oracle; HLL++ estimates differ across engines)."""
+    return (load(spark, sf_dir, "lineitem")
+            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+                 F.approx_count_distinct("l_partkey").alias("approx_parts")))
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count("*").alias("n")))
+
+
+# -------------------------------------------------------------- windows
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (load(spark, sf_dir, "orders")
+            .withColumn("running_total", F.round(F.sum("o_totalprice").over(w), 2))
+            .select("o_custkey", "o_orderkey", "running_total"))
+
+
+# ------------------------------------------------------- sort / set ops
+
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "supplier")
+            .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.intersect(b)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer keys minus those with an open ('O') order."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    with_open = (load(spark, sf_dir, "orders")
+                 .where(F.col("o_orderstatus") == "O")
+                 .select(F.col("o_custkey").alias("c_custkey")))
+    return cust.subtract(with_open)
+
+
+# ------------------------------------------------------ scalar functions
+
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.upper("p_brand").alias("brand_u"),
+                    F.lower("p_type").alias("type_l"),
+                    F.substring("p_name", 1, 5).alias("name5"),
+                    F.length("p_type").cast("bigint").alias("type_len"),
+                    F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+                    F.trim(F.lit("  x  ")).alias("trimmed")))
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "lineitem")
+            .where(F.col("l_linenumber") == 1)
+            .select("l_orderkey",
+                    F.round("l_extendedprice", 4).alias("price_r"),
+                    F.abs(F.col("l_discount") - 0.05).alias("disc_diff"),
+                    F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+                    F.ceil(F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+                    F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt")))
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey",
+                    F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+                    F.year("o_orderdate").cast("bigint").alias("order_year"),
+                    F.month("o_orderdate").cast("bigint").alias("order_mon"),
+                    F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+                     .cast("bigint").alias("days_since_95")))
+
+
+# ------------------------------------------------------------ pandas UDF
+
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) scalar Pandas UDF — the sanctioned Python
+    hot path (row-at-a-time Python UDFs are deliberately absent from this
+    library). Per-row IEEE arithmetic is bit-deterministic, so the oracle is
+    the equivalent SQL expression with no rounding."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def revenue(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - discount) * (1.0 + tax)
+
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber",
+                    revenue("l_extendedprice", "l_discount", "l_tax").alias("revenue")))
+
+
+QUERIES = {
+    "q_scan_parquet": q_scan_parquet,
+    "q_scan_orc": q_scan_orc,
+    "q_scan_table": q_scan_table,
+    "q_project": q_project,
+    "q_distinct": q_distinct,
+    "q_filter_eq": q_filter_eq,
+    "q_limit": q_limit,
+    "q_union_all": q_union_all,
+    "q_collect": q_collect,
+    "q_create_ds": q_create_ds,
+    "q_typed_cast": q_typed_cast,
+    "q_join_inner": q_join_inner,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_agg_hash": q_agg_hash,
+    "q_agg_distinct": q_agg_distinct,
+    "q_agg_approx_distinct": q_agg_approx_distinct,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_window_rank": q_window_rank,
+    "q_window_running": q_window_running,
+    "q_sort": q_sort,
+    "q_topk": q_topk,
+    "q_set_intersect": q_set_intersect,
+    "q_set_except": q_set_except,
+    "q_str_funcs": q_str_funcs,
+    "q_math_funcs": q_math_funcs,
+    "q_date_funcs": q_date_funcs,
+    "q_udf_pandas": q_udf_pandas,
+}
+
+ORACLES = {
+    "q_scan_parquet": f"SELECT {', '.join(LINEITEM_COLS)} FROM lineitem",
+    "q_scan_orc": "SELECT * FROM supplier",
+    "q_scan_table": "SELECT * FROM nation",
+    "q_project": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
+    "q_filter_eq": ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+                    "FROM lineitem WHERE l_returnflag = 'R'"),
+    "q_limit": ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+                "ORDER BY o_orderkey LIMIT 100"),
+    "q_union_all": ("SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING' "
+                    "UNION ALL "
+                    "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0"),
+    "q_collect": "SELECT COUNT(*) AS n FROM lineitem",
+    "q_create_ds": ("SELECT CAST(id AS BIGINT) AS id, name FROM "
+                    "(VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name)"),
+    "q_typed_cast": ("SELECT CAST(l_orderkey AS VARCHAR) AS okey_str, "
+                     "CAST(l_linenumber AS BIGINT) AS lineno, "
+                     "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int FROM lineitem"),
+    "q_join_inner": ("SELECT c_mktsegment, COUNT(*) AS n_orders, "
+                     "ROUND(SUM(o_totalprice), 2) AS sum_price "
+                     "FROM orders JOIN customer ON o_custkey = c_custkey "
+                     "GROUP BY c_mktsegment"),
+    "q_join_left": ("SELECT c_custkey, COUNT(o_orderkey) AS n_orders "
+                    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+                    "GROUP BY c_custkey"),
+    "q_join_semi": ("SELECT c_custkey, c_name FROM customer "
+                    "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "q_join_anti": ("SELECT c_custkey, c_name FROM customer "
+                    "WHERE NOT EXISTS (SELECT 1 FROM orders "
+                    "WHERE o_custkey = c_custkey AND o_orderstatus = 'F')"),
+    "q_agg_hash": ("SELECT l_returnflag, l_linestatus, "
+                   "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+                   "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+                   "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+                   "ROUND(AVG(l_quantity), 6) AS avg_qty, "
+                   "ROUND(AVG(l_discount), 6) AS avg_disc, "
+                   "COUNT(*) AS count_order "
+                   "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q_agg_distinct": ("SELECT l_returnflag, "
+                       "COUNT(DISTINCT l_partkey) AS distinct_parts, "
+                       "COUNT(DISTINCT l_suppkey) AS distinct_supps "
+                       "FROM lineitem GROUP BY l_returnflag"),
+    "q_rollup": ("SELECT l_returnflag, l_linestatus, "
+                 "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n "
+                 "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q_cube": ("SELECT l_returnflag, l_linestatus, "
+               "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n "
+               "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "q_window_rank": ("SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+                      "SELECT o_custkey, o_orderkey, o_totalprice, "
+                      "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+                      "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders"
+                      ") WHERE rn <= 3"),
+    "q_window_running": ("SELECT o_custkey, o_orderkey, "
+                         "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+                         "ORDER BY o_orderdate, o_orderkey "
+                         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) "
+                         "AS running_total FROM orders"),
+    "q_sort": ("SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+               "ORDER BY s_acctbal DESC, s_suppkey"),
+    "q_topk": ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+               "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_set_intersect": ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' "
+                        "INTERSECT "
+                        "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"),
+    "q_set_except": ("SELECT c_custkey FROM customer "
+                     "EXCEPT SELECT o_custkey AS c_custkey FROM orders "
+                     "WHERE o_orderstatus = 'O'"),
+    "q_str_funcs": ("SELECT p_partkey, UPPER(p_brand) AS brand_u, "
+                    "LOWER(p_type) AS type_l, "
+                    "SUBSTRING(p_name, 1, 5) AS name5, "
+                    "CAST(LENGTH(p_type) AS BIGINT) AS type_len, "
+                    "CONCAT_WS('#', p_brand, p_type) AS brand_type, "
+                    "TRIM('  x  ') AS trimmed FROM part"),
+    "q_math_funcs": ("SELECT l_orderkey, ROUND(l_extendedprice, 4) AS price_r, "
+                     "ABS(l_discount - 0.05) AS disc_diff, "
+                     "CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor, "
+                     "CAST(CEIL(l_tax * 100) AS BIGINT) AS tax_pct, "
+                     "ROUND(SQRT(l_quantity), 6) AS qty_sqrt "
+                     "FROM lineitem WHERE l_linenumber = 1"),
+    "q_date_funcs": ("SELECT o_orderkey, "
+                     "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month, "
+                     "CAST(YEAR(o_orderdate) AS BIGINT) AS order_year, "
+                     "CAST(MONTH(o_orderdate) AS BIGINT) AS order_mon, "
+                     "CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) "
+                     "AS days_since_95 FROM orders"),
+    "q_udf_pandas": ("SELECT l_orderkey, l_linenumber, "
+                     "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue "
+                     "FROM lineitem"),
+    # q_agg_approx_distinct: intentionally no oracle (rows-only check)
+}

@@ -1,0 +1,111 @@
+"""Vector similarity search over the embeddings table (SURVEY §2.D).
+
+``q_sim_search`` is the exact brute-force baseline: cosine top-k against a
+query vector, computed entirely JVM-side with higher-order array functions
+(``zip_with`` + ``aggregate``) — no Python in the loop, so the scan
+parallelizes like any other columnar scan.
+
+``q_sim_ann_ivf`` is the scale path: IVF-style bucketing. Vectors are
+assigned to their nearest of K fixed centroids at "index build" time; a query
+probes only its centroid's bucket. At 100 TB the bucket assignment is a
+one-off write repartitioned by centroid id (co-locating each bucket), and a
+query touches 1/K of the data. Here K centroids are taken deterministically
+from the dataset itself (lowest vec_ids) so the result is reproducible and
+driver-checkable (rows-only — the IVF candidate set is algorithm-specific).
+
+``q_dedup_embedding`` (in dedup.py) reuses the same cosine kernel for
+near-duplicate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from .common import load
+
+TOP_K = 10
+IVF_K = 8  # number of coarse centroids
+QUERY_VEC_ID = 0  # deterministic query vector: the embedding of vec_id 0
+
+
+def as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
+    emb = load(spark, sf_dir, "embeddings")
+    row = (emb.where(F.col("vec_id") == QUERY_VEC_ID)
+              .select("embedding").collect())[0]
+    return [float(x) for x in row[0]]
+
+
+def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (excluding the query vector itself)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.lit(_query_vector(spark, sf_dir))  # literal array → broadcast into codegen
+    vec = as_double_array(F.col("embedding"))
+    return (emb.where(F.col("vec_id") != QUERY_VEC_ID)
+            .select("vec_id", F.round(cosine(vec, q), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(TOP_K))
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate search: assign vectors to nearest centroid,
+    probe only the query's bucket. Rows-only check (candidate set is
+    algorithm-specific, not SQL-expressible)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (emb.orderBy("vec_id").limit(IVF_K)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec"))
+             .collect())
+    cent_arr = F.array(*[
+        F.struct(F.lit(int(r.cent_id)).alias("cent_id"),
+                 F.lit([float(x) for x in r.cent_vec]).alias("cent_vec"))
+        for r in cents])
+    vec = as_double_array(F.col("embedding"))
+    # nearest centroid per vector: argmax of cosine over the centroid array
+    scored = F.transform(cent_arr,
+                         lambda c: F.struct(cosine(vec, c["cent_vec"]).alias("s"),
+                                            c["cent_id"].alias("cent_id")))
+    assigned = emb.withColumn("cent_id", F.array_max(scored)["cent_id"])
+    q_vec = _query_vector(spark, sf_dir)
+    q = F.lit(q_vec)
+    q_cent = (assigned.where(F.col("vec_id") == QUERY_VEC_ID)
+              .select("cent_id").collect())[0][0]
+    return (assigned.where((F.col("cent_id") == int(q_cent))
+                           & (F.col("vec_id") != QUERY_VEC_ID))
+            .select("vec_id", F.round(cosine(vec, q), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(TOP_K))
+
+
+QUERIES = {
+    "q_sim_search": q_sim_search,
+    "q_sim_ann_ivf": q_sim_ann_ivf,
+}
+
+ORACLES = {
+    "q_sim_search": (
+        "SELECT vec_id, ROUND(list_cosine_similarity("
+        "CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        "), 6) AS cos_sim "
+        "FROM embeddings WHERE vec_id <> 0 "
+        "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    # q_sim_ann_ivf: rows-only (IVF candidate set is algorithm-specific)
+}

@@ -1,0 +1,149 @@
+"""Text-analysis operators for LLM-data-pipeline use (SURVEY §2.D).
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` (split /
+higher-order array functions / hashes) — no Python UDFs — so these scale to
+100 TB document corpora as plain whole-stage-codegen'd scans + hash
+aggregations. Each has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load
+
+# Shared stopword list for the language-ID heuristic and quality scoring.
+EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+def _tokens(col):
+    return F.split(col, " ")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: keep the lowest doc_id per distinct content hash."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("content_sha", F.sha2(F.col("text"), 256))
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "content_sha"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (doc counts, char/token totals)."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("n_tokens", F.size(_tokens(F.col("text"))).cast("bigint"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 4).alias("avg_tokens")))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenization
+    (alpha runs / digit runs / single non-space symbols)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"),
+                                    F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+         .cast("bigint").alias("bpe_tokens"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    (A real system would use character-n-gram profiles; the Spark shape —
+    one codegen'd scan, no shuffle — is identical.)"""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))).cast("double")
+    # raw quotient, no rounding: per-row IEEE division is bit-identical across
+    # engines, while ROUND at a half-way boundary is not
+    ratio = hits / F.size(toks)
+    return docs.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: mean token length, alpha-char ratio, stopword ratio →
+    composite score. All closed-form so the oracle is exact."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_toks = F.size(toks).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).cast("double")
+    # all per-row IEEE arithmetic, deliberately unrounded (bit-identical
+    # across engines; rounding would introduce half-way boundary mismatches)
+    mean_tok_len = alpha_chars / n_toks
+    alpha_ratio = alpha_chars / F.col("n_chars").cast("double")
+    sw_ratio = (F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))).cast("double")
+                / n_toks)
+    score = (alpha_ratio * 0.5 + sw_ratio * 0.3
+             + F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)) * 0.2)
+    return docs.select("doc_id", mean_tok_len.alias("mean_tok_len"),
+                       alpha_ratio.alias("alpha_ratio"),
+                       sw_ratio.alias("stopword_ratio"),
+                       score.alias("quality_score"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: sha-256 over the sorted distinct token set
+    (bag-of-words fingerprint — word-order-insensitive duplicate signal)."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(F.col("text")))))
+    return docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_stats": q_text_stats,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "q_dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id, content_sha FROM "
+        "(SELECT doc_id, sha256(text) AS content_sha FROM documents) "
+        "GROUP BY content_sha"),
+    "q_text_stats": (
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "ROUND(AVG(n_chars), 4) AS avg_chars, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, "
+        "ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens "
+        "FROM documents GROUP BY lang"),
+    "q_token_count": (
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) "
+        "AS bpe_tokens FROM documents"),
+    "q_lang_id": (
+        "SELECT doc_id, stopword_ratio, "
+        "CASE WHEN stopword_ratio >= 0.03 THEN 'en' ELSE 'other' END AS lang_pred FROM "
+        "(SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> w IN {_SW_SQL})) AS DOUBLE) / len(string_split(text, ' ')) "
+        "AS stopword_ratio FROM documents)"),
+    "q_quality_score": (
+        "SELECT doc_id, mean_tok_len, alpha_ratio, stopword_ratio, "
+        "alpha_ratio * 0.5 + stopword_ratio * 0.3 + "
+        "LEAST(mean_tok_len / 10.0, 1.0) * 0.2 AS quality_score FROM "
+        "(SELECT doc_id, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+        "/ len(string_split(text, ' ')) AS mean_tok_len, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+        "/ CAST(n_chars AS DOUBLE) AS alpha_ratio, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> w IN {_SW_SQL})) AS DOUBLE) / len(string_split(text, ' ')) "
+        "AS stopword_ratio FROM documents)"),
+    "q_fingerprint": (
+        "SELECT doc_id, sha256(array_to_string(list_sort(list_distinct("
+        "string_split(text, ' '))), ' ')) AS fingerprint FROM documents"),
+}

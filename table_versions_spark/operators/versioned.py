@@ -1,0 +1,116 @@
+"""Versioning-flow queries (SURVEY §2.A surfaced as driver-checkable §2.B ids).
+
+Each query exercises the VersionedEngine end-to-end on a throwaway warehouse:
+the Spark result is whatever a reader of the versioned table sees, and the
+DuckDB oracle states the same expected contents in plain SQL over the original
+testdata tables. This verifies, via the driver's hash-compare, that:
+
+- snapshot replace shows only the latest snapshot
+  (reference ``SnapshotTableLoaderSpec.scala:60-74``),
+- partition overwrite replaces exactly the touched partitions
+  (reference ``DatePartitionedTableLoaderSpec.scala:110-123``),
+- time travel reproduces the pre-update state
+  (reference ``DatePartitionedTableLoaderSpec.scala:125-137``),
+- partition-pruned reads return exactly one partition's rows
+  (reference ``DatePartitionedTableLoaderSpec.scala:86-101``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine import VersionedEngine
+from .common import ensure_compat, load, load_events
+
+CUSTOMER_DDL = ("c_custkey bigint, c_name string, c_nationkey int, "
+                "c_acctbal double, c_mktsegment string")
+EVENTS_DDL = ("event_id bigint, user_id bigint, event_type string, "
+              "value double, event_date date")
+
+# DuckDB scalar for the partition used in partition-level scenarios
+_MIN_DATE_SQL = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
+
+
+def _engine(spark: SparkSession) -> VersionedEngine:
+    ensure_compat(spark)
+    return VersionedEngine(spark, tempfile.mkdtemp(prefix="tvx-wh-"))
+
+
+def _events_for_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
+def q_snapshot_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two snapshot inserts; reader sees only the second."""
+    eng = _engine(spark)
+    cust = load(spark, sf_dir, "customer")
+    eng.create_table("vx.customers", schema_ddl=CUSTOMER_DDL)
+    eng.insert(cust, "vx.customers", "tester", "v1: full load")
+    eng.insert(cust.where(F.col("c_acctbal") > 0), "vx.customers", "tester",
+               "v2: positive balances only")
+    return eng.read("vx.customers")
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot v1, v2, then read *as of* the v1 commit."""
+    eng = _engine(spark)
+    cust = load(spark, sf_dir, "customer")
+    eng.create_table("vx.customers", schema_ddl=CUSTOMER_DDL)
+    r1 = eng.insert(cust, "vx.customers", "tester", "v1")
+    eng.insert(cust.where(F.col("c_acctbal") > 0), "vx.customers", "tester", "v2")
+    return eng.read("vx.customers", at_commit=r1.commit_id)
+
+
+def q_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert all days of events, then reprocess the earliest day with doubled
+    values: only that partition is replaced (Hive-overwrite emulation)."""
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.events", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.events", "tester", "all days")
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    reprocessed = (ev.where(F.col("event_date") == F.lit(min_date))
+                     .withColumn("value", F.col("value") * 2))
+    eng.insert(reprocessed, "vx.events", "tester", "reprocess earliest day")
+    return eng.read("vx.events").select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read one partition of a versioned partitioned table (Catalyst prunes
+    via PartitionFilters on the basePath-resolved layout)."""
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.events", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.events", "tester", "all days")
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    return (eng.read("vx.events")
+            .where(F.col("event_date") == F.lit(min_date))
+            .select("event_id", "user_id", "event_type", "value"))
+
+
+QUERIES = {
+    "q_snapshot_replace": q_snapshot_replace,
+    "q_time_travel": q_time_travel,
+    "q_insert_overwrite_partition": q_insert_overwrite_partition,
+    "q_partition_prune": q_partition_prune,
+}
+
+ORACLES = {
+    "q_snapshot_replace": "SELECT * FROM customer WHERE c_acctbal > 0",
+    "q_time_travel": "SELECT * FROM customer",
+    "q_insert_overwrite_partition": (
+        "SELECT event_id, user_id, event_type, value * 2 AS value, "
+        f"CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date "
+        f"FROM events WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
+    "q_partition_prune": (
+        "SELECT event_id, user_id, event_type, value FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
+}
