@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query plan is fully executed via the noop datasource sink (no driver
+collect overhead, no result materialization skew). Session is warmed with a
+trivial job first so JVM/codegen startup isn't charged to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shuffles/joins
+# that dominate at scale. Versioned-write flows are included because the
+# engine's write path IS a product surface.
+HEADLINE = [
+    "q_scan_parquet",
+    "q_filter_eq",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_join_inner",
+    "q_join_left",
+    "q_window_rank",
+    "q_window_running",
+    "q_topk",
+    "q_rollup",
+    "q_udf_pandas",
+    "q_snapshot_replace",
+    "q_insert_overwrite_partition",
+    "q_partition_prune",
+    "q_dedup_exact",
+    "q_text_stats",
+    "q_token_count",
+    "q_fingerprint",
+    "q_sim_search",
+    "q_dedup_ngram",
+    "q_dedup_embedding",
+    "q_dedup_minhash",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from table_versions_spark.session import get_spark
+
+    spark = get_spark(app_name="tvx-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ import tempfile
 from dataclasses import dataclass
 
 from .model import (
+    UNVERSIONED,
     InitTable,
     PartitionedTableVersion,
     SnapshotTableVersion,
@@ -55,6 +56,8 @@ from .model import (
 LOG_DIR = "_version_log"
 CURRENT_POINTER = "_current"
 COMMIT_WIDTH = 8  # 00000000.json
+CHECKPOINT_PREFIX = "_checkpoint-"
+CHECKPOINT_INTERVAL = 10  # write a folded-state checkpoint every N commits
 
 
 class UnknownTableError(KeyError):
@@ -140,7 +143,9 @@ class FileTableVersions:
                 seq += 1  # another writer landed first: CAS retry on next slot
         with os.fdopen(fd, "w") as f:
             f.write(payload)
-        self._write_pointer(update.metadata.commit_id)
+        self._write_pointer(update.metadata.commit_id, seq)
+        if seq > 0 and seq % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(seq, update.metadata.commit_id)
 
     # -- pointer -----------------------------------------------------------
 
@@ -148,23 +153,34 @@ class FileTableVersions:
         """Rollback/forward; unknown commit ⇒ error, no state change
         (reference ``InMemoryTableVersions.scala:30-44``)."""
         self._require_exists(table)
-        known = {u.metadata.commit_id for u in self._read_all_updates()}
-        if commit_id not in known:
+        seq = self._find_seq(commit_id)
+        if seq is None:
             raise UnknownCommitError(f"Unknown commit id: {commit_id}")
-        self._write_pointer(commit_id)
+        self._write_pointer(commit_id, seq)
 
-    def _write_pointer(self, commit_id: str) -> None:
-        _atomic_write(os.path.join(self.log_dir, CURRENT_POINTER), commit_id)
+    def _write_pointer(self, commit_id: str, seq: int | None = None) -> None:
+        payload = commit_id if seq is None else f"{commit_id}\n{seq}"
+        _atomic_write(os.path.join(self.log_dir, CURRENT_POINTER), payload)
 
-    def _read_pointer(self) -> str:
+    def _read_pointer(self) -> tuple[str, int | None]:
         with open(os.path.join(self.log_dir, CURRENT_POINTER)) as f:
-            return f.read().strip()
+            lines = f.read().strip().splitlines()
+        commit_id = lines[0]
+        seq = int(lines[1]) if len(lines) > 1 else None
+        return commit_id, seq
+
+    def _find_seq(self, commit_id: str) -> int | None:
+        for i, fname in enumerate(self._commit_files()):
+            with open(os.path.join(self.log_dir, fname)) as f:
+                if json.load(f)["commit_id"] == commit_id:
+                    return i
+        return None
 
     # -- queries -----------------------------------------------------------
 
     def table_state(self, table: TableName | None = None) -> TableState:
         self._require_exists(table)
-        return TableState(self._read_pointer(), tuple(self._read_all_updates()))
+        return TableState(self._read_pointer()[0], tuple(self._read_all_updates()))
 
     def updates(self, table: TableName | None = None) -> list[TableUpdateMetadata]:
         """History, most recent first (reference ``TableVersions.scala:44-45``)."""
@@ -174,23 +190,88 @@ class FileTableVersions:
     def current_version(self, table: TableName | None = None,
                         at_commit: str | None = None) -> TableVersion:
         """Fold ops up to (and incl.) the pointer — or an explicit commit for
-        time-travel reads (reference ``TableVersions.scala:29-41``)."""
-        state = self.table_state(table)
-        pointer = at_commit if at_commit is not None else state.current_version
-        in_scope: list[TableUpdate] = []
-        found = False
-        for u in state.updates:
-            in_scope.append(u)
-            if u.metadata.commit_id == pointer:
-                found = True
-                break
-        if not found:
-            raise UnknownCommitError(f"Unknown commit id: {pointer}")
-        ops = [op for u in in_scope for op in u.operations]
-        is_snapshot = any(isinstance(op, InitTable) and op.is_snapshot for op in ops)
+        time-travel reads (reference ``TableVersions.scala:29-41``).
+
+        Unlike the reference (full log replay per call, flagged in SURVEY
+        §4.2), the fold resumes from the newest checkpoint at-or-before the
+        target commit, so the cost is O(commits since last checkpoint)."""
+        self._require_exists(table)
+        if at_commit is not None:
+            pointer, seq = at_commit, self._find_seq(at_commit)
+            if seq is None:
+                raise UnknownCommitError(f"Unknown commit id: {at_commit}")
+        else:
+            pointer, seq = self._read_pointer()
+            if seq is None:  # legacy pointer without seq
+                seq = self._find_seq(pointer)
+                if seq is None:
+                    raise UnknownCommitError(f"Unknown commit id: {pointer}")
+
+        base, start_seq = self._load_checkpoint(seq)
+        files = self._commit_files()[start_seq:seq + 1]
+        ops = []
+        for fname in files:
+            with open(os.path.join(self.log_dir, fname)) as f:
+                ops.extend(update_from_json(json.load(f)).operations)
+
+        if base is not None:
+            is_snapshot, state = base
+        else:
+            is_snapshot = any(isinstance(op, InitTable) and op.is_snapshot
+                              for op in ops)
+            state = (SnapshotTableVersion(UNVERSIONED) if is_snapshot
+                     else PartitionedTableVersion({}))
         if is_snapshot:
-            return latest_snapshot_table_version(ops)
-        return apply_partition_updates(PartitionedTableVersion({}), ops)
+            folded = latest_snapshot_table_version(ops)
+            if folded.version == UNVERSIONED and isinstance(state, SnapshotTableVersion):
+                return state  # no snapshot update in the delta: keep checkpoint state
+            return folded
+        return apply_partition_updates(state, ops)
+
+    # -- checkpoints -------------------------------------------------------
+
+    def _write_checkpoint(self, seq: int, commit_id: str) -> None:
+        from .model import Partition, Version
+
+        state = self.current_version()
+        if isinstance(state, SnapshotTableVersion):
+            payload = {"seq": seq, "commit_id": commit_id, "is_snapshot": True,
+                       "snapshot_version": state.version.label}
+        else:
+            payload = {"seq": seq, "commit_id": commit_id, "is_snapshot": False,
+                       "partitions": {p.render(): v.label
+                                      for p, v in state.partition_versions.items()}}
+        path = os.path.join(self.log_dir,
+                            f"{CHECKPOINT_PREFIX}{seq:0{COMMIT_WIDTH}d}.json")
+        _atomic_write(path, json.dumps(payload, indent=1))
+
+    def _load_checkpoint(self, max_seq: int):
+        """Newest checkpoint with seq <= max_seq → ((is_snapshot, state),
+        first_unapplied_seq), or (None, 0)."""
+        from .model import Partition, Version
+
+        best = None
+        if os.path.isdir(self.log_dir):
+            for fname in os.listdir(self.log_dir):
+                if fname.startswith(CHECKPOINT_PREFIX) and fname.endswith(".json"):
+                    seq = int(fname[len(CHECKPOINT_PREFIX):-len(".json")])
+                    if seq <= max_seq and (best is None or seq > best):
+                        best = seq
+        if best is None:
+            return None, 0
+        path = os.path.join(self.log_dir,
+                            f"{CHECKPOINT_PREFIX}{best:0{COMMIT_WIDTH}d}.json")
+        with open(path) as f:
+            d = json.load(f)
+        if d["is_snapshot"]:
+            state = SnapshotTableVersion(Version.parse(d["snapshot_version"])
+                                         if d["snapshot_version"]
+                                         != UNVERSIONED.label else UNVERSIONED)
+        else:
+            state = PartitionedTableVersion(
+                {Partition.parse(p): Version.parse(v)
+                 for p, v in d["partitions"].items()})
+        return (d["is_snapshot"], state), best + 1
 
     # -- internals ---------------------------------------------------------
 
@@ -198,7 +279,7 @@ class FileTableVersions:
         if not os.path.isdir(self.log_dir):
             return []
         return sorted(f for f in os.listdir(self.log_dir)
-                      if f.endswith(".json") and not f.startswith("."))
+                      if f.endswith(".json") and f[:-len(".json")].isdigit())
 
     def _read_all_updates(self) -> list[TableUpdate]:
         out = []

@@ -133,15 +133,40 @@ class VersionedEngine:
     # ---------------------------------------------------------------- write
 
     def insert(self, df: DataFrame, table: TableName | str, user_id: str,
-               message: str) -> CommitResult:
+               message: str, mode: str = "overwrite") -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
-        ``VersionContext.scala:29-44,53-90``)."""
+        ``VersionContext.scala:29-44,53-90``).
+
+        ``mode="overwrite"`` (reference semantics): partitions present in
+        ``df`` get a fresh version containing only ``df``'s rows; snapshot
+        tables are fully replaced.
+
+        ``mode="append"`` (extension, needed for streaming ingest): the fresh
+        version additionally contains the previous version's rows. Because
+        version directories are immutable, this is file-level: the old
+        version's data files are hardlinked (copied on link failure) into the
+        new version dir — no data rewrite, no extra Spark job.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
+        previous = log.current_version(defn.name)
         version = Version.generate()
         if defn.is_snapshot:
             ops = self._write_snapshot(df, defn, version)
+            if mode == "append" and isinstance(previous, SnapshotTableVersion) \
+                    and previous.version != UNVERSIONED:
+                _link_data_files(path_for(defn.location, previous.version),
+                                 path_for(defn.location, version))
         else:
             ops = self._write_partitioned(df, defn, version)
+            if mode == "append" and isinstance(previous, PartitionedTableVersion):
+                for op in ops:
+                    old = previous.partition_versions.get(op.partition)
+                    if old is not None:
+                        _link_data_files(
+                            os.path.join(defn.location, op.partition.render(), old.label),
+                            os.path.join(defn.location, op.partition.render(), version.label))
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
 
@@ -249,12 +274,105 @@ class VersionedEngine:
         defn, log = self._log(table)
         return log.current_version(defn.name)
 
+    # ------------------------------------------------------- maintenance
+
+    def vacuum(self, table: TableName | str, keep_commits: int = 3) -> list[str]:
+        """Delete version directories unreachable from the current pointer
+        state or from the states of the last ``keep_commits`` commits.
+
+        Closes an acknowledged gap in the reference, where old version dirs
+        accumulate forever (SURVEY §2.E; visible in reference
+        ``DatePartitionedTableLoaderSpec.scala:118-123``). Time travel to
+        commits older than the retention horizon may no longer find data —
+        same contract as Delta/Iceberg ``VACUUM``/``expire_snapshots``.
+        Returns the removed directory paths.
+        """
+        defn, log = self._log(table)
+        state = log.table_state(defn.name)
+        keep_ids = {state.current_version}
+        keep_ids.update(u.metadata.commit_id
+                        for u in state.updates[-keep_commits:] if keep_commits)
+        referenced: set[str] = set()
+        for cid in keep_ids:
+            tv = log.current_version(defn.name, at_commit=cid)
+            if isinstance(tv, SnapshotTableVersion):
+                if tv.version != UNVERSIONED:
+                    referenced.add(path_for(defn.location, tv.version))
+            else:
+                for p, v in tv.partition_versions.items():
+                    referenced.add(os.path.join(defn.location, p.render(), v.label))
+        removed = []
+        for vdir in self._all_version_dirs(defn):
+            if vdir not in referenced:
+                shutil.rmtree(vdir, ignore_errors=True)
+                removed.append(vdir)
+        return removed
+
+    def compact(self, table: TableName | str, user_id: str = "maintenance",
+                target_partitions: int | None = None) -> CommitResult:
+        """Small-file compaction: rewrite the current state into a fresh
+        version with one file per partition (or ``target_partitions`` files
+        for snapshot tables). Readers are unaffected until the commit lands
+        (immutable versions = zero read/write interference)."""
+        defn, _ = self._log(table)
+        df = self.read(table)
+        pcols = list(defn.partition_schema.columns)
+        if pcols:
+            df = df.repartition(*pcols)
+        elif target_partitions:
+            df = df.coalesce(target_partitions)
+        return self.insert(df, table, user_id, "compaction")
+
+    def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
+        """Every version-label directory on disk for this table."""
+        out = []
+        if defn.is_snapshot:
+            for entry in os.listdir(defn.location):
+                if Version.is_version_label(entry):
+                    out.append(os.path.join(defn.location, entry))
+            return out
+        depth = len(defn.partition_schema.columns)
+
+        def walk(cur: str, level: int) -> None:
+            if not os.path.isdir(cur):
+                return
+            for entry in os.listdir(cur):
+                path = os.path.join(cur, entry)
+                if level < depth:
+                    if _PARTITION_DIR_MARKER in entry and os.path.isdir(path):
+                        walk(path, level + 1)
+                elif Version.is_version_label(entry) and os.path.isdir(path):
+                    out.append(path)
+
+        walk(defn.location, 0)
+        return out
+
     def _empty(self, defn: TableDefinition) -> DataFrame:
         if not defn.schema_ddl:
             raise UnknownTableError(
                 f"Table {defn.name.fully_qualified_name} has no data and no "
                 "declared schema")
         return self.spark.createDataFrame([], defn.schema_ddl)
+
+
+def _link_data_files(src_dir: str, dst_dir: str) -> None:
+    """Hardlink (or copy) the data files of an immutable version dir into a
+    new version dir. Filenames are kept unless they collide (Spark part-file
+    names are task-unique, so collisions only occur across separate writes)."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        if name.startswith((".", "_")):
+            continue
+        src = os.path.join(src_dir, name)
+        if not os.path.isfile(src):
+            continue
+        dst = os.path.join(dst_dir, name)
+        if os.path.exists(dst):
+            dst = os.path.join(dst_dir, f"prev-{_uuid.uuid4().hex[:8]}-{name}")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
 
 
 def _discover_partitions(staging: str, depth: int) -> list[str]:

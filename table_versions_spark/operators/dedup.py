@@ -37,29 +37,66 @@ def _shingle_expr(n=SHINGLE_SIZE) -> str:
             f"i -> substring(text, i, {n})))")
 
 
+NUM_MINHASHES = 128
+LSH_BANDS = 32          # 32 bands × 4 rows = 128 signatures
+LSH_ROWS = NUM_MINHASHES // LSH_BANDS
+MINHASH_SIM_THRESHOLD = 0.5
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (doc_id_a < doc_id_b, est. Jaccard distance).
+    """MinHash+LSH near-dup pairs — native banded implementation.
 
-    Rows-only check: MinHash estimates are hash-family-specific. Seeded for
-    determinism.
+    shingle → 128 seeded-xxhash64 minhashes → 32 bands of 4 → explode bands →
+    band-bucket self-equi-join (the only shuffle; never an all-pairs product)
+    → signature-estimated Jaccard filter → exact shingle-Jaccard verify.
+
+    Everything is JVM-side higher-order SQL (no Spark ML fit pass, no Python).
+    We replaced ``pyspark.ml.feature.MinHashLSH`` here: its LSH uses one row
+    per band, so on a high-overlap corpus ~every pair becomes a candidate and
+    ``approxSimilarityJoin`` degenerates to an all-pairs join (measured
+    >15 min at sf0.1 vs seconds for this plan).
+
+    At 100 TB: candidates scale with true-duplicate density, band join keys
+    are uniformly distributed (hash values) so the shuffle is skew-free, and
+    the signature stage reads each doc exactly once.
+
+    Rows-only check: the hash family is engine-specific. Deterministic
+    (xxhash64 is a fixed-seed keyed hash).
     """
-    from pyspark.ml.feature import CountVectorizer, MinHashLSH
-
     docs = (load(spark, sf_dir, "documents")
-            .withColumn("shingles", F.expr(_shingle_expr())))
-    cv = CountVectorizer(inputCol="shingles", outputCol="features",
-                         binary=True, minDF=1.0)
-    model = cv.fit(docs)
-    feats = model.transform(docs)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes",
-                    numHashTables=8, seed=42)
-    mh_model = mh.fit(feats)
-    pairs = mh_model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
-    return (pairs
-            .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-            .select(F.col("datasetA.doc_id").alias("doc_id_a"),
-                    F.col("datasetB.doc_id").alias("doc_id_b"),
-                    F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist")))
+            .select("doc_id", F.expr(_shingle_expr()).alias("sh"))
+            .withColumn("sig", F.expr(
+                f"transform(sequence(0, {NUM_MINHASHES - 1}), "
+                "i -> array_min(transform(sh, s -> xxhash64(s, i))))"))
+            .persist())  # signatures feed three branches; compute them once
+    # band join on NARROW rows only (doc_id, band key) — payloads (shingle
+    # arrays, signatures) are re-joined after pair dedup, so the wide data
+    # never rides through the candidate shuffle
+    banded = docs.select("doc_id", F.explode(F.expr(
+        f"transform(sequence(0, {LSH_BANDS - 1}), "
+        f"b -> named_struct('idx', b, 'key', "
+        f"xxhash64(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}))))")).alias("band"))
+    a = banded.select(F.col("doc_id").alias("doc_id_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_id_b"), "band")
+    pair_ids = (a.join(b, "band")
+                .where(F.col("doc_id_a") < F.col("doc_id_b"))
+                .select("doc_id_a", "doc_id_b")
+                .distinct())
+    payload_a = docs.select(F.col("doc_id").alias("doc_id_a"),
+                            F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
+    payload_b = docs.select(F.col("doc_id").alias("doc_id_b"),
+                            F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
+    est = (F.aggregate(F.zip_with("sig_a", "sig_b",
+                                  lambda x, y: F.when(x == y, 1).otherwise(0)),
+                       F.lit(0), lambda acc, x: acc + x)
+           / F.lit(float(NUM_MINHASHES)))
+    exact = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+             / F.size(F.array_union("sh_a", "sh_b")))
+    return (pair_ids
+            .join(payload_a, "doc_id_a").join(payload_b, "doc_id_b")
+            .where(est >= MINHASH_SIM_THRESHOLD)
+            .select("doc_id_a", "doc_id_b", F.round(exact, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= MINHASH_SIM_THRESHOLD))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

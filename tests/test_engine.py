@@ -194,6 +194,88 @@ class TestMultiPartitionOrcTable:
             == [("ad3-fixed",)]
 
 
+class TestAppendMode:
+    def test_partitioned_append_accumulates_within_partition(self, spark, engine):
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        late = [("user-9", "late/page")]
+        engine.insert(pageviews(spark, "2019-03-13", late), "db.pageview", "u",
+                      "late arrivals", mode="append")
+        df = engine.read("db.pageview")
+        assert rows(df, "id", "path") == sorted([(i, p) for i, p in DAY1 + late])
+        # append created a fresh version; rollback still sees only DAY1
+        hist = engine.history("db.pageview").collect()
+        engine.checkout("db.pageview", hist[1].commit_id)
+        assert engine.read("db.pageview").count() == 2
+
+    def test_snapshot_append(self, spark, engine):
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.users", "u", "v1")
+        extra = [("user-9", "Zoe", "zoe@mail.com")]
+        engine.insert(spark.createDataFrame(extra, USERS_SCHEMA),
+                      "db.users", "u", "v2 append", mode="append")
+        assert rows(engine.read("db.users")) == sorted(USERS_V1 + extra)
+
+    def test_invalid_mode(self, spark, engine):
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        with pytest.raises(ValueError):
+            engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                          "db.users", "u", "bad", mode="upsert")
+
+
+class TestMaintenance:
+    def test_vacuum_removes_unreferenced_versions(self, spark, engine):
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "d1")
+        for i in range(4):  # 4 reprocesses of the same day → 5 versions
+            engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview",
+                          "u", f"re{i}")
+        defn = engine.definition("db.pageview")
+        d = os.path.join(defn.location, "date=2019-03-13")
+        assert len(os.listdir(d)) == 5
+        removed = engine.vacuum("db.pageview", keep_commits=2)
+        assert len(removed) == 3
+        assert len(os.listdir(d)) == 2
+        # current read still works
+        assert engine.read("db.pageview").count() == 2
+        # time travel within retention still works
+        hist = engine.history("db.pageview").collect()
+        assert engine.read("db.pageview", at_commit=hist[1].commit_id).count() == 2
+
+    def test_vacuum_snapshot(self, spark, engine):
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        for i in range(4):
+            engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                          "db.users", "u", f"v{i}")
+        defn = engine.definition("db.users")
+        from table_versions_spark.core.model import Version
+        n_before = sum(Version.is_version_label(e) for e in os.listdir(defn.location))
+        assert n_before == 4
+        engine.vacuum("db.users", keep_commits=1)
+        n_after = sum(Version.is_version_label(e) for e in os.listdir(defn.location))
+        assert n_after == 1
+        assert engine.read("db.users").count() == 3
+
+    def test_compact_partitioned(self, spark, engine):
+        engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        # several appends → multiple files per partition
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.pageview", "u", "a")
+        engine.insert(pageviews(spark, "2019-03-13", DAY2), "db.pageview", "u", "b",
+                      mode="append")
+        before = engine.read("db.pageview")
+        n_rows = before.count()
+        n_files_before = len(before.inputFiles())
+        engine.compact("db.pageview")
+        after = engine.read("db.pageview")
+        assert after.count() == n_rows
+        assert len(after.inputFiles()) < n_files_before
+        assert rows(after, "id", "path") == rows(before, "id", "path")
+
+
 class TestErrors:
     def test_unknown_table_read(self, engine):
         from table_versions_spark.core.log import UnknownTableError

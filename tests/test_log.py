@@ -167,6 +167,64 @@ class TestHistory:
         assert metas[-1].message == "init"
 
 
+class TestCheckpoints:
+    def test_state_correct_across_checkpoints(self, log):
+        # CHECKPOINT_INTERVAL=10: 25 commits → checkpoints at seq 10 and 20
+        import os
+
+        from table_versions_spark.core.log import CHECKPOINT_PREFIX
+
+        log.init(T, False, "u", "init")
+        versions = {}
+        commits = []
+        for i in range(25):
+            p = Partition.parse(f"date=d{i % 7}")
+            v = Version.generate()
+            versions[p] = v
+            u = mk_update(AddPartitionVersion(p, v))
+            log.commit(T, u)
+            commits.append(u.metadata.commit_id)
+        ckpts = [f for f in os.listdir(log.log_dir)
+                 if f.startswith(CHECKPOINT_PREFIX)]
+        assert len(ckpts) == 2
+        assert log.current_version(T).partition_versions == versions
+
+    def test_rollback_before_checkpoint(self, log):
+        log.init(T, False, "u", "init")
+        p = Partition.parse("date=d0")
+        first_v = Version.generate()
+        u_first = mk_update(AddPartitionVersion(p, first_v))
+        log.commit(T, u_first)
+        for _ in range(15):
+            log.commit(T, mk_update(AddPartitionVersion(p, Version.generate())))
+        # pointer behind every checkpoint → checkpoint must be ignored
+        log.set_current_version(T, u_first.metadata.commit_id)
+        assert log.current_version(T).partition_versions == {p: first_v}
+
+    def test_time_travel_between_checkpoints(self, log):
+        log.init(T, False, "u", "init")
+        p = Partition.parse("date=d0")
+        mids = []
+        for i in range(22):
+            v = Version.generate()
+            u = mk_update(AddPartitionVersion(p, v))
+            log.commit(T, u)
+            mids.append((u.metadata.commit_id, v))
+        cid, v = mids[11]  # seq 12: after the first checkpoint (seq 10)
+        assert log.current_version(T, at_commit=cid).partition_versions == {p: v}
+
+    def test_snapshot_checkpoint(self, log):
+        log.init(T, True, "u", "init")
+        last = None
+        for _ in range(12):
+            last = Version.generate()
+            log.commit(T, mk_update(AddTableVersion(last)))
+        assert log.current_version(T) == SnapshotTableVersion(last)
+        # delta after checkpoint contains no AddTableVersion → state from ckpt
+        log.commit(T, mk_update())
+        assert log.current_version(T) == SnapshotTableVersion(last)
+
+
 class TestErrors:
     def test_unknown_table(self, log):
         # reference TableVersionsSpec.scala:408-464
