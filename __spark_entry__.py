@@ -41,15 +41,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict, dict]:
     from table_versions_spark.operators import (
+        analytic,
         dedup,
         multimodal,
         relational,
         similarity,
         text,
+        tpch,
         versioned,
     )
 
-    modules = [relational, versioned, text, similarity, dedup, multimodal]
+    modules = [relational, tpch, analytic, versioned, text, similarity,
+               dedup, multimodal]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

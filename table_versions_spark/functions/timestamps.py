@@ -16,8 +16,11 @@ from pyspark.sql import Column, functions as F
 
 
 def ts_from_nanos(col: Column | str) -> Column:
+    # Exact integer ns→µs: epoch-nanos (~1.7e18) exceed double's 2^53 exact
+    # range, so `/ 1000` through double can be off by 1µs — divide in decimal.
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+    return F.timestamp_micros(
+        F.floor(c.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
 
 
 def to_utc_date(ts: Column | str) -> Column:

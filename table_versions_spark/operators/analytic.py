@@ -1,0 +1,207 @@
+"""Temporal & analytic operators Spark lacks as single primitives
+(SURVEY §2.B [ext] / §2.D adjacent).
+
+- **As-of join** (`q_asof_join`): implemented as a *union + partitioned
+  window* rather than an inequality join: tag the reference stream and the
+  probe stream, union them, and take `last(value, ignorenulls=True)` over a
+  `partitionBy(key).orderBy(ts, tag)` window. One shuffle on the key, no
+  join explosion, no per-key driver logic — this is the 100 TB-safe shape
+  (an inequality join would be a broadcast-nested-loop or a skew-prone
+  range join). Oracle: DuckDB native `ASOF LEFT JOIN`.
+- **Range join** (`q_range_join`): fact-to-band join on a `BETWEEN`
+  condition against a tiny broadcast dimension — Catalyst turns this into a
+  BroadcastNestedLoopJoin which is the right plan when the band table is
+  O(10) rows; at 100 TB the fact side still streams map-side with no
+  shuffle.
+- Window navigation (`q_window_lag`), pivot (`q_pivot`), explode
+  (`q_explode`), exact quantiles (`q_quantiles`), approximate quantiles
+  (`q_approx_quantile`, rows-only — t-digest/GK sketches differ across
+  engines), correlation/covariance (`q_corr`).
+"""
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .common import load, load_events
+
+
+# ------------------------------------------------------------ as-of join
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'purchase' event, the latest same-user event at-or-before
+    it (backward as-of join, ties resolved toward the reference row)."""
+    ev = load_events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    # Reference stream: non-purchase activity, deduped per (user, ts) for
+    # cross-engine determinism (DuckDB ASOF picks an arbitrary row on ties).
+    prior = (ev.where(F.col("event_type") != "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("prior_event_id")))
+    tagged = (prior.select("user_id", "ts",
+                           F.lit(0).alias("is_probe"),
+                           "prior_event_id",
+                           F.lit(None).cast("long").alias("event_id"),
+                           F.lit(None).cast("double").alias("value"))
+              .unionByName(
+                  purchases.select("user_id", "ts",
+                                   F.lit(1).alias("is_probe"),
+                                   F.lit(None).cast("long").alias("prior_event_id"),
+                                   "event_id", "value")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_probe")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (tagged
+            .withColumn("matched_prior", F.last("prior_event_id", ignorenulls=True).over(w))
+            .where(F.col("is_probe") == 1)
+            .select("event_id", "user_id", "ts", "value",
+                    F.col("matched_prior").alias("prior_event_id")))
+
+
+# ------------------------------------------------------------ range join
+
+BANDS = [(1, "low", 0.0, 10.0), (2, "mid", 10.0, 25.0),
+         (3, "high", 25.0, 40.0), (4, "xhigh", 40.0, 1e9)]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem quantity banded against a tiny range dimension
+    (broadcast nested-loop: no shuffle on the fact side)."""
+    bands = spark.createDataFrame(
+        BANDS, "band_id int, band_name string, lo double, hi double")
+    li = load(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    return (li.join(F.broadcast(bands),
+                    (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi))
+            .groupBy("band_id", "band_name")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+            .orderBy("band_id"))
+
+
+# ------------------------------------------------- window nav / pivot / explode
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+                    F.lead("o_totalprice", 1).over(w).alias("next_price"),
+                    F.ntile(4).over(w).cast("bigint").alias("quartile")))
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted by status (explicit value list ⇒ one pass,
+    no extra distinct job to discover pivot values)."""
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .select("o_orderpriority",
+                    F.coalesce("F", F.lit(0)).alias("n_f"),
+                    F.coalesce("O", F.lit(0)).alias("n_o"),
+                    F.coalesce("P", F.lit(0)).alias("n_p"))
+            .orderBy("o_orderpriority"))
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token explode + count (generator / flatten surface)."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("word"))
+            .limit(50))
+
+
+# ------------------------------------------------------------- statistics
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per return flag."""
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch — rows-only check (sketch algorithms are
+    engine-specific; correctness is asserted against the exact quantiles in
+    tests/test_operators.py instead)."""
+    return (load(spark, sf_dir, "lineitem")
+            .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+                  .alias("approx_pcts")))
+
+
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation & sample covariance over a *strongly* correlated
+    pair (price vs discounted price, r≈0.998). Near-zero-correlation pairs
+    are deliberately avoided: there the estimate is pure catastrophic
+    cancellation noise and no rounding makes two engines agree."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_extendedprice", disc_price), 4).alias("price_corr"),
+                 F.round(F.covar_samp("l_extendedprice", disc_price), 1).alias("price_cov")))
+
+
+QUERIES = {
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_window_lag": q_window_lag,
+    "q_pivot": q_pivot,
+    "q_explode": q_explode,
+    "q_quantiles": q_quantiles,
+    "q_approx_quantile": q_approx_quantile,
+    "q_corr": q_corr,
+}
+
+ORACLES = {
+    "q_asof_join": (
+        "WITH prior AS (SELECT user_id, ts, MAX(event_id) AS prior_event_id "
+        "FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts), "
+        "purch AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT p.event_id, p.user_id, p.ts, p.value, prior.prior_event_id "
+        "FROM purch p ASOF LEFT JOIN prior "
+        "ON p.user_id = prior.user_id AND p.ts >= prior.ts"),
+    "q_range_join": (
+        "SELECT band_id, band_name, COUNT(*) AS n, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem JOIN (VALUES (1, 'low', 0.0, 10.0), (2, 'mid', 10.0, 25.0), "
+        "(3, 'high', 25.0, 40.0), (4, 'xhigh', 40.0, 1e9)) "
+        "AS bands(band_id, band_name, lo, hi) "
+        "ON l_quantity >= lo AND l_quantity < hi "
+        "GROUP BY band_id, band_name ORDER BY band_id"),
+    "q_window_lag": (
+        "SELECT o_custkey, o_orderkey, "
+        "LAG(o_totalprice, 1) OVER w AS prev_price, "
+        "LEAD(o_totalprice, 1) OVER w AS next_price, "
+        "CAST(NTILE(4) OVER w AS BIGINT) AS quartile "
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)"),
+    "q_pivot": (
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_explode": (
+        "SELECT word, COUNT(*) AS n FROM ("
+        "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) "
+        "WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50"),
+    "q_quantiles": (
+        "SELECT l_returnflag, "
+        "ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50, "
+        "ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90, "
+        "ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99 "
+        "FROM lineitem GROUP BY l_returnflag"),
+    "q_corr": (
+        "SELECT l_returnflag, "
+        "ROUND(CORR(l_extendedprice, l_extendedprice * (1 - l_discount)), 4) "
+        "AS price_corr, "
+        "ROUND(COVAR_SAMP(l_extendedprice, l_extendedprice * (1 - l_discount)), 1) "
+        "AS price_cov "
+        "FROM lineitem GROUP BY l_returnflag"),
+    # q_approx_quantile: intentionally no oracle (sketch, rows-only)
+}

@@ -257,6 +257,16 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("bigint").alias("days_since_95")))
 
 
+def q_date_from_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC timestamp→date derivation (reference ``DateTime.scala:10-13``,
+    used for partition values at ``DatePartitionedTableLoaderSpec.scala:166-168``)."""
+    from ..functions.timestamps import to_utc_date
+    from .common import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.select("event_id", to_utc_date("ts").alias("event_date"))
+
+
 # ------------------------------------------------------------ pandas UDF
 
 def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +317,7 @@ QUERIES = {
     "q_math_funcs": q_math_funcs,
     "q_date_funcs": q_date_funcs,
     "q_udf_pandas": q_udf_pandas,
+    "q_date_from_ts": q_date_from_ts,
 }
 
 ORACLES = {
@@ -399,5 +410,6 @@ ORACLES = {
     "q_udf_pandas": ("SELECT l_orderkey, l_linenumber, "
                      "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue "
                      "FROM lineitem"),
+    "q_date_from_ts": "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events",
     # q_agg_approx_distinct: intentionally no oracle (rows-only check)
 }

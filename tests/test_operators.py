@@ -16,8 +16,9 @@ import __spark_entry__ as entrymod
 PARITY_SUBSET = [
     "q_agg_hash", "q_join_inner", "q_window_rank", "q_dedup_exact",
     "q_text_stats", "q_sim_search", "q_snapshot_replace",
-    "q_insert_overwrite_partition", "q_date_from_ts" if False else "q_date_funcs",
-    "q_multimodal",
+    "q_insert_overwrite_partition", "q_date_funcs", "q_date_from_ts",
+    "q_multimodal", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18",
+    "q_asof_join", "q_range_join", "q_pivot",
 ]
 
 
@@ -60,7 +61,8 @@ class TestRegistry:
         rows_only = set(qs) - set(oracles)
         # exactly the algorithm-specific ops may omit an oracle
         assert rows_only == {"q_agg_approx_distinct", "q_sim_ann_ivf",
-                             "q_dedup_minhash", "q_dedup_simhash"}
+                             "q_dedup_minhash", "q_dedup_simhash",
+                             "q_approx_quantile"}
 
     @pytest.mark.parametrize("name", sorted(entrymod.queries()))
     def test_query_runs(self, spark, sf_small, registry, name):
@@ -87,6 +89,50 @@ class TestParity:
         s_set = sorted("|".join(canon(r[i]) for i in so) for r in s_rows)
         d_set = sorted("|".join(canon(r[i]) for i in do) for r in d_rows)
         assert s_set == d_set
+
+
+class TestAnalytic:
+    def test_asof_join_semantics(self, spark):
+        """Hand-checked backward as-of join on a tiny frame."""
+        from table_versions_spark.operators.analytic import q_asof_join
+
+        rows = [
+            # (event_id, ts_nanos, user_id, event_type, value, props)
+            (1, 1_000_000_000_000, 7, "view", 0.0, ""),
+            (2, 2_000_000_000_000, 7, "click", 0.0, ""),
+            (3, 3_000_000_000_000, 7, "purchase", 9.5, ""),   # → prior 2
+            (4, 4_000_000_000_000, 7, "purchase", 1.0, ""),   # → prior 2
+            (5, 1_500_000_000_000, 8, "purchase", 2.0, ""),   # → no prior
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+        import os
+        import tempfile
+        d = tempfile.mkdtemp(prefix="tvx-asof-")
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {r["event_id"]: r["prior_event_id"]
+               for r in q_asof_join(spark, d).collect()}
+        assert out == {3: 2, 4: 2, 5: None}
+
+    def test_approx_quantile_close_to_exact(self, spark, sf_small):
+        from table_versions_spark.operators.analytic import (
+            q_approx_quantile, q_quantiles)
+
+        approx = q_approx_quantile(spark, sf_small).first()["approx_pcts"]
+        exact = (q_quantiles(spark, sf_small)
+                 .agg({"p50": "avg", "p90": "avg", "p99": "avg"}).first())
+        # sketch within 20% of the (per-flag-averaged) exact quantiles
+        for a, e in zip(approx, [exact["avg(p50)"], exact["avg(p90)"], exact["avg(p99)"]]):
+            assert abs(a - e) / e < 0.2
+
+    def test_range_join_covers_all_rows(self, spark, sf_small):
+        from table_versions_spark.operators.analytic import q_range_join
+        from table_versions_spark.operators.common import load
+
+        banded = q_range_join(spark, sf_small)
+        total = banded.agg({"n": "sum"}).first()[0]
+        assert total == load(spark, sf_small, "lineitem").count()
 
 
 class TestEntry:
