@@ -29,6 +29,13 @@ HEADLINE = [
     "q_agg_distinct",
     "q_join_inner",
     "q_join_left",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q9",
+    "q_tpch_q18",
+    "q_asof_join",
+    "q_range_join",
     "q_window_rank",
     "q_window_running",
     "q_topk",

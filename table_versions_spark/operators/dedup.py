@@ -25,6 +25,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .common import load
 from .similarity import as_double_array, cosine
 
+
+def _spread(df, spark) -> "DataFrame":
+    """Repartition a small-file table to cluster parallelism before
+    compute-heavy per-row work. Test-scale artifact with a real-scale
+    rationale: one parquet file under ``maxPartitionBytes`` yields ONE input
+    partition, serializing the expensive shingle/signature lambdas (and any
+    broadcast join downstream keeps that partitioning). The shuffle moves
+    only the raw rows (~MBs); at 100 TB the source is many files and this
+    becomes a cheap no-op-ish rebalance."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 SHINGLE_SIZE = 5
 EMB_DUP_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.4
@@ -37,6 +48,18 @@ def _shingle_expr(n=SHINGLE_SIZE) -> str:
             f"i -> substring(text, i, {n})))")
 
 
+def _hashed_shingle_expr(n=SHINGLE_SIZE) -> str:
+    """Distinct xxhash64'd char n-grams (bigint array).
+
+    Set sizes — and therefore Jaccard — are identical to the string-shingle
+    sets modulo 64-bit collisions (P ≈ |sh|²·2⁻⁶⁴ ≈ 1e-14 per doc), while
+    intersections compare primitive longs instead of strings: the per-pair
+    verify cost drops ~10× and candidate payloads shrink ~3×.
+    """
+    return (f"array_distinct(transform(sequence(1, greatest(length(text) - {n - 1}, 1)), "
+            f"i -> xxhash64(substring(text, i, {n}))))")
+
+
 NUM_MINHASHES = 128
 LSH_BANDS = 32          # 32 bands × 4 rows = 128 signatures
 LSH_ROWS = NUM_MINHASHES // LSH_BANDS
@@ -46,7 +69,7 @@ MINHASH_SIM_THRESHOLD = 0.5
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — native banded implementation.
 
-    shingle → 128 seeded-xxhash64 minhashes → 32 bands of 4 → explode bands →
+    shingle → xxhash64 → 128 affine-mixed minhashes → 32 bands of 4 → explode bands →
     band-bucket self-equi-join (the only shuffle; never an all-pairs product)
     → signature-estimated Jaccard filter → exact shingle-Jaccard verify.
 
@@ -63,11 +86,25 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only check: the hash family is engine-specific. Deterministic
     (xxhash64 is a fixed-seed keyed hash).
     """
-    docs = (load(spark, sf_dir, "documents")
-            .select("doc_id", F.expr(_shingle_expr()).alias("sh"))
+    # One xxhash64 per shingle, then 128 "permutations" as universal hashes
+    # (a·x + b) mod p, p = 2³¹−1 (Carter-Wegman family) — 128× fewer
+    # hash-function evaluations than hashing every (shingle, seed) pair, the
+    # mul-add stays in codegen, and a·x < 2⁶² never overflows ANSI longs.
+    p = 2147483647
+    rnd = __import__("random").Random(42)
+    perms = "array(" + ",".join(
+        f"named_struct('m', {rnd.randrange(1, p)}L, 'o', {rnd.randrange(0, p)}L)"
+        for _ in range(NUM_MINHASHES)) + ")"
+    docs = (_spread(load(spark, sf_dir, "documents"), spark)
+            .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+            # reduce shingle hashes mod p ONCE per doc (outside the 128-perm
+            # loop), and keep the perm constants in a single folded literal —
+            # per-perm work is then one mul-add-mod per shingle
+            .withColumn("shr", F.expr(f"transform(sh, h -> pmod(h, {p}))"))
             .withColumn("sig", F.expr(
-                f"transform(sequence(0, {NUM_MINHASHES - 1}), "
-                "i -> array_min(transform(sh, s -> xxhash64(s, i))))"))
+                f"transform({perms}, mo -> array_min(transform(shr, "
+                f"x -> pmod(x * mo.m + mo.o, {p}))))"))
+            .drop("shr")
             .persist())  # signatures feed three branches; compute them once
     # band join on NARROW rows only (doc_id, band key) — payloads (shingle
     # arrays, signatures) are re-joined after pair dedup, so the wide data
@@ -106,7 +143,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (xxhash64 is seeded); rows-only check (bit math isn't
     portable to the oracle).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = _spread(load(spark, sf_dir, "documents"), spark)
     n = SIMHASH_BITS
     # SQL higher-order functions so the per-bit loop stays inside codegen;
     # getbit() accepts a lambda-bound bit index (unlike the DSL's shiftleft).
@@ -132,11 +169,12 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path; at driver-check scale we verify the *exact* Jaccard
     semantics with an all-pairs join on a blocking key (shared first token)
     to bound the product, then compute |A∩B|/|A∪B| on distinct 5-gram sets.
-    DuckDB oracle mirrors the same plan exactly.
+    The DuckDB oracle mirrors the same blocking; Spark-side shingles are
+    xxhash64'd to longs (identical set sizes modulo negligible collisions).
     """
-    docs = (load(spark, sf_dir, "documents")
+    docs = (_spread(load(spark, sf_dir, "documents"), spark)
             .select("doc_id",
-                    F.expr(_shingle_expr()).alias("sh"),
+                    F.expr(_hashed_shingle_expr()).alias("sh"),
                     F.split(F.col("text"), " ").getItem(0).alias("first_tok")))
     a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
                     F.col("first_tok").alias("k"))
@@ -145,24 +183,58 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / union, 6)
+    # exact pre-prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set
+    # sizes differ by >1/τ can never qualify — cheap size compare before the
+    # O(|A|+|B|) intersect (cannot change the result set)
+    ratio_ok = ((F.size("sh_a") >= JACCARD_THRESHOLD * F.size("sh_b"))
+                & (F.size("sh_b") >= JACCARD_THRESHOLD * F.size("sh_a")))
     return (a.join(b, "k")
-            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .where((F.col("doc_id_a") < F.col("doc_id_b")) & ratio_ok)
             .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b)."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
+
+    Exact all-pairs via *blockwise matrix product*: the (smaller) right side
+    is broadcast as one L2-normalized float64 matrix; ``mapInPandas`` then
+    computes each Arrow batch's ``block @ M.T`` with BLAS and emits only the
+    above-threshold pairs. Replaces the naive crossJoin+HOF-cosine plan
+    (2M interpreted array-aggregates at sf0.1, ~33 s → sub-second GEMM).
+
+    Scale note: this exact baseline requires the broadcast side to fit in
+    executor memory (~1e6×64 f64 ≈ 0.5 GB); beyond that the IVF bucketing in
+    similarity.py is the documented path (probe only same-bucket pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_id_a"),
-                   as_double_array(F.col("embedding")).alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_id_b"),
-                   as_double_array(F.col("embedding")).alias("vb"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return (a.crossJoin(b)
-            .where(F.col("vec_id_a") < F.col("vec_id_b"))
-            .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
-            .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD))
+    mat_rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in mat_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            cos = np.round(cos, 6)
+            ai, bi = np.nonzero((cos >= EMB_DUP_THRESHOLD)
+                                & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"vec_id_a": a_ids[ai],
+                                "vec_id_b": b_ids[bi],
+                                "cos_sim": cos[ai, bi]})
+
+    schema = "vec_id_a long, vec_id_b long, cos_sim double"
+    # no _spread here: one GEMM per Arrow batch is already the fast path, and
+    # fanning tiny blocks across 32 Python workers just pays 32 worker spins
+    return emb.select("vec_id", "embedding").mapInPandas(pairs, schema)
 
 
 QUERIES = {
