@@ -143,7 +143,15 @@ class FileTableVersions:
                 seq += 1  # another writer landed first: CAS retry on next slot
         with os.fdopen(fd, "w") as f:
             f.write(payload)
-        self._write_pointer(update.metadata.commit_id, seq)
+        # Don't regress the pointer if a racing writer already landed a later
+        # commit AND advanced the pointer past us (commit N+1 folds over
+        # commit N either way — the log itself is totally ordered by seq).
+        # The read-check-write window is not atomic; a same-window race can
+        # only leave the pointer one commit behind head, which the next
+        # commit repairs. Checkout (set_current_version) bypasses this guard.
+        _, cur_seq = self._read_pointer()
+        if cur_seq is None or cur_seq <= seq:
+            self._write_pointer(update.metadata.commit_id, seq)
         if seq > 0 and seq % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(seq, update.metadata.commit_id)
 
@@ -305,6 +313,7 @@ def write_table_meta(defn: TableDefinition) -> None:
         "partition_columns": list(defn.partition_schema.columns),
         "format": defn.format,
         "schema_ddl": defn.schema_ddl,
+        "merge_schema": defn.merge_schema,
     }, indent=1)
     _atomic_write(os.path.join(defn.location, META_FILE), payload)
 
@@ -323,4 +332,5 @@ def read_table_meta(location: str) -> TableDefinition:
         partition_schema=PartitionSchema(tuple(d["partition_columns"])),
         format=d["format"],
         schema_ddl=d.get("schema_ddl"),
+        merge_schema=d.get("merge_schema", False),
     )

@@ -187,6 +187,11 @@ class TableDefinition:
     partition_schema: PartitionSchema
     format: str = "parquet"  # "parquet" | "orc" (reference model.scala:104-109)
     schema_ddl: str | None = None
+    # True once a widening insert has happened: reads then merge footers
+    # across version dirs so pre-evolution versions surface NULL for the
+    # added columns. (Schema evolution is unsupported in the reference —
+    # SURVEY §1.3 — this closes that gap.)
+    merge_schema: bool = False
 
     @property
     def is_snapshot(self) -> bool:

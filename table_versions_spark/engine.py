@@ -133,7 +133,8 @@ class VersionedEngine:
     # ---------------------------------------------------------------- write
 
     def insert(self, df: DataFrame, table: TableName | str, user_id: str,
-               message: str, mode: str = "overwrite") -> CommitResult:
+               message: str, mode: str = "overwrite",
+               evolve_schema: bool = False) -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
         ``VersionContext.scala:29-44,53-90``).
 
@@ -146,10 +147,18 @@ class VersionedEngine:
         version directories are immutable, this is file-level: the old
         version's data files are hardlinked (copied on link failure) into the
         new version dir — no data rewrite, no extra Spark job.
+
+        ``evolve_schema=True`` (extension; unsupported in the reference,
+        SURVEY §1.3): allow ``df`` to carry columns the table has never seen.
+        The table schema widens to include them and subsequent reads merge
+        footers across versions, so pre-evolution versions read the new
+        columns as NULL. Without the flag, new columns are an error — the
+        reference-faithful strict default.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
+        defn = self._check_or_evolve_schema(df, defn, evolve_schema)
         previous = log.current_version(defn.name)
         version = Version.generate()
         if defn.is_snapshot:
@@ -169,6 +178,33 @@ class VersionedEngine:
                             os.path.join(defn.location, op.partition.render(), version.label))
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
+
+    def _check_or_evolve_schema(self, df: DataFrame, defn: TableDefinition,
+                                evolve: bool) -> TableDefinition:
+        """Gate unknown incoming columns; widen the persisted schema when
+        evolution is requested. Column *removal* never mutates the schema —
+        a version that lacks columns simply reads them as NULL under
+        mergeSchema, keeping old commits time-travelable."""
+        if not defn.schema_ddl:
+            return defn
+        known = {f.name for f in
+                 self.spark.createDataFrame([], defn.schema_ddl).schema.fields}
+        new_cols = [c for c in df.columns if c not in known]
+        if not new_cols:
+            return defn
+        if not evolve:
+            raise ValueError(
+                f"Insert has columns unknown to "
+                f"{defn.name.fully_qualified_name}: {new_cols}. "
+                "Pass evolve_schema=True to widen the table schema.")
+        added = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields if f.name in set(new_cols))
+        defn = TableDefinition(
+            name=defn.name, location=defn.location,
+            partition_schema=defn.partition_schema, format=defn.format,
+            schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
+        write_table_meta(defn)
+        return defn
 
     def remove_partitions(self, table: TableName | str,
                           partitions: list[Partition], user_id: str,
@@ -245,6 +281,9 @@ class VersionedEngine:
         defn, log = self._log(table)
         state = log.current_version(defn.name, at_commit=at_commit)
         reader = self.spark.read.format(defn.format)
+        if defn.merge_schema:
+            # pay the multi-footer merge only on tables that actually evolved
+            reader = reader.option("mergeSchema", "true")
         if isinstance(state, SnapshotTableVersion):
             if state.version == UNVERSIONED:
                 return self._empty(defn)

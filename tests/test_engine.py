@@ -296,3 +296,48 @@ class TestErrors:
         bad = spark.createDataFrame([("a",)], "id string")
         with pytest.raises(ValueError):
             engine.insert(bad, "db.pv", "u", "bad")
+
+
+class TestSchemaEvolution:
+    def test_new_column_rejected_by_default(self, spark, engine):
+        engine.create_table("db.se1", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.se1", "u", "v1")
+        widened = spark.createDataFrame(
+            [("user-9", "Zed", "zed@mail.com", 42)],
+            USERS_SCHEMA + ", age bigint")
+        with pytest.raises(ValueError, match="evolve_schema"):
+            engine.insert(widened, "db.se1", "u", "v2")
+
+    def test_evolve_snapshot(self, spark, engine):
+        engine.create_table("db.se2", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.se2", "u", "v1")
+        widened = spark.createDataFrame(
+            [("user-9", "Zed", "zed@mail.com", 42)],
+            USERS_SCHEMA + ", age bigint")
+        engine.insert(widened, "db.se2", "u", "v2", evolve_schema=True)
+        df = engine.read("db.se2")
+        assert "age" in df.columns
+        assert rows(df, "id", "age") == [("user-9", 42)]
+        # time travel to v1 still works; pre-evolution data has no age column
+        v1_commit = engine.history("db.se2").collect()[1]["commit_id"]
+        old = engine.read("db.se2", at_commit=v1_commit)
+        assert old.count() == 3
+
+    def test_evolve_partitioned_merges_old_versions_as_null(self, spark, engine):
+        engine.create_table("db.se3", schema_ddl="id string, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([("a", "1"), ("b", "2")],
+                                            "id string, d string"),
+                      "db.se3", "u", "v1")
+        engine.insert(spark.createDataFrame([("c", 7, "3")],
+                                            "id string, score bigint, d string"),
+                      "db.se3", "u", "v2", evolve_schema=True)
+        df = engine.read("db.se3")
+        assert set(df.columns) == {"id", "score", "d"}
+        got = {r["id"]: r["score"] for r in df.collect()}
+        # old partitions surface NULL for the evolved column
+        assert got == {"a": None, "b": None, "c": 7}
+        # evolution is persisted: a fresh engine object sees merge_schema
+        assert engine.definition("db.se3").merge_schema is True

@@ -248,3 +248,44 @@ class TestErrors:
         log.init(T, False, "u", "init")
         with pytest.raises(UnknownCommitError):
             log.current_version(T, at_commit="nope")
+
+
+class TestConcurrentWriters:
+    def test_racing_commits_all_land(self, log):
+        """The O_CREAT|O_EXCL commit-file create is the CAS: N threads racing
+        commits must all land (distinct seq slots), the fold must contain
+        every partition, and the pointer must end at a valid commit no
+        earlier than head-1 (a same-window pointer race can trail by one)."""
+        import threading
+
+        log.init(T, is_snapshot=False, user_id="u", message="init")
+        n = 8
+        barrier = threading.Barrier(n)
+        errors = []
+
+        def writer(i):
+            try:
+                barrier.wait()
+                log.commit(T, mk_update(
+                    AddPartitionVersion(Partition.parse(f"date=2024-01-{i+1:02d}"),
+                                        Version.generate())))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        metas = log.updates(T)
+        assert len(metas) == n + 1  # n commits + init
+        # every partition landed in the head state
+        head_id = metas[0].commit_id
+        head = log.current_version(T, at_commit=head_id)
+        assert isinstance(head, PartitionedTableVersion)
+        assert len(head.partition_versions) == n
+        # pointer is at head or (benign race) exactly one behind
+        state = log.table_state(T)
+        ids = [u.metadata.commit_id for u in state.updates]
+        assert state.current_version in ids[-2:]
