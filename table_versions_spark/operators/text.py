@@ -99,7 +99,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
 
 
+SPLIT_MOD = 1000
+SPLIT_TRAIN_CUT = 800  # 80/20 split
+_SPLIT_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable train/test assignment.
+
+    Training pipelines need splits that are (a) stable across reruns and
+    engines, (b) key-based so late-arriving rows of a known doc land in the
+    same split, (c) computable without a global shuffle. A multiplicative
+    hash of the key mod 1000 gives all three — unlike ``rand(seed)`` (RNG is
+    engine-specific) or ``hash()`` (Spark-specific), the arithmetic is plain
+    SQL reproducible in any engine, including the DuckDB oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(SPLIT_MOD))
+    return (docs.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN_CUT, "train").otherwise("test").alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc")))
+
+
 QUERIES = {
+    "q_train_test_split": q_train_test_split,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
@@ -109,6 +136,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_train_test_split": (
+        "SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 "
+        "THEN 'train' ELSE 'test' END AS split, "
+        "COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc "
+        "FROM documents GROUP BY split"),
     "q_dedup_exact": (
         "SELECT MIN(doc_id) AS doc_id, content_sha FROM "
         "(SELECT doc_id, sha256(text) AS content_sha FROM documents) "

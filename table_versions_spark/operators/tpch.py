@@ -138,6 +138,37 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (Q8 shape): NATION_3's share of ECONOMY-part
+    revenue inside ASIA, by order year."""
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_cust = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    n_supp = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    part = (load(spark, sf_dir, "part")
+            .where(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(n_cust), cust.c_nationkey == n_cust.cn_key)
+         .join(F.broadcast(region), n_cust.cn_region == region.r_regionkey)
+         .join(F.broadcast(n_supp), supp.s_nationkey == n_supp.sn_key))
+    return (j.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                       .otherwise(F.lit(0.0))) / F.sum(vol), 6)
+                  .alias("mkt_share"))
+            .orderBy("o_year"))
+
+
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product type profit (Q9 shape, no partsupp: profit ≈ discounted
     revenue of parts whose name contains 'widget', by nation and order year)."""
@@ -244,6 +275,40 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("revenue")))
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (Q15): revenue view + max-revenue correlated filter."""
+    li = (load(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01"))))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                     .alias("total_revenue")))
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (revenue.join(F.broadcast(max_rev),
+                         revenue.total_revenue == F.col("mx"))
+            .join(F.broadcast(supp), revenue.supplier_no == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17): per-part average-quantity
+    correlated subquery."""
+    part = (load(spark, sf_dir, "part")
+            .where((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 20))
+            .select("p_partkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+               .groupBy("l_partkey")
+               .agg((F.avg("l_quantity") * 0.8).alias("qty_cut")))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(avg_qty, "l_partkey")
+            .where(F.col("l_quantity") < F.col("qty_cut"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global sales opportunity (Q22 shape): customers with above-average
     positive balances and no urgent orders, grouped by nation key (stands in
@@ -271,10 +336,13 @@ QUERIES = {
     "q_tpch_q5": q_tpch_q5,
     "q_tpch_q6": q_tpch_q6,
     "q_tpch_q7": q_tpch_q7,
+    "q_tpch_q8": q_tpch_q8,
     "q_tpch_q9": q_tpch_q9,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q14": q_tpch_q14,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q17": q_tpch_q17,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q22": q_tpch_q22,
@@ -340,6 +408,20 @@ ORACLES = {
         "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')"
         ") GROUP BY supp_nation, cust_nation, l_year "
         "ORDER BY supp_nation, cust_nation, l_year"),
+    "q_tpch_q8": (
+        "SELECT o_year, ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' "
+        "THEN volume ELSE 0.0 END) / SUM(volume), 6) AS mkt_share FROM ("
+        "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, "
+        f"{_REV} AS volume, n2.n_name AS supp_nation "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'"
+        ") GROUP BY o_year ORDER BY o_year"),
     "q_tpch_q9": (
         f"SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year, "
         f"ROUND(SUM({_REV}), 0) AS sum_profit "
@@ -372,6 +454,21 @@ ORACLES = {
         "FROM lineitem JOIN part ON l_partkey = p_partkey "
         "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
         "AND l_shipdate < TIMESTAMP '1996-10-01'"),
+    "q_tpch_q15": (
+        "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        f"ROUND(SUM({_REV}), 2) AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM revenue JOIN supplier ON supplier_no = s_suppkey "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+        "ORDER BY s_suppkey"),
+    "q_tpch_q17": (
+        "SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#1' AND p_size <= 20 "
+        "AND l_quantity < (SELECT AVG(l_quantity) * 0.8 FROM lineitem l2 "
+        "WHERE l2.l_partkey = lineitem.l_partkey)"),
     "q_tpch_q18": (
         "SELECT c_name, c_custkey, o_orderkey, "
         "CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, "

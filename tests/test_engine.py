@@ -341,3 +341,35 @@ class TestSchemaEvolution:
         assert got == {"a": None, "b": None, "c": 7}
         # evolution is persisted: a fresh engine object sees merge_schema
         assert engine.definition("db.se3").merge_schema is True
+
+
+class TestReadChanges:
+    def test_partitioned_changefeed(self, spark, engine):
+        engine.create_table("db.cdf", schema_ddl="id string, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([("a", "1"), ("b", "2")],
+                                            "id string, d string"),
+                      "db.cdf", "u", "v1")
+        c1 = engine.history("db.cdf").first()["commit_id"]
+        # reprocess d=2, add d=3
+        engine.insert(spark.createDataFrame([("b2", "2"), ("c", "3")],
+                                            "id string, d string"),
+                      "db.cdf", "u", "v2")
+        changed = engine.read_changes("db.cdf", since_commit=c1)
+        assert rows(changed, "id", "d") == [("b2", "2"), ("c", "3")]
+        # no changes since head → empty with stable schema
+        head = engine.history("db.cdf").first()["commit_id"]
+        assert engine.read_changes("db.cdf", since_commit=head).count() == 0
+        # bounded range: since init, up to c1 → only v1 rows
+        init = engine.history("db.cdf").collect()[-1]["commit_id"]
+        first_only = engine.read_changes("db.cdf", since_commit=init, to_commit=c1)
+        assert rows(first_only, "id", "d") == [("a", "1"), ("b", "2")]
+
+    def test_snapshot_changefeed(self, spark, engine):
+        engine.create_table("db.cdfs", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA), "db.cdfs", "u", "v1")
+        c1 = engine.history("db.cdfs").first()["commit_id"]
+        engine.insert(spark.createDataFrame(USERS_V2, USERS_SCHEMA), "db.cdfs", "u", "v2")
+        assert engine.read_changes("db.cdfs", since_commit=c1).count() == len(USERS_V2)
+        head = engine.history("db.cdfs").first()["commit_id"]
+        assert engine.read_changes("db.cdfs", since_commit=head).count() == 0
