@@ -162,7 +162,10 @@ ORACLES = {
         "FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts), "
         "purch AS (SELECT event_id, user_id, ts, value FROM events "
         "WHERE event_type = 'purchase') "
-        "SELECT p.event_id, p.user_id, p.ts, p.value, prior.prior_event_id "
+        # CAST to µs TIMESTAMP: the raw column is TIMESTAMP_NS, which a
+        # strict schema compare would flag against Spark's µs timestamps
+        "SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, "
+        "p.value, prior.prior_event_id "
         "FROM purch p ASOF LEFT JOIN prior "
         "ON p.user_id = prior.user_id AND p.ts >= prior.ts"),
     "q_range_join": (
