@@ -134,7 +134,8 @@ class VersionedEngine:
 
     def insert(self, df: DataFrame, table: TableName | str, user_id: str,
                message: str, mode: str = "overwrite",
-               evolve_schema: bool = False) -> CommitResult:
+               evolve_schema: bool = False,
+               distribute: bool = True) -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
         ``VersionContext.scala:29-44,53-90``).
 
@@ -147,6 +148,14 @@ class VersionedEngine:
         version directories are immutable, this is file-level: the old
         version's data files are hardlinked (copied on link failure) into the
         new version dir — no data rewrite, no extra Spark job.
+
+        ``distribute=True`` (default) clusters the data by partition columns
+        before a partitioned write, so each partition dir gets one file per
+        shuffle-target instead of one per *input* partition (a 32-partition
+        input over 30 dates would otherwise write ~960 small files —
+        the small-files death spiral at scale). Pass ``distribute=False``
+        when the input is already arranged (e.g. heavily skewed partitions
+        pre-salted by the caller).
 
         ``evolve_schema=True`` (extension; unsupported in the reference,
         SURVEY §1.3): allow ``df`` to carry columns the table has never seen.
@@ -168,7 +177,8 @@ class VersionedEngine:
                 _link_data_files(path_for(defn.location, previous.version),
                                  path_for(defn.location, version))
         else:
-            ops = self._write_partitioned(df, defn, version)
+            ops = self._write_partitioned(df, defn, version,
+                                          distribute=distribute)
             if mode == "append" and isinstance(previous, PartitionedTableVersion):
                 for op in ops:
                     old = previous.partition_versions.get(op.partition)
@@ -226,7 +236,7 @@ class VersionedEngine:
         return [AddTableVersion(version)]
 
     def _write_partitioned(self, df: DataFrame, defn: TableDefinition,
-                           version: Version) -> list:
+                           version: Version, distribute: bool = True) -> list:
         """Partitioned write via staging dir + O(#partitions) renames.
 
         One Spark job total (vs two in the reference — the extra
@@ -240,8 +250,13 @@ class VersionedEngine:
         missing = [c for c in pcols if c not in df.columns]
         if missing:
             raise ValueError(f"DataFrame missing partition columns: {missing}")
+        if distribute:
+            df = df.repartition(*pcols)
         staging = os.path.join(defn.location, f"_staging-{version.label}")
+        # maxRecordsPerFile keeps a skewed/huge partition from producing one
+        # monster file even under distribute=True
         (df.write.format(defn.format).partitionBy(*pcols)
+           .option("maxRecordsPerFile", 5_000_000)
            .mode("errorifexists").save(staging))
         try:
             partitions = _discover_partitions(staging, len(pcols))
@@ -394,11 +409,10 @@ class VersionedEngine:
         (immutable versions = zero read/write interference)."""
         defn, _ = self._log(table)
         df = self.read(table)
-        pcols = list(defn.partition_schema.columns)
-        if pcols:
-            df = df.repartition(*pcols)
-        elif target_partitions:
+        if defn.is_snapshot and target_partitions:
             df = df.coalesce(target_partitions)
+        # partitioned case: insert's distribute=True already clusters by
+        # partition columns — one shuffle total
         return self.insert(df, table, user_id, "compaction")
 
     def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
