@@ -66,8 +66,12 @@ def q_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate search: assign vectors to nearest centroid,
-    probe only the query's bucket. Rows-only check (candidate set is
-    algorithm-specific, not SQL-expressible)."""
+    probe only the query's bucket.
+
+    The whole pipeline (fixed centroids = 8 lowest vec_ids, cosine argmax
+    assignment, single-bucket probe, top-10) is deterministic, so it carries
+    a full DuckDB oracle — the approximation is in the *algorithm* (probing
+    1/K of the data), not in any randomness."""
     emb = load(spark, sf_dir, "embeddings")
     cents = (emb.orderBy("vec_id").limit(IVF_K)
              .select(F.col("vec_id").alias("cent_id"),
@@ -107,5 +111,21 @@ ORACLES = {
         "), 6) AS cos_sim "
         "FROM embeddings WHERE vec_id <> 0 "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
-    # q_sim_ann_ivf: rows-only (IVF candidate set is algorithm-specific)
+    "q_sim_ann_ivf": (
+        # centroids = the 8 lowest vec_ids (same deterministic rule as the
+        # Spark side); every vector is assigned to its max-cosine centroid;
+        # only the query vector's bucket is probed
+        "WITH cents AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) "
+        "AS cv FROM embeddings ORDER BY vec_id LIMIT 8), "
+        "assigned AS (SELECT e.vec_id, "
+        "ARG_MAX(c.cent_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv)) "
+        "AS cent_id FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id), "
+        "qb AS (SELECT cent_id FROM assigned WHERE vec_id = 0) "
+        "SELECT e.vec_id, ROUND(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        "), 6) AS cos_sim "
+        "FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id "
+        "WHERE a.cent_id = (SELECT cent_id FROM qb) AND e.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 10"),
 }

@@ -60,7 +60,7 @@ class TestRegistry:
         qs, oracles = registry
         rows_only = set(qs) - set(oracles)
         # exactly the algorithm-specific ops may omit an oracle
-        assert rows_only == {"q_agg_approx_distinct", "q_sim_ann_ivf",
+        assert rows_only == {"q_agg_approx_distinct",
                              "q_dedup_minhash", "q_dedup_simhash",
                              "q_approx_quantile"}
 
