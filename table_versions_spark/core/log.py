@@ -281,6 +281,20 @@ class FileTableVersions:
                  for p, v in d["partitions"].items()})
         return (d["is_snapshot"], state), best + 1
 
+    def commit_id_at(self, seq: int) -> str:
+        """Commit id of the log entry at sequence number ``seq`` (0 = init).
+        Used by the streaming source, whose offsets are commit seqs."""
+        fname = f"{seq:0{COMMIT_WIDTH}d}.json"
+        path = os.path.join(self.log_dir, fname)
+        if not os.path.exists(path):
+            raise UnknownCommitError(f"No commit at seq {seq}")
+        with open(path) as f:
+            return json.load(f)["commit_id"]
+
+    def head_seq(self) -> int:
+        """Highest committed sequence number (−1 if the log is empty)."""
+        return len(self._commit_files()) - 1
+
     # -- internals ---------------------------------------------------------
 
     def _commit_files(self) -> list[str]:

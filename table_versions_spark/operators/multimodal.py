@@ -75,12 +75,89 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = ("doc_id bigint, frame_idx bigint, frame_offset bigint, "
+                "frame_bytes binary")
+
+
+def frame_sample(binary_df: DataFrame, n_frames: int = 4,
+                 frame_size: int = 16) -> DataFrame:
+    """Uniform frame sampling over opaque media payloads.
+
+    The video-pipeline shape: one input row fans out to ``n_frames`` rows,
+    each carrying a fixed-size byte slice ("frame") plus its index/offset.
+    With a real codec the slice step becomes a pyav keyframe seek; here the
+    deterministic byte slicing exercises the exact same plumbing — binary
+    columns through ``mapInPandas``, 1→N fan-out inside an Arrow batch,
+    stable output schema — which is what the engine is responsible for.
+
+    Runs fully parallel per input partition; no shuffle (frame extraction is
+    embarrassingly parallel; downstream groupBys shuffle on doc_id only if
+    the consumer asks for per-document aggregation).
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [],
+                   "frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = max(len(payload), 1)
+                for i in range(n_frames):
+                    off = (i * n) // n_frames
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(bytes(payload[off:off + frame_size]))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(binary_df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Image-resize plumbing: same mapInPandas shape as a real PIL resize.
+
+    Without codecs the 'resize' is a deterministic byte truncation to
+    ``target[0]*target[1]`` bytes (a real build decodes → resizes →
+    re-encodes inside the same batch loop); requesting a non-stub decode
+    raises via ``decode_stub``.
+    """
+    want = target[0] * target[1]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [bytes(p[:want]) for p in pdf["payload"]],
+                "width": target[0],
+                "height": target[1],
+            })
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, payload binary, width int, height int")
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(to_binary_table(docs))
 
 
-QUERIES = {"q_multimodal": q_multimodal}
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out + per-frame byte checksum (oracle = the same
+    slicing arithmetic in SQL over the UTF-8 bytes)."""
+    docs = load(spark, sf_dir, "documents")
+    frames = frame_sample(to_binary_table(docs), n_frames=4, frame_size=16)
+    return (frames.select(
+        "doc_id", "frame_idx", "frame_offset",
+        F.length("frame_bytes").cast("bigint").alias("frame_len"),
+        F.sha2(F.col("frame_bytes"), 256).alias("frame_sha")))
+
+
+QUERIES = {"q_multimodal": q_multimodal,
+           "q_multimodal_frames": q_multimodal_frames}
 
 ORACLES = {
     "q_multimodal": (
@@ -89,4 +166,14 @@ ORACLES = {
         "CAST(CASE WHEN length(text) > 0 THEN ord(substring(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte, "
         "CAST(CASE WHEN length(text) > 0 THEN ord(substring(text, length(text), 1)) ELSE -1 END AS BIGINT) AS last_byte, "
         "'text/plain' AS media_type FROM documents"),
+    "q_multimodal_frames": (
+        # DuckDB can't substring a BLOB; the corpus is pure ASCII at every SF
+        # (octet_length(encode(text)) == length(text), verified), so char
+        # slicing on the VARCHAR equals the Spark side's byte slicing
+        "SELECT doc_id, i AS frame_idx, (i * n) // 4 AS frame_offset, "
+        "CAST(length(substring(text, (i * n) // 4 + 1, 16)) AS BIGINT) "
+        "AS frame_len, "
+        "sha256(substring(text, (i * n) // 4 + 1, 16)) AS frame_sha "
+        "FROM (SELECT doc_id, text, GREATEST(length(text), 1) AS n "
+        "FROM documents) CROSS JOIN range(4) t(i)"),
 }

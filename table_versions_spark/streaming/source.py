@@ -1,0 +1,188 @@
+"""Versioned tables as a Structured Streaming *source* (commit-log CDF).
+
+The reference has no streaming surface at all (SURVEY §2.E). This closes the
+loop the other ingest direction: downstream pipelines can
+``spark.readStream.format("tvx_stream")`` a versioned table and receive one
+micro-batch per span of new commits — the streaming face of
+``VersionedEngine.read_changes``.
+
+Built on the Spark 4 Python Data Source API (public:
+``pyspark.sql.datasource``). Offsets are commit *sequence numbers* in the
+table's transaction log, so progress is exactly-once per commit and restarts
+resume from the checkpointed seq. Each batch reads only version directories
+that changed in the span — unchanged partitions are never scanned, same
+contract as ``read_changes``.
+
+Typical use::
+
+    from table_versions_spark.streaming.source import register
+    register(spark)
+    stream = (spark.readStream.format("tvx_stream")
+              .option("location", "/warehouse/db/events")
+              .load())
+
+Scale notes: the driver-side reader only lists commit files and changed
+version dirs (metadata); row data is read via pyarrow per changed directory.
+``SimpleDataSourceStreamReader`` executes reads driver-side, which is the
+right trade-off for a *changefeed* (per-batch volume ∝ newly committed data,
+not table size); a partition-parallel ``DataSourceStreamReader`` with one
+``InputPartition`` per changed version dir is the drop-in upgrade if
+individual commits get huge.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+from ..core.log import FileTableVersions, read_table_meta
+from ..core.metastore import (
+    AddPartition,
+    UpdatePartitionVersion,
+    UpdateTableVersion,
+    compute_changes,
+)
+from ..core.model import UNVERSIONED, SnapshotTableVersion
+from ..core.paths import path_for
+
+FORMAT_NAME = "tvx_stream"
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.readStream.format("tvx_stream").option("location", dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self):
+        defn = read_table_meta(self.options["location"])
+        if not defn.schema_ddl:
+            raise ValueError(
+                f"{defn.name.fully_qualified_name} has no declared schema; "
+                "a streaming source needs one (pass schema_ddl to create_table)")
+        return defn.schema_ddl
+
+    def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
+        return VersionedTableStreamReader(self.options["location"])
+
+
+class VersionedTableStreamReader(SimpleDataSourceStreamReader):
+    """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.defn = read_table_meta(location)
+        self.log = FileTableVersions(location)
+        fields = self._schema_fields()
+        self.columns = [name for name, _ in fields]
+        self.pcols = list(self.defn.partition_schema.columns)
+        self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
+
+    def _schema_fields(self) -> list[tuple[str, str]]:
+        # "a int, b string" → [("a", "int"), ("b", "string")]; DDL written by
+        # this library is flat (no nested commas)
+        out = []
+        for piece in self.defn.schema_ddl.split(","):
+            name, _, typ = piece.strip().partition(" ")
+            out.append((name, typ.strip().lower()))
+        return out
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"seq": -1}
+
+    def _commit_id_at(self, seq: int) -> str | None:
+        if seq < 0:
+            return None
+        return self.log.commit_id_at(seq)
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, start: dict):
+        head = self.log.head_seq()
+        end = {"seq": head}
+        if head <= start["seq"]:
+            return [], end
+        # materialized list, not a generator: Spark pickles the batch rows
+        # for prefetch/replay (batch volume ∝ newly committed data only)
+        return list(self._rows_between(start["seq"], head)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return list(self._rows_between(start["seq"], end["seq"]))
+
+    def _rows_between(self, start_seq: int, end_seq: int) -> Iterator[tuple]:
+        before = (self.log.current_version(self.defn.name,
+                                           at_commit=self._commit_id_at(start_seq))
+                  if start_seq >= 0 else None)
+        after = self.log.current_version(self.defn.name,
+                                         at_commit=self._commit_id_at(end_seq))
+        if before is None:
+            if isinstance(after, SnapshotTableVersion):
+                dirs = ([] if after.version == UNVERSIONED
+                        else [(None, path_for(self.defn.location, after.version))])
+            else:
+                dirs = [(p, os.path.join(self.defn.location, p.render(), v.label))
+                        for p, v in after.partition_versions.items()]
+        else:
+            changes = compute_changes(before, after)
+            dirs = []
+            for op in changes.operations:
+                if isinstance(op, UpdateTableVersion):
+                    dirs.append((None, path_for(self.defn.location, op.version)))
+                elif isinstance(op, (AddPartition, UpdatePartitionVersion)):
+                    dirs.append((op.partition,
+                                 os.path.join(self.defn.location,
+                                              op.partition.render(),
+                                              op.version.label)))
+        for partition, d in sorted(dirs, key=lambda x: x[1]):
+            yield from self._read_dir(d, partition)
+
+    def _read_dir(self, directory: str, partition) -> Iterator[tuple]:
+        import pyarrow.orc as orc
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(directory):
+            return  # vacuumed beyond retention — same contract as read_changes
+        pvals = {}
+        if partition is not None:
+            for cv in partition.column_values:
+                pvals[cv.column] = _cast_partition_value(
+                    cv.value, self.ptypes.get(cv.column, "string"))
+        for fname in sorted(os.listdir(directory)):
+            if fname.startswith((".", "_")) or not os.path.isfile(
+                    os.path.join(directory, fname)):
+                continue
+            path = os.path.join(directory, fname)
+            table = (orc.read_table(path) if self.defn.format == "orc"
+                     else pq.read_table(path))
+            cols = {}
+            for name in self.columns:
+                if name in table.column_names:
+                    cols[name] = table.column(name).to_pylist()
+                elif name in pvals:
+                    cols[name] = [pvals[name]] * table.num_rows
+                else:
+                    cols[name] = [None] * table.num_rows
+            yield from zip(*(cols[name] for name in self.columns))
+
+
+def _cast_partition_value(value: str, typ: str):
+    """Partition dir values are strings; cast to the declared column type."""
+    import datetime as dt
+
+    if typ in ("int", "integer", "bigint", "long", "smallint", "tinyint"):
+        return int(value)
+    if typ in ("double", "float"):
+        return float(value)
+    if typ == "date":
+        return dt.date.fromisoformat(value)
+    return value
+
+
+def register(spark) -> None:
+    """Register the ``tvx_stream`` format on this SparkSession."""
+    spark.dataSource.register(VersionedTableDataSource)
