@@ -2,7 +2,7 @@
 
 The reference has no streaming surface at all (SURVEY §2.E). This closes the
 loop the other ingest direction: downstream pipelines can
-``spark.readStream.format("tvx_stream")`` a versioned table and receive one
+``spark.readStream.format("tvx")`` a versioned table and receive one
 micro-batch per span of new commits — the streaming face of
 ``VersionedEngine.read_changes``.
 
@@ -17,7 +17,7 @@ Typical use::
 
     from table_versions_spark.streaming.source import register
     register(spark)
-    stream = (spark.readStream.format("tvx_stream")
+    stream = (spark.readStream.format("tvx")
               .option("location", "/warehouse/db/events")
               .load())
 
@@ -35,7 +35,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..core.log import FileTableVersions, read_table_meta
 from ..core.metastore import (
@@ -47,11 +52,11 @@ from ..core.metastore import (
 from ..core.model import UNVERSIONED, SnapshotTableVersion
 from ..core.paths import path_for
 
-FORMAT_NAME = "tvx_stream"
+FORMAT_NAME = "tvx"
 
 
 class VersionedTableDataSource(DataSource):
-    """``spark.readStream.format("tvx_stream").option("location", dir)``."""
+    """``spark.readStream.format("tvx").option("location", dir)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -68,6 +73,20 @@ class VersionedTableDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
         return VersionedTableStreamReader(self.options["location"])
 
+    def reader(self, schema) -> "VersionedTableBatchReader":
+        """Batch face: ``spark.read.format("tvx").option("location", dir)``.
+
+        Ergonomics/compat path — one InputPartition per current version dir,
+        so the read parallelizes across executors like any file scan, but
+        rows travel through Python/Arrow. ``VersionedEngine.read`` remains
+        the fast path (hands Catalyst the parquet dirs directly: native
+        columnar scan, pushdown, pruning); use this format where only a
+        DataFrame reader API is accepted or from a session that doesn't
+        import this library's engine.
+        """
+        return VersionedTableBatchReader(self.options["location"],
+                                         self.options.get("at_commit"))
+
 
 class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""
@@ -82,13 +101,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
 
     def _schema_fields(self) -> list[tuple[str, str]]:
-        # "a int, b string" → [("a", "int"), ("b", "string")]; DDL written by
-        # this library is flat (no nested commas)
-        out = []
-        for piece in self.defn.schema_ddl.split(","):
-            name, _, typ = piece.strip().partition(" ")
-            out.append((name, typ.strip().lower()))
-        return out
+        return _schema_fields(self.defn.schema_ddl)
 
     # -- offsets -----------------------------------------------------------
 
@@ -142,32 +155,85 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
             yield from self._read_dir(d, partition)
 
     def _read_dir(self, directory: str, partition) -> Iterator[tuple]:
-        import pyarrow.orc as orc
-        import pyarrow.parquet as pq
+        return _dir_rows(directory, partition, self.columns, self.ptypes,
+                         self.defn.format)
 
-        if not os.path.isdir(directory):
-            return  # vacuumed beyond retention — same contract as read_changes
-        pvals = {}
-        if partition is not None:
-            for cv in partition.column_values:
-                pvals[cv.column] = _cast_partition_value(
-                    cv.value, self.ptypes.get(cv.column, "string"))
-        for fname in sorted(os.listdir(directory)):
-            if fname.startswith((".", "_")) or not os.path.isfile(
-                    os.path.join(directory, fname)):
-                continue
-            path = os.path.join(directory, fname)
-            table = (orc.read_table(path) if self.defn.format == "orc"
-                     else pq.read_table(path))
-            cols = {}
-            for name in self.columns:
-                if name in table.column_names:
-                    cols[name] = table.column(name).to_pylist()
-                elif name in pvals:
-                    cols[name] = [pvals[name]] * table.num_rows
-                else:
-                    cols[name] = [None] * table.num_rows
-            yield from zip(*(cols[name] for name in self.columns))
+
+class VersionedDirPartition(InputPartition):
+    def __init__(self, directory: str, partition):
+        self.directory = directory
+        self.partition = partition
+
+
+class VersionedTableBatchReader(DataSourceReader):
+    """Executor-parallel batch read of a versioned table's current (or
+    time-travel) state — one input partition per version directory."""
+
+    def __init__(self, location: str, at_commit: str | None = None):
+        defn = read_table_meta(location)
+        log = FileTableVersions(location)
+        state = log.current_version(defn.name, at_commit=at_commit)
+        fields = _schema_fields(defn.schema_ddl)
+        self.columns = [name for name, _ in fields]
+        pcols = set(defn.partition_schema.columns)
+        self.ptypes = {n: t for n, t in fields if n in pcols}
+        self.format = defn.format
+        if isinstance(state, SnapshotTableVersion):
+            self.dirs = ([] if state.version == UNVERSIONED
+                         else [(None, path_for(defn.location, state.version))])
+        else:
+            self.dirs = [(p, os.path.join(defn.location, p.render(), v.label))
+                         for p, v in state.partition_versions.items()]
+
+    def partitions(self) -> list[InputPartition]:
+        return [VersionedDirPartition(d, p) for p, d in sorted(
+            self.dirs, key=lambda x: x[1])] or [VersionedDirPartition("", None)]
+
+    def read(self, part: VersionedDirPartition) -> Iterator[tuple]:
+        if not part.directory:
+            return
+        yield from _dir_rows(part.directory, part.partition, self.columns,
+                             self.ptypes, self.format)
+
+
+def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
+    # "a int, b string" → [("a", "int"), ("b", "string")]; DDL written by
+    # this library is flat (no nested commas)
+    out = []
+    for piece in schema_ddl.split(","):
+        name, _, typ = piece.strip().partition(" ")
+        out.append((name, typ.strip().lower()))
+    return out
+
+
+def _dir_rows(directory: str, partition, columns: list[str],
+              ptypes: dict[str, str], fmt: str) -> Iterator[tuple]:
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(directory):
+        return  # vacuumed beyond retention — same contract as read_changes
+    pvals = {}
+    if partition is not None:
+        for cv in partition.column_values:
+            pvals[cv.column] = _cast_partition_value(
+                cv.value, ptypes.get(cv.column, "string"))
+    for fname in sorted(os.listdir(directory)):
+        if fname.startswith((".", "_")) or not os.path.isfile(
+                os.path.join(directory, fname)):
+            continue
+        path = os.path.join(directory, fname)
+        table = (orc.read_table(path) if fmt == "orc"
+                 else pq.read_table(path))
+        cols = {}
+        for name in columns:
+            if name in table.column_names:
+                cols[name] = table.column(name).to_pylist()
+            elif name in pvals:
+                cols[name] = [pvals[name]] * table.num_rows
+            else:
+                cols[name] = [None] * table.num_rows
+        yield from zip(*(cols[name] for name in columns))
 
 
 def _cast_partition_value(value: str, typ: str):
@@ -184,5 +250,5 @@ def _cast_partition_value(value: str, typ: str):
 
 
 def register(spark) -> None:
-    """Register the ``tvx_stream`` format on this SparkSession."""
+    """Register the ``tvx`` format on this SparkSession."""
     spark.dataSource.register(VersionedTableDataSource)

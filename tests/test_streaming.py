@@ -118,7 +118,7 @@ class TestVersionedStreamSource:
         out = str(tmp_path / "out")
 
         def run_batch():
-            q = (spark.readStream.format("tvx_stream")
+            q = (spark.readStream.format("tvx")
                  .option("location", loc).load()
                  .writeStream.format("parquet")
                  .option("path", out)
@@ -137,3 +137,23 @@ class TestVersionedStreamSource:
         # d=b was overwritten in c3: the delta batch contains only the new
         # version of d=b — untouched d=a / d=c are not re-emitted
         assert got2 == sorted([(1, "a"), (2, "b"), (3, "c"), (4, "b")])
+
+    def test_batch_read_format_tvx(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("db.batchfeed", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "id bigint, d string"),
+                      "db.batchfeed", "u", "c1")
+        c1 = engine.history("db.batchfeed").first()["commit_id"]
+        engine.insert(spark.createDataFrame([(9, "b")], "id bigint, d string"),
+                      "db.batchfeed", "u", "c2")
+        register(spark)
+        loc = engine.definition("db.batchfeed").location
+        df = spark.read.format("tvx").option("location", loc).load()
+        assert sorted(tuple(r) for r in df.collect()) == [(1, "a"), (9, "b")]
+        # time travel through the reader option
+        old = (spark.read.format("tvx").option("location", loc)
+               .option("at_commit", c1).load())
+        assert sorted(tuple(r) for r in old.collect()) == [(1, "a"), (2, "b")]
