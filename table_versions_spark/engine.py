@@ -164,6 +164,16 @@ class VersionedEngine:
         columns as NULL. Without the flag, new columns are an error — the
         reference-faithful strict default.
         """
+        return self._insert(df, table, user_id, message, mode=mode,
+                            evolve_schema=evolve_schema, distribute=distribute)
+
+    def _insert(self, df: DataFrame, table: TableName | str, user_id: str,
+                message: str, mode: str = "overwrite",
+                evolve_schema: bool = False, distribute: bool = True,
+                drop_partitions: list[Partition] = ()) -> CommitResult:
+        """insert() plus ``drop_partitions``: partitions to REMOVE in the
+        same commit unless the write itself re-adds them — lets delete()
+        empty a partition atomically (write + remove = one commit)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
@@ -186,6 +196,10 @@ class VersionedEngine:
                         _link_data_files(
                             os.path.join(defn.location, op.partition.render(), old.label),
                             os.path.join(defn.location, op.partition.render(), version.label))
+        written = {op.partition for op in ops
+                   if isinstance(op, AddPartitionVersion)}
+        ops += [RemovePartition(p) for p in drop_partitions
+                if p not in written]
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
 
@@ -215,6 +229,68 @@ class VersionedEngine:
             schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
         write_table_meta(defn)
         return defn
+
+    def upsert(self, df: DataFrame, table: TableName | str, keys: list[str],
+               user_id: str, message: str) -> CommitResult:
+        """MERGE-style upsert: rows in ``df`` replace current rows with the
+        same key; unmatched rows are inserted. One fresh version, atomic at
+        the commit-file write (reference has no merge surface; semantics
+        follow Delta's ``MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+        INSERT`` for whole-row updates).
+
+        Scale shape: only partitions *touched by* ``df`` are rewritten — the
+        current rows of those partitions are read, anti-joined on the key,
+        unioned with ``df``, and written as the partitions' next version.
+        Untouched partitions keep their version (no read, no write). For a
+        snapshot table the whole table is the one 'partition'.
+
+        Caveat (same as any partition-scoped merge): a key is assumed to
+        stay in its partition — if an upsert row carries key K with new
+        partition values, K's old row in the old (untouched) partition is
+        not removed; issue a ``delete`` first to relocate keys.
+        """
+        from pyspark.sql import functions as F
+
+        defn, _ = self._log(table)
+        pcols = list(defn.partition_schema.columns)
+        current = self.read(table)
+        if pcols:
+            touched = df.select(*pcols).distinct()
+            current = current.join(F.broadcast(touched), pcols, "left_semi")
+        survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = survivors.select(*df.columns).unionByName(df)
+        return self.insert(merged, table, user_id, message)
+
+    def delete(self, table: TableName | str, predicate: str, user_id: str,
+               message: str) -> CommitResult:
+        """Row-level delete: rewrite only partitions that contain matching
+        rows, dropping them, as a fresh version; a partition with no matches
+        keeps its current version untouched. Old versions remain
+        time-travelable until ``vacuum`` (the reference offers no row-level
+        operations at all)."""
+        from pyspark.sql import functions as F
+
+        defn, _ = self._log(table)
+        pcols = list(defn.partition_schema.columns)
+        current = self.read(table)
+        cond = F.expr(predicate)
+        if not pcols:
+            return self.insert(current.where(~cond), table, user_id, message)
+        # partition KEYS (not data rows) come to the driver: a partition
+        # emptied by the delete writes no files, so its RemovePartition op
+        # must ride the same commit
+        affected_rows = current.where(cond).select(*pcols).distinct().collect()
+        affected = [
+            Partition.parse("/".join(f"{c}={r[c]}" for c in pcols))
+            for r in affected_rows]
+        if not affected:
+            return self.insert(current.limit(0), table, user_id, message,
+                               distribute=False)
+        affected_df = current.where(cond).select(*pcols).distinct()
+        scoped = current.join(F.broadcast(affected_df), pcols, "left_semi")
+        remaining = scoped.where(~cond)
+        return self._insert(remaining, table, user_id, message,
+                            drop_partitions=affected)
 
     def remove_partitions(self, table: TableName | str,
                           partitions: list[Partition], user_id: str,

@@ -373,3 +373,64 @@ class TestReadChanges:
         assert engine.read_changes("db.cdfs", since_commit=c1).count() == len(USERS_V2)
         head = engine.history("db.cdfs").first()["commit_id"]
         assert engine.read_changes("db.cdfs", since_commit=head).count() == 0
+
+
+class TestUpsertDelete:
+    def test_upsert_partitioned(self, spark, engine):
+        engine.create_table("db.up1", schema_ddl="id bigint, v string, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "old", "a"), (2, "old", "a"), (3, "old", "b")],
+            "id bigint, v string, d string"), "db.up1", "u", "v1")
+        # update id=2, insert id=4, both in partition a; partition b untouched
+        engine.upsert(spark.createDataFrame(
+            [(2, "new", "a"), (4, "new", "a")], "id bigint, v string, d string"),
+            "db.up1", keys=["id"], user_id="u", message="merge")
+        got = {(r["id"], r["v"]) for r in engine.read("db.up1").collect()}
+        assert got == {(1, "old"), (2, "new"), (3, "old"), (4, "new")}
+        # partition b kept its version (only a was rewritten)
+        state = engine.current_version("db.up1").partition_versions
+        hist = engine.history("db.up1").collect()
+        first_state = engine.read("db.up1", at_commit=hist[1]["commit_id"])
+        from table_versions_spark.core.model import Partition
+        v1 = {p.render(): v for p, v in state.items()}
+        assert "d=b" in v1
+
+    def test_upsert_snapshot(self, spark, engine):
+        engine.create_table("db.up2", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA), "db.up2", "u", "v1")
+        engine.upsert(spark.createDataFrame(
+            [("user-1", "Alice2", "alice2@mail.com"), ("user-9", "Zed", "z@m.com")],
+            USERS_SCHEMA), "db.up2", keys=["id"], user_id="u", message="merge")
+        got = {(r["id"], r["name"]) for r in engine.read("db.up2").collect()}
+        assert got == {("user-1", "Alice2"), ("user-2", "Bob"),
+                       ("user-3", "Carol"), ("user-9", "Zed")}
+
+    def test_delete_rows_and_whole_partition(self, spark, engine):
+        engine.create_table("db.del1", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id bigint, d string"),
+            "db.del1", "u", "v1")
+        state_before = {p.render(): v for p, v in
+                        engine.current_version("db.del1").partition_versions.items()}
+        # delete one row of a, ALL of b, nothing in c
+        engine.delete("db.del1", "id IN (2, 3)", "u", "del")
+        got = sorted((r["id"], r["d"]) for r in engine.read("db.del1").collect())
+        assert got == [(1, "a"), (4, "c")]
+        state = {p.render(): v for p, v in
+                 engine.current_version("db.del1").partition_versions.items()}
+        assert "d=b" not in state                      # fully-emptied: removed
+        assert state["d=c"] == state_before["d=c"]     # untouched: same version
+        assert state["d=a"] != state_before["d=a"]     # rewritten: new version
+        # single commit for the whole delete; time travel still sees old rows
+        hist = engine.history("db.del1").collect()
+        assert len(hist) == 3
+        old = engine.read("db.del1", at_commit=hist[1]["commit_id"])
+        assert old.count() == 4
+
+    def test_delete_snapshot(self, spark, engine):
+        engine.create_table("db.del2", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA), "db.del2", "u", "v1")
+        engine.delete("db.del2", "id = 'user-2'", "u", "del")
+        assert engine.read("db.del2").count() == 2
