@@ -430,6 +430,19 @@ class VersionedEngine:
         defn, log = self._log(table)
         log.set_current_version(defn.name, commit_id)
 
+    def register_view(self, table: TableName | str,
+                      view_name: str | None = None,
+                      at_commit: str | None = None) -> str:
+        """Expose the table's current (or time-travel) state to ``spark.sql``
+        as a temp view — the SQL face of ``read``. Returns the view name
+        (default: ``schema_table``). The view captures the state at
+        registration time; re-register after new commits to advance it."""
+        if isinstance(table, str):
+            table = TableName.parse(table)
+        name = view_name or f"{table.schema}_{table.name}"
+        self.read(table, at_commit=at_commit).createOrReplaceTempView(name)
+        return name
+
     def history(self, table: TableName | str) -> DataFrame:
         """Commit history, most recent first, as a DataFrame
         (reference ``updates``, ``TableVersions.scala:44-45``)."""

@@ -113,6 +113,62 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(50))
 
 
+# ------------------------------------------------------- event analytics
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts when a user's inter-event
+    gap exceeds 30 minutes (lag + running-sum-of-flags — the canonical
+    DataFrame shape; the streaming twin lives in streaming/ingest.py as
+    ``applyInPandasWithState``). One shuffle on user_id covers both windows
+    and the final aggregation."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (F.col("ts").cast("double")
+               - F.lag(F.col("ts").cast("double"), 1).over(w)) / 60.0
+    new_sess = F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0)
+    return (ev
+            .withColumn("sess_no", F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .cast("bigint"))
+            .groupBy("user_id", "sess_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per step, how many
+    users reached it in order (each step's first occurrence after the
+    previous step's). Conditional min-timestamp aggregation per user — one
+    shuffle, no self-joins."""
+    ev = load_events(spark, sf_dir)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                      .alias("t_view"),
+                     F.max("ts").alias("t_last")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("t_click")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("t_buy")))
+    j = (per_user
+         .join(clicks, "user_id", "left")
+         .withColumn("ok_click", (F.col("t_click") > F.col("t_view")))
+         .groupBy("user_id", "t_view")
+         .agg(F.min(F.when(F.col("ok_click"), F.col("t_click"))).alias("t_click"))
+         .join(purchases, "user_id", "left")
+         .groupBy("user_id", "t_view", "t_click")
+         .agg(F.min(F.when(F.col("t_buy") > F.col("t_click"), F.col("t_buy")))
+               .alias("t_buy")))
+    return (j.agg(
+        F.count(F.col("t_view")).alias("n_view"),
+        F.count(F.col("t_click")).alias("n_view_click"),
+        F.count(F.col("t_buy")).alias("n_view_click_buy")))
+
+
 # ------------------------------------------------------------- statistics
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,6 +207,8 @@ QUERIES = {
     "q_window_lag": q_window_lag,
     "q_pivot": q_pivot,
     "q_explode": q_explode,
+    "q_sessionize": q_sessionize,
+    "q_funnel": q_funnel,
     "q_quantiles": q_quantiles,
     "q_approx_quantile": q_approx_quantile,
     "q_corr": q_corr,
@@ -193,6 +251,38 @@ ORACLES = {
         "SELECT word, COUNT(*) AS n FROM ("
         "SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) "
         "WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 50"),
+    "q_sessionize": (
+        # CAST ts to µs TIMESTAMP first so gap arithmetic matches Spark's
+        # µs-precision timestamps (raw column is ns)
+        "WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts "
+        "FROM events), "
+        "g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 60000000.0 > 30 "
+        "THEN 1 ELSE 0 END AS ns_flag FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, CAST(SUM(ns_flag) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no "
+        "FROM g) "
+        "SELECT user_id, sess_no, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 4) AS sum_value, "
+        "MIN(event_id) AS first_event, MAX(event_id) AS last_event "
+        "FROM s GROUP BY user_id, sess_no"),
+    "q_funnel": (
+        "WITH e AS (SELECT event_id, user_id, event_type, "
+        "CAST(ts AS TIMESTAMP) AS ts FROM events), "
+        "pu AS (SELECT user_id, "
+        "MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view "
+        "FROM e GROUP BY user_id), "
+        "c AS (SELECT pu.user_id, t_view, "
+        "MIN(CASE WHEN ec.ts > pu.t_view THEN ec.ts END) AS t_click "
+        "FROM pu LEFT JOIN e ec ON ec.user_id = pu.user_id "
+        "AND ec.event_type = 'click' GROUP BY pu.user_id, t_view), "
+        "b AS (SELECT c.user_id, t_view, t_click, "
+        "MIN(CASE WHEN ep.ts > c.t_click THEN ep.ts END) AS t_buy "
+        "FROM c LEFT JOIN e ep ON ep.user_id = c.user_id "
+        "AND ep.event_type = 'purchase' GROUP BY c.user_id, t_view, t_click) "
+        "SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_view_click, "
+        "COUNT(t_buy) AS n_view_click_buy FROM b"),
     "q_quantiles": (
         "SELECT l_returnflag, "
         "ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50, "

@@ -434,3 +434,17 @@ class TestUpsertDelete:
         engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA), "db.del2", "u", "v1")
         engine.delete("db.del2", "id = 'user-2'", "u", "del")
         assert engine.read("db.del2").count() == 2
+
+
+class TestSqlView:
+    def test_register_view_and_time_travel(self, spark, engine):
+        engine.create_table("db.sqlv", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA), "db.sqlv", "u", "v1")
+        c1 = engine.history("db.sqlv").first()["commit_id"]
+        engine.insert(spark.createDataFrame(USERS_V2, USERS_SCHEMA), "db.sqlv", "u", "v2")
+        name = engine.register_view("db.sqlv")
+        assert name == "db_sqlv"
+        assert spark.sql(f"SELECT COUNT(*) FROM {name}").first()[0] == len(USERS_V2)
+        old = engine.register_view("db.sqlv", view_name="sqlv_v1", at_commit=c1)
+        rows_ = spark.sql(f"SELECT id FROM {old} ORDER BY id").collect()
+        assert [r["id"] for r in rows_] == ["user-1", "user-2", "user-3"]
