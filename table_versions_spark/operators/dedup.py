@@ -104,8 +104,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("sig", F.expr(
                 f"transform({perms}, mo -> array_min(transform(shr, "
                 f"x -> pmod(x * mo.m + mo.o, {p}))))"))
-            .drop("shr")
-            .persist())  # signatures feed three branches; compute them once
+            .drop("shr"))
+    # Materialize signatures to parquet rather than .persist(): four
+    # downstream consumers (two band sides, two payload sides) would each
+    # recompute the expensive signature stage whenever cache pressure evicts
+    # the persisted blocks — a disk materialization is immune to eviction
+    # (and is exactly what a production pipeline does with a signature table).
+    import tempfile
+    sig_dir = tempfile.mkdtemp(prefix="tvx-minhash-sig-")
+    docs.write.mode("overwrite").parquet(sig_dir)
+    docs = spark.read.parquet(sig_dir)
     # band join on NARROW rows only (doc_id, band key) — payloads (shingle
     # arrays, signatures) are re-joined after pair dedup, so the wide data
     # never rides through the candidate shuffle

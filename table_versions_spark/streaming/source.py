@@ -197,12 +197,20 @@ class VersionedTableBatchReader(DataSourceReader):
 
 
 def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
-    # "a int, b string" → [("a", "int"), ("b", "string")]; DDL written by
-    # this library is flat (no nested commas)
-    out = []
-    for piece in schema_ddl.split(","):
-        name, _, typ = piece.strip().partition(" ")
-        out.append((name, typ.strip().lower()))
+    """"a int, b decimal(10,2), c array<int>" → [(name, type), ...] —
+    splits on top-level commas only (type args carry their own commas)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(schema_ddl + ","):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            piece = schema_ddl[start:i].strip()
+            if piece:
+                name, _, typ = piece.partition(" ")
+                out.append((name, typ.strip().lower()))
+            start = i + 1
     return out
 
 

@@ -448,3 +448,20 @@ class TestSqlView:
         old = engine.register_view("db.sqlv", view_name="sqlv_v1", at_commit=c1)
         rows_ = spark.sql(f"SELECT id FROM {old} ORDER BY id").collect()
         assert [r["id"] for r in rows_] == ["user-1", "user-2", "user-3"]
+
+
+class TestMultiLevelDelete:
+    def test_delete_on_two_level_partitions(self, spark, engine):
+        engine.create_table("db.ml", schema_ddl="id bigint, d string, h string",
+                            partition_columns=["d", "h"], format="orc")
+        engine.insert(spark.createDataFrame(
+            [(1, "a", "0"), (2, "a", "1"), (3, "b", "0")],
+            "id bigint, d string, h string"), "db.ml", "u", "v1")
+        # empties partition (a,1) entirely; (a,0) and (b,0) untouched
+        engine.delete("db.ml", "id = 2", "u", "del")
+        got = sorted((r["id"], r["d"], r["h"])
+                     for r in engine.read("db.ml").collect())
+        assert got == [(1, "a", "0"), (3, "b", "0")]
+        state = {p.render() for p in
+                 engine.current_version("db.ml").partition_versions}
+        assert state == {"d=a/h=0", "d=b/h=0"}
