@@ -60,7 +60,12 @@ def main() -> None:
     from table_versions_spark.session import get_spark
 
     spark = get_spark(app_name="tvx-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+    # Warm-up covers every engine path the headline queries touch (JIT +
+    # class-loading for codegen, parquet reader, noop committer), so the
+    # first measured query isn't charged JVM startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    warm.write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
