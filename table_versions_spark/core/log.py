@@ -124,7 +124,7 @@ class FileTableVersions:
             return  # concurrent init won the race — idempotent
         with os.fdopen(fd, "w") as f:
             json.dump(update_to_json(update), f, indent=1)
-        self._write_pointer(meta.commit_id)
+        self._write_pointer(meta.commit_id, 0)
 
     # -- commit ------------------------------------------------------------
 
@@ -239,9 +239,11 @@ class FileTableVersions:
     # -- checkpoints -------------------------------------------------------
 
     def _write_checkpoint(self, seq: int, commit_id: str) -> None:
-        from .model import Partition, Version
-
-        state = self.current_version()
+        # fold at the commit being checkpointed — NOT at the pointer: under a
+        # writer race the pointer may already be past seq, and a checkpoint
+        # whose state includes ops beyond its labeled seq would corrupt every
+        # later time-travel read that resumes from it
+        state = self.current_version(at_commit=commit_id)
         if isinstance(state, SnapshotTableVersion):
             payload = {"seq": seq, "commit_id": commit_id, "is_snapshot": True,
                        "snapshot_version": state.version.label}

@@ -289,3 +289,26 @@ class TestConcurrentWriters:
         state = log.table_state(T)
         ids = [u.metadata.commit_id for u in state.updates]
         assert state.current_version in ids[-2:]
+
+
+class TestCheckpointIntegrity:
+    def test_checkpoint_folds_at_labeled_commit_not_pointer(self, log):
+        """A checkpoint labeled seq N must contain the fold of commits 0..N
+        even when the pointer is elsewhere (writer race / rollback)."""
+        log.init(T, is_snapshot=False, user_id="u", message="init")
+        versions = {}
+        for i in range(12):
+            part = Partition.parse(f"d=k{i}")
+            versions[f"d=k{i}"] = Version.generate()
+            log.commit(T, mk_update(AddPartitionVersion(part, versions[f"d=k{i}"])))
+        head_id = log.table_state(T).current_version
+        # roll the pointer back, then force a checkpoint labeled at head
+        old_id = log.commit_id_at(3)
+        log.set_current_version(T, old_id)
+        head_seq = log.head_seq()
+        log._write_checkpoint(head_seq, head_id)
+        # a fresh fold THROUGH the checkpoint at head must see all 12 partitions
+        got = log.current_version(T, at_commit=head_id)
+        assert len(got.partition_versions) == 12
+        # and the pointer view is still the rolled-back state
+        assert len(log.current_version(T).partition_versions) == 3
