@@ -362,12 +362,21 @@ class VersionedEngine:
 
     # ----------------------------------------------------------------- read
 
-    def read(self, table: TableName | str, at_commit: str | None = None) -> DataFrame:
+    def read(self, table: TableName | str, at_commit: str | None = None,
+             partition_filter: dict | None = None) -> DataFrame:
         """Read the current (or time-travel) state of a versioned table.
 
         Equivalent of reference ``spark.table(fqn)`` resolution via Hive
         partition locations (``examples/.../TableLoader.scala:37-38``, SURVEY
         §3.2) — here the commit log is the version selector.
+
+        ``partition_filter`` prunes *before Spark ever sees a path*:
+        ``{"date": "2024-01-01"}`` or ``{"date": ["2024-01-01", "2024-01-02"]}``
+        selects matching partitions from the log fold and hands only their
+        version dirs to the reader. A ``.where()`` on a partition column
+        prunes too (Catalyst PartitionFilters), but only after the file index
+        has listed every path — with 10⁵+ partitions that listing is itself
+        the bottleneck, so metadata-level pruning is the scale path.
         """
         defn, log = self._log(table)
         state = log.current_version(defn.name, at_commit=at_commit)
@@ -379,8 +388,20 @@ class VersionedEngine:
             if state.version == UNVERSIONED:
                 return self._empty(defn)
             return reader.load(path_for(defn.location, state.version))
+        partitions = state.partition_versions
+        if partition_filter:
+            unknown = set(partition_filter) - set(defn.partition_schema.columns)
+            if unknown:
+                raise ValueError(f"Not partition columns: {sorted(unknown)}")
+            want = {c: {str(v)} if not isinstance(v, (list, tuple, set))
+                    else {str(x) for x in v}
+                    for c, v in partition_filter.items()}
+            partitions = {
+                p: ver for p, ver in partitions.items()
+                if all(cv.value in want.get(cv.column, {cv.value})
+                       for cv in p.column_values)}
         paths = [os.path.join(defn.location, p.render(), v.label)
-                 for p, v in sorted(state.partition_versions.items())]
+                 for p, v in sorted(partitions.items())]
         if not paths:
             return self._empty(defn)
         return self._declared_types(

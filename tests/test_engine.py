@@ -465,3 +465,24 @@ class TestMultiLevelDelete:
         state = {p.render() for p in
                  engine.current_version("db.ml").partition_versions}
         assert state == {"d=a/h=0", "d=b/h=0"}
+
+
+class TestMetadataPruning:
+    def test_partition_filter_prunes_paths(self, spark, engine):
+        engine.create_table("db.pf", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, d string"),
+            "db.pf", "u", "v1")
+        one = engine.read("db.pf", partition_filter={"d": "b"})
+        assert rows(one, "id", "d") == [(2, "b")]
+        # only the selected partition's path reaches the scan
+        files = one.inputFiles()
+        assert files and all("d=b" in f for f in files)
+        many = engine.read("db.pf", partition_filter={"d": ["a", "c"]})
+        assert rows(many, "id") == [(1,), (3,)]
+        # empty selection -> empty frame with declared schema
+        none = engine.read("db.pf", partition_filter={"d": "zzz"})
+        assert none.count() == 0 and set(none.columns) == {"id", "d"}
+        with pytest.raises(ValueError, match="Not partition columns"):
+            engine.read("db.pf", partition_filter={"id": 1})
