@@ -200,6 +200,15 @@ class VersionedEngine:
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
                 if p not in written]
+        # footer stats AFTER any append-mode linking, so linked-in files are
+        # included (stale stats would let the skipper wrongly drop rows)
+        if defn.format == "parquet":
+            for op in ops:
+                if isinstance(op, AddTableVersion):
+                    _write_version_stats(path_for(defn.location, op.version))
+                elif isinstance(op, AddPartitionVersion):
+                    _write_version_stats(os.path.join(
+                        defn.location, op.partition.render(), version.label))
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
 
@@ -363,7 +372,8 @@ class VersionedEngine:
     # ----------------------------------------------------------------- read
 
     def read(self, table: TableName | str, at_commit: str | None = None,
-             partition_filter: dict | None = None) -> DataFrame:
+             partition_filter: dict | None = None,
+             stats_filter: dict | None = None) -> DataFrame:
         """Read the current (or time-travel) state of a versioned table.
 
         Equivalent of reference ``spark.table(fqn)`` resolution via Hive
@@ -377,6 +387,14 @@ class VersionedEngine:
         prunes too (Catalyst PartitionFilters), but only after the file index
         has listed every path — with 10⁵+ partitions that listing is itself
         the bottleneck, so metadata-level pruning is the scale path.
+
+        ``stats_filter`` adds Delta/Iceberg-style *data skipping* over
+        non-partition columns: ``{"col": value}`` (equality) or
+        ``{"col": (lo, hi)}`` (range) drops version dirs whose recorded
+        footer min/max PROVES no row can match. Stats are written at publish
+        time from parquet footers (``_stats.json`` sidecar per version dir);
+        a dir without stats is always read — skipping is only ever an
+        optimization, never a filter: apply the real ``.where()`` on top.
         """
         defn, log = self._log(table)
         state = log.current_version(defn.name, at_commit=at_commit)
@@ -387,7 +405,10 @@ class VersionedEngine:
         if isinstance(state, SnapshotTableVersion):
             if state.version == UNVERSIONED:
                 return self._empty(defn)
-            return reader.load(path_for(defn.location, state.version))
+            sdir = path_for(defn.location, state.version)
+            if stats_filter and _stats_exclude(sdir, stats_filter):
+                return self._empty(defn)
+            return reader.load(sdir)
         partitions = state.partition_versions
         if partition_filter:
             unknown = set(partition_filter) - set(defn.partition_schema.columns)
@@ -402,6 +423,8 @@ class VersionedEngine:
                        for cv in p.column_values)}
         paths = [os.path.join(defn.location, p.render(), v.label)
                  for p, v in sorted(partitions.items())]
+        if stats_filter:
+            paths = [p for p in paths if not _stats_exclude(p, stats_filter)]
         if not paths:
             return self._empty(defn)
         return self._declared_types(
@@ -571,6 +594,97 @@ class VersionedEngine:
                 f"Table {defn.name.fully_qualified_name} has no data and no "
                 "declared schema")
         return self.spark.createDataFrame([], defn.schema_ddl)
+
+
+STATS_FILE = "_stats.json"
+
+
+def _write_version_stats(version_dir: str) -> None:
+    """Collect per-column min/max + row count from the parquet footers of an
+    immutable version dir into ``_stats.json`` (underscore files are invisible
+    to Spark readers). Metadata-only: no data pages are read. Non-parquet
+    formats and unstat-able columns are simply absent — absence means
+    'cannot skip', never 'skip'."""
+    import json as _json
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return
+    mins, maxs = {}, {}
+    rows = 0
+    for name in os.listdir(version_dir):
+        if name.startswith((".", "_")) or not name.endswith(".parquet"):
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(version_dir, name)).metadata
+        except Exception:  # noqa: BLE001 — unreadable footer ⇒ no stats
+            return
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                cname = col.path_in_schema
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    continue
+                mins[cname] = lo if cname not in mins else min(mins[cname], lo)
+                maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
+    payload = {"rows": rows,
+               "columns": {c: {"min": mins[c], "max": maxs[c]}
+                           for c in mins if c in maxs}}
+    with open(os.path.join(version_dir, STATS_FILE), "w") as f:
+        _json.dump(payload, f, indent=1)
+
+
+def _stat_value(v):
+    """JSON-able, order-preserving representation of a footer statistic."""
+    import datetime as dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # boolean min/max is useless for skipping
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()  # ISO sorts lexicographically
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _stats_exclude(version_dir: str, stats_filter: dict) -> bool:
+    """True iff the dir's recorded [min,max] ranges PROVE no row can match.
+    Missing stats file / column ⇒ False (cannot skip)."""
+    import json as _json
+
+    path = os.path.join(version_dir, STATS_FILE)
+    if not os.path.exists(path):
+        return False
+    try:
+        with open(path) as f:
+            cols = _json.load(f)["columns"]
+    except Exception:  # noqa: BLE001
+        return False
+    for col, want in stats_filter.items():
+        rng = cols.get(col)
+        if rng is None:
+            continue
+        lo, hi = (want if isinstance(want, tuple) else (want, want))
+        qlo, qhi = _stat_value(lo), _stat_value(hi)
+        if qlo is None or qhi is None:
+            continue
+        if qhi < rng["min"] or qlo > rng["max"]:
+            return True
+    return False
 
 
 def _link_data_files(src_dir: str, dst_dir: str) -> None:

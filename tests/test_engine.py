@@ -486,3 +486,52 @@ class TestMetadataPruning:
         assert none.count() == 0 and set(none.columns) == {"id", "d"}
         with pytest.raises(ValueError, match="Not partition columns"):
             engine.read("db.pf", partition_filter={"id": 1})
+
+
+class TestDataSkipping:
+    def test_stats_written_and_skipping_prunes_dirs(self, spark, engine):
+        engine.create_table("db.ds", schema_ddl="id bigint, v double, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "a"), (100, 900.0, "b")],
+            "id bigint, v double, d string"), "db.ds", "u", "v1")
+        # value 900 lives only in d=b: id range proves d=a cannot match
+        hit = engine.read("db.ds", stats_filter={"id": 100})
+        assert hit.count() == 1
+        assert all("d=b" in f for f in hit.inputFiles())
+        # range filter overlapping only d=a
+        lo = engine.read("db.ds", stats_filter={"v": (0.0, 50.0)})
+        assert all("d=a" in f for f in lo.inputFiles())
+        assert lo.count() == 2
+        # nothing can match -> empty with declared schema, zero files listed
+        none = engine.read("db.ds", stats_filter={"id": 999999})
+        assert none.count() == 0
+        # skipping is an optimization, not a filter: in-range reads keep rows
+        assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
+
+    def test_append_links_keep_stats_fresh(self, spark, engine):
+        engine.create_table("db.ds2", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], "id bigint, d string"),
+                      "db.ds2", "u", "v1")
+        engine.insert(spark.createDataFrame([(500, "a")], "id bigint, d string"),
+                      "db.ds2", "u", "v2", mode="append")
+        # the appended version's stats must cover the LINKED old file too:
+        # a filter matching only the old row must not be skipped away
+        old_row = engine.read("db.ds2", stats_filter={"id": 1})
+        assert sorted(r["id"] for r in old_row.collect()) == [1, 500]
+
+    def test_string_and_date_stats(self, spark, engine):
+        from pyspark.sql import functions as F
+        engine.create_table("db.ds3", schema_ddl="s string, dt date, d string",
+                            partition_columns=["d"])
+        df = spark.createDataFrame(
+            [("apple", "2024-01-01", "a"), ("zebra", "2024-06-01", "b")],
+            "s string, dt string, d string").withColumn("dt", F.to_date("dt"))
+        engine.insert(df, "db.ds3", "u", "v1")
+        got = engine.read("db.ds3", stats_filter={"s": "zebra"})
+        assert all("d=b" in f for f in got.inputFiles())
+        import datetime as dtm
+        got2 = engine.read("db.ds3",
+                           stats_filter={"dt": dtm.date(2024, 1, 1)})
+        assert all("d=a" in f for f in got2.inputFiles())
