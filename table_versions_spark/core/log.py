@@ -297,6 +297,28 @@ class FileTableVersions:
         """Highest committed sequence number (−1 if the log is empty)."""
         return len(self._commit_files()) - 1
 
+    def commit_id_at_timestamp(self, ts) -> str:
+        """Latest commit whose metadata timestamp is <= ``ts`` (datetime or
+        ISO-8601 string) — Delta's ``timestampAsOf`` semantics. Errors if
+        ``ts`` predates the first commit."""
+        from datetime import datetime, timezone
+
+        if isinstance(ts, str):
+            ts = datetime.fromisoformat(ts)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        best = None
+        for u in self._read_all_updates():
+            when = datetime.fromisoformat(u.metadata.timestamp)
+            if when <= ts:
+                best = u.metadata.commit_id
+            else:
+                break  # commits are timestamp-ordered by construction
+        if best is None:
+            raise UnknownCommitError(
+                f"No commit at or before {ts.isoformat()}")
+        return best
+
     # -- internals ---------------------------------------------------------
 
     def _commit_files(self) -> list[str]:

@@ -373,7 +373,8 @@ class VersionedEngine:
 
     def read(self, table: TableName | str, at_commit: str | None = None,
              partition_filter: dict | None = None,
-             stats_filter: dict | None = None) -> DataFrame:
+             stats_filter: dict | None = None,
+             at_timestamp=None) -> DataFrame:
         """Read the current (or time-travel) state of a versioned table.
 
         Equivalent of reference ``spark.table(fqn)`` resolution via Hive
@@ -397,6 +398,10 @@ class VersionedEngine:
         optimization, never a filter: apply the real ``.where()`` on top.
         """
         defn, log = self._log(table)
+        if at_timestamp is not None:
+            if at_commit is not None:
+                raise ValueError("Pass at_commit or at_timestamp, not both")
+            at_commit = log.commit_id_at_timestamp(at_timestamp)
         state = log.current_version(defn.name, at_commit=at_commit)
         reader = self.spark.read.format(defn.format)
         if defn.merge_schema:

@@ -71,7 +71,9 @@ class VersionedTableDataSource(DataSource):
         return defn.schema_ddl
 
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
-        return VersionedTableStreamReader(self.options["location"])
+        return VersionedTableStreamReader(
+            self.options["location"],
+            max_commits=int(self.options.get("maxCommitsPerTrigger", 0)))
 
     def reader(self, schema) -> "VersionedTableBatchReader":
         """Batch face: ``spark.read.format("tvx").option("location", dir)``.
@@ -91,8 +93,11 @@ class VersionedTableDataSource(DataSource):
 class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""
 
-    def __init__(self, location: str):
+    def __init__(self, location: str, max_commits: int = 0):
         self.location = location
+        # admission control: cap commits consumed per micro-batch (0 = no
+        # cap) so a large backlog can't become one giant first batch
+        self.max_commits = max_commits
         self.defn = read_table_meta(location)
         self.log = FileTableVersions(location)
         fields = self._schema_fields()
@@ -117,6 +122,8 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         head = self.log.head_seq()
+        if self.max_commits > 0:
+            head = min(head, start["seq"] + self.max_commits)
         end = {"seq": head}
         if head <= start["seq"]:
             return [], end

@@ -157,3 +157,34 @@ class TestVersionedStreamSource:
         old = (spark.read.format("tvx").option("location", loc)
                .option("at_commit", c1).load())
         assert sorted(tuple(r) for r in old.collect()) == [(1, "a"), (2, "b")]
+
+    def test_max_commits_per_trigger(self, spark, engine, tmp_path):
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("db.capped", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        for i, c in enumerate("abc"):
+            engine.insert(spark.createDataFrame([(i, c)], "id bigint, d string"),
+                          "db.capped", "u", f"c{i}")
+        register(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            # availableNow snapshots its target from the first capped read,
+            # so each run advances at most maxCommitsPerTrigger commits —
+            # the incremental-job pattern the cap exists for
+            q = (spark.readStream.format("tvx")
+                 .option("location", engine.definition("db.capped").location)
+                 .option("maxCommitsPerTrigger", "1").load()
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(60)
+
+        for _ in range(4):  # init + 3 data commits, one per run
+            run_once()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == [(0, "a"), (1, "b"), (2, "c")]
+        # progress was checkpointed one commit at a time
+        offsets = os.listdir(os.path.join(ckpt, "offsets"))
+        assert len([o for o in offsets if o.isdigit()]) >= 4
