@@ -257,6 +257,21 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("bigint").alias("days_since_95")))
 
 
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join via functions.skew.salted_join: lineitem salted,
+    supplier replicated — identical semantics to the plain join, so the plain
+    SQL join is the oracle (the salting must be invisible in the result)."""
+    from ..functions.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (salted_join(li, supp, "s_suppkey", salt=8)
+            .groupBy(F.col("s_nationkey").cast("bigint").alias("nationkey"))
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price")))
+
+
 def q_date_from_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTC timestamp→date derivation (reference ``DateTime.scala:10-13``,
     used for partition values at ``DatePartitionedTableLoaderSpec.scala:166-168``)."""
@@ -318,6 +333,7 @@ QUERIES = {
     "q_date_funcs": q_date_funcs,
     "q_udf_pandas": q_udf_pandas,
     "q_date_from_ts": q_date_from_ts,
+    "q_join_skew_salted": q_join_skew_salted,
 }
 
 ORACLES = {
@@ -411,5 +427,10 @@ ORACLES = {
                      "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue "
                      "FROM lineitem"),
     "q_date_from_ts": "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events",
+    "q_join_skew_salted": (
+        "SELECT CAST(s_nationkey AS BIGINT) AS nationkey, "
+        "COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "GROUP BY nationkey"),
     # q_agg_approx_distinct: intentionally no oracle (rows-only check)
 }
