@@ -1,0 +1,105 @@
+"""End-to-end demo: the library as one coherent pipeline.
+
+Mirrors the role of the reference's ``examples`` module
+(``examples/src/main/scala/com/gu/tableversions/examples/TableLoader.scala``
+and its three loader specs) — executable documentation of the product
+surface — extended with the training-data-pipeline stages this engine adds.
+
+Run: ``python examples/pipeline_demo.py [sf_dir] [warehouse]``
+(defaults: /root/testdata/sf0.001, a temp dir).
+
+Stages:
+ 1. versioned ingest of events, partitioned by event date
+ 2. late-data reprocess of one partition (Hive-overwrite semantics)
+ 3. time travel + rollback across the reprocess
+ 4. document dedup (exact) + quality scoring + train/test split
+ 5. near-dup candidates via MinHash-LSH
+ 6. vector similarity top-k over embeddings
+ 7. incremental consumption via read_changes
+ 8. maintenance: compact + vacuum
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str, warehouse: str) -> None:
+    import table_versions_spark as tvx
+    from table_versions_spark.operators import dedup, similarity, text
+    from table_versions_spark.operators.common import load_events
+
+    spark = tvx.get_spark(app_name="pipeline-demo")
+    eng = tvx.VersionedEngine(spark, warehouse)
+
+    # 1. versioned ingest --------------------------------------------------
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+    eng.create_table(
+        "demo.events",
+        schema_ddl=("event_id bigint, user_id bigint, event_type string, "
+                    "value double, event_date date"),
+        partition_columns=["event_date"])
+    r1 = eng.insert(ev, "demo.events", "demo", "initial load")
+    print(f"[1] loaded {eng.read('demo.events').count()} events "
+          f"as commit {r1.commit_id[:8]}…")
+
+    # 2. late-data reprocess of the earliest day ---------------------------
+    day0 = ev.agg(F.min("event_date")).first()[0]
+    fixed = (ev.where(F.col("event_date") == F.lit(day0))
+             .withColumn("value", F.col("value") * 1.1))
+    r2 = eng.insert(fixed, "demo.events", "demo", f"reprocess {day0}")
+    print(f"[2] reprocessed partition {day0} as commit {r2.commit_id[:8]}…")
+
+    # 3. time travel + rollback -------------------------------------------
+    before = eng.read("demo.events", at_commit=r1.commit_id) \
+        .where(F.col("event_date") == F.lit(day0)) \
+        .agg(F.round(F.sum("value"), 2)).first()[0]
+    after = eng.read("demo.events") \
+        .where(F.col("event_date") == F.lit(day0)) \
+        .agg(F.round(F.sum("value"), 2)).first()[0]
+    print(f"[3] {day0} sum(value): {before} before vs {after} after; "
+          "rolling back…")
+    eng.checkout("demo.events", r1.commit_id)
+    assert eng.read("demo.events").where(
+        F.col("event_date") == F.lit(day0)).agg(
+        F.round(F.sum("value"), 2)).first()[0] == before
+    eng.checkout("demo.events", r2.commit_id)  # forward again
+
+    # 4. document pipeline -------------------------------------------------
+    uniques = text.q_dedup_exact(spark, sf_dir).count()
+    split = {r["split"]: r["n_docs"]
+             for r in text.q_train_test_split(spark, sf_dir).collect()}
+    print(f"[4] documents: {uniques} unique contents; split {split}")
+
+    # 5. near-dup candidates ----------------------------------------------
+    pairs = dedup.q_dedup_minhash(spark, sf_dir).count()
+    print(f"[5] MinHash-LSH near-dup pairs (J≥0.5): {pairs}")
+
+    # 6. similarity search -------------------------------------------------
+    top = similarity.q_sim_search(spark, sf_dir).limit(3).collect()
+    print("[6] top-3 cosine neighbours of vec 0: "
+          + ", ".join(f"{r['vec_id']}({r['cos_sim']})" for r in top))
+
+    # 7. incremental consumption ------------------------------------------
+    delta = eng.read_changes("demo.events", since_commit=r1.commit_id)
+    print(f"[7] change feed since commit 1: {delta.count()} rows "
+          f"(only the reprocessed partition)")
+
+    # 8. maintenance -------------------------------------------------------
+    eng.compact("demo.events")
+    removed = eng.vacuum("demo.events", keep_commits=2)
+    print(f"[8] compacted; vacuum removed {len(removed)} old version dir(s)")
+    print("demo complete.")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wh = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="tvx-demo-")
+    main(sf, wh)

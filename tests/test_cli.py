@@ -1,0 +1,53 @@
+"""CLI tests (python -m table_versions_spark ...). Metadata commands run
+without Spark; show/compact are covered by engine tests and exercised here
+only through main()'s argument wiring."""
+
+import pytest
+
+from table_versions_spark.__main__ import main
+
+
+@pytest.fixture
+def warehouse(spark, engine):
+    engine.create_table("db.cli", schema_ddl="id bigint, d string",
+                        partition_columns=["d"])
+    engine.insert(spark.createDataFrame([(1, "a"), (2, "b")],
+                                        "id bigint, d string"),
+                  "db.cli", "u", "v1")
+    engine.insert(spark.createDataFrame([(3, "b")], "id bigint, d string"),
+                  "db.cli", "u", "v2")
+    return engine.warehouse, engine
+
+
+def test_tables(warehouse, capsys):
+    wh, _ = warehouse
+    assert main(["-w", wh, "tables"]) == 0
+    assert capsys.readouterr().out.strip() == "db.cli"
+
+
+def test_history_and_current(warehouse, capsys):
+    wh, _ = warehouse
+    main(["-w", wh, "history", "db.cli"])
+    out = capsys.readouterr().out
+    assert out.count("\n") == 3 and "v2" in out and "init" in out
+    main(["-w", wh, "current", "db.cli"])
+    out = capsys.readouterr().out
+    assert "d=a" in out and "d=b" in out
+
+
+def test_checkout_moves_pointer(warehouse, capsys):
+    wh, eng = warehouse
+    first = eng.history("db.cli").collect()[1]["commit_id"]
+    assert main(["-w", wh, "checkout", "db.cli", first]) == 0
+    # v1 state: ids {1,2}; head state would be {1,3} (v2 overwrote d=b)
+    assert sorted(r["id"] for r in eng.read("db.cli").collect()) == [1, 2]
+
+
+def test_vacuum(warehouse, capsys):
+    wh, eng = warehouse
+    # keep only the head commit's versions: v1's d=b version dir goes
+    assert main(["-w", wh, "vacuum", "db.cli", "--keep", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "version dir(s) removed" in out
+    # current state untouched: {1 in d=a, 3 in d=b} (v2 overwrote d=b)
+    assert sorted(r["id"] for r in eng.read("db.cli").collect()) == [1, 3]
