@@ -282,7 +282,10 @@ class VersionedEngine:
         defn, _ = self._log(table)
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
-        cond = F.expr(predicate)
+        # SQL DELETE semantics: remove rows where the predicate is TRUE;
+        # rows where it evaluates NULL are KEPT (`~cond` alone would drop
+        # them — NULL is not TRUE under negation either)
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
         if not pcols:
             return self.insert(current.where(~cond), table, user_id, message)
         # partition KEYS (not data rows) come to the driver: a partition

@@ -535,3 +535,13 @@ class TestDataSkipping:
         got2 = engine.read("db.ds3",
                            stats_filter={"dt": dtm.date(2024, 1, 1)})
         assert all("d=a" in f for f in got2.inputFiles())
+
+    def test_delete_keeps_null_predicate_rows(self, spark, engine):
+        """SQL DELETE semantics: a NULL predicate does not delete the row."""
+        engine.create_table("db.deln", schema_ddl="id bigint, v string")
+        engine.insert(spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "y")], "id bigint, v string"),
+            "db.deln", "u", "v1")
+        engine.delete("db.deln", "v = 'x'", "u", "del")
+        got = sorted(r["id"] for r in engine.read("db.deln").collect())
+        assert got == [2, 3]  # the NULL-v row survives
