@@ -94,6 +94,20 @@ class ColumnValue:
     value: str
 
 
+# Characters Spark/Hive escape in partition directory names
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName):
+# ASCII control chars, DEL, and the listed specials become %XX. Partition
+# values parsed from dir names are therefore stored in ESCAPED form; any
+# user-supplied raw value must pass through escape_partition_value before
+# being compared with stored values or used to address a directory.
+_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
+
+
+def escape_partition_value(value: str) -> str:
+    return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch
+                   for ch in str(value))
+
+
 @dataclass(frozen=True, order=True)
 class Partition:
     """Ordered, non-empty list of column values.

@@ -291,9 +291,10 @@ class VersionedEngine:
         # partition KEYS (not data rows) come to the driver: a partition
         # emptied by the delete writes no files, so its RemovePartition op
         # must ride the same commit
+        from .core.model import escape_partition_value as esc
         affected_rows = current.where(cond).select(*pcols).distinct().collect()
         affected = [
-            Partition.parse("/".join(f"{c}={r[c]}" for c in pcols))
+            Partition.parse("/".join(f"{c}={esc(r[c])}" for c in pcols))
             for r in affected_rows]
         if not affected:
             return self.insert(current.limit(0), table, user_id, message,
@@ -422,8 +423,11 @@ class VersionedEngine:
             unknown = set(partition_filter) - set(defn.partition_schema.columns)
             if unknown:
                 raise ValueError(f"Not partition columns: {sorted(unknown)}")
-            want = {c: {str(v)} if not isinstance(v, (list, tuple, set))
-                    else {str(x) for x in v}
+            # stored partition values carry Spark's dir-name escaping
+            # (e.g. 'x:y' → 'x%3Ay') — escape user-supplied raw values to match
+            from .core.model import escape_partition_value as esc
+            want = {c: {esc(v)} if not isinstance(v, (list, tuple, set))
+                    else {esc(x) for x in v}
                     for c, v in partition_filter.items()}
             partitions = {
                 p: ver for p, ver in partitions.items()

@@ -545,3 +545,24 @@ class TestDataSkipping:
         engine.delete("db.deln", "v = 'x'", "u", "del")
         got = sorted(r["id"] for r in engine.read("db.deln").collect())
         assert got == [2, 3]  # the NULL-v row survives
+
+
+class TestSpecialPartitionValues:
+    def test_filter_and_delete_with_escaped_values(self, spark, engine):
+        """Spark escapes ':' '=' etc. in partition dir names; user-facing
+        filters and deletes take RAW values and must still match."""
+        engine.create_table("db.spv", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a b"), (2, "x:y"), (3, "p=q")], "id bigint, d string"),
+            "db.spv", "u", "v1")
+        assert engine.read("db.spv").count() == 3
+        for raw, want_id in [("a b", 1), ("x:y", 2), ("p=q", 3)]:
+            got = engine.read("db.spv", partition_filter={"d": raw})
+            assert [r["id"] for r in got.collect()] == [want_id], raw
+        # delete emptying the escaped partition must land its remove op
+        engine.delete("db.spv", "d = 'x:y'", "u", "del")
+        assert sorted(r["id"] for r in engine.read("db.spv").collect()) == [1, 3]
+        rendered = {p.render() for p in
+                    engine.current_version("db.spv").partition_versions}
+        assert not any("%3A" in r or "x:y" in r for r in rendered)
