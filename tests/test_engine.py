@@ -566,3 +566,45 @@ class TestSpecialPartitionValues:
         rendered = {p.render() for p in
                     engine.current_version("db.spv").partition_versions}
         assert not any("%3A" in r or "x:y" in r for r in rendered)
+
+
+class TestVacuumInteractions:
+    def test_time_travel_past_retention_fails_loudly(self, spark, engine):
+        """After vacuum, reading a commit whose version dirs were GC'd is an
+        error (same contract as Delta VACUUM + timestampAsOf)."""
+        engine.create_table("db.vi", schema_ddl=USERS_SCHEMA)
+        r1 = engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                           "db.vi", "u", "v1")
+        engine.insert(spark.createDataFrame(USERS_V2, USERS_SCHEMA),
+                      "db.vi", "u", "v2")
+        removed = engine.vacuum("db.vi", keep_commits=1)
+        assert removed  # v1's version dir went away
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException
+        with pytest.raises((AnalysisException, Py4JJavaError)):
+            engine.read("db.vi", at_commit=r1.commit_id).collect()
+        # head still reads fine
+        assert engine.read("db.vi").count() == len(USERS_V2)
+
+    def test_stream_source_skips_vacuumed_dirs(self, spark, engine, tmp_path):
+        """The tvx source's documented behavior for a backlog that reaches
+        past retention: vacuumed version dirs yield no rows (not an error)."""
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("db.vi2", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], "id bigint, d string"),
+                      "db.vi2", "u", "v1")
+        engine.insert(spark.createDataFrame([(2, "a")], "id bigint, d string"),
+                      "db.vi2", "u", "v2")  # overwrites d=a
+        engine.vacuum("db.vi2", keep_commits=1)
+        register(spark)
+        out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+        q = (spark.readStream.format("tvx")
+             .option("location", engine.definition("db.vi2").location).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = [tuple(r) for r in spark.read.parquet(out).collect()]
+        assert got == [(2, "a")]
