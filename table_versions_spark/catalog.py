@@ -1,0 +1,137 @@
+"""Spark-catalog sync: make plain ``spark.table()`` see versioned data.
+
+Port of the reference's metastore layer (§2.C): the reference keeps a
+Hive/Glue metastore's partition LOCATIONs pointed at versioned directories so
+vanilla reads resolve current versions
+(``spark/src/main/scala/com/gu/tableversions/spark/SparkHiveMetastore.scala:45-99``,
+``glue/src/main/scala/com/gu/tableversions/glue/GlueMetastore.scala:78-155``).
+This engine doesn't need a metastore — ``VersionedEngine.read`` resolves the
+log directly — but syncing one buys interop: any SQL tool sharing the
+SparkSession (or a Hive metastore, same statements) reads current versions
+with zero knowledge of this library.
+
+Same three-step behavior as the reference's ``VersionedMetastore.commit``:
+read actual catalog state back (``SHOW PARTITIONS`` + ``DESCRIBE FORMATTED``
+— ``SparkHiveMetastore.scala:114-157``), diff against the log-derived target
+(``core/.../Metastore.scala:56-84`` = our ``compute_changes``), apply one
+``ALTER TABLE`` per op (``SparkHiveMetastore.scala:45-99``). The per-op apply
+loop is non-atomic mid-crash — the same caveat the reference carries; re-run
+``sync_catalog`` to converge (every op is idempotent).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+from .core.log import FileTableVersions
+from .core.metastore import (
+    AddPartition,
+    RemovePartitionOp,
+    UpdatePartitionVersion,
+    UpdateTableVersion,
+    compute_changes,
+)
+from .core.model import (
+    UNVERSIONED,
+    Partition,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+    TableDefinition,
+    Version,
+)
+from .core.paths import path_for
+
+_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def unescape_partition_value(value: str) -> str:
+    """Inverse of Spark's dir-name escaping (see model.escape_partition_value)."""
+    return _PCT.sub(lambda m: chr(int(m.group(1), 16)), value)
+
+
+def _partition_expr(partition: Partition) -> str:
+    """``(d='2019-01-31', h='0')`` — reference ``SparkHiveMetastore.scala:163-171``."""
+    parts = []
+    for cv in partition.column_values:
+        raw = unescape_partition_value(cv.value).replace("'", "\\'")
+        parts.append(f"{cv.column}='{raw}'")
+    return "(" + ", ".join(parts) + ")"
+
+
+def _strip_scheme(location: str) -> str:
+    return re.sub(r"^file:", "", location)
+
+
+def catalog_current_version(spark: SparkSession, catalog_table: str,
+                            defn: TableDefinition):
+    """Read the catalog's actual state back as a TableVersion (port of
+    ``SparkHiveMetastore.currentVersion``, ``SparkHiveMetastore.scala:114-157``):
+    partition/table locations are parsed for their trailing version label;
+    an unversioned location maps to UNVERSIONED."""
+    def version_of(location: str) -> Version:
+        label = _strip_scheme(location).rstrip("/").rsplit("/", 1)[-1]
+        try:
+            return Version.parse(label)
+        except ValueError:
+            return UNVERSIONED
+
+    if defn.is_snapshot:
+        row = (spark.sql(f"DESCRIBE FORMATTED {catalog_table}")
+               .where("col_name = 'Location'").select("data_type").first())
+        return SnapshotTableVersion(version_of(row[0]) if row else UNVERSIONED)
+    mapping = {}
+    for prow in spark.sql(f"SHOW PARTITIONS {catalog_table}").collect():
+        part = Partition.parse(prow[0])
+        loc = (spark.sql(f"DESCRIBE FORMATTED {catalog_table} "
+                         f"PARTITION {_partition_expr(part)}")
+               .where("col_name = 'Location'").select("data_type").first())
+        mapping[part] = version_of(loc[0]) if loc else UNVERSIONED
+    return PartitionedTableVersion(mapping)
+
+
+def sync_catalog(spark: SparkSession, defn: TableDefinition,
+                 log: FileTableVersions,
+                 catalog_table: str | None = None) -> int:
+    """Create-if-absent and point the Spark catalog table at the current
+    versioned locations. Returns the number of ALTER ops applied."""
+    name = catalog_table or defn.name.fully_qualified_name
+    db = name.split(".")[0]
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    if not spark.catalog.tableExists(name):
+        pcols = list(defn.partition_schema.columns)
+        if defn.is_snapshot:
+            # snapshot tables need a LOCATION up front; point at the base —
+            # the first sync moves it to the current version dir
+            spark.sql(f"CREATE TABLE {name} ({defn.schema_ddl}) "
+                      f"USING {defn.format} LOCATION '{defn.location}'")
+        else:
+            spark.sql(f"CREATE TABLE {name} ({defn.schema_ddl}) "
+                      f"USING {defn.format} PARTITIONED BY ({', '.join(pcols)})")
+    target = log.current_version(defn.name)
+    actual = catalog_current_version(spark, name, defn)
+    ops = compute_changes(actual, target).operations
+    for op in ops:  # one statement per op, as in the reference (:45-54)
+        if isinstance(op, UpdateTableVersion):
+            spark.sql(f"ALTER TABLE {name} SET LOCATION "
+                      f"'{path_for(defn.location, op.version)}'")
+        elif isinstance(op, AddPartition):
+            loc = os.path.join(defn.location, op.partition.render(),
+                               op.version.label)
+            spark.sql(f"ALTER TABLE {name} ADD IF NOT EXISTS "
+                      f"PARTITION {_partition_expr(op.partition)} "
+                      f"LOCATION '{loc}'")
+        elif isinstance(op, UpdatePartitionVersion):
+            loc = os.path.join(defn.location, op.partition.render(),
+                               op.version.label)
+            spark.sql(f"ALTER TABLE {name} "
+                      f"PARTITION {_partition_expr(op.partition)} "
+                      f"SET LOCATION '{loc}'")
+        elif isinstance(op, RemovePartitionOp):
+            spark.sql(f"ALTER TABLE {name} DROP IF EXISTS "
+                      f"PARTITION {_partition_expr(op.partition)}")
+    # refresh so cached relation metadata picks up the new locations
+    spark.catalog.refreshTable(name)
+    return len(ops)

@@ -486,6 +486,18 @@ class VersionedEngine:
         defn, log = self._log(table)
         log.set_current_version(defn.name, commit_id)
 
+    def sync_catalog(self, table: TableName | str,
+                     catalog_table: str | None = None) -> int:
+        """Point a real Spark-catalog table at the current versioned
+        locations so vanilla ``spark.table()`` / any shared-session SQL tool
+        reads this table's current state — the reference's metastore-sync
+        behavior (§2.C; ``SparkHiveMetastore.scala:45-99``). Re-run after
+        commits or checkouts to re-converge; every op is idempotent."""
+        from .catalog import sync_catalog as _sync
+
+        defn, log = self._log(table)
+        return _sync(self.spark, defn, log, catalog_table)
+
     def register_view(self, table: TableName | str,
                       view_name: str | None = None,
                       at_commit: str | None = None) -> str:
