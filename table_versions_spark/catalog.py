@@ -44,19 +44,18 @@ from .core.model import (
 )
 from .core.paths import path_for
 
-_PCT = re.compile(r"%([0-9A-Fa-f]{2})")
-
-
-def unescape_partition_value(value: str) -> str:
-    """Inverse of Spark's dir-name escaping (see model.escape_partition_value)."""
-    return _PCT.sub(lambda m: chr(int(m.group(1), 16)), value)
+from .core.model import unescape_partition_value  # noqa: F401  (re-export)
 
 
 def _partition_expr(partition: Partition) -> str:
-    """``(d='2019-01-31', h='0')`` — reference ``SparkHiveMetastore.scala:163-171``."""
+    """``(d='2019-01-31', h='0')`` — reference ``SparkHiveMetastore.scala:163-171``.
+
+    Backslashes are escaped BEFORE quotes: a value ending in ``\\`` would
+    otherwise render as ``'...\\'`` and swallow the closing quote."""
     parts = []
     for cv in partition.column_values:
-        raw = unescape_partition_value(cv.value).replace("'", "\\'")
+        raw = (unescape_partition_value(cv.value)
+               .replace("\\", "\\\\").replace("'", "\\'"))
         parts.append(f"{cv.column}='{raw}'")
     return "(" + ", ".join(parts) + ")"
 

@@ -1,4 +1,4 @@
-"""File-backed commit log: the persistent ``TableVersions`` implementation.
+"""Storage-backed commit log: the persistent ``TableVersions`` implementation.
 
 The reference only ships a driver-local in-memory store
 (``core/src/main/scala/com/gu/tableversions/core/InMemoryTableVersions.scala:10-12``
@@ -23,18 +23,20 @@ Semantics preserved from the reference interface
 - ``updates`` lists commit metadata most-recent-first
   (``TableVersions.scala:44-45``).
 
-Atomicity: each commit file is created with ``O_CREAT|O_EXCL`` on the next
-sequence number — a filesystem compare-and-set replacing the reference's
-driver-local ``Ref`` CAS (``core/.../util/RichRef.scala:17-24``). On object
-stores without atomic create, a locking service would be substituted (same
-caveat Delta Lake documents for S3).
+Atomicity: each commit file is claimed with the storage backend's
+``create_exclusive`` on the next sequence number — ``O_CREAT|O_EXCL`` on
+POSIX, a conditional put (``If-None-Match: *``) on object stores — a
+storage-level compare-and-set replacing the reference's driver-local ``Ref``
+CAS (``core/.../util/RichRef.scala:17-24``). The current-version pointer
+advances through ``update_atomic`` (flock locally, ETag ``If-Match`` CAS on
+object stores) with a monotonicity guard, so racing writers can never leave
+the pointer behind a commit that already folded over theirs.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import dataclass
 
 from .model import (
@@ -52,6 +54,7 @@ from .model import (
     update_from_json,
     update_to_json,
 )
+from .storage import DEFAULT_STORAGE, Storage
 
 LOG_DIR = "_version_log"
 CURRENT_POINTER = "_current"
@@ -76,31 +79,23 @@ class TableState:
     updates: tuple[TableUpdate, ...]
 
 
-def _atomic_write(path: str, data: str) -> None:
-    """Write-then-rename so readers never observe partial content."""
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-", suffix=".json")
-    try:
-        with os.fdopen(fd, "w") as f:
-            f.write(data)
-        os.replace(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
-
-
 class FileTableVersions:
-    """Commit-log store for one table rooted at ``location``."""
+    """Commit-log store for one table rooted at ``location``.
 
-    def __init__(self, location: str):
+    ``storage`` selects the backend (default: local POSIX). All metadata
+    reads/writes and CAS operations go through it, so the same log runs on
+    an object store unchanged.
+    """
+
+    def __init__(self, location: str, storage: Storage | None = None):
         self.location = location.rstrip("/")
         self.log_dir = os.path.join(self.location, LOG_DIR)
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
 
     # -- existence ---------------------------------------------------------
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_dir) and bool(self._commit_files())
+        return bool(self._commit_files())
 
     def _require_exists(self, table: TableName | None = None) -> None:
         if not self.exists():
@@ -114,17 +109,14 @@ class FileTableVersions:
         """Idempotent init (reference ``InMemoryTableVersions.scala:52-58``)."""
         if self.exists():
             return
-        os.makedirs(self.log_dir, exist_ok=True)
+        self.storage.makedirs(self.log_dir)
         meta = TableUpdateMetadata.create(user_id, message)
         update = TableUpdate(meta, (InitTable(table, is_snapshot),))
         seq_path = os.path.join(self.log_dir, f"{0:0{COMMIT_WIDTH}d}.json")
-        try:
-            fd = os.open(seq_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        payload = json.dumps(update_to_json(update), indent=1)
+        if not self.storage.create_exclusive(seq_path, payload):
             return  # concurrent init won the race — idempotent
-        with os.fdopen(fd, "w") as f:
-            json.dump(update_to_json(update), f, indent=1)
-        self._write_pointer(meta.commit_id, 0)
+        self._advance_pointer(meta.commit_id, 0)
 
     # -- commit ------------------------------------------------------------
 
@@ -136,22 +128,10 @@ class FileTableVersions:
         seq = len(self._commit_files())
         while True:
             seq_path = os.path.join(self.log_dir, f"{seq:0{COMMIT_WIDTH}d}.json")
-            try:
-                fd = os.open(seq_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            if self.storage.create_exclusive(seq_path, payload):
                 break
-            except FileExistsError:
-                seq += 1  # another writer landed first: CAS retry on next slot
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        # Don't regress the pointer if a racing writer already landed a later
-        # commit AND advanced the pointer past us (commit N+1 folds over
-        # commit N either way — the log itself is totally ordered by seq).
-        # The read-check-write window is not atomic; a same-window race can
-        # only leave the pointer one commit behind head, which the next
-        # commit repairs. Checkout (set_current_version) bypasses this guard.
-        _, cur_seq = self._read_pointer()
-        if cur_seq is None or cur_seq <= seq:
-            self._write_pointer(update.metadata.commit_id, seq)
+            seq += 1  # another writer landed first: CAS retry on next slot
+        self._advance_pointer(update.metadata.commit_id, seq)
         if seq > 0 and seq % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(seq, update.metadata.commit_id)
 
@@ -166,22 +146,43 @@ class FileTableVersions:
             raise UnknownCommitError(f"Unknown commit id: {commit_id}")
         self._write_pointer(commit_id, seq)
 
+    def _pointer_path(self) -> str:
+        return os.path.join(self.log_dir, CURRENT_POINTER)
+
     def _write_pointer(self, commit_id: str, seq: int | None = None) -> None:
+        """Unconditional pointer write — checkout only (bypasses the
+        monotonicity guard by design: rollback moves the pointer backwards)."""
         payload = commit_id if seq is None else f"{commit_id}\n{seq}"
-        _atomic_write(os.path.join(self.log_dir, CURRENT_POINTER), payload)
+        self.storage.write_atomic(self._pointer_path(), payload)
+
+    def _advance_pointer(self, commit_id: str, seq: int) -> None:
+        """Move the pointer to (commit_id, seq) unless a racing writer has
+        already advanced it past ``seq``. The read-check-write runs inside
+        the storage backend's serialized ``update_atomic`` (flock / ETag
+        CAS), so the pointer can never regress nor trail the head."""
+
+        def advance(current: str | None) -> str | None:
+            if current is not None:
+                lines = current.strip().splitlines()
+                cur_seq = int(lines[1]) if len(lines) > 1 else None
+                if cur_seq is not None and cur_seq > seq:
+                    return None  # later commit already owns the pointer
+            return f"{commit_id}\n{seq}"
+
+        self.storage.update_atomic(self._pointer_path(), advance)
 
     def _read_pointer(self) -> tuple[str, int | None]:
-        with open(os.path.join(self.log_dir, CURRENT_POINTER)) as f:
-            lines = f.read().strip().splitlines()
+        lines = self.storage.read_text(self._pointer_path()).strip().splitlines()
         commit_id = lines[0]
         seq = int(lines[1]) if len(lines) > 1 else None
         return commit_id, seq
 
     def _find_seq(self, commit_id: str) -> int | None:
         for i, fname in enumerate(self._commit_files()):
-            with open(os.path.join(self.log_dir, fname)) as f:
-                if json.load(f)["commit_id"] == commit_id:
-                    return i
+            data = json.loads(
+                self.storage.read_text(os.path.join(self.log_dir, fname)))
+            if data["commit_id"] == commit_id:
+                return i
         return None
 
     # -- queries -----------------------------------------------------------
@@ -219,8 +220,9 @@ class FileTableVersions:
         files = self._commit_files()[start_seq:seq + 1]
         ops = []
         for fname in files:
-            with open(os.path.join(self.log_dir, fname)) as f:
-                ops.extend(update_from_json(json.load(f)).operations)
+            data = json.loads(
+                self.storage.read_text(os.path.join(self.log_dir, fname)))
+            ops.extend(update_from_json(data).operations)
 
         if base is not None:
             is_snapshot, state = base
@@ -253,7 +255,7 @@ class FileTableVersions:
                                       for p, v in state.partition_versions.items()}}
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{seq:0{COMMIT_WIDTH}d}.json")
-        _atomic_write(path, json.dumps(payload, indent=1))
+        self.storage.write_atomic(path, json.dumps(payload, indent=1))
 
     def _load_checkpoint(self, max_seq: int):
         """Newest checkpoint with seq <= max_seq → ((is_snapshot, state),
@@ -261,18 +263,16 @@ class FileTableVersions:
         from .model import Partition, Version
 
         best = None
-        if os.path.isdir(self.log_dir):
-            for fname in os.listdir(self.log_dir):
-                if fname.startswith(CHECKPOINT_PREFIX) and fname.endswith(".json"):
-                    seq = int(fname[len(CHECKPOINT_PREFIX):-len(".json")])
-                    if seq <= max_seq and (best is None or seq > best):
-                        best = seq
+        for fname in self.storage.list_dir(self.log_dir):
+            if fname.startswith(CHECKPOINT_PREFIX) and fname.endswith(".json"):
+                seq = int(fname[len(CHECKPOINT_PREFIX):-len(".json")])
+                if seq <= max_seq and (best is None or seq > best):
+                    best = seq
         if best is None:
             return None, 0
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{best:0{COMMIT_WIDTH}d}.json")
-        with open(path) as f:
-            d = json.load(f)
+        d = json.loads(self.storage.read_text(path))
         if d["is_snapshot"]:
             state = SnapshotTableVersion(Version.parse(d["snapshot_version"])
                                          if d["snapshot_version"]
@@ -288,10 +288,10 @@ class FileTableVersions:
         Used by the streaming source, whose offsets are commit seqs."""
         fname = f"{seq:0{COMMIT_WIDTH}d}.json"
         path = os.path.join(self.log_dir, fname)
-        if not os.path.exists(path):
-            raise UnknownCommitError(f"No commit at seq {seq}")
-        with open(path) as f:
-            return json.load(f)["commit_id"]
+        try:
+            return json.loads(self.storage.read_text(path))["commit_id"]
+        except FileNotFoundError:
+            raise UnknownCommitError(f"No commit at seq {seq}") from None
 
     def head_seq(self) -> int:
         """Highest committed sequence number (−1 if the log is empty)."""
@@ -307,13 +307,14 @@ class FileTableVersions:
             ts = datetime.fromisoformat(ts)
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
+        # No early break: racing writers stamp metadata timestamps BEFORE the
+        # seq CAS resolves, so a later seq can carry an earlier timestamp.
+        # Scan the whole log and take the max-seq commit with ts <= target.
         best = None
         for u in self._read_all_updates():
             when = datetime.fromisoformat(u.metadata.timestamp)
             if when <= ts:
                 best = u.metadata.commit_id
-            else:
-                break  # commits are timestamp-ordered by construction
         if best is None:
             raise UnknownCommitError(
                 f"No commit at or before {ts.isoformat()}")
@@ -322,16 +323,15 @@ class FileTableVersions:
     # -- internals ---------------------------------------------------------
 
     def _commit_files(self) -> list[str]:
-        if not os.path.isdir(self.log_dir):
-            return []
-        return sorted(f for f in os.listdir(self.log_dir)
+        return sorted(f for f in self.storage.list_dir(self.log_dir)
                       if f.endswith(".json") and f[:-len(".json")].isdigit())
 
     def _read_all_updates(self) -> list[TableUpdate]:
         out = []
         for fname in self._commit_files():
-            with open(os.path.join(self.log_dir, fname)) as f:
-                out.append(update_from_json(json.load(f)))
+            data = json.loads(
+                self.storage.read_text(os.path.join(self.log_dir, fname)))
+            out.append(update_from_json(data))
         return out
 
 
@@ -342,8 +342,10 @@ class FileTableVersions:
 META_FILE = "_meta.json"
 
 
-def write_table_meta(defn: TableDefinition) -> None:
-    os.makedirs(defn.location, exist_ok=True)
+def write_table_meta(defn: TableDefinition,
+                     storage: Storage | None = None) -> None:
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    storage.makedirs(defn.location)
     payload = json.dumps({
         "schema": defn.name.schema,
         "name": defn.name.name,
@@ -353,17 +355,19 @@ def write_table_meta(defn: TableDefinition) -> None:
         "schema_ddl": defn.schema_ddl,
         "merge_schema": defn.merge_schema,
     }, indent=1)
-    _atomic_write(os.path.join(defn.location, META_FILE), payload)
+    storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
 
 
-def read_table_meta(location: str) -> TableDefinition:
+def read_table_meta(location: str,
+                    storage: Storage | None = None) -> TableDefinition:
     from .model import PartitionSchema
 
+    storage = storage if storage is not None else DEFAULT_STORAGE
     path = os.path.join(location, META_FILE)
-    if not os.path.exists(path):
-        raise UnknownTableError(f"No table metadata at {location}")
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        d = json.loads(storage.read_text(path))
+    except FileNotFoundError:
+        raise UnknownTableError(f"No table metadata at {location}") from None
     return TableDefinition(
         name=TableName(d["schema"], d["name"]),
         location=d["location"],

@@ -102,10 +102,32 @@ class ColumnValue:
 # being compared with stored values or used to address a directory.
 _ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0x7F)}
 
+# Hive/Spark's directory name for a NULL partition value
+# (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME).
+# A Python ``None`` partition value maps to this literal when addressing
+# directories / stored partition values, and back to ``None`` when surfacing
+# values to users.
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
-def escape_partition_value(value: str) -> str:
+
+def escape_partition_value(value) -> str:
+    if value is None:
+        return HIVE_DEFAULT_PARTITION
     return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch
                    for ch in str(value))
+
+
+_PCT_RE = None
+
+
+def unescape_partition_value(value: str) -> str:
+    """Inverse of :func:`escape_partition_value` (sans the None mapping —
+    callers decide whether ``__HIVE_DEFAULT_PARTITION__`` means NULL)."""
+    global _PCT_RE
+    if _PCT_RE is None:
+        import re
+        _PCT_RE = re.compile(r"%([0-9A-Fa-f]{2})")
+    return _PCT_RE.sub(lambda m: chr(int(m.group(1), 16)), value)
 
 
 @dataclass(frozen=True, order=True)

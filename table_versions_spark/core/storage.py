@@ -1,0 +1,457 @@
+"""Storage abstraction: every filesystem touch of the engine goes through one
+of these backends, so the commit log and publish protocol run unchanged on
+POSIX disks and on object stores.
+
+The reference achieves storage independence by riding Hadoop's ``FileSystem``
+API (``spark/src/main/scala/com/gu/tableversions/spark/filesystem/
+VersionedFileSystem.scala:36-98`` proxies an arbitrary underlying scheme).
+This engine's data plane already does the same — Spark reads/writes the
+parquet dirs through Hadoop, so ``s3a://`` paths work there for free. What
+needs an explicit abstraction is the *metadata and publish plane*: the commit
+log's compare-and-set, the pointer write, staging-dir publication, and
+append-mode file linking, which round 1 hard-wired to ``os.rename`` /
+``os.link`` / ``O_CREAT|O_EXCL``.
+
+Three semantics-distinct backends:
+
+- :class:`LocalStorage` — POSIX. Atomic rename, hardlinks, ``O_EXCL`` CAS.
+- :class:`ObjectStoreStorage` — object-store SEMANTICS (emulatable on a local
+  directory for tests): **no rename** (publish = per-file copy + delete
+  source), **no hardlinks** (copy), CAS = conditional put (S3
+  ``If-None-Match: *`` / GCS ``ifGenerationMatch=0``), atomic-overwrite PUT
+  (readers see old or new object, never partial — so no tmp+rename dance).
+- :class:`MemoryStorage` — in-process dict with the same object-store
+  semantics; for metadata-plane unit tests with no Spark involved.
+
+An ``S3Storage`` built on boto3 would subclass :class:`ObjectStoreStorage`
+and override the primitive byte ops (`_get/_put/_put_if_absent/_copy/_list`);
+the publish/CAS *protocol* above it is exactly what the emulated backend
+exercises. boto3 is not available in this environment, so that subclass is
+not shipped — the contract it must satisfy is `StorageContractTests` in
+``tests/test_storage.py``.
+
+Scale notes (100 TB):
+
+- Publish cost: LocalStorage publishes a partition in O(1) renames;
+  ObjectStoreStorage in O(#files) server-side copies, parallelized with a
+  thread pool (S3 COPY is a metadata operation up to 5 GB/object; with
+  ``maxRecordsPerFile``-sized outputs a 1000-file partition publishes in a
+  few round-trip batches). This matches the Hadoop S3A committers' magic/
+  staging trade-off.
+- The commit CAS is one small PUT per commit regardless of data volume.
+- LIST calls are paginated by the real store; the emulation's ``list_dir``
+  contract (names, not paths; missing dir = empty) is pagination-friendly.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import tempfile
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+class Storage:
+    """Interface. Paths are plain strings; backends may accept scheme-full
+    paths (``file:/x``). All ``list_dir`` results are NAMES, not paths."""
+
+    # -- small objects (metadata plane) -------------------------------------
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[str]:
+        """Child names (files and dirs) of ``path``; [] if missing."""
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def open_input(self, path: str):
+        """Binary file-like for reading (parquet footers etc.)."""
+        raise NotImplementedError
+
+    def write_atomic(self, path: str, data: str) -> None:
+        """Overwrite so that readers never observe partial content."""
+        raise NotImplementedError
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        """Atomic create-if-absent — the commit CAS. True iff we created it."""
+        raise NotImplementedError
+
+    def update_atomic(self, path: str, fn) -> str | None:
+        """Store-side serialized read-modify-write: ``fn(current: str | None)
+        -> str | None`` — return new content, or None to leave unchanged.
+        Returns the content ``fn`` produced (or saw, when unchanged). Used
+        for the current-version pointer, whose advance must be monotone
+        under racing writers. Local: flock; S3: If-Match ETag CAS loop."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        """Remove a single file; missing is not an error."""
+        raise NotImplementedError
+
+    # -- data directories (publish plane) ------------------------------------
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def publish_dir(self, src: str, dst: str) -> None:
+        """Move a finished staging subtree to its final location. ``dst``'s
+        parent may not exist; ``dst`` itself must not."""
+        raise NotImplementedError
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        """Make ``dst`` contain ``src``'s bytes as cheaply as possible
+        (hardlink on POSIX, server-side copy on object stores)."""
+        raise NotImplementedError
+
+    def remove_tree(self, path: str) -> None:
+        """Recursively delete; missing is not an error."""
+        raise NotImplementedError
+
+    # -- Spark integration ----------------------------------------------------
+
+    def spark_path(self, path: str) -> str:
+        """The form of ``path`` to hand to spark.read/write (scheme-full on
+        real remote stores)."""
+        return path
+
+
+class LocalStorage(Storage):
+    """POSIX backend — the round-1 behavior, verbatim."""
+
+    def exists(self, path):
+        return os.path.exists(_strip_scheme(path))
+
+    def is_dir(self, path):
+        return os.path.isdir(_strip_scheme(path))
+
+    def list_dir(self, path):
+        path = _strip_scheme(path)
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def read_text(self, path):
+        with open(_strip_scheme(path)) as f:
+            return f.read()
+
+    def open_input(self, path):
+        return open(_strip_scheme(path), "rb")
+
+    def write_atomic(self, path, data):
+        path = _strip_scheme(path)
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-", suffix=".json")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def create_exclusive(self, path, data):
+        try:
+            fd = os.open(_strip_scheme(path),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+        return True
+
+    def update_atomic(self, path, fn):
+        import fcntl
+
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        lock_path = path + ".lock"
+        with open(lock_path, "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                current = self.read_text(path) if os.path.exists(path) else None
+                new = fn(current)
+                if new is not None:
+                    self.write_atomic(path, new)
+                    return new
+                return current
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+    def delete(self, path):
+        try:
+            os.unlink(_strip_scheme(path))
+        except FileNotFoundError:
+            pass
+
+    def makedirs(self, path):
+        os.makedirs(_strip_scheme(path), exist_ok=True)
+
+    def publish_dir(self, src, dst):
+        src, dst = _strip_scheme(src), _strip_scheme(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+
+    def link_or_copy(self, src, dst):
+        src, dst = _strip_scheme(src), _strip_scheme(dst)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
+    def remove_tree(self, path):
+        shutil.rmtree(_strip_scheme(path), ignore_errors=True)
+
+
+class ObjectStoreStorage(Storage):
+    """Object-store semantics over primitive byte ops.
+
+    The default primitives target a local directory (the *emulation*: tests
+    run the full engine with object-store semantics — no rename, no links,
+    conditional-put CAS — while Spark still reads/writes the same local
+    paths). A real S3/GCS backend overrides only the ``_``-prefixed
+    primitives with SDK calls; the publish/CAS protocol is inherited.
+
+    ``copy_workers`` parallelizes per-file publish copies, the way a real
+    backend would issue concurrent server-side COPY requests.
+    """
+
+    def __init__(self, copy_workers: int = 16):
+        self.copy_workers = copy_workers
+
+    # ---- primitives a real SDK backend overrides ----------------------------
+
+    def _get(self, path: str) -> bytes:
+        with open(_strip_scheme(path), "rb") as f:
+            return f.read()
+
+    def _put(self, path: str, data: bytes) -> None:
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        # emulate PUT atomicity (readers see old or new object) with
+        # write-to-tmp + replace; a real object store gives this natively
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".put-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def _put_if_absent(self, path: str, data: bytes) -> bool:
+        """Conditional put: S3 ``If-None-Match: *``. True iff created."""
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
+    def _copy(self, src: str, dst: str) -> None:
+        """Server-side copy (S3 CopyObject)."""
+        self._put(dst, self._get(src))
+
+    def _delete(self, path: str) -> None:
+        try:
+            os.unlink(_strip_scheme(path))
+        except FileNotFoundError:
+            pass
+
+    def _list(self, path: str) -> list[str]:
+        """Immediate child names under prefix ``path`` (LIST with
+        delimiter='/'); [] if none."""
+        path = _strip_scheme(path)
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+    def _is_prefix(self, path: str) -> bool:
+        """Any key under ``path`` (object stores have no directories)."""
+        return os.path.isdir(_strip_scheme(path))
+
+    def _exists_key(self, path: str) -> bool:
+        return os.path.isfile(_strip_scheme(path))
+
+    # ---- protocol (inherited by real backends) -------------------------------
+
+    def exists(self, path):
+        return self._exists_key(path) or self._is_prefix(path)
+
+    def is_dir(self, path):
+        return self._is_prefix(path)
+
+    def list_dir(self, path):
+        return self._list(path)
+
+    def read_text(self, path):
+        return self._get(path).decode("utf-8")
+
+    def open_input(self, path):
+        return io.BytesIO(self._get(path))
+
+    def write_atomic(self, path, data):
+        self._put(path, data.encode("utf-8"))
+
+    def create_exclusive(self, path, data):
+        return self._put_if_absent(path, data.encode("utf-8"))
+
+    def update_atomic(self, path, fn):
+        # Emulation: flock beside the object. A real backend loops
+        # GET (capturing ETag) → fn → PUT with If-Match until the
+        # conditional write succeeds — same serialized semantics.
+        import fcntl
+
+        p = _strip_scheme(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p + ".lock", "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                current = (self.read_text(path)
+                           if self._exists_key(path) else None)
+                new = fn(current)
+                if new is not None:
+                    self._put(path, new.encode("utf-8"))
+                    return new
+                return current
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
+    def delete(self, path):
+        self._delete(path)
+
+    def makedirs(self, path):
+        # object stores have no directories; the emulation needs real ones
+        # only so Spark's local-FS writer can target them
+        os.makedirs(_strip_scheme(path), exist_ok=True)
+
+    def _walk_files(self, root: str) -> list[str]:
+        """All file keys under prefix ``root``, as paths relative to it."""
+        out: list[str] = []
+
+        def rec(prefix: str) -> None:
+            base = os.path.join(root, prefix) if prefix else root
+            for name in self._list(base):
+                rel = f"{prefix}/{name}" if prefix else name
+                if self._is_prefix(os.path.join(base, name)):
+                    rec(rel)
+                else:
+                    out.append(rel)
+
+        rec("")
+        return out
+
+    def publish_dir(self, src, dst):
+        """No rename on an object store: copy each staged object to its
+        final key (concurrent server-side copies), then delete the staging
+        keys. Readers can't observe the half-published prefix because
+        nothing references it until the commit record lands — the log, not
+        the directory move, is the atomicity point."""
+        files = self._walk_files(src)
+        with ThreadPoolExecutor(max_workers=self.copy_workers) as pool:
+            list(pool.map(
+                lambda rel: self._copy(os.path.join(src, rel),
+                                       os.path.join(dst, rel)), files))
+        for rel in files:
+            self._delete(os.path.join(src, rel))
+        self._cleanup_prefix(src)
+
+    def _cleanup_prefix(self, path: str) -> None:
+        # a real object store has nothing left once the keys are deleted;
+        # the local emulation leaves empty dirs behind — clear them
+        shutil.rmtree(_strip_scheme(path), ignore_errors=True)
+
+    def link_or_copy(self, src, dst):
+        self._copy(src, dst)
+
+    def remove_tree(self, path):
+        for rel in self._walk_files(path):
+            self._delete(os.path.join(path, rel))
+        self._cleanup_prefix(path)
+
+
+class MemoryStorage(ObjectStoreStorage):
+    """Dict-backed object store for metadata-plane unit tests (no Spark).
+    Keys are absolute paths; conditional put is lock-protected, modeling the
+    store-side atomicity of S3's ``If-None-Match``."""
+
+    def __init__(self):
+        super().__init__(copy_workers=4)
+        self._objects: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def _norm(self, path: str) -> str:
+        return _strip_scheme(path).rstrip("/")
+
+    def _get(self, path):
+        try:
+            return self._objects[self._norm(path)]
+        except KeyError:
+            raise FileNotFoundError(path) from None
+
+    def _put(self, path, data):
+        with self._lock:
+            self._objects[self._norm(path)] = data
+
+    def _put_if_absent(self, path, data):
+        with self._lock:
+            key = self._norm(path)
+            if key in self._objects:
+                return False
+            self._objects[key] = data
+            return True
+
+    def _delete(self, path):
+        with self._lock:
+            self._objects.pop(self._norm(path), None)
+
+    def _list(self, path):
+        prefix = self._norm(path) + "/"
+        names = set()
+        for key in self._objects:
+            if key.startswith(prefix):
+                names.add(key[len(prefix):].split("/", 1)[0])
+        return sorted(names)
+
+    def _is_prefix(self, path):
+        prefix = self._norm(path) + "/"
+        return any(k.startswith(prefix) for k in self._objects)
+
+    def _exists_key(self, path):
+        return self._norm(path) in self._objects
+
+    def update_atomic(self, path, fn):
+        with self._lock:
+            key = self._norm(path)
+            current = self._objects.get(key)
+            current = current.decode("utf-8") if current is not None else None
+            new = fn(current)
+            if new is not None:
+                self._objects[key] = new.encode("utf-8")
+                return new
+            return current
+
+    def makedirs(self, path):
+        pass  # no directories in an object store
+
+    def _cleanup_prefix(self, path):
+        pass
+
+
+DEFAULT_STORAGE = LocalStorage()

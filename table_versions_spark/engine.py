@@ -39,7 +39,6 @@ Scale-relevant deviations from the reference (deliberate — see SURVEY §4.2/4.
 from __future__ import annotations
 
 import os
-import shutil
 import uuid as _uuid
 from dataclasses import dataclass
 
@@ -70,6 +69,7 @@ from .core.model import (
     Version,
 )
 from .core.paths import path_for
+from .core.storage import DEFAULT_STORAGE, Storage
 
 _PARTITION_DIR_MARKER = "="
 
@@ -87,9 +87,14 @@ class VersionedEngine:
     Layout: ``<warehouse>/<schema>/<table>/`` per SURVEY §4.3.
     """
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 storage: Storage | None = None):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
+        # every metadata/publish filesystem touch goes through the storage
+        # backend; the data plane (parquet scan/write) goes through Spark's
+        # Hadoop FS layer on the same paths
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
 
     # ------------------------------------------------------------------ DDL
 
@@ -115,20 +120,20 @@ class VersionedEngine:
             format=format,
             schema_ddl=schema_ddl,
         )
-        if not os.path.exists(os.path.join(defn.location, "_meta.json")):
-            write_table_meta(defn)
-        log = FileTableVersions(defn.location)
+        if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
+            write_table_meta(defn, self.storage)
+        log = FileTableVersions(defn.location, self.storage)
         log.init(table, defn.is_snapshot, user_id, message)
         return defn
 
     def definition(self, table: TableName | str) -> TableDefinition:
         if isinstance(table, str):
             table = TableName.parse(table)
-        return read_table_meta(self.table_location(table))
+        return read_table_meta(self.table_location(table), self.storage)
 
     def _log(self, table: TableName | str) -> tuple[TableDefinition, FileTableVersions]:
         defn = self.definition(table)
-        return defn, FileTableVersions(defn.location)
+        return defn, FileTableVersions(defn.location, self.storage)
 
     # ---------------------------------------------------------------- write
 
@@ -185,7 +190,8 @@ class VersionedEngine:
             if mode == "append" and isinstance(previous, SnapshotTableVersion) \
                     and previous.version != UNVERSIONED:
                 _link_data_files(path_for(defn.location, previous.version),
-                                 path_for(defn.location, version))
+                                 path_for(defn.location, version),
+                                 self.storage)
         else:
             ops = self._write_partitioned(df, defn, version,
                                           distribute=distribute)
@@ -195,7 +201,8 @@ class VersionedEngine:
                     if old is not None:
                         _link_data_files(
                             os.path.join(defn.location, op.partition.render(), old.label),
-                            os.path.join(defn.location, op.partition.render(), version.label))
+                            os.path.join(defn.location, op.partition.render(), version.label),
+                            self.storage)
         written = {op.partition for op in ops
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
@@ -205,10 +212,12 @@ class VersionedEngine:
         if defn.format == "parquet":
             for op in ops:
                 if isinstance(op, AddTableVersion):
-                    _write_version_stats(path_for(defn.location, op.version))
+                    _write_version_stats(path_for(defn.location, op.version),
+                                         self.storage)
                 elif isinstance(op, AddPartitionVersion):
                     _write_version_stats(os.path.join(
-                        defn.location, op.partition.render(), version.label))
+                        defn.location, op.partition.render(), version.label),
+                        self.storage)
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
 
@@ -236,7 +245,7 @@ class VersionedEngine:
             name=defn.name, location=defn.location,
             partition_schema=defn.partition_schema, format=defn.format,
             schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
-        write_table_meta(defn)
+        write_table_meta(defn, self.storage)
         return defn
 
     def upsert(self, df: DataFrame, table: TableName | str, keys: list[str],
@@ -265,7 +274,13 @@ class VersionedEngine:
         current = self.read(table)
         if pcols:
             touched = df.select(*pcols).distinct()
-            current = current.join(F.broadcast(touched), pcols, "left_semi")
+            # null-safe (<=>) semi-join: a NULL partition value in df must
+            # scope its partition like any other value — a plain equi-join
+            # would skip it and the overwrite would drop the old NULL-
+            # partition rows instead of merging them
+            current = current.alias("cur").join(
+                F.broadcast(touched).alias("tch"),
+                _null_safe_cond(pcols, "cur", "tch"), "left_semi")
         survivors = current.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = survivors.select(*df.columns).unionByName(df)
         return self.insert(merged, table, user_id, message)
@@ -290,7 +305,9 @@ class VersionedEngine:
             return self.insert(current.where(~cond), table, user_id, message)
         # partition KEYS (not data rows) come to the driver: a partition
         # emptied by the delete writes no files, so its RemovePartition op
-        # must ride the same commit
+        # must ride the same commit. escape_partition_value maps a NULL
+        # partition value to __HIVE_DEFAULT_PARTITION__ — the dir name Spark
+        # itself writes for NULLs.
         from .core.model import escape_partition_value as esc
         affected_rows = current.where(cond).select(*pcols).distinct().collect()
         affected = [
@@ -300,7 +317,10 @@ class VersionedEngine:
             return self.insert(current.limit(0), table, user_id, message,
                                distribute=False)
         affected_df = current.where(cond).select(*pcols).distinct()
-        scoped = current.join(F.broadcast(affected_df), pcols, "left_semi")
+        # null-safe scope join: NULL-partition rows must be rewritten too
+        scoped = current.alias("cur").join(
+            F.broadcast(affected_df).alias("aff"),
+            _null_safe_cond(pcols, "cur", "aff"), "left_semi")
         remaining = scoped.where(~cond)
         return self._insert(remaining, table, user_id, message,
                             drop_partitions=affected)
@@ -348,17 +368,19 @@ class VersionedEngine:
            .option("maxRecordsPerFile", 5_000_000)
            .mode("errorifexists").save(staging))
         try:
-            partitions = _discover_partitions(staging, len(pcols))
+            partitions = _discover_partitions(staging, len(pcols), self.storage)
             ops = []
             for rel in partitions:
                 part = Partition.parse(rel)
                 dest = os.path.join(defn.location, rel, version.label)
-                os.makedirs(os.path.dirname(dest), exist_ok=True)
-                os.rename(os.path.join(staging, rel), dest)
+                # atomic rename on POSIX; copy+delete on object stores — safe
+                # either way because nothing references the destination until
+                # the commit record lands (the log is the atomicity point)
+                self.storage.publish_dir(os.path.join(staging, rel), dest)
                 ops.append(AddPartitionVersion(part, version))
             return ops
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            self.storage.remove_tree(staging)
 
     def _commit(self, defn: TableDefinition, log: FileTableVersions,
                 update: TableUpdate) -> CommitResult:
@@ -415,7 +437,7 @@ class VersionedEngine:
             if state.version == UNVERSIONED:
                 return self._empty(defn)
             sdir = path_for(defn.location, state.version)
-            if stats_filter and _stats_exclude(sdir, stats_filter):
+            if stats_filter and _stats_exclude(sdir, stats_filter, self.storage):
                 return self._empty(defn)
             return reader.load(sdir)
         partitions = state.partition_versions
@@ -436,7 +458,8 @@ class VersionedEngine:
         paths = [os.path.join(defn.location, p.render(), v.label)
                  for p, v in sorted(partitions.items())]
         if stats_filter:
-            paths = [p for p in paths if not _stats_exclude(p, stats_filter)]
+            paths = [p for p in paths
+                     if not _stats_exclude(p, stats_filter, self.storage)]
         if not paths:
             return self._empty(defn)
         return self._declared_types(
@@ -554,7 +577,7 @@ class VersionedEngine:
         removed = []
         for vdir in self._all_version_dirs(defn):
             if vdir not in referenced:
-                shutil.rmtree(vdir, ignore_errors=True)
+                self.storage.remove_tree(vdir)
                 removed.append(vdir)
         return removed
 
@@ -576,21 +599,20 @@ class VersionedEngine:
         """Every version-label directory on disk for this table."""
         out = []
         if defn.is_snapshot:
-            for entry in os.listdir(defn.location):
+            for entry in self.storage.list_dir(defn.location):
                 if Version.is_version_label(entry):
                     out.append(os.path.join(defn.location, entry))
             return out
         depth = len(defn.partition_schema.columns)
+        storage = self.storage
 
         def walk(cur: str, level: int) -> None:
-            if not os.path.isdir(cur):
-                return
-            for entry in os.listdir(cur):
+            for entry in storage.list_dir(cur):
                 path = os.path.join(cur, entry)
                 if level < depth:
-                    if _PARTITION_DIR_MARKER in entry and os.path.isdir(path):
+                    if _PARTITION_DIR_MARKER in entry and storage.is_dir(path):
                         walk(path, level + 1)
-                elif Version.is_version_label(entry) and os.path.isdir(path):
+                elif Version.is_version_label(entry) and storage.is_dir(path):
                     out.append(path)
 
         walk(defn.location, 0)
@@ -623,7 +645,8 @@ class VersionedEngine:
 STATS_FILE = "_stats.json"
 
 
-def _write_version_stats(version_dir: str) -> None:
+def _write_version_stats(version_dir: str,
+                         storage: Storage | None = None) -> None:
     """Collect per-column min/max + row count from the parquet footers of an
     immutable version dir into ``_stats.json`` (underscore files are invisible
     to Spark readers). Metadata-only: no data pages are read. Non-parquet
@@ -635,13 +658,15 @@ def _write_version_stats(version_dir: str) -> None:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover
         return
+    storage = storage if storage is not None else DEFAULT_STORAGE
     mins, maxs = {}, {}
     rows = 0
-    for name in os.listdir(version_dir):
+    for name in storage.list_dir(version_dir):
         if name.startswith((".", "_")) or not name.endswith(".parquet"):
             continue
         try:
-            md = pq.ParquetFile(os.path.join(version_dir, name)).metadata
+            with storage.open_input(os.path.join(version_dir, name)) as f:
+                md = pq.ParquetFile(f).metadata
         except Exception:  # noqa: BLE001 — unreadable footer ⇒ no stats
             return
         rows += md.num_rows
@@ -661,8 +686,8 @@ def _write_version_stats(version_dir: str) -> None:
     payload = {"rows": rows,
                "columns": {c: {"min": mins[c], "max": maxs[c]}
                            for c in mins if c in maxs}}
-    with open(os.path.join(version_dir, STATS_FILE), "w") as f:
-        _json.dump(payload, f, indent=1)
+    storage.write_atomic(os.path.join(version_dir, STATS_FILE),
+                         _json.dumps(payload, indent=1))
 
 
 def _stat_value(v):
@@ -685,17 +710,16 @@ def _stat_value(v):
     return None
 
 
-def _stats_exclude(version_dir: str, stats_filter: dict) -> bool:
+def _stats_exclude(version_dir: str, stats_filter: dict,
+                   storage: Storage | None = None) -> bool:
     """True iff the dir's recorded [min,max] ranges PROVE no row can match.
     Missing stats file / column ⇒ False (cannot skip)."""
     import json as _json
 
+    storage = storage if storage is not None else DEFAULT_STORAGE
     path = os.path.join(version_dir, STATS_FILE)
-    if not os.path.exists(path):
-        return False
     try:
-        with open(path) as f:
-            cols = _json.load(f)["columns"]
+        cols = _json.loads(storage.read_text(path))["columns"]
     except Exception:  # noqa: BLE001
         return False
     for col, want in stats_filter.items():
@@ -706,43 +730,60 @@ def _stats_exclude(version_dir: str, stats_filter: dict) -> bool:
         qlo, qhi = _stat_value(lo), _stat_value(hi)
         if qlo is None or qhi is None:
             continue
-        if qhi < rng["min"] or qlo > rng["max"]:
-            return True
+        try:
+            if qhi < rng["min"] or qlo > rng["max"]:
+                return True
+        except TypeError:
+            continue  # filter/stat type mismatch ⇒ cannot prove, don't skip
     return False
 
 
-def _link_data_files(src_dir: str, dst_dir: str) -> None:
-    """Hardlink (or copy) the data files of an immutable version dir into a
-    new version dir. Filenames are kept unless they collide (Spark part-file
-    names are task-unique, so collisions only occur across separate writes)."""
-    os.makedirs(dst_dir, exist_ok=True)
-    for name in os.listdir(src_dir):
+def _null_safe_cond(cols: list[str], left_alias: str, right_alias: str):
+    """AND-fold of null-safe equality (``<=>``) over ``cols`` between two
+    aliased DataFrames — partition scoping must treat NULL as a value."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    return reduce(lambda a, b: a & b,
+                  [F.col(f"{left_alias}.{c}").eqNullSafe(F.col(f"{right_alias}.{c}"))
+                   for c in cols])
+
+
+def _link_data_files(src_dir: str, dst_dir: str,
+                     storage: Storage | None = None) -> None:
+    """Hardlink (POSIX) or server-side-copy (object store) the data files of
+    an immutable version dir into a new version dir. Filenames are kept
+    unless they collide (Spark part-file names are task-unique, so collisions
+    only occur across separate writes)."""
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    storage.makedirs(dst_dir)
+    for name in storage.list_dir(src_dir):
         if name.startswith((".", "_")):
             continue
         src = os.path.join(src_dir, name)
-        if not os.path.isfile(src):
+        if storage.is_dir(src):
             continue
         dst = os.path.join(dst_dir, name)
-        if os.path.exists(dst):
+        if storage.exists(dst):
             dst = os.path.join(dst_dir, f"prev-{_uuid.uuid4().hex[:8]}-{name}")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy2(src, dst)
+        storage.link_or_copy(src, dst)
 
 
-def _discover_partitions(staging: str, depth: int) -> list[str]:
+def _discover_partitions(staging: str, depth: int,
+                         storage: Storage | None = None) -> list[str]:
     """List relative ``col=v/...`` paths at the given partition depth from a
     staging write. Metadata-only replacement for the reference's extra
     ``distinct().collect()`` job (``VersionContext.scala:95-115``)."""
+    storage = storage if storage is not None else DEFAULT_STORAGE
     out: list[str] = []
 
     def walk(cur: str, rel_parts: list[str], level: int) -> None:
         if level == depth:
             out.append("/".join(rel_parts))
             return
-        for entry in sorted(os.listdir(cur)):
-            if _PARTITION_DIR_MARKER in entry and os.path.isdir(os.path.join(cur, entry)):
+        for entry in sorted(storage.list_dir(cur)):
+            if _PARTITION_DIR_MARKER in entry and storage.is_dir(os.path.join(cur, entry)):
                 walk(os.path.join(cur, entry), rel_parts + [entry], level + 1)
 
     walk(staging, [], 0)

@@ -228,11 +228,19 @@ def _dir_rows(directory: str, partition, columns: list[str],
 
     if not os.path.isdir(directory):
         return  # vacuumed beyond retention — same contract as read_changes
+    # stored partition values are in escaped dir-name form — surface them the
+    # way engine.read does: unescape %XX and map the Hive NULL sentinel to None
+    from ..core.model import HIVE_DEFAULT_PARTITION, unescape_partition_value
+
     pvals = {}
     if partition is not None:
         for cv in partition.column_values:
-            pvals[cv.column] = _cast_partition_value(
-                cv.value, ptypes.get(cv.column, "string"))
+            if cv.value == HIVE_DEFAULT_PARTITION:
+                pvals[cv.column] = None
+            else:
+                pvals[cv.column] = _cast_partition_value(
+                    unescape_partition_value(cv.value),
+                    ptypes.get(cv.column, "string"))
     for fname in sorted(os.listdir(directory)):
         if fname.startswith((".", "_")) or not os.path.isfile(
                 os.path.join(directory, fname)):

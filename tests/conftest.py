@@ -16,11 +16,15 @@ def spark():
     yield spark
 
 
-@pytest.fixture
-def engine(spark, tmp_path):
+@pytest.fixture(params=["local", "objectstore"])
+def engine(spark, tmp_path, request):
+    """Engine suite runs on BOTH storage backends: POSIX (rename/link/O_EXCL)
+    and object-store semantics (copy+delete publish, conditional-put CAS)."""
+    from table_versions_spark.core.storage import ObjectStoreStorage
     from table_versions_spark.engine import VersionedEngine
 
-    return VersionedEngine(spark, str(tmp_path / "warehouse"))
+    storage = ObjectStoreStorage() if request.param == "objectstore" else None
+    return VersionedEngine(spark, str(tmp_path / "warehouse"), storage)
 
 
 @pytest.fixture(scope="session")

@@ -56,3 +56,19 @@ class TestCatalogSync:
                       "cdb.users", "u", "v2")
         assert engine.sync_catalog("cdb.users") == 1
         assert spark.table("cdb.users").count() == 2
+
+
+class TestPartitionExpr:
+    def test_backslash_and_quote_escaping(self):
+        """A value ending in '\\' must not swallow the closing quote; quotes
+        and backslashes both escape (backslashes first)."""
+        from table_versions_spark.catalog import _partition_expr
+        from table_versions_spark.core.model import (
+            Partition, escape_partition_value)
+
+        esc_bs = escape_partition_value("a\\")
+        p = Partition.parse("d=" + esc_bs)
+        assert _partition_expr(p) == "(d='a\\\\')"
+        esc_q = escape_partition_value("'x")
+        p2 = Partition.parse("d=" + esc_q)
+        assert _partition_expr(p2) == "(d='\\'x')"

@@ -568,6 +568,61 @@ class TestSpecialPartitionValues:
         assert not any("%3A" in r or "x:y" in r for r in rendered)
 
 
+class TestNullPartitionValues:
+    def test_upsert_merges_null_partition(self, spark, engine):
+        """A NULL partition value must scope like any other value: upsert
+        touching the NULL partition merges with its old rows instead of
+        silently dropping them (null-safe <=> scope join)."""
+        ddl = "id bigint, v string, d string"
+        engine.create_table("db.nup", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "old1", None), (2, "old2", None), (3, "old3", "a")], ddl),
+            "db.nup", "u", "v1")
+        engine.upsert(spark.createDataFrame(
+            [(1, "new1", None), (4, "new4", None)], ddl),
+            "db.nup", keys=["id"], user_id="u", message="merge")
+        got = rows(engine.read("db.nup"), "id", "v", "d")
+        assert got == [(1, "new1", None), (2, "old2", None),
+                       (3, "old3", "a"), (4, "new4", None)]
+
+    def test_delete_from_null_partition(self, spark, engine):
+        """delete() must address the __HIVE_DEFAULT_PARTITION__ dir for NULL
+        partition values — and actually remove the matching rows."""
+        ddl = "id bigint, v string, d string"
+        engine.create_table("db.nde", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "x", None), (2, "y", None), (3, "x", "a")], ddl),
+            "db.nde", "u", "v1")
+        engine.delete("db.nde", "v = 'x'", "u", "del")
+        got = rows(engine.read("db.nde"), "id", "v", "d")
+        assert got == [(2, "y", None)]  # id=3 in d=a also had v='x'
+        # emptying the null partition entirely drops it from the state
+        engine.delete("db.nde", "v = 'y'", "u", "del2")
+        state = engine.current_version("db.nde")
+        assert all("__HIVE_DEFAULT_PARTITION__" not in p.render()
+                   for p in state.partition_versions)
+
+    def test_partition_filter_none_selects_null_partition(self, spark, engine):
+        ddl = "id bigint, d string"
+        engine.create_table("db.npf", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, None), (2, "a")], ddl),
+                      "db.npf", "u", "v1")
+        got = engine.read("db.npf", partition_filter={"d": None})
+        assert [r["id"] for r in got.collect()] == [1]
+
+
+class TestStatsFilterTypeMismatch:
+    def test_mismatched_filter_type_reads_instead_of_raising(self, spark, engine):
+        """A string filter against numeric recorded stats must decline the
+        skip (read everything), not raise TypeError."""
+        engine.create_table("db.stm", schema_ddl="id bigint, v string")
+        engine.insert(spark.createDataFrame([(1, "a"), (2, "b")],
+                                            "id bigint, v string"),
+                      "db.stm", "u", "v1")
+        got = engine.read("db.stm", stats_filter={"id": "not-a-number"})
+        assert got.count() == 2  # cannot skip, full read
+
+
 class TestVacuumInteractions:
     def test_time_travel_past_retention_fails_loudly(self, spark, engine):
         """After vacuum, reading a commit whose version dirs were GC'd is an

@@ -39,9 +39,14 @@ def mk_update(*ops, user="alice", message="msg"):
     return TableUpdate(TableUpdateMetadata.create(user, message), tuple(ops))
 
 
-@pytest.fixture
-def log(tmp_path):
-    return FileTableVersions(str(tmp_path / "table"))
+@pytest.fixture(params=["local", "objectstore", "memory"])
+def log(tmp_path, request):
+    from table_versions_spark.core.storage import (
+        LocalStorage, MemoryStorage, ObjectStoreStorage)
+
+    storage = {"local": LocalStorage(), "objectstore": ObjectStoreStorage(),
+               "memory": MemoryStorage()}[request.param]
+    return FileTableVersions(str(tmp_path / "table"), storage)
 
 
 class TestInit:
@@ -184,7 +189,7 @@ class TestCheckpoints:
             u = mk_update(AddPartitionVersion(p, v))
             log.commit(T, u)
             commits.append(u.metadata.commit_id)
-        ckpts = [f for f in os.listdir(log.log_dir)
+        ckpts = [f for f in log.storage.list_dir(log.log_dir)
                  if f.startswith(CHECKPOINT_PREFIX)]
         assert len(ckpts) == 2
         assert log.current_version(T).partition_versions == versions
@@ -285,10 +290,9 @@ class TestConcurrentWriters:
         head = log.current_version(T, at_commit=head_id)
         assert isinstance(head, PartitionedTableVersion)
         assert len(head.partition_versions) == n
-        # pointer is at head or (benign race) exactly one behind
+        # pointer is exactly at head: update_atomic serializes the advance
         state = log.table_state(T)
-        ids = [u.metadata.commit_id for u in state.updates]
-        assert state.current_version in ids[-2:]
+        assert state.current_version == state.updates[-1].metadata.commit_id
 
 
 class TestCheckpointIntegrity:
@@ -312,3 +316,24 @@ class TestCheckpointIntegrity:
         assert len(got.partition_versions) == 12
         # and the pointer view is still the rolled-back state
         assert len(log.current_version(T).partition_versions) == 3
+
+
+class TestTimestampTravel:
+    def test_out_of_order_timestamps_pick_max_seq(self, log):
+        """Racing writers stamp metadata timestamps before the seq CAS
+        resolves, so a later seq can carry an EARLIER timestamp; timestamp
+        travel must not stop scanning at the first newer timestamp."""
+        log.init(T, is_snapshot=True, user_id="u", message="init")
+        def upd(ts, label):
+            meta = TableUpdateMetadata(commit_id=f"c-{label}", user_id="u",
+                                       message=label, timestamp=ts)
+            return TableUpdate(meta, (AddTableVersion(Version.generate()),))
+        # seq1 carries a LATER timestamp than seq2 (race inversion)
+        log.commit(T, upd("2024-01-01T10:00:05+00:00", "a"))
+        log.commit(T, upd("2024-01-01T10:00:03+00:00", "b"))
+        log.commit(T, upd("2024-01-01T10:00:10+00:00", "c"))
+        # at 10:00:06: eligible = a (05), b (03) -> max seq is b
+        assert log.commit_id_at_timestamp("2024-01-01T10:00:06+00:00") == "c-b"
+        # at 10:00:04: only b (03) qualifies despite sitting after a in the log
+        assert log.commit_id_at_timestamp("2024-01-01T10:00:04+00:00") == "c-b"
+        assert log.commit_id_at_timestamp("2024-01-01T10:00:59+00:00") == "c-c"

@@ -188,3 +188,22 @@ class TestVersionedStreamSource:
         # progress was checkpointed one commit at a time
         offsets = os.listdir(os.path.join(ckpt, "offsets"))
         assert len([o for o in offsets if o.isdigit()]) >= 4
+
+
+class TestSourcePartitionValueFidelity:
+    def test_tvx_unescapes_and_nulls_partition_values(self, spark, tmp_path):
+        """tvx batch/stream reads must surface partition values exactly as
+        engine.read does: %XX-unescaped, __HIVE_DEFAULT_PARTITION__ -> NULL."""
+        from table_versions_spark.streaming.source import register
+
+        engine = VersionedEngine(spark, str(tmp_path / "wh"))
+        ddl = "id bigint, d string"
+        engine.create_table("st.pv", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "x:y"), (2, None), (3, "plain")], ddl), "st.pv", "u", "v1")
+        register(spark)
+        loc = engine.definition("st.pv").location
+        got = sorted((r["id"], r["d"]) for r in
+                     spark.read.format("tvx").option("location", loc)
+                     .load().collect())
+        assert got == [(1, "x:y"), (2, None), (3, "plain")]
