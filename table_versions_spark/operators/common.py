@@ -34,3 +34,27 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "events")
     return (df.withColumn("ts", ts_from_nanos("ts"))
               .withColumn("event_date", F.to_date("ts")))
+
+
+def scratch_dir(spark: SparkSession, name: str) -> str:
+    """Cluster-visible scratch path for intermediate materializations
+    (e.g. minhash signature tables).
+
+    Resolution order: ``spark.tvx.scratch.dir`` conf (REQUIRED on a real
+    cluster — point it at shared storage such as s3://bucket/scratch or an
+    HDFS path so every executor sees the same files), else — local masters
+    only — the machine temp dir. A driver-local temp path on a multi-node
+    cluster would silently break executor reads, so that combination raises.
+    """
+    import os
+    import tempfile
+
+    base = spark.conf.get("spark.tvx.scratch.dir", None)
+    if base is None:
+        if spark.sparkContext.master.startswith("local"):
+            base = os.path.join(tempfile.gettempdir(), "tvx-scratch")
+        else:
+            raise ValueError(
+                "Running on a cluster: set spark.tvx.scratch.dir to a "
+                "shared-storage path visible to all executors")
+    return os.path.join(base, name)

@@ -3,15 +3,21 @@
 Four scale strategies over the documents/embeddings tables:
 
 - ``q_dedup_minhash``: MinHash+LSH — shingle → minhash signatures → banded
-  LSH join (Spark ML ``MinHashLSH.approxSimilarityJoin``). The standard
-  100 TB text-dedup path: candidate generation is a hash-bucket equi-join,
-  never an all-pairs product.
+  LSH candidate join → exact shingle-Jaccard verify. The standard 100 TB
+  text-dedup path: candidate generation is a hash-bucket equi-join, never an
+  all-pairs product.
 - ``q_dedup_simhash``: 64-bit SimHash signatures via JVM-side xxhash64 of
   tokens + per-bit votes; near-dups collide on band keys.
-- ``q_dedup_ngram``: character-n-gram Jaccard over LSH-style candidates —
-  exact verification of the shingle overlap for candidate pairs.
-- ``q_dedup_embedding``: embedding-cosine near-dup pairs (exact at test SF;
-  at scale the IVF bucketing from similarity.py bounds the pair space).
+- ``q_dedup_ngram``: exact character-n-gram Jaccard over a *rare-token
+  inverted index* — candidate pairs share a token whose document frequency
+  is in [2, DF_CAP], so no blocking key can exceed DF_CAP documents
+  (skew-free by construction; a first-token blocking key would put every
+  "the"-initial document in one quadratic block).
+- ``q_dedup_embedding``: embedding-cosine near-dup pairs via
+  *block-partitioned GEMM*: both sides are hashed into B row-blocks and each
+  of the B·(B+1)/2 block pairs computes its cosine submatrix independently —
+  exact all-pairs results with per-task memory bounded by the block size and
+  zero driver-side data movement.
 
 ``q_dedup_embedding`` and ``q_dedup_ngram`` have exact DuckDB oracles; the
 minhash/simhash ones are algorithm-specific (rows-only checks) but seeded
@@ -22,8 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load
-from .similarity import as_double_array, cosine
+from .common import load, scratch_dir
 
 
 def _spread(df, spark) -> "DataFrame":
@@ -69,24 +74,30 @@ MINHASH_SIM_THRESHOLD = 0.5
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — native banded implementation.
 
-    shingle → xxhash64 → 128 affine-mixed minhashes → 32 bands of 4 → explode bands →
-    band-bucket self-equi-join (the only shuffle; never an all-pairs product)
-    → signature-estimated Jaccard filter → exact shingle-Jaccard verify.
+    shingle → xxhash64 → 128 affine-mixed minhashes → 32 bands of 4 →
+    explode bands → band-bucket self-equi-join (the only quadratic-risk
+    step; it is an equi-join on uniformly-distributed hash keys, never an
+    all-pairs product) → exact shingle-Jaccard verify on the candidates.
 
-    Shingle hashing and the band/verify joins are JVM-side; the signature
-    matrix is Arrow-batched numpy (see below). We replaced
-    ``pyspark.ml.feature.MinHashLSH`` here: its LSH uses one row
-    per band, so on a high-overlap corpus ~every pair becomes a candidate and
+    LSH generates candidates; the *exact* Jaccard (recomputed JVM-side from
+    the documents table) decides membership, so the minhash signatures never
+    gate the final answer — they only bound the candidate set. We replaced
+    ``pyspark.ml.feature.MinHashLSH`` here: its LSH uses one row per band,
+    so on a high-overlap corpus ~every pair becomes a candidate and
     ``approxSimilarityJoin`` degenerates to an all-pairs join (measured
     >15 min at sf0.1 vs seconds for this plan).
 
     At 100 TB: candidates scale with true-duplicate density, band join keys
     are uniformly distributed (hash values) so the shuffle is skew-free, and
-    the signature stage reads each doc exactly once.
+    the signature stage reads each doc exactly once. The signature table
+    materializes under ``scratch_dir`` (``spark.tvx.scratch.dir`` — shared
+    storage on a cluster), NOT a driver-local temp path.
 
     Rows-only check: the hash family is engine-specific. Deterministic
     (xxhash64 is a fixed-seed keyed hash).
     """
+    import os
+
     # One xxhash64 per shingle (JVM-side string work), then 128
     # "permutations" as universal hashes (a·x + b) mod p, p = 2³¹−1
     # (Carter-Wegman family), computed in numpy: per doc the whole signature
@@ -104,53 +115,68 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         a = np.array(mult, dtype=np.int64)[:, None]
         b = np.array(offs, dtype=np.int64)[:, None]
+        # position tag packed into the high 32 bits (values are < 2³¹): the
+        # positional-equality count of two signatures then equals
+        # array_intersect size — a codegen'd native set op — instead of an
+        # interpreted zip_with/aggregate lambda over every pair
+        pos = np.arange(NUM_MINHASHES, dtype=np.int64) << 32
         for pdf in batches:
             sigs = []
             for sh in pdf["sh"]:
                 x = np.asarray(sh, dtype=np.int64) % p
-                sigs.append(((a * x + b) % p).min(axis=1))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "sh": pdf["sh"], "sig": sigs})
+                sigs.append((((a * x + b) % p).min(axis=1)) | pos)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
-    docs = (_spread(load(spark, sf_dir, "documents"), spark)
-            .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
-            .mapInPandas(signatures,
-                         "doc_id long, sh array<long>, sig array<long>"))
-    # Materialize signatures to parquet rather than .persist(): four
-    # downstream consumers (two band sides, two payload sides) would each
-    # recompute the expensive signature stage whenever cache pressure evicts
-    # the persisted blocks — a disk materialization is immune to eviction
-    # (and is exactly what a production pipeline does with a signature table).
-    import tempfile
-    sig_dir = tempfile.mkdtemp(prefix="tvx-minhash-sig-")
-    docs.write.mode("overwrite").parquet(sig_dir)
-    docs = spark.read.parquet(sig_dir)
-    # band join on NARROW rows only (doc_id, band key) — payloads (shingle
-    # arrays, signatures) are re-joined after pair dedup, so the wide data
-    # never rides through the candidate shuffle
-    banded = docs.select("doc_id", F.explode(F.expr(
+    sig = (_spread(load(spark, sf_dir, "documents"), spark)
+           .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+           .mapInPandas(signatures, "doc_id long, sig array<long>"))
+    # Materialize the NARROW signature table (doc_id + 128 longs — the
+    # shingle arrays stay out of it) to parquet rather than .persist(): both
+    # band sides would otherwise recompute the Python signature stage
+    # whenever cache pressure evicts blocks; a disk materialization is
+    # immune to eviction and is exactly what a production pipeline does
+    # with a signature table.
+    sig_dir = scratch_dir(
+        spark, f"minhash-sig-{os.path.basename(os.path.normpath(sf_dir))}")
+    sig.write.mode("overwrite").parquet(sig_dir)
+    sig = spark.read.parquet(sig_dir)
+    # Bands + signatures ride the band shuffle together, and the estimated-
+    # Jaccard gate runs BEFORE pair dedup: on a high-overlap corpus the band
+    # join admits ~every moderately-similar pair (363k at sf0.1, 256 real),
+    # so filtering early shrinks the distinct() from 363k pairs to the
+    # survivors. The estimate itself is a native array_intersect — the
+    # position tag packed into each signature value makes positional
+    # equality a set operation (codegen'd) instead of an interpreted
+    # zip_with/aggregate lambda. Measured 2× faster end-to-end than the
+    # narrow-shuffle + post-distinct-join plan at sf0.1.
+    banded = sig.select("doc_id", "sig", F.explode(F.expr(
         f"transform(sequence(0, {LSH_BANDS - 1}), "
         f"b -> named_struct('idx', b, 'key', "
         f"xxhash64(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}))))")).alias("band"))
-    a = banded.select(F.col("doc_id").alias("doc_id_a"), "band")
-    b = banded.select(F.col("doc_id").alias("doc_id_b"), "band")
-    pair_ids = (a.join(b, "band")
-                .where(F.col("doc_id_a") < F.col("doc_id_b"))
-                .select("doc_id_a", "doc_id_b")
-                .distinct())
-    payload_a = docs.select(F.col("doc_id").alias("doc_id_a"),
-                            F.col("sh").alias("sh_a"), F.col("sig").alias("sig_a"))
-    payload_b = docs.select(F.col("doc_id").alias("doc_id_b"),
-                            F.col("sh").alias("sh_b"), F.col("sig").alias("sig_b"))
-    est = (F.aggregate(F.zip_with("sig_a", "sig_b",
-                                  lambda x, y: F.when(x == y, 1).otherwise(0)),
-                       F.lit(0), lambda acc, x: acc + x)
+    a = banded.select(F.col("doc_id").alias("doc_id_a"),
+                      F.col("sig").alias("sig_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("sig").alias("sig_b"), "band")
+    est = (F.size(F.array_intersect("sig_a", "sig_b")).cast("double")
            / F.lit(float(NUM_MINHASHES)))
+    survivors = (a.join(b, "band")
+                 .where(F.col("doc_id_a") < F.col("doc_id_b"))
+                 .where(est >= MINHASH_SIM_THRESHOLD)
+                 .select("doc_id_a", "doc_id_b")
+                 .distinct())
+    # exact verify: shingle sets re-derived JVM-side from the documents
+    # table (columnar xxhash64 pass — cheaper than dragging the wide shingle
+    # arrays through the materialization and the candidate shuffle)
+    docs_sh = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+    payload_a = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
+                               F.col("sh").alias("sh_a"))
+    payload_b = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
+                               F.col("sh").alias("sh_b"))
     exact = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
              / F.size(F.array_union("sh_a", "sh_b")))
-    return (pair_ids
+    return (survivors
             .join(payload_a, "doc_id_a").join(payload_b, "doc_id_b")
-            .where(est >= MINHASH_SIM_THRESHOLD)
             .select("doc_id_a", "doc_id_b", F.round(exact, 6).alias("jaccard"))
             .where(F.col("jaccard") >= MINHASH_SIM_THRESHOLD))
 
@@ -181,24 +207,56 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs.
+NGRAM_DF_CAP = 50     # a blocking shingle joins at most this many documents
+NGRAM_BLOCK_KEYS = 5  # each document indexes under its K rarest shingles
 
-    Candidate generation: word-level inverted index on rare tokens would be
-    the scale path; at driver-check scale we verify the *exact* Jaccard
-    semantics with an all-pairs join on a blocking key (shared first token)
-    to bound the product, then compute |A∩B|/|A∪B| on distinct 5-gram sets.
-    The DuckDB oracle mirrors the same blocking; Spark-side shingles are
-    xxhash64'd to longs (identical set sizes modulo negligible collisions).
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs over a rare-shingle inverted index.
+
+    Candidate generation: explode distinct char-5-gram shingles, count each
+    shingle's document frequency (map-side-combined groupBy), keep shingles
+    with df in [2, NGRAM_DF_CAP], and index every document under its
+    NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window ordered
+    by (df, shingle) — the string tie-break makes the ranking reproducible
+    in the oracle). Candidates are the self-join of those postings: every
+    join key matches ≤ NGRAM_DF_CAP documents, so no key can form a
+    quadratic block — the failure mode of the previous first-token scheme,
+    where every "the"-initial document landed in one skewed block. Near-dups
+    share most shingles, so sharing a *rare* one is the standard
+    high-recall blocking predicate; shingles beat word tokens as keys
+    because the 5-gram space stays discriminative even on small
+    vocabularies.
+
+    Verification computes the *exact* shingle Jaccard per candidate pair
+    (xxhash64'd shingles, JVM-side — value-identical to string sets).
+    The DuckDB oracle mirrors the same blocking, so this is hash-checked.
+    At 100 TB everything is linear + bounded: three skew-free shuffles of
+    the postings (df groupBy, df join, per-doc window) and a capped
+    candidate product.
     """
-    docs = (_spread(load(spark, sf_dir, "documents"), spark)
-            .select("doc_id",
-                    F.expr(_hashed_shingle_expr()).alias("sh"),
-                    F.split(F.col("text"), " ").getItem(0).alias("first_tok")))
-    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
-                    F.col("first_tok").alias("k"))
-    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
-                    F.col("first_tok").alias("k"))
+    from pyspark.sql import Window
+
+    docs = _spread(load(spark, sf_dir, "documents"), spark)
+    postings = docs.select("doc_id",
+                           F.explode(F.expr(_shingle_expr())).alias("g"))
+    dfreq = (postings.groupBy("g").agg(F.count("*").alias("df"))
+             .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
+    ranked = (postings.join(dfreq, "g")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "g")))
+              .where(F.col("rn") <= NGRAM_BLOCK_KEYS)
+              .select("doc_id", "g"))
+    cand = (ranked.alias("a").join(ranked.alias("b"), "g")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"))
+            .distinct())
+    docs_sh = docs.select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+    pa = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
+                        F.col("sh").alias("sh_a"))
+    pb = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
+                        F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.round(inter / union, 6)
@@ -207,53 +265,91 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(|A|+|B|) intersect (cannot change the result set)
     ratio_ok = ((F.size("sh_a") >= JACCARD_THRESHOLD * F.size("sh_b"))
                 & (F.size("sh_b") >= JACCARD_THRESHOLD * F.size("sh_a")))
-    return (a.join(b, "k")
-            .where((F.col("doc_id_a") < F.col("doc_id_b")) & ratio_ok)
+    return (cand.join(pa, "doc_id_a").join(pb, "doc_id_b")
+            .where(ratio_ok)
             .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+# Rows per GEMM block. 256 keeps the multi-block path exercised at the test
+# scale factors; production would raise it (8–16k ⇒ ~8–16 MB per block side)
+# via this constant — per-task memory is O(2·block_rows·dim·8B) regardless
+# of table size.
+EMB_BLOCK_ROWS = 256
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold, a<b).
 
-    Exact all-pairs via *blockwise matrix product*: the (smaller) right side
-    is broadcast as one L2-normalized float64 matrix; ``mapInPandas`` then
-    computes each Arrow batch's ``block @ M.T`` with BLAS and emits only the
-    above-threshold pairs. Replaces the naive crossJoin+HOF-cosine plan
-    (2M interpreted array-aggregates at sf0.1, ~33 s → sub-second GEMM).
+    Exact all-pairs via *block-partitioned matrix product*: rows are hashed
+    into B blocks; each of the B·(B+1)/2 unordered block pairs (i ≤ j)
+    becomes one ``applyInPandas`` group that BLAS-multiplies its two
+    submatrices and emits only above-threshold pairs. A row participates as
+    the "left" side of block pairs (k, j≥k) and the "right" side of (i≤k, k)
+    — the explode-based replication is a map-side fan-out, no driver
+    collect, no broadcast of the table. Replaces the round-1 plan that
+    ``.collect()``ed the full embeddings table to the driver (a driver OOM
+    at 100 TB).
 
-    Scale note: this exact baseline requires the broadcast side to fit in
-    executor memory (~1e6×64 f64 ≈ 0.5 GB); beyond that the IVF bucketing in
-    similarity.py is the documented path (probe only same-bucket pairs).
+    Scale shape: per-task memory is bounded by 2·EMB_BLOCK_ROWS·dim floats
+    no matter how large the table; the shuffle replicates each row B+1
+    times. All-pairs work is inherently O(N²) — this exact baseline is the
+    verification path; the IVF bucketing in similarity.py is the
+    sub-quadratic path when N makes N² infeasible.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    mat_rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in mat_rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in mat_rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    n = emb.count()  # parquet footer count — metadata, not a data collect
+    nblocks = max(1, math.ceil(n / EMB_BLOCK_ROWS))
 
-    def pairs(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            cos = np.round(cos, 6)
-            ai, bi = np.nonzero((cos >= EMB_DUP_THRESHOLD)
-                                & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame({"vec_id_a": a_ids[ai],
-                                "vec_id_b": b_ids[bi],
-                                "cos_sim": cos[ai, bi]})
+    blk = F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int")
+    base = emb.select("vec_id", "embedding", blk.alias("blk"))
+    left = base.select(
+        "vec_id", "embedding", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nblocks - 1))).alias("bj"),
+        F.lit(0).alias("side"))
+    right = base.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"), F.lit(1).alias("side"))
 
-    schema = "vec_id_a long, vec_id_b long, cos_sim double"
-    # no _spread here: one GEMM per Arrow batch is already the fast path, and
-    # fanning tiny blocks across 32 Python workers just pays 32 worker spins
-    return emb.select("vec_id", "embedding").mapInPandas(pairs, schema)
+    def block_pairs(key, pdf):
+        bi, bj = key
+        lhs = pdf[pdf["side"] == 0]
+        rhs = pdf[pdf["side"] == 1]
+        if lhs.empty or rhs.empty:
+            return pd.DataFrame({"vec_id_a": [], "vec_id_b": [],
+                                 "cos_sim": []}).astype(
+                {"vec_id_a": "int64", "vec_id_b": "int64",
+                 "cos_sim": "float64"})
+        l_ids = lhs["vec_id"].to_numpy(dtype=np.int64)
+        r_ids = rhs["vec_id"].to_numpy(dtype=np.int64)
+        l_mat = np.array(list(lhs["embedding"]), dtype=np.float64)
+        r_mat = np.array(list(rhs["embedding"]), dtype=np.float64)
+        l_n = np.sqrt((l_mat * l_mat).sum(axis=1))
+        r_n = np.sqrt((r_mat * r_mat).sum(axis=1))
+        cos = np.round((l_mat @ r_mat.T) / np.outer(l_n, r_n), 6)
+        if bi == bj:
+            # both orientations of every in-block pair are present: keep a<b
+            mask = (cos >= EMB_DUP_THRESHOLD) & (l_ids[:, None] < r_ids[None, :])
+            li, ri = np.nonzero(mask)
+            a_ids, b_ids = l_ids[li], r_ids[ri]
+        else:
+            # cross-block pairs appear exactly once; order ids afterwards
+            li, ri = np.nonzero(cos >= EMB_DUP_THRESHOLD)
+            a_ids = np.minimum(l_ids[li], r_ids[ri])
+            b_ids = np.maximum(l_ids[li], r_ids[ri])
+        return pd.DataFrame({"vec_id_a": a_ids, "vec_id_b": b_ids,
+                             "cos_sim": cos[li, ri]})
+
+    return (left.unionByName(right)
+            .groupBy("bi", "bj")
+            .applyInPandas(block_pairs,
+                           "vec_id_a long, vec_id_b long, cos_sim double"))
 
 
 QUERIES = {
@@ -270,14 +366,24 @@ _NGRAM_SH = ("list_distinct(list_transform("
 ORACLES = {
     "q_dedup_ngram": (
         "WITH d AS (SELECT doc_id, "
-        f"{_NGRAM_SH} AS sh, "
-        "string_split(text, ' ')[1] AS k FROM documents) "
-        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-        "ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard "
-        "FROM d a JOIN d b ON a.k = b.k AND a.doc_id < b.doc_id "
-        "WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / "
-        "len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.4"),
+        f"{_NGRAM_SH} AS sh FROM documents), "
+        "postings AS (SELECT doc_id, unnest(sh) AS g FROM d), "
+        "dfreq AS (SELECT g, count(*) AS df FROM postings GROUP BY g "
+        f"HAVING count(*) >= 2 AND count(*) <= {NGRAM_DF_CAP}), "
+        "ranked AS (SELECT p.doc_id, p.g, ROW_NUMBER() OVER "
+        "(PARTITION BY p.doc_id ORDER BY f.df, p.g) AS rn "
+        "FROM postings p JOIN dfreq f USING (g)), "
+        f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+        "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id) "
+        "SELECT c.doc_id_a, c.doc_id_b, "
+        "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
+        "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
+        "JOIN d y ON c.doc_id_b = y.doc_id "
+        "WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+        "len(list_distinct(list_concat(x.sh, y.sh))), 6) >= "
+        f"{JACCARD_THRESHOLD}"),
     "q_dedup_embedding": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
