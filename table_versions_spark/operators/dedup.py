@@ -217,23 +217,31 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation: explode distinct char-5-gram shingles, count each
     shingle's document frequency (map-side-combined groupBy), keep shingles
     with df in [2, NGRAM_DF_CAP], and index every document under its
-    NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window ordered
-    by (df, shingle) — the string tie-break makes the ranking reproducible
-    in the oracle). Candidates are the self-join of those postings: every
-    join key matches ≤ NGRAM_DF_CAP documents, so no key can form a
-    quadratic block — the failure mode of the previous first-token scheme,
-    where every "the"-initial document landed in one skewed block. Near-dups
-    share most shingles, so sharing a *rare* one is the standard
-    high-recall blocking predicate; shingles beat word tokens as keys
-    because the 5-gram space stays discriminative even on small
-    vocabularies.
+    NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window over
+    doc_id ordered by (df, shingle) — the string tie-break makes the
+    ranking reproducible in the oracle). Candidates are the self-join of
+    those postings. Two independent bounds kill quadratic blocks: a key
+    matches ≤ NGRAM_DF_CAP documents (so ≤ DF_CAP²/2 pairs per key — the
+    failure mode of the previous first-token scheme, where every
+    "the"-initial document landed in one skewed block), and a document
+    fans out to ≤ K keys (so candidate volume ≤ K·DF_CAP·N — without the
+    per-doc cap, an overlap-heavy corpus degenerates toward all-pairs:
+    measured 104k candidate pairs over 500 docs vs 7.7k with it).
 
-    Verification computes the *exact* shingle Jaccard per candidate pair
-    (xxhash64'd shingles, JVM-side — value-identical to string sets).
-    The DuckDB oracle mirrors the same blocking, so this is hash-checked.
-    At 100 TB everything is linear + bounded: three skew-free shuffles of
-    the postings (df groupBy, df join, per-doc window) and a capped
-    candidate product.
+    Recall is heuristic, as for any bounded blocking: a pair is found iff
+    it shares a ranked rare shingle. On template-heavy corpora where even
+    duplicate pairs only share corpus-common shingles (this testdata: the
+    rarest SHARED shingle of a true pair reaches df≈290), df-capped
+    blocking misses pairs that q_dedup_minhash — whose banded LSH keys are
+    similarity-based, not frequency-based — still finds; minhash +
+    exact-verify is the recall path at scale, this operator is the
+    oracle-checkable exact-Jaccard path.
+
+    Verification computes the exact shingle Jaccard per candidate
+    (xxhash64'd shingles, JVM-side — value-identical to string sets). The
+    DuckDB oracle mirrors the blocking exactly, so this is hash-checked
+    end to end. All shuffles are linear and skew-free (df groupBy combines
+    map-side; the window partitions by unique doc_id).
     """
     from pyspark.sql import Window
 
@@ -362,12 +370,18 @@ QUERIES = {
 _NGRAM_SH = ("list_distinct(list_transform("
              "range(1, greatest(length(text) - 4, 1) + 1), "
              "i -> substring(text, i, 5)))")
+# Jaccard depends only on set SIZES, which any injective-modulo-collisions
+# hash preserves — DuckDB's native hash() plays the role Spark's xxhash64
+# plays, making the per-pair intersects integer ops instead of string ops.
+_NGRAM_SH_H = ("list_distinct(list_transform("
+               "range(1, greatest(length(text) - 4, 1) + 1), "
+               "i -> hash(substring(text, i, 5))))")
 
 ORACLES = {
     "q_dedup_ngram": (
         "WITH d AS (SELECT doc_id, "
-        f"{_NGRAM_SH} AS sh FROM documents), "
-        "postings AS (SELECT doc_id, unnest(sh) AS g FROM d), "
+        f"{_NGRAM_SH_H} AS sh, {_NGRAM_SH} AS sh_str FROM documents), "
+        "postings AS (SELECT doc_id, unnest(sh_str) AS g FROM d), "
         "dfreq AS (SELECT g, count(*) AS df FROM postings GROUP BY g "
         f"HAVING count(*) >= 2 AND count(*) <= {NGRAM_DF_CAP}), "
         "ranked AS (SELECT p.doc_id, p.g, ROW_NUMBER() OVER "
@@ -376,14 +390,13 @@ ORACLES = {
         f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
         "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id) "
+        "SELECT doc_id_a, doc_id_b, jaccard FROM ("
         "SELECT c.doc_id_a, c.doc_id_b, "
         "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
         "len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
         "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
-        "JOIN d y ON c.doc_id_b = y.doc_id "
-        "WHERE ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
-        "len(list_distinct(list_concat(x.sh, y.sh))), 6) >= "
-        f"{JACCARD_THRESHOLD}"),
+        "JOIN d y ON c.doc_id_b = y.doc_id) "
+        f"WHERE jaccard >= {JACCARD_THRESHOLD}"),
     "q_dedup_embedding": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -150,7 +150,7 @@ class TestDedupScaleContracts:
         from pyspark.sql import functions as F
 
         from table_versions_spark.operators.dedup import (
-            NGRAM_BLOCK_KEYS, NGRAM_DF_CAP, _shingle_expr)
+            NGRAM_DF_CAP, _shingle_expr)
         from table_versions_spark.operators.common import load
 
         docs = load(spark, sf_small, "documents")
@@ -158,7 +158,7 @@ class TestDedupScaleContracts:
             F.expr(_shingle_expr())).alias("g"))
         dfreq = (postings.groupBy("g").agg(F.count("*").alias("df"))
                  .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
-        # the keys actually joined are a subset of dfreq (K rarest per doc),
+        # the keys actually joined are exactly the df-filtered postings,
         # so dfreq's cap bounds every join key's block size
         max_df = dfreq.agg(F.max("df")).first()[0]
         assert max_df is None or max_df <= NGRAM_DF_CAP
