@@ -21,23 +21,26 @@ Typical use::
               .option("location", "/warehouse/db/events")
               .load())
 
-Scale notes: the driver-side reader only lists commit files and changed
-version dirs (metadata); row data is read via pyarrow per changed directory.
-``SimpleDataSourceStreamReader`` executes reads driver-side, which is the
-right trade-off for a *changefeed* (per-batch volume ∝ newly committed data,
-not table size); a partition-parallel ``DataSourceStreamReader`` with one
-``InputPartition`` per changed version dir is the drop-in upgrade if
-individual commits get huge.
+Scale notes: the default stream reader is a partition-parallel
+``DataSourceStreamReader`` — the driver only plans offsets and lists changed
+version dirs (metadata); each changed dir becomes one ``InputPartition``
+whose rows are read executor-side, so one huge commit fans out across the
+cluster like any file scan. Setting ``maxCommitsPerTrigger`` switches to the
+``SimpleDataSourceStreamReader`` path: per-trigger admission control needs
+offset-aware reads, which only the simple (driver-side) API provides — the
+right trade-off when batches must stay small anyway.
 """
 
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -69,6 +72,18 @@ class VersionedTableDataSource(DataSource):
                 f"{defn.name.fully_qualified_name} has no declared schema; "
                 "a streaming source needs one (pass schema_ddl to create_table)")
         return defn.schema_ddl
+
+    def streamReader(self, schema) -> "VersionedTableParallelStreamReader":
+        """Default: partition-parallel, executor-side reads. With
+        ``maxCommitsPerTrigger`` set, defer to the simple reader (raising
+        routes pyspark's ``_streamReader`` fallback) — admission control
+        needs the offset-aware read(start) API."""
+        if int(self.options.get("maxCommitsPerTrigger", 0)) > 0:
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature":
+                                   "streamReader with maxCommitsPerTrigger"})
+        return VersionedTableParallelStreamReader(self.options["location"])
 
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
         return VersionedTableStreamReader(
@@ -135,30 +150,8 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         return list(self._rows_between(start["seq"], end["seq"]))
 
     def _rows_between(self, start_seq: int, end_seq: int) -> Iterator[tuple]:
-        before = (self.log.current_version(self.defn.name,
-                                           at_commit=self._commit_id_at(start_seq))
-                  if start_seq >= 0 else None)
-        after = self.log.current_version(self.defn.name,
-                                         at_commit=self._commit_id_at(end_seq))
-        if before is None:
-            if isinstance(after, SnapshotTableVersion):
-                dirs = ([] if after.version == UNVERSIONED
-                        else [(None, path_for(self.defn.location, after.version))])
-            else:
-                dirs = [(p, os.path.join(self.defn.location, p.render(), v.label))
-                        for p, v in after.partition_versions.items()]
-        else:
-            changes = compute_changes(before, after)
-            dirs = []
-            for op in changes.operations:
-                if isinstance(op, UpdateTableVersion):
-                    dirs.append((None, path_for(self.defn.location, op.version)))
-                elif isinstance(op, (AddPartition, UpdatePartitionVersion)):
-                    dirs.append((op.partition,
-                                 os.path.join(self.defn.location,
-                                              op.partition.render(),
-                                              op.version.label)))
-        for partition, d in sorted(dirs, key=lambda x: x[1]):
+        for partition, d in _changed_dirs(self.log, self.defn,
+                                          start_seq, end_seq):
             yield from self._read_dir(d, partition)
 
     def _read_dir(self, directory: str, partition) -> Iterator[tuple]:
@@ -166,10 +159,79 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
                          self.defn.format)
 
 
+def _changed_dirs(log, defn, start_seq: int, end_seq: int):
+    """(partition, version_dir) pairs whose version changed in
+    (start_seq, end_seq]; start_seq < 0 means the full state at end_seq.
+    Sorted by dir path for deterministic planning."""
+    before = (log.current_version(defn.name,
+                                  at_commit=log.commit_id_at(start_seq))
+              if start_seq >= 0 else None)
+    after = log.current_version(defn.name,
+                                at_commit=log.commit_id_at(end_seq))
+    if before is None:
+        if isinstance(after, SnapshotTableVersion):
+            dirs = ([] if after.version == UNVERSIONED
+                    else [(None, path_for(defn.location, after.version))])
+        else:
+            dirs = [(p, os.path.join(defn.location, p.render(), v.label))
+                    for p, v in after.partition_versions.items()]
+    else:
+        changes = compute_changes(before, after)
+        dirs = []
+        for op in changes.operations:
+            if isinstance(op, UpdateTableVersion):
+                dirs.append((None, path_for(defn.location, op.version)))
+            elif isinstance(op, (AddPartition, UpdatePartitionVersion)):
+                dirs.append((op.partition,
+                             os.path.join(defn.location,
+                                          op.partition.render(),
+                                          op.version.label)))
+    return sorted(dirs, key=lambda x: x[1])
+
+
 class VersionedDirPartition(InputPartition):
     def __init__(self, directory: str, partition):
         self.directory = directory
         self.partition = partition
+
+
+class VersionedTableParallelStreamReader(DataSourceStreamReader):
+    """Partition-parallel streaming reader: offsets are commit seqs; each
+    micro-batch plans one ``InputPartition`` per changed version directory,
+    and executors read the rows — the driver never touches row data.
+
+    The reader instance is pickled to executors for ``read``; it carries
+    only plain strings/dicts (schema fields, format, partition types)."""
+
+    def __init__(self, location: str):
+        self.location = location
+        self.defn = read_table_meta(location)
+        self.log = FileTableVersions(location)
+        fields = _schema_fields(self.defn.schema_ddl)
+        self.columns = [name for name, _ in fields]
+        pcols = set(self.defn.partition_schema.columns)
+        self.ptypes = {n: t for n, t in fields if n in pcols}
+        self.format = self.defn.format
+
+    def initialOffset(self) -> dict:
+        return {"seq": -1}
+
+    def latestOffset(self) -> dict:
+        return {"seq": self.log.head_seq()}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if end["seq"] <= start["seq"]:
+            return []
+        return [VersionedDirPartition(d, p)
+                for p, d in _changed_dirs(self.log, self.defn,
+                                          start["seq"], end["seq"])]
+
+    def read(self, part: VersionedDirPartition) -> Iterator[tuple]:
+        yield from _dir_rows(part.directory, part.partition, self.columns,
+                             self.ptypes, self.format)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is checkpointed by the engine; nothing to GC
 
 
 class VersionedTableBatchReader(DataSourceReader):

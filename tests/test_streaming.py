@@ -207,3 +207,53 @@ class TestSourcePartitionValueFidelity:
                      spark.read.format("tvx").option("location", loc)
                      .load().collect())
         assert got == [(1, "x:y"), (2, None), (3, "plain")]
+
+
+class TestParallelStreamReader:
+    def test_one_input_partition_per_changed_dir(self, spark, engine):
+        """A commit touching N partitions plans N InputPartitions — the
+        executor-parallel path for large commits."""
+        from table_versions_spark.streaming.source import (
+            VersionedTableParallelStreamReader)
+
+        engine.create_table("db.par", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, d string"),
+            "db.par", "u", "c1")
+        engine.insert(spark.createDataFrame([(4, "b")], "id bigint, d string"),
+                      "db.par", "u", "c2")
+        loc = engine.definition("db.par").location
+        r = VersionedTableParallelStreamReader(loc)
+        assert r.initialOffset() == {"seq": -1}
+        head = r.latestOffset()["seq"]
+        assert head == 2  # init + 2 commits
+        # full backfill: 3 dirs; delta c2: only d=b's new version dir
+        assert len(r.partitions({"seq": -1}, {"seq": 1})) == 3
+        delta = r.partitions({"seq": 1}, {"seq": 2})
+        assert len(delta) == 1 and "d=b" in delta[0].directory
+        assert r.partitions({"seq": 2}, {"seq": 2}) == []
+        # rows read from a partition are the dir's rows with partition col
+        rows = sorted(r.read(delta[0]))
+        assert rows == [(4, "b")]
+
+    def test_parallel_reader_is_default_stream_path(self, spark, engine,
+                                                    tmp_path):
+        """readStream without maxCommitsPerTrigger goes through the
+        partition-parallel reader and yields the same results."""
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("db.par2", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, d string"), "db.par2", "u", "c1")
+        register(spark)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        q = (spark.readStream.format("tvx")
+             .option("location", engine.definition("db.par2").location).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == [(1, "a"), (2, "b")]
