@@ -238,6 +238,36 @@ class FileTableVersions:
             return folded
         return apply_partition_updates(state, ops)
 
+    def stats_map(self, table: TableName | None = None,
+                  at_commit: str | None = None) -> dict[str, dict]:
+        """Folded version-dir statistics at the pointer (or a commit):
+        ``{rel_dir: {"rows": n, "columns": {col: {"min","max"}}}}``.
+
+        Stats ride the commit records (Delta-style), so building this map
+        costs zero I/O beyond the log files the fold already reads — never
+        one sidecar read per directory (the round-1 shape, O(#partitions)
+        plan-time reads). Resumes from the newest checkpoint like
+        ``current_version``. Dirs committed without stats are simply absent
+        — absence means 'cannot skip', never 'skip'."""
+        self._require_exists(table)
+        if at_commit is not None:
+            seq = self._find_seq(at_commit)
+            if seq is None:
+                raise UnknownCommitError(f"Unknown commit id: {at_commit}")
+        else:
+            pointer, seq = self._read_pointer()
+            if seq is None:
+                seq = self._find_seq(pointer)
+                if seq is None:
+                    raise UnknownCommitError(f"Unknown commit id: {pointer}")
+        raw, start_seq = self._load_checkpoint_raw(seq)
+        stats: dict[str, dict] = dict(raw.get("stats") or {}) if raw else {}
+        for fname in self._commit_files()[start_seq:seq + 1]:
+            d = json.loads(
+                self.storage.read_text(os.path.join(self.log_dir, fname)))
+            stats.update(d.get("stats") or {})
+        return stats
+
     # -- checkpoints -------------------------------------------------------
 
     def _write_checkpoint(self, seq: int, commit_id: str) -> None:
@@ -253,15 +283,16 @@ class FileTableVersions:
             payload = {"seq": seq, "commit_id": commit_id, "is_snapshot": False,
                        "partitions": {p.render(): v.label
                                       for p, v in state.partition_versions.items()}}
+        # folded stats ride the checkpoint too, so stats_map never replays
+        # commits older than the newest checkpoint
+        payload["stats"] = self.stats_map(at_commit=commit_id)
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{seq:0{COMMIT_WIDTH}d}.json")
         self.storage.write_atomic(path, json.dumps(payload, indent=1))
 
-    def _load_checkpoint(self, max_seq: int):
-        """Newest checkpoint with seq <= max_seq → ((is_snapshot, state),
-        first_unapplied_seq), or (None, 0)."""
-        from .model import Partition, Version
-
+    def _load_checkpoint_raw(self, max_seq: int):
+        """Raw dict of the newest checkpoint with seq <= max_seq plus the
+        first unapplied seq, or (None, 0)."""
         best = None
         for fname in self.storage.list_dir(self.log_dir):
             if fname.startswith(CHECKPOINT_PREFIX) and fname.endswith(".json"):
@@ -272,7 +303,16 @@ class FileTableVersions:
             return None, 0
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{best:0{COMMIT_WIDTH}d}.json")
-        d = json.loads(self.storage.read_text(path))
+        return json.loads(self.storage.read_text(path)), best + 1
+
+    def _load_checkpoint(self, max_seq: int):
+        """Newest checkpoint with seq <= max_seq → ((is_snapshot, state),
+        first_unapplied_seq), or (None, 0)."""
+        from .model import Partition, Version
+
+        d, start = self._load_checkpoint_raw(max_seq)
+        if d is None:
+            return None, 0
         if d["is_snapshot"]:
             state = SnapshotTableVersion(Version.parse(d["snapshot_version"])
                                          if d["snapshot_version"]
@@ -281,7 +321,7 @@ class FileTableVersions:
             state = PartitionedTableVersion(
                 {Partition.parse(p): Version.parse(v)
                  for p, v in d["partitions"].items()})
-        return (d["is_snapshot"], state), best + 1
+        return (d["is_snapshot"], state), start
 
     def commit_id_at(self, seq: int) -> str:
         """Commit id of the log entry at sequence number ``seq`` (0 = init).

@@ -284,8 +284,17 @@ class TableUpdateMetadata:
 
 @dataclass(frozen=True)
 class TableUpdate:
+    """A commit: metadata + operations, plus optional per-version-dir column
+    statistics (Delta-style add-file stats, SURVEY §2 stats_filter): a dict
+    mapping the version dir's path RELATIVE to the table location (e.g.
+    ``date=2024-01-01/v2-...`` or ``v1-...`` for snapshots) to
+    ``{"rows": n, "columns": {col: {"min": x, "max": y}}}``. Stats ride the
+    commit record so plan-time data skipping reads the log it already has —
+    never one sidecar per directory."""
+
     metadata: TableUpdateMetadata
     operations: tuple[TableOperation, ...]
+    stats: "dict[str, dict] | None" = None
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +380,7 @@ def update_to_json(update: TableUpdate) -> dict[str, Any]:
         "message": update.metadata.message,
         "timestamp": update.metadata.timestamp,
         "operations": [operation_to_json(op) for op in update.operations],
+        **({"stats": update.stats} if update.stats else {}),
     }
 
 
@@ -378,4 +388,4 @@ def update_from_json(d: dict[str, Any]) -> TableUpdate:
     meta = TableUpdateMetadata(commit_id=d["commit_id"], user_id=d["user_id"],
                                message=d["message"], timestamp=d["timestamp"])
     ops = tuple(operation_from_json(o) for o in d["operations"])
-    return TableUpdate(metadata=meta, operations=ops)
+    return TableUpdate(metadata=meta, operations=ops, stats=d.get("stats"))

@@ -208,18 +208,25 @@ class VersionedEngine:
         ops += [RemovePartition(p) for p in drop_partitions
                 if p not in written]
         # footer stats AFTER any append-mode linking, so linked-in files are
-        # included (stale stats would let the skipper wrongly drop rows)
+        # included (stale stats would let the skipper wrongly drop rows).
+        # Stats ride the commit record (Delta-style): plan-time skipping
+        # reads the log it already has, never one sidecar per directory.
+        stats: dict[str, dict] = {}
         if defn.format == "parquet":
             for op in ops:
                 if isinstance(op, AddTableVersion):
-                    _write_version_stats(path_for(defn.location, op.version),
-                                         self.storage)
+                    rel = op.version.label
                 elif isinstance(op, AddPartitionVersion):
-                    _write_version_stats(os.path.join(
-                        defn.location, op.partition.render(), version.label),
-                        self.storage)
+                    rel = f"{op.partition.render()}/{version.label}"
+                else:
+                    continue
+                payload = _collect_version_stats(
+                    os.path.join(defn.location, rel), self.storage)
+                if payload is not None:
+                    stats[rel] = payload
         return self._commit(defn, log, TableUpdate(
-            TableUpdateMetadata.create(user_id, message), tuple(ops)))
+            TableUpdateMetadata.create(user_id, message), tuple(ops),
+            stats=stats or None))
 
     def _check_or_evolve_schema(self, df: DataFrame, defn: TableDefinition,
                                 evolve: bool) -> TableDefinition:
@@ -419,7 +426,7 @@ class VersionedEngine:
         non-partition columns: ``{"col": value}`` (equality) or
         ``{"col": (lo, hi)}`` (range) drops version dirs whose recorded
         footer min/max PROVES no row can match. Stats are written at publish
-        time from parquet footers (``_stats.json`` sidecar per version dir);
+        time from parquet footers into the commit record (Delta-style);
         a dir without stats is always read — skipping is only ever an
         optimization, never a filter: apply the real ``.where()`` on top.
         """
@@ -429,6 +436,9 @@ class VersionedEngine:
                 raise ValueError("Pass at_commit or at_timestamp, not both")
             at_commit = log.commit_id_at_timestamp(at_timestamp)
         state = log.current_version(defn.name, at_commit=at_commit)
+        # ONE map for all dirs, folded from the commit log (no per-dir I/O)
+        smap = (log.stats_map(defn.name, at_commit=at_commit)
+                if stats_filter else {})
         reader = self.spark.read.format(defn.format)
         if defn.merge_schema:
             # pay the multi-footer merge only on tables that actually evolved
@@ -437,7 +447,8 @@ class VersionedEngine:
             if state.version == UNVERSIONED:
                 return self._empty(defn)
             sdir = path_for(defn.location, state.version)
-            if stats_filter and _stats_exclude(sdir, stats_filter, self.storage):
+            if stats_filter and _stats_exclude(
+                    smap.get(state.version.label), stats_filter):
                 return self._empty(defn)
             return reader.load(sdir)
         partitions = state.partition_versions
@@ -455,11 +466,13 @@ class VersionedEngine:
                 p: ver for p, ver in partitions.items()
                 if all(cv.value in want.get(cv.column, {cv.value})
                        for cv in p.column_values)}
+        if stats_filter:
+            partitions = {
+                p: v for p, v in partitions.items()
+                if not _stats_exclude(smap.get(f"{p.render()}/{v.label}"),
+                                      stats_filter)}
         paths = [os.path.join(defn.location, p.render(), v.label)
                  for p, v in sorted(partitions.items())]
-        if stats_filter:
-            paths = [p for p in paths
-                     if not _stats_exclude(p, stats_filter, self.storage)]
         if not paths:
             return self._empty(defn)
         return self._declared_types(
@@ -642,22 +655,17 @@ class VersionedEngine:
         return self.spark.createDataFrame([], defn.schema_ddl)
 
 
-STATS_FILE = "_stats.json"
-
-
-def _write_version_stats(version_dir: str,
-                         storage: Storage | None = None) -> None:
-    """Collect per-column min/max + row count from the parquet footers of an
-    immutable version dir into ``_stats.json`` (underscore files are invisible
-    to Spark readers). Metadata-only: no data pages are read. Non-parquet
-    formats and unstat-able columns are simply absent — absence means
-    'cannot skip', never 'skip'."""
-    import json as _json
-
+def _collect_version_stats(version_dir: str,
+                           storage: Storage | None = None) -> dict | None:
+    """Per-column min/max + row count from the parquet footers of an
+    immutable version dir, as a JSON-able payload for the commit record.
+    Metadata-only: no data pages are read. Non-parquet formats and
+    unstat-able columns are simply absent — absence means 'cannot skip',
+    never 'skip'. Returns None when footers are unreadable."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover
-        return
+        return None
     storage = storage if storage is not None else DEFAULT_STORAGE
     mins, maxs = {}, {}
     rows = 0
@@ -668,7 +676,7 @@ def _write_version_stats(version_dir: str,
             with storage.open_input(os.path.join(version_dir, name)) as f:
                 md = pq.ParquetFile(f).metadata
         except Exception:  # noqa: BLE001 — unreadable footer ⇒ no stats
-            return
+            return None
         rows += md.num_rows
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -683,11 +691,9 @@ def _write_version_stats(version_dir: str,
                     continue
                 mins[cname] = lo if cname not in mins else min(mins[cname], lo)
                 maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
-    payload = {"rows": rows,
-               "columns": {c: {"min": mins[c], "max": maxs[c]}
-                           for c in mins if c in maxs}}
-    storage.write_atomic(os.path.join(version_dir, STATS_FILE),
-                         _json.dumps(payload, indent=1))
+    return {"rows": rows,
+            "columns": {c: {"min": mins[c], "max": maxs[c]}
+                        for c in mins if c in maxs}}
 
 
 def _stat_value(v):
@@ -710,18 +716,12 @@ def _stat_value(v):
     return None
 
 
-def _stats_exclude(version_dir: str, stats_filter: dict,
-                   storage: Storage | None = None) -> bool:
-    """True iff the dir's recorded [min,max] ranges PROVE no row can match.
-    Missing stats file / column ⇒ False (cannot skip)."""
-    import json as _json
-
-    storage = storage if storage is not None else DEFAULT_STORAGE
-    path = os.path.join(version_dir, STATS_FILE)
-    try:
-        cols = _json.loads(storage.read_text(path))["columns"]
-    except Exception:  # noqa: BLE001
+def _stats_exclude(stats_payload: dict | None, stats_filter: dict) -> bool:
+    """True iff the recorded [min,max] ranges PROVE no row can match.
+    Missing stats payload / column ⇒ False (cannot skip)."""
+    if not stats_payload:
         return False
+    cols = stats_payload.get("columns") or {}
     for col, want in stats_filter.items():
         rng = cols.get(col)
         if rng is None:

@@ -663,3 +663,35 @@ class TestVacuumInteractions:
         q.awaitTermination(60)
         got = [tuple(r) for r in spark.read.parquet(out).collect()]
         assert got == [(2, "a")]
+
+
+class TestStatsInCommitLog:
+    def test_no_sidecar_files_written(self, spark, engine):
+        """Stats ride the commit record; version dirs carry no _stats.json."""
+        import os
+        engine.create_table("db.scl", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a"), (50, "b")],
+                                            "id bigint, d string"),
+                      "db.scl", "u", "v1")
+        loc = engine.definition("db.scl").location
+        sidecars = [os.path.join(dp, f) for dp, _, fs in os.walk(loc)
+                    for f in fs if f == "_stats.json"]
+        assert sidecars == []
+        # and skipping still prunes: id=50 only in d=b
+        hit = engine.read("db.scl", stats_filter={"id": 50})
+        assert all("d=b" in f for f in hit.inputFiles())
+
+    def test_stats_survive_checkpoint(self, spark, engine):
+        """stats_map resumes from checkpoints: stats of dirs committed
+        BEFORE the newest checkpoint still skip correctly."""
+        ddl = "id bigint, d string"
+        engine.create_table("db.sck", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "early")], ddl),
+                      "db.sck", "u", "v0")
+        for i in range(12):  # push a checkpoint (interval 10) past commit 1
+            engine.insert(spark.createDataFrame([(100 + i, f"p{i}")], ddl),
+                          "db.sck", "u", f"c{i}")
+        hit = engine.read("db.sck", stats_filter={"id": 1})
+        assert all("d=early" in f for f in hit.inputFiles())
+        assert hit.count() == 1
