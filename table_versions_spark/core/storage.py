@@ -23,12 +23,13 @@ Three semantics-distinct backends:
 - :class:`MemoryStorage` — in-process dict with the same object-store
   semantics; for metadata-plane unit tests with no Spark involved.
 
-An ``S3Storage`` built on boto3 would subclass :class:`ObjectStoreStorage`
-and override the primitive byte ops (`_get/_put/_put_if_absent/_copy/_list`);
-the publish/CAS *protocol* above it is exactly what the emulated backend
-exercises. boto3 is not available in this environment, so that subclass is
-not shipped — the contract it must satisfy is `StorageContractTests` in
-``tests/test_storage.py``.
+:class:`S3Storage` (bottom of this module) subclasses
+:class:`ObjectStoreStorage` and swaps in boto3 primitives
+(`_get/_put/_put_if_absent/_copy/_list`); the publish/CAS *protocol* above
+them is exactly what the emulated backend exercises, and the executable
+contract both must satisfy is ``tests/test_storage.py``. boto3 is not
+bundled in this environment, so S3Storage imports it lazily and its
+primitives are untested here; everything above the primitive layer is.
 
 Scale notes (100 TB):
 
@@ -455,3 +456,149 @@ class MemoryStorage(ObjectStoreStorage):
 
 
 DEFAULT_STORAGE = LocalStorage()
+
+
+class S3Storage(ObjectStoreStorage):
+    """Amazon-S3 backend: the :class:`ObjectStoreStorage` protocol over
+    boto3 primitives. Paths are ``s3://bucket/key`` (the data plane hands
+    Spark the same paths as ``s3a://`` via :meth:`spark_path`).
+
+    Concurrency primitives map to S3's conditional requests (both GA on S3
+    and implemented by MinIO/GCS-interop):
+
+    - ``create_exclusive`` → ``PutObject`` with ``If-None-Match: *`` — the
+      commit-slot CAS; a lost race surfaces as HTTP 412.
+    - ``update_atomic``   → ``GET`` (capture ETag) → ``PUT`` with
+      ``If-Match: <etag>`` retry loop — the pointer's serialized
+      read-modify-write.
+    - ``publish_dir``     → concurrent server-side ``CopyObject`` (inherited
+      protocol) — no data moves through the client.
+
+    boto3 is not bundled in this environment, so this class is exercised
+    against the contract indirectly: ``tests/test_storage.py`` pins the
+    protocol via the local emulation, and this subclass only swaps the
+    byte-level primitives.
+    """
+
+    def __init__(self, copy_workers: int = 16, client=None):
+        super().__init__(copy_workers=copy_workers)
+        if client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "S3Storage requires boto3 (pip install boto3), or pass "
+                    "a preconfigured client=") from e
+            client = boto3.client("s3")
+        self._s3 = client
+
+    @staticmethod
+    def _parse(path: str) -> tuple[str, str]:
+        if path.startswith("s3a://"):
+            path = "s3://" + path[len("s3a://"):]
+        if not path.startswith("s3://"):
+            raise ValueError(f"S3Storage paths must be s3:// URIs: {path!r}")
+        bucket, _, key = path[len("s3://"):].partition("/")
+        return bucket, key.rstrip("/")
+
+    def spark_path(self, path: str) -> str:
+        # Spark's Hadoop S3 connector uses the s3a:// scheme
+        return "s3a://" + path[len("s3://"):] if path.startswith("s3://") else path
+
+    # ---- primitives -------------------------------------------------------
+
+    def _get(self, path):
+        bucket, key = self._parse(path)
+        try:
+            return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
+        except self._s3.exceptions.NoSuchKey:
+            raise FileNotFoundError(path) from None
+
+    def _put(self, path, data):
+        bucket, key = self._parse(path)
+        self._s3.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def _put_if_absent(self, path, data):
+        bucket, key = self._parse(path)
+        try:
+            self._s3.put_object(Bucket=bucket, Key=key, Body=data,
+                                IfNoneMatch="*")
+            return True
+        except self._s3.exceptions.ClientError as e:  # pragma: no cover
+            if e.response["ResponseMetadata"]["HTTPStatusCode"] in (409, 412):
+                return False
+            raise
+
+    def update_atomic(self, path, fn):
+        bucket, key = self._parse(path)
+        while True:
+            etag = None
+            current = None
+            try:
+                obj = self._s3.get_object(Bucket=bucket, Key=key)
+                etag = obj["ETag"]
+                current = obj["Body"].read().decode("utf-8")
+            except self._s3.exceptions.NoSuchKey:
+                pass
+            new = fn(current)
+            if new is None:
+                return current
+            try:
+                if etag is None:
+                    self._s3.put_object(Bucket=bucket, Key=key,
+                                        Body=new.encode("utf-8"),
+                                        IfNoneMatch="*")
+                else:
+                    self._s3.put_object(Bucket=bucket, Key=key,
+                                        Body=new.encode("utf-8"),
+                                        IfMatch=etag)
+                return new
+            except self._s3.exceptions.ClientError as e:  # pragma: no cover
+                if e.response["ResponseMetadata"]["HTTPStatusCode"] in (409, 412):
+                    continue  # lost the CAS race: re-read and retry
+                raise
+
+    def _copy(self, src, dst):
+        sb, sk = self._parse(src)
+        db, dk = self._parse(dst)
+        self._s3.copy_object(Bucket=db, Key=dk,
+                             CopySource={"Bucket": sb, "Key": sk})
+
+    def _delete(self, path):
+        bucket, key = self._parse(path)
+        self._s3.delete_object(Bucket=bucket, Key=key)
+
+    def _list(self, path):
+        bucket, prefix = self._parse(path)
+        prefix = prefix + "/" if prefix else ""
+        names: set[str] = set()
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix,
+                                       Delimiter="/"):
+            for cp in page.get("CommonPrefixes", []):
+                names.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            for obj in page.get("Contents", []):
+                name = obj["Key"][len(prefix):]
+                if name:
+                    names.add(name)
+        return sorted(names)
+
+    def _is_prefix(self, path):
+        bucket, prefix = self._parse(path)
+        resp = self._s3.list_objects_v2(Bucket=bucket, Prefix=prefix + "/",
+                                        MaxKeys=1)
+        return resp.get("KeyCount", 0) > 0
+
+    def _exists_key(self, path):
+        bucket, key = self._parse(path)
+        try:
+            self._s3.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception:  # noqa: BLE001 — 404 ⇒ absent
+            return False
+
+    def makedirs(self, path):
+        pass  # no directories on S3
+
+    def _cleanup_prefix(self, path):
+        pass

@@ -94,11 +94,47 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "event_type", "value"))
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert into a partitioned versioned table: rows of the
+    earliest day are replaced with tripled values plus one brand-new row;
+    untouched partitions keep their version (engine.upsert semantics —
+    partition-scoped rewrite, null-safe partition scoping)."""
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.events_up", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.events_up", "tester", "all days")
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    changed = (ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("value", F.col("value") * 3))
+    extra = spark.createDataFrame(
+        [(-1, 0, "synthetic", 1.0, min_date)], EVENTS_DDL)
+    eng.upsert(changed.unionByName(extra), "vx.events_up",
+               keys=["event_id"], user_id="tester", message="merge day 1")
+    return eng.read("vx.events_up").select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
+def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete: drop all 'error' events; only partitions containing
+    matches are rewritten as a fresh version (engine.delete semantics)."""
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.events_del", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.events_del", "tester", "all days")
+    eng.delete("vx.events_del", "event_type = 'error'", "tester", "purge errors")
+    return eng.read("vx.events_del").select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 QUERIES = {
     "q_snapshot_replace": q_snapshot_replace,
     "q_time_travel": q_time_travel,
     "q_insert_overwrite_partition": q_insert_overwrite_partition,
     "q_partition_prune": q_partition_prune,
+    "q_upsert": q_upsert,
+    "q_delete": q_delete,
 }
 
 ORACLES = {
@@ -113,4 +149,16 @@ ORACLES = {
     "q_partition_prune": (
         "SELECT event_id, user_id, event_type, value FROM events "
         f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
+    "q_upsert": (
+        "SELECT event_id, user_id, event_type, value * 3 AS value, "
+        f"CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
+        "UNION ALL "
+        f"SELECT -1, 0, 'synthetic', 1.0, {_MIN_DATE_SQL} "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date "
+        f"FROM events WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
+    "q_delete": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "WHERE event_type <> 'error'"),
 }
