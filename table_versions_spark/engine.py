@@ -534,6 +534,17 @@ class VersionedEngine:
         defn, log = self._log(table)
         return _sync(self.spark, defn, log, catalog_table)
 
+    def sync_cloud_catalog(self, table: TableName | str, client) -> int:
+        """Point a Glue-style cloud catalog at the current versioned
+        locations (reference ``GlueMetastore.scala:67-160``). ``client`` is
+        a ``catalog_cloud.CloudCatalogClient`` — ``GlueCatalogClient()`` for
+        AWS Glue, or any object implementing the protocol. Idempotent;
+        re-run after commits/checkouts to converge."""
+        from .catalog_cloud import sync_cloud_catalog as _sync
+
+        defn, log = self._log(table)
+        return _sync(client, defn, log)
+
     def register_view(self, table: TableName | str,
                       view_name: str | None = None,
                       at_commit: str | None = None) -> str:

@@ -1,0 +1,136 @@
+"""Cloud-catalog (Glue-style) sync tests against a dict-backed fake client.
+
+Mirrors the behavior the reference exercises against AWS Glue
+(``glue/src/test/scala/.../GlueMetastoreIntegrationTest`` shapes): add /
+repoint / drop partitions, snapshot relocation, read-back parity, and
+idempotent re-sync. The fake implements the same :class:`CloudCatalogClient`
+protocol the boto3 ``GlueCatalogClient`` maps onto SDK calls.
+"""
+
+import pytest
+
+from table_versions_spark.catalog_cloud import (
+    cloud_catalog_current_version,
+    sync_cloud_catalog,
+)
+from table_versions_spark.core.log import FileTableVersions
+from table_versions_spark.core.model import (
+    HIVE_DEFAULT_PARTITION,
+    PartitionedTableVersion,
+    SnapshotTableVersion,
+)
+
+
+class FakeCatalogClient:
+    """In-memory Glue stand-in; records every mutating call."""
+
+    def __init__(self):
+        self.tables = {}
+        self.partitions = {}  # (db, name) -> {tuple(values): location}
+        self.calls = []
+
+    def get_table(self, db, name):
+        return self.tables[(db, name)]
+
+    def create_table(self, db, name, location, partition_keys):
+        self.calls.append(("create_table", name))
+        self.tables[(db, name)] = {"location": location,
+                                   "partition_keys": partition_keys}
+        self.partitions[(db, name)] = {}
+
+    def update_table_location(self, db, name, location):
+        self.calls.append(("update_table_location", location))
+        self.tables[(db, name)]["location"] = location
+
+    def get_partitions(self, db, name):
+        return [{"values": list(v), "location": loc}
+                for v, loc in self.partitions.get((db, name), {}).items()]
+
+    def create_partition(self, db, name, values, location):
+        self.calls.append(("create_partition", tuple(values)))
+        self.partitions[(db, name)][tuple(values)] = location
+
+    def update_partition(self, db, name, values, location):
+        self.calls.append(("update_partition", tuple(values)))
+        assert tuple(values) in self.partitions[(db, name)]
+        self.partitions[(db, name)][tuple(values)] = location
+
+    def delete_partition(self, db, name, values):
+        self.calls.append(("delete_partition", tuple(values)))
+        del self.partitions[(db, name)][tuple(values)]
+
+
+@pytest.fixture
+def fake():
+    return FakeCatalogClient()
+
+
+class TestCloudCatalogSync:
+    def test_partitioned_lifecycle(self, spark, engine, fake):
+        ddl = "id bigint, d string"
+        engine.create_table("cdb.t", schema_ddl=ddl, partition_columns=["d"])
+        defn = engine.definition("cdb.t")
+        log = FileTableVersions(defn.location, engine.storage)
+
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], ddl), "cdb.t", "u", "c1")
+        n = sync_cloud_catalog(fake, defn, log)
+        assert n == 2  # two AddPartition ops
+        locs = {tuple(p["values"]): p["location"]
+                for p in fake.get_partitions("cdb", "t")}
+        assert set(locs) == {("a",), ("b",)}
+        state = engine.current_version("cdb.t")
+        for p, v in state.partition_versions.items():
+            assert locs[(p.column_values[0].value,)].endswith(v.label)
+
+        # overwrite d=b -> one UpdatePartitionVersion; re-sync idempotent
+        engine.insert(spark.createDataFrame([(3, "b")], ddl), "cdb.t", "u", "c2")
+        assert sync_cloud_catalog(fake, defn, log) == 1
+        assert fake.calls[-1][0] == "update_partition"
+        assert sync_cloud_catalog(fake, defn, log) == 0
+
+        # read-back parity: catalog state == log state
+        assert isinstance(cloud_catalog_current_version(fake, defn),
+                          PartitionedTableVersion)
+        assert (cloud_catalog_current_version(fake, defn).partition_versions
+                == engine.current_version("cdb.t").partition_versions)
+
+        # delete emptying d=a -> DeletePartition
+        engine.delete("cdb.t", "d = 'a'", "u", "drop a")
+        assert sync_cloud_catalog(fake, defn, log) == 1
+        assert fake.calls[-1][0] == "delete_partition"
+        assert set(p["values"][0] for p in fake.get_partitions("cdb", "t")) == {"b"}
+
+    def test_snapshot_relocation(self, spark, engine, fake):
+        ddl = "id bigint"
+        engine.create_table("cdb.s", schema_ddl=ddl)
+        defn = engine.definition("cdb.s")
+        log = FileTableVersions(defn.location, engine.storage)
+        engine.insert(spark.createDataFrame([(1,)], ddl), "cdb.s", "u", "v1")
+        assert sync_cloud_catalog(fake, defn, log) == 1
+        v1_loc = fake.get_table("cdb", "s")["location"]
+        engine.insert(spark.createDataFrame([(2,)], ddl), "cdb.s", "u", "v2")
+        assert sync_cloud_catalog(fake, defn, log) == 1
+        v2_loc = fake.get_table("cdb", "s")["location"]
+        assert v1_loc != v2_loc
+        assert isinstance(cloud_catalog_current_version(fake, defn),
+                          SnapshotTableVersion)
+
+    def test_raw_values_and_null_partition(self, spark, engine, fake):
+        """Catalog partition VALUES are raw (unescaped); NULL keeps the Hive
+        default-partition literal; LOCATIONS keep the escaped dir form."""
+        ddl = "id bigint, d string"
+        engine.create_table("cdb.r", schema_ddl=ddl, partition_columns=["d"])
+        defn = engine.definition("cdb.r")
+        log = FileTableVersions(defn.location, engine.storage)
+        engine.insert(spark.createDataFrame(
+            [(1, "x:y"), (2, None)], ddl), "cdb.r", "u", "c1")
+        sync_cloud_catalog(fake, defn, log)
+        values = {p["values"][0] for p in fake.get_partitions("cdb", "r")}
+        assert values == {"x:y", HIVE_DEFAULT_PARTITION}
+        locs = {p["values"][0]: p["location"]
+                for p in fake.get_partitions("cdb", "r")}
+        assert "d=x%3Ay/" in locs["x:y"]
+        # read-back round-trips to the same stored partition state
+        assert (cloud_catalog_current_version(fake, defn).partition_versions
+                == engine.current_version("cdb.r").partition_versions)
