@@ -21,12 +21,14 @@ from .core.model import (
     Version,
 )
 from .engine import CommitResult, VersionedEngine
+from .rollup import IncrementalRollup
 from .session import get_spark
 
 __all__ = [
     "UNVERSIONED",
     "ColumnValue",
     "CommitResult",
+    "IncrementalRollup",
     "Partition",
     "PartitionSchema",
     "PartitionedTableVersion",

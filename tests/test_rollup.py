@@ -1,0 +1,79 @@
+"""Incremental rollup (materialized-view maintenance) tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from table_versions_spark.rollup import IncrementalRollup
+
+DDL = "id bigint, event_type string, value double, d string"
+
+
+def _agg(df):
+    return df.groupBy("d", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.count("*").alias("n"))
+
+
+def _expected(spark, engine, source):
+    return sorted(tuple(r) for r in _agg(engine.read(source)).collect())
+
+
+def _got(spark, engine, target):
+    return sorted(tuple(r) for r in engine.read(target)
+                  .select("d", "event_type", "total", "n").collect())
+
+
+class TestIncrementalRollup:
+    def test_full_build_then_incremental(self, spark, engine):
+        engine.create_table("db.src", schema_ddl=DDL, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "click", 1.0, "d1"), (2, "view", 2.0, "d1"),
+             (3, "click", 3.0, "d2")], DDL), "db.src", "u", "day1+2")
+        roll = IncrementalRollup(engine, "db.src", "db.agg",
+                                 group_cols=["d", "event_type"], agg=_agg)
+        assert roll.refresh() is not None  # full build
+        assert _got(spark, engine, "db.agg") == _expected(spark, engine, "db.src")
+
+        # idempotent: nothing changed -> no commit
+        before = len(engine.history("db.agg").collect())
+        assert roll.refresh() is None
+        assert len(engine.history("db.agg").collect()) == before
+
+        # overwrite ONE day -> incremental refresh touches only that day
+        engine.insert(spark.createDataFrame(
+            [(9, "click", 10.0, "d1")], DDL), "db.src", "u", "reprocess d1")
+        r = roll.refresh()
+        assert r is not None
+        assert _got(spark, engine, "db.agg") == _expected(spark, engine, "db.src")
+        msgs = [h.message for h in engine.history("db.agg").collect()]
+        assert any("refresh 1 partition(s)" in m for m in msgs)
+        # d2's aggregate row survived untouched (value from the first build)
+        d2 = engine.read("db.agg").where("d = 'd2'").collect()
+        assert len(d2) == 1 and d2[0]["total"] == 3.0
+
+        # new day arrives -> new groups inserted incrementally
+        engine.insert(spark.createDataFrame(
+            [(10, "view", 5.0, "d3")], DDL), "db.src", "u", "day3")
+        roll.refresh()
+        assert _got(spark, engine, "db.agg") == _expected(spark, engine, "db.src")
+
+    def test_removed_partition_drops_groups(self, spark, engine):
+        engine.create_table("db.src2", schema_ddl=DDL, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "click", 1.0, "d1"), (2, "view", 2.0, "d2")], DDL),
+            "db.src2", "u", "load")
+        roll = IncrementalRollup(engine, "db.src2", "db.agg2",
+                                 group_cols=["d", "event_type"], agg=_agg)
+        roll.refresh()
+        assert len(_got(spark, engine, "db.agg2")) == 2
+        from table_versions_spark.core.model import Partition
+        engine.remove_partitions("db.src2", [Partition.parse("d=d1")], "u", "rm")
+        roll.refresh()
+        assert _got(spark, engine, "db.agg2") == _expected(spark, engine, "db.src2")
+        assert all(t[0] != "d1" for t in _got(spark, engine, "db.agg2"))
+
+    def test_group_cols_must_cover_partition_cols(self, spark, engine):
+        engine.create_table("db.src3", schema_ddl=DDL, partition_columns=["d"])
+        with pytest.raises(ValueError, match="partition column"):
+            IncrementalRollup(engine, "db.src3", "db.agg3",
+                              group_cols=["event_type"], agg=_agg)

@@ -160,8 +160,10 @@ class TestLogOnBackends:
 
 def _hammer(args):
     """Cross-process commit writer (module-level: must pickle)."""
-    location, n_commits, worker = args
-    log = FileTableVersions(location)
+    location, n_commits, worker, backend = args
+    storage = (ObjectStoreStorage() if backend == "objectstore"
+               else LocalStorage())
+    log = FileTableVersions(location, storage)
     for i in range(n_commits):
         log.commit(TableName("db", "t"), TableUpdate(
             TableUpdateMetadata.create(f"w{worker}", f"c{i}"),
@@ -171,18 +173,24 @@ def _hammer(args):
 
 
 class TestMultiprocessCommitCAS:
-    def test_pointer_never_regresses_under_process_race(self, tmp_path):
+    @pytest.mark.parametrize("backend", ["local", "objectstore"])
+    def test_pointer_never_regresses_under_process_race(self, tmp_path,
+                                                        backend):
         """16 OS processes hammer commit() on one table: every commit must
         land in a distinct seq slot, the fold must contain every partition,
         and the pointer must end exactly at head (update_atomic's monotone
-        guard is flock-serialized across processes)."""
+        guard — flock locally, conditional-put emulation on the object
+        backend — is serialized across processes)."""
+        storage = (ObjectStoreStorage() if backend == "objectstore"
+                   else LocalStorage())
         location = str(tmp_path / "tbl")
-        log = FileTableVersions(location)
+        log = FileTableVersions(location, storage)
         log.init(T, is_snapshot=False, user_id="u", message="init")
         n_workers, n_commits = 16, 3
         with multiprocessing.Pool(n_workers) as pool:
             done = pool.map(_hammer,
-                            [(location, n_commits, w) for w in range(n_workers)])
+                            [(location, n_commits, w, backend)
+                             for w in range(n_workers)])
         assert sorted(done) == list(range(n_workers))
         state = log.table_state(T)
         assert len(state.updates) == n_workers * n_commits + 1
