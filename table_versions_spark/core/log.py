@@ -394,6 +394,8 @@ def write_table_meta(defn: TableDefinition,
         "format": defn.format,
         "schema_ddl": defn.schema_ddl,
         "merge_schema": defn.merge_schema,
+        "bucket_columns": list(defn.bucket_columns),
+        "bucket_count": defn.bucket_count,
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
 
@@ -415,4 +417,6 @@ def read_table_meta(location: str,
         format=d["format"],
         schema_ddl=d.get("schema_ddl"),
         merge_schema=d.get("merge_schema", False),
+        bucket_columns=tuple(d.get("bucket_columns", ())),
+        bucket_count=d.get("bucket_count", 0),
     )

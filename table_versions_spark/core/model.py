@@ -228,6 +228,14 @@ class TableDefinition:
     # added columns. (Schema evolution is unsupported in the reference —
     # SURVEY §1.3 — this closes that gap.)
     merge_schema: bool = False
+    # Hive-style bucket spec: (columns tuple, bucket count). Declared at
+    # create_table; every insert then hash-clusters rows into exactly
+    # ``count`` write tasks on these columns, so the file NAME's task index
+    # is the bucket id (part-00003-... = bucket 3 — the same filename
+    # contract Hive bucketing uses). Enables bucket-wise map joins between
+    # co-bucketed tables (see engine.bucketed_join).
+    bucket_columns: tuple[str, ...] = ()
+    bucket_count: int = 0
 
     @property
     def is_snapshot(self) -> bool:

@@ -43,6 +43,7 @@ import uuid as _uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from .core.log import (
     FileTableVersions,
@@ -104,7 +105,9 @@ class VersionedEngine:
     def create_table(self, table: TableName | str, schema_ddl: str | None = None,
                      partition_columns: list[str] | None = None,
                      format: str = "parquet", user_id: str = "unknown",
-                     message: str = "init") -> TableDefinition:
+                     message: str = "init",
+                     bucket_columns: list[str] | None = None,
+                     bucket_count: int = 0) -> TableDefinition:
         """Create + init a versioned table (idempotent).
 
         Replaces the reference's user-side ``CREATE EXTERNAL TABLE`` DDL +
@@ -113,12 +116,16 @@ class VersionedEngine:
         """
         if isinstance(table, str):
             table = TableName.parse(table)
+        if bool(bucket_columns) != bool(bucket_count):
+            raise ValueError("bucket_columns and bucket_count go together")
         defn = TableDefinition(
             name=table,
             location=self.table_location(table),
             partition_schema=PartitionSchema(tuple(partition_columns or ())),
             format=format,
             schema_ddl=schema_ddl,
+            bucket_columns=tuple(bucket_columns or ()),
+            bucket_count=bucket_count,
         )
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
@@ -347,6 +354,9 @@ class VersionedEngine:
                         version: Version) -> list:
         """Snapshot write: ``<location>/<label>/``
         (reference ``VersionContext.scala:75-78``)."""
+        if defn.bucket_count:
+            df = df.repartition(defn.bucket_count,
+                                *[F_col(c) for c in defn.bucket_columns])
         target = path_for(defn.location, version)
         df.write.format(defn.format).mode("errorifexists").save(target)
         return [AddTableVersion(version)]
@@ -366,7 +376,15 @@ class VersionedEngine:
         missing = [c for c in pcols if c not in df.columns]
         if missing:
             raise ValueError(f"DataFrame missing partition columns: {missing}")
-        if distribute:
+        if defn.bucket_count:
+            # hash-cluster into exactly bucket_count write tasks on the
+            # bucket columns: task index == bucket id rides the part-file
+            # name (Hive bucketing's filename contract); deterministic
+            # Murmur3 hash partitioning makes co-bucketed tables join
+            # bucket-by-bucket (see bucketed_join)
+            df = df.repartition(defn.bucket_count,
+                                *[F_col(c) for c in defn.bucket_columns])
+        elif distribute:
             df = df.repartition(*pcols)
         staging = os.path.join(defn.location, f"_staging-{version.label}")
         # maxRecordsPerFile keeps a skewed/huge partition from producing one
@@ -533,6 +551,98 @@ class VersionedEngine:
 
         defn, log = self._log(table)
         return _sync(self.spark, defn, log, catalog_table)
+
+    def bucketed_join(self, left: TableName | str, right: TableName | str,
+                      how: str = "inner") -> DataFrame:
+        """Bucket-wise map join of two co-bucketed versioned tables.
+
+        Both tables must share an identical bucket spec (columns + count,
+        declared at ``create_table``). Each insert hash-clusters rows into
+        exactly ``bucket_count`` write tasks on the bucket columns, and the
+        write task's index rides the part-file name — so bucket *b* of the
+        left table can only match bucket *b* of the right table (same
+        deterministic Murmur3 hash partitioning). This method builds the
+        union of the per-bucket joins.
+
+        Why this matters at 100 TB: a dimension table too large to
+        broadcast WHOLE (say 100 GB) still has broadcastable BUCKETS
+        (100 GB / 1024 ≈ 100 MB), so every branch becomes a broadcast hash
+        join and the fact table is never shuffled — the classic Hive
+        "bucket map join", expressed over versioned file sets. Without
+        co-bucketing the same join shuffles both sides on the key.
+
+        The join keys are the bucket columns. Branch count equals
+        ``bucket_count``; keep it ≲ a few thousand or the union plan itself
+        gets heavy (documented Hive guidance applies).
+        """
+        ldefn, _ = self._log(left)
+        rdefn, _ = self._log(right)
+        for d in (ldefn, rdefn):
+            if not d.bucket_count:
+                raise ValueError(
+                    f"{d.name.fully_qualified_name} is not bucketed; "
+                    "declare bucket_columns/bucket_count at create_table")
+        if (ldefn.bucket_columns != rdefn.bucket_columns
+                or ldefn.bucket_count != rdefn.bucket_count):
+            raise ValueError(
+                "bucket specs differ: "
+                f"{ldefn.bucket_columns}×{ldefn.bucket_count} vs "
+                f"{rdefn.bucket_columns}×{rdefn.bucket_count}")
+        keys = list(ldefn.bucket_columns)
+        lbuckets = self._bucket_files(ldefn)
+        rbuckets = self._bucket_files(rdefn)
+        from pyspark.sql import functions as F
+
+        branches = []
+        for b in range(ldefn.bucket_count):
+            lf, rf = lbuckets.get(b, []), rbuckets.get(b, [])
+            if not lf and not rf:
+                continue
+            if how == "inner" and (not lf or not rf):
+                continue  # inner join: a missing side yields no rows
+            ldf = self._read_files(ldefn, lf)
+            rdf = self._read_files(rdefn, rf)
+            branches.append(ldf.join(F.broadcast(rdf), keys, how))
+        if not branches:
+            raise UnknownTableError("both tables are empty")
+        out = branches[0]
+        for br in branches[1:]:
+            out = out.unionByName(br)
+        return out
+
+    def _bucket_files(self, defn: TableDefinition) -> dict[int, list[str]]:
+        """Current state's data files grouped by bucket id parsed from the
+        part-file name (Hive's filename contract; append-linked files keep
+        their original part index inside the prefixed name)."""
+        import re
+
+        state = FileTableVersions(defn.location, self.storage) \
+            .current_version(defn.name)
+        if isinstance(state, SnapshotTableVersion):
+            dirs = ([] if state.version == UNVERSIONED
+                    else [path_for(defn.location, state.version)])
+        else:
+            dirs = [os.path.join(defn.location, p.render(), v.label)
+                    for p, v in state.partition_versions.items()]
+        out: dict[int, list[str]] = {}
+        for d in dirs:
+            for name in self.storage.list_dir(d):
+                if name.startswith((".", "_")):
+                    continue
+                m = re.search(r"part-(\d+)", name)
+                if m:
+                    out.setdefault(int(m.group(1)), []).append(
+                        os.path.join(d, name))
+        return out
+
+    def _read_files(self, defn: TableDefinition, files: list[str]) -> DataFrame:
+        if not files:
+            return self._empty(defn)
+        reader = self.spark.read.format(defn.format)
+        if defn.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return self._declared_types(
+            reader.option("basePath", defn.location).load(files), defn)
 
     def sync_cloud_catalog(self, table: TableName | str, client) -> int:
         """Point a Glue-style cloud catalog at the current versioned

@@ -695,3 +695,65 @@ class TestStatsInCommitLog:
         hit = engine.read("db.sck", stats_filter={"id": 1})
         assert all("d=early" in f for f in hit.inputFiles())
         assert hit.count() == 1
+
+
+class TestBucketedTables:
+    def test_bucketed_join_matches_plain_join_without_smj(self, spark, engine):
+        """Co-bucketed tables join bucket-by-bucket: results equal the plain
+        join, and the plan is all broadcast joins — no SortMergeJoin, i.e.
+        the fact side is never shuffled on the key."""
+        fact_ddl = "k bigint, v double, d string"
+        dim_ddl = "k bigint, name string"
+        engine.create_table("db.fact", schema_ddl=fact_ddl,
+                            partition_columns=["d"],
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.dim", schema_ddl=dim_ddl,
+                            bucket_columns=["k"], bucket_count=4)
+        fact = spark.createDataFrame(
+            [(i, float(i), f"d{i % 3}") for i in range(60)], fact_ddl)
+        dim = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(0, 60, 2)], dim_ddl)
+        engine.insert(fact, "db.fact", "u", "facts")
+        engine.insert(dim, "db.dim", "u", "dims")
+
+        got = engine.bucketed_join("db.fact", "db.dim")
+        want = engine.read("db.fact").join(engine.read("db.dim"), "k")
+        assert (sorted(tuple(r) for r in got.select("k", "v", "name").collect())
+                == sorted(tuple(r) for r in want.select("k", "v", "name").collect()))
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+
+    def test_bucket_spec_mismatch_rejected(self, spark, engine):
+        engine.create_table("db.b4", schema_ddl="k bigint, v double",
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.b8", schema_ddl="k bigint, v double",
+                            bucket_columns=["k"], bucket_count=8)
+        engine.create_table("db.nb", schema_ddl="k bigint, v double")
+        with pytest.raises(ValueError, match="bucket specs differ"):
+            engine.bucketed_join("db.b4", "db.b8")
+        with pytest.raises(ValueError, match="not bucketed"):
+            engine.bucketed_join("db.b4", "db.nb")
+
+    def test_bucketing_survives_partition_overwrite(self, spark, engine):
+        """A reprocessed partition is re-bucketed by the insert; the join
+        still pairs buckets correctly across versions."""
+        fact_ddl = "k bigint, v double, d string"
+        engine.create_table("db.fct2", schema_ddl=fact_ddl,
+                            partition_columns=["d"],
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.dim2", schema_ddl="k bigint, name string",
+                            bucket_columns=["k"], bucket_count=4)
+        engine.insert(spark.createDataFrame(
+            [(i, 1.0, f"d{i % 2}") for i in range(20)], fact_ddl),
+            "db.fct2", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(i, f"n{i}") for i in range(20)], "k bigint, name string"),
+            "db.dim2", "u", "dims")
+        # overwrite d0 with doubled values
+        engine.insert(spark.createDataFrame(
+            [(i, 2.0, "d0") for i in range(0, 20, 2)], fact_ddl),
+            "db.fct2", "u", "reprocess d0")
+        got = engine.bucketed_join("db.fct2", "db.dim2")
+        want = engine.read("db.fct2").join(engine.read("db.dim2"), "k")
+        assert (sorted(tuple(r) for r in got.select("k", "v", "name").collect())
+                == sorted(tuple(r) for r in want.select("k", "v", "name").collect()))
