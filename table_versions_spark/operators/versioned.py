@@ -128,6 +128,58 @@ def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-wise map join of co-bucketed versioned tables (engine
+    ``bucketed_join``): lineitem and orders bucketed 8 ways on the order
+    key; the result must be identical to the plain join — bucketing is a
+    physical-layout optimization, invisible in the answer."""
+    eng = _engine(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice")
+    li_ddl = "l_orderkey bigint, l_linenumber int, l_extendedprice double"
+    od_ddl = "l_orderkey bigint, o_totalprice double"
+    eng.create_table("vx.bli", schema_ddl=li_ddl,
+                     bucket_columns=["l_orderkey"], bucket_count=8)
+    eng.create_table("vx.bod", schema_ddl=od_ddl,
+                     bucket_columns=["l_orderkey"], bucket_count=8)
+    eng.insert(li, "vx.bli", "tester", "lineitems")
+    eng.insert(od, "vx.bod", "tester", "orders")
+    return (eng.bucketed_join("vx.bli", "vx.bod")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "o_totalprice"))
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: full build, then the
+    earliest day is reprocessed with doubled values and ONLY that day is
+    re-aggregated (IncrementalRollup over the commit-log diff). The final
+    aggregate must equal the from-scratch aggregation."""
+    from ..rollup import IncrementalRollup
+
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.rsrc", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.rsrc", "tester", "all days")
+
+    def agg(df):
+        return df.groupBy("event_date", "event_type").agg(
+            F.round(F.sum("value"), 2).alias("total"),
+            F.count("*").alias("n"))
+
+    roll = IncrementalRollup(eng, "vx.rsrc", "vx.ragg",
+                             group_cols=["event_date", "event_type"], agg=agg)
+    roll.refresh(user_id="tester")  # full build
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("value", F.col("value") * 2),
+               "vx.rsrc", "tester", "reprocess earliest day")
+    roll.refresh(user_id="tester")  # incremental: only the changed day
+    return eng.read("vx.ragg").select("event_date", "event_type", "total", "n")
+
+
 QUERIES = {
     "q_snapshot_replace": q_snapshot_replace,
     "q_time_travel": q_time_travel,
@@ -135,6 +187,8 @@ QUERIES = {
     "q_partition_prune": q_partition_prune,
     "q_upsert": q_upsert,
     "q_delete": q_delete,
+    "q_bucketed_join": q_bucketed_join,
+    "q_rollup_incremental": q_rollup_incremental,
 }
 
 ORACLES = {
@@ -161,4 +215,14 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
+    "q_bucketed_join": (
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, "
+        "o.o_totalprice FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey"),
+    "q_rollup_incremental": (
+        "SELECT CAST(ts AS DATE) AS event_date, event_type, "
+        "ROUND(SUM(CASE WHEN CAST(ts AS DATE) = "
+        f"{_MIN_DATE_SQL} THEN value * 2 ELSE value END), 2) AS total, "
+        "COUNT(*) AS n FROM events "
+        "GROUP BY CAST(ts AS DATE), event_type"),
 }
