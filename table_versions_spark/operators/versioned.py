@@ -147,8 +147,10 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.insert(li, "vx.bli", "tester", "lineitems")
     eng.insert(od, "vx.bod", "tester", "orders")
     return (eng.bucketed_join("vx.bli", "vx.bod")
-            .select("l_orderkey", "l_linenumber", "l_extendedprice",
-                    "o_totalprice"))
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                 F.count("*").alias("n_items"),
+                 F.round(F.max("o_totalprice"), 2).alias("o_totalprice")))
 
 
 def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,9 +218,10 @@ ORACLES = {
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
     "q_bucketed_join": (
-        "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, "
-        "o.o_totalprice FROM lineitem l "
-        "JOIN orders o ON l.l_orderkey = o.o_orderkey"),
+        "SELECT l.l_orderkey, ROUND(SUM(l.l_extendedprice), 2) AS sum_price, "
+        "COUNT(*) AS n_items, ROUND(MAX(o.o_totalprice), 2) AS o_totalprice "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY l.l_orderkey"),
     "q_rollup_incremental": (
         "SELECT CAST(ts AS DATE) AS event_date, event_type, "
         "ROUND(SUM(CASE WHEN CAST(ts AS DATE) = "
