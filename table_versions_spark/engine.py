@@ -425,7 +425,8 @@ class VersionedEngine:
     def read(self, table: TableName | str, at_commit: str | None = None,
              partition_filter: dict | None = None,
              stats_filter: dict | None = None,
-             at_timestamp=None) -> DataFrame:
+             at_timestamp=None,
+             bucket_filter: dict | None = None) -> DataFrame:
         """Read the current (or time-travel) state of a versioned table.
 
         Equivalent of reference ``spark.table(fqn)`` resolution via Hive
@@ -447,8 +448,18 @@ class VersionedEngine:
         time from parquet footers into the commit record (Delta-style);
         a dir without stats is always read — skipping is only ever an
         optimization, never a filter: apply the real ``.where()`` on top.
+
+        ``bucket_filter`` (bucketed tables only) prunes at FILE granularity:
+        ``{"k": value}`` computes the key's bucket id with the same Murmur3
+        hash HashPartitioning used at write time (driver-side, no Spark
+        job) and reads only that bucket's files — a point lookup touches
+        1/bucket_count of the data. Like stats_filter it selects a
+        SUPERSET (same-bucket keys ride along): apply the ``.where()`` on
+        top.
         """
         defn, log = self._log(table)
+        if bucket_filter:
+            self._validate_bucket_filter(defn, bucket_filter)
         if at_timestamp is not None:
             if at_commit is not None:
                 raise ValueError("Pass at_commit or at_timestamp, not both")
@@ -468,6 +479,9 @@ class VersionedEngine:
             if stats_filter and _stats_exclude(
                     smap.get(state.version.label), stats_filter):
                 return self._empty(defn)
+            if bucket_filter:
+                files = self._bucket_filter_files(defn, [sdir], bucket_filter)
+                return self._read_files(defn, files)
             return reader.load(sdir)
         partitions = state.partition_versions
         if partition_filter:
@@ -493,6 +507,9 @@ class VersionedEngine:
                  for p, v in sorted(partitions.items())]
         if not paths:
             return self._empty(defn)
+        if bucket_filter:
+            files = self._bucket_filter_files(defn, paths, bucket_filter)
+            return self._read_files(defn, files)
         return self._declared_types(
             reader.option("basePath", defn.location).load(paths), defn)
 
@@ -634,6 +651,41 @@ class VersionedEngine:
                     out.setdefault(int(m.group(1)), []).append(
                         os.path.join(d, name))
         return out
+
+    def _bucket_filter_files(self, defn: TableDefinition, dirs: list[str],
+                             bucket_filter: dict) -> list[str]:
+        """Files of the single bucket the filtered key hashes to, across the
+        given version dirs. Driver-side Murmur3 (core/sparkhash.py) — the
+        exact hash repartition(n, cols) used at write time."""
+        import re
+
+        from .core.sparkhash import bucket_id
+
+        types = {f.name: f.dataType.simpleString() for f in
+                 self.spark.createDataFrame([], defn.schema_ddl).schema.fields}
+        b = bucket_id([bucket_filter[c] for c in defn.bucket_columns],
+                      [types[c] for c in defn.bucket_columns],
+                      defn.bucket_count)
+        out = []
+        for d in dirs:
+            for name in self.storage.list_dir(d):
+                if name.startswith((".", "_")):
+                    continue
+                m = re.search(r"part-(\d+)", name)
+                if m and int(m.group(1)) == b:
+                    out.append(os.path.join(d, name))
+        return out
+
+    def _validate_bucket_filter(self, defn: TableDefinition,
+                                bucket_filter: dict) -> None:
+        if not defn.bucket_count:
+            raise ValueError(
+                f"{defn.name.fully_qualified_name} is not bucketed; "
+                "bucket_filter needs bucket_columns/bucket_count")
+        if set(bucket_filter) != set(defn.bucket_columns):
+            raise ValueError(
+                f"bucket_filter must cover exactly the bucket columns "
+                f"{list(defn.bucket_columns)}, got {sorted(bucket_filter)}")
 
     def _read_files(self, defn: TableDefinition, files: list[str]) -> DataFrame:
         if not files:

@@ -757,3 +757,56 @@ class TestBucketedTables:
         want = engine.read("db.fct2").join(engine.read("db.dim2"), "k")
         assert (sorted(tuple(r) for r in got.select("k", "v", "name").collect())
                 == sorted(tuple(r) for r in want.select("k", "v", "name").collect()))
+
+
+class TestBucketPrunedReads:
+    def test_sparkhash_matches_spark(self, spark):
+        """Driver-side Murmur3 must be bit-identical to Spark's hash()."""
+        from pyspark.sql import functions as F
+
+        from table_versions_spark.core.sparkhash import (
+            hash_bytes, hash_int, hash_long)
+
+        longs = [0, 1, -1, 42, 2**40, -2**40, 123456789012]
+        ints = [0, 1, -1, 42, 2**30, -5]
+        strs = ["", "a", "abc", "abcd", "hello world", "x:y", "日本語"]
+        got = [r[0] for r in spark.createDataFrame(
+            [(v,) for v in longs], "v long").select(F.hash("v")).collect()]
+        assert got == [hash_long(v) for v in longs]
+        got = [r[0] for r in spark.createDataFrame(
+            [(v,) for v in ints], "v int").select(F.hash("v")).collect()]
+        assert got == [hash_int(v) for v in ints]
+        got = [r[0] for r in spark.createDataFrame(
+            [(v,) for v in strs], "v string").select(F.hash("v")).collect()]
+        assert got == [hash_bytes(v.encode("utf-8")) for v in strs]
+
+    def test_point_read_touches_one_bucket(self, spark, engine):
+        ddl = "k bigint, v double, d string"
+        engine.create_table("db.bpr", schema_ddl=ddl,
+                            partition_columns=["d"],
+                            bucket_columns=["k"], bucket_count=8)
+        rows_ = [(i, float(i), f"d{i % 2}") for i in range(200)]
+        engine.insert(spark.createDataFrame(rows_, ddl), "db.bpr", "u", "load")
+        full_files = len(engine.read("db.bpr").inputFiles())
+        for key in (0, 7, 123):
+            got = engine.read("db.bpr", bucket_filter={"k": key})
+            # superset semantics: all rows with k==key are present
+            assert [r["k"] for r in got.where(f"k = {key}").collect()] == [key]
+            # and only one bucket's files were listed
+            assert 0 < len(got.inputFiles()) <= full_files // 4
+        with pytest.raises(ValueError, match="not bucketed"):
+            engine.create_table("db.nbf", schema_ddl=ddl,
+                                partition_columns=["d"])
+            engine.read("db.nbf", bucket_filter={"k": 1})
+        with pytest.raises(ValueError, match="cover exactly"):
+            engine.read("db.bpr", bucket_filter={"v": 1.0})
+
+    def test_string_bucket_key(self, spark, engine):
+        ddl = "name string, v bigint"
+        engine.create_table("db.bps", schema_ddl=ddl,
+                            bucket_columns=["name"], bucket_count=4)
+        engine.insert(spark.createDataFrame(
+            [(f"user-{i}", i) for i in range(50)], ddl), "db.bps", "u", "load")
+        got = engine.read("db.bps", bucket_filter={"name": "user-17"})
+        assert [r["v"] for r in got.where("name = 'user-17'").collect()] == [17]
+        assert len(got.inputFiles()) < len(engine.read("db.bps").inputFiles())
