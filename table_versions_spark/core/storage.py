@@ -85,6 +85,10 @@ class Storage:
         """Binary file-like for reading (parquet footers etc.)."""
         raise NotImplementedError
 
+    def file_size(self, path: str) -> int:
+        """Size in bytes of a single file/object (0 if unknown)."""
+        raise NotImplementedError
+
     def write_atomic(self, path: str, data: str) -> None:
         """Overwrite so that readers never observe partial content."""
         raise NotImplementedError
@@ -153,6 +157,12 @@ class LocalStorage(Storage):
 
     def open_input(self, path):
         return open(_strip_scheme(path), "rb")
+
+    def file_size(self, path):
+        try:
+            return os.path.getsize(_strip_scheme(path))
+        except OSError:
+            return 0
 
     def write_atomic(self, path, data):
         path = _strip_scheme(path)
@@ -307,6 +317,12 @@ class ObjectStoreStorage(Storage):
     def open_input(self, path):
         return io.BytesIO(self._get(path))
 
+    def file_size(self, path):
+        try:
+            return os.path.getsize(_strip_scheme(path))
+        except OSError:
+            return 0
+
     def write_atomic(self, path, data):
         self._put(path, data.encode("utf-8"))
 
@@ -436,6 +452,10 @@ class MemoryStorage(ObjectStoreStorage):
 
     def _exists_key(self, path):
         return self._norm(path) in self._objects
+
+    def file_size(self, path):
+        obj = self._objects.get(self._norm(path))
+        return len(obj) if obj is not None else 0
 
     def update_atomic(self, path, fn):
         with self._lock:
@@ -596,6 +616,14 @@ class S3Storage(ObjectStoreStorage):
             return True
         except Exception:  # noqa: BLE001 — 404 ⇒ absent
             return False
+
+    def file_size(self, path):
+        bucket, key = self._parse(path)
+        try:
+            return self._s3.head_object(Bucket=bucket,
+                                        Key=key)["ContentLength"]
+        except Exception:  # noqa: BLE001
+            return 0
 
     def makedirs(self, path):
         pass  # no directories on S3

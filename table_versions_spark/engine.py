@@ -610,6 +610,16 @@ class VersionedEngine:
         rbuckets = self._bucket_files(rdefn)
         from pyspark.sql import functions as F
 
+        # broadcast the SMALLER side of each bucket pair, and only when it
+        # is under Spark's broadcast threshold — a bucket of a fact-sized
+        # table must not be forced into a broadcast (OOM); that branch
+        # falls back to a plain (still bucket-local) join
+        threshold = _parse_bytes_conf(self.spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"))
+
+        def _size(files: list[str]) -> int:
+            return sum(self.storage.file_size(f) for f in files)
+
         branches = []
         for b in range(ldefn.bucket_count):
             lf, rf = lbuckets.get(b, []), rbuckets.get(b, [])
@@ -619,7 +629,13 @@ class VersionedEngine:
                 continue  # inner join: a missing side yields no rows
             ldf = self._read_files(ldefn, lf)
             rdf = self._read_files(rdefn, rf)
-            branches.append(ldf.join(F.broadcast(rdf), keys, how))
+            lsz, rsz = _size(lf), _size(rf)
+            if min(lsz, rsz) <= threshold > 0:
+                if rsz <= lsz:
+                    rdf = F.broadcast(rdf)
+                else:
+                    ldf = F.broadcast(ldf)
+            branches.append(ldf.join(rdf, keys, how))
         if not branches:
             raise UnknownTableError("both tables are empty")
         out = branches[0]
@@ -909,6 +925,20 @@ def _stats_exclude(stats_payload: dict | None, stats_filter: dict) -> bool:
         except TypeError:
             continue  # filter/stat type mismatch ⇒ cannot prove, don't skip
     return False
+
+
+def _parse_bytes_conf(value, default: int = 10485760) -> int:
+    """Spark size confs come as '10485760', '10MB', '10m', or '-1'."""
+    try:
+        v = str(value).strip().lower()
+        for suffix, mult in (("kb", 2**10), ("mb", 2**20), ("gb", 2**30),
+                             ("k", 2**10), ("m", 2**20), ("g", 2**30),
+                             ("b", 1)):
+            if v.endswith(suffix):
+                return int(float(v[:-len(suffix)]) * mult)
+        return int(v)
+    except (ValueError, TypeError):
+        return default
 
 
 def _null_safe_cond(cols: list[str], left_alias: str, right_alias: str):
