@@ -360,8 +360,71 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "vec_id_a long, vec_id_b long, cos_sim double"))
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    near-dup pair graph (``q_dedup_ngram`` edges), labeling every document
+    with the minimum doc_id of its component — the canonical representative
+    a dedup pipeline keeps.
+
+    Distributed min-label propagation: every vertex starts as its own label;
+    each round propagates labels one hop along the (symmetrized) edge set and
+    keeps the minimum; fixpoint after O(component diameter) rounds. Labels
+    are monotonically non-increasing, so "sum of labels unchanged" is an
+    exact convergence test costing one scalar aggregate per round (no row
+    comparison join). Each round is one equi-join + one map-side-combined
+    min-groupBy; labels re-materialize to scratch parquet per round so the
+    plan/lineage stays O(1) deep regardless of iteration count (the classic
+    iterative-algorithm-on-Spark discipline; GraphX/GraphFrames use the same
+    shape). Near-dup components are tiny and near-cliques in practice, so
+    rounds ≈ 2–3; the edge table is materialized once and reused.
+
+    Oracle: DuckDB recursive CTE computing min reachable id over the same
+    edge set — exact hash-match including singleton documents.
+    """
+    import os
+
+    edges = (q_dedup_ngram(spark, sf_dir)
+             .select("doc_id_a", "doc_id_b"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    edge_dir = scratch_dir(spark, f"dedup-edges-{tag}")
+    edges.write.mode("overwrite").parquet(edge_dir)
+    edges = spark.read.parquet(edge_dir)
+    sym = (edges.select(F.col("doc_id_a").alias("src"),
+                        F.col("doc_id_b").alias("dst"))
+           .unionByName(edges.select(F.col("doc_id_b").alias("src"),
+                                     F.col("doc_id_a").alias("dst"))))
+
+    labels = (load(spark, sf_dir, "documents")
+              .select("doc_id", F.col("doc_id").alias("label")))
+    lab_dir = scratch_dir(spark, f"dedup-labels-{tag}")
+    prev_sum = None
+    for it in range(64):  # diameter bound; near-dup graphs converge in ~3
+        neigh = (sym.join(labels, sym.src == labels.doc_id)
+                 .select(F.col("dst").alias("doc_id"), "label")
+                 .groupBy("doc_id").agg(F.min("label").alias("nbr_label")))
+        labels = (labels.join(neigh, "doc_id", "left")
+                  .select("doc_id",
+                          F.least("label", F.coalesce("nbr_label", "label"))
+                           .alias("label")))
+        step_dir = f"{lab_dir}-{it % 2}"
+        labels.write.mode("overwrite").parquet(step_dir)
+        labels = spark.read.parquet(step_dir)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    from pyspark.sql import Window
+
+    return (labels.withColumnRenamed("label", "group_id")
+            .withColumn("group_size",
+                        F.count("*").over(Window.partitionBy("group_id"))
+                         .cast("bigint")))
+
+
 QUERIES = {
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_groups": q_dedup_groups,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_embedding": q_dedup_embedding,
@@ -377,26 +440,45 @@ _NGRAM_SH_H = ("list_distinct(list_transform("
                "range(1, greatest(length(text) - 4, 1) + 1), "
                "i -> hash(substring(text, i, 5))))")
 
+# Shared CTE chain ending in `pairs` = the exact ngram near-dup pair set;
+# reused by the q_dedup_ngram oracle and as the edge set of q_dedup_groups.
+_NGRAM_PAIRS_CTES = (
+    "d AS (SELECT doc_id, "
+    f"{_NGRAM_SH_H} AS sh, {_NGRAM_SH} AS sh_str FROM documents), "
+    "postings AS (SELECT doc_id, unnest(sh_str) AS g FROM d), "
+    "dfreq AS (SELECT g, count(*) AS df FROM postings GROUP BY g "
+    f"HAVING count(*) >= 2 AND count(*) <= {NGRAM_DF_CAP}), "
+    "ranked AS (SELECT p.doc_id, p.g, ROW_NUMBER() OVER "
+    "(PARTITION BY p.doc_id ORDER BY f.df, p.g) AS rn "
+    "FROM postings p JOIN dfreq f USING (g)), "
+    f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
+    "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id), "
+    "pairs AS (SELECT doc_id_a, doc_id_b, jaccard FROM ("
+    "SELECT c.doc_id_a, c.doc_id_b, "
+    "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+    "len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
+    "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
+    "JOIN d y ON c.doc_id_b = y.doc_id) "
+    f"WHERE jaccard >= {JACCARD_THRESHOLD})")
+
 ORACLES = {
     "q_dedup_ngram": (
-        "WITH d AS (SELECT doc_id, "
-        f"{_NGRAM_SH_H} AS sh, {_NGRAM_SH} AS sh_str FROM documents), "
-        "postings AS (SELECT doc_id, unnest(sh_str) AS g FROM d), "
-        "dfreq AS (SELECT g, count(*) AS df FROM postings GROUP BY g "
-        f"HAVING count(*) >= 2 AND count(*) <= {NGRAM_DF_CAP}), "
-        "ranked AS (SELECT p.doc_id, p.g, ROW_NUMBER() OVER "
-        "(PARTITION BY p.doc_id ORDER BY f.df, p.g) AS rn "
-        "FROM postings p JOIN dfreq f USING (g)), "
-        f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
-        "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
-        "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id) "
-        "SELECT doc_id_a, doc_id_b, jaccard FROM ("
-        "SELECT c.doc_id_a, c.doc_id_b, "
-        "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
-        "len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard "
-        "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
-        "JOIN d y ON c.doc_id_b = y.doc_id) "
-        f"WHERE jaccard >= {JACCARD_THRESHOLD}"),
+        f"WITH {_NGRAM_PAIRS_CTES} "
+        "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"),
+    "q_dedup_groups": (
+        # min-reachable-id per vertex == min doc_id of the connected
+        # component (edge set symmetrized; every document is its own base
+        # label, so singletons come out labeled with themselves)
+        f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+        "e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id), "
+        "grp AS (SELECT id AS doc_id, MIN(lab) AS group_id "
+        "FROM reach GROUP BY id) "
+        "SELECT doc_id, group_id, CAST(COUNT(*) OVER "
+        "(PARTITION BY group_id) AS BIGINT) AS group_size FROM grp"),
     "q_dedup_embedding": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -98,12 +98,52 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_K))
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the standard
+    vector-index compression step: 4× smaller than float32, distance error
+    bounded by the per-vector scale).
+
+    Per vector: ``scale = 127 / max|x|``; each component maps to
+    ``floor(x·scale + 0.5)`` (round-half-up — portable IEEE arithmetic,
+    unlike banker's rounding which differs across engines). One codegen'd
+    scan, no shuffle, no Python. The int8 vector is emitted as a
+    comma-joined string — the value-hash harness canonicalizes scalars, not
+    arrays, and the bytes are identical either way."""
+    emb = load(spark, sf_dir, "embeddings")
+    vec = as_double_array(F.col("embedding"))
+    staged = emb.select(
+        "vec_id", vec.alias("v"),
+        F.array_max(F.transform(vec, F.abs)).alias("max_abs"))
+    scale = (F.when(F.col("max_abs") == 0, F.lit(0.0))
+             .otherwise(F.lit(127.0) / F.col("max_abs")))
+    scaled = staged.select("vec_id", "v", scale.alias("scale"))
+    q8 = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"))
+    return scaled.select(
+        "vec_id", "scale",
+        F.concat_ws(",", F.transform(q8, lambda x: x.cast("string")))
+         .alias("q8"))
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_embed_quantize": q_embed_quantize,
 }
 
 ORACLES = {
+    "q_embed_quantize": (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "s AS (SELECT vec_id, v, "
+        "CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0 "
+        "ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale "
+        "FROM v) "
+        "SELECT vec_id, scale, "
+        "array_to_string(list_transform(v, "
+        "x -> CAST(CAST(floor(x * scale + 0.5) AS INT) AS VARCHAR)), ',') "
+        "AS q8 FROM s"),
     "q_sim_search": (
         "SELECT vec_id, ROUND(list_cosine_similarity("
         "CAST(embedding AS DOUBLE[]), "

@@ -125,8 +125,64 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("doc_id").alias("max_doc")))
 
 
+CHUNK_SIZE = 200   # chars per chunk
+CHUNK_STRIDE = 150  # overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (the standard pre-tokenization
+    step of an LLM training pipeline: long documents → window'd chunks).
+
+    One codegen'd scan: ``sequence`` generates the chunk starts per document,
+    ``explode`` fans them out, ``substr`` slices — no shuffle, no Python, so
+    at 100 TB this is embarrassingly parallel and output-partitioned exactly
+    like the input. Exact DuckDB oracle (``range`` + ``substring``).
+    """
+    docs = load(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.length("text") - 1, F.lit(0)),
+                        F.lit(CHUNK_STRIDE))
+    exploded = docs.select("doc_id", "text", F.explode(starts).alias("start"))
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(CHUNK_SIZE))
+    return exploded.select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("chunk_start"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"))
+
+
+SAMPLE_PCT = 10  # stratified sample keeps ceil(10%) of each language stratum
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ``ceil(10%)`` of every
+    language stratum, chosen by multiplicative hash order (engine-portable,
+    rerun-stable — see q_train_test_split for why not ``rand(seed)``).
+
+    Shape at scale: one hash-partitioned window per stratum — a single
+    shuffle on ``lang``; skewed strata parallelize poorly only if one
+    language dominates, in which case the hash-threshold variant (keep
+    hash < p, no window) is the fallback; the window variant is used here
+    because it gives *exact* per-stratum counts, which training-data recipes
+    usually demand."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    hkey = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
+    ranked = (docs.select("doc_id", "lang", hkey.alias("hkey"))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("lang").orderBy("hkey", "doc_id")))
+              .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    # rn <= ceil(n * PCT/100)  ⇔  rn*100 <= n*PCT + (100-PCT)   (integer-only)
+    return (ranked
+            .where(F.col("rn") * 100 <= F.col("n") * SAMPLE_PCT + (100 - SAMPLE_PCT))
+            .select("doc_id", "lang"))
+
+
 QUERIES = {
     "q_train_test_split": q_train_test_split,
+    "q_chunk_docs": q_chunk_docs,
+    "q_sample_stratified": q_sample_stratified,
     "q_dedup_exact": q_dedup_exact,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
@@ -136,6 +192,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_chunk_docs": (
+        "SELECT doc_id, CAST(start AS BIGINT) AS chunk_start, "
+        f"substring(text, CAST(start AS INT) + 1, {CHUNK_SIZE}) AS chunk_text, "
+        f"CAST(length(substring(text, CAST(start AS INT) + 1, {CHUNK_SIZE})) "
+        "AS BIGINT) AS chunk_len FROM "
+        "(SELECT doc_id, text, unnest(range(0, greatest(length(text), 1), "
+        f"{CHUNK_STRIDE})) AS start FROM documents)"),
+    "q_sample_stratified": (
+        "SELECT doc_id, lang FROM "
+        "(SELECT doc_id, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+        f"(doc_id * {_SPLIT_MIX}) % 1000000007, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        f"WHERE rn * 100 <= n * {SAMPLE_PCT} + {100 - SAMPLE_PCT}"),
     "q_train_test_split": (
         "SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 "
         "THEN 'train' ELSE 'test' END AS split, "

@@ -19,6 +19,8 @@ PARITY_SUBSET = [
     "q_insert_overwrite_partition", "q_date_funcs", "q_date_from_ts",
     "q_multimodal", "q_tpch_q1", "q_tpch_q5", "q_tpch_q18",
     "q_asof_join", "q_range_join", "q_pivot",
+    "q_chunk_docs", "q_sample_stratified", "q_dedup_groups",
+    "q_embed_quantize",
 ]
 
 
@@ -190,3 +192,22 @@ class TestDedupScaleContracts:
         want = {(int(a), int(b)) for a, b in zip(ia, ib) if a < b}
         assert got == want
         assert all((i, i + 300) in got for i in range(20))
+
+    def test_dedup_groups_are_connected_components(self, spark, sf_small):
+        """Label propagation must reach the true fixpoint: both endpoints of
+        every near-dup edge share a group, every group id is the minimum
+        doc_id of its members, and group sizes are consistent."""
+        from table_versions_spark.operators import dedup
+
+        edges = [(r["doc_id_a"], r["doc_id_b"])
+                 for r in dedup.q_dedup_ngram(spark, sf_small).collect()]
+        groups = {r["doc_id"]: (r["group_id"], r["group_size"])
+                  for r in dedup.q_dedup_groups(spark, sf_small).collect()}
+        for a, b in edges:
+            assert groups[a][0] == groups[b][0], (a, b)
+        from collections import Counter
+
+        sizes = Counter(g for g, _ in groups.values())
+        for doc, (g, size) in groups.items():
+            assert g <= doc
+            assert sizes[g] == size
