@@ -52,6 +52,9 @@ HEADLINE = [
     "q_dedup_ngram",
     "q_dedup_embedding",
     "q_dedup_minhash",
+    "q_chunk_docs",
+    "q_sample_stratified",
+    "q_embed_quantize",
 ]
 
 

@@ -166,7 +166,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .distinct())
     # exact verify: shingle sets re-derived JVM-side from the documents
     # table (columnar xxhash64 pass — cheaper than dragging the wide shingle
-    # arrays through the materialization and the candidate shuffle)
+    # arrays through the materialization and the candidate shuffle; a
+    # survivor-id semi-filter before shingling was measured NET SLOWER at
+    # sf0.1 because it needs an extra materialization of the survivor set)
     docs_sh = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
     payload_a = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
@@ -215,8 +217,9 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over a rare-shingle inverted index.
 
     Candidate generation: explode distinct char-5-gram shingles, count each
-    shingle's document frequency (map-side-combined groupBy), keep shingles
-    with df in [2, NGRAM_DF_CAP], and index every document under its
+    shingle's document frequency (count-window over the same postings pass),
+    keep shingles with df in [2, NGRAM_DF_CAP], and index every document
+    under its
     NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window over
     doc_id ordered by (df, shingle) — the string tie-break makes the
     ranking reproducible in the oracle). Candidates are the self-join of
@@ -243,18 +246,32 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end. All shuffles are linear and skew-free (df groupBy combines
     map-side; the window partitions by unique doc_id).
     """
+    import os
+
     from pyspark.sql import Window
 
     docs = _spread(load(spark, sf_dir, "documents"), spark)
     postings = docs.select("doc_id",
                            F.explode(F.expr(_shingle_expr())).alias("g"))
-    dfreq = (postings.groupBy("g").agg(F.count("*").alias("df"))
-             .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
-    ranked = (postings.join(dfreq, "g")
+    # df as a count-window over the SAME postings pass (one explode, one
+    # shuffle on g) instead of a separate groupBy + join — the join plan
+    # re-exploded the corpus once per consumer; measured ~40% of query time
+    # at sf0.1. The df-cap filter shrinks 1M postings to ~10k before the
+    # per-doc ranking window.
+    ranked = (postings
+              .withColumn("df", F.count("*").over(Window.partitionBy("g")))
+              .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP))
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "g")))
               .where(F.col("rn") <= NGRAM_BLOCK_KEYS)
               .select("doc_id", "g"))
+    # materialize the tiny key table once: the candidate self-join consumes
+    # it twice, and without this every side re-runs the whole posting
+    # pipeline (scratch_dir = shared storage on a real cluster)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    keys_dir = scratch_dir(spark, f"ngram-keys-{tag}")
+    ranked.write.mode("overwrite").parquet(keys_dir)
+    ranked = spark.read.parquet(keys_dir)
     cand = (ranked.alias("a").join(ranked.alias("b"), "g")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_id_a"),
@@ -366,17 +383,22 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the minimum doc_id of its component — the canonical representative
     a dedup pipeline keeps.
 
-    Distributed min-label propagation: every vertex starts as its own label;
-    each round propagates labels one hop along the (symmetrized) edge set and
-    keeps the minimum; fixpoint after O(component diameter) rounds. Labels
-    are monotonically non-increasing, so "sum of labels unchanged" is an
-    exact convergence test costing one scalar aggregate per round (no row
-    comparison join). Each round is one equi-join + one map-side-combined
-    min-groupBy; labels re-materialize to scratch parquet per round so the
-    plan/lineage stays O(1) deep regardless of iteration count (the classic
-    iterative-algorithm-on-Spark discipline; GraphX/GraphFrames use the same
-    shape). Near-dup components are tiny and near-cliques in practice, so
-    rounds ≈ 2–3; the edge table is materialized once and reused.
+    Distributed min-label propagation over the *edge-touched vertices only*
+    — documents in no near-dup pair can never change label, so they bypass
+    the loop entirely and rejoin as singletons at the end (at corpus scale
+    duplicates are a small fraction, so the iterated table is orders of
+    magnitude smaller than the corpus). Each vertex starts as its own label;
+    each round propagates labels one hop along the (symmetrized) edge set
+    and keeps the minimum; fixpoint after O(component diameter) rounds.
+    Labels are monotonically non-increasing, so "sum of labels unchanged"
+    is an exact convergence test costing one scalar aggregate per round (no
+    row-comparison join). Each round is one equi-join + one map-side-
+    combined min-groupBy; labels re-materialize to scratch parquet per
+    round so the plan/lineage stays O(1) deep regardless of iteration count
+    (the classic iterative-algorithm-on-Spark discipline; GraphX/
+    GraphFrames use the same shape). Near-dup components are tiny and
+    near-clique in practice, so rounds ≈ 2–3; the edge table is
+    materialized once and reused by every round.
 
     Oracle: DuckDB recursive CTE computing min reachable id over the same
     edge set — exact hash-match including singleton documents.
@@ -394,8 +416,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(edges.select(F.col("doc_id_b").alias("src"),
                                      F.col("doc_id_a").alias("dst"))))
 
-    labels = (load(spark, sf_dir, "documents")
-              .select("doc_id", F.col("doc_id").alias("label")))
+    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
     lab_dir = scratch_dir(spark, f"dedup-labels-{tag}")
     prev_sum = None
     for it in range(64):  # diameter bound; near-dup graphs converge in ~3
@@ -416,7 +438,11 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    return (labels.withColumnRenamed("label", "group_id")
+    singletons = (load(spark, sf_dir, "documents")
+                  .join(labels, "doc_id", "left_anti")
+                  .select("doc_id", F.col("doc_id").alias("label")))
+    return (labels.unionByName(singletons)
+            .withColumnRenamed("label", "group_id")
             .withColumn("group_size",
                         F.count("*").over(Window.partitionBy("group_id"))
                          .cast("bigint")))
@@ -446,11 +472,11 @@ _NGRAM_PAIRS_CTES = (
     "d AS (SELECT doc_id, "
     f"{_NGRAM_SH_H} AS sh, {_NGRAM_SH} AS sh_str FROM documents), "
     "postings AS (SELECT doc_id, unnest(sh_str) AS g FROM d), "
-    "dfreq AS (SELECT g, count(*) AS df FROM postings GROUP BY g "
-    f"HAVING count(*) >= 2 AND count(*) <= {NGRAM_DF_CAP}), "
-    "ranked AS (SELECT p.doc_id, p.g, ROW_NUMBER() OVER "
-    "(PARTITION BY p.doc_id ORDER BY f.df, p.g) AS rn "
-    "FROM postings p JOIN dfreq f USING (g)), "
+    "counted AS (SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df "
+    "FROM postings), "
+    "ranked AS (SELECT doc_id, g, ROW_NUMBER() OVER "
+    "(PARTITION BY doc_id ORDER BY df, g) AS rn "
+    f"FROM counted WHERE df >= 2 AND df <= {NGRAM_DF_CAP}), "
     f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
     "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id), "
