@@ -71,6 +71,11 @@ class UnknownCommitError(KeyError):
     pass
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A commit precondition failed: another writer changed state this
+    commit depends on between the caller's read and its commit attempt."""
+
+
 @dataclass(frozen=True)
 class TableState:
     """Full history + pointer (reference ``TableVersions.scala:121-130``)."""
@@ -120,13 +125,28 @@ class FileTableVersions:
 
     # -- commit ------------------------------------------------------------
 
-    def commit(self, table: TableName, update: TableUpdate) -> None:
+    def commit(self, table: TableName, update: TableUpdate,
+               precondition=None) -> None:
         """Append update, move pointer to it
-        (reference ``InMemoryTableVersions.scala:16-28``)."""
+        (reference ``InMemoryTableVersions.scala:16-28``).
+
+        ``precondition`` (optional): callable ``TableState -> None`` that
+        raises (typically ``ConcurrentWriteError``) to abort the commit.
+        It is re-evaluated against a fresh state read before every CAS
+        attempt, and the claimed slot is exactly ``len(state.updates)`` from
+        that same read — so when the exclusive create succeeds, the log the
+        precondition validated is provably the complete prefix of this
+        commit (slot claims are dense: slot N can only be claimed after
+        0..N-1 exist). This is optimistic-concurrency-control at the commit
+        file, the same serialization point Delta uses on its JSON log."""
         self._require_exists(table)
         payload = json.dumps(update_to_json(update), indent=1)
         seq = len(self._commit_files())
         while True:
+            if precondition is not None:
+                state = self.table_state(table)
+                seq = len(state.updates)
+                precondition(state)
             seq_path = os.path.join(self.log_dir, f"{seq:0{COMMIT_WIDTH}d}.json")
             if self.storage.create_exclusive(seq_path, payload):
                 break

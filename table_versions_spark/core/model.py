@@ -277,17 +277,27 @@ TableOperation = Union[InitTable, AddTableVersion, AddPartitionVersion, RemovePa
 
 @dataclass(frozen=True)
 class TableUpdateMetadata:
-    """Reference ``TableVersions.scala:96-107``."""
+    """Reference ``TableVersions.scala:96-107``.
+
+    ``txn_app``/``txn_version`` (extension, Delta's ``txnAppId``/
+    ``txnVersion``): an idempotence token for exactly-once writers. A writer
+    that retries a failed job re-submits the same (app, version) pair; the
+    engine skips the write if that version is already committed."""
 
     commit_id: str
     user_id: str
     message: str
     timestamp: str  # ISO-8601 UTC
+    txn_app: "str | None" = None
+    txn_version: "int | None" = None
 
     @classmethod
-    def create(cls, user_id: str, message: str) -> "TableUpdateMetadata":
+    def create(cls, user_id: str, message: str,
+               txn: "tuple[str, int] | None" = None) -> "TableUpdateMetadata":
         return cls(commit_id=str(_uuid.uuid4()), user_id=user_id, message=message,
-                   timestamp=datetime.now(timezone.utc).isoformat())
+                   timestamp=datetime.now(timezone.utc).isoformat(),
+                   txn_app=txn[0] if txn else None,
+                   txn_version=txn[1] if txn else None)
 
 
 @dataclass(frozen=True)
@@ -389,11 +399,16 @@ def update_to_json(update: TableUpdate) -> dict[str, Any]:
         "timestamp": update.metadata.timestamp,
         "operations": [operation_to_json(op) for op in update.operations],
         **({"stats": update.stats} if update.stats else {}),
+        **({"txn_app": update.metadata.txn_app,
+            "txn_version": update.metadata.txn_version}
+           if update.metadata.txn_app is not None else {}),
     }
 
 
 def update_from_json(d: dict[str, Any]) -> TableUpdate:
     meta = TableUpdateMetadata(commit_id=d["commit_id"], user_id=d["user_id"],
-                               message=d["message"], timestamp=d["timestamp"])
+                               message=d["message"], timestamp=d["timestamp"],
+                               txn_app=d.get("txn_app"),
+                               txn_version=d.get("txn_version"))
     ops = tuple(operation_from_json(o) for o in d["operations"])
     return TableUpdate(metadata=meta, operations=ops, stats=d.get("stats"))

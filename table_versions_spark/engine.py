@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
 
 from .core.log import (
+    ConcurrentWriteError,
     FileTableVersions,
     UnknownCommitError,
     UnknownTableError,
@@ -68,6 +69,8 @@ from .core.model import (
     TableUpdateMetadata,
     TableVersion,
     Version,
+    apply_partition_updates,
+    latest_snapshot_table_version,
 )
 from .core.paths import path_for
 from .core.storage import DEFAULT_STORAGE, Storage
@@ -147,7 +150,9 @@ class VersionedEngine:
     def insert(self, df: DataFrame, table: TableName | str, user_id: str,
                message: str, mode: str = "overwrite",
                evolve_schema: bool = False,
-               distribute: bool = True) -> CommitResult:
+               distribute: bool = True,
+               txn: tuple[str, int] | None = None,
+               check_conflicts: bool = False) -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
         ``VersionContext.scala:29-44,53-90``).
 
@@ -175,22 +180,52 @@ class VersionedEngine:
         footers across versions, so pre-evolution versions read the new
         columns as NULL. Without the flag, new columns are an error — the
         reference-faithful strict default.
+
+        ``txn=(app_id, version)`` (extension, Delta ``txnAppId``/
+        ``txnVersion``): idempotence token. If the log already holds a commit
+        with this app id at a version >= the given one, the write is SKIPPED
+        and the current state returned — a retried job (Spark task retry,
+        streaming-batch replay, orchestrator re-run) cannot double-apply.
+
+        ``check_conflicts=True`` (extension, Delta-style optimistic
+        concurrency): abort with ``ConcurrentWriteError`` if another writer
+        changed any partition this insert touches (or the snapshot version)
+        between our state read and the commit — instead of the default
+        last-writer-wins. ``mode="append"`` always runs this check: its new
+        version links the previous version's files, so an unnoticed
+        concurrent commit would silently drop that writer's rows.
         """
         return self._insert(df, table, user_id, message, mode=mode,
-                            evolve_schema=evolve_schema, distribute=distribute)
+                            evolve_schema=evolve_schema, distribute=distribute,
+                            txn=txn, check_conflicts=check_conflicts)
 
     def _insert(self, df: DataFrame, table: TableName | str, user_id: str,
                 message: str, mode: str = "overwrite",
                 evolve_schema: bool = False, distribute: bool = True,
-                drop_partitions: list[Partition] = ()) -> CommitResult:
+                drop_partitions: list[Partition] = (),
+                txn: tuple[str, int] | None = None,
+                check_conflicts: bool = False) -> CommitResult:
         """insert() plus ``drop_partitions``: partitions to REMOVE in the
         same commit unless the write itself re-adds them — lets delete()
         empty a partition atomically (write + remove = one commit)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
+        if txn is not None:
+            done = self._last_txn_version(log, txn[0])
+            if done is not None and done[0] >= txn[1]:
+                # already applied: return current state, empty change set
+                current = log.current_version(defn.name)
+                return CommitResult(current,
+                                    compute_changes(current, current),
+                                    done[1])
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
         previous = log.current_version(defn.name)
+        # head-state fold at read time, for optimistic conflict detection:
+        # commit-time preconditions compare against THIS, not against
+        # `previous` (which follows the pointer and may be rolled back)
+        read_fold = (self._head_fold(defn, log.table_state(defn.name))
+                     if (mode == "append" or check_conflicts) else None)
         version = Version.generate()
         if defn.is_snapshot:
             ops = self._write_snapshot(df, defn, version)
@@ -231,9 +266,35 @@ class VersionedEngine:
                     os.path.join(defn.location, rel), self.storage)
                 if payload is not None:
                     stats[rel] = payload
+        precondition = None
+        if read_fold is not None:
+            if defn.is_snapshot:
+                expected_v = read_fold.version
+
+                def precondition(state, _e=expected_v):
+                    now = self._head_fold(defn, state).version
+                    if now != _e:
+                        raise ConcurrentWriteError(
+                            f"Snapshot table {defn.name.fully_qualified_name} "
+                            "changed since this write began")
+            else:
+                touched = {op.partition for op in ops
+                           if isinstance(op, (AddPartitionVersion,
+                                              RemovePartition))}
+                expected_pv = {p: read_fold.partition_versions.get(p)
+                               for p in touched}
+
+                def precondition(state, _e=expected_pv):
+                    now = self._head_fold(defn, state).partition_versions
+                    clash = sorted(p.render() for p, v in _e.items()
+                                   if now.get(p) != v)
+                    if clash:
+                        raise ConcurrentWriteError(
+                            "Concurrent update to partition(s) "
+                            f"{clash} of {defn.name.fully_qualified_name}")
         return self._commit(defn, log, TableUpdate(
-            TableUpdateMetadata.create(user_id, message), tuple(ops),
-            stats=stats or None))
+            TableUpdateMetadata.create(user_id, message, txn=txn), tuple(ops),
+            stats=stats or None), precondition=precondition)
 
     def _check_or_evolve_schema(self, df: DataFrame, defn: TableDefinition,
                                 evolve: bool) -> TableDefinition:
@@ -408,17 +469,37 @@ class VersionedEngine:
             self.storage.remove_tree(staging)
 
     def _commit(self, defn: TableDefinition, log: FileTableVersions,
-                update: TableUpdate) -> CommitResult:
+                update: TableUpdate, precondition=None) -> CommitResult:
         """Commit orchestration (reference ``VersionedMetastore.scala:41-54``):
         append to log, derive latest state, diff vs previous view. Our
         current view *is* the log fold, so 'applying' the changes is free and
         atomic at the commit-file write — fixing the reference's non-atomic
         per-partition ALTER TABLE loop (``SparkHiveMetastore.scala:45-54``)."""
         before = log.current_version(defn.name)
-        log.commit(defn.name, update)
+        log.commit(defn.name, update, precondition=precondition)
         after = log.current_version(defn.name)
         changes = compute_changes(before, after)
         return CommitResult(after, changes, update.metadata.commit_id)
+
+    @staticmethod
+    def _head_fold(defn: TableDefinition, state) -> TableVersion:
+        """Fold of ALL committed updates (the head), pointer-independent."""
+        ops = [op for u in state.updates for op in u.operations]
+        if defn.is_snapshot:
+            return latest_snapshot_table_version(ops)
+        return apply_partition_updates(PartitionedTableVersion({}), ops)
+
+    @staticmethod
+    def _last_txn_version(log: FileTableVersions,
+                          app: str) -> tuple[int, str] | None:
+        """Highest committed (txn_version, commit_id) for an app id, or None."""
+        best = None
+        for u in log.table_state().updates:
+            if (u.metadata.txn_app == app
+                    and u.metadata.txn_version is not None
+                    and (best is None or u.metadata.txn_version > best[0])):
+                best = (u.metadata.txn_version, u.metadata.commit_id)
+        return best
 
     # ----------------------------------------------------------------- read
 

@@ -39,13 +39,19 @@ def versioned_stream_writer(stream_df: DataFrame, engine: VersionedEngine,
     linking, no rewrite); ``mode="overwrite"`` gives
     replace-touched-partitions-per-batch — the right choice when each batch
     reprocesses whole event-date partitions.
+
+    Exactly-once: each batch commits with an idempotence token
+    ``txn=(checkpoint_dir, batch_id)``, so a batch replayed after a crash
+    between the engine commit and the streaming checkpoint write is skipped
+    instead of double-applied (Delta's ``txnAppId``/``txnVersion`` recipe —
+    foreachBatch alone is only at-least-once).
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         engine.insert(batch_df, table, user_id, f"stream batch {batch_id}",
-                      mode=mode)
+                      mode=mode, txn=(checkpoint_dir, batch_id))
 
     writer = (stream_df.writeStream
               .foreachBatch(sink)
