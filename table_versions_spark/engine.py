@@ -360,6 +360,101 @@ class VersionedEngine:
         merged = survivors.select(*df.columns).unionByName(df)
         return self.insert(merged, table, user_id, message)
 
+    def merge(self, source: DataFrame, table: TableName | str,
+              keys: list[str], user_id: str, message: str,
+              when_matched_update: str | bool = True,
+              when_matched_delete: str | bool = False,
+              when_not_matched_insert: str | bool = True) -> CommitResult:
+        """General MERGE (Delta/ANSI ``MERGE INTO`` shape; the reference has
+        no row-level surface). Rows of ``table`` ("target") join ``source``
+        on ``keys``; per-row actions, evaluated in this order:
+
+        - matched + ``when_matched_delete`` condition → row dropped
+        - matched + ``when_matched_update`` condition → replaced by the
+          source row (whole-row update; source must carry the full schema)
+        - matched otherwise → target row kept unchanged
+        - source-only + ``when_not_matched_insert`` condition → inserted
+        - target-only → kept unchanged
+
+        Conditions are ``True`` (always), ``False`` (never), or a SQL
+        boolean expression string evaluated on the matched pair — reference
+        target columns as ``t.col`` and source columns as ``s.col``. A
+        condition evaluating NULL does not fire (SQL semantics).
+
+        Scale shape: like :meth:`upsert`, only partitions *touched by the
+        source* are rewritten (null-safe partition scoping); the per-row
+        action resolution is one shuffled full-outer join on the keys —
+        no driver-side data movement. A source key matching multiple target
+        rows acts on each (no duplicate-match error, unlike Delta).
+
+        Caveat (same as upsert): a key is assumed to stay in its partition;
+        a source row carrying key K with NEW partition values inserts into
+        the new partition without removing K's row from the old one.
+        """
+        from pyspark.sql import functions as F
+
+        defn, _ = self._log(table)
+        pcols = list(defn.partition_schema.columns)
+        current = self.read(table)
+        cols = current.columns
+        if set(source.columns) != set(cols):
+            raise ValueError(
+                f"merge source schema {sorted(source.columns)} must match "
+                f"table schema {sorted(cols)}")
+        if pcols:
+            # scope to touched partitions only; untouched partitions keep
+            # their version (no read, no write) exactly as in upsert()
+            touched = source.select(*pcols).distinct()
+            current = (current.alias("cur")
+                       .join(F.broadcast(touched).alias("tch"),
+                             _null_safe_cond(pcols, "cur", "tch"),
+                             "left_semi")
+                       .select(*cols))
+
+        def _cond(spec: str | bool):
+            if spec is True:
+                return F.lit(True)
+            if spec is False:
+                return F.lit(False)
+            return F.coalesce(F.expr(spec), F.lit(False))
+
+        # aliased join so user condition strings reference t.col / s.col
+        # directly; __t/__s presence markers make matched-ness independent
+        # of key nullability (keys join null-safely)
+        t = current.withColumn("__t", F.lit(True)).alias("t")
+        s = source.withColumn("__s", F.lit(True)).alias("s")
+        on = F.lit(True)
+        for k in keys:
+            on = on & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        j = t.join(s, on, "full_outer")
+        tcol = lambda c: F.col(f"t.{c}")  # noqa: E731
+        scol = lambda c: F.col(f"s.{c}")  # noqa: E731
+        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        t_only = F.col("t.__t").isNotNull() & F.col("s.__s").isNull()
+        s_only = F.col("t.__t").isNull() & F.col("s.__s").isNotNull()
+        delete_c = _cond(when_matched_delete)
+        update_c = _cond(when_matched_update)
+        insert_c = _cond(when_not_matched_insert)
+        keep = (t_only
+                | (matched & ~delete_c)
+                | (s_only & insert_c))
+        take_source = (matched & ~delete_c & update_c) | s_only
+        out = (j.where(keep)
+                .select(*[F.when(take_source, scol(c)).otherwise(tcol(c))
+                          .alias(c) for c in cols]))
+        if not pcols:
+            return self.insert(out, table, user_id, message)
+        # A touched partition whose every row was merge-deleted writes no
+        # files, so it must be dropped in the SAME commit or it would keep
+        # its old version (and its stale rows). Partition KEYS only come to
+        # the driver — same bounded collect delete() documents.
+        from .core.model import escape_partition_value as esc
+        touched_keys = source.select(*pcols).distinct().collect()
+        drop = [Partition.parse("/".join(f"{c}={esc(r[c])}" for c in pcols))
+                for r in touched_keys]
+        return self._insert(out, table, user_id, message,
+                            drop_partitions=drop)
+
     def delete(self, table: TableName | str, predicate: str, user_id: str,
                message: str) -> CommitResult:
         """Row-level delete: rewrite only partitions that contain matching

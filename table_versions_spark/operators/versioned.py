@@ -128,6 +128,31 @@ def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE into a partitioned versioned table (engine.merge,
+    Delta ``MERGE INTO`` shape): the earliest day's events arrive
+    reprocessed with tripled values — matched 'error' events are DELETED,
+    other matched events are UPDATED to the reprocessed row, and one
+    brand-new row is INSERTED. Untouched day-partitions keep their
+    version; the whole merge is a single commit."""
+    eng = _engine(spark)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.create_table("vx.events_mg", schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"])
+    eng.insert(ev, "vx.events_mg", "tester", "all days")
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    src = (ev.where(F.col("event_date") == F.lit(min_date))
+             .withColumn("value", F.col("value") * 3))
+    extra = spark.createDataFrame(
+        [(-1, 0, "synthetic", 1.0, min_date)], EVENTS_DDL)
+    eng.merge(src.unionByName(extra), "vx.events_mg", keys=["event_id"],
+              user_id="tester", message="reprocess day 1 via merge",
+              when_matched_delete="s.event_type = 'error'",
+              when_matched_update=True)
+    return eng.read("vx.events_mg").select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-wise map join of co-bucketed versioned tables (engine
     ``bucketed_join``): lineitem and orders bucketed 8 ways on the order
@@ -189,6 +214,7 @@ QUERIES = {
     "q_partition_prune": q_partition_prune,
     "q_upsert": q_upsert,
     "q_delete": q_delete,
+    "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
 }
@@ -217,6 +243,16 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
+    "q_merge": (
+        "SELECT event_id, user_id, event_type, value * 3 AS value, "
+        f"CAST(ts AS DATE) AS event_date FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} AND event_type <> 'error' "
+        "UNION ALL "
+        f"SELECT -1, 0, 'synthetic', 1.0, {_MIN_DATE_SQL} "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        f"WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
     "q_bucketed_join": (
         "SELECT l.l_orderkey, ROUND(SUM(l.l_extendedprice), 2) AS sum_price, "
         "COUNT(*) AS n_items, ROUND(MAX(o.o_totalprice), 2) AS o_totalprice "

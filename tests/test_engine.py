@@ -958,3 +958,87 @@ class TestConflictDetection:
             VersionedEngine._write_partitioned = orig
         assert rows(engine.read("db.cc3"), "id") == [
             ("a",), ("b",), ("y",)]
+
+
+class TestMerge:
+    """General MERGE: conditional update/delete/insert in one commit."""
+
+    DDL = "id bigint, v string, amt double, d string"
+
+    def _seed(self, spark, engine, name="db.mg1"):
+        engine.create_table(name, schema_ddl=self.DDL,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "old", 10.0, "a"), (2, "old", 20.0, "a"),
+             (3, "old", 30.0, "a"), (4, "old", 40.0, "b")],
+            self.DDL), name, "u", "v1")
+        return name
+
+    def test_merge_update_delete_insert(self, spark, engine):
+        t = self._seed(spark, engine)
+        src = spark.createDataFrame(
+            [(1, "upd", 11.0, "a"),    # matched, amt>=11 → update
+             (2, "del", 0.0, "a"),     # matched, v='del' → delete
+             (3, "upd", 3.0, "a"),     # matched, neither cond → keep target
+             (9, "ins", 99.0, "a")],   # unmatched → insert
+            self.DDL)
+        before = {p.render(): v for p, v in
+                  engine.current_version(t).partition_versions.items()}
+        engine.merge(src, t, keys=["id"], user_id="u", message="merge",
+                     when_matched_update="s.amt >= 11.0",
+                     when_matched_delete="s.v = 'del'")
+        got = sorted((r["id"], r["v"], r["amt"], r["d"])
+                     for r in engine.read(t).collect())
+        assert got == [(1, "upd", 11.0, "a"), (3, "old", 30.0, "a"),
+                       (4, "old", 40.0, "b"), (9, "ins", 99.0, "a")]
+        after = {p.render(): v for p, v in
+                 engine.current_version(t).partition_versions.items()}
+        assert after["d=b"] == before["d=b"]   # untouched partition
+        assert after["d=a"] != before["d=a"]
+        # one commit; time travel sees the pre-merge rows
+        hist = engine.history(t).collect()
+        assert len(hist) == 3
+        assert engine.read(t, at_commit=hist[1]["commit_id"]).count() == 4
+
+    def test_merge_empties_partition(self, spark, engine):
+        t = self._seed(spark, engine, "db.mg2")
+        # delete every row of partition a, no updates/inserts
+        src = spark.createDataFrame(
+            [(1, "x", 0.0, "a"), (2, "x", 0.0, "a"), (3, "x", 0.0, "a")],
+            self.DDL)
+        engine.merge(src, t, keys=["id"], user_id="u", message="purge a",
+                     when_matched_update=False, when_matched_delete=True,
+                     when_not_matched_insert=False)
+        state = {p.render() for p in
+                 engine.current_version(t).partition_versions}
+        assert state == {"d=b"}
+        assert engine.read(t).count() == 1
+
+    def test_merge_null_condition_does_not_fire(self, spark, engine):
+        t = self._seed(spark, engine, "db.mg3")
+        src = spark.createDataFrame([(1, None, None, "a")], self.DDL)
+        # amt IS NULL ⇒ condition NULL ⇒ no update; row kept as-is
+        engine.merge(src, t, keys=["id"], user_id="u", message="m",
+                     when_matched_update="s.amt > 0",
+                     when_not_matched_insert=False)
+        row = engine.read(t).where("id = 1").first()
+        assert (row["v"], row["amt"]) == ("old", 10.0)
+
+    def test_merge_snapshot(self, spark, engine):
+        ddl = "id bigint, v string"
+        engine.create_table("db.mg4", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], ddl), "db.mg4", "u", "v1")
+        engine.merge(spark.createDataFrame(
+            [(2, "B"), (5, "E")], ddl), "db.mg4", keys=["id"],
+            user_id="u", message="m")
+        got = sorted((r["id"], r["v"])
+                     for r in engine.read("db.mg4").collect())
+        assert got == [(1, "a"), (2, "B"), (5, "E")]
+
+    def test_merge_schema_mismatch_rejected(self, spark, engine):
+        t = self._seed(spark, engine, "db.mg5")
+        bad = spark.createDataFrame([(1,)], "id bigint")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="schema"):
+            engine.merge(bad, t, keys=["id"], user_id="u", message="m")
