@@ -506,6 +506,59 @@ class VersionedEngine:
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops)))
 
+    def clone_table(self, src: TableName | str, dst: TableName | str,
+                    user_id: str = "clone",
+                    message: str | None = None) -> CommitResult:
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE`` shape,
+        beyond the reference's surface): ``dst`` becomes a new versioned
+        table whose current state equals ``src``'s, with ZERO data rewrite
+        and no Spark job — data files are hardlinked (POSIX) or
+        server-side-copied (object store) per immutable version dir, the
+        version labels are carried over, and ``src``'s footer stats ride the
+        clone commit so data skipping works on the clone without re-reading
+        any parquet footer. O(#files) metadata ops, O(0) bytes moved on
+        POSIX. The clone's log starts fresh: subsequent commits to either
+        table are invisible to the other (version dirs are immutable, so
+        shared files can never be rewritten — only superseded).
+        """
+        src_defn, src_log = self._log(src)
+        cur = src_log.current_version(src_defn.name)
+        src_stats = src_log.stats_map(src_defn.name)
+        dst_defn = self.create_table(
+            dst, schema_ddl=src_defn.schema_ddl,
+            partition_columns=list(src_defn.partition_schema.columns) or None,
+            format=src_defn.format, user_id=user_id,
+            bucket_columns=list(src_defn.bucket_columns) or None,
+            bucket_count=src_defn.bucket_count)
+        ops: list = []
+        stats: dict[str, dict] = {}
+        if src_defn.is_snapshot:
+            if isinstance(cur, SnapshotTableVersion) \
+                    and cur.version != UNVERSIONED:
+                _link_data_files(path_for(src_defn.location, cur.version),
+                                 path_for(dst_defn.location, cur.version),
+                                 self.storage)
+                ops.append(AddTableVersion(cur.version))
+                rel = cur.version.label
+                if rel in src_stats:
+                    stats[rel] = src_stats[rel]
+        else:
+            for part, ver in cur.partition_versions.items():
+                rel = f"{part.render()}/{ver.label}"
+                _link_data_files(os.path.join(src_defn.location, rel),
+                                 os.path.join(dst_defn.location, rel),
+                                 self.storage)
+                ops.append(AddPartitionVersion(part, ver))
+                if rel in src_stats:
+                    stats[rel] = src_stats[rel]
+        message = message or (
+            f"shallow clone of {src_defn.name.fully_qualified_name}")
+        return self._commit(dst_defn, FileTableVersions(dst_defn.location,
+                                                        self.storage),
+                            TableUpdate(
+                                TableUpdateMetadata.create(user_id, message),
+                                tuple(ops), stats=stats or None))
+
     def _write_snapshot(self, df: DataFrame, defn: TableDefinition,
                         version: Version) -> list:
         """Snapshot write: ``<location>/<label>/``

@@ -3,11 +3,13 @@
 ``to_utc_date`` ports the reference's UTC timestamp→date derivation used for
 partition values (``examples/src/main/scala/com/gu/tableversions/examples/DateTime.scala:10-13``).
 
-``ts_from_nanos`` handles nanosecond-precision parquet timestamps: Spark's
-parquet reader has no TIMESTAMP(NANOS) type, so with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set in session.py) such columns
-arrive as ``bigint`` nanos-since-epoch; this converts them to a proper
-(microsecond) timestamp column JVM-side — no UDF.
+``ts_from_nanos`` handles nanosecond-precision parquet timestamps read as
+``bigint`` nanos-since-epoch (Sparks where
+``spark.sql.legacy.parquet.nanosAsLong=true`` is honored); it converts them to
+a proper (microsecond) timestamp column JVM-side — no UDF. On Spark 4.1.2+
+the reader surfaces TIMESTAMP(NANOS) natively as µs-truncated
+``timestamp_ntz`` and the conf is a no-op, so callers must branch on the
+actual read dtype (see ``operators.common.load_events``).
 """
 
 from __future__ import annotations

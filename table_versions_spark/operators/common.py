@@ -27,12 +27,28 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with its ns-precision ``ts`` (read as long nanos) converted to a
-    proper timestamp column, plus the derived UTC ``event_date``."""
+    """events with its ns-precision ``ts`` normalized to a microsecond
+    timestamp column, plus the derived UTC ``event_date``.
+
+    The parquet file carries TIMESTAMP(NANOS). How Spark surfaces that
+    depends on the installed version, so branch on the *actual* read dtype:
+
+    - ``bigint`` (``nanosAsLong=true`` honored): exact ns→µs via
+      :func:`ts_from_nanos`.
+    - ``timestamp_ntz`` / ``timestamp`` (Spark 4.1.2+ reads NANOS natively,
+      µs-truncated; ``nanosAsLong`` is a no-op there): cast to session-TZ
+      timestamp — the session TZ is UTC via :func:`ensure_compat`, so values
+      equal the oracles' ``CAST(ts AS TIMESTAMP)``.
+    """
+    from pyspark.sql.types import LongType
+
     from ..functions.timestamps import ts_from_nanos
 
     df = load(spark, sf_dir, "events")
-    return (df.withColumn("ts", ts_from_nanos("ts"))
+    ts_col = (ts_from_nanos("ts")
+              if isinstance(df.schema["ts"].dataType, LongType)
+              else F.col("ts").cast("timestamp"))
+    return (df.withColumn("ts", ts_col)
               .withColumn("event_date", F.to_date("ts")))
 
 

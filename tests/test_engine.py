@@ -1042,3 +1042,42 @@ class TestMerge:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="schema"):
             engine.merge(bad, t, keys=["id"], user_id="u", message="m")
+
+
+class TestCloneTable:
+    def test_clone_partitioned_isolated(self, spark, engine):
+        ddl = "id bigint, v double, day string"
+        df = spark.createDataFrame(
+            [(1, 1.0, "d1"), (2, 2.0, "d1"), (3, 3.0, "d2")], ddl)
+        engine.create_table("db.src", schema_ddl=ddl,
+                            partition_columns=["day"])
+        engine.insert(df, "db.src", "u", "base")
+        engine.clone_table("db.src", "db.dst")
+        assert rows(engine.read("db.dst")) == rows(engine.read("db.src"))
+        # overwrite partition d1 on the clone: only the clone sees it
+        engine.insert(spark.createDataFrame([(9, 9.0, "d1")], ddl),
+                      "db.dst", "u", "mutate clone")
+        assert rows(engine.read("db.dst"), "id") == [(3,), (9,)]
+        assert rows(engine.read("db.src"), "id") == [(1,), (2,), (3,)]
+        # mutate the source: the clone is isolated in both directions
+        engine.insert(spark.createDataFrame([(7, 7.0, "d2")], ddl),
+                      "db.src", "u", "mutate src")
+        assert rows(engine.read("db.dst"), "id") == [(3,), (9,)]
+
+    def test_clone_snapshot_carries_stats(self, spark, engine):
+        from table_versions_spark.core.log import FileTableVersions
+
+        engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.users", "u", "v1")
+        engine.clone_table("db.users", "db.users2")
+        assert rows(engine.read("db.users2")) == sorted(USERS_V1)
+        defn = engine.definition("db.users2")
+        smap = FileTableVersions(defn.location,
+                                 engine.storage).stats_map(defn.name)
+        assert smap, "clone commit must carry the source's footer stats"
+
+    def test_clone_empty_table(self, spark, engine):
+        engine.create_table("db.empty", schema_ddl=USERS_SCHEMA)
+        engine.clone_table("db.empty", "db.empty2")
+        assert engine.read("db.empty2").count() == 0

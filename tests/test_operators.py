@@ -137,6 +137,40 @@ class TestAnalytic:
         assert total == load(spark, sf_small, "lineitem").count()
 
 
+class TestEventsTripwire:
+    """Environment tripwire: the driver harness reads events.parquet with a
+    plain SparkSession, and how Spark surfaces its TIMESTAMP(NANOS) column
+    varies by version (bigint with nanosAsLong honored; timestamp_ntz on
+    Spark 4.1.2+ where the conf is a no-op). ``load_events`` must return a
+    µs TimestampType column — and match DuckDB's CAST(ts AS TIMESTAMP) —
+    under whatever the installed Spark does. A Spark upgrade flips THIS test
+    red instead of red-ringing 10 driver queries."""
+
+    def test_load_events_yields_timestamp(self, spark, sf_small):
+        from pyspark.sql.types import DateType, TimestampType
+
+        from table_versions_spark.operators.common import load_events
+
+        ev = load_events(spark, sf_small)
+        assert isinstance(ev.schema["ts"].dataType, TimestampType)
+        assert isinstance(ev.schema["event_date"].dataType, DateType)
+        assert ev.count() > 0
+
+    def test_load_events_matches_duckdb_oracle(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.common import load_events
+
+        lo, hi = (load_events(spark, sf_small)
+                  .agg({"ts": "min"}).first()[0],
+                  load_events(spark, sf_small)
+                  .agg({"ts": "max"}).first()[0])
+        olo, ohi = duckdb.sql(
+            "SELECT min(CAST(ts AS TIMESTAMP)), max(CAST(ts AS TIMESTAMP)) "
+            f"FROM read_parquet('{sf_small}/events.parquet')").fetchone()
+        assert lo == olo and hi == ohi
+
+
 class TestEntry:
     def test_entry_smoke(self, spark):
         df = entrymod.entry(spark)
