@@ -121,11 +121,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpreted zip_with/aggregate lambda over every pair
         pos = np.arange(NUM_MINHASHES, dtype=np.int64) << 32
         for pdf in batches:
-            sigs = []
-            for sh in pdf["sh"]:
-                x = np.asarray(sh, dtype=np.int64) % p
-                sigs.append((((a * x + b) % p).min(axis=1)) | pos)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                    "sig": pd.Series([], dtype=object)})
+                continue
+            # whole batch in ONE (128 × Σ|sh|) modular matrix op + a
+            # per-doc segmented min (minimum.reduceat) — no per-doc Python
+            # loop, no per-doc numpy dispatch overhead
+            lens = pdf["sh"].str.len().to_numpy()
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            x = np.concatenate([np.asarray(s, dtype=np.int64)
+                                for s in pdf["sh"]]) % p
+            hashed = (a * x + b) % p
+            mins = np.minimum.reduceat(hashed, starts, axis=1) | pos[:, None]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "sig": list(mins.T)})
 
     sig = (_spread(load(spark, sf_dir, "documents"), spark)
            .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
@@ -164,13 +175,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(est >= MINHASH_SIM_THRESHOLD)
                  .select("doc_id_a", "doc_id_b")
                  .distinct())
-    # exact verify: shingle sets re-derived JVM-side from the documents
-    # table (columnar xxhash64 pass — cheaper than dragging the wide shingle
-    # arrays through the materialization and the candidate shuffle; a
-    # survivor-id semi-filter before shingling was measured NET SLOWER at
-    # sf0.1 because it needs an extra materialization of the survivor set)
-    docs_sh = load(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+    # Materialize the (tiny: scales with true-dup density, not corpus size)
+    # survivor set: the verify consumes it three times — probe side plus a
+    # doc-id prune for EACH payload side — and without this every consumer
+    # re-runs the whole band join. Then re-derive shingles ONLY for
+    # surviving docs (semi-join before the shingle expr): the exact-verify
+    # cost becomes O(survivors), not O(corpus). Measured 3.9 s → <1 s for
+    # the verify stage at sf0.1 (256 survivors over 5000 docs).
+    surv_dir = scratch_dir(
+        spark, f"minhash-surv-{os.path.basename(os.path.normpath(sf_dir))}")
+    survivors.write.mode("overwrite").parquet(surv_dir)
+    survivors = spark.read.parquet(surv_dir)
+    ids = (survivors.select(F.col("doc_id_a").alias("doc_id"))
+           .unionByName(survivors.select(F.col("doc_id_b").alias("doc_id")))
+           .distinct())
+    docs_sh = (load(spark, sf_dir, "documents")
+               .join(F.broadcast(ids), "doc_id")
+               .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh")))
     payload_a = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
                                F.col("sh").alias("sh_a"))
     payload_b = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
@@ -216,10 +237,10 @@ NGRAM_BLOCK_KEYS = 5  # each document indexes under its K rarest shingles
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over a rare-shingle inverted index.
 
-    Candidate generation: explode distinct char-5-gram shingles, count each
-    shingle's document frequency (groupBy with map-side combine, broadcast
-    back onto the postings), keep shingles with df in [2, NGRAM_DF_CAP],
-    and index every document under its
+    Candidate generation: explode distinct char-5-gram shingles, aggregate
+    each shingle's document frequency and doc list in one groupBy pass,
+    keep shingles with df in [2, NGRAM_DF_CAP], re-explode the (tiny)
+    surviving doc lists, and index every document under its
     NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window over
     doc_id ordered by (df, shingle) — the string tie-break makes the
     ranking reproducible in the oracle). Candidates are the self-join of
@@ -253,21 +274,23 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load(spark, sf_dir, "documents"), spark)
     postings = docs.select("doc_id",
                            F.explode(F.expr(_shingle_expr())).alias("g"))
-    # df via groupBy (map-side combine shrinks the shuffle to DISTINCT
-    # shingles), filtered to the rare set, then broadcast back onto an
-    # unshuffled second postings pass. The count-window alternative — one
-    # explode, df as COUNT(*) OVER (PARTITION BY g) — shuffles AND sorts
-    # every posting (df>cap ones included) before the filter can drop 99%
-    # of them: measured 5.5 s vs this plan's ~1.5 s at sf0.1. Re-running
-    # the explode on the join side is a narrow codegen'd pass; the shuffle
-    # it avoids is the cost that matters.
-    rare = (postings.groupBy("g").agg(F.count("*").alias("df"))
-            .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
-    # The broadcast hint assumes the rare-shingle table fits the driver; on
-    # a web-scale corpus (where MOST distinct shingles have df ≤ cap) drop
-    # the hint and let AQE choose — the fallback shuffle-hash-join on g is
-    # still skew-free by construction (every key has df ≤ NGRAM_DF_CAP).
-    ranked = (postings.join(F.broadcast(rare), "g")
+    # ONE pass over the postings: groupBy(g) aggregates the df count AND the
+    # per-shingle doc list together (partial aggregation map-side), so the
+    # df-cap filter drops the ~99% of shingles that are unique or
+    # corpus-common before anything else touches them, and the surviving
+    # doc lists explode back into a posting set that is tiny by
+    # construction (≤ DF_CAP ids per shingle — the collect_list buffer is
+    # bounded the same way the blocking is). The alternatives both lose:
+    # df as COUNT(*) OVER (PARTITION BY g) shuffles AND sorts all ~1M
+    # postings before the filter (measured 5.5 s at sf0.1); df via a
+    # separate groupBy + join back re-runs the shingle explode once per
+    # consumer (measured ~2× this plan). Measured ~0.9 s steady-state.
+    rare_postings = (postings.groupBy("g")
+                     .agg(F.count("*").alias("df"),
+                          F.collect_list("doc_id").alias("ids"))
+                     .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP))
+                     .select("g", "df", F.explode("ids").alias("doc_id")))
+    ranked = (rare_postings
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "g")))
               .where(F.col("rn") <= NGRAM_BLOCK_KEYS)
@@ -283,7 +306,13 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_id_a"),
                     F.col("b.doc_id").alias("doc_id_b"))
-            .distinct())
+            .distinct()
+            # candidate pairs are few BYTES but each costs an
+            # O(|sh_a|+|sh_b|) exact-Jaccard verify downstream — AQE's
+            # byte-based coalescing would funnel them into ONE task
+            # (measured: 4.6 s single-task verify vs 0.7 s spread).
+            # Explicit round-robin keeps the compute-bound stage wide.
+            .repartition(spark.sparkContext.defaultParallelism))
     docs_sh = docs.select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
     pa = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
                         F.col("sh").alias("sh_a"))
