@@ -329,8 +329,156 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cntry"))
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (Q2 shape). The part-supplier relation is
+    distilled from lineitem (no partsupp table in this testdata): supply
+    cost = the minimum unit price that supplier ever charged for the part
+    (MIN is order-independent, so the derived cost is bit-identical across
+    engines). Keeps Q2's signature plan: dimension-filtered join graph +
+    per-part correlated MIN + top-k by account balance."""
+    from pyspark.sql import Window
+
+    ps = (load(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+               .alias("cost")))
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    sn = (load(spark, sf_dir, "supplier")
+          .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = (load(spark, sf_dir, "part")
+            .where(F.col("p_size") == 10).select("p_partkey"))
+    cand = (ps.join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
+            .join(F.broadcast(part), ps.l_partkey == part.p_partkey))
+    mn = F.min("cost").over(Window.partitionBy("l_partkey"))
+    return (cand.withColumn("mn", mn)
+            .where(F.col("cost") == F.col("mn"))
+            .select("s_acctbal", "s_name", "n_name",
+                    F.col("l_partkey").alias("p_partkey"), "cost")
+            .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+            .limit(100))
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (Q11 shape): per-part supplied value
+    for one nation's suppliers, filtered to parts above a global-fraction
+    threshold (scalar subquery → broadcast cross-join). Value = shipped
+    l_extendedprice·l_quantity in place of supplycost·availqty."""
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    vals = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey,
+                    "left_semi")
+            .groupBy("l_partkey")
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                 .alias("value")))
+    cut = vals.agg((F.sum("value") * 0.001).alias("cut"))
+    return (vals.crossJoin(F.broadcast(cut))
+            .where(F.col("value") > F.col("cut"))
+            .select("l_partkey", F.round("value", 2).alias("value"))
+            .orderBy(F.desc("value"), "l_partkey"))
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part/supplier relationship count (Q16 shape): distinct supplier count
+    per part attribute group, excluding flagged suppliers via anti-join
+    (negative account balance stands in for the complaints LIKE — the
+    testdata has no s_comment)."""
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    bad = (load(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    part = (load(spark, sf_dir, "part")
+            .where((F.col("p_brand") != "Brand#1")
+                   & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey,
+                       "left_anti")
+            .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (Q20 shape): the nested semi-join chain —
+    suppliers (one nation) who hold "excess stock" of name-matched parts.
+    Availqty is emulated as the supplier's all-time shipped quantity of the
+    part; the threshold is half the part's 1996 shipped total (quantities
+    are integral, so both aggregates are exact)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("qty_total")))
+    yr = (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .groupBy("l_partkey")
+          .agg((F.sum("l_quantity") * 0.5).alias("half_qty")))
+    parts = (load(spark, sf_dir, "part")
+             .where(F.col("p_name").like("%ge%")).select("p_partkey"))
+    excess = (ps.join(F.broadcast(parts), ps.l_partkey == parts.p_partkey,
+                      "left_semi")
+              .join(yr, "l_partkey")
+              .where(F.col("qty_total") > F.col("half_qty"))
+              .select("l_suppkey").distinct())
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    return (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(excess, F.col("s_suppkey") == excess.l_suppkey, "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 shape): per supplier, count
+    finalized multi-supplier orders where THIS supplier was the unique
+    latest shipper. l_shipdate's per-order maximum stands in for the absent
+    commit/receipt dates; the exists/not-exists pair of the original
+    becomes nsupp ≥ 2 ∧ n_latest = 1 computed in one aggregation over the
+    per-order max — same semantics, one shuffle less than two correlated
+    subqueries."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lmax = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("mx"))
+    joined = li.join(lmax, "l_orderkey")
+    per_order = (joined.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("nsupp"),
+                      F.countDistinct(
+                          F.when(F.col("l_shipdate") == F.col("mx"),
+                                 F.col("l_suppkey"))).alias("nlast")))
+    waiting = (joined.where(F.col("l_shipdate") == F.col("mx"))
+               .join(per_order.where((F.col("nsupp") >= 2)
+                                     & (F.col("nlast") == 1)), "l_orderkey")
+               .select("l_orderkey", "l_suppkey").distinct())
+    orders_f = (load(spark, sf_dir, "orders")
+                .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    nation = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    supp = (load(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name"))
+    return (waiting.join(orders_f, waiting.l_orderkey == orders_f.o_orderkey)
+            .join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.countDistinct("l_orderkey").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))
+
+
 QUERIES = {
     "q_tpch_q1": q_tpch_q1,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q21": q_tpch_q21,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q4": q_tpch_q4,
     "q_tpch_q5": q_tpch_q5,
@@ -351,6 +499,77 @@ QUERIES = {
 _REV = "l_extendedprice * (1 - l_discount)"
 
 ORACLES = {
+    "q_tpch_q2": (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "ROUND(MIN(l_extendedprice / l_quantity), 4) AS cost "
+        "FROM lineitem GROUP BY l_partkey, l_suppkey), "
+        "cand AS (SELECT s_acctbal, s_name, n_name, "
+        "l_partkey AS p_partkey, cost, "
+        "MIN(cost) OVER (PARTITION BY l_partkey) AS mn "
+        "FROM ps JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE r_name = 'ASIA' AND p_size = 10) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, cost FROM cand "
+        "WHERE cost = mn "
+        "ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100"),
+    "q_tpch_q11": (
+        "WITH vals AS (SELECT l_partkey, "
+        "SUM(l_extendedprice * l_quantity) AS value "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' GROUP BY l_partkey) "
+        "SELECT l_partkey, ROUND(value, 2) AS value FROM vals "
+        "WHERE value > (SELECT SUM(value) * 0.001 FROM vals) "
+        "ORDER BY value DESC, l_partkey"),
+    "q_tpch_q16": (
+        "SELECT p_brand, p_type, p_size, "
+        "COUNT(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+        "JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#1' "
+        "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "q_tpch_q20": (
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "SUM(l_quantity) AS qty_total FROM lineitem "
+        "GROUP BY l_partkey, l_suppkey), "
+        "yr AS (SELECT l_partkey, SUM(l_quantity) * 0.5 AS half_qty "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_partkey) "
+        "SELECT s_name, s_acctbal FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_1' AND s_suppkey IN "
+        "(SELECT ps.l_suppkey FROM ps "
+        "JOIN yr ON ps.l_partkey = yr.l_partkey "
+        "WHERE ps.l_partkey IN "
+        "(SELECT p_partkey FROM part WHERE p_name LIKE '%ge%') "
+        "AND ps.qty_total > yr.half_qty) "
+        "ORDER BY s_name"),
+    "q_tpch_q21": (
+        "WITH lmax AS (SELECT l_orderkey, MAX(l_shipdate) AS mx "
+        "FROM lineitem GROUP BY l_orderkey), "
+        "per_order AS (SELECT l.l_orderkey, "
+        "COUNT(DISTINCT l.l_suppkey) AS nsupp, "
+        "COUNT(DISTINCT CASE WHEN l.l_shipdate = lmax.mx "
+        "THEN l.l_suppkey END) AS nlast "
+        "FROM lineitem l JOIN lmax ON l.l_orderkey = lmax.l_orderkey "
+        "GROUP BY l.l_orderkey), "
+        "waiting AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey "
+        "FROM lineitem l JOIN lmax ON l.l_orderkey = lmax.l_orderkey "
+        "AND l.l_shipdate = lmax.mx "
+        "JOIN per_order po ON po.l_orderkey = l.l_orderkey "
+        "WHERE po.nsupp >= 2 AND po.nlast = 1) "
+        "SELECT s_name, COUNT(DISTINCT w.l_orderkey) AS numwait "
+        "FROM waiting w JOIN orders ON w.l_orderkey = o_orderkey "
+        "JOIN supplier ON w.l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE o_orderstatus = 'F' AND n_name = 'NATION_1' "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"),
     "q_tpch_q1": (
         "SELECT l_returnflag, l_linestatus, "
         "ROUND(SUM(l_quantity), 2) AS sum_qty, "
