@@ -52,10 +52,11 @@ def _registry() -> tuple[dict, dict]:
     )
 
     # Registry order = driver check order. The driver's correctness budget
-    # may truncate the tail, so the queries the round-1 artifact never
-    # reached (versioned / text / similarity / multimodal / dedup /
-    # analytic extensions) run FIRST; the relational/TPC-H bulk — fully
-    # hash-verified in round 1 — runs last.
+    # may truncate the tail, so order by how much a fresh green row is
+    # worth: the event-table queries that errored in round 2 first, then
+    # queries that have never appeared in a driver artifact (new TPC-H
+    # tail), then the round-1-only bulk, and the round-2-verified families
+    # last.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
                relational, tpch]
     queries: dict[str, Callable] = {}
@@ -63,6 +64,23 @@ def _registry() -> tuple[dict, dict]:
     for m in modules:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
+    priority = [
+        # ERR rows in CORRECTNESS_r02 (events-timestamp regression, fixed)
+        "q_insert_overwrite_partition", "q_partition_prune", "q_upsert",
+        "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
+        "q_sessionize", "q_funnel", "q_date_from_ts",
+        # never driver-checked (added round 3)
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+        # remaining versioned flows (engine write path)
+        "q_snapshot_replace", "q_time_travel", "q_bucketed_join",
+    ]
+    r2_green_modules = [text, similarity, multimodal, dedup]
+    r2_green = {name for m in r2_green_modules for name in m.QUERIES}
+    rest = ([n for n in queries if n not in priority and n not in r2_green]
+            + [n for n in queries if n in r2_green])
+    ordered = priority + [n for n in rest if n not in priority]
+    queries = {n: queries[n] for n in ordered}
+    oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles
 
 

