@@ -1081,3 +1081,20 @@ class TestCloneTable:
         engine.create_table("db.empty", schema_ddl=USERS_SCHEMA)
         engine.clone_table("db.empty", "db.empty2")
         assert engine.read("db.empty2").count() == 0
+
+    def test_clone_bucketed_table_joins(self, spark, engine):
+        ddl_a = "k bigint, va double"
+        ddl_b = "k bigint, vb double"
+        df_a = spark.createDataFrame([(i, float(i)) for i in range(50)], ddl_a)
+        df_b = spark.createDataFrame([(i, float(i)) for i in range(50)], ddl_b)
+        engine.create_table("db.ba", schema_ddl=ddl_a,
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.bb", schema_ddl=ddl_b,
+                            bucket_columns=["k"], bucket_count=4)
+        engine.insert(df_a, "db.ba", "u", "a")
+        engine.insert(df_b, "db.bb", "u", "b")
+        engine.clone_table("db.ba", "db.ba2")
+        # the clone carries the bucket spec: it is join-compatible with
+        # the co-bucketed original's partner table
+        joined = engine.bucketed_join("db.ba2", "db.bb")
+        assert joined.count() == 50
