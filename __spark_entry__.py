@@ -70,7 +70,8 @@ def _registry() -> tuple[dict, dict]:
         "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
         "q_sessionize", "q_funnel", "q_date_from_ts",
         # never driver-checked (added round 3)
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
+        "q_tpch_q21",
         # remaining versioned flows (engine write path)
         "q_snapshot_replace", "q_time_travel", "q_bucketed_join",
     ]

@@ -329,6 +329,29 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cntry"))
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes and order priority (Q12 shape): one fact-fact join,
+    priority CASE counts per mode class. l_returnflag classes stand in for
+    the absent l_shipmode, and "received late" — the commit/receipt date
+    predicate — is emulated as shipped more than 30 days after the order
+    date."""
+    li = (load(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag").isin("A", "N")
+                 & (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("l_shipdate")
+                   > F.date_add(F.col("o_orderdate").cast("date"), 30))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("l_returnflag"))
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (Q2 shape). The part-supplier relation is
     distilled from lineitem (no partsupp table in this testdata): supply
@@ -476,6 +499,7 @@ QUERIES = {
     "q_tpch_q1": q_tpch_q1,
     "q_tpch_q2": q_tpch_q2,
     "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q12": q_tpch_q12,
     "q_tpch_q16": q_tpch_q16,
     "q_tpch_q20": q_tpch_q20,
     "q_tpch_q21": q_tpch_q21,
@@ -523,6 +547,18 @@ ORACLES = {
         "SELECT l_partkey, ROUND(value, 2) AS value FROM vals "
         "WHERE value > (SELECT SUM(value) * 0.001 FROM vals) "
         "ORDER BY value DESC, l_partkey"),
+    "q_tpch_q12": (
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag IN ('A', 'N') "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30 "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_tpch_q16": (
         "SELECT p_brand, p_type, p_size, "
         "COUNT(DISTINCT l_suppkey) AS supplier_cnt "

@@ -33,6 +33,9 @@ EXPECTED = {
     "q_range_join": {"bnlj"},
     # single-row broadcast scalar (avg balance) crossed into the fact side
     "q_tpch_q22": {"bnlj"},
+    # single-row broadcast scalar (global value fraction) — the optimal
+    # distributed plan for a scalar threshold; the build side is 1 row
+    "q_tpch_q11": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},
