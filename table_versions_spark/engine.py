@@ -798,51 +798,64 @@ class VersionedEngine:
         defn, log = self._log(table)
         return _sync(self.spark, defn, log, catalog_table)
 
-    def bucketed_join(self, left: TableName | str, right: TableName | str,
+    def bucketed_join(self, *tables: TableName | str,
                       how: str = "inner") -> DataFrame:
-        """Bucket-wise map join of two co-bucketed versioned tables.
+        """Bucket-wise map join of two or more co-bucketed versioned tables.
 
-        Both tables must share an identical bucket spec (columns + count,
+        All tables must share an identical bucket spec (columns + count,
         declared at ``create_table``). Each insert hash-clusters rows into
         exactly ``bucket_count`` write tasks on the bucket columns, and the
-        write task's index rides the part-file name — so bucket *b* of the
-        left table can only match bucket *b* of the right table (same
-        deterministic Murmur3 hash partitioning). This method builds the
-        union of the per-bucket joins.
+        write task's index rides the part-file name — so bucket *b* of one
+        table can only match bucket *b* of the others (same deterministic
+        Murmur3 hash partitioning). This method builds the union of the
+        per-bucket joins; with N tables each branch chains N−1 joins.
 
         Why this matters at 100 TB: a dimension table too large to
         broadcast WHOLE (say 100 GB) still has broadcastable BUCKETS
         (100 GB / 1024 ≈ 100 MB), so every branch becomes a broadcast hash
         join and the fact table is never shuffled — the classic Hive
-        "bucket map join", expressed over versioned file sets. Without
-        co-bucketing the same join shuffles both sides on the key.
+        "bucket map join", expressed over versioned file sets. The N-way
+        form streams each bucket's LARGEST side through broadcasts of the
+        rest, so a star-schema join of one fact and several co-bucketed
+        dimensions runs with zero shuffles end to end. Without
+        co-bucketing the same join shuffles every side on the key.
 
-        The join keys are the bucket columns. Branch count equals
-        ``bucket_count``; keep it ≲ a few thousand or the union plan itself
-        gets heavy (documented Hive guidance applies).
+        The join keys are the bucket columns; non-key column names must be
+        disjoint across tables. ``how`` other than ``"inner"`` is limited
+        to exactly two tables (N-way outer-join semantics depend on join
+        order, which this method deliberately does not expose). Branch
+        count equals ``bucket_count``; keep it ≲ a few thousand or the
+        union plan itself gets heavy (documented Hive guidance applies).
         """
-        ldefn, _ = self._log(left)
-        rdefn, _ = self._log(right)
-        for d in (ldefn, rdefn):
+        if len(tables) < 2:
+            raise ValueError("bucketed_join needs at least two tables")
+        if how != "inner" and len(tables) != 2:
+            raise ValueError(
+                f"how={how!r} is only supported for exactly two tables "
+                "(N-way outer semantics are join-order-dependent)")
+        defns = [self._log(t)[0] for t in tables]
+        for d in defns:
             if not d.bucket_count:
                 raise ValueError(
                     f"{d.name.fully_qualified_name} is not bucketed; "
                     "declare bucket_columns/bucket_count at create_table")
-        if (ldefn.bucket_columns != rdefn.bucket_columns
-                or ldefn.bucket_count != rdefn.bucket_count):
-            raise ValueError(
-                "bucket specs differ: "
-                f"{ldefn.bucket_columns}×{ldefn.bucket_count} vs "
-                f"{rdefn.bucket_columns}×{rdefn.bucket_count}")
-        keys = list(ldefn.bucket_columns)
-        lbuckets = self._bucket_files(ldefn)
-        rbuckets = self._bucket_files(rdefn)
+        head = defns[0]
+        for d in defns[1:]:
+            if (head.bucket_columns != d.bucket_columns
+                    or head.bucket_count != d.bucket_count):
+                raise ValueError(
+                    "bucket specs differ: "
+                    f"{head.bucket_columns}×{head.bucket_count} vs "
+                    f"{d.bucket_columns}×{d.bucket_count} "
+                    f"({d.name.fully_qualified_name})")
+        keys = list(head.bucket_columns)
+        buckets = [self._bucket_files(d) for d in defns]
         from pyspark.sql import functions as F
 
-        # broadcast the SMALLER side of each bucket pair, and only when it
-        # is under Spark's broadcast threshold — a bucket of a fact-sized
-        # table must not be forced into a broadcast (OOM); that branch
-        # falls back to a plain (still bucket-local) join
+        # broadcast only sides under Spark's broadcast threshold — a bucket
+        # of a fact-sized table must not be forced into a broadcast (OOM);
+        # such a side joins plain (still bucket-local, no shuffle needed
+        # beyond the branch's own join)
         threshold = _parse_bytes_conf(self.spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"))
 
@@ -850,23 +863,29 @@ class VersionedEngine:
             return sum(self.storage.file_size(f) for f in files)
 
         branches = []
-        for b in range(ldefn.bucket_count):
-            lf, rf = lbuckets.get(b, []), rbuckets.get(b, [])
-            if not lf and not rf:
+        for b in range(head.bucket_count):
+            files = [bk.get(b, []) for bk in buckets]
+            if not any(files):
                 continue
-            if how == "inner" and (not lf or not rf):
+            if how == "inner" and not all(files):
                 continue  # inner join: a missing side yields no rows
-            ldf = self._read_files(ldefn, lf)
-            rdf = self._read_files(rdefn, rf)
-            lsz, rsz = _size(lf), _size(rf)
-            if min(lsz, rsz) <= threshold > 0:
-                if rsz <= lsz:
-                    rdf = F.broadcast(rdf)
-                else:
-                    ldf = F.broadcast(ldf)
-            branches.append(ldf.join(rdf, keys, how))
+            dfs = [self._read_files(d, f) for d, f in zip(defns, files)]
+            sizes = [_size(f) for f in files]
+            # stream the largest side through the others; for the 2-table
+            # outer form the left table must stay the stream side
+            stream = (max(range(len(sizes)), key=sizes.__getitem__)
+                      if how == "inner" else 0)
+            out = dfs[stream]
+            for i in range(len(dfs)):
+                if i == stream:
+                    continue
+                side = (F.broadcast(dfs[i])
+                        if threshold > 0 and sizes[i] <= threshold
+                        else dfs[i])
+                out = out.join(side, keys, how)
+            branches.append(out)
         if not branches:
-            raise UnknownTableError("both tables are empty")
+            raise UnknownTableError("all joined tables are empty")
         out = branches[0]
         for br in branches[1:]:
             out = out.unionByName(br)

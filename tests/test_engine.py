@@ -1098,3 +1098,40 @@ class TestCloneTable:
         # the co-bucketed original's partner table
         joined = engine.bucketed_join("db.ba2", "db.bb")
         assert joined.count() == 50
+
+
+class TestMultiWayBucketedJoin:
+    def test_three_way_star_join(self, spark, engine):
+        fact = spark.createDataFrame(
+            [(i % 10, float(i)) for i in range(100)], "k bigint, f double")
+        d1 = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(10)], "k bigint, attr1 string")
+        d2 = spark.createDataFrame(
+            [(i, f"b{i}") for i in range(10)], "k bigint, attr2 string")
+        engine.create_table("db.f", schema_ddl="k bigint, f double",
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.d1", schema_ddl="k bigint, attr1 string",
+                            bucket_columns=["k"], bucket_count=4)
+        engine.create_table("db.d2", schema_ddl="k bigint, attr2 string",
+                            bucket_columns=["k"], bucket_count=4)
+        engine.insert(fact, "db.f", "u", "fact")
+        engine.insert(d1, "db.d1", "u", "d1")
+        engine.insert(d2, "db.d2", "u", "d2")
+        out = engine.bucketed_join("db.f", "db.d1", "db.d2")
+        # identical to the plain 3-way join
+        expect = fact.join(d1, "k").join(d2, "k")
+        assert sorted(map(tuple, out.collect())) \
+            == sorted(map(tuple, expect.collect()))
+        # and contains no shuffle exchange in the whole plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+
+    def test_nway_outer_rejected(self, spark, engine):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="two tables"):
+            engine.bucketed_join("db.a", "db.b", "db.c", how="left")
+
+    def test_fewer_than_two_rejected(self, spark, engine):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="at least two"):
+            engine.bucketed_join("db.a")
