@@ -233,7 +233,37 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.read(agg_table).select("event_date", "event_type", "total", "n")
 
 
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (engine.read_changes): after reprocessing the
+    earliest day on a branch of the base table, a consumer that remembers
+    the pre-reprocess commit reads ONLY the changed partition — unchanged
+    day-partitions are never scanned (metadata-level commit diff)."""
+    st = _shared(spark, sf_dir)
+    eng, min_date = st["eng"], st["min_date"]
+    table = _clone_base(st)
+    since = eng.history(table).collect()[0].commit_id  # the clone commit
+    ev = _events_for_insert(spark, sf_dir)
+    eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("value", F.col("value") * 2),
+               table, "tester", "reprocess earliest day")
+    return eng.read_changes(table, since_commit=since).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
+def q_compact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (engine.compact) on a branch of the base
+    table: the rewrite must be invisible in the answer — the compacted
+    table reads identically to the original events."""
+    st = _shared(spark, sf_dir)
+    table = _clone_base(st)
+    st["eng"].compact(table)
+    return st["eng"].read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 QUERIES = {
+    "q_change_feed": q_change_feed,
+    "q_compact_invariant": q_compact_invariant,
     "q_snapshot_replace": q_snapshot_replace,
     "q_time_travel": q_time_travel,
     "q_insert_overwrite_partition": q_insert_overwrite_partition,
@@ -246,6 +276,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_change_feed": (
+        "SELECT event_id, user_id, event_type, value * 2 AS value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
+    "q_compact_invariant": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events"),
     "q_snapshot_replace": "SELECT * FROM customer WHERE c_acctbal > 0",
     "q_time_travel": "SELECT * FROM customer",
     "q_insert_overwrite_partition": (
