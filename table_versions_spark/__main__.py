@@ -11,6 +11,7 @@ so they are instant even when a JVM spin-up would take seconds. ``show`` and
     python -m table_versions_spark history   --warehouse /wh db.events
     python -m table_versions_spark current   --warehouse /wh db.events
     python -m table_versions_spark checkout  --warehouse /wh db.events <commit>
+    python -m table_versions_spark clone     --warehouse /wh db.events db.events_branch
     python -m table_versions_spark vacuum    --warehouse /wh db.events --keep 3
     python -m table_versions_spark show      --warehouse /wh db.events -n 10
     python -m table_versions_spark compact   --warehouse /wh db.events
@@ -53,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     sub.add_parser("tables", help="list versioned tables")
     for cmd, extra in [("history", []), ("current", []),
-                       ("checkout", ["commit_id"]),
+                       ("checkout", ["commit_id"]), ("clone", ["dest"]),
                        ("vacuum", []), ("show", []), ("compact", [])]:
         sp = sub.add_parser(cmd)
         sp.add_argument("table", help="schema.table")
@@ -95,6 +96,16 @@ def main(argv: list[str] | None = None) -> int:
         defn, log = _log_for(args.warehouse, args.table)
         log.set_current_version(defn.name, args.commit_id)
         print(f"checked out {args.commit_id}")
+        return 0
+
+    if args.cmd == "clone":
+        from .engine import VersionedEngine
+
+        # shallow clone is metadata + hardlinks only; no Spark session needed
+        eng = VersionedEngine(None, args.warehouse)
+        res = eng.clone_table(args.table, args.dest,
+                              user_id=os.environ.get("USER", "cli"))
+        print(f"cloned {args.table} -> {args.dest} as commit {res.commit_id}")
         return 0
 
     if args.cmd == "vacuum":

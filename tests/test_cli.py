@@ -51,3 +51,12 @@ def test_vacuum(warehouse, capsys):
     assert "version dir(s) removed" in out
     # current state untouched: {1 in d=a, 3 in d=b} (v2 overwrote d=b)
     assert sorted(r["id"] for r in eng.read("db.cli").collect()) == [1, 3]
+
+
+def test_clone(warehouse, capsys):
+    wh, engine = warehouse
+    assert main(["-w", wh, "clone", "db.cli", "db.cli_branch"]) == 0
+    out = capsys.readouterr().out
+    assert "cloned db.cli -> db.cli_branch" in out
+    assert sorted(map(tuple, engine.read("db.cli_branch").collect())) \
+        == sorted(map(tuple, engine.read("db.cli").collect()))
