@@ -152,7 +152,8 @@ class VersionedEngine:
                evolve_schema: bool = False,
                distribute: bool = True,
                txn: tuple[str, int] | None = None,
-               check_conflicts: bool = False) -> CommitResult:
+               check_conflicts: bool = False,
+               cluster_by: list[str] | None = None) -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
         ``VersionContext.scala:29-44,53-90``).
 
@@ -187,6 +188,11 @@ class VersionedEngine:
         and the current state returned — a retried job (Spark task retry,
         streaming-batch replay, orchestrator re-run) cannot double-apply.
 
+        ``cluster_by=[cols]`` (extension, Delta ``OPTIMIZE ZORDER``'s role
+        at write time): sort the write on the given columns so each output
+        file covers a tight value range; per-file footer stats recorded in
+        the commit then let ``read(stats_filter=...)`` skip whole files.
+
         ``check_conflicts=True`` (extension, Delta-style optimistic
         concurrency): abort with ``ConcurrentWriteError`` if another writer
         changed any partition this insert touches (or the snapshot version)
@@ -197,14 +203,16 @@ class VersionedEngine:
         """
         return self._insert(df, table, user_id, message, mode=mode,
                             evolve_schema=evolve_schema, distribute=distribute,
-                            txn=txn, check_conflicts=check_conflicts)
+                            txn=txn, check_conflicts=check_conflicts,
+                            cluster_by=cluster_by)
 
     def _insert(self, df: DataFrame, table: TableName | str, user_id: str,
                 message: str, mode: str = "overwrite",
                 evolve_schema: bool = False, distribute: bool = True,
                 drop_partitions: list[Partition] = (),
                 txn: tuple[str, int] | None = None,
-                check_conflicts: bool = False) -> CommitResult:
+                check_conflicts: bool = False,
+                cluster_by: list[str] | None = None) -> CommitResult:
         """insert() plus ``drop_partitions``: partitions to REMOVE in the
         same commit unless the write itself re-adds them — lets delete()
         empty a partition atomically (write + remove = one commit)."""
@@ -228,7 +236,8 @@ class VersionedEngine:
                      if (mode == "append" or check_conflicts) else None)
         version = Version.generate()
         if defn.is_snapshot:
-            ops = self._write_snapshot(df, defn, version)
+            ops = self._write_snapshot(df, defn, version,
+                                       cluster_by=cluster_by)
             if mode == "append" and isinstance(previous, SnapshotTableVersion) \
                     and previous.version != UNVERSIONED:
                 _link_data_files(path_for(defn.location, previous.version),
@@ -236,7 +245,8 @@ class VersionedEngine:
                                  self.storage)
         else:
             ops = self._write_partitioned(df, defn, version,
-                                          distribute=distribute)
+                                          distribute=distribute,
+                                          cluster_by=cluster_by)
             if mode == "append" and isinstance(previous, PartitionedTableVersion):
                 for op in ops:
                     old = previous.partition_versions.get(op.partition)
@@ -560,18 +570,33 @@ class VersionedEngine:
                                 tuple(ops), stats=stats or None))
 
     def _write_snapshot(self, df: DataFrame, defn: TableDefinition,
-                        version: Version) -> list:
+                        version: Version,
+                        cluster_by: list[str] | None = None) -> list:
         """Snapshot write: ``<location>/<label>/``
-        (reference ``VersionContext.scala:75-78``)."""
+        (reference ``VersionContext.scala:75-78``).
+
+        ``cluster_by``: range-partition + sort on the given columns so each
+        output file covers a tight, near-disjoint value range — the
+        per-file footer stats then let ``read(stats_filter=...)`` skip
+        whole files (OPTIMIZE/ZORDER-style clustering, single-column form).
+        On a bucketed table bucketing owns the partitioning, so clustering
+        only sorts within each bucket."""
         if defn.bucket_count:
             df = df.repartition(defn.bucket_count,
                                 *[F_col(c) for c in defn.bucket_columns])
+            if cluster_by:
+                df = df.sortWithinPartitions(*cluster_by)
+        elif cluster_by:
+            df = (df.repartitionByRange(
+                      self.spark.sparkContext.defaultParallelism, *cluster_by)
+                  .sortWithinPartitions(*cluster_by))
         target = path_for(defn.location, version)
         df.write.format(defn.format).mode("errorifexists").save(target)
         return [AddTableVersion(version)]
 
     def _write_partitioned(self, df: DataFrame, defn: TableDefinition,
-                           version: Version, distribute: bool = True) -> list:
+                           version: Version, distribute: bool = True,
+                           cluster_by: list[str] | None = None) -> list:
         """Partitioned write via staging dir + O(#partitions) renames.
 
         One Spark job total (vs two in the reference — the extra
@@ -595,6 +620,12 @@ class VersionedEngine:
                                 *[F_col(c) for c in defn.bucket_columns])
         elif distribute:
             df = df.repartition(*pcols)
+        if cluster_by:
+            # partition cols first so each dir's rows stay contiguous in
+            # the write task; cluster cols next so maxRecordsPerFile rolls
+            # the sorted stream into files covering tight value ranges —
+            # which per-file footer stats turn into file-level skipping
+            df = df.sortWithinPartitions(*pcols, *cluster_by)
         staging = os.path.join(defn.location, f"_staging-{version.label}")
         # maxRecordsPerFile keeps a skewed/huge partition from producing one
         # monster file even under distribute=True
@@ -711,6 +742,11 @@ class VersionedEngine:
             if bucket_filter:
                 files = self._bucket_filter_files(defn, [sdir], bucket_filter)
                 return self._read_files(defn, files)
+            if stats_filter:
+                pruned = self._stats_prune_files(
+                    defn, {state.version.label: sdir}, smap, stats_filter)
+                if pruned is not None:
+                    return self._read_files(defn, pruned)
             return reader.load(sdir)
         partitions = state.partition_versions
         if partition_filter:
@@ -739,8 +775,44 @@ class VersionedEngine:
         if bucket_filter:
             files = self._bucket_filter_files(defn, paths, bucket_filter)
             return self._read_files(defn, files)
+        if stats_filter:
+            rels = {f"{p.render()}/{v.label}":
+                    os.path.join(defn.location, p.render(), v.label)
+                    for p, v in sorted(partitions.items())}
+            pruned = self._stats_prune_files(defn, rels, smap, stats_filter)
+            if pruned is not None:
+                return self._read_files(defn, pruned)
         return self._declared_types(
             reader.option("basePath", defn.location).load(paths), defn)
+
+    def _stats_prune_files(self, defn: TableDefinition,
+                           rel_dirs: dict[str, str], smap: dict,
+                           stats_filter: dict) -> list[str] | None:
+        """File-granular data skipping: drop files whose recorded per-file
+        range PROVES no row can match. Returns the surviving file list, or
+        None when nothing can be dropped (caller keeps the cheaper
+        whole-dir read — no listing cost, no file-list plan). Files absent
+        from the stats payload are always kept: skipping is an
+        optimization, never a filter."""
+        kept: list[str] = []
+        dropped = False
+        for rel, d in rel_dirs.items():
+            fstats = (smap.get(rel) or {}).get("files") or {}
+            if not fstats:
+                kept.append(d)  # whole dir — no per-file stats recorded
+                continue
+            for name in self.storage.list_dir(d):
+                if name.startswith((".", "_")):
+                    continue
+                full = os.path.join(d, name)
+                if self.storage.is_dir(full):
+                    continue
+                if name in fstats and _stats_exclude(fstats[name],
+                                                     stats_filter):
+                    dropped = True
+                    continue
+                kept.append(full)
+        return kept if dropped else None
 
     def read_changes(self, table: TableName | str, since_commit: str,
                      to_commit: str | None = None) -> DataFrame:
@@ -1032,18 +1104,26 @@ class VersionedEngine:
         return removed
 
     def compact(self, table: TableName | str, user_id: str = "maintenance",
-                target_partitions: int | None = None) -> CommitResult:
+                target_partitions: int | None = None,
+                cluster_by: list[str] | None = None) -> CommitResult:
         """Small-file compaction: rewrite the current state into a fresh
         version with one file per partition (or ``target_partitions`` files
         for snapshot tables). Readers are unaffected until the commit lands
-        (immutable versions = zero read/write interference)."""
+        (immutable versions = zero read/write interference).
+
+        ``cluster_by`` additionally sorts the rewrite on the given columns
+        (Delta ``OPTIMIZE ... ZORDER BY``'s role): each rewritten file
+        covers a tight value range, so subsequent
+        ``read(stats_filter={col: ...})`` calls skip whole files via the
+        per-file footer stats recorded in the compaction commit."""
         defn, _ = self._log(table)
         df = self.read(table)
         if defn.is_snapshot and target_partitions:
             df = df.coalesce(target_partitions)
         # partitioned case: insert's distribute=True already clusters by
         # partition columns — one shuffle total
-        return self.insert(df, table, user_id, "compaction")
+        return self.insert(df, table, user_id, "compaction",
+                           cluster_by=cluster_by)
 
     def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
         """Every version-label directory on disk for this table."""
@@ -1098,7 +1178,12 @@ def _collect_version_stats(version_dir: str,
     immutable version dir, as a JSON-able payload for the commit record.
     Metadata-only: no data pages are read. Non-parquet formats and
     unstat-able columns are simply absent — absence means 'cannot skip',
-    never 'skip'. Returns None when footers are unreadable."""
+    never 'skip'. Returns None when footers are unreadable.
+
+    When the dir holds more than one data file, the payload additionally
+    carries per-FILE ranges under ``"files"`` (Delta's per-file stats
+    shape) so reads can skip at file granularity — which is what makes a
+    ``cluster_by`` write pay off: sorted files cover disjoint ranges."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover
@@ -1106,6 +1191,7 @@ def _collect_version_stats(version_dir: str,
     storage = storage if storage is not None else DEFAULT_STORAGE
     mins, maxs = {}, {}
     rows = 0
+    per_file: dict[str, dict] = {}
     for name in storage.list_dir(version_dir):
         if name.startswith((".", "_")) or not name.endswith(".parquet"):
             continue
@@ -1115,6 +1201,7 @@ def _collect_version_stats(version_dir: str,
         except Exception:  # noqa: BLE001 — unreadable footer ⇒ no stats
             return None
         rows += md.num_rows
+        fmins, fmaxs = {}, {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
@@ -1126,11 +1213,24 @@ def _collect_version_stats(version_dir: str,
                 lo, hi = _stat_value(st.min), _stat_value(st.max)
                 if lo is None or hi is None:
                     continue
-                mins[cname] = lo if cname not in mins else min(mins[cname], lo)
-                maxs[cname] = hi if cname not in maxs else max(maxs[cname], hi)
-    return {"rows": rows,
-            "columns": {c: {"min": mins[c], "max": maxs[c]}
-                        for c in mins if c in maxs}}
+                fmins[cname] = (lo if cname not in fmins
+                                else min(fmins[cname], lo))
+                fmaxs[cname] = (hi if cname not in fmaxs
+                                else max(fmaxs[cname], hi))
+        for c in fmins:
+            if c in fmaxs:
+                mins[c] = fmins[c] if c not in mins else min(mins[c], fmins[c])
+                maxs[c] = fmaxs[c] if c not in maxs else max(maxs[c], fmaxs[c])
+        per_file[name] = {
+            "rows": md.num_rows,
+            "columns": {c: {"min": fmins[c], "max": fmaxs[c]}
+                        for c in fmins if c in fmaxs}}
+    payload = {"rows": rows,
+               "columns": {c: {"min": mins[c], "max": maxs[c]}
+                           for c in mins if c in maxs}}
+    if len(per_file) > 1:  # single-file dirs: dir stats == file stats
+        payload["files"] = per_file
+    return payload
 
 
 def _stat_value(v):

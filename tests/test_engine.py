@@ -517,9 +517,15 @@ class TestDataSkipping:
         engine.insert(spark.createDataFrame([(500, "a")], "id bigint, d string"),
                       "db.ds2", "u", "v2", mode="append")
         # the appended version's stats must cover the LINKED old file too:
-        # a filter matching only the old row must not be skipped away
+        # a filter matching only the old row must not be skipped away.
+        # (File-granular skipping may legitimately drop the id=500 file —
+        # the contract is a SUPERSET of matching rows, never fewer.)
         old_row = engine.read("db.ds2", stats_filter={"id": 1})
-        assert sorted(r["id"] for r in old_row.collect()) == [1, 500]
+        got = sorted(r["id"] for r in old_row.collect())
+        assert 1 in got and set(got) <= {1, 500}
+        # and without a filter the full version is intact
+        assert sorted(r["id"] for r in engine.read("db.ds2").collect()) \
+            == [1, 500]
 
     def test_string_and_date_stats(self, spark, engine):
         from pyspark.sql import functions as F
@@ -867,7 +873,7 @@ class TestConflictDetection:
         orig = VersionedEngine._write_partitioned
         done = {}
 
-        def racing(self, df, defn, version, distribute=True):
+        def racing(self, df, defn, version, distribute=True, **kw):
             ops = orig(self, df, defn, version, distribute=distribute)
             if not done and defn.name.name == "cc" and self is engine:
                 done["x"] = True
@@ -902,7 +908,7 @@ class TestConflictDetection:
         def make_racing(flag):
             done = {}
 
-            def racing(self, df, defn, version, distribute=True):
+            def racing(self, df, defn, version, distribute=True, **kw):
                 ops = orig(self, df, defn, version, distribute=distribute)
                 if not done and defn.name.name == "cc2" and self is engine:
                     done["x"] = True
@@ -942,7 +948,7 @@ class TestConflictDetection:
         orig = VersionedEngine._write_partitioned
         done = {}
 
-        def racing(self, df, defn, version, distribute=True):
+        def racing(self, df, defn, version, distribute=True, **kw):
             ops = orig(self, df, defn, version, distribute=distribute)
             if not done and defn.name.name == "cc3" and self is engine:
                 done["x"] = True
@@ -1135,3 +1141,55 @@ class TestMultiWayBucketedJoin:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="at least two"):
             engine.bucketed_join("db.a")
+
+
+class TestFileLevelSkipping:
+    def test_clustered_snapshot_prunes_files(self, spark, engine):
+        engine.create_table("db.fs", schema_ddl="id bigint, v double")
+        df = spark.createDataFrame([(i, float(i)) for i in range(1000)],
+                                   "id bigint, v double")
+        engine.insert(df, "db.fs", "u", "clustered", cluster_by=["id"])
+        full = engine.read("db.fs")
+        assert len(full.inputFiles()) > 1  # range-partitioned into many files
+        # a narrow id range lives in one sorted file: the read must touch
+        # strictly fewer files and still return exactly the right rows
+        narrow = engine.read("db.fs", stats_filter={"id": (10, 20)})
+        assert len(narrow.inputFiles()) < len(full.inputFiles())
+        assert rows(narrow.where("id BETWEEN 10 AND 20"), "id") \
+            == [(i,) for i in range(10, 21)]
+
+    def test_compact_cluster_by_enables_file_skipping(self, spark, engine):
+        engine.create_table("db.fc", schema_ddl="id bigint, v double")
+        # unclustered multi-file insert: interleaved ranges, no skipping
+        df = spark.createDataFrame([(i, float(i)) for i in range(1000)],
+                                   "id bigint, v double").repartition(8)
+        engine.insert(df, "db.fc", "u", "raw")
+        raw = engine.read("db.fc", stats_filter={"id": (10, 20)})
+        n_raw = len(raw.inputFiles())
+        engine.compact("db.fc", cluster_by=["id"])
+        after = engine.read("db.fc", stats_filter={"id": (10, 20)})
+        assert len(after.inputFiles()) < n_raw
+        assert rows(after.where("id BETWEEN 10 AND 20"), "id") \
+            == [(i,) for i in range(10, 21)]
+        # and the compaction is invisible in the full answer
+        assert engine.read("db.fc").count() == 1000
+
+    def test_partitioned_cluster_by(self, spark, engine):
+        engine.create_table("db.fp", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        data = [(i, "a" if i % 2 else "b") for i in range(100)]
+        engine.insert(spark.createDataFrame(data, "id bigint, d string"),
+                      "db.fp", "u", "v1", cluster_by=["id"])
+        got = engine.read("db.fp", stats_filter={"id": (3, 5)})
+        assert rows(got.where("id BETWEEN 3 AND 5"), "id") \
+            == [(3,), (4,), (5,)]
+
+    def test_file_skipping_never_drops_matching_rows(self, spark, engine):
+        engine.create_table("db.fn", schema_ddl="id bigint, v double")
+        df = spark.createDataFrame([(i, float(i)) for i in range(200)],
+                                   "id bigint, v double")
+        engine.insert(df, "db.fn", "u", "v1", cluster_by=["id"])
+        for lo, hi in [(0, 0), (0, 199), (199, 199), (57, 91)]:
+            got = engine.read("db.fn", stats_filter={"id": (lo, hi)})
+            assert got.where(f"id BETWEEN {lo} AND {hi}").count() \
+                == hi - lo + 1
