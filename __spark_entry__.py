@@ -70,7 +70,8 @@ def _registry() -> tuple[dict, dict]:
         "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
         "q_sessionize", "q_funnel", "q_date_from_ts",
         # never driver-checked (added round 3)
-        "q_change_feed", "q_compact_invariant",
+        "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
+        "q_vacuum_invariant",
         "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
         "q_tpch_q21",
         # remaining versioned flows (engine write path)

@@ -261,8 +261,47 @@ def q_compact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered write + per-file data skipping (engine ``cluster_by`` +
+    ``stats_filter``): events are written sorted on ``value`` so each file
+    covers a tight range; the stats-filtered read prunes files via the
+    per-file footer ranges in the commit record, and the residual
+    ``.where`` makes the (superset) result exact — the standard
+    skipping-read usage."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "clustered" not in st:
+        ev = _events_for_insert(spark, sf_dir)
+        eng.create_table("vx.events_cl", schema_ddl=EVENTS_DDL)
+        eng.insert(ev, "vx.events_cl", "tester", "clustered load",
+                   cluster_by=["value"])
+        st["clustered"] = True
+    return (eng.read("vx.events_cl", stats_filter={"value": (10.0, 20.0)})
+            .where((F.col("value") >= 10.0) & (F.col("value") <= 20.0))
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date"))
+
+
+def q_vacuum_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version GC (engine.vacuum) on a branch: after reprocessing the
+    earliest day, vacuuming old version dirs must leave the current state
+    byte-identical — GC removes only unreachable history."""
+    st = _shared(spark, sf_dir)
+    eng, min_date = st["eng"], st["min_date"]
+    table = _clone_base(st)
+    ev = _events_for_insert(spark, sf_dir)
+    eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("value", F.col("value") * 2),
+               table, "tester", "reprocess earliest day")
+    eng.vacuum(table, keep_commits=1)
+    return eng.read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 QUERIES = {
     "q_change_feed": q_change_feed,
+    "q_clustered_skipping": q_clustered_skipping,
+    "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
     "q_snapshot_replace": q_snapshot_replace,
     "q_time_travel": q_time_travel,
@@ -276,6 +315,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_clustered_skipping": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "WHERE value >= 10.0 AND value <= 20.0"),
+    "q_vacuum_invariant": (
+        "SELECT event_id, user_id, event_type, value * 2 AS value, "
+        f"CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date "
+        f"FROM events WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
     "q_change_feed": (
         "SELECT event_id, user_id, event_type, value * 2 AS value, "
         "CAST(ts AS DATE) AS event_date FROM events "
