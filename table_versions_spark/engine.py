@@ -801,17 +801,20 @@ class VersionedEngine:
             if not fstats:
                 kept.append(d)  # whole dir — no per-file stats recorded
                 continue
-            for name in self.storage.list_dir(d):
-                if name.startswith((".", "_")):
-                    continue
-                full = os.path.join(d, name)
-                if self.storage.is_dir(full):
-                    continue
+            names = [n for n in self.storage.list_dir(d)
+                     if not n.startswith((".", "_"))
+                     and not self.storage.is_dir(os.path.join(d, n))]
+            if not names:
+                # listing came back empty for a dir the log says has files:
+                # keep the whole dir rather than silently losing its rows
+                kept.append(d)
+                continue
+            for name in names:
                 if name in fstats and _stats_exclude(fstats[name],
                                                      stats_filter):
                     dropped = True
                     continue
-                kept.append(full)
+                kept.append(os.path.join(d, name))
         return kept if dropped else None
 
     def read_changes(self, table: TableName | str, since_commit: str,
