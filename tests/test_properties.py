@@ -111,3 +111,36 @@ def test_checkpoint_transparency(tmp_path_factory, n_commits):
     for commit_id, expected in snapshots:
         got = log.current_version(T, at_commit=commit_id)
         assert dict(got.partition_versions) == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(op_strategy, min_size=1, max_size=20))
+def test_clone_preserves_current_state(tmp_path_factory, ops):
+    """Clone law: for ANY commit history, the shallow clone's folded state
+    equals the source's current state (and stays equal to what the source
+    was at clone time if the source keeps evolving). Metadata-level — no
+    Spark, no data files; version dirs are empty but the state algebra is
+    exactly what clone_table carries."""
+    from table_versions_spark.engine import VersionedEngine
+
+    wh = str(tmp_path_factory.mktemp("clonewh"))
+    eng = VersionedEngine(None, wh)
+    eng.create_table("db.src", schema_ddl="id bigint, d string",
+                     partition_columns=["d"])
+    defn, log = eng._log("db.src")
+    for kind, i in ops:
+        op = (AddPartitionVersion(PARTITIONS[i], Version.generate())
+              if kind == "add" else RemovePartition(PARTITIONS[i]))
+        log.commit(defn.name, TableUpdate(
+            TableUpdateMetadata.create("u", "m"), (op,)))
+    src_state = log.current_version(defn.name)
+    eng.clone_table("db.src", "db.dst")
+    ddefn, dlog = eng._log("db.dst")
+    assert dlog.current_version(ddefn.name).partition_versions \
+        == src_state.partition_versions
+    # source evolves after the clone; the clone must not follow
+    log.commit(defn.name, TableUpdate(
+        TableUpdateMetadata.create("u", "later"),
+        (AddPartitionVersion(PARTITIONS[0], Version.generate()),)))
+    assert dlog.current_version(ddefn.name).partition_versions \
+        == src_state.partition_versions
