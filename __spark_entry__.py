@@ -79,9 +79,10 @@ def _registry() -> tuple[dict, dict]:
     ]
     r2_green_modules = [text, similarity, multimodal, dedup]
     r2_green = {name for m in r2_green_modules for name in m.QUERIES}
-    rest = ([n for n in queries if n not in priority and n not in r2_green]
-            + [n for n in queries if n in r2_green])
-    ordered = priority + [n for n in rest if n not in priority]
+    pset = set(priority)
+    ordered = (priority
+               + [n for n in queries if n not in pset and n not in r2_green]
+               + [n for n in queries if n not in pset and n in r2_green])
     queries = {n: queries[n] for n in ordered}
     oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles

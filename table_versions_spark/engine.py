@@ -329,7 +329,9 @@ class VersionedEngine:
         defn = TableDefinition(
             name=defn.name, location=defn.location,
             partition_schema=defn.partition_schema, format=defn.format,
-            schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
+            schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True,
+            bucket_columns=defn.bucket_columns,
+            bucket_count=defn.bucket_count)
         write_table_meta(defn, self.storage)
         return defn
 
@@ -532,6 +534,16 @@ class VersionedEngine:
         shared files can never be rewritten — only superseded).
         """
         src_defn, src_log = self._log(src)
+        dst_name = TableName.parse(dst) if isinstance(dst, str) else dst
+        if self.storage.exists(os.path.join(self.table_location(dst_name),
+                                            "_meta.json")):
+            # a second clone would LINK the same source files into the same
+            # version dirs under collision-renamed names — every row would
+            # silently double; cloning onto any existing table would merge
+            # states. Refuse: clone only ever creates.
+            raise ValueError(
+                f"Clone destination {dst_name.fully_qualified_name} already "
+                "exists — clone_table only creates new tables")
         cur = src_log.current_version(src_defn.name)
         src_stats = src_log.stats_map(src_defn.name)
         dst_defn = self.create_table(
@@ -540,6 +552,16 @@ class VersionedEngine:
             format=src_defn.format, user_id=user_id,
             bucket_columns=list(src_defn.bucket_columns) or None,
             bucket_count=src_defn.bucket_count)
+        if src_defn.merge_schema and not dst_defn.merge_schema:
+            # a schema-evolved source reads with footer merging; the clone
+            # holds the same mixed-schema files and must read the same way
+            dst_defn = TableDefinition(
+                name=dst_defn.name, location=dst_defn.location,
+                partition_schema=dst_defn.partition_schema,
+                format=dst_defn.format, schema_ddl=dst_defn.schema_ddl,
+                bucket_columns=dst_defn.bucket_columns,
+                bucket_count=dst_defn.bucket_count, merge_schema=True)
+            write_table_meta(dst_defn, self.storage)
         ops: list = []
         stats: dict[str, dict] = {}
         if src_defn.is_snapshot:

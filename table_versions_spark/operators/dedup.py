@@ -231,10 +231,11 @@ NGRAM_BLOCK_KEYS = 5  # each document indexes under its K rarest shingles
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs over a rare-shingle inverted index.
 
-    Candidate generation: explode distinct char-5-gram shingles, aggregate
-    each shingle's document frequency and doc list in one groupBy pass,
-    keep shingles with df in [2, NGRAM_DF_CAP], re-explode the (tiny)
-    surviving doc lists, and index every document under its
+    Candidate generation: explode distinct char-5-gram shingles, count each
+    shingle's document frequency (groupBy with map-side combine — bounded
+    aggregation state even for corpus-common shingles), keep shingles with
+    df in [2, NGRAM_DF_CAP], join the rare set back onto the postings,
+    and index every document under its
     NGRAM_BLOCK_KEYS *rarest* surviving shingles (row_number window over
     doc_id ordered by (df, shingle) — the string tie-break makes the
     ranking reproducible in the oracle). Candidates are the self-join of
@@ -268,23 +269,24 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(load(spark, sf_dir, "documents"), spark)
     postings = docs.select("doc_id",
                            F.explode(F.expr(_shingle_expr())).alias("g"))
-    # ONE pass over the postings: groupBy(g) aggregates the df count AND the
-    # per-shingle doc list together (partial aggregation map-side), so the
-    # df-cap filter drops the ~99% of shingles that are unique or
-    # corpus-common before anything else touches them, and the surviving
-    # doc lists explode back into a posting set that is tiny by
-    # construction (≤ DF_CAP ids per shingle — the collect_list buffer is
-    # bounded the same way the blocking is). The alternatives both lose:
-    # df as COUNT(*) OVER (PARTITION BY g) shuffles AND sorts all ~1M
-    # postings before the filter (measured 5.5 s at sf0.1); df via a
-    # separate groupBy + join back re-runs the shingle explode once per
-    # consumer (measured ~2× this plan). Measured ~0.9 s steady-state.
-    rare_postings = (postings.groupBy("g")
-                     .agg(F.count("*").alias("df"),
-                          F.collect_list("doc_id").alias("ids"))
-                     .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP))
-                     .select("g", "df", F.explode("ids").alias("doc_id")))
-    ranked = (rare_postings
+    # df via groupBy COUNT (map-side combine: O(1) aggregation state per
+    # shingle — a corpus-common shingle like ' the ' costs one counter, not
+    # one buffered doc list), filtered to the rare set, then joined back
+    # onto a second postings pass to recover the rare postings. Rejected
+    # alternatives: df as COUNT(*) OVER (PARTITION BY g) shuffles AND sorts
+    # all ~1M postings before the filter can drop 99% of them (measured
+    # 5.5 s at sf0.1); a one-pass groupBy with collect_list(doc_id) looks
+    # faster (~0.5 s at sf0.1) but buffers EVERY doc id of corpus-common
+    # shingles in a single aggregation state before the cap filter can
+    # discard them — an O(corpus) single-key buffer at scale, exactly the
+    # skew hazard this operator exists to avoid.
+    rare = (postings.groupBy("g").agg(F.count("*").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
+    # The broadcast hint assumes the rare-shingle table fits the driver; on
+    # a web-scale corpus (where MOST distinct shingles are rare) drop the
+    # hint and let AQE choose — the fallback shuffle join on g is still
+    # skew-free by construction (every surviving key has df ≤ NGRAM_DF_CAP).
+    ranked = (postings.join(F.broadcast(rare), "g")
               .withColumn("rn", F.row_number().over(
                   Window.partitionBy("doc_id").orderBy("df", "g")))
               .where(F.col("rn") <= NGRAM_BLOCK_KEYS)

@@ -54,7 +54,11 @@ def _events_for_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared(spark: SparkSession, sf_dir: str) -> dict:
-    st = _SHARED.get(sf_dir)
+    # keyed by the session too: a cached engine bound to a stopped/replaced
+    # SparkSession must not leak into a fresh session's queries (the spark
+    # object rides the key, so GC id-reuse cannot alias entries)
+    key = (id(spark), sf_dir)
+    st = _SHARED.get(key)
     if st is None:
         eng = _engine(spark)
         ev = _events_for_insert(spark, sf_dir)
@@ -62,8 +66,8 @@ def _shared(spark: SparkSession, sf_dir: str) -> dict:
                          partition_columns=["event_date"])
         eng.insert(ev, "vx.events_base", "tester", "all days")
         min_date = ev.agg(F.min("event_date")).collect()[0][0]
-        st = {"eng": eng, "min_date": min_date}
-        _SHARED[sf_dir] = st
+        st = {"eng": eng, "min_date": min_date, "spark": spark}
+        _SHARED[key] = st
     return st
 
 

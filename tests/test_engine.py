@@ -1193,3 +1193,24 @@ class TestFileLevelSkipping:
             got = engine.read("db.fn", stats_filter={"id": (lo, hi)})
             assert got.where(f"id BETWEEN {lo} AND {hi}").count() \
                 == hi - lo + 1
+
+    def test_clone_onto_existing_table_rejected(self, spark, engine):
+        engine.create_table("db.c1", schema_ddl=USERS_SCHEMA)
+        engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                      "db.c1", "u", "v1")
+        engine.clone_table("db.c1", "db.c2")
+        # a retried clone must refuse, not silently double every row
+        with pytest.raises(ValueError, match="already exists"):
+            engine.clone_table("db.c1", "db.c2")
+        assert engine.read("db.c2").count() == len(USERS_V1)
+
+    def test_clone_carries_merge_schema(self, spark, engine):
+        engine.create_table("db.ev1", schema_ddl="id bigint")
+        engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                      "db.ev1", "u", "v1")
+        engine.insert(spark.createDataFrame([(2, "x")], "id bigint, extra string"),
+                      "db.ev1", "u", "v2", mode="append", evolve_schema=True)
+        engine.clone_table("db.ev1", "db.ev2")
+        assert engine.definition("db.ev2").merge_schema
+        got = {(r["id"], r["extra"]) for r in engine.read("db.ev2").collect()}
+        assert got == {(1, None), (2, "x")}
