@@ -42,6 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry() -> tuple[dict, dict]:
     from table_versions_spark.operators import (
         analytic,
+        cleaning,
         dedup,
         multimodal,
         relational,
@@ -58,7 +59,7 @@ def _registry() -> tuple[dict, dict]:
     # tail), then the round-1-only bulk, and the round-2-verified families
     # last.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
-               relational, tpch]
+               relational, tpch, cleaning]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:
@@ -72,6 +73,8 @@ def _registry() -> tuple[dict, dict]:
         # never driver-checked (added round 3)
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
         "q_vacuum_invariant",
+        "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
+        "q_bm25", "q_sim_ann_lsh",
         "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
         "q_tpch_q21",
         # remaining versioned flows (engine write path)

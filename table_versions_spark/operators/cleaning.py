@@ -1,0 +1,347 @@
+"""Corpus-cleaning / curation operators for LLM-data-pipeline use
+(SURVEY §2.D extension family, alongside text.py and dedup.py).
+
+Everything here is the JVM-side fast path — ``split`` / higher-order array
+functions / ``regexp_*`` inside whole-stage codegen, no Python UDFs — so each
+operator is a single embarrassingly-parallel scan (plus, where noted, one
+aggregation whose state is bounded per key). Every operator carries an exact
+DuckDB oracle.
+
+Operators:
+
+- ``q_pii_redact``: rule-based PII scrubbing — regex rules (email / phone /
+  IPv4, the real-world shapes) plus a configurable denylist vocabulary, with
+  per-document redaction counts.
+- ``q_contamination``: benchmark-contamination detection — word-n-gram
+  overlap of every corpus document against a held-out benchmark set
+  (the standard "is my eval set in the training data?" check).
+- ``q_repetition``: repetition quality signals (duplicate word / bigram /
+  trigram ratios — the Gopher-style heuristics used to drop boilerplate and
+  degenerate generations).
+- ``q_tfidf``: corpus-level term statistics (df, total tf, tf-idf score) —
+  the aggregation backbone of vocabulary building and keyword extraction.
+- ``q_bm25``: BM25 relevance scoring of the corpus against a fixed query —
+  the classic retrieval scorer, computed as one scan + one tiny stats
+  cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .common import load
+
+# ---------------------------------------------------------------------------
+# q_pii_redact
+
+# Real-world PII shapes (kept even though the synthetic corpus contains no
+# digits — the regex machinery is the product surface) plus a denylist
+# vocabulary that exercises the path on this corpus.  NOTE: restricted to
+# the regex subset Spark's java.util.regex and DuckDB's RE2 agree on —
+# character classes, alternation, \b word boundaries; lookaround is RE2-
+# unsupported and deliberately avoided.
+PII_REGEXES = [
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",   # email
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",                   # US phone
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",  # IPv4
+]
+PII_DENYLIST = ["customer", "vector"]  # stand-in sensitive vocabulary
+_PII_PATTERN = "|".join(PII_REGEXES
+                        + [rf"\b{w}\b" for w in PII_DENYLIST])
+PII_TOKEN = "[REDACTED]"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII scrubbing with per-document match accounting.
+
+    One codegen'd scan: ``regexp_count`` for the accounting,
+    ``regexp_replace`` for the scrub, sha-256 of the scrubbed text so the
+    oracle hash-checks the full redacted content without hauling it around.
+    No shuffle; at 100 TB this is a pure map over the corpus partitioning.
+    """
+    docs = load(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), F.lit(_PII_PATTERN),
+                                F.lit(PII_TOKEN))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_PATTERN)).cast("bigint")
+         .alias("n_redacted"),
+        F.sha2(redacted, 256).alias("redacted_sha"))
+
+
+# ---------------------------------------------------------------------------
+# q_contamination
+
+CONTAM_NGRAM = 5       # word-n-gram size for overlap detection
+BENCH_MOD = 50         # doc_id % 50 == 0 ⇒ document is in the benchmark set
+
+
+def _word_ngrams_expr(n: int) -> str:
+    """Distinct word n-grams of `text` (full windows only)."""
+    return (
+        "array_distinct(CASE WHEN size(split(text, ' ')) >= {n} THEN "
+        "transform(sequence(1, size(split(text, ' ')) - {n1}), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, {n}))) "
+        "ELSE array() END)").format(n=n, n1=n - 1)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every non-benchmark document,
+    count its distinct word-5-grams that also appear in the benchmark set
+    (documents with ``doc_id % BENCH_MOD == 0`` play the benchmark role).
+
+    Plan shape at 100 TB: the benchmark set is eval suites — MBs, not TBs —
+    so its distinct n-gram table is **broadcast**; the corpus side is one
+    explode + broadcast-hash semi-probe + per-doc count, all map-side
+    except the final doc-grain aggregation (key = unique doc_id ⇒ skew-free).
+    Documents with zero overlap are preserved via a left join against the
+    corpus spine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    ngrams = F.expr(_word_ngrams_expr(CONTAM_NGRAM))
+    bench = (docs.where(F.col("doc_id") % BENCH_MOD == 0)
+             .select(F.explode(ngrams).alias("g")).distinct())
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (corpus.select("doc_id", F.explode(ngrams).alias("g"))
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+    return (corpus.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
+                     .alias("n_contaminated_ngrams"))
+            .withColumn("contaminated",
+                        F.col("n_contaminated_ngrams") > 0))
+
+
+# ---------------------------------------------------------------------------
+# q_repetition
+
+REPETITION_THRESHOLD = 0.2  # dup-trigram ratio above this ⇒ flag
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals: fraction of duplicate words / word-bigrams
+    / word-trigrams per document (1 − distinct/total over full windows).
+
+    All integer counting inside one codegen'd scan; the ratios are a single
+    IEEE division + subtraction each (bit-identical across engines — no
+    rounding needed). No shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    def ratio(n: int):
+        total = (f"greatest(size(split(text, ' ')) - {n - 1}, 0)" if n > 1
+                 else "size(split(text, ' '))")
+        grams = (_word_ngrams_expr(n) if n > 1
+                 else "array_distinct(split(text, ' '))")
+        return F.expr(
+            f"CASE WHEN {total} <= 0 THEN 0.0 ELSE "
+            f"1.0 - CAST(size({grams}) AS DOUBLE) / {total} END")
+
+    dup3 = ratio(3)
+    return docs.select(
+        "doc_id",
+        ratio(1).alias("dup_word_ratio"),
+        ratio(2).alias("dup_bigram_ratio"),
+        dup3.alias("dup_trigram_ratio"),
+        (dup3 > REPETITION_THRESHOLD).alias("is_repetitive"))
+
+
+# ---------------------------------------------------------------------------
+# q_tfidf
+
+TFIDF_TOP = 20
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level term statistics: document frequency, total term
+    frequency, and tf-idf score per term; top terms by score.
+
+    The aggregation is integer-exact (counts combined map-side; per-term
+    state is two counters no matter how common the term), and the double
+    math happens exactly once per term *after* aggregation — so the result
+    hash-matches across engines despite floating point (no
+    order-of-summation hazard). ``ln(N/df)`` uses the corpus size via a
+    1-row cross-join, keeping the plan fully declarative (no driver
+    collect).
+    """
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    stats = (postings.groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df"),
+                  F.count("*").alias("tf_total")))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf_total").cast("double")
+             * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")))
+    return (stats.crossJoin(F.broadcast(n))
+            .select("term", "df", "tf_total", score.alias("tfidf"))
+            .orderBy(F.desc("tfidf"), F.asc("term"))
+            .limit(TFIDF_TOP))
+
+
+# ---------------------------------------------------------------------------
+# q_bm25
+
+BM25_QUERY = ["spark", "query", "vector"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 15
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring of every document against a fixed query, top-N.
+
+    Shape at scale: per-document term frequencies come from one codegen'd
+    scan (``size(filter(tokens, …))`` per query term — the query is O(10)
+    terms, not a join); corpus stats (N, avgdl, per-term df) aggregate to a
+    single broadcastable row. The score is a fixed-order sum of per-term
+    closed forms over integer inputs, so it is bit-identical across engines
+    — no rounding, exact hash-match.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    def _tf(term):
+        # closure (not a default arg): F.filter treats a 2-parameter lambda
+        # as the (element, index) form
+        return F.size(F.filter(toks, lambda w: w == term))
+
+    tf_cols = [_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY)]
+    per_doc = docs.select("doc_id", F.size(toks).cast("bigint").alias("dl"),
+                          *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+          for i in range(len(BM25_QUERY))])
+
+    def term_score(i: int):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5)) + F.lit(1.0))
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl"))
+        return idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+
+    score = term_score(0)
+    for i in range(1, len(BM25_QUERY)):
+        score = score + term_score(i)
+    return (per_doc.crossJoin(F.broadcast(stats))
+            .select("doc_id", "dl",
+                    *[F.col(f"tf_{i}").cast("bigint").alias(f"tf_{t}")
+                      for i, t in enumerate(BM25_QUERY)],
+                    score.alias("bm25"))
+            .orderBy(F.desc("bm25"), F.asc("doc_id"))
+            .limit(BM25_TOP))
+
+
+# ---------------------------------------------------------------------------
+# registry + DuckDB oracles
+
+QUERIES = {
+    "q_pii_redact": q_pii_redact,
+    "q_contamination": q_contamination,
+    "q_repetition": q_repetition,
+    "q_tfidf": q_tfidf,
+    "q_bm25": q_bm25,
+}
+
+
+def _duck_ngrams(n: int) -> str:
+    """DuckDB mirror of :func:`_word_ngrams_expr` (1-based inclusive slice)."""
+    return (
+        "list_distinct(CASE WHEN len(string_split(text, ' ')) >= {n} THEN "
+        "list_transform(range(1, len(string_split(text, ' ')) - {n1} + 1), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), i, i + {n1}), ' ')) "
+        "ELSE [] END)").format(n=n, n1=n - 1)
+
+
+# DuckDB string literals keep backslashes verbatim; only quotes need escaping.
+_DUCK_PII = _PII_PATTERN.replace("'", "''")
+
+_DUCK_RATIO = (
+    "CASE WHEN {total} <= 0 THEN 0.0 ELSE "
+    "1.0 - CAST(len({grams}) AS DOUBLE) / ({total}) END")
+
+
+def _duck_ratio(n: int) -> str:
+    if n == 1:
+        return _DUCK_RATIO.format(
+            total="len(string_split(text, ' '))",
+            grams="list_distinct(string_split(text, ' '))")
+    return _DUCK_RATIO.format(
+        total=f"greatest(len(string_split(text, ' ')) - {n - 1}, 0)",
+        grams=_duck_ngrams(n))
+
+
+_BM25_TERM_SCORE = (
+    "(ln((CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / "
+    "(CAST(df_{i} AS DOUBLE) + 0.5) + 1.0) * "
+    "(CAST(tf_{i} AS DOUBLE) * {k1p1}) / "
+    "(CAST(tf_{i} AS DOUBLE) + {k1} * ({omb} + {b} * "
+    "CAST(dl AS DOUBLE) / avgdl)))")
+
+ORACLES = {
+    "q_pii_redact": (
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{_DUCK_PII}')) AS BIGINT) "
+        "AS n_redacted, "
+        f"sha256(regexp_replace(text, '{_DUCK_PII}', '{PII_TOKEN}', 'g')) "
+        "AS redacted_sha FROM documents"),
+    "q_contamination": (
+        f"WITH ng AS (SELECT doc_id, {_duck_ngrams(CONTAM_NGRAM)} AS gs "
+        "FROM documents), "
+        f"bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng "
+        f"WHERE doc_id % {BENCH_MOD} = 0), "
+        f"corpus AS (SELECT doc_id, unnest(gs) AS g FROM ng "
+        f"WHERE doc_id % {BENCH_MOD} <> 0), "
+        "hits AS (SELECT c.doc_id, COUNT(*) AS n_hits FROM corpus c "
+        "JOIN bench b ON c.g = b.g GROUP BY c.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        f"FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+        f"WHERE d.doc_id % {BENCH_MOD} <> 0"),
+    "q_repetition": (
+        "SELECT doc_id, "
+        f"{_duck_ratio(1)} AS dup_word_ratio, "
+        f"{_duck_ratio(2)} AS dup_bigram_ratio, "
+        f"{_duck_ratio(3)} AS dup_trigram_ratio, "
+        f"{_duck_ratio(3)} > {REPETITION_THRESHOLD} AS is_repetitive "
+        "FROM documents"),
+    "q_tfidf": (
+        "WITH postings AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "stats AS (SELECT term, COUNT(DISTINCT doc_id) AS df, "
+        "COUNT(*) AS tf_total FROM postings GROUP BY term) "
+        "SELECT term, df, tf_total, "
+        "CAST(tf_total AS DOUBLE) * ln(CAST("
+        "(SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(df AS DOUBLE)) "
+        "AS tfidf FROM stats "
+        f"ORDER BY tfidf DESC, term LIMIT {TFIDF_TOP}"),
+    "q_bm25": (
+        "WITH per_doc AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, "
+        + ", ".join(
+            f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) "
+            f"AS tf_{i}" for i, t in enumerate(BM25_QUERY))
+        + " FROM documents), "
+        "stats AS (SELECT COUNT(*) AS n_docs, "
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+        + ", ".join(
+            f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+            for i in range(len(BM25_QUERY)))
+        + " FROM per_doc) "
+        "SELECT doc_id, dl, "
+        + ", ".join(
+            f"CAST(tf_{i} AS BIGINT) AS tf_{t}"
+            for i, t in enumerate(BM25_QUERY))
+        + ", "
+        + " + ".join(
+            _BM25_TERM_SCORE.format(i=i, k1p1=BM25_K1 + 1.0, k1=BM25_K1,
+                                    omb=1.0 - BM25_B, b=BM25_B)
+            for i in range(len(BM25_QUERY)))
+        + " AS bm25 FROM per_doc CROSS JOIN stats "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}"),
+}

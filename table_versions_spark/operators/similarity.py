@@ -98,6 +98,48 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_K))
 
 
+LSH_PLANES = 6  # hyperplane count ⇒ 2^6 buckets
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate search with Hamming-1 multiprobe.
+
+    Index build: each vector gets a ``LSH_PLANES``-bit signature — bit *i*
+    is the sign of its inner product with hyperplane *i* (random-hyperplane
+    LSH; cos-similar vectors agree on most signs, so they collide). The
+    hyperplanes are taken deterministically from the dataset (embeddings of
+    the ``LSH_PLANES`` lowest vec_ids > 0) so the whole pipeline is
+    reproducible and carries a full DuckDB oracle — like ``q_sim_ann_ivf``,
+    the approximation is in the algorithm, not in randomness.
+
+    Query: probe the query vector's bucket plus all buckets at Hamming
+    distance 1 (standard multiprobe — recovers near-misses that flipped one
+    sign) and rank the probed candidates by exact cosine.
+
+    At 100 TB the signature pass is one codegen'd scan; the bucket id is the
+    natural partition/cluster key for the index layout, and a query touches
+    ``(LSH_PLANES+1)/2^LSH_PLANES`` of the data.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    planes = (emb.where(F.col("vec_id") > 0).orderBy("vec_id")
+              .limit(LSH_PLANES).select("embedding").collect())
+    vec = as_double_array(F.col("embedding"))
+    bucket = None
+    for i, r in enumerate(planes):
+        bit = (dot(vec, F.lit([float(x) for x in r[0]])) > 0).cast("int") * (1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    signed = emb.withColumn("bucket", bucket)
+    q_bucket = int(signed.where(F.col("vec_id") == QUERY_VEC_ID)
+                   .select("bucket").collect()[0][0])
+    probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(LSH_PLANES)]
+    q = F.lit(_query_vector(spark, sf_dir))
+    return (signed.where(F.col("bucket").isin(probes)
+                         & (F.col("vec_id") != QUERY_VEC_ID))
+            .select("vec_id", F.round(cosine(vec, q), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(TOP_K))
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     vector-index compression step: 4× smaller than float32, distance error
@@ -129,6 +171,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_ann_ivf": q_sim_ann_ivf,
+    "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_embed_quantize": q_embed_quantize,
 }
 
@@ -151,6 +194,27 @@ ORACLES = {
         "), 6) AS cos_sim "
         "FROM embeddings WHERE vec_id <> 0 "
         "ORDER BY cos_sim DESC, vec_id LIMIT 10"),
+    "q_sim_ann_lsh": (
+        # hyperplanes = embeddings of the 6 lowest vec_ids > 0 (bit i follows
+        # vec_id order, same deterministic rule as the Spark side); probe the
+        # query's bucket plus every Hamming-1 neighbor bucket
+        f"WITH planes AS (SELECT CAST(embedding AS DOUBLE[]) AS pv, "
+        "ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS bit "
+        f"FROM embeddings WHERE vec_id > 0 ORDER BY vec_id LIMIT {LSH_PLANES}), "
+        "sigs AS (SELECT e.vec_id, CAST(SUM(CASE WHEN "
+        "list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pv) > 0 "
+        "THEN 1 << p.bit ELSE 0 END) AS INT) AS bucket "
+        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id), "
+        "qb AS (SELECT bucket FROM sigs WHERE vec_id = 0) "
+        "SELECT e.vec_id, ROUND(list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+        "), 6) AS cos_sim "
+        "FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qb "
+        "WHERE (s.bucket = qb.bucket OR xor(s.bucket, qb.bucket) IN ("
+        + ", ".join(str(1 << i) for i in range(LSH_PLANES)) + ")) "
+        "AND e.vec_id <> 0 "
+        f"ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}"),
     "q_sim_ann_ivf": (
         # centroids = the 8 lowest vec_ids (same deterministic rule as the
         # Spark side); every vector is assigned to its max-cosine centroid;

