@@ -302,7 +302,39 @@ def q_vacuum_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming read of the versioned base table through the
+    ``tvx`` commit-log stream source (one micro-batch per commit span,
+    availableNow trigger) with an in-stream aggregation to a memory sink.
+
+    The streamed rows are exactly the rows the base table's single insert
+    committed, so the per-event_type aggregate equals the same aggregate
+    over the raw events table — which is the DuckDB oracle. The streaming
+    plan is the production CDF-consumer shape: partition-parallel source
+    (each changed version dir = one input partition), complete-mode agg,
+    and only the O(#event_types) aggregate ever reaches the driver/sink.
+    All aggregates are integer-exact (no double summation-order hazard).
+    """
+    from ..streaming.source import register
+
+    st = _shared(spark, sf_dir)
+    register(spark)
+    loc = st["eng"].definition("vx.events_base").location
+    name = f"tvx_stream_agg_{next(_SEQ)}"
+    stream = spark.readStream.format("tvx").option("location", loc).load()
+    agg = (stream.groupBy("event_type")
+           .agg(F.count("*").alias("n"),
+                F.min("event_id").alias("min_event"),
+                F.max("event_id").alias("max_event"),
+                F.sum("user_id").alias("sum_user")))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 QUERIES = {
+    "q_stream_agg": q_stream_agg,
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
@@ -319,6 +351,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_stream_agg": (
+        "SELECT event_type, COUNT(*) AS n, "
+        "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
+        "CAST(SUM(user_id) AS BIGINT) AS sum_user "
+        "FROM events GROUP BY event_type"),
     "q_clustered_skipping": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
