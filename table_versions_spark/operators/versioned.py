@@ -333,8 +333,51 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widening schema evolution on a branch of the base table: the earliest
+    day is reprocessed with a NEW ``source`` column (``evolve_schema=True``
+    — extension; the reference rejects schema drift outright). Readers see
+    the union schema: reprocessed rows carry the value, untouched
+    partitions' rows surface NULL — Parquet-style additive evolution with
+    no rewrite of old versions."""
+    st = _shared(spark, sf_dir)
+    eng, min_date = st["eng"], st["min_date"]
+    table = _clone_base(st)
+    ev = _events_for_insert(spark, sf_dir)
+    widened = (ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("source", F.lit("reproc")))
+    eng.insert(widened, table, "tester", "reprocess with provenance column",
+               evolve_schema=True)
+    return eng.read(table).select("event_id", "user_id", "event_type",
+                                  "value", "event_date", "source")
+
+
+def q_multi_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level partition versioning on ORC (the reference's A3
+    ``ad_impressions`` scenario: multi-column partitions, STORED AS orc —
+    ``MultiPartitionTableLoaderSpec.scala:37-45``): events partitioned by
+    (event_date, event_type); a read filtered on both columns prunes to a
+    single leaf partition directory."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "multipart_min_type" not in st:
+        ev = _events_for_insert(spark, sf_dir)
+        eng.create_table("vx.events_mp", schema_ddl=EVENTS_DDL,
+                         partition_columns=["event_date", "event_type"],
+                         format="orc")
+        eng.insert(ev, "vx.events_mp", "tester", "all days, orc")
+        st["multipart_min_type"] = (
+            ev.agg(F.min("event_type")).collect()[0][0])
+    return (eng.read("vx.events_mp")
+            .where((F.col("event_date") == F.lit(st["min_date"]))
+                   & (F.col("event_type") == st["multipart_min_type"]))
+            .select("event_id", "user_id", "value"))
+
+
 QUERIES = {
     "q_stream_agg": q_stream_agg,
+    "q_schema_evolution": q_schema_evolution,
+    "q_multi_partition_prune": q_multi_partition_prune,
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
@@ -356,6 +399,18 @@ ORACLES = {
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "
         "FROM events GROUP BY event_type"),
+    "q_schema_evolution": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, 'reproc' AS source FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, CAST(NULL AS VARCHAR) AS source "
+        f"FROM events WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
+    "q_multi_partition_prune": (
+        "SELECT event_id, user_id, value FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
+        "AND event_type = (SELECT MIN(event_type) FROM events)"),
     "q_clustered_skipping": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
