@@ -57,6 +57,12 @@ HEADLINE = [
     "q_chunk_docs",
     "q_sample_stratified",
     "q_embed_quantize",
+    "q_pii_redact",
+    "q_contamination",
+    "q_repetition",
+    "q_tfidf",
+    "q_bm25",
+    "q_sim_ann_lsh",
 ]
 
 

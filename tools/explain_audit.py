@@ -36,6 +36,10 @@ EXPECTED = {
     # single-row broadcast scalar (global value fraction) — the optimal
     # distributed plan for a scalar threshold; the build side is 1 row
     "q_tpch_q11": {"bnlj"},
+    # single-row broadcast stats (corpus size / avgdl+df) crossed into the
+    # term/doc side — 1-row build, optimal distributed plan
+    "q_tfidf": {"bnlj"},
+    "q_bm25": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},
