@@ -1094,6 +1094,41 @@ class VersionedEngine:
         defn, log = self._log(table)
         return log.current_version(defn.name)
 
+    def table_stats(self, table: TableName | str,
+                    at_commit: str | None = None) -> dict:
+        """ANALYZE-style table statistics for the current (or time-traveled)
+        state, folded PURELY from the per-version stats payloads riding the
+        commit log — zero data I/O, zero Spark jobs. Returns
+        ``{"rows": n, "columns": {col: {"min", "max"}}, "missing": [dirs]}``;
+        dirs committed without stats land in ``missing`` (their rows/ranges
+        are not reflected — callers needing exactness must check it's
+        empty). The q_table_stats driver query asserts these log-derived
+        numbers equal a full scan's, which is precisely the invariant the
+        data-skipping read relies on."""
+        defn, log = self._log(table)
+        state = log.current_version(defn.name, at_commit=at_commit)
+        smap = log.stats_map(defn.name, at_commit=at_commit)
+        if isinstance(state, SnapshotTableVersion):
+            rels = ([] if state.version == UNVERSIONED
+                    else [state.version.label])
+        else:
+            rels = [f"{p.render()}/{v.label}"
+                    for p, v in sorted(state.partition_versions.items())]
+        rows, mins, maxs, missing = 0, {}, {}, []
+        for rel in rels:
+            payload = smap.get(rel)
+            if payload is None:
+                missing.append(rel)
+                continue
+            rows += payload["rows"]
+            for c, mm in payload["columns"].items():
+                mins[c] = mm["min"] if c not in mins else min(mins[c], mm["min"])
+                maxs[c] = mm["max"] if c not in maxs else max(maxs[c], mm["max"])
+        return {"rows": rows,
+                "columns": {c: {"min": mins[c], "max": maxs[c]}
+                            for c in mins if c in maxs},
+                "missing": missing}
+
     # ------------------------------------------------------- maintenance
 
     def vacuum(self, table: TableName | str, keep_commits: int = 3) -> list[str]:

@@ -374,10 +374,30 @@ def q_multi_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "value"))
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE from the commit log: per-column min/max and row count of the
+    base table folded purely from the stats payloads riding its commits —
+    no data scan, no Spark job. The oracle computes the same numbers by
+    scanning the raw events table, so a hash-match proves the recorded
+    stats are exact — the invariant the per-file data-skipping read
+    (``read(stats_filter=...)``) silently relies on."""
+    st = _shared(spark, sf_dir)
+    stats = st["eng"].table_stats("vx.events_base")
+    assert not stats["missing"], stats["missing"]
+    c = stats["columns"]
+    row = (int(stats["rows"]),
+           int(c["event_id"]["min"]), int(c["event_id"]["max"]),
+           int(c["user_id"]["min"]), int(c["user_id"]["max"]))
+    return spark.createDataFrame(
+        [row], "n_rows bigint, min_event bigint, max_event bigint, "
+               "min_user bigint, max_user bigint")
+
+
 QUERIES = {
     "q_stream_agg": q_stream_agg,
     "q_schema_evolution": q_schema_evolution,
     "q_multi_partition_prune": q_multi_partition_prune,
+    "q_table_stats": q_table_stats,
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
@@ -399,6 +419,10 @@ ORACLES = {
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "
         "FROM events GROUP BY event_type"),
+    "q_table_stats": (
+        "SELECT COUNT(*) AS n_rows, "
+        "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
+        "MIN(user_id) AS min_user, MAX(user_id) AS max_user FROM events"),
     "q_schema_evolution": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date, 'reproc' AS source FROM events "

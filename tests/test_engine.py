@@ -1214,3 +1214,48 @@ class TestFileLevelSkipping:
         assert engine.definition("db.ev2").merge_schema
         got = {(r["id"], r["extra"]) for r in engine.read("db.ev2").collect()}
         assert got == {(1, None), (2, "x")}
+
+
+class TestTableStats:
+    def test_log_stats_equal_scan_stats_partitioned(self, spark, engine):
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, 25, "a"), (3, -5, "b"), (4, 99, "b")],
+            "id bigint, v bigint, d string")
+        engine.create_table("db.ts1", schema_ddl="id bigint, v bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(df, "db.ts1", "u", "v1")
+        st = engine.table_stats("db.ts1")
+        assert st["missing"] == []
+        assert st["rows"] == 4
+        assert st["columns"]["id"] == {"min": 1, "max": 4}
+        assert st["columns"]["v"] == {"min": -5, "max": 99}
+
+    def test_stats_follow_partition_overwrite_and_time_travel(self, spark, engine):
+        engine.create_table("db.ts2", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (9, "b")], "id bigint, d string"), "db.ts2", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(100, "a")], "id bigint, d string"), "db.ts2", "u", "v2")
+        st = engine.table_stats("db.ts2")
+        assert st["rows"] == 2  # overwritten partition a replaced, b kept
+        assert st["columns"]["id"] == {"min": 9, "max": 100}
+        old = engine.table_stats("db.ts2", at_commit=r1.commit_id)
+        assert old["rows"] == 2
+        assert old["columns"]["id"] == {"min": 1, "max": 9}
+
+    def test_snapshot_table_stats(self, spark, engine):
+        engine.create_table("db.ts3", schema_ddl="id bigint")
+        engine.insert(spark.createDataFrame([(5,), (7,)], "id bigint"),
+                      "db.ts3", "u", "v1")
+        st = engine.table_stats("db.ts3")
+        assert st["rows"] == 2 and st["columns"]["id"] == {"min": 5, "max": 7}
+
+    def test_orc_dirs_are_reported_missing(self, spark, engine):
+        # stats are parquet-footer based; an ORC table must surface its dirs
+        # as missing rather than silently report rows=0 as exact
+        engine.create_table("db.ts4", schema_ddl="id bigint", format="orc")
+        engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                      "db.ts4", "u", "v1")
+        st = engine.table_stats("db.ts4")
+        assert st["missing"] and st["rows"] == 0
