@@ -63,6 +63,7 @@ HEADLINE = [
     "q_tfidf",
     "q_bm25",
     "q_sim_ann_lsh",
+    "q_kmeans",
 ]
 
 

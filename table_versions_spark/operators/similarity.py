@@ -140,6 +140,64 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_K))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_DP = 4  # centroid rounding — makes the float path engine-portable
+EMB_DIM = 64
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's) over the embeddings table — the
+    clustering step of diversity-aware curation / coreset sampling.
+
+    Deterministic and fully oracle-checked: init centroids are the K lowest
+    vec_ids; each iteration assigns every vector to its max-cosine centroid
+    (ties broken toward the higher centroid id — mirrored exactly in the
+    oracle's ORDER BY) and recomputes centroids as per-dimension means.
+    Centroids are rounded to ``KMEANS_DP`` decimals after init and after
+    every update, which removes the cross-engine summation-order hazard
+    from the float path: the rounded values are bit-identical unless a mean
+    sits within ~1e-13 of a rounding boundary.
+
+    Scale shape (the classic Lloyd-on-Spark discipline): assignment is one
+    codegen'd scan against a broadcast K×d centroid literal; the update is
+    a posexplode → map-side-combined avg per (cluster, dim) — a shuffle of
+    K·d *aggregated* rows, of which only K·d scalars reach the driver to
+    build the next centroid literal. Iteration count is fixed and small, so
+    the lineage stays shallow without scratch re-materialization.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    vec = as_double_array(F.col("embedding"))
+    cents = [[round(float(x), KMEANS_DP) for x in r["embedding"]]
+             for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()]
+
+    def assign(df):
+        cent_arr = F.array(*[
+            F.struct(F.lit(i).alias("cent_id"), F.lit(c).alias("cv"))
+            for i, c in enumerate(cents)])
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(cosine(vec, c["cv"]).alias("s"),
+                               c["cent_id"].alias("cent_id")))
+        return df.withColumn("cluster", F.array_max(scored)["cent_id"])
+
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(emb)
+        means = (assigned
+                 .select("cluster", F.posexplode(vec).alias("pos", "x"))
+                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+                 .collect())
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        cents = [[round(by_cluster[i][p], KMEANS_DP)
+                  for p in range(len(cents[i]))]
+                 if i in by_cluster else cents[i]  # empty cluster: keep
+                 for i in range(KMEANS_K)]
+    return assign(emb).select("vec_id", F.col("cluster").cast("int")
+                              .alias("cluster"))
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     vector-index compression step: 4× smaller than float32, distance error
@@ -172,10 +230,50 @@ QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_kmeans": q_kmeans,
     "q_embed_quantize": q_embed_quantize,
 }
 
+
+def _kmeans_oracle() -> str:
+    """DuckDB mirror of :func:`q_kmeans`, one CTE chain per Lloyd round
+    (assign under c{i} → means → c{i+1}); output = assignment under the
+    final centroids. Tie-break (sim DESC, cent_id DESC) and the
+    round-to-``KMEANS_DP`` of every centroid match the Spark side exactly."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cent_id, "
+        f"list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, {KMEANS_DP})) AS cv "
+        f"FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})"]
+    for i in range(KMEANS_ITERS):
+        parts.append(
+            f"a{i + 1} AS (SELECT vec_id, v, cent_id, "
+            "ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY list_cosine_similarity(v, cv) DESC, cent_id DESC) AS rn "
+            f"FROM e CROSS JOIN c{i})")
+        parts.append(
+            f"m{i + 1} AS (SELECT cent_id, pos, "
+            f"round(AVG(v[pos]), {KMEANS_DP}) AS m "
+            f"FROM a{i + 1} CROSS JOIN "
+            f"(SELECT unnest(range(1, {EMB_DIM + 1})) AS pos) p "
+            "WHERE rn = 1 GROUP BY cent_id, pos)")
+        parts.append(
+            f"c{i + 1} AS (SELECT c{i}.cent_id, COALESCE(n.cv, c{i}.cv) AS cv "
+            f"FROM c{i} LEFT JOIN (SELECT cent_id, list(m ORDER BY pos) AS cv "
+            f"FROM m{i + 1} GROUP BY cent_id) n ON c{i}.cent_id = n.cent_id)")
+    n = KMEANS_ITERS
+    parts.append(
+        f"fin AS (SELECT vec_id, cent_id, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY list_cosine_similarity(v, cv) DESC, cent_id DESC) AS rn "
+        f"FROM e CROSS JOIN c{n})")
+    return (", ".join(parts)
+            + " SELECT vec_id, CAST(cent_id AS INT) AS cluster "
+              "FROM fin WHERE rn = 1")
+
 ORACLES = {
+    "q_kmeans": _kmeans_oracle(),
     "q_embed_quantize": (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "

@@ -22,7 +22,8 @@ PARITY_SUBSET = [
     "q_chunk_docs", "q_sample_stratified", "q_dedup_groups",
     "q_embed_quantize",
     "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
-    "q_bm25", "q_sim_ann_lsh",
+    "q_bm25", "q_sim_ann_lsh", "q_kmeans", "q_table_stats",
+    "q_stream_agg", "q_schema_evolution", "q_multi_partition_prune",
 ]
 
 
