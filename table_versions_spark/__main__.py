@@ -55,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("tables", help="list versioned tables")
     for cmd, extra in [("history", []), ("current", []),
                        ("checkout", ["commit_id"]), ("clone", ["dest"]),
+                       ("restore", ["commit_id"]),
                        ("vacuum", []), ("show", []), ("compact", [])]:
         sp = sub.add_parser(cmd)
         sp.add_argument("table", help="schema.table")
@@ -96,6 +97,17 @@ def main(argv: list[str] | None = None) -> int:
         defn, log = _log_for(args.warehouse, args.table)
         log.set_current_version(defn.name, args.commit_id)
         print(f"checked out {args.commit_id}")
+        return 0
+
+    if args.cmd == "restore":
+        from .engine import VersionedEngine
+
+        # restore is a metadata-only forward commit; no Spark session needed
+        eng = VersionedEngine(None, args.warehouse)
+        res = eng.restore(args.table, args.commit_id,
+                          user_id=os.environ.get("USER", "cli"))
+        print(f"restored {args.table} to {args.commit_id} "
+              f"as commit {res.commit_id}")
         return 0
 
     if args.cmd == "clone":

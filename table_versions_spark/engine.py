@@ -883,6 +883,62 @@ class VersionedEngine:
         defn, log = self._log(table)
         log.set_current_version(defn.name, commit_id)
 
+    def restore(self, table: TableName | str, commit_id: str,
+                user_id: str = "unknown",
+                message: str | None = None) -> CommitResult:
+        """Roll back by committing FORWARD (Delta ``RESTORE`` shape;
+        extension — the reference only has the pointer-moving ``checkout``):
+        append a new commit whose ops rewrite the current state to equal the
+        state at ``commit_id``. Unlike ``checkout``, history stays linear
+        and append-only — the bad commits remain auditable, the restore
+        itself is attributed, and concurrent readers never observe the
+        pointer jumping backwards.
+
+        Metadata-only: version dirs are re-referenced, never copied. Raises
+        if a directory the target state needs has been vacuumed away, and
+        refuses the snapshot↔partitioned impossibility the same way the
+        reference's ``computeChanges`` does (``Metastore.scala:56-84``)."""
+        defn, log = self._log(table)
+        target = log.current_version(defn.name, at_commit=commit_id)
+        current = log.current_version(defn.name)
+        ops: list = []
+        if isinstance(target, SnapshotTableVersion):
+            if not isinstance(current, SnapshotTableVersion):
+                raise ValueError(
+                    "Cannot restore a partitioned table to a snapshot state")
+            if target.version != current.version:
+                if target.version == UNVERSIONED:
+                    raise ValueError(
+                        "Cannot restore to the pre-first-insert state")
+                ops.append(AddTableVersion(target.version))
+            needed = ([] if target.version == UNVERSIONED
+                      else [path_for(defn.location, target.version)])
+        else:
+            if isinstance(current, SnapshotTableVersion):
+                raise ValueError(
+                    "Cannot restore a snapshot table to a partitioned state")
+            for p, v in sorted(target.partition_versions.items()):
+                if current.partition_versions.get(p) != v:
+                    ops.append(AddPartitionVersion(p, v))
+            for p in sorted(set(current.partition_versions)
+                            - set(target.partition_versions)):
+                ops.append(RemovePartition(p))
+            needed = [os.path.join(defn.location, p.render(), v.label)
+                      for p, v in sorted(target.partition_versions.items())]
+        missing = [d for d in needed if not self.storage.is_dir(d)]
+        if missing:
+            raise ValueError(
+                f"Cannot restore {defn.name.fully_qualified_name} to "
+                f"{commit_id}: version dir(s) vacuumed away: {missing}")
+        if not ops:
+            # already at the target state — still record the intent so the
+            # restore is auditable, but with a no-op operation list
+            pass
+        return self._commit(defn, log, TableUpdate(
+            TableUpdateMetadata.create(
+                user_id, message or f"restore to {commit_id}"),
+            tuple(ops)))
+
     def sync_catalog(self, table: TableName | str,
                      catalog_table: str | None = None) -> int:
         """Point a real Spark-catalog table at the current versioned

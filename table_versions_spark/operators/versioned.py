@@ -393,8 +393,28 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                "min_user bigint, max_user bigint")
 
 
+def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll back by committing forward (engine.restore, Delta RESTORE
+    shape): after reprocessing the earliest day on a branch, restoring to
+    the pre-reprocess commit must read byte-identical to the original
+    events — with history staying linear and append-only (the bad commit
+    remains time-travelable; q_time_travel covers that side)."""
+    st = _shared(spark, sf_dir)
+    eng, min_date = st["eng"], st["min_date"]
+    table = _clone_base(st)
+    good = eng.history(table).collect()[0].commit_id  # the clone commit
+    ev = _events_for_insert(spark, sf_dir)
+    eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
+                 .withColumn("value", F.col("value") * 2),
+               table, "tester", "bad reprocess")
+    eng.restore(table, good, user_id="tester")
+    return eng.read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 QUERIES = {
     "q_stream_agg": q_stream_agg,
+    "q_restore": q_restore,
     "q_schema_evolution": q_schema_evolution,
     "q_multi_partition_prune": q_multi_partition_prune,
     "q_table_stats": q_table_stats,
@@ -419,6 +439,9 @@ ORACLES = {
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "
         "FROM events GROUP BY event_type"),
+    "q_restore": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events"),
     "q_table_stats": (
         "SELECT COUNT(*) AS n_rows, "
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "

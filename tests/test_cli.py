@@ -60,3 +60,14 @@ def test_clone(warehouse, capsys):
     assert "cloned db.cli -> db.cli_branch" in out
     assert sorted(map(tuple, engine.read("db.cli_branch").collect())) \
         == sorted(map(tuple, engine.read("db.cli").collect()))
+
+
+def test_restore_forward_commit(warehouse, capsys):
+    wh, eng = warehouse
+    first = eng.history("db.cli").collect()[-2]["commit_id"]  # v1 insert
+    n = eng.history("db.cli").count()
+    assert main(["-w", wh, "restore", "db.cli", first]) == 0
+    out = capsys.readouterr().out
+    assert f"restored db.cli to {first}" in out
+    assert eng.history("db.cli").count() == n + 1  # linear, append-only
+    assert sorted(r["id"] for r in eng.read("db.cli").collect()) == [1, 2]

@@ -1259,3 +1259,55 @@ class TestTableStats:
                       "db.ts4", "u", "v1")
         st = engine.table_stats("db.ts4")
         assert st["missing"] and st["rows"] == 0
+
+
+class TestRestore:
+    def test_restore_partitioned_is_forward_commit(self, spark, engine):
+        engine.create_table("db.rs1", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, d string"), "db.rs1", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(99, "a"), (3, "c")], "id bigint, d string"), "db.rs1", "u", "v2")
+        n_before = engine.history("db.rs1").count()
+        engine.restore("db.rs1", r1.commit_id, user_id="ops")
+        got = {(r["id"], r["d"]) for r in engine.read("db.rs1").collect()}
+        assert got == {(1, "a"), (2, "b")}  # partition c gone, a rolled back
+        hist = engine.history("db.rs1")
+        assert hist.count() == n_before + 1  # forward commit, linear history
+        assert hist.first()["message"].startswith("restore to")
+
+    def test_restore_snapshot(self, spark, engine):
+        engine.create_table("db.rs2", schema_ddl="id bigint")
+        r1 = engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                           "db.rs2", "u", "v1")
+        engine.insert(spark.createDataFrame([(2,), (3,)], "id bigint"),
+                      "db.rs2", "u", "v2")
+        engine.restore("db.rs2", r1.commit_id)
+        assert [r["id"] for r in engine.read("db.rs2").collect()] == [1]
+
+    def test_restore_after_vacuum_refuses(self, spark, engine):
+        engine.create_table("db.rs3", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a")], "id bigint, d string"), "db.rs3", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(2, "a")], "id bigint, d string"), "db.rs3", "u", "v2")
+        engine.vacuum("db.rs3", keep_commits=1)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="vacuumed"):
+            engine.restore("db.rs3", r1.commit_id)
+        # state untouched by the refused restore
+        assert [r["id"] for r in engine.read("db.rs3").collect()] == [2]
+
+    def test_restore_then_time_travel_still_works(self, spark, engine):
+        """The rolled-over commits stay in the log: time travel to the 'bad'
+        commit must still read its state after the restore."""
+        engine.create_table("db.rs4", schema_ddl="id bigint")
+        r1 = engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                           "db.rs4", "u", "v1")
+        r2 = engine.insert(spark.createDataFrame([(2,)], "id bigint"),
+                           "db.rs4", "u", "v2")
+        engine.restore("db.rs4", r1.commit_id)
+        assert [r["id"] for r in engine.read(
+            "db.rs4", at_commit=r2.commit_id).collect()] == [2]
