@@ -76,6 +76,8 @@ def _registry() -> tuple[dict, dict]:
         "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
         "q_bm25", "q_sim_ann_lsh", "q_stream_agg", "q_schema_evolution",
         "q_multi_partition_prune", "q_table_stats", "q_kmeans", "q_restore",
+        "q_pack_sequences", "q_sample_weighted", "q_shuffle_shards",
+        "q_lm_score", "q_semdedup",
         "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
         "q_tpch_q21",
         # remaining versioned flows (engine write path)

@@ -64,6 +64,10 @@ HEADLINE = [
     "q_bm25",
     "q_sim_ann_lsh",
     "q_kmeans",
+    "q_semdedup",
+    "q_lm_score",
+    "q_pack_sequences",
+    "q_shuffle_shards",
 ]
 
 

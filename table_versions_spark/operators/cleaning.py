@@ -156,6 +156,48 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_lm_score
+
+RARE_TF_MAX = 2  # corpus frequency at or below which a token counts as rare
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency scoring (the CCNet/KenLM-style perplexity-proxy
+    quality filter, with the LM trained on the corpus itself): per document,
+    the average log-probability of its tokens under the corpus unigram
+    distribution, plus the rare-token occurrence ratio (gibberish signal).
+
+    Scale shape: term statistics aggregate to a vocabulary-sized table
+    (map-side combined; vocabulary ≪ corpus) that **broadcasts** back onto
+    the postings, so the per-doc aggregation is the only real shuffle and
+    its key (doc_id) is unique ⇒ skew-free.
+
+    Portability: a float sum over a doc's tokens is summation-order-
+    sensitive, so each term's log-prob (computed ONCE per term, after
+    integer-exact aggregation) is cast to ``decimal(28,12)`` before the
+    per-doc SUM — decimal addition is exact and order-free, making the
+    hash-compare robust; the single final divide happens in double.
+    """
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tstats = postings.groupBy("term").agg(F.count("*").alias("tf"))
+    total = postings.agg(F.count("*").alias("n_total"))
+    lp = F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
+    scored = (tstats.crossJoin(F.broadcast(total))
+              .select("term", "tf", lp.cast("decimal(28,12)").alias("lp")))
+    return (postings.join(F.broadcast(scored), "term")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum((F.col("tf") <= RARE_TF_MAX).cast("long"))
+                  .alias("n_rare"),
+                 (F.sum("lp").cast("double") / F.count("*"))
+                  .alias("avg_logprob"))
+            .withColumn("rare_ratio",
+                        F.col("n_rare").cast("double") / F.col("n_tokens")))
+
+
+# ---------------------------------------------------------------------------
 # q_tfidf
 
 TFIDF_TOP = 20
@@ -249,6 +291,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_pii_redact": q_pii_redact,
+    "q_lm_score": q_lm_score,
     "q_contamination": q_contamination,
     "q_repetition": q_repetition,
     "q_tfidf": q_tfidf,
@@ -291,6 +334,21 @@ _BM25_TERM_SCORE = (
     "CAST(dl AS DOUBLE) / avgdl)))")
 
 ORACLES = {
+    "q_lm_score": (
+        "WITH postings AS (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "tstats AS (SELECT term, COUNT(*) AS tf FROM postings GROUP BY term), "
+        "tot AS (SELECT COUNT(*) AS n_total FROM postings), "
+        "scored AS (SELECT term, tf, CAST(ln(CAST(tf AS DOUBLE) / "
+        "(SELECT CAST(n_total AS DOUBLE) FROM tot)) AS DECIMAL(28,12)) AS lp "
+        "FROM tstats) "
+        "SELECT p.doc_id, COUNT(*) AS n_tokens, "
+        f"CAST(SUM(CASE WHEN s.tf <= {RARE_TF_MAX} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_rare, "
+        "CAST(SUM(s.lp) AS DOUBLE) / COUNT(*) AS avg_logprob, "
+        f"CAST(SUM(CASE WHEN s.tf <= {RARE_TF_MAX} THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / COUNT(*) AS rare_ratio "
+        "FROM postings p JOIN scored s USING (term) GROUP BY p.doc_id"),
     "q_pii_redact": (
         "SELECT doc_id, "
         f"CAST(len(regexp_extract_all(text, '{_DUCK_PII}')) AS BIGINT) "

