@@ -72,7 +72,7 @@ def _registry() -> tuple[dict, dict]:
         "q_sessionize", "q_funnel", "q_date_from_ts",
         # never driver-checked (added round 3)
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
-        "q_vacuum_invariant",
+        "q_bloom_skipping", "q_vacuum_invariant",
         "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
         "q_bm25", "q_sim_ann_lsh", "q_stream_agg", "q_schema_evolution",
         "q_multi_partition_prune", "q_table_stats", "q_kmeans", "q_restore",

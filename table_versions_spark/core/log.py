@@ -416,6 +416,7 @@ def write_table_meta(defn: TableDefinition,
         "merge_schema": defn.merge_schema,
         "bucket_columns": list(defn.bucket_columns),
         "bucket_count": defn.bucket_count,
+        "bloom_columns": list(defn.bloom_columns),
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
 
@@ -439,4 +440,5 @@ def read_table_meta(location: str,
         merge_schema=d.get("merge_schema", False),
         bucket_columns=tuple(d.get("bucket_columns", ())),
         bucket_count=d.get("bucket_count", 0),
+        bloom_columns=tuple(d.get("bloom_columns", ())),
     )

@@ -236,6 +236,12 @@ class TableDefinition:
     # co-bucketed tables (see engine.bucketed_join).
     bucket_columns: tuple[str, ...] = ()
     bucket_count: int = 0
+    # Columns carrying a per-file Bloom filter in the commit-record stats
+    # (extension; Delta's BLOOMFILTER INDEX role). Built at publish time
+    # from the written files, consulted by ``read(stats_filter=...)`` for
+    # point-equality skipping where min/max ranges cannot prune (hash-
+    # distributed high-cardinality keys).
+    bloom_columns: tuple[str, ...] = ()
 
     @property
     def is_snapshot(self) -> bool:

@@ -110,7 +110,8 @@ class VersionedEngine:
                      format: str = "parquet", user_id: str = "unknown",
                      message: str = "init",
                      bucket_columns: list[str] | None = None,
-                     bucket_count: int = 0) -> TableDefinition:
+                     bucket_count: int = 0,
+                     bloom_columns: list[str] | None = None) -> TableDefinition:
         """Create + init a versioned table (idempotent).
 
         Replaces the reference's user-side ``CREATE EXTERNAL TABLE`` DDL +
@@ -129,6 +130,7 @@ class VersionedEngine:
             schema_ddl=schema_ddl,
             bucket_columns=tuple(bucket_columns or ()),
             bucket_count=bucket_count,
+            bloom_columns=tuple(bloom_columns or ()),
         )
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
@@ -273,7 +275,8 @@ class VersionedEngine:
                 else:
                     continue
                 payload = _collect_version_stats(
-                    os.path.join(defn.location, rel), self.storage)
+                    os.path.join(defn.location, rel), self.storage,
+                    bloom_columns=defn.bloom_columns)
                 if payload is not None:
                     stats[rel] = payload
         precondition = None
@@ -1288,13 +1291,97 @@ class VersionedEngine:
         return self.spark.createDataFrame([], defn.schema_ddl)
 
 
+_BLOOM_K = 7            # hash probes per key (~1% FPR at 10 bits/row)
+_BLOOM_MAX_BITS = 1 << 17  # 16 KiB bitset cap per file-column: commit
+                           # records stay log-metadata-sized, not data-sized
+
+
+def _bloom_hashes(key: str, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one blake2b digest —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_key(v) -> str | None:
+    """Canonical probe key, shared by build and read sides. Only int and
+    string columns participate (floats/bools/binary: equality probes are
+    either ill-defined or useless there)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, str)):
+        return str(v)
+    return None
+
+
+def _bloom_build(values, rows: int) -> dict | None:
+    """Bitset over a file's column values: ~10 bits/row, power-of-two m,
+    capped. Returns None when the column's type doesn't participate —
+    absence means 'cannot skip', never 'skip'."""
+    import base64
+
+    m = 1024
+    while m < rows * 10 and m < _BLOOM_MAX_BITS:
+        m *= 2
+    bits = bytearray(m // 8)
+    for v in values:
+        if v is None:
+            continue
+        key = _bloom_key(v)
+        if key is None:
+            return None
+        for pos in _bloom_hashes(key, m, _BLOOM_K):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": _BLOOM_K,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def _bloom_might_contain(bloom: dict, value) -> bool:
+    """False only when the bitset PROVES the value absent."""
+    import base64
+
+    key = _bloom_key(value)
+    if key is None:
+        return True
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        bits = base64.b64decode(bloom["bits"])
+    except (KeyError, TypeError, ValueError):
+        return True  # malformed payload ⇒ cannot prove, don't skip
+    return all(bits[p >> 3] & (1 << (p & 7))
+               for p in _bloom_hashes(key, m, k))
+
+
+def _bloom_union(blooms: list[dict]) -> dict | None:
+    """OR of same-shaped file blooms → a directory-level bloom."""
+    import base64
+
+    if not blooms or any(b["m"] != blooms[0]["m"] or b["k"] != blooms[0]["k"]
+                         for b in blooms):
+        return None
+    acc = bytearray(base64.b64decode(blooms[0]["bits"]))
+    for b in blooms[1:]:
+        for i, byte in enumerate(base64.b64decode(b["bits"])):
+            acc[i] |= byte
+    return {"m": blooms[0]["m"], "k": blooms[0]["k"],
+            "bits": base64.b64encode(bytes(acc)).decode("ascii")}
+
+
 def _collect_version_stats(version_dir: str,
-                           storage: Storage | None = None) -> dict | None:
+                           storage: Storage | None = None,
+                           bloom_columns: tuple[str, ...] = ()) -> dict | None:
     """Per-column min/max + row count from the parquet footers of an
     immutable version dir, as a JSON-able payload for the commit record.
-    Metadata-only: no data pages are read. Non-parquet formats and
-    unstat-able columns are simply absent — absence means 'cannot skip',
-    never 'skip'. Returns None when footers are unreadable.
+    Metadata-only (no data pages are read) — except for declared
+    ``bloom_columns``, which additionally pay one pruned column read per
+    file to build per-file Bloom bitsets for point-equality skipping.
+    Non-parquet formats and unstat-able columns are simply absent —
+    absence means 'cannot skip', never 'skip'. Returns None when footers
+    are unreadable.
 
     When the dir holds more than one data file, the payload additionally
     carries per-FILE ranges under ``"files"`` (Delta's per-file stats
@@ -1311,9 +1398,24 @@ def _collect_version_stats(version_dir: str,
     for name in storage.list_dir(version_dir):
         if name.startswith((".", "_")) or not name.endswith(".parquet"):
             continue
+        fblooms: dict[str, dict] = {}
         try:
             with storage.open_input(os.path.join(version_dir, name)) as f:
-                md = pq.ParquetFile(f).metadata
+                pf = pq.ParquetFile(f)
+                md = pf.metadata
+                if bloom_columns:
+                    # opted-in columns pay ONE pruned column read per file
+                    # at publish time (the Delta bloom-index trade) — the
+                    # rest of this function stays footer-metadata-only
+                    names = set(md.schema.to_arrow_schema().names)
+                    want = [c for c in bloom_columns if c in names]
+                    if want:
+                        tbl = pf.read(columns=want)
+                        for c in want:
+                            b = _bloom_build(tbl.column(c).to_pylist(),
+                                             md.num_rows)
+                            if b is not None:
+                                fblooms[c] = b
         except Exception:  # noqa: BLE001 — unreadable footer ⇒ no stats
             return None
         rows += md.num_rows
@@ -1341,9 +1443,23 @@ def _collect_version_stats(version_dir: str,
             "rows": md.num_rows,
             "columns": {c: {"min": fmins[c], "max": fmaxs[c]}
                         for c in fmins if c in fmaxs}}
+        if fblooms:
+            per_file[name]["bloom"] = fblooms
     payload = {"rows": rows,
                "columns": {c: {"min": mins[c], "max": maxs[c]}
                            for c in mins if c in maxs}}
+    # dir-level bloom: union over files, and ONLY for columns every file
+    # has a bloom for — a partial union would wrongly prove absence of
+    # values living in the bloom-less files
+    dir_blooms: dict[str, dict] = {}
+    for c in bloom_columns:
+        per = [entry.get("bloom", {}).get(c) for entry in per_file.values()]
+        if per and all(b is not None for b in per):
+            u = _bloom_union(per)
+            if u is not None:
+                dir_blooms[c] = u
+    if dir_blooms:
+        payload["bloom"] = dir_blooms
     if len(per_file) > 1:  # single-file dirs: dir stats == file stats
         payload["files"] = per_file
     return payload
@@ -1370,12 +1486,18 @@ def _stat_value(v):
 
 
 def _stats_exclude(stats_payload: dict | None, stats_filter: dict) -> bool:
-    """True iff the recorded [min,max] ranges PROVE no row can match.
-    Missing stats payload / column ⇒ False (cannot skip)."""
+    """True iff the recorded [min,max] ranges (or, for point equality, a
+    recorded Bloom filter) PROVE no row can match. Missing stats payload /
+    column / bloom ⇒ False (cannot skip)."""
     if not stats_payload:
         return False
     cols = stats_payload.get("columns") or {}
+    blooms = stats_payload.get("bloom") or {}
     for col, want in stats_filter.items():
+        if not isinstance(want, tuple):
+            b = blooms.get(col)
+            if b is not None and not _bloom_might_contain(b, want):
+                return True
         rng = cols.get(col)
         if rng is None:
             continue

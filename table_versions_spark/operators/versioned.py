@@ -286,6 +286,29 @@ def q_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date"))
 
 
+def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point-lookup skipping (engine ``bloom_columns`` +
+    ``stats_filter``): events are written hash-distributed on ``event_id``
+    so every file's min/max range covers the whole key space — range stats
+    can prune nothing — and only the per-file Bloom bitsets recorded in
+    the commit can narrow the point lookup to ~one file. The residual
+    ``.where`` makes the (superset) read exact, so the skipping machinery
+    is hash-verified to be invisible to results."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "bloomed" not in st:
+        ev = _events_for_insert(spark, sf_dir)
+        eng.create_table("vx.events_bl", schema_ddl=EVENTS_DDL,
+                         bloom_columns=["event_id"])
+        eng.insert(ev.repartition(8, F.col("event_id")), "vx.events_bl",
+                   "tester", "bloom-indexed load")
+        st["bloomed"] = True
+    return (eng.read("vx.events_bl", stats_filter={"event_id": 777})
+            .where(F.col("event_id") == 777)
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date"))
+
+
 def q_vacuum_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version GC (engine.vacuum) on a branch: after reprocessing the
     earliest day, vacuuming old version dirs must leave the current state
@@ -420,6 +443,7 @@ QUERIES = {
     "q_table_stats": q_table_stats,
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
+    "q_bloom_skipping": q_bloom_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
     "q_snapshot_replace": q_snapshot_replace,
@@ -462,6 +486,10 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE value >= 10.0 AND value <= 20.0"),
+    "q_bloom_skipping": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "WHERE event_id = 777"),
     "q_vacuum_invariant": (
         "SELECT event_id, user_id, event_type, value * 2 AS value, "
         f"CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "

@@ -509,6 +509,37 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_bloom_skipping_point_lookup(self, spark, engine):
+        """Hash-distributed layout: every file's min/max range overlaps, so
+        only the per-file Bloom bitsets can prune a point lookup."""
+        from pyspark.sql import functions as F
+
+        engine.create_table("db.bl", schema_ddl="id bigint, v string",
+                            bloom_columns=["id", "v"])
+        df = (spark.range(0, 2000)
+              .select(F.col("id"),
+                      F.concat(F.lit("p"), F.col("id")).alias("v"))
+              .repartition(8, F.col("id")))
+        engine.insert(df, "db.bl", "u", "v1")
+        total = len(engine.read("db.bl").inputFiles())
+        assert total >= 8
+        hit = engine.read("db.bl", stats_filter={"id": 1234})
+        assert [r["v"] for r in
+                hit.where(F.col("id") == 1234).collect()] == ["p1234"]
+        # bloom pruned files that min/max ranges never could
+        assert 0 < len(hit.inputFiles()) < total
+        # string-typed bloom probes work the same way
+        shit = engine.read("db.bl", stats_filter={"v": "p777"})
+        assert 0 < len(shit.inputFiles()) < total
+        assert shit.where(F.col("v") == "p777").count() == 1
+        # absent key: the dir-level bloom proves absence -> empty, no scan
+        miss = engine.read("db.bl", stats_filter={"id": 987654321})
+        assert miss.count() == 0 and set(miss.columns) == {"id", "v"}
+        # superset contract: every present key keeps its row
+        for probe in (0, 999, 1999):
+            got = engine.read("db.bl", stats_filter={"id": probe})
+            assert probe in [r["id"] for r in got.collect()]
+
     def test_append_links_keep_stats_fresh(self, spark, engine):
         engine.create_table("db.ds2", schema_ddl="id bigint, d string",
                             partition_columns=["d"])
