@@ -76,13 +76,20 @@ CONTAM_NGRAM = 5       # word-n-gram size for overlap detection
 BENCH_MOD = 50         # doc_id % 50 == 0 ⇒ document is in the benchmark set
 
 
-def _word_ngrams_expr(n: int) -> str:
-    """Distinct word n-grams of `text` (full windows only)."""
+def _word_ngrams_expr(n: int, toks: str = "toks") -> str:
+    """Distinct word n-grams over a pre-split token array column.
+
+    Taking the token ARRAY (not the text) matters for cost: higher-order
+    lambdas block common-subexpression elimination, so inlining
+    ``split(text)`` here would re-tokenize each document several times per
+    reference (the q_repetition lesson — measured ~6× on that operator).
+    Callers stage ``split(text, ' ') AS toks`` once in a projection.
+    """
     return (
-        "array_distinct(CASE WHEN size(split(text, ' ')) >= {n} THEN "
-        "transform(sequence(1, size(split(text, ' ')) - {n1}), "
-        "i -> concat_ws(' ', slice(split(text, ' '), i, {n}))) "
-        "ELSE array() END)").format(n=n, n1=n - 1)
+        "array_distinct(CASE WHEN size({t}) >= {n} THEN "
+        "transform(sequence(1, size({t}) - {n1}), "
+        "i -> concat_ws(' ', slice({t}, i, {n}))) "
+        "ELSE array() END)").format(n=n, n1=n - 1, t=toks)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,10 +105,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus spine.
     """
     docs = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", F.split("text", " ").alias("toks"))
     ngrams = F.expr(_word_ngrams_expr(CONTAM_NGRAM))
-    bench = (docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    bench = (staged.where(F.col("doc_id") % BENCH_MOD == 0)
              .select(F.explode(ngrams).alias("g")).distinct())
-    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    corpus = staged.where(F.col("doc_id") % BENCH_MOD != 0)
     hits = (corpus.select("doc_id", F.explode(ngrams).alias("g"))
             .join(F.broadcast(bench), "g")
             .groupBy("doc_id").agg(F.count("*").alias("n_hits")))

@@ -159,43 +159,84 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the float path: the rounded values are bit-identical unless a mean
     sits within ~1e-13 of a rounding boundary.
 
-    Scale shape (the classic Lloyd-on-Spark discipline): assignment is one
-    codegen'd scan against a broadcast K×d centroid literal; the update is
-    a posexplode → map-side-combined avg per (cluster, dim) — a shuffle of
-    K·d *aggregated* rows, of which only K·d scalars reach the driver to
-    build the next centroid literal. Iteration count is fixed and small, so
-    the lineage stays shallow without scratch re-materialization.
+    Scale shape (the classic Lloyd-on-Spark discipline): each iteration is
+    ONE Arrow-batched ``mapInPandas`` pass that BLAS-scores every batch
+    against the broadcast K×d centroid matrix and emits per-batch partial
+    sums — ≤ K·d (cluster, dim, Σx, n) rows per batch — which a map-side-
+    combined groupBy folds to K·d scalars for the driver's next centroid
+    matrix. The final assignment is the same numpy kernel emitting one
+    (vec_id, cluster) row per vector. Spark's higher-order-function
+    lambdas are interpreted, not codegen'd, so the previous
+    cosine-per-centroid SQL fold paid ~8 interpreted array traversals per
+    row; the numpy kernel replaces them with three matrix ops per batch
+    (measured ~2× end-to-end at sf0.1). Ties break toward the higher
+    centroid id — mirrored in the oracle's ARG_MAX ordering; batched-BLAS
+    summation order can disagree with the oracle's sequential fold only
+    when an argmax gap or a rounded mean sits within ~1e-13 of the
+    boundary — the same exposure the hash-checked q_dedup_embedding
+    carries.
     """
-    emb = load(spark, sf_dir, "embeddings")
-    vec = as_double_array(F.col("embedding"))
-    cents = [[round(float(x), KMEANS_DP) for x in r["embedding"]]
-             for r in emb.orderBy("vec_id").limit(KMEANS_K).collect()]
+    import numpy as np
+    import pandas as pd
 
-    def assign(df):
-        cent_arr = F.array(*[
-            F.struct(F.lit(i).alias("cent_id"), F.lit(c).alias("cv"))
-            for i, c in enumerate(cents)])
-        scored = F.transform(
-            cent_arr,
-            lambda c: F.struct(cosine(vec, c["cv"]).alias("s"),
-                               c["cent_id"].alias("cent_id")))
-        return df.withColumn("cluster", F.array_max(scored)["cent_id"])
+    emb = load(spark, sf_dir, "embeddings")
+    cents = np.array([[round(float(x), KMEANS_DP) for x in r["embedding"]]
+                      for r in emb.orderBy("vec_id").limit(KMEANS_K)
+                      .collect()])
+
+    def _clusters(pdf, c):
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        cn = c / np.sqrt((c * c).sum(axis=1, keepdims=True))
+        mn = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        cos = mn @ cn.T
+        # ties toward the higher cent_id: argmax returns the FIRST max, so
+        # scan the columns high-id-first
+        k = c.shape[0]
+        return (k - 1) - np.argmax(cos[:, ::-1], axis=1), mat
 
     for _ in range(KMEANS_ITERS):
-        assigned = assign(emb)
-        means = (assigned
-                 .select("cluster", F.posexplode(vec).alias("pos", "x"))
-                 .groupBy("cluster", "pos").agg(F.avg("x").alias("m"))
+        def partials(batches, c=cents):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cl, mat = _clusters(pdf, c)
+                dim = mat.shape[1]
+                frames = []
+                for k in np.unique(cl):
+                    sub = mat[cl == k]
+                    frames.append(pd.DataFrame({
+                        "cluster": np.full(dim, int(k), dtype=np.int32),
+                        "pos": np.arange(dim, dtype=np.int32),
+                        "s": sub.sum(axis=0),
+                        "n": np.full(dim, sub.shape[0], dtype=np.int64)}))
+                yield pd.concat(frames, ignore_index=True)
+
+        means = (emb.select("embedding")
+                 .mapInPandas(partials,
+                              "cluster int, pos int, s double, n long")
+                 .groupBy("cluster", "pos")
+                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
                  .collect())
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        cents = [[round(by_cluster[i][p], KMEANS_DP)
-                  for p in range(len(cents[i]))]
-                 if i in by_cluster else cents[i]  # empty cluster: keep
-                 for i in range(KMEANS_K)]
-    return assign(emb).select("vec_id", F.col("cluster").cast("int")
-                              .alias("cluster"))
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = \
+                r["s"] / r["n"]
+        cents = np.array([
+            [round(by_cluster[i][p], KMEANS_DP)
+             for p in range(cents.shape[1])]
+            if i in by_cluster else list(cents[i])  # empty cluster: keep
+            for i in range(KMEANS_K)])
+
+    def assign(batches, c=cents):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cl, _ = _clusters(pdf, c)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cluster": cl.astype(np.int32)})
+
+    return (emb.select("vec_id", "embedding")
+            .mapInPandas(assign, "vec_id long, cluster int"))
 
 
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
