@@ -68,6 +68,9 @@ HEADLINE = [
     "q_lm_score",
     "q_pack_sequences",
     "q_shuffle_shards",
+    "q_knn_join",
+    "q_json_funcs",
+    "q_anomaly",
 ]
 
 

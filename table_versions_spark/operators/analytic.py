@@ -169,6 +169,33 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("t_buy")).alias("n_view_click_buy")))
 
 
+ANOMALY_SIGMA = 2.0
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (the data-quality screen a
+    training pipeline runs over numeric telemetry): events whose ``value``
+    sits more than ``ANOMALY_SIGMA`` sample standard deviations from their
+    event_type's mean.
+
+    Plan shape: one map-side-combined groupBy computes the O(#groups)
+    mean/stddev table, which is broadcast back onto the fact scan — the
+    fact side is never shuffled (the same two-pass shape scales to any
+    corpus; a window over event_type would shuffle and sort every row to
+    compute the same five numbers). Output carries the raw ``value``
+    (exact doubles), not the z-score — the filter's boundary is the only
+    float comparison, and a value landing within 1e-12 of μ±2σ is the same
+    measure-zero exposure every hash-checked float query here carries."""
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    return (ev.join(F.broadcast(stats), "event_type")
+            .where(F.abs(F.col("value") - F.col("mu"))
+                   > ANOMALY_SIGMA * F.col("sigma"))
+            .select("event_id", "event_type", "value"))
+
+
 # ------------------------------------------------------------- statistics
 
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +236,7 @@ QUERIES = {
     "q_explode": q_explode,
     "q_sessionize": q_sessionize,
     "q_funnel": q_funnel,
+    "q_anomaly": q_anomaly,
     "q_quantiles": q_quantiles,
     "q_approx_quantile": q_approx_quantile,
     "q_corr": q_corr,
@@ -283,6 +311,12 @@ ORACLES = {
         "AND ep.event_type = 'purchase' GROUP BY c.user_id, t_view, t_click) "
         "SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_view_click, "
         "COUNT(t_buy) AS n_view_click_buy FROM b"),
+    "q_anomaly": (
+        "WITH s AS (SELECT event_type, AVG(value) AS mu, "
+        "STDDEV_SAMP(value) AS sigma FROM events GROUP BY event_type) "
+        "SELECT e.event_id, e.event_type, e.value "
+        "FROM events e JOIN s ON e.event_type = s.event_type "
+        "WHERE ABS(e.value - s.mu) > 2.0 * s.sigma"),
     "q_quantiles": (
         "SELECT l_returnflag, "
         "ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50, "

@@ -282,6 +282,29 @@ def q_date_from_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", to_utc_date("ts").alias("event_date"))
 
 
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction over ``events.props`` — both access
+    styles a pipeline uses: path extraction (``get_json_object``, no schema
+    needed) and schema-on-read parsing (``from_json`` to a typed struct).
+    Both are JVM expressions inside whole-stage codegen — a Python
+    ``json.loads`` UDF here would be the classic 100× slow path. At 100 TB
+    the parse cost is per-row CPU on the scan, no shuffle; the downstream
+    grouped aggregate is map-side combined."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_path"),
+        F.from_json("props", "k bigint").alias("p"))
+    return (parsed
+            .withColumn("k", F.col("p.k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k_path").alias("min_k"),
+                 F.max("k_path").alias("max_k"),
+                 F.count(F.when(F.col("k") % 7 == 0, 1)).alias("n_div7")))
+
+
 # ------------------------------------------------------------ pandas UDF
 
 def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +354,7 @@ QUERIES = {
     "q_str_funcs": q_str_funcs,
     "q_math_funcs": q_math_funcs,
     "q_date_funcs": q_date_funcs,
+    "q_json_funcs": q_json_funcs,
     "q_udf_pandas": q_udf_pandas,
     "q_date_from_ts": q_date_from_ts,
     "q_join_skew_salted": q_join_skew_salted,
@@ -423,6 +447,14 @@ ORACLES = {
                      "CAST(MONTH(o_orderdate) AS BIGINT) AS order_mon, "
                      "CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) "
                      "AS days_since_95 FROM orders"),
+    "q_json_funcs": (
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+        "MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k, "
+        "MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k, "
+        "COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0 "
+        "THEN 1 END) AS n_div7 "
+        "FROM events GROUP BY event_type"),
     "q_udf_pandas": ("SELECT l_orderkey, l_linenumber, "
                      "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue "
                      "FROM lineitem"),

@@ -140,6 +140,75 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(TOP_K))
 
 
+KNN_QUERIES = 8   # query set: the KNN_QUERIES lowest vec_ids
+KNN_K = 5         # neighbors returned per query
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: for EACH query vector (the ``KNN_QUERIES`` lowest
+    vec_ids), its ``KNN_K`` nearest corpus neighbors by cosine — the
+    retrieval/labeling primitive (kNN classification, retrieval-augmented
+    corpus probes) that a single-query top-k (``q_sim_search``) doesn't
+    cover.
+
+    Plan shape — the classic distributed brute-force kNN:
+
+    1. the query block (bounded: Q×d floats) is collected once and rides
+       into every task as a broadcast numpy matrix;
+    2. one Arrow-batched ``mapInPandas`` pass BLAS-scores each corpus batch
+       against all Q queries and keeps only the per-batch top-k per query —
+       the map-side combine that bounds the shuffle to
+       O(#batches · Q · k) candidate rows regardless of corpus size;
+    3. a per-query window takes the global top-k over the candidates.
+
+    Per-batch selection uses the same total order (rounded cosine desc,
+    vec_id asc) as the final window, so the local prune is exact. At 100 TB
+    the corpus scan dominates and parallelizes perfectly; nothing but the
+    O(Q·k) result ever converges. For query sets too large to broadcast,
+    the block-pair GEMM decomposition of ``q_dedup_embedding`` is the
+    same kernel with both sides partitioned."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (emb.orderBy("vec_id").limit(KNN_QUERIES)
+             .select("vec_id", "embedding").collect())
+    q_ids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    q_mat = np.array([[float(x) for x in r.embedding] for r in qrows],
+                     dtype=np.float64)
+    q_mat = q_mat / np.sqrt((q_mat * q_mat).sum(axis=1, keepdims=True))
+
+    def local_topk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            cos = np.round(mat @ q_mat.T, 6)  # rows: corpus, cols: queries
+            k = min(KNN_K, len(ids))
+            out_q, out_v, out_c = [], [], []
+            for j in range(cos.shape[1]):
+                # exact local prune on the global order (−cos, vec_id)
+                order = np.lexsort((ids, -cos[:, j]))[:k]
+                out_q.append(np.full(k, q_ids[j]))
+                out_v.append(ids[order])
+                out_c.append(cos[order, j])
+            yield pd.DataFrame({"q_id": np.concatenate(out_q),
+                                "vec_id": np.concatenate(out_v),
+                                "cos_sim": np.concatenate(out_c)})
+
+    cand = (emb.where(F.col("vec_id") >= KNN_QUERIES)
+            .select("vec_id", "embedding")
+            .mapInPandas(local_topk, "q_id long, vec_id long, cos_sim double"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= KNN_K)
+            .select("q_id", "vec_id", "cos_sim"))
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 KMEANS_DP = 4  # centroid rounding — makes the float path engine-portable
@@ -271,6 +340,7 @@ QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_knn_join": q_knn_join,
     "q_kmeans": q_kmeans,
     "q_embed_quantize": q_embed_quantize,
 }
@@ -314,6 +384,17 @@ def _kmeans_oracle() -> str:
               "FROM fin WHERE rn = 1")
 
 ORACLES = {
+    "q_knn_join": (
+        f"WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
+        f"FROM embeddings WHERE vec_id < {KNN_QUERIES}), "
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id >= {KNN_QUERIES}), "
+        "s AS (SELECT q_id, vec_id, "
+        "ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q_id "
+        "ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS rn "
+        "FROM q CROSS JOIN c) "
+        f"SELECT q_id, vec_id, cos_sim FROM s WHERE rn <= {KNN_K}"),
     "q_kmeans": _kmeans_oracle(),
     "q_embed_quantize": (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "

@@ -356,6 +356,155 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+EVENTS_TS_DDL = ("event_id bigint, ts timestamp, user_id bigint, "
+                 "event_type string, value double")
+
+
+def _events_ts_location(spark: SparkSession, sf_dir: str) -> str:
+    """Shared snapshot table carrying the µs event timestamp — the stream
+    source for the event-time streaming queries (one commit ⇒ one
+    micro-batch under availableNow)."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "events_ts" not in st:
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        eng.create_table("vx.events_ts", schema_ddl=EVENTS_TS_DDL)
+        eng.insert(ev, "vx.events_ts", "tester", "ts snapshot")
+        st["events_ts"] = True
+    return eng.definition("vx.events_ts").location
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation
+    (``streaming.ingest.windowed_counts``) in APPEND mode: a window row is
+    emitted exactly once, when the watermark (max event time − 10 min)
+    passes its end — the late-data-bounded, state-evicting shape a
+    production stream runs, and the emission rule itself is what the
+    oracle hash-checks: windows still within 10 min of the stream's max
+    timestamp stay open and must NOT appear.
+
+    Source is Spark's native file stream over a scratch export of the
+    events table: under availableNow it runs the data batches and then the
+    trailing no-data micro-batch that finalizes every window whose end ≤
+    final watermark (``spark.sql.streaming.noDataMicroBatch.enabled`` is
+    pinned on, since the rule depends on it). The ``tvx`` commit-log
+    source can't drive this shape yet — the Python DataSource stream API
+    has no availableNow admission control, so Spark demotes it to one
+    batch and never runs the finalize batch (its append-side story is the
+    ``foreachBatch`` ingest in ``streaming.ingest``; complete-mode reads
+    are ``q_stream_agg``). At scale the file-source batches fan out like
+    any parquet scan and window state lives partitioned in the executors'
+    state stores."""
+    import os
+
+    from ..streaming.ingest import windowed_counts
+    from .common import scratch_dir
+
+    spark.conf.set("spark.sql.streaming.noDataMicroBatch.enabled", "true")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = scratch_dir(spark, f"stream-win-src-{tag}")
+    marker = os.path.join(src, "_SUCCESS")
+    if not os.path.exists(marker):
+        (load_events(spark, sf_dir)
+         .select("event_id", "ts", "event_type", "value")
+         .write.mode("overwrite").parquet(src))
+    run = scratch_dir(spark, f"stream-win-run-{tag}-{next(_SEQ)}")
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, event_type string, "
+                      "value double")
+              .parquet(src))
+    agg = windowed_counts(stream, ts_col="ts", window_duration="1 hour",
+                          watermark_delay="10 minutes", key_col="event_type")
+    q = (agg.withColumn("sum_value", F.round("sum_value", 2))
+         .writeStream.format("parquet")
+         .option("path", os.path.join(run, "out"))
+         .option("checkpointLocation", os.path.join(run, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(run, "out"))
+
+
+STREAM_SESSION_GAP_MIN = 30
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap-sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state API Spark offers where
+    built-in windows can't express the semantics (session boundaries depend
+    on inter-event gaps, not fixed buckets).
+
+    State per user is O(1): the OPEN session's running aggregates +
+    last-seen timestamp. Each micro-batch sorts the user's new rows by
+    event time, closes sessions whose gap exceeds 30 min, emits the closed
+    sessions plus the (possibly still-growing) open one, and stores the
+    open session back. Under availableNow on a single-commit table the one
+    batch carries each user's full history, so the emitted rows equal the
+    batch sessionization exactly — ``q_sessionize``'s oracle verbatim. On
+    a live stream the same operator keeps emitting; the open session's row
+    is re-emitted corrected as it grows (idempotent upsert sink keyed on
+    (user_id, sess_no) — the standard pattern).
+
+    Scale: one shuffle on user_id; state is per-key in the executor state
+    store; a user's per-batch rows are concatenated in memory (bounded by
+    per-batch volume, not history)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..streaming.source import register
+
+    register(spark)
+    loc = _events_ts_location(spark, sf_dir)
+    name = f"tvx_stream_sess_{next(_SEQ)}"
+    stream = (spark.readStream.format("tvx").option("location", loc).load()
+              .select("event_id", "ts", "user_id", "value"))
+    gap = pd.Timedelta(minutes=STREAM_SESSION_GAP_MIN)
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            sess_no, n, s, first, last, last_ts = state.get
+            last_ts = pd.Timestamp(last_ts)
+        else:
+            sess_no, n, s, first, last, last_ts = 0, 0, 0.0, None, None, None
+        out = []
+        for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+            if last_ts is None or (ts - last_ts) > gap:
+                if n:
+                    out.append((user_id, sess_no, n, round(s, 4), first, last))
+                sess_no, n, s, first, last = sess_no + 1, 0, 0.0, None, None
+            n += 1
+            s += float(val)
+            first = int(eid) if first is None else min(first, int(eid))
+            last = int(eid) if last is None else max(last, int(eid))
+            last_ts = ts
+        out.append((user_id, sess_no, n, round(s, 4), first, last))
+        state.update((int(sess_no), int(n), float(s), int(first), int(last),
+                      last_ts.to_pydatetime()))
+        yield pd.DataFrame(out, columns=["user_id", "sess_no", "n_events",
+                                         "sum_value", "first_event",
+                                         "last_event"])
+
+    sessions = (stream.groupBy("user_id")
+                .applyInPandasWithState(
+                    update,
+                    outputStructType=("user_id bigint, sess_no bigint, "
+                                      "n_events bigint, sum_value double, "
+                                      "first_event bigint, last_event bigint"),
+                    stateStructType=("sess_no bigint, n_events bigint, "
+                                     "sum_value double, first_event bigint, "
+                                     "last_event bigint, last_ts timestamp"),
+                    outputMode="append",
+                    timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (sessions.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Widening schema evolution on a branch of the base table: the earliest
     day is reprocessed with a NEW ``source`` column (``evolve_schema=True``
@@ -437,6 +586,8 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_stream_agg": q_stream_agg,
+    "q_stream_window": q_stream_window,
+    "q_stream_session": q_stream_session,
     "q_restore": q_restore,
     "q_schema_evolution": q_schema_evolution,
     "q_multi_partition_prune": q_multi_partition_prune,
@@ -463,6 +614,37 @@ ORACLES = {
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "
         "FROM events GROUP BY event_type"),
+    "q_stream_window": (
+        # closed-window rule: a window row appears iff its end ≤ the final
+        # watermark (max event time − 10 min); hour buckets are epoch-
+        # aligned, so date_trunc('hour') IS Spark's window start
+        "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value "
+        "FROM events), "
+        "wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e) "
+        "SELECT DATE_TRUNC('hour', ts) AS window_start, "
+        "DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
+        "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
+        "(SELECT w FROM wm)"),
+    "q_stream_session": (
+        # identical session definition to q_sessionize's oracle: new
+        # session when the same-user gap exceeds 30 min, ordered (ts,
+        # event_id)
+        "WITH e AS (SELECT event_id, user_id, value, "
+        "CAST(ts AS TIMESTAMP) AS ts FROM events), "
+        "g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 60000000.0 > 30 "
+        "THEN 1 ELSE 0 END AS ns_flag FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, CAST(SUM(ns_flag) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS sess_no FROM g) "
+        "SELECT user_id, sess_no, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 4) AS sum_value, "
+        "MIN(event_id) AS first_event, MAX(event_id) AS last_event "
+        "FROM s GROUP BY user_id, sess_no"),
     "q_restore": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events"),

@@ -117,6 +117,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         self.log = FileTableVersions(location)
         fields = self._schema_fields()
         self.columns = [name for name, _ in fields]
+        self.types = dict(fields)
         self.pcols = list(self.defn.partition_schema.columns)
         self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
 
@@ -156,7 +157,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
 
     def _read_dir(self, directory: str, partition) -> Iterator[tuple]:
         return _dir_rows(directory, partition, self.columns, self.ptypes,
-                         self.defn.format)
+                         self.defn.format, self.types)
 
 
 def _changed_dirs(log, defn, start_seq: int, end_seq: int):
@@ -209,6 +210,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
         self.log = FileTableVersions(location)
         fields = _schema_fields(self.defn.schema_ddl)
         self.columns = [name for name, _ in fields]
+        self.types = dict(fields)
         pcols = set(self.defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = self.defn.format
@@ -228,7 +230,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
 
     def read(self, part: VersionedDirPartition) -> Iterator[tuple]:
         yield from _dir_rows(part.directory, part.partition, self.columns,
-                             self.ptypes, self.format)
+                             self.ptypes, self.format, self.types)
 
     def commit(self, end: dict) -> None:
         pass  # progress is checkpointed by the engine; nothing to GC
@@ -244,6 +246,7 @@ class VersionedTableBatchReader(DataSourceReader):
         state = log.current_version(defn.name, at_commit=at_commit)
         fields = _schema_fields(defn.schema_ddl)
         self.columns = [name for name, _ in fields]
+        self.types = dict(fields)
         pcols = set(defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = defn.format
@@ -262,7 +265,7 @@ class VersionedTableBatchReader(DataSourceReader):
         if not part.directory:
             return
         yield from _dir_rows(part.directory, part.partition, self.columns,
-                             self.ptypes, self.format)
+                             self.ptypes, self.format, self.types)
 
 
 def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
@@ -284,12 +287,25 @@ def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
 
 
 def _dir_rows(directory: str, partition, columns: list[str],
-              ptypes: dict[str, str], fmt: str) -> Iterator[tuple]:
+              ptypes: dict[str, str], fmt: str,
+              types: dict[str, str] | None = None) -> Iterator[tuple]:
+    import datetime as dt
+
     import pyarrow.orc as orc
     import pyarrow.parquet as pq
 
     if not os.path.isdir(directory):
         return  # vacuumed beyond retention — same contract as read_changes
+    # Declared TIMESTAMP columns (tz-aware instants in Spark's model) must
+    # reach the Python-source Arrow path as tz-aware datetimes; parquet
+    # stores them as UTC instants, and to_pylist yields naive UTC wall
+    # times — localize them. TIMESTAMP_NTZ stays naive.
+    tz_cols = {n for n, t in (types or {}).items() if t == "timestamp"}
+
+    def _utc(values):
+        return [v.replace(tzinfo=dt.timezone.utc)
+                if isinstance(v, dt.datetime) and v.tzinfo is None else v
+                for v in values]
     # stored partition values are in escaped dir-name form — surface them the
     # way engine.read does: unescape %XX and map the Hive NULL sentinel to None
     from ..core.model import HIVE_DEFAULT_PARTITION, unescape_partition_value
@@ -313,7 +329,8 @@ def _dir_rows(directory: str, partition, columns: list[str],
         cols = {}
         for name in columns:
             if name in table.column_names:
-                cols[name] = table.column(name).to_pylist()
+                vals = table.column(name).to_pylist()
+                cols[name] = _utc(vals) if name in tz_cols else vals
             elif name in pvals:
                 cols[name] = [pvals[name]] * table.num_rows
             else:

@@ -26,6 +26,8 @@ PARITY_SUBSET = [
     "q_stream_agg", "q_schema_evolution", "q_multi_partition_prune",
     "q_pack_sequences", "q_sample_weighted", "q_shuffle_shards",
     "q_lm_score", "q_semdedup",
+    "q_json_funcs", "q_anomaly", "q_knn_join",
+    "q_stream_window", "q_stream_session",
 ]
 
 
