@@ -155,7 +155,8 @@ class VersionedEngine:
                distribute: bool = True,
                txn: tuple[str, int] | None = None,
                check_conflicts: bool = False,
-               cluster_by: list[str] | None = None) -> CommitResult:
+               cluster_by: list[str] | None = None,
+               cluster_mode: str = "range") -> CommitResult:
         """Versioned insert (reference ``versionedInsertInto``,
         ``VersionContext.scala:29-44,53-90``).
 
@@ -194,6 +195,11 @@ class VersionedEngine:
         at write time): sort the write on the given columns so each output
         file covers a tight value range; per-file footer stats recorded in
         the commit then let ``read(stats_filter=...)`` skip whole files.
+        ``cluster_mode="zorder"`` (with ≥2 cluster columns) sorts on the
+        Morton-interleaved z-value instead of the lexicographic
+        concatenation: every file covers a small hyper-rectangle, so
+        skipping works on ANY clustered column — lexicographic sort only
+        serves the leading one (``functions.zorder``).
 
         ``check_conflicts=True`` (extension, Delta-style optimistic
         concurrency): abort with ``ConcurrentWriteError`` if another writer
@@ -206,7 +212,7 @@ class VersionedEngine:
         return self._insert(df, table, user_id, message, mode=mode,
                             evolve_schema=evolve_schema, distribute=distribute,
                             txn=txn, check_conflicts=check_conflicts,
-                            cluster_by=cluster_by)
+                            cluster_by=cluster_by, cluster_mode=cluster_mode)
 
     def _insert(self, df: DataFrame, table: TableName | str, user_id: str,
                 message: str, mode: str = "overwrite",
@@ -214,7 +220,8 @@ class VersionedEngine:
                 drop_partitions: list[Partition] = (),
                 txn: tuple[str, int] | None = None,
                 check_conflicts: bool = False,
-                cluster_by: list[str] | None = None) -> CommitResult:
+                cluster_by: list[str] | None = None,
+                cluster_mode: str = "range") -> CommitResult:
         """insert() plus ``drop_partitions``: partitions to REMOVE in the
         same commit unless the write itself re-adds them — lets delete()
         empty a partition atomically (write + remove = one commit)."""
@@ -230,6 +237,18 @@ class VersionedEngine:
                                     compute_changes(current, current),
                                     done[1])
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
+        drop_col = None
+        if cluster_by and cluster_mode == "zorder":
+            from .functions.zorder import zorder_column
+
+            # the z-value is a write-time-only sort key: computed into a
+            # temp column (post schema check, so it never becomes part of
+            # the table schema) and dropped again just before the save
+            drop_col = "__tvx_zorder"
+            df = df.withColumn(drop_col, zorder_column(df, cluster_by))
+            cluster_by = [drop_col]
+        elif cluster_mode not in ("range", "zorder"):
+            raise ValueError(f"Unknown cluster_mode {cluster_mode!r}")
         previous = log.current_version(defn.name)
         # head-state fold at read time, for optimistic conflict detection:
         # commit-time preconditions compare against THIS, not against
@@ -239,7 +258,8 @@ class VersionedEngine:
         version = Version.generate()
         if defn.is_snapshot:
             ops = self._write_snapshot(df, defn, version,
-                                       cluster_by=cluster_by)
+                                       cluster_by=cluster_by,
+                                       drop_col=drop_col)
             if mode == "append" and isinstance(previous, SnapshotTableVersion) \
                     and previous.version != UNVERSIONED:
                 _link_data_files(path_for(defn.location, previous.version),
@@ -248,7 +268,8 @@ class VersionedEngine:
         else:
             ops = self._write_partitioned(df, defn, version,
                                           distribute=distribute,
-                                          cluster_by=cluster_by)
+                                          cluster_by=cluster_by,
+                                          drop_col=drop_col)
             if mode == "append" and isinstance(previous, PartitionedTableVersion):
                 for op in ops:
                     old = previous.partition_versions.get(op.partition)
@@ -596,7 +617,8 @@ class VersionedEngine:
 
     def _write_snapshot(self, df: DataFrame, defn: TableDefinition,
                         version: Version,
-                        cluster_by: list[str] | None = None) -> list:
+                        cluster_by: list[str] | None = None,
+                        drop_col: str | None = None) -> list:
         """Snapshot write: ``<location>/<label>/``
         (reference ``VersionContext.scala:75-78``).
 
@@ -615,13 +637,17 @@ class VersionedEngine:
             df = (df.repartitionByRange(
                       self.spark.sparkContext.defaultParallelism, *cluster_by)
                   .sortWithinPartitions(*cluster_by))
+        if drop_col:
+            # projection preserves the partitioning and sort just arranged
+            df = df.drop(drop_col)
         target = path_for(defn.location, version)
         df.write.format(defn.format).mode("errorifexists").save(target)
         return [AddTableVersion(version)]
 
     def _write_partitioned(self, df: DataFrame, defn: TableDefinition,
                            version: Version, distribute: bool = True,
-                           cluster_by: list[str] | None = None) -> list:
+                           cluster_by: list[str] | None = None,
+                           drop_col: str | None = None) -> list:
         """Partitioned write via staging dir + O(#partitions) renames.
 
         One Spark job total (vs two in the reference — the extra
@@ -651,6 +677,8 @@ class VersionedEngine:
             # the sorted stream into files covering tight value ranges —
             # which per-file footer stats turn into file-level skipping
             df = df.sortWithinPartitions(*pcols, *cluster_by)
+        if drop_col:
+            df = df.drop(drop_col)
         staging = os.path.join(defn.location, f"_staging-{version.label}")
         # maxRecordsPerFile keeps a skewed/huge partition from producing one
         # monster file even under distribute=True

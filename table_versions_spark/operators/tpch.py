@@ -361,10 +361,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part correlated MIN + top-k by account balance."""
     from pyspark.sql import Window
 
-    ps = (load(spark, sf_dir, "lineitem")
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-               .alias("cost")))
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load(spark, sf_dir, "nation")
     sn = (load(spark, sf_dir, "supplier")
@@ -373,6 +369,20 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
     part = (load(spark, sf_dir, "part")
             .where(F.col("p_size") == 10).select("p_partkey"))
+    # both dimension filters act on grouping keys, so they commute with the
+    # aggregation: broadcast-semi-prune lineitem BEFORE the groupBy (the
+    # size=10 and ASIA predicates drop ~98% and ~80% of rows) instead of
+    # aggregating the whole fact table and discarding most groups after —
+    # the one shuffle left carries only qualifying (part, supplier) rows
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+          .join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+                "l_partkey", "left_semi")
+          .join(F.broadcast(sn.select(F.col("s_suppkey").alias("l_suppkey"))),
+                "l_suppkey", "left_semi"))
+    ps = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+               .alias("cost")))
     cand = (ps.join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
             .join(F.broadcast(part), ps.l_partkey == part.p_partkey))
     mn = F.min("cost").over(Window.partitionBy("l_partkey"))

@@ -286,6 +286,33 @@ def q_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date"))
 
 
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + two-column file skipping (engine
+    ``cluster_mode="zorder"`` + ``stats_filter``): events are written
+    sorted on the Morton curve over (value, user_id), so every file covers
+    a small rectangle of that plane and the stats-filtered read prunes
+    files on BOTH columns at once — a lexicographic (value, user_id) sort
+    would only ever skip on ``value``. The residual ``.where`` makes the
+    (superset) skipping read exact, so the curve math is hash-verified to
+    be invisible in results."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "zordered" not in st:
+        ev = _events_for_insert(spark, sf_dir)
+        eng.create_table("vx.events_z", schema_ddl=EVENTS_DDL)
+        eng.insert(ev, "vx.events_z", "tester", "z-ordered load",
+                   cluster_by=["value", "user_id"], cluster_mode="zorder")
+        st["zordered"] = True
+    lo_u, hi_u = 1, 8  # a user band present at every scale factor
+    return (eng.read("vx.events_z",
+                     stats_filter={"value": (10.0, 20.0),
+                                   "user_id": (lo_u, hi_u)})
+            .where((F.col("value") >= 10.0) & (F.col("value") <= 20.0)
+                   & (F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u))
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date"))
+
+
 def q_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter point-lookup skipping (engine ``bloom_columns`` +
     ``stats_filter``): events are written hash-distributed on ``event_id``
@@ -594,6 +621,7 @@ QUERIES = {
     "q_table_stats": q_table_stats,
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
+    "q_zorder_skipping": q_zorder_skipping,
     "q_bloom_skipping": q_bloom_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
@@ -668,6 +696,11 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE value >= 10.0 AND value <= 20.0"),
+    "q_zorder_skipping": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "WHERE value >= 10.0 AND value <= 20.0 "
+        "AND user_id >= 1 AND user_id <= 8"),
     "q_bloom_skipping": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "

@@ -509,6 +509,35 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_zorder_skipping_prunes_on_both_columns(self, spark, engine):
+        """Morton-clustered layout: every file covers a small (x, y)
+        rectangle, so per-file stats prune range lookups on EITHER column
+        — a lexicographic (x, y) sort would only serve x."""
+        import itertools
+
+        engine.create_table("db.zo", schema_ddl="x bigint, y bigint, v double")
+        rows = [(x, y, float(x * y))
+                for x, y in itertools.product(range(64), range(64))]
+        df = (spark.createDataFrame(rows, "x bigint, y bigint, v double")
+              .repartition(16))
+        engine.insert(df, "db.zo", "u", "z-ordered",
+                      cluster_by=["x", "y"], cluster_mode="zorder")
+        full = engine.read("db.zo")
+        assert full.count() == 64 * 64
+        assert "__tvx_zorder" not in full.columns
+        total = len(full.inputFiles())
+        assert total > 4  # multi-file layout, else skipping proves nothing
+        qx = engine.read("db.zo", stats_filter={"x": (0, 7)})
+        qy = engine.read("db.zo", stats_filter={"y": (0, 7)})
+        assert len(qx.inputFiles()) < total
+        assert len(qy.inputFiles()) < total  # the lexicographic-sort killer
+        both = (engine.read("db.zo", stats_filter={"x": (0, 7),
+                                                   "y": (0, 7)})
+                .where("x <= 7 AND y <= 7"))
+        assert both.count() == 64
+        assert len(both.inputFiles()) <= min(len(qx.inputFiles()),
+                                             len(qy.inputFiles()))
+
     def test_bloom_skipping_point_lookup(self, spark, engine):
         """Hash-distributed layout: every file's min/max range overlaps, so
         only the per-file Bloom bitsets can prune a point lookup."""
