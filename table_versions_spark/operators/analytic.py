@@ -169,6 +169,29 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("t_buy")).alias("n_view_click_buy")))
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN gap sessionization (``F.session_window`` — the
+    dynamic-gap window type, usable identically in batch and Structured
+    Streaming) over the events table; complements ``q_sessionize``'s
+    hand-rolled lag+cumsum shape. Semantics: a session extends while the
+    next same-user event arrives strictly before ``last_ts + gap``; its
+    ``end`` is ``last event + gap``. One shuffle on user_id; in streaming
+    the same expression merges session state in the state store.
+
+    The oracle reproduces the exact merge rule (new session when the
+    inter-event gap ≥ 30 min — note ≥, not >: an event AT the previous
+    session's end starts a new one) in integer µs arithmetic."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "sum_value"))
+
+
 ANOMALY_SIGMA = 2.0
 
 
@@ -235,6 +258,7 @@ QUERIES = {
     "q_pivot": q_pivot,
     "q_explode": q_explode,
     "q_sessionize": q_sessionize,
+    "q_session_window": q_session_window,
     "q_funnel": q_funnel,
     "q_anomaly": q_anomaly,
     "q_quantiles": q_quantiles,
@@ -311,6 +335,22 @@ ORACLES = {
         "AND ep.event_type = 'purchase' GROUP BY c.user_id, t_view, t_click) "
         "SELECT COUNT(t_view) AS n_view, COUNT(t_click) AS n_view_click, "
         "COUNT(t_buy) AS n_view_click_buy FROM b"),
+    "q_session_window": (
+        "WITH e AS (SELECT event_id, user_id, value, "
+        "CAST(ts AS TIMESTAMP) AS ts FROM events), "
+        # ≥ 30 min starts a NEW session (Spark's session_window closes at
+        # last_ts + gap exclusive of the boundary instant)
+        "g AS (SELECT *, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) >= 1800000000 "
+        "THEN 1 ELSE 0 END AS ns_flag FROM e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, CAST(SUM(ns_flag) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS sess_no FROM g) "
+        "SELECT user_id, MIN(ts) AS session_start, "
+        "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
+        "COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value "
+        "FROM s GROUP BY user_id, sess_no"),
     "q_anomaly": (
         "WITH s AS (SELECT event_type, AVG(value) AS mu, "
         "STDDEV_SAMP(value) AS sigma FROM events GROUP BY event_type) "

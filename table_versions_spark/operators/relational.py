@@ -282,6 +282,47 @@ def q_date_from_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", to_utc_date("ts").alias("event_date"))
 
 
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source round-trip (sources.read dispatch): the customer table is
+    exported to CSV once under scratch and read back with an EXPLICIT
+    schema (inference is a full extra data pass at scale — sources.read
+    refuses to infer). Exact: Spark writes doubles in shortest-round-trip
+    form, so text→double reproduces the bits, and the oracle is the
+    original parquet table."""
+    import os
+
+    from ..sources.readers import read
+    from .common import scratch_dir
+
+    src = scratch_dir(spark, "csv-customer-"
+                      + os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        (load(spark, sf_dir, "customer")
+         .write.mode("overwrite").option("header", "true").csv(src))
+    return read(spark, src, format="csv", header="true",
+                schema=("c_custkey bigint, c_name string, c_nationkey int, "
+                        "c_acctbal double, c_mktsegment string"))
+
+
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source round-trip (sources.read dispatch): orders
+    exported once, read back with an explicit schema — timestamps
+    round-trip at µs through ISO-8601 in the UTC session zone."""
+    import os
+
+    from ..sources.readers import read
+    from .common import scratch_dir
+
+    src = scratch_dir(spark, "json-orders-"
+                      + os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load(spark, sf_dir, "orders").write.mode("overwrite").json(src)
+    return read(spark, src, format="json",
+                schema=("o_orderkey bigint, o_custkey bigint, "
+                        "o_orderstatus string, o_totalprice double, "
+                        "o_orderdate timestamp, o_orderpriority string"))
+
+
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON extraction over ``events.props`` — both access
     styles a pipeline uses: path extraction (``get_json_object``, no schema
@@ -328,6 +369,8 @@ QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_orc": q_scan_orc,
     "q_scan_table": q_scan_table,
+    "q_scan_csv": q_scan_csv,
+    "q_scan_json": q_scan_json,
     "q_project": q_project,
     "q_distinct": q_distinct,
     "q_filter_eq": q_filter_eq,
@@ -364,6 +407,10 @@ ORACLES = {
     "q_scan_parquet": f"SELECT {', '.join(LINEITEM_COLS)} FROM lineitem",
     "q_scan_orc": "SELECT * FROM supplier",
     "q_scan_table": "SELECT * FROM nation",
+    "q_scan_csv": "SELECT * FROM customer",
+    "q_scan_json": ("SELECT o_orderkey, o_custkey, o_orderstatus, "
+                    "o_totalprice, CAST(o_orderdate AS TIMESTAMP) "
+                    "AS o_orderdate, o_orderpriority FROM orders"),
     "q_project": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "q_distinct": "SELECT DISTINCT c_mktsegment FROM customer",
     "q_filter_eq": ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
