@@ -75,7 +75,8 @@ def _registry() -> tuple[dict, dict]:
         "q_json_funcs", "q_anomaly", "q_session_window",
         "q_scan_csv", "q_scan_json",
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
-        "q_zorder_skipping", "q_bloom_skipping", "q_vacuum_invariant",
+        "q_zorder_skipping", "q_derived_partition", "q_bloom_skipping",
+        "q_vacuum_invariant",
         "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
         "q_bm25", "q_sim_ann_lsh", "q_stream_agg", "q_schema_evolution",
         "q_multi_partition_prune", "q_table_stats", "q_kmeans", "q_restore",

@@ -71,6 +71,7 @@ HEADLINE = [
     "q_knn_join",
     "q_json_funcs",
     "q_anomaly",
+    "q_session_window",
 ]
 
 

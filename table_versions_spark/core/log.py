@@ -417,6 +417,7 @@ def write_table_meta(defn: TableDefinition,
         "bucket_columns": list(defn.bucket_columns),
         "bucket_count": defn.bucket_count,
         "bloom_columns": list(defn.bloom_columns),
+        "partition_derivations": [list(p) for p in defn.partition_derivations],
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
 
@@ -441,4 +442,6 @@ def read_table_meta(location: str,
         bucket_columns=tuple(d.get("bucket_columns", ())),
         bucket_count=d.get("bucket_count", 0),
         bloom_columns=tuple(d.get("bloom_columns", ())),
+        partition_derivations=tuple(
+            (c, e) for c, e in d.get("partition_derivations", ())),
     )

@@ -242,6 +242,13 @@ class TableDefinition:
     # point-equality skipping where min/max ranges cannot prune (hash-
     # distributed high-cardinality keys).
     bloom_columns: tuple[str, ...] = ()
+    # Generated partition columns (extension; Delta GENERATED ALWAYS AS /
+    # the reference's derive-date-from-timestamp convention,
+    # ``examples/.../DateTime.scala:10-13``): (column, SQL expression)
+    # pairs. An insert whose DataFrame lacks the partition column gets it
+    # computed from the expression — the derivation lives with the table,
+    # not in every writer job.
+    partition_derivations: tuple[tuple[str, str], ...] = ()
 
     @property
     def is_snapshot(self) -> bool:

@@ -43,7 +43,7 @@ import uuid as _uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import col as F_col, expr as F_expr
 
 from .core.log import (
     ConcurrentWriteError,
@@ -111,17 +111,31 @@ class VersionedEngine:
                      message: str = "init",
                      bucket_columns: list[str] | None = None,
                      bucket_count: int = 0,
-                     bloom_columns: list[str] | None = None) -> TableDefinition:
+                     bloom_columns: list[str] | None = None,
+                     partition_derivations: dict[str, str] | None = None,
+                     ) -> TableDefinition:
         """Create + init a versioned table (idempotent).
 
         Replaces the reference's user-side ``CREATE EXTERNAL TABLE`` DDL +
         ``tableVersions.init`` pair (``examples/.../TableLoader.scala:29-35``,
         ``core/.../TableVersions.scala:20-24``).
+
+        ``partition_derivations={col: sql_expr}`` (extension; Delta
+        GENERATED-column shape): partition columns a writer may omit —
+        insert computes them from the expression (the reference instead
+        makes every writer derive the date partition by hand,
+        ``examples/.../DateTime.scala:10-13``; declaring it once on the
+        table removes that per-job desync hazard).
         """
         if isinstance(table, str):
             table = TableName.parse(table)
         if bool(bucket_columns) != bool(bucket_count):
             raise ValueError("bucket_columns and bucket_count go together")
+        derivations = dict(partition_derivations or {})
+        bad = set(derivations) - set(partition_columns or ())
+        if bad:
+            raise ValueError(
+                f"partition_derivations for non-partition columns: {sorted(bad)}")
         defn = TableDefinition(
             name=table,
             location=self.table_location(table),
@@ -131,6 +145,7 @@ class VersionedEngine:
             bucket_columns=tuple(bucket_columns or ()),
             bucket_count=bucket_count,
             bloom_columns=tuple(bloom_columns or ()),
+            partition_derivations=tuple(sorted(derivations.items())),
         )
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
@@ -236,6 +251,11 @@ class VersionedEngine:
                 return CommitResult(current,
                                     compute_changes(current, current),
                                     done[1])
+        # generated partition columns: compute any the writer omitted from
+        # the declared expression BEFORE the schema check sees the frame
+        for col, expr in defn.partition_derivations:
+            if col not in df.columns:
+                df = df.withColumn(col, F_expr(expr))
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
         drop_col = None
         if cluster_by and cluster_mode == "zorder":
@@ -1252,7 +1272,8 @@ class VersionedEngine:
 
     def compact(self, table: TableName | str, user_id: str = "maintenance",
                 target_partitions: int | None = None,
-                cluster_by: list[str] | None = None) -> CommitResult:
+                cluster_by: list[str] | None = None,
+                cluster_mode: str = "range") -> CommitResult:
         """Small-file compaction: rewrite the current state into a fresh
         version with one file per partition (or ``target_partitions`` files
         for snapshot tables). Readers are unaffected until the commit lands
@@ -1262,7 +1283,10 @@ class VersionedEngine:
         (Delta ``OPTIMIZE ... ZORDER BY``'s role): each rewritten file
         covers a tight value range, so subsequent
         ``read(stats_filter={col: ...})`` calls skip whole files via the
-        per-file footer stats recorded in the compaction commit."""
+        per-file footer stats recorded in the compaction commit. With
+        ``cluster_mode="zorder"`` the rewrite sorts on the Morton curve
+        over ≥2 columns — the full ``OPTIMIZE ZORDER BY`` shape: skipping
+        then works on any clustered column."""
         defn, _ = self._log(table)
         df = self.read(table)
         if defn.is_snapshot and target_partitions:
@@ -1270,7 +1294,7 @@ class VersionedEngine:
         # partitioned case: insert's distribute=True already clusters by
         # partition columns — one shuffle total
         return self.insert(df, table, user_id, "compaction",
-                           cluster_by=cluster_by)
+                           cluster_by=cluster_by, cluster_mode=cluster_mode)
 
     def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
         """Every version-label directory on disk for this table."""

@@ -286,6 +286,33 @@ def q_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date"))
 
 
+def q_derived_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated partition column (engine ``partition_derivations``, Delta
+    GENERATED-column shape): the table declares
+    ``event_date = to_date(ts)`` ONCE, and events are inserted WITHOUT the
+    partition column — the engine derives it at write time. This is the
+    reference's own convention (every writer derives the date partition by
+    hand, ``examples/.../DateTime.scala:10-13``) promoted to table
+    metadata, so writer jobs can't desync on the derivation. The pruned
+    single-day read proves the derived values landed as real partition
+    directories."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "derived" not in st:
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        eng.create_table("vx.events_dp",
+                         schema_ddl=EVENTS_TS_DDL + ", event_date date",
+                         partition_columns=["event_date"],
+                         partition_derivations={"event_date": "to_date(ts)"})
+        eng.insert(ev, "vx.events_dp", "tester", "derived partitions")
+        st["derived"] = True
+    return (eng.read("vx.events_dp")
+            .where(F.col("event_date") == F.lit(st["min_date"]))
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date"))
+
+
 def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered write + two-column file skipping (engine
     ``cluster_mode="zorder"`` + ``stats_filter``): events are written
@@ -622,6 +649,7 @@ QUERIES = {
     "q_change_feed": q_change_feed,
     "q_clustered_skipping": q_clustered_skipping,
     "q_zorder_skipping": q_zorder_skipping,
+    "q_derived_partition": q_derived_partition,
     "q_bloom_skipping": q_bloom_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
@@ -696,6 +724,10 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE value >= 10.0 AND value <= 20.0"),
+    "q_derived_partition": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
     "q_zorder_skipping": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "

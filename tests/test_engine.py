@@ -509,6 +509,49 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_generated_partition_column(self, spark, engine):
+        """partition_derivations: a writer that omits the partition column
+        gets it computed from the declared expression; an explicit column
+        wins; derivations on non-partition columns are rejected."""
+        import datetime as dt
+
+        import pytest as _pytest
+
+        engine.create_table("db.gp", schema_ddl="id bigint, ts timestamp, d date",
+                            partition_columns=["d"],
+                            partition_derivations={"d": "to_date(ts)"})
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2019, 3, 13, 10)), (2, dt.datetime(2019, 3, 14, 2))],
+            "id bigint, ts timestamp")
+        engine.insert(df, "db.gp", "u", "no partition column supplied")
+        got = {(r.id, r.d) for r in engine.read("db.gp").collect()}
+        assert got == {(1, dt.date(2019, 3, 13)), (2, dt.date(2019, 3, 14))}
+        # explicit value wins over the derivation
+        df2 = spark.createDataFrame(
+            [(3, dt.datetime(2019, 3, 13, 5), dt.date(2020, 1, 1))],
+            "id bigint, ts timestamp, d date")
+        engine.insert(df2, "db.gp", "u", "explicit d")
+        assert (3, dt.date(2020, 1, 1)) in {
+            (r.id, r.d) for r in engine.read("db.gp").collect()}
+        with _pytest.raises(ValueError, match="non-partition"):
+            engine.create_table("db.gp2", schema_ddl="id bigint",
+                                partition_derivations={"id": "id + 1"})
+
+    def test_compact_zorder_recluster(self, spark, engine):
+        """OPTIMIZE ZORDER shape: a table written with no clustering gains
+        two-column skipping after compact(cluster_mode='zorder')."""
+        import itertools
+
+        engine.create_table("db.cz", schema_ddl="x bigint, y bigint")
+        rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+        engine.insert(spark.createDataFrame(rows, "x bigint, y bigint")
+                      .repartition(16), "db.cz", "u", "unclustered")
+        engine.compact("db.cz", cluster_by=["x", "y"], cluster_mode="zorder")
+        total = len(engine.read("db.cz").inputFiles())
+        qy = engine.read("db.cz", stats_filter={"y": (0, 7)})
+        assert len(qy.inputFiles()) < total
+        assert engine.read("db.cz").count() == 64 * 64
+
     def test_zorder_skipping_prunes_on_both_columns(self, spark, engine):
         """Morton-clustered layout: every file covers a small (x, y)
         rectangle, so per-file stats prune range lookups on EITHER column
