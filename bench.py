@@ -72,6 +72,7 @@ HEADLINE = [
     "q_json_funcs",
     "q_anomaly",
     "q_session_window",
+    "q_dedup_incremental",
 ]
 
 

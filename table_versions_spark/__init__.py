@@ -8,7 +8,11 @@ LLM-data-pipeline operators (dedup, similarity search, text analysis,
 multimodal columns) designed for 100 TB scale.
 """
 
-from .core.log import UnknownCommitError, UnknownTableError
+from .core.log import (
+    ConstraintViolationError,
+    UnknownCommitError,
+    UnknownTableError,
+)
 from .core.model import (
     UNVERSIONED,
     ColumnValue,
@@ -28,6 +32,7 @@ __all__ = [
     "UNVERSIONED",
     "ColumnValue",
     "CommitResult",
+    "ConstraintViolationError",
     "IncrementalRollup",
     "Partition",
     "PartitionSchema",

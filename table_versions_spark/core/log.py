@@ -76,6 +76,11 @@ class ConcurrentWriteError(RuntimeError):
     commit depends on between the caller's read and its commit attempt."""
 
 
+class ConstraintViolationError(ValueError):
+    """An insert carried rows failing a declared CHECK constraint; the
+    write was rejected before any data landed."""
+
+
 @dataclass(frozen=True)
 class TableState:
     """Full history + pointer (reference ``TableVersions.scala:121-130``)."""
@@ -417,6 +422,7 @@ def write_table_meta(defn: TableDefinition,
         "bucket_columns": list(defn.bucket_columns),
         "bucket_count": defn.bucket_count,
         "bloom_columns": list(defn.bloom_columns),
+        "check_constraints": list(defn.check_constraints),
         "partition_derivations": [list(p) for p in defn.partition_derivations],
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
@@ -442,6 +448,7 @@ def read_table_meta(location: str,
         bucket_columns=tuple(d.get("bucket_columns", ())),
         bucket_count=d.get("bucket_count", 0),
         bloom_columns=tuple(d.get("bloom_columns", ())),
+        check_constraints=tuple(d.get("check_constraints", ())),
         partition_derivations=tuple(
             (c, e) for c, e in d.get("partition_derivations", ())),
     )

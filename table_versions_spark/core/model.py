@@ -242,6 +242,12 @@ class TableDefinition:
     # point-equality skipping where min/max ranges cannot prune (hash-
     # distributed high-cardinality keys).
     bloom_columns: tuple[str, ...] = ()
+    # CHECK constraints (extension; Delta ``ALTER TABLE ADD CONSTRAINT
+    # CHECK`` shape): SQL boolean expressions every inserted row must
+    # satisfy — standard SQL semantics, so a NULL result passes. Enforced
+    # at write time (one extra aggregation job per insert, only on tables
+    # that declare constraints); a violation rejects the whole commit.
+    check_constraints: tuple[str, ...] = ()
     # Generated partition columns (extension; Delta GENERATED ALWAYS AS /
     # the reference's derive-date-from-timestamp convention,
     # ``examples/.../DateTime.scala:10-13``): (column, SQL expression)

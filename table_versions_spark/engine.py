@@ -47,6 +47,7 @@ from pyspark.sql.functions import col as F_col, expr as F_expr
 
 from .core.log import (
     ConcurrentWriteError,
+    ConstraintViolationError,
     FileTableVersions,
     UnknownCommitError,
     UnknownTableError,
@@ -113,6 +114,7 @@ class VersionedEngine:
                      bucket_count: int = 0,
                      bloom_columns: list[str] | None = None,
                      partition_derivations: dict[str, str] | None = None,
+                     check_constraints: list[str] | None = None,
                      ) -> TableDefinition:
         """Create + init a versioned table (idempotent).
 
@@ -126,6 +128,12 @@ class VersionedEngine:
         makes every writer derive the date partition by hand,
         ``examples/.../DateTime.scala:10-13``; declaring it once on the
         table removes that per-job desync hazard).
+
+        ``check_constraints=[sql_expr, ...]`` (extension; Delta ``ADD
+        CONSTRAINT CHECK``): boolean expressions every inserted row must
+        satisfy (NULL passes, SQL semantics). Violations reject the whole
+        commit with :class:`ConstraintViolationError` before any data
+        lands — write-time data-quality gating.
         """
         if isinstance(table, str):
             table = TableName.parse(table)
@@ -146,6 +154,7 @@ class VersionedEngine:
             bucket_count=bucket_count,
             bloom_columns=tuple(bloom_columns or ()),
             partition_derivations=tuple(sorted(derivations.items())),
+            check_constraints=tuple(check_constraints or ()),
         )
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
@@ -257,6 +266,24 @@ class VersionedEngine:
             if col not in df.columns:
                 df = df.withColumn(col, F_expr(expr))
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
+        if defn.check_constraints:
+            # one extra aggregation job, only on tables that declared
+            # constraints — the Delta CHECK trade; a violation rejects the
+            # commit before any file is written
+            from functools import reduce
+
+            # a row violates iff some constraint evaluates to FALSE —
+            # NULL passes (SQL CHECK semantics), and `expr == False` is
+            # NULL for NULL expr, which where() drops
+            violated = reduce(
+                lambda a, b: a | b,
+                [F_expr(c) == False  # noqa: E712
+                 for c in defn.check_constraints])
+            bad = df.where(violated).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {defn.check_constraints} rejected "
+                    f"row {bad[0].asDict()}")
         drop_col = None
         if cluster_by and cluster_mode == "zorder":
             from .functions.zorder import zorder_column
@@ -420,7 +447,9 @@ class VersionedEngine:
               keys: list[str], user_id: str, message: str,
               when_matched_update: str | bool = True,
               when_matched_delete: str | bool = False,
-              when_not_matched_insert: str | bool = True) -> CommitResult:
+              when_not_matched_insert: str | bool = True,
+              when_not_matched_by_source_delete: str | bool = False,
+              ) -> CommitResult:
         """General MERGE (Delta/ANSI ``MERGE INTO`` shape; the reference has
         no row-level surface). Rows of ``table`` ("target") join ``source``
         on ``keys``; per-row actions, evaluated in this order:
@@ -430,7 +459,14 @@ class VersionedEngine:
           source row (whole-row update; source must carry the full schema)
         - matched otherwise → target row kept unchanged
         - source-only + ``when_not_matched_insert`` condition → inserted
-        - target-only → kept unchanged
+        - target-only + ``when_not_matched_by_source_delete`` condition →
+          dropped (Delta ``WHEN NOT MATCHED BY SOURCE DELETE`` — the
+          full-sync shape: the target converges to the source set; the
+          condition sees only ``t.col``). On a partitioned table this
+          applies within the partitions the source touches — untouched
+          partitions are never read, so pair it with a source that covers
+          every partition it should sync.
+        - target-only otherwise → kept unchanged
 
         Conditions are ``True`` (always), ``False`` (never), or a SQL
         boolean expression string evaluated on the matched pair — reference
@@ -491,7 +527,8 @@ class VersionedEngine:
         delete_c = _cond(when_matched_delete)
         update_c = _cond(when_matched_update)
         insert_c = _cond(when_not_matched_insert)
-        keep = (t_only
+        nmbs_delete_c = _cond(when_not_matched_by_source_delete)
+        keep = ((t_only & ~nmbs_delete_c)
                 | (matched & ~delete_c)
                 | (s_only & insert_c))
         take_source = (matched & ~delete_c & update_c) | s_only

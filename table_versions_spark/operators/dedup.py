@@ -409,6 +409,26 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "vec_id_a long, vec_id_b long, cos_sim double"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus update — the production dedup shape: a NEW batch
+    of documents (here the ``doc_id % 5 == 4`` slice plays the arrivals)
+    is deduplicated against the EXISTING corpus by content hash, keeping
+    only novel documents. Corpus-side work is one hash projection (in
+    production, a pre-materialized hash index maintained per ingest — the
+    minhash signature table in this module is the near-dup analogue); the
+    anti-join is a hash-partitioned equi-join, never a rescan-and-regroup
+    of corpus+batch together. Full-batch recompute (``q_dedup_exact``'s
+    shape) at 100 TB costs O(corpus) per ingest; this costs
+    O(batch + index probe)."""
+    docs = load(spark, sf_dir, "documents")
+    arriving = F.pmod(F.col("doc_id"), F.lit(5)) == 4
+    base_hashes = (docs.where(~arriving)
+                   .select(F.md5("text").alias("h")).distinct())
+    new = docs.where(arriving).withColumn("h", F.md5("text"))
+    return (new.join(base_hashes, "h", "left_anti")
+            .select("doc_id", "lang", "source"))
+
+
 SEMDEDUP_K = 8          # coarse clusters; K ∝ N at scale bounds block size
 SEMDEDUP_THRESHOLD = 0.4
 
@@ -551,6 +571,7 @@ QUERIES = {
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_embedding": q_dedup_embedding,
+    "q_dedup_incremental": q_dedup_incremental,
     "q_semdedup": q_semdedup,
 }
 
@@ -610,6 +631,11 @@ ORACLES = {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
         "CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"),
+    "q_dedup_incremental": (
+        "SELECT d.doc_id, d.lang, d.source FROM documents d "
+        "WHERE d.doc_id % 5 = 4 AND NOT EXISTS ("
+        "SELECT 1 FROM documents b WHERE b.doc_id % 5 <> 4 "
+        "AND md5(b.text) = md5(d.text))"),
     "q_semdedup": (
         # same centroid rule + ARG_MAX assignment as the q_sim_ann_ivf
         # oracle; pairwise within-cluster pruning toward the lower vec_id

@@ -479,6 +479,51 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(run, "out"))
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming deduplication: the full events set is landed
+    TWICE (two identical files) and streamed one file per micro-batch;
+    ``dropDuplicates("event_id")`` holds per-key state across batches, so
+    the replayed second batch contributes NOTHING — the exactly-once
+    guard a streaming ingest puts in front of an at-least-once upstream.
+    The oracle is simply the distinct event set: hash-matching it proves
+    the replay was fully absorbed by state.
+
+    At scale the key state is hash-partitioned across executors; a
+    production pipeline bounds it with
+    ``dropDuplicatesWithinWatermark`` once upstream replays have a known
+    lateness horizon."""
+    import os
+    import shutil
+
+    from .common import scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = scratch_dir(spark, f"stream-dedup-src-{tag}")
+    if not os.path.exists(os.path.join(src, "f2.parquet")):
+        tmp = scratch_dir(spark, f"stream-dedup-tmp-{tag}")
+        (load_events(spark, sf_dir)
+         .select("event_id", "user_id", "event_type", "value")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in sorted(os.listdir(tmp))
+                    if f.endswith(".parquet"))
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, "f1.parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(src, "f2.parquet"))
+    run = scratch_dir(spark, f"stream-dedup-run-{tag}-{next(_SEQ)}")
+    stream = (spark.readStream
+              .schema("event_id bigint, user_id bigint, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src)
+              .dropDuplicates(["event_id"]))
+    q = (stream.writeStream.format("parquet")
+         .option("path", os.path.join(run, "out"))
+         .option("checkpointLocation", os.path.join(run, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(run, "out"))
+
+
 STREAM_SESSION_GAP_MIN = 30
 
 
@@ -642,6 +687,7 @@ QUERIES = {
     "q_stream_agg": q_stream_agg,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
+    "q_stream_dedup": q_stream_dedup,
     "q_restore": q_restore,
     "q_schema_evolution": q_schema_evolution,
     "q_multi_partition_prune": q_multi_partition_prune,
@@ -684,6 +730,8 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_stream_dedup": (
+        "SELECT event_id, user_id, event_type, value FROM events"),
     "q_stream_session": (
         # identical session definition to q_sessionize's oracle: new
         # session when the same-user gap exceeds 30 min, ordered (ts,

@@ -509,6 +509,49 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_check_constraints_reject_bad_insert(self, spark, engine):
+        """Declared CHECK constraints gate every write path; NULL passes
+        (SQL semantics); violations reject the commit before data lands."""
+        import pytest as _pytest
+
+        from table_versions_spark import ConstraintViolationError
+
+        engine.create_table("db.ck", schema_ddl="id bigint, v double",
+                            check_constraints=["v >= 0", "id > 0"])
+        engine.insert(spark.createDataFrame(
+            [(1, 5.0), (2, None)], "id bigint, v double"),
+            "db.ck", "u", "nulls pass")
+        assert engine.read("db.ck").count() == 2
+        with _pytest.raises(ConstraintViolationError, match="v >= 0"):
+            engine.insert(spark.createDataFrame(
+                [(3, -1.0)], "id bigint, v double"), "db.ck", "u", "bad")
+        # the rejected commit left no trace
+        assert engine.read("db.ck").count() == 2
+        assert engine.history("db.ck").count() == 2  # init + first insert
+
+    def test_merge_not_matched_by_source_delete(self, spark, engine):
+        """Full-sync merge: target rows absent from the source are dropped
+        (Delta WHEN NOT MATCHED BY SOURCE DELETE)."""
+        engine.create_table("db.ms", schema_ddl="id bigint, v double")
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0)], "id bigint, v double"),
+            "db.ms", "u", "v1")
+        src = spark.createDataFrame(
+            [(2, 20.0), (4, 40.0)], "id bigint, v double")
+        engine.merge(src, "db.ms", keys=["id"], user_id="u",
+                     message="sync", when_not_matched_by_source_delete=True)
+        got = {(r.id, r.v) for r in engine.read("db.ms").collect()}
+        assert got == {(2, 20.0), (4, 40.0)}
+        # conditional variant: only delete target-only rows with v < 2
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0), (3, 3.0)], "id bigint, v double"),
+            "db.ms", "u", "re-add", mode="append")
+        engine.merge(src, "db.ms", keys=["id"], user_id="u",
+                     message="partial sync",
+                     when_not_matched_by_source_delete="t.v < 2")
+        got = {(r.id, r.v) for r in engine.read("db.ms").collect()}
+        assert got == {(2, 20.0), (3, 3.0), (4, 40.0)}
+
     def test_generated_partition_column(self, spark, engine):
         """partition_derivations: a writer that omits the partition column
         gets it computed from the declared expression; an explicit column
