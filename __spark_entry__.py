@@ -71,6 +71,7 @@ def _registry() -> tuple[dict, dict]:
         "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
         "q_sessionize", "q_funnel", "q_date_from_ts",
         # never driver-checked (added round 3)
+        "q_curation_pipeline",
         "q_stream_window", "q_stream_session", "q_knn_join",
         "q_json_funcs", "q_anomaly", "q_session_window",
         "q_scan_csv", "q_scan_json", "q_dedup_incremental",

@@ -295,9 +295,92 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+CURATION_QUALITY_MIN = 0.5
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composed pipeline a training-data
+    job actually ships, stacked from this package's individually
+    oracle-checked stages:
+
+    1. exact dedup — keep the lowest doc_id per sha-256 content hash;
+    2. near-dup dedup — keep only each connected component's
+       representative (``q_dedup_groups``' min-doc_id label over the
+       exact n-gram near-dup graph);
+    3. quality gate — composite score (``q_quality_score``'s formula)
+       ≥ ``CURATION_QUALITY_MIN``;
+    4. embedding availability — the doc has a vector (vec_id = doc_id).
+
+    All gates are broadcast-able id sets applied as semi-joins onto one
+    documents scan — at 100 TB each stage's id list is written to the lake
+    and the joins shuffle on doc_id; no stage ever re-reads another's
+    inputs. The DuckDB oracle restates the full four-stage pipeline in one
+    CTE chain, so the COMPOSITION (not just each stage) is hash-checked.
+    """
+    from .dedup import q_dedup_groups
+    from .text import q_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    exact_keep = (docs.withColumn("h", F.sha2(F.col("text"), 256))
+                  .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+                  .select("doc_id"))
+    near_keep = (q_dedup_groups(spark, sf_dir)
+                 .where(F.col("doc_id") == F.col("group_id"))
+                 .select("doc_id"))
+    quality_keep = (q_quality_score(spark, sf_dir)
+                    .where(F.col("quality_score") >= CURATION_QUALITY_MIN)
+                    .select("doc_id"))
+    has_vec = (load(spark, sf_dir, "embeddings")
+               .select(F.col("vec_id").alias("doc_id")))
+    return (docs.join(exact_keep, "doc_id", "left_semi")
+            .join(near_keep, "doc_id", "left_semi")
+            .join(quality_keep, "doc_id", "left_semi")
+            .join(has_vec, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def _curation_oracle() -> str:
+    """One CTE chain restating all four curation gates (reuses the ngram
+    near-dup pair CTEs from dedup.py and the quality formula from
+    text.py, so the stages cannot drift from their per-stage oracles)."""
+    from .dedup import _NGRAM_PAIRS_CTES
+    from .text import _SW_SQL
+
+    return (
+        f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+        "e2 AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e2.dst, r.lab FROM reach r JOIN e2 ON e2.src = r.id), "
+        "grp AS (SELECT id AS doc_id, MIN(lab) AS group_id "
+        "FROM reach GROUP BY id), "
+        "near_keep AS (SELECT doc_id FROM grp WHERE doc_id = group_id), "
+        "exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY sha256(text)), "
+        "quality AS (SELECT doc_id, alpha_ratio * 0.5 + "
+        "stopword_ratio * 0.3 + LEAST(mean_tok_len / 10.0, 1.0) * 0.2 AS s "
+        "FROM (SELECT doc_id, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+        "/ len(string_split(text, ' ')) AS mean_tok_len, "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
+        "/ CAST(n_chars AS DOUBLE) AS alpha_ratio, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> w IN {_SW_SQL})) AS DOUBLE) / len(string_split(text, ' ')) "
+        "AS stopword_ratio FROM documents)), "
+        "quality_keep AS (SELECT doc_id FROM quality "
+        f"WHERE s >= {CURATION_QUALITY_MIN}), "
+        "vec AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings) "
+        "SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d "
+        "JOIN exact_keep ek ON d.doc_id = ek.doc_id "
+        "JOIN near_keep nk ON d.doc_id = nk.doc_id "
+        "JOIN quality_keep qk ON d.doc_id = qk.doc_id "
+        "JOIN vec v ON d.doc_id = v.doc_id")
+
+
 # registry + DuckDB oracles
 
 QUERIES = {
+    "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
     "q_lm_score": q_lm_score,
     "q_contamination": q_contamination,
@@ -342,6 +425,7 @@ _BM25_TERM_SCORE = (
     "CAST(dl AS DOUBLE) / avgdl)))")
 
 ORACLES = {
+    "q_curation_pipeline": _curation_oracle(),
     "q_lm_score": (
         "WITH postings AS (SELECT doc_id, "
         "unnest(string_split(text, ' ')) AS term FROM documents), "
