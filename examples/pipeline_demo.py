@@ -96,6 +96,40 @@ def main(sf_dir: str, warehouse: str) -> None:
     eng.compact("demo.events")
     removed = eng.vacuum("demo.events", keep_commits=2)
     print(f"[8] compacted; vacuum removed {len(removed)} old version dir(s)")
+
+    # 9. write-time quality gating (CHECK constraints) ---------------------
+    eng.create_table("demo.gated", schema_ddl="id bigint, v double",
+                     check_constraints=["v >= 0"])
+    eng.insert(spark.range(5).select(F.col("id"),
+                                     (F.col("id") * 1.0).alias("v")),
+               "demo.gated", "demo", "clean rows")
+    try:
+        eng.insert(spark.createDataFrame([(9, -1.0)], "id bigint, v double"),
+                   "demo.gated", "demo", "bad row")
+        raise AssertionError("constraint should have rejected the commit")
+    except tvx.ConstraintViolationError:
+        print("[9] CHECK constraint rejected the bad commit; "
+              f"table still has {eng.read('demo.gated').count()} rows")
+
+    # 10. z-order clustering + multi-column file skipping ------------------
+    eng.create_table("demo.zo", schema_ddl=(
+        "event_id bigint, user_id bigint, value double"))
+    eng.insert(load_events(spark, sf_dir)
+               .select("event_id", "user_id", "value"),
+               "demo.zo", "demo", "z-ordered load",
+               cluster_by=["value", "user_id"], cluster_mode="zorder")
+    skipped = eng.read("demo.zo", stats_filter={"value": (10.0, 20.0),
+                                                "user_id": (1, 8)})
+    total = len(eng.read("demo.zo").inputFiles())
+    print(f"[10] z-order skipping read {len(skipped.inputFiles())}/{total} "
+          "files for a two-column range probe")
+
+    # 11. end-to-end corpus curation --------------------------------------
+    from table_versions_spark.operators import cleaning
+
+    kept = cleaning.q_curation_pipeline(spark, sf_dir).count()
+    print(f"[11] curation pipeline kept {kept} documents "
+          "(exact-dedup ∘ near-dup ∘ quality ∘ embedding gates)")
     print("demo complete.")
 
 

@@ -40,6 +40,9 @@ EXPECTED = {
     # term/doc side — 1-row build, optimal distributed plan
     "q_tfidf": {"bnlj"},
     "q_bm25": {"bnlj"},
+    # single-row broadcast scalar (corpus token total for the unigram LM)
+    # crossed into the vocabulary side — 1-row build, optimal plan
+    "q_lm_score": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},
