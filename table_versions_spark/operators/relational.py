@@ -365,6 +365,75 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     revenue("l_extendedprice", "l_discount", "l_tax").alias("revenue")))
 
 
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDAF (``pandas_udf`` over a whole group's
+    series — the custom-aggregation surface next to ``q_udf_pandas``'s
+    scalar form): discount-weighted mean price per return flag. Arrow ships
+    each group's columns once; numpy reduces them. Group count is tiny and
+    the shuffle is the same single hash partitioning any built-in agg pays.
+    Weighted mean = sum(w·x)/sum(w) is two order-insensitive float sums —
+    rounded to 6 dp, same determinism exposure as every SUM oracle here."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(price: pd.Series, disc: pd.Series) -> float:
+        w = 1.0 - disc
+        return float((price * w).sum() / w.sum())
+
+    @pandas_udf("long")
+    def grp_rows(price: pd.Series) -> int:
+        # Spark disallows mixing pandas and built-in aggregates in one
+        # agg(), so the row count is a second pandas UDAF
+        return int(len(price))
+
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.round(wmean("l_extendedprice", "l_discount"), 6)
+                 .alias("disc_weighted_price"),
+                 grp_rows("l_extendedprice").alias("n")))
+
+
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (``@udtf`` — the 1→N row
+    expansion surface; generators/explode's programmable cousin): each
+    region row fans out into one row per comma-separated name prefix
+    tier. Deterministic pure-Python row logic; at scale a UDTF runs
+    per-partition like any generator. The oracle reproduces the expansion
+    relationally."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="r_regionkey int, tier int, prefix string")
+    class Prefixes:
+        def eval(self, r_regionkey: int, r_name: str):
+            for tier in (1, 2, 3):
+                yield r_regionkey, tier, r_name[:tier]
+
+    spark.udtf.register("region_prefixes", Prefixes)
+    load(spark, sf_dir, "region").createOrReplaceTempView("tvx_region_v")
+    return spark.sql(
+        "SELECT p.r_regionkey, p.tier, p.prefix "
+        "FROM tvx_region_v r, "
+        "LATERAL region_prefixes(r.r_regionkey, r.r_name) p")
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, vs q_window_running's
+    row-based frame): per customer, the sum of order totals within the
+    trailing 30 days of each order — ordering on epoch days so the frame
+    bound is numeric, the portable way to express a time-range frame."""
+    from pyspark.sql import Window
+
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (Window.partitionBy("o_custkey").orderBy(days.cast("long"))
+         .rangeBetween(-30, 0))
+    return (load(spark, sf_dir, "orders")
+            .select("o_custkey", "o_orderkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                     .alias("trailing_30d_total")))
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_orc": q_scan_orc,
@@ -399,6 +468,9 @@ QUERIES = {
     "q_date_funcs": q_date_funcs,
     "q_json_funcs": q_json_funcs,
     "q_udf_pandas": q_udf_pandas,
+    "q_udaf_pandas": q_udaf_pandas,
+    "q_udtf": q_udtf,
+    "q_window_range_frame": q_window_range_frame,
     "q_date_from_ts": q_date_from_ts,
     "q_join_skew_salted": q_join_skew_salted,
 }
@@ -505,6 +577,20 @@ ORACLES = {
     "q_udf_pandas": ("SELECT l_orderkey, l_linenumber, "
                      "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS revenue "
                      "FROM lineitem"),
+    "q_udaf_pandas": (
+        "SELECT l_returnflag, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)) / "
+        "SUM(1 - l_discount), 6) AS disc_weighted_price, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"),
+    "q_udtf": (
+        "SELECT r_regionkey, tier, substring(r_name, 1, tier) AS prefix "
+        "FROM region CROSS JOIN (VALUES (1), (2), (3)) AS t(tier)"),
+    "q_window_range_frame": (
+        "SELECT o_custkey, o_orderkey, "
+        "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey "
+        "ORDER BY DATE_DIFF('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) "
+        "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) "
+        "AS trailing_30d_total FROM orders"),
     "q_date_from_ts": "SELECT event_id, CAST(ts AS DATE) AS event_date FROM events",
     "q_join_skew_salted": (
         "SELECT CAST(s_nationkey AS BIGINT) AS nationkey, "
