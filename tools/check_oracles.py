@@ -17,7 +17,8 @@ import math
 import sys
 import time
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = __import__("os").environ.get("TVX_CHECK_SF_DIR",
+                                      "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
