@@ -75,7 +75,7 @@ def _registry() -> tuple[dict, dict]:
         "q_stream_window", "q_stream_session", "q_knn_join",
         "q_json_funcs", "q_anomaly", "q_session_window",
         "q_scan_csv", "q_scan_json", "q_dedup_incremental",
-        "q_stream_dedup", "q_udaf_pandas", "q_udtf",
+        "q_stream_dedup", "q_stream_join", "q_udaf_pandas", "q_udtf",
         "q_window_range_frame",
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
         "q_zorder_skipping", "q_derived_partition", "q_bloom_skipping",

@@ -524,6 +524,66 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(run, "out"))
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with event-time interval condition and
+    watermarks on both sides — the hardest built-in streaming join shape:
+    every purchase joined to the same user's view events from the
+    preceding hour. Both sides carry watermarks (10 min), which is what
+    lets Spark bound the join state (view rows older than the watermark
+    minus the interval are evicted); the join itself is an equi-join on
+    user_id plus a time-range predicate, so state is hash-partitioned by
+    user across executors.
+
+    Determinism: inner stream-stream joins emit a match as soon as both
+    rows are present — no closed-window gating — so under availableNow
+    the emitted set equals the batch interval join, which is the oracle.
+    Sum over matches is integer event_id arithmetic (no float hazard)."""
+    import os
+
+    from .common import scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = scratch_dir(spark, f"stream-join-src-{tag}")
+    if not os.path.exists(os.path.join(src, "views", "_SUCCESS")):
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value")
+        (ev.where(F.col("event_type") == "view")
+         .write.mode("overwrite").parquet(os.path.join(src, "views")))
+        (ev.where(F.col("event_type") == "purchase")
+         .write.mode("overwrite").parquet(os.path.join(src, "purchases")))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    views = (spark.readStream.schema(schema)
+             .parquet(os.path.join(src, "views"))
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"),
+                     F.col("user_id").alias("v_user"))
+             .withWatermark("view_ts", "10 minutes"))
+    purchases = (spark.readStream.schema(schema)
+                 .parquet(os.path.join(src, "purchases"))
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts"), "user_id")
+                 .withWatermark("purchase_ts", "10 minutes"))
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner").select("purchase_id", "user_id", "view_id")
+    run = scratch_dir(spark, f"stream-join-run-{tag}-{next(_SEQ)}")
+    q = (joined.writeStream.format("parquet")
+         .option("path", os.path.join(run, "out"))
+         .option("checkpointLocation", os.path.join(run, "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.read.parquet(os.path.join(run, "out"))
+    # doc-grain summary keeps the compare payload small and integer-exact
+    return (out.groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.min("purchase_id").alias("first_purchase"),
+                 F.max("view_id").alias("last_view")))
+
+
 STREAM_SESSION_GAP_MIN = 30
 
 
@@ -688,6 +748,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_join": q_stream_join,
     "q_restore": q_restore,
     "q_schema_evolution": q_schema_evolution,
     "q_multi_partition_prune": q_multi_partition_prune,
@@ -732,6 +793,17 @@ ORACLES = {
         "(SELECT w FROM wm)"),
     "q_stream_dedup": (
         "SELECT event_id, user_id, event_type, value FROM events"),
+    "q_stream_join": (
+        "WITH e AS (SELECT event_id, user_id, event_type, "
+        "CAST(ts AS TIMESTAMP) AS ts FROM events), "
+        "j AS (SELECT p.event_id AS purchase_id, p.user_id, "
+        "v.event_id AS view_id "
+        "FROM e p JOIN e v ON p.event_type = 'purchase' "
+        "AND v.event_type = 'view' AND v.user_id = p.user_id "
+        "AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR) "
+        "SELECT user_id, COUNT(*) AS n_pairs, "
+        "MIN(purchase_id) AS first_purchase, MAX(view_id) AS last_view "
+        "FROM j GROUP BY user_id"),
     "q_stream_session": (
         # identical session definition to q_sessionize's oracle: new
         # session when the same-user gap exceeds 30 min, ordered (ts,

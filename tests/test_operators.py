@@ -28,6 +28,7 @@ PARITY_SUBSET = [
     "q_lm_score", "q_semdedup",
     "q_json_funcs", "q_anomaly", "q_knn_join",
     "q_stream_window", "q_stream_session", "q_stream_dedup",
+    "q_stream_join",
     "q_session_window", "q_scan_csv", "q_scan_json",
     "q_dedup_incremental", "q_zorder_skipping", "q_derived_partition",
     "q_udaf_pandas", "q_udtf", "q_window_range_frame",
