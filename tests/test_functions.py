@@ -61,3 +61,58 @@ class TestTimestampTravel:
         with pytest.raises(ValueError, match="not both"):
             engine.read("db.tt", at_commit="x",
                         at_timestamp="2999-01-01T00:00:00+00:00")
+
+
+class TestZorder:
+    def test_interleave_round_trips(self, spark):
+        """The Morton value must be a bijection of the per-column bucket
+        tuple: de-interleaving z in Python recovers exactly the buckets
+        the expression computed from the normalized inputs."""
+        from pyspark.sql import functions as F
+
+        from table_versions_spark.functions.zorder import (
+            ZORDER_BITS,
+            zorder_column,
+        )
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)],
+            "x bigint, y bigint")
+        rows = (df.withColumn("z", zorder_column(df, ["x", "y"]))
+                .select("x", "y", "z").collect())
+        top = (1 << ZORDER_BITS) - 1
+        import math
+
+        mx_x = max(r.x for r in rows)
+        mx_y = max(r.y for r in rows)
+        for r in rows:
+            bx = min(max(math.floor(r.x / mx_x * top), 0), top)
+            by = min(max(math.floor(r.y / mx_y * top), 0), top)
+            gx = gy = 0
+            for k in range(ZORDER_BITS):
+                gx |= ((r.z >> (2 * k)) & 1) << k
+                gy |= ((r.z >> (2 * k + 1)) & 1) << k
+            assert (gx, gy) == (bx, by), (r.x, r.y, r.z)
+
+    def test_zorder_locality(self, spark):
+        """Rows close in BOTH dimensions get close z-values: sorting by z
+        must place each quadrant of a 2x2 grid contiguously."""
+        from table_versions_spark.functions.zorder import zorder_column
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(16) for y in range(16)],
+            "x bigint, y bigint")
+        ordered = (df.withColumn("z", zorder_column(df, ["x", "y"]))
+                   .orderBy("z").collect())
+        # first quarter of the curve = the low-low quadrant
+        first = ordered[:64]
+        assert all(r.x < 8 and r.y < 8 for r in first)
+
+    def test_rejects_single_column(self, spark):
+        import pytest
+
+        from table_versions_spark.functions.zorder import zorder_column
+
+        df = spark.createDataFrame([(1,)], "x bigint")
+        with pytest.raises(ValueError, match="at least 2"):
+            zorder_column(df, ["x"])
