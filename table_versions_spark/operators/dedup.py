@@ -447,8 +447,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped iff some lower vec_id in its cluster has cosine ≥ threshold
     (no order-dependent greedy chain).
 
-    Scale shape: assignment is one codegen'd scan against a broadcast K×d
-    centroid literal; each cluster is one ``applyInPandas`` group whose
+    Scale shape: assignment is one Arrow-batched numpy pass against the
+    broadcast K×d centroid matrix (the q_kmeans kernel — one BLAS matmul
+    per batch replaces K interpreted higher-order-lambda traversals per
+    row); each cluster is one ``applyInPandas`` group whose
     task computes a BLAS self-product — per-task memory O(rows·dim +
     rows²) bounded by choosing K ∝ N (and, for clusters that still
     overflow the bound, the same block-pair decomposition as
@@ -458,22 +460,37 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .similarity import as_double_array, cosine
-
     emb = load(spark, sf_dir, "embeddings")
     cents = (emb.orderBy("vec_id").limit(SEMDEDUP_K)
              .select("vec_id", "embedding").collect())
-    cent_arr = F.array(*[
-        F.struct(F.lit(int(r.vec_id)).alias("cent_id"),
-                 F.lit([float(x) for x in r.embedding]).alias("cv"))
-        for r in cents])
-    vec = as_double_array(F.col("embedding"))
-    scored = F.transform(
-        cent_arr,
-        lambda c: F.struct(cosine(vec, c["cv"]).alias("s"),
-                           c["cent_id"].alias("cent_id")))
-    assigned = emb.select("vec_id", "embedding",
-                          F.array_max(scored)["cent_id"].alias("cluster"))
+    cent_ids = np.array([int(r.vec_id) for r in cents], dtype=np.int64)
+    cent_mat = np.array([[float(x) for x in r.embedding] for r in cents],
+                        dtype=np.float64)
+    cent_mat = cent_mat / np.sqrt((cent_mat * cent_mat)
+                                  .sum(axis=1, keepdims=True))
+
+    def assign(batches):
+        # max-cosine assignment as one BLAS product per Arrow batch, ties
+        # toward the higher cent_id (cent_ids ascend, so scan columns
+        # high-id-first) — same kernel discipline as q_kmeans: Spark's
+        # higher-order-function lambdas are interpreted, and K=8 of them
+        # per row cost ~8 array traversals this one matmul replaces
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+            cos = mat @ cent_mat.T
+            k = cent_mat.shape[0]
+            idx = (k - 1) - np.argmax(cos[:, ::-1], axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "cluster": cent_ids[idx]})
+
+    assigned = (emb.select("vec_id", "embedding")
+                .mapInPandas(assign,
+                             "vec_id long, embedding array<float>, "
+                             "cluster long"))
 
     def prune(key, pdf):
         (cluster,) = key

@@ -1,4 +1,7 @@
-"""Versioning-flow queries (SURVEY §2.A surfaced as driver-checkable §2.B ids).
+"""Versioning-flow + streaming queries (SURVEY §2.A surfaced as
+driver-checkable §2.B ids, plus the Structured-Streaming query family:
+commit-log CDF aggregation, watermarked windows, stateful sessionization,
+cross-batch dedup, and stream-stream interval joins).
 
 Each query exercises the VersionedEngine end-to-end on a throwaway warehouse:
 the Spark result is whatever a reader of the versioned table sees, and the
