@@ -423,6 +423,8 @@ def write_table_meta(defn: TableDefinition,
         "bucket_count": defn.bucket_count,
         "bloom_columns": list(defn.bloom_columns),
         "check_constraints": list(defn.check_constraints),
+        "column_mapping": [list(p) for p in defn.column_mapping],
+        "dropped_columns": list(defn.dropped_columns),
         "partition_derivations": [list(p) for p in defn.partition_derivations],
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
@@ -449,6 +451,8 @@ def read_table_meta(location: str,
         bucket_count=d.get("bucket_count", 0),
         bloom_columns=tuple(d.get("bloom_columns", ())),
         check_constraints=tuple(d.get("check_constraints", ())),
+        column_mapping=tuple((a, b) for a, b in d.get("column_mapping", ())),
+        dropped_columns=tuple(d.get("dropped_columns", ())),
         partition_derivations=tuple(
             (c, e) for c, e in d.get("partition_derivations", ())),
     )

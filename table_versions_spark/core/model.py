@@ -242,6 +242,15 @@ class TableDefinition:
     # point-equality skipping where min/max ranges cannot prune (hash-
     # distributed high-cardinality keys).
     bloom_columns: tuple[str, ...] = ()
+    # Column mapping (extension; Delta column-mapping name mode): logical
+    # (current) name → physical name as stored in every data file. Rename
+    # is a metadata-only commit — files are never rewritten; reads rename
+    # physical→logical, writes rename logical→physical. ``dropped_columns``
+    # lists physical names excluded from reads (metadata-only DROP COLUMN);
+    # schema evolution refuses to reuse a physical name still present in
+    # old files.
+    column_mapping: tuple[tuple[str, str], ...] = ()
+    dropped_columns: tuple[str, ...] = ()
     # CHECK constraints (extension; Delta ``ALTER TABLE ADD CONSTRAINT
     # CHECK`` shape): SQL boolean expressions every inserted row must
     # satisfy — standard SQL semantics, so a NULL result passes. Enforced

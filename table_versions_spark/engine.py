@@ -38,6 +38,7 @@ Scale-relevant deviations from the reference (deliberate — see SURVEY §4.2/4.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import uuid as _uuid
 from dataclasses import dataclass
@@ -284,6 +285,16 @@ class VersionedEngine:
                 raise ConstraintViolationError(
                     f"CHECK constraint {defn.check_constraints} rejected "
                     f"row {bad[0].asDict()}")
+        if defn.column_mapping:
+            # logical→physical: data files always carry the ORIGINAL
+            # (physical) names, so renames never fragment the on-disk
+            # schema and mergeSchema keeps matching by name across versions
+            to_phys = dict(defn.column_mapping)
+            for logical, physical in defn.column_mapping:
+                if logical in df.columns:
+                    df = df.withColumnRenamed(logical, physical)
+            if cluster_by:
+                cluster_by = [to_phys.get(c, c) for c in cluster_by]
         drop_col = None
         if cluster_by and cluster_mode == "zorder":
             from .functions.zorder import zorder_column
@@ -395,14 +406,21 @@ class VersionedEngine:
                 f"Insert has columns unknown to "
                 f"{defn.name.fully_qualified_name}: {new_cols}. "
                 "Pass evolve_schema=True to widen the table schema.")
+        # a "new" logical name must not collide with a physical name still
+        # present in old data files (renamed-away or dropped): mergeSchema
+        # would resurrect the old bytes under the new column
+        ghosts = ({p for _, p in defn.column_mapping}
+                  | set(defn.dropped_columns))
+        clash = [c for c in new_cols if c in ghosts]
+        if clash:
+            raise ValueError(
+                f"Cannot add column(s) {clash}: the name is still the "
+                "physical name of a renamed or dropped column in existing "
+                "data files")
         added = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                           for f in df.schema.fields if f.name in set(new_cols))
-        defn = TableDefinition(
-            name=defn.name, location=defn.location,
-            partition_schema=defn.partition_schema, format=defn.format,
-            schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True,
-            bucket_columns=defn.bucket_columns,
-            bucket_count=defn.bucket_count)
+        defn = dataclasses.replace(
+            defn, schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
         write_table_meta(defn, self.storage)
         return defn
 
@@ -797,6 +815,40 @@ class VersionedEngine:
              stats_filter: dict | None = None,
              at_timestamp=None,
              bucket_filter: dict | None = None) -> DataFrame:
+        """Read a versioned table with column mapping applied: renamed
+        columns surface under their CURRENT logical name (whatever commit
+        is read — mapping is table-level metadata, Delta's name-mode
+        semantics) and dropped columns are absent. ``stats_filter`` keys
+        are logical names; they are translated to the physical names the
+        footer stats were recorded under. See :meth:`_read_physical` for
+        the full contract of the remaining parameters."""
+        defn = self.definition(table)
+        if stats_filter and defn.column_mapping:
+            to_phys = dict(defn.column_mapping)
+            stats_filter = {to_phys.get(c, c): v
+                            for c, v in stats_filter.items()}
+        return self._apply_mapping(defn, self._read_physical(
+            table, at_commit=at_commit, partition_filter=partition_filter,
+            stats_filter=stats_filter, at_timestamp=at_timestamp,
+            bucket_filter=bucket_filter))
+
+    def _apply_mapping(self, defn: TableDefinition,
+                       df: DataFrame) -> DataFrame:
+        """physical→logical projection: a narrow rename/drop on top of any
+        scan — costs nothing at runtime (column pruning still reaches the
+        files, which know only physical names)."""
+        for logical, physical in defn.column_mapping:
+            if physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+        drop = [c for c in defn.dropped_columns if c in df.columns]
+        return df.drop(*drop) if drop else df
+
+    def _read_physical(self, table: TableName | str,
+                       at_commit: str | None = None,
+                       partition_filter: dict | None = None,
+                       stats_filter: dict | None = None,
+                       at_timestamp=None,
+                       bucket_filter: dict | None = None) -> DataFrame:
         """Read the current (or time-travel) state of a versioned table.
 
         Equivalent of reference ``spark.table(fqn)`` resolution via Hive
@@ -954,7 +1006,8 @@ class VersionedEngine:
             reader = reader.option("mergeSchema", "true")
         if isinstance(after, SnapshotTableVersion):
             if any(isinstance(op, UpdateTableVersion) for op in changes.operations):
-                return reader.load(path_for(defn.location, after.version))
+                return self._apply_mapping(
+                    defn, reader.load(path_for(defn.location, after.version)))
             return self._empty(defn)
         touched = sorted(
             os.path.join(defn.location, op.partition.render(), op.version.label)
@@ -962,8 +1015,93 @@ class VersionedEngine:
             if isinstance(op, (AddPartition, UpdatePartitionVersion)))
         if not touched:
             return self._empty(defn)
-        return self._declared_types(
-            reader.option("basePath", defn.location).load(touched), defn)
+        return self._apply_mapping(defn, self._declared_types(
+            reader.option("basePath", defn.location).load(touched), defn))
+
+    def rename_column(self, table: TableName | str, old: str,
+                      new: str) -> None:
+        """Metadata-only column rename (Delta column-mapping name mode):
+        no data file is touched — data keeps its original PHYSICAL name;
+        reads surface the new logical name, writes translate back. Applies
+        to every commit (mapping is table-level metadata), so time-travel
+        reads also show the new name. Partition / bucket / Bloom columns
+        and columns referenced by constraints or derivations are
+        rewrite-coupled to their name and cannot be renamed."""
+        import re
+
+        defn = self.definition(table)
+        self._guard_structural_column(defn, old, "rename")
+        fields = self._schema_fields(defn)
+        names = [n for n, _ in fields]
+        if old not in names:
+            raise ValueError(f"No column {old!r} in "
+                             f"{defn.name.fully_qualified_name}")
+        if new in names:
+            raise ValueError(f"Column {new!r} already exists")
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"Invalid column name {new!r}")
+        # chain through an existing mapping: the physical name is wherever
+        # the data actually lives
+        to_phys = dict(defn.column_mapping)
+        physical = to_phys.pop(old, old)
+        ghosts = set(to_phys.values()) | set(defn.dropped_columns)
+        if new in ghosts and new != physical:
+            raise ValueError(
+                f"Cannot rename to {new!r}: the name is still the physical "
+                "name of another renamed or dropped column in data files")
+        if new != physical:  # identity mappings carry no information
+            to_phys[new] = physical
+        ddl = ", ".join(f"{new if n == old else n} {t}" for n, t in fields)
+        write_table_meta(dataclasses.replace(
+            defn, schema_ddl=ddl,
+            column_mapping=tuple(sorted(to_phys.items()))), self.storage)
+
+    def drop_column(self, table: TableName | str, col: str) -> None:
+        """Metadata-only DROP COLUMN: the physical data stays in every
+        version (old commits remain byte-identical); reads simply exclude
+        it. The physical name stays reserved — schema evolution refuses to
+        reuse it (the bytes would resurrect under the new column)."""
+        defn = self.definition(table)
+        self._guard_structural_column(defn, col, "drop")
+        fields = self._schema_fields(defn)
+        if col not in [n for n, _ in fields]:
+            raise ValueError(f"No column {col!r} in "
+                             f"{defn.name.fully_qualified_name}")
+        to_phys = dict(defn.column_mapping)
+        physical = to_phys.pop(col, col)
+        ddl = ", ".join(f"{n} {t}" for n, t in fields if n != col)
+        write_table_meta(dataclasses.replace(
+            defn, schema_ddl=ddl,
+            column_mapping=tuple(sorted(to_phys.items())),
+            dropped_columns=tuple(sorted(set(defn.dropped_columns)
+                                         | {physical}))), self.storage)
+
+    def _schema_fields(self, defn: TableDefinition) -> list[tuple[str, str]]:
+        from .streaming.source import _schema_fields
+
+        if not defn.schema_ddl:
+            raise ValueError(
+                f"{defn.name.fully_qualified_name} has no declared schema; "
+                "column DDL needs one (pass schema_ddl to create_table)")
+        return _schema_fields(defn.schema_ddl)
+
+    def _guard_structural_column(self, defn: TableDefinition, col: str,
+                                 verb: str) -> None:
+        import re
+
+        if col in defn.partition_schema.columns:
+            raise ValueError(f"Cannot {verb} partition column {col!r}")
+        if col in defn.bucket_columns:
+            raise ValueError(f"Cannot {verb} bucket column {col!r}")
+        if col in defn.bloom_columns:
+            raise ValueError(f"Cannot {verb} Bloom-indexed column {col!r}")
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        refs = [c for c in defn.check_constraints if pat.search(c)]
+        refs += [e for _, e in defn.partition_derivations if pat.search(e)]
+        if refs:
+            raise ValueError(
+                f"Cannot {verb} column {col!r}: referenced by constraint/"
+                f"derivation expression(s) {refs}")
 
     def checkout(self, table: TableName | str, commit_id: str) -> None:
         """Move the current pointer (reference ``VersionedMetastore.scala:59-66``).

@@ -289,6 +289,20 @@ def q_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date"))
 
 
+def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column rename (engine ``rename_column``, Delta
+    column-mapping name mode) on a branch of the base table: ``value``
+    becomes ``amount`` without touching a single data file — reads
+    translate physical→logical, so the full pre-rename history surfaces
+    under the new name. The oracle aliases the original column, proving
+    the mapping is invisible in the data."""
+    st = _shared(spark, sf_dir)
+    table = _clone_base(st)
+    st["eng"].rename_column(table, "value", "amount")
+    return st["eng"].read(table).select(
+        "event_id", "user_id", "event_type", "amount", "event_date")
+
+
 def q_derived_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated partition column (engine ``partition_derivations``, Delta
     GENERATED-column shape): the table declares
@@ -760,6 +774,7 @@ QUERIES = {
     "q_clustered_skipping": q_clustered_skipping,
     "q_zorder_skipping": q_zorder_skipping,
     "q_derived_partition": q_derived_partition,
+    "q_rename_column": q_rename_column,
     "q_bloom_skipping": q_bloom_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
@@ -847,6 +862,9 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE value >= 10.0 AND value <= 20.0"),
+    "q_rename_column": (
+        "SELECT event_id, user_id, event_type, value AS amount, "
+        "CAST(ts AS DATE) AS event_date FROM events"),
     "q_derived_partition": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "

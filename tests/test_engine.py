@@ -509,6 +509,73 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_rename_column_without_rewrite(self, spark, engine):
+        """Delta-style name-mode mapping: rename touches no data file;
+        reads/writes translate; time travel shows the current name."""
+        engine.create_table("db.cm", schema_ddl="id bigint, v double")
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"), "db.cm", "u", "v1")
+        files_before = set(engine.read("db.cm").inputFiles())
+        engine.rename_column("db.cm", "v", "amount")
+        got = engine.read("db.cm")
+        assert got.columns == ["id", "amount"]
+        assert {(r.id, r.amount) for r in got.collect()} == {(1, 1.0), (2, 2.0)}
+        assert set(got.inputFiles()) == files_before  # no rewrite
+        # writers use the new logical name; files keep the physical name
+        engine.insert(spark.createDataFrame(
+            [(3, 3.0)], "id bigint, amount double"),
+            "db.cm", "u", "v2", mode="append")
+        assert {(r.id, r.amount)
+                for r in engine.read("db.cm").collect()} == {
+                    (1, 1.0), (2, 2.0), (3, 3.0)}
+        # mapping is table-level: the pre-rename commit reads with the
+        # new name too
+        old = engine.read("db.cm", at_commit=r1.commit_id)
+        assert old.columns == ["id", "amount"] and old.count() == 2
+        # stats_filter accepts the logical name
+        hit = (engine.read("db.cm", stats_filter={"amount": (3.0, 3.0)})
+               .where("amount = 3.0"))
+        assert hit.count() == 1
+        # old logical name is addressable again only via rename back
+        engine.rename_column("db.cm", "amount", "v")
+        defn = engine.definition("db.cm")
+        assert defn.column_mapping == ()  # identity mapping elided
+        assert engine.read("db.cm").columns == ["id", "v"]
+
+    def test_drop_column_metadata_only(self, spark, engine):
+        import pytest as _pytest
+
+        engine.create_table("db.dc", schema_ddl="id bigint, v double, w string")
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "x")], "id bigint, v double, w string"),
+            "db.dc", "u", "v1")
+        engine.drop_column("db.dc", "w")
+        got = engine.read("db.dc")
+        assert got.columns == ["id", "v"]
+        assert got.count() == 1
+        # the physical name stays reserved: evolution cannot reuse it
+        with _pytest.raises(ValueError, match="physical name"):
+            engine.insert(spark.createDataFrame(
+                [(2, 2.0, "y")], "id bigint, v double, w string"),
+                "db.dc", "u", "re-add", evolve_schema=True,
+                mode="append")
+        # renaming another column onto the ghost name is rejected too
+        with _pytest.raises(ValueError, match="physical name"):
+            engine.rename_column("db.dc", "v", "w")
+
+    def test_column_ddl_guards(self, spark, engine):
+        import pytest as _pytest
+
+        engine.create_table("db.cg", schema_ddl="id bigint, v double, d date",
+                            partition_columns=["d"],
+                            check_constraints=["v >= 0"])
+        with _pytest.raises(ValueError, match="partition column"):
+            engine.rename_column("db.cg", "d", "day")
+        with _pytest.raises(ValueError, match="constraint"):
+            engine.rename_column("db.cg", "v", "val")
+        with _pytest.raises(ValueError, match="No column"):
+            engine.drop_column("db.cg", "nope")
+
     def test_check_constraints_reject_bad_insert(self, spark, engine):
         """Declared CHECK constraints gate every write path; NULL passes
         (SQL semantics); violations reject the commit before data lands."""

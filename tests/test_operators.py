@@ -32,7 +32,7 @@ PARITY_SUBSET = [
     "q_session_window", "q_scan_csv", "q_scan_json",
     "q_dedup_incremental", "q_zorder_skipping", "q_derived_partition",
     "q_udaf_pandas", "q_udtf", "q_window_range_frame",
-    "q_curation_pipeline",
+    "q_curation_pipeline", "q_rename_column", "q_stream_join",
 ]
 
 
