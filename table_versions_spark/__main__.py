@@ -12,6 +12,8 @@ so they are instant even when a JVM spin-up would take seconds. ``show`` and
     python -m table_versions_spark current   --warehouse /wh db.events
     python -m table_versions_spark checkout  --warehouse /wh db.events <commit>
     python -m table_versions_spark clone     --warehouse /wh db.events db.events_branch
+    python -m table_versions_spark rename-column --warehouse /wh db.events value amount
+    python -m table_versions_spark drop-column   --warehouse /wh db.events scratch_col
     python -m table_versions_spark vacuum    --warehouse /wh db.events --keep 3
     python -m table_versions_spark show      --warehouse /wh db.events -n 10
     python -m table_versions_spark compact   --warehouse /wh db.events
@@ -56,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     for cmd, extra in [("history", []), ("current", []),
                        ("checkout", ["commit_id"]), ("clone", ["dest"]),
                        ("restore", ["commit_id"]),
+                       ("rename-column", ["old", "new"]),
+                       ("drop-column", ["column"]),
                        ("vacuum", []), ("show", []), ("compact", [])]:
         sp = sub.add_parser(cmd)
         sp.add_argument("table", help="schema.table")
@@ -118,6 +122,23 @@ def main(argv: list[str] | None = None) -> int:
         res = eng.clone_table(args.table, args.dest,
                               user_id=os.environ.get("USER", "cli"))
         print(f"cloned {args.table} -> {args.dest} as commit {res.commit_id}")
+        return 0
+
+    if args.cmd == "rename-column":
+        from .engine import VersionedEngine
+
+        # metadata-only column mapping; no Spark session needed
+        VersionedEngine(None, args.warehouse).rename_column(
+            args.table, args.old, args.new)
+        print(f"renamed {args.table}.{args.old} -> {args.new}")
+        return 0
+
+    if args.cmd == "drop-column":
+        from .engine import VersionedEngine
+
+        VersionedEngine(None, args.warehouse).drop_column(
+            args.table, args.column)
+        print(f"dropped {args.table}.{args.column}")
         return 0
 
     if args.cmd == "vacuum":

@@ -71,3 +71,13 @@ def test_restore_forward_commit(warehouse, capsys):
     assert f"restored db.cli to {first}" in out
     assert eng.history("db.cli").count() == n + 1  # linear, append-only
     assert sorted(r["id"] for r in eng.read("db.cli").collect()) == [1, 2]
+
+
+def test_rename_and_drop_column(warehouse, capsys):
+    wh, eng = warehouse
+    assert main(["-w", wh, "rename-column", "db.cli", "id", "renamed_col"]) == 0
+    assert "renamed" in capsys.readouterr().out
+    assert "renamed_col" in eng.read("db.cli").columns
+    assert main(["-w", wh, "drop-column", "db.cli", "renamed_col"]) == 0
+    assert "dropped" in capsys.readouterr().out
+    assert "renamed_col" not in eng.read("db.cli").columns
