@@ -606,6 +606,50 @@ class VersionedEngine:
         return self._insert(remaining, table, user_id, message,
                             drop_partitions=affected)
 
+    def update(self, table: TableName | str, set: dict[str, str],
+               predicate: str, user_id: str, message: str) -> CommitResult:
+        """Row-level UPDATE (Delta ``UPDATE ... SET ... WHERE`` shape): rows
+        matching ``predicate`` get each ``set`` column replaced by its SQL
+        expression (evaluated against the pre-update row, all assignments
+        simultaneously — standard UPDATE semantics); all other rows are
+        byte-preserved. Only partitions containing matching rows are
+        rewritten as a fresh version; a NULL predicate leaves the row
+        unchanged (SQL semantics). Partition columns cannot be assigned —
+        that would move rows across partitions (use delete+insert, the
+        same restriction most engines place on UPDATE of partition keys).
+        """
+        from pyspark.sql import functions as F
+
+        defn, _ = self._log(table)
+        pcols = list(defn.partition_schema.columns)
+        bad = [c for c in set if c in pcols]
+        if bad:
+            raise ValueError(f"Cannot UPDATE partition column(s) {bad}")
+        current = self.read(table)
+        unknown = [c for c in set if c not in current.columns]
+        if unknown:
+            raise ValueError(f"Unknown column(s) in SET: {unknown}")
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+
+        def apply(df):
+            # one select evaluates every assignment against the OLD row
+            return df.select(*[
+                (F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                 if c in set else F.col(c))
+                for c in df.columns])
+
+        if not pcols:
+            return self.insert(apply(current), table, user_id, message)
+        affected_df = current.where(cond).select(*pcols).distinct()
+        if not affected_df.limit(1).collect():
+            return self.insert(current.limit(0), table, user_id, message,
+                               distribute=False)
+        scoped = current.alias("cur").join(
+            F.broadcast(affected_df).alias("aff"),
+            _null_safe_cond(pcols, "cur", "aff"), "left_semi")
+        return self.insert(apply(scoped.select(*current.columns)), table,
+                           user_id, message)
+
     def remove_partitions(self, table: TableName | str,
                           partitions: list[Partition], user_id: str,
                           message: str) -> CommitResult:

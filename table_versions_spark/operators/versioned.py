@@ -161,6 +161,23 @@ def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (engine.update, Delta ``UPDATE ... SET ... WHERE``):
+    'error' events get value doubled and their type rewritten, in one
+    commit; only partitions containing matches are rewritten (simultaneous
+    assignment against the pre-update row — the swapped-columns hazard the
+    oracle would catch)."""
+    st = _shared(spark, sf_dir)
+    table = _clone_base(st)
+    st["eng"].update(table,
+                     set={"value": "value * 2",
+                          "event_type": "concat('was_', event_type)"},
+                     predicate="event_type = 'error'",
+                     user_id="tester", message="rewrite errors")
+    return st["eng"].read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 def q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General MERGE into a partitioned versioned table (engine.merge,
     Delta ``MERGE INTO`` shape): the earliest day's events arrive
@@ -784,6 +801,7 @@ QUERIES = {
     "q_partition_prune": q_partition_prune,
     "q_upsert": q_upsert,
     "q_delete": q_delete,
+    "q_update": q_update,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
@@ -914,6 +932,12 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
+    "q_update": (
+        "SELECT event_id, user_id, "
+        "CASE WHEN event_type = 'error' THEN 'was_' || event_type "
+        "ELSE event_type END AS event_type, "
+        "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END "
+        "AS value, CAST(ts AS DATE) AS event_date FROM events"),
     "q_merge": (
         "SELECT event_id, user_id, event_type, value * 3 AS value, "
         f"CAST(ts AS DATE) AS event_date FROM events "

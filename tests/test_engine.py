@@ -509,6 +509,32 @@ class TestDataSkipping:
         # skipping is an optimization, not a filter: in-range reads keep rows
         assert engine.read("db.ds", stats_filter={"id": (1, 200)}).count() == 3
 
+    def test_update_rows_partition_scoped(self, spark, engine):
+        """UPDATE rewrites only partitions containing matches; assignments
+        evaluate simultaneously against the pre-update row."""
+        engine.create_table("db.up", schema_ddl="id bigint, a double, "
+                            "b double, d string", partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, 10.0, "x"), (2, 2.0, 20.0, "x"), (3, 3.0, 30.0, "y")],
+            "id bigint, a double, b double, d string"), "db.up", "u", "v1")
+        files_y = {f for f in engine.read("db.up").inputFiles() if "d=y" in f}
+        # swap a and b where id <= 2 — catches sequential assignment
+        engine.update("db.up", set={"a": "b", "b": "a"},
+                      predicate="id <= 2", user_id="u", message="swap")
+        got = {(r.id, r.a, r.b) for r in engine.read("db.up").collect()}
+        assert got == {(1, 10.0, 1.0), (2, 20.0, 2.0), (3, 3.0, 30.0)}
+        # untouched partition kept its version (same files)
+        assert {f for f in engine.read("db.up").inputFiles()
+                if "d=y" in f} == files_y
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="partition column"):
+            engine.update("db.up", set={"d": "'z'"}, predicate="id = 1",
+                          user_id="u", message="bad")
+        with _pytest.raises(ValueError, match="Unknown column"):
+            engine.update("db.up", set={"nope": "1"}, predicate="id = 1",
+                          user_id="u", message="bad")
+
     def test_rename_column_without_rewrite(self, spark, engine):
         """Delta-style name-mode mapping: rename touches no data file;
         reads/writes translate; time travel shows the current name."""
