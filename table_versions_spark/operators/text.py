@@ -125,6 +125,90 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("doc_id").alias("max_doc")))
 
 
+BPE_MERGES = 5  # merge rules to learn; production vocabularies iterate ~30k
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909) — the vocabulary-learning step of a training-data
+    pipeline, run over the corpus with Spark doing the counting:
+
+    Each round is (a) ONE map-side-combined adjacent-pair count over the
+    symbolized corpus — the only shuffle, keyed by pair (bounded
+    aggregation state per distinct pair, no skew hazard beyond what any
+    word-count has), (b) a driver argmax over the O(#distinct pairs)
+    counts' top row (count desc, pair lexicographic — deterministic), and
+    (c) an Arrow-batched merge pass rewriting each document's symbol
+    array (greedy left-to-right, the standard BPE application order) into
+    the next round's scratch table — the iterative-algorithm-on-Spark
+    discipline q_kmeans/q_dedup_groups use: per-round materialization
+    keeps lineage O(1) regardless of merge count.
+
+    Symbols start as characters (no word-boundary markers — the corpus
+    here is running text; a production tokenizer adds end-of-word
+    sentinels, which changes the alphabet but not one line of the Spark
+    shape). Returns the learned merge table. No SQL oracle — applying
+    stateful greedy merges per row isn't SQL-expressible — so the driver
+    runs the rows-only check; exactness is pinned by a pytest comparing
+    against an independent pure-Python BPE on the same corpus.
+    """
+    import os
+
+    import pandas as pd
+
+    from .common import scratch_dir
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    cur = scratch_dir(spark, f"bpe-{tag}-0")
+    (docs.select("doc_id",
+                 F.expr("transform(sequence(1, length(text)), "
+                        "i -> substring(text, i, 1))").alias("s"))
+         .write.mode("overwrite").parquet(cur))
+
+    merges = []
+    for rnd in range(BPE_MERGES):
+        syms = spark.read.parquet(cur)
+        n = F.size("s")
+        pair = F.explode(F.arrays_zip(
+            F.slice("s", 1, n - 1).alias("a"),
+            F.slice("s", 2, n - 1).alias("b"))).alias("p")
+        top = (syms.where(n >= 2).select(pair)
+               .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+               .agg(F.count("*").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+               .first())
+        if top is None:
+            break
+        a, b, cnt = top.a, top.b, int(top.cnt)
+        merges.append((rnd + 1, a, b, a + b, cnt))
+
+        def merge_pass(batches, a=a, b=b):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    s = list(s)
+                    res, i = [], 0
+                    while i < len(s):
+                        if (i + 1 < len(s) and s[i] == a and s[i + 1] == b):
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": out})
+
+        nxt = scratch_dir(spark, f"bpe-{tag}-{(rnd + 1) % 2}")
+        (syms.mapInPandas(merge_pass, "doc_id long, s array<string>")
+             .write.mode("overwrite").parquet(nxt))
+        cur = nxt
+
+    return spark.createDataFrame(
+        merges, "merge_no int, left string, right string, "
+                "merged string, n bigint")
+
+
 CHUNK_SIZE = 200   # chars per chunk
 CHUNK_STRIDE = 150  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 
@@ -272,6 +356,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_bpe_train": q_bpe_train,
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
     "q_sample_weighted": q_sample_weighted,

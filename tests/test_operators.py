@@ -32,7 +32,7 @@ PARITY_SUBSET = [
     "q_session_window", "q_scan_csv", "q_scan_json",
     "q_dedup_incremental", "q_zorder_skipping", "q_derived_partition",
     "q_udaf_pandas", "q_udtf", "q_window_range_frame",
-    "q_curation_pipeline", "q_rename_column", "q_stream_join",
+    "q_curation_pipeline", "q_rename_column", "q_update",
 ]
 
 
@@ -76,7 +76,7 @@ class TestRegistry:
         # exactly the algorithm-specific ops may omit an oracle
         assert rows_only == {"q_agg_approx_distinct",
                              "q_dedup_minhash", "q_dedup_simhash",
-                             "q_approx_quantile"}
+                             "q_approx_quantile", "q_bpe_train"}
 
     @pytest.mark.parametrize("name", sorted(entrymod.queries()))
     def test_query_runs(self, spark, sf_small, registry, name):
@@ -404,3 +404,46 @@ class TestCleaning:
             assert kept, cluster
             # the lowest vec_id of a cluster can never be pruned
             assert min(members, key=lambda m: m["vec_id"])["kept"]
+
+
+class TestBpeTrain:
+    def test_matches_pure_python_reference(self, spark, sf_small):
+        """The distributed BPE trainer must learn exactly the merges an
+        independent single-process implementation learns on the same
+        corpus (count desc, pair-lexicographic tie-break, greedy
+        left-to-right application)."""
+        import duckdb
+
+        from table_versions_spark.operators.text import BPE_MERGES, q_bpe_train
+
+        got = [(r.merge_no, r.left, r.right, r.merged, r.n)
+               for r in q_bpe_train(spark, sf_small).collect()]
+
+        texts = [t for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{sf_small}/documents.parquet') "
+            "ORDER BY doc_id").fetchall()]
+        corpus = [list(t) for t in texts]
+        expected = []
+        for rnd in range(BPE_MERGES):
+            counts: dict[tuple, int] = {}
+            for s in corpus:
+                for x, y in zip(s, s[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            if not counts:
+                break
+            (a, b), n = min(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            expected.append((rnd + 1, a, b, a + b, n))
+            nxt = []
+            for s in corpus:
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                nxt.append(res)
+            corpus = nxt
+        assert got == expected
