@@ -1457,7 +1457,8 @@ class VersionedEngine:
 
     # ------------------------------------------------------- maintenance
 
-    def vacuum(self, table: TableName | str, keep_commits: int = 3) -> list[str]:
+    def vacuum(self, table: TableName | str, keep_commits: int = 3,
+               keep_hours: float | None = None) -> list[str]:
         """Delete version directories unreachable from the current pointer
         state or from the states of the last ``keep_commits`` commits.
 
@@ -1467,12 +1468,30 @@ class VersionedEngine:
         commits older than the retention horizon may no longer find data —
         same contract as Delta/Iceberg ``VACUUM``/``expire_snapshots``.
         Returns the removed directory paths.
+
+        ``keep_hours`` (Delta's hour-based retention) ADDITIONALLY keeps
+        every commit younger than the given age — the two horizons union,
+        so a burst of recent commits can't age data out of its time-travel
+        window and a quiet table still retains its last ``keep_commits``.
         """
+        import datetime as _dt
+
         defn, log = self._log(table)
         state = log.table_state(defn.name)
         keep_ids = {state.current_version}
         keep_ids.update(u.metadata.commit_id
                         for u in state.updates[-keep_commits:] if keep_commits)
+        if keep_hours is not None:
+            horizon = (_dt.datetime.now(_dt.timezone.utc)
+                       - _dt.timedelta(hours=keep_hours))
+
+            def _ts(value: str) -> _dt.datetime:
+                t = _dt.datetime.fromisoformat(value)
+                return t if t.tzinfo else t.replace(tzinfo=_dt.timezone.utc)
+
+            keep_ids.update(
+                u.metadata.commit_id for u in state.updates
+                if _ts(u.metadata.timestamp) >= horizon)
         referenced: set[str] = set()
         for cid in keep_ids:
             tv = log.current_version(defn.name, at_commit=cid)

@@ -259,6 +259,26 @@ class TestMaintenance:
         assert n_after == 1
         assert engine.read("db.users").count() == 3
 
+    def test_vacuum_keep_hours_unions_with_keep_commits(self, spark, engine):
+        """Hour-based retention: commits younger than keep_hours survive
+        even when keep_commits alone would drop them; both horizons union."""
+        from table_versions_spark.core.model import Version
+
+        engine.create_table("db.vh", schema_ddl=USERS_SCHEMA)
+        for i in range(4):
+            engine.insert(spark.createDataFrame(USERS_V1, USERS_SCHEMA),
+                          "db.vh", "u", f"v{i}")
+        defn = engine.definition("db.vh")
+        # all 4 commits are seconds old: a 1-hour window keeps everything
+        removed = engine.vacuum("db.vh", keep_commits=1, keep_hours=1.0)
+        assert removed == []
+        assert sum(Version.is_version_label(e)
+                   for e in os.listdir(defn.location)) == 4
+        # a zero-hour window adds nothing beyond keep_commits
+        engine.vacuum("db.vh", keep_commits=1, keep_hours=0.0)
+        assert sum(Version.is_version_label(e)
+                   for e in os.listdir(defn.location)) == 1
+
     def test_compact_partitioned(self, spark, engine):
         engine.create_table("db.pageview", schema_ddl=PAGEVIEW_SCHEMA,
                             partition_columns=["date"])
