@@ -475,7 +475,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Source is Spark's native file stream over a scratch export of the
     events table: under availableNow it runs the data batches and then the
     trailing no-data micro-batch that finalizes every window whose end ≤
-    final watermark (``spark.sql.streaming.noDataMicroBatch.enabled`` is
+    final watermark (``spark.sql.streaming.noDataMicroBatches.enabled`` is
     pinned on, since the rule depends on it). The ``tvx`` commit-log
     source can't drive this shape yet — the Python DataSource stream API
     has no availableNow admission control, so Spark demotes it to one
@@ -489,7 +489,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import windowed_counts
     from .common import scratch_dir
 
-    spark.conf.set("spark.sql.streaming.noDataMicroBatch.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = scratch_dir(spark, f"stream-win-src-{tag}")
     marker = os.path.join(src, "_SUCCESS")
@@ -578,7 +578,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = scratch_dir(spark, f"stream-join-src-{tag}")
-    if not os.path.exists(os.path.join(src, "views", "_SUCCESS")):
+    # the marker is the LAST-written export, so a crash mid-setup re-runs
+    # the whole export instead of leaving a half-built source
+    if not os.path.exists(os.path.join(src, "purchases", "_SUCCESS")):
         ev = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value")
         (ev.where(F.col("event_type") == "view")
