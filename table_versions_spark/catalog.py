@@ -95,7 +95,18 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
                  log: FileTableVersions,
                  catalog_table: str | None = None) -> int:
     """Create-if-absent and point the Spark catalog table at the current
-    versioned locations. Returns the number of ALTER ops applied."""
+    versioned locations. Returns the number of ALTER ops applied.
+
+    Tables using column mapping (``rename_column``/``drop_column``) cannot
+    sync: a vanilla catalog reader resolves parquet columns by PHYSICAL
+    name, so it would surface NULLs for renamed columns and resurrect
+    dropped ones — the same restriction Delta places on column-mapping
+    tables read by plain Hive."""
+    if defn.column_mapping or defn.dropped_columns:
+        raise ValueError(
+            f"{defn.name.fully_qualified_name} uses column mapping "
+            "(renamed/dropped columns); a plain catalog reader cannot "
+            "apply the logical↔physical name translation")
     name = catalog_table or defn.name.fully_qualified_name
     db = name.split(".")[0]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")

@@ -127,7 +127,16 @@ def sync_cloud_catalog(client: CloudCatalogClient, defn: TableDefinition,
     """Create-if-absent, then apply the diff between the catalog's actual
     state and the commit log's current state — one client call per op, as
     the reference does (``GlueMetastore.update``, ``GlueMetastore.scala:
-    67-77``). Returns the number of ops applied."""
+    67-77``). Returns the number of ops applied.
+
+    Column-mapped tables (renamed/dropped columns) refuse to sync — a
+    plain catalog reader resolves parquet by physical name (same
+    restriction as :func:`catalog.sync_catalog`)."""
+    if defn.column_mapping or defn.dropped_columns:
+        raise ValueError(
+            f"{defn.name.fully_qualified_name} uses column mapping "
+            "(renamed/dropped columns); a plain catalog reader cannot "
+            "apply the logical↔physical name translation")
     db, name = defn.name.schema, defn.name.name
     try:
         client.get_table(db, name)

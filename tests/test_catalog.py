@@ -72,3 +72,20 @@ class TestPartitionExpr:
         esc_q = escape_partition_value("'x")
         p2 = Partition.parse("d=" + esc_q)
         assert _partition_expr(p2) == "(d='\\'x')"
+
+
+def test_sync_rejects_column_mapped_tables(spark, engine):
+    """A plain catalog reader resolves parquet by physical name — sync
+    must refuse tables with renamed/dropped columns."""
+    import pytest
+
+    from table_versions_spark.catalog import sync_catalog
+    from table_versions_spark.core.log import FileTableVersions
+
+    engine.create_table("db.cmap", schema_ddl="id bigint, v double")
+    engine.insert(spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+                  "db.cmap", "u", "v1")
+    engine.rename_column("db.cmap", "v", "amount")
+    defn = engine.definition("db.cmap")
+    with pytest.raises(ValueError, match="column mapping"):
+        sync_catalog(spark, defn, FileTableVersions(defn.location))
