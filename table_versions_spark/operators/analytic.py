@@ -192,6 +192,30 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events", "sum_value"))
 
 
+HIST_BINS = 20
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram over events (the data-profiling scan a
+    pipeline runs before choosing filters/clustering): bins over the
+    observed [min, max] — one tiny stats aggregate broadcast into a single
+    codegen'd scan + one O(#bins) groupBy. The bin expression is written
+    with the SAME operation order in the oracle, so the IEEE arithmetic
+    is bit-identical; only a value exactly on a bin edge then depends on
+    floor's tie behavior, which both engines share."""
+    ev = load(spark, sf_dir, "events").select("value")
+    row = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi")).first()
+    lo, hi = float(row.lo), float(row.hi)
+    bucket = F.least(
+        F.lit(HIST_BINS),
+        (F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo)
+                 * F.lit(float(HIST_BINS))) + 1).cast("int"))
+    return (ev.groupBy(bucket.alias("bin"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("bin"))
+
+
 ANOMALY_SIGMA = 2.0
 
 
@@ -261,6 +285,7 @@ QUERIES = {
     "q_session_window": q_session_window,
     "q_funnel": q_funnel,
     "q_anomaly": q_anomaly,
+    "q_histogram": q_histogram,
     "q_quantiles": q_quantiles,
     "q_approx_quantile": q_approx_quantile,
     "q_corr": q_corr,
@@ -351,6 +376,14 @@ ORACLES = {
         "MAX(ts) + INTERVAL 30 MINUTE AS session_end, "
         "COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value "
         "FROM s GROUP BY user_id, sess_no"),
+    "q_histogram": (
+        # same operation ORDER as the Spark expression: (v-lo)/(hi-lo)*20,
+        # floor, +1, least — bit-identical IEEE arithmetic
+        "WITH s AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events) "
+        "SELECT CAST(LEAST(20, CAST(FLOOR((value - s.lo) / (s.hi - s.lo) "
+        "* 20.0) AS BIGINT) + 1) AS INT) AS bin, "
+        "COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events CROSS JOIN s GROUP BY bin ORDER BY bin"),
     "q_anomaly": (
         "WITH s AS (SELECT event_type, AVG(value) AS mu, "
         "STDDEV_SAMP(value) AS sigma FROM events GROUP BY event_type) "

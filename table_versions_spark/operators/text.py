@@ -125,6 +125,28 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("doc_id").alias("max_doc")))
 
 
+SAMPLE_PER_GROUP = 10  # rows kept per group in the fixed-quota sample
+
+
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota per-group sampling ("N docs per source" — the balanced
+    subset a pipeline pulls for inspection or per-source eval sets),
+    deterministic: rank each group's docs by a multiplicative hash (an
+    engine-portable stand-in for rand(); same rationale as
+    q_train_test_split) and keep the first ``SAMPLE_PER_GROUP``. One
+    shuffle on the group key; at scale a skew-prone group key would use
+    the same two-level rank trick as any top-k, but source counts are
+    bounded here."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= SAMPLE_PER_GROUP)
+            .select("doc_id", "source"))
+
+
 BPE_MERGES = 5  # merge rules to learn; production vocabularies iterate ~30k
 
 
@@ -357,6 +379,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_bpe_train": q_bpe_train,
+    "q_sample_per_group": q_sample_per_group,
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
     "q_sample_weighted": q_sample_weighted,
@@ -372,6 +395,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sample_per_group": (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+        f"ORDER BY (doc_id * {_SPLIT_MIX}) % 1000000007, doc_id) AS rn "
+        "FROM documents) WHERE rn <= 10"),
     "q_pack_sequences": (
         "WITH staged AS (SELECT doc_id, "
         f"(doc_id * {_SPLIT_MIX}) % {PACK_SHARDS} AS shard, "
