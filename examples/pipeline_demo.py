@@ -124,6 +124,14 @@ def main(sf_dir: str, warehouse: str) -> None:
     print(f"[10] z-order skipping read {len(skipped.inputFiles())}/{total} "
           "files for a two-column range probe")
 
+    # 10b. row-level UPDATE + metadata-only rename -------------------------
+    eng.update("demo.zo", set={"value": "value * 0"},
+               predicate="value < 0", user_id="demo", message="clamp")
+    eng.rename_column("demo.zo", "value", "amount")
+    assert "amount" in eng.read("demo.zo").columns
+    print("[10b] UPDATE + zero-rewrite column rename applied "
+          f"({eng.history('demo.zo').count()} commits in history)")
+
     # 11. end-to-end corpus curation --------------------------------------
     from table_versions_spark.operators import cleaning
 
