@@ -78,6 +78,7 @@ def _registry() -> tuple[dict, dict]:
         "q_stream_dedup", "q_stream_join", "q_udaf_pandas", "q_udtf",
         "q_window_range_frame", "q_rename_column", "q_update",
         "q_bpe_train", "q_sample_per_group", "q_histogram",
+        "q_time_travel_ts",
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
         "q_zorder_skipping", "q_derived_partition", "q_bloom_skipping",
         "q_vacuum_invariant",

@@ -107,6 +107,20 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                           at_commit=st["customers_v1_commit"])
 
 
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-based time travel (``read(at_timestamp=...)`` — Delta's
+    ``TIMESTAMP AS OF``): reading the shared snapshot table as of the v1
+    commit's own recorded timestamp must reproduce the v1 state, exactly
+    as commit-id travel does (the resolver picks the last commit at or
+    before the instant). Same oracle as ``q_time_travel``."""
+    st = _shared(spark, sf_dir)
+    q_snapshot_replace(spark, sf_dir)  # ensure the two commits exist
+    eng = st["eng"]
+    v1_ts = next(r.timestamp for r in eng.history("vx.customers").collect()
+                 if r.commit_id == st["customers_v1_commit"])
+    return eng.read("vx.customers", at_timestamp=v1_ts)
+
+
 def q_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All days of events (shallow-cloned base), then reprocess the earliest
     day with doubled values: only that partition is replaced
@@ -799,6 +813,7 @@ QUERIES = {
     "q_compact_invariant": q_compact_invariant,
     "q_snapshot_replace": q_snapshot_replace,
     "q_time_travel": q_time_travel,
+    "q_time_travel_ts": q_time_travel_ts,
     "q_insert_overwrite_partition": q_insert_overwrite_partition,
     "q_partition_prune": q_partition_prune,
     "q_upsert": q_upsert,
@@ -913,6 +928,7 @@ ORACLES = {
         "CAST(ts AS DATE) AS event_date FROM events"),
     "q_snapshot_replace": "SELECT * FROM customer WHERE c_acctbal > 0",
     "q_time_travel": "SELECT * FROM customer",
+    "q_time_travel_ts": "SELECT * FROM customer",
     "q_insert_overwrite_partition": (
         "SELECT event_id, user_id, event_type, value * 2 AS value, "
         f"CAST(ts AS DATE) AS event_date FROM events WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL} "
