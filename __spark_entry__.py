@@ -54,10 +54,8 @@ def _registry() -> tuple[dict, dict]:
 
     # Registry order = driver check order. The driver's correctness budget
     # may truncate the tail, so order by how much a fresh green row is
-    # worth: the event-table queries that errored in round 2 first, then
-    # queries that have never appeared in a driver artifact (new TPC-H
-    # tail), then the round-1-only bulk, and the round-2-verified families
-    # last.
+    # worth: ids that have never appeared in any driver artifact first,
+    # then this round's additions, then previously-green families.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
                relational, tpch, cleaning]
     queries: dict[str, Callable] = {}
@@ -66,18 +64,25 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # ERR rows in CORRECTNESS_r02 (events-timestamp regression, fixed)
+        # Never appeared in any driver CORRECTNESS artifact (r1-r3 budget
+        # truncated at 50/round); all verified hash-matching locally in the
+        # round-3 session — lead with them so the official record completes.
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
+        "q_tpch_q21", "q_lm_score", "q_pack_sequences", "q_sample_weighted",
+        "q_shuffle_shards", "q_semdedup",
+        # New in round 4.
+        "q_bpe_train",
+        # Round-3-green families rotate behind the fresh material.
         "q_insert_overwrite_partition", "q_partition_prune", "q_upsert",
         "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
         "q_sessionize", "q_funnel", "q_date_from_ts",
-        # never driver-checked (added round 3)
         "q_curation_pipeline",
         "q_stream_window", "q_stream_session", "q_knn_join",
         "q_json_funcs", "q_anomaly", "q_session_window",
         "q_scan_csv", "q_scan_json", "q_dedup_incremental",
         "q_stream_dedup", "q_stream_join", "q_udaf_pandas", "q_udtf",
         "q_window_range_frame", "q_rename_column", "q_update",
-        "q_bpe_train", "q_sample_per_group", "q_histogram",
+        "q_sample_per_group", "q_histogram",
         "q_time_travel_ts",
         "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
         "q_zorder_skipping", "q_derived_partition", "q_bloom_skipping",
@@ -85,10 +90,6 @@ def _registry() -> tuple[dict, dict]:
         "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
         "q_bm25", "q_sim_ann_lsh", "q_stream_agg", "q_schema_evolution",
         "q_multi_partition_prune", "q_table_stats", "q_kmeans", "q_restore",
-        "q_pack_sequences", "q_sample_weighted", "q_shuffle_shards",
-        "q_lm_score", "q_semdedup",
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
-        "q_tpch_q21",
         # remaining versioned flows (engine write path)
         "q_snapshot_replace", "q_time_travel", "q_bucketed_join",
     ]

@@ -34,7 +34,7 @@ right trade-off when batches must stay small anyway.
 from __future__ import annotations
 
 import os
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
@@ -83,46 +83,45 @@ class VersionedTableDataSource(DataSource):
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature":
                                    "streamReader with maxCommitsPerTrigger"})
-        return VersionedTableParallelStreamReader(self.options["location"])
+        return VersionedTableParallelStreamReader(self.options["location"],
+                                                  schema=schema)
 
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
         return VersionedTableStreamReader(
             self.options["location"],
-            max_commits=int(self.options.get("maxCommitsPerTrigger", 0)))
+            max_commits=int(self.options.get("maxCommitsPerTrigger", 0)),
+            schema=schema)
 
     def reader(self, schema) -> "VersionedTableBatchReader":
         """Batch face: ``spark.read.format("tvx").option("location", dir)``.
 
-        Ergonomics/compat path — one InputPartition per current version dir,
-        so the read parallelizes across executors like any file scan, but
-        rows travel through Python/Arrow. ``VersionedEngine.read`` remains
-        the fast path (hands Catalyst the parquet dirs directly: native
-        columnar scan, pushdown, pruning); use this format where only a
-        DataFrame reader API is accepted or from a session that doesn't
-        import this library's engine.
+        Compat path — one InputPartition per current version dir, so the
+        read parallelizes across executors like any file scan; rows travel
+        as column-pruned Arrow RecordBatches (never per-row Python objects).
+        ``VersionedEngine.read`` remains the fastest path (hands Catalyst
+        the parquet dirs directly: native columnar scan, pushdown, pruning);
+        use this format where only a DataFrame reader API is accepted or
+        from a session that doesn't import this library's engine.
         """
         return VersionedTableBatchReader(self.options["location"],
-                                         self.options.get("at_commit"))
+                                         self.options.get("at_commit"),
+                                         schema=schema)
 
 
 class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""
 
-    def __init__(self, location: str, max_commits: int = 0):
+    def __init__(self, location: str, max_commits: int = 0, schema=None):
         self.location = location
         # admission control: cap commits consumed per micro-batch (0 = no
         # cap) so a large backlog can't become one giant first batch
         self.max_commits = max_commits
         self.defn = read_table_meta(location)
         self.log = FileTableVersions(location)
-        fields = self._schema_fields()
-        self.columns = [name for name, _ in fields]
-        self.types = dict(fields)
+        fields = _schema_fields(self.defn.schema_ddl)
         self.pcols = list(self.defn.partition_schema.columns)
         self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
-
-    def _schema_fields(self) -> list[tuple[str, str]]:
-        return _schema_fields(self.defn.schema_ddl)
+        self.pa_schema = _arrow_schema(self.defn.schema_ddl, schema)
 
     # -- offsets -----------------------------------------------------------
 
@@ -143,21 +142,20 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         end = {"seq": head}
         if head <= start["seq"]:
             return [], end
-        # materialized list, not a generator: Spark pickles the batch rows
-        # for prefetch/replay (batch volume ∝ newly committed data only)
-        return list(self._rows_between(start["seq"], head)), end
+        # materialized list, not a generator: Spark caches the prefetched
+        # batch for replay (batch volume ∝ newly committed data only).
+        # Elements are Arrow RecordBatches, which pyspark forwards without
+        # per-row Python conversion.
+        return list(self._batches_between(start["seq"], head)), end
 
-    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return list(self._rows_between(start["seq"], end["seq"]))
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._batches_between(start["seq"], end["seq"]))
 
-    def _rows_between(self, start_seq: int, end_seq: int) -> Iterator[tuple]:
+    def _batches_between(self, start_seq: int, end_seq: int):
         for partition, d in _changed_dirs(self.log, self.defn,
                                           start_seq, end_seq):
-            yield from self._read_dir(d, partition)
-
-    def _read_dir(self, directory: str, partition) -> Iterator[tuple]:
-        return _dir_rows(directory, partition, self.columns, self.ptypes,
-                         self.defn.format, self.types)
+            yield from _dir_batches(d, partition, self.pa_schema,
+                                    self.ptypes, self.defn.format)
 
 
 def _changed_dirs(log, defn, start_seq: int, end_seq: int):
@@ -202,18 +200,17 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
     and executors read the rows — the driver never touches row data.
 
     The reader instance is pickled to executors for ``read``; it carries
-    only plain strings/dicts (schema fields, format, partition types)."""
+    only plain strings/dicts plus the target Arrow schema."""
 
-    def __init__(self, location: str):
+    def __init__(self, location: str, schema=None):
         self.location = location
         self.defn = read_table_meta(location)
         self.log = FileTableVersions(location)
         fields = _schema_fields(self.defn.schema_ddl)
-        self.columns = [name for name, _ in fields]
-        self.types = dict(fields)
         pcols = set(self.defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = self.defn.format
+        self.pa_schema = _arrow_schema(self.defn.schema_ddl, schema)
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
@@ -228,9 +225,9 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
                 for p, d in _changed_dirs(self.log, self.defn,
                                           start["seq"], end["seq"])]
 
-    def read(self, part: VersionedDirPartition) -> Iterator[tuple]:
-        yield from _dir_rows(part.directory, part.partition, self.columns,
-                             self.ptypes, self.format, self.types)
+    def read(self, part: VersionedDirPartition):
+        yield from _dir_batches(part.directory, part.partition,
+                                self.pa_schema, self.ptypes, self.format)
 
     def commit(self, end: dict) -> None:
         pass  # progress is checkpointed by the engine; nothing to GC
@@ -240,16 +237,16 @@ class VersionedTableBatchReader(DataSourceReader):
     """Executor-parallel batch read of a versioned table's current (or
     time-travel) state — one input partition per version directory."""
 
-    def __init__(self, location: str, at_commit: str | None = None):
+    def __init__(self, location: str, at_commit: str | None = None,
+                 schema=None):
         defn = read_table_meta(location)
         log = FileTableVersions(location)
         state = log.current_version(defn.name, at_commit=at_commit)
         fields = _schema_fields(defn.schema_ddl)
-        self.columns = [name for name, _ in fields]
-        self.types = dict(fields)
         pcols = set(defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = defn.format
+        self.pa_schema = _arrow_schema(defn.schema_ddl, schema)
         if isinstance(state, SnapshotTableVersion):
             self.dirs = ([] if state.version == UNVERSIONED
                          else [(None, path_for(defn.location, state.version))])
@@ -261,11 +258,11 @@ class VersionedTableBatchReader(DataSourceReader):
         return [VersionedDirPartition(d, p) for p, d in sorted(
             self.dirs, key=lambda x: x[1])] or [VersionedDirPartition("", None)]
 
-    def read(self, part: VersionedDirPartition) -> Iterator[tuple]:
+    def read(self, part: VersionedDirPartition):
         if not part.directory:
             return
-        yield from _dir_rows(part.directory, part.partition, self.columns,
-                             self.ptypes, self.format, self.types)
+        yield from _dir_batches(part.directory, part.partition,
+                                self.pa_schema, self.ptypes, self.format)
 
 
 def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
@@ -286,26 +283,62 @@ def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
     return out
 
 
-def _dir_rows(directory: str, partition, columns: list[str],
-              ptypes: dict[str, str], fmt: str,
-              types: dict[str, str] | None = None) -> Iterator[tuple]:
-    import datetime as dt
+def _arrow_schema(schema_ddl: str, schema=None):
+    """Target ``pyarrow.Schema`` for batches this source yields.
 
+    Must equal what the pyspark data-source worker would build for this
+    source's declared schema (``to_arrow_schema`` of the parsed DDL) —
+    field order, arrow types, and timestamp tz all included — so yielded
+    RecordBatches stream to the JVM without conversion. ``schema`` is the
+    ``StructType`` pyspark passes to ``DataSource.reader``/``streamReader``;
+    when a reader is constructed directly (tests/tools), fall back to
+    parsing the table DDL via the active session.
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    if schema is None:
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema_ddl)
+    return to_arrow_schema(schema)
+
+
+def _cast_column(chunked, target):
+    """Cast a file column to the declared arrow type. The one safe-cast
+    exception we permit is timestamp unit narrowing (files written with ns
+    precision → Spark's us): sub-microsecond truncation is the documented
+    TIMESTAMP semantics, not data corruption. A naive→tz-aware timestamp
+    cast attaches the zone to the stored UTC instant (exactly the
+    localization the old row path did by hand)."""
+    import pyarrow as pa
+
+    if chunked.type == target:
+        return chunked
+    try:
+        return chunked.cast(target)
+    except pa.ArrowInvalid:
+        if pa.types.is_timestamp(target):
+            return chunked.cast(target, safe=False)
+        raise
+
+
+def _dir_batches(directory: str, partition, pa_schema,
+                 ptypes: dict[str, str], fmt: str):
+    """Yield the rows of one version directory as column-pruned
+    ``pyarrow.RecordBatch``es matching ``pa_schema``.
+
+    This is the data plane of the ``tvx`` source — batch and streaming
+    readers both land here, executor-side. Rows never pass through Python
+    objects: files are read as Arrow tables (only declared columns),
+    partition-path values are materialized as constant arrays, and missing
+    columns (schema evolution) become typed nulls.
+    """
+    import pyarrow as pa
     import pyarrow.orc as orc
     import pyarrow.parquet as pq
 
     if not os.path.isdir(directory):
         return  # vacuumed beyond retention — same contract as read_changes
-    # Declared TIMESTAMP columns (tz-aware instants in Spark's model) must
-    # reach the Python-source Arrow path as tz-aware datetimes; parquet
-    # stores them as UTC instants, and to_pylist yields naive UTC wall
-    # times — localize them. TIMESTAMP_NTZ stays naive.
-    tz_cols = {n for n, t in (types or {}).items() if t == "timestamp"}
-
-    def _utc(values):
-        return [v.replace(tzinfo=dt.timezone.utc)
-                if isinstance(v, dt.datetime) and v.tzinfo is None else v
-                for v in values]
     # stored partition values are in escaped dir-name form — surface them the
     # way engine.read does: unescape %XX and map the Hive NULL sentinel to None
     from ..core.model import HIVE_DEFAULT_PARTITION, unescape_partition_value
@@ -319,23 +352,30 @@ def _dir_rows(directory: str, partition, columns: list[str],
                 pvals[cv.column] = _cast_partition_value(
                     unescape_partition_value(cv.value),
                     ptypes.get(cv.column, "string"))
+    declared = set(pa_schema.names)
     for fname in sorted(os.listdir(directory)):
-        if fname.startswith((".", "_")) or not os.path.isfile(
-                os.path.join(directory, fname)):
-            continue
         path = os.path.join(directory, fname)
-        table = (orc.read_table(path) if fmt == "orc"
-                 else pq.read_table(path))
-        cols = {}
-        for name in columns:
-            if name in table.column_names:
-                vals = table.column(name).to_pylist()
-                cols[name] = _utc(vals) if name in tz_cols else vals
-            elif name in pvals:
-                cols[name] = [pvals[name]] * table.num_rows
+        if fname.startswith((".", "_")) or not os.path.isfile(path):
+            continue
+        if fmt == "orc":
+            table = orc.read_table(path)
+            table = table.select([n for n in table.column_names
+                                  if n in declared])
+        else:
+            present = [n for n in pq.read_schema(path).names if n in declared]
+            table = pq.read_table(path, columns=present)
+        n = table.num_rows
+        columns = []
+        for field in pa_schema:
+            if field.name in table.column_names:
+                columns.append(_cast_column(table.column(field.name),
+                                            field.type))
+            elif field.name in pvals and pvals[field.name] is not None:
+                columns.append(pa.array([pvals[field.name]] * n)
+                               .cast(field.type))
             else:
-                cols[name] = [None] * table.num_rows
-        yield from zip(*(cols[name] for name in columns))
+                columns.append(pa.nulls(n, field.type))
+        yield from pa.table(columns, schema=pa_schema).to_batches()
 
 
 def _cast_partition_value(value: str, typ: str):

@@ -233,9 +233,16 @@ class TestParallelStreamReader:
         delta = r.partitions({"seq": 1}, {"seq": 2})
         assert len(delta) == 1 and "d=b" in delta[0].directory
         assert r.partitions({"seq": 2}, {"seq": 2}) == []
-        # rows read from a partition are the dir's rows with partition col
-        rows = sorted(r.read(delta[0]))
-        assert rows == [(4, "b")]
+        # read() yields Arrow RecordBatches (never per-row Python tuples),
+        # already in the declared schema: dir rows + partition col attached
+        import pyarrow as pa
+
+        batches = list(r.read(delta[0]))
+        assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+        tbl = pa.Table.from_batches(batches)
+        assert tbl.schema == r.pa_schema
+        assert sorted(map(tuple, tbl.to_pylist()[0].items())) == [
+            ("d", "b"), ("id", 4)]
 
     def test_parallel_reader_is_default_stream_path(self, spark, engine,
                                                     tmp_path):
