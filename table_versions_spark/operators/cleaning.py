@@ -176,9 +176,15 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution, plus the rare-token occurrence ratio (gibberish signal).
 
     Scale shape: term statistics aggregate to a vocabulary-sized table
-    (map-side combined; vocabulary ≪ corpus) that **broadcasts** back onto
-    the postings, so the per-doc aggregation is the only real shuffle and
-    its key (doc_id) is unique ⇒ skew-free.
+    (map-side combined; vocabulary ≪ corpus for natural text) that joins
+    back onto the postings. The join strategy is deliberately left to the
+    optimizer: with AQE, a vocabulary under the broadcast threshold is
+    broadcast at runtime, and a web-scale vocabulary (billions of distinct
+    terms — where a forced broadcast would OOM every executor) falls back
+    to a shuffled hash join on ``term``; term frequency follows a Zipf
+    distribution, so that fallback leans on AQE's skew-join splitting,
+    which the session enables. The per-doc aggregation's key (doc_id) is
+    unique ⇒ skew-free.
 
     Portability: a float sum over a doc's tokens is summation-order-
     sensitive, so each term's log-prob (computed ONCE per term, after
@@ -194,7 +200,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
     scored = (tstats.crossJoin(F.broadcast(total))
               .select("term", "tf", lp.cast("decimal(28,12)").alias("lp")))
-    return (postings.join(F.broadcast(scored), "term")
+    return (postings.join(scored, "term")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
                  F.sum((F.col("tf") <= RARE_TF_MAX).cast("long"))

@@ -153,26 +153,29 @@ BPE_MERGES = 5  # merge rules to learn; production vocabularies iterate ~30k
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909) — the vocabulary-learning step of a training-data
-    pipeline, run over the corpus with Spark doing the counting:
+    pipeline, in the paper's word-frequency formulation:
 
-    Each round is (a) ONE map-side-combined adjacent-pair count over the
-    symbolized corpus — the only shuffle, keyed by pair (bounded
-    aggregation state per distinct pair, no skew hazard beyond what any
-    word-count has), (b) a driver argmax over the O(#distinct pairs)
-    counts' top row (count desc, pair lexicographic — deterministic), and
-    (c) an Arrow-batched merge pass rewriting each document's symbol
-    array (greedy left-to-right, the standard BPE application order) into
-    the next round's scratch table — the iterative-algorithm-on-Spark
-    discipline q_kmeans/q_dedup_groups use: per-round materialization
-    keeps lineage O(1) regardless of merge count.
+    ONE corpus pass tokenizes on whitespace and aggregates ``word →
+    count`` (an ordinary word-count shuffle — the only O(corpus) work).
+    Every merge round after that operates on the distinct-word table
+    only, which is vocabulary-sized and corpus-size-independent: (a) a
+    map-side-combined adjacent-pair count over each distinct word's
+    symbol array, *weighted by the word's corpus count* — aggregation
+    state is O(#distinct pairs); (b) a driver argmax over the top row
+    (count desc, pair lexicographic — deterministic); (c) the merge is
+    applied only to vocabulary entries that actually contain the winning
+    pair (JVM-side ``exists`` prefilter), rewriting those few symbol
+    arrays in an Arrow-batched pass while untouched entries flow through
+    unchanged. Per-round scratch materialization keeps lineage O(1)
+    regardless of merge count — at a production ~30k-merge vocabulary the
+    per-round cost is O(vocab), not 30k full-corpus passes.
 
-    Symbols start as characters (no word-boundary markers — the corpus
-    here is running text; a production tokenizer adds end-of-word
-    sentinels, which changes the alphabet but not one line of the Spark
-    shape). Returns the learned merge table. No SQL oracle — applying
-    stateful greedy merges per row isn't SQL-expressible — so the driver
-    runs the rows-only check; exactness is pinned by a pytest comparing
-    against an independent pure-Python BPE on the same corpus.
+    Pairs never span word boundaries (the defining property of the
+    word-based formulation). Returns the learned merge table. No SQL
+    oracle — stateful greedy merge application isn't SQL-expressible —
+    so the driver runs the rows-only check; exactness is pinned by a
+    pytest comparing against an independent pure-Python BPE on the same
+    corpus.
     """
     import os
 
@@ -183,21 +186,28 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tag = os.path.basename(os.path.normpath(sf_dir))
     cur = scratch_dir(spark, f"bpe-{tag}-0")
-    (docs.select("doc_id",
-                 F.expr("transform(sequence(1, length(text)), "
-                        "i -> substring(text, i, 1))").alias("s"))
+    # one O(corpus) pass: whitespace word count, then symbolize each
+    # distinct word once (chars; a production tokenizer appends an
+    # end-of-word sentinel — alphabet change only, same Spark shape)
+    (docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+         .where(F.col("w") != "")
+         .groupBy("w").agg(F.count("*").alias("cnt"))
+         .select("w", "cnt",
+                 F.expr("transform(sequence(1, length(w)), "
+                        "i -> substring(w, i, 1))").alias("s"))
          .write.mode("overwrite").parquet(cur))
 
     merges = []
     for rnd in range(BPE_MERGES):
-        syms = spark.read.parquet(cur)
+        vocab = spark.read.parquet(cur)
         n = F.size("s")
-        pair = F.explode(F.arrays_zip(
-            F.slice("s", 1, n - 1).alias("a"),
-            F.slice("s", 2, n - 1).alias("b"))).alias("p")
-        top = (syms.where(n >= 2).select(pair)
+        m = F.greatest(n - 1, F.lit(0))
+        zipped = F.arrays_zip(F.slice("s", 1, m).alias("a"),
+                              F.slice("s", 2, m).alias("b"))
+        top = (vocab.where(n >= 2)
+               .select("cnt", F.explode(zipped).alias("p"))
                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-               .agg(F.count("*").alias("cnt"))
+               .agg(F.sum("cnt").alias("cnt"))
                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                .first())
         if top is None:
@@ -219,11 +229,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                             res.append(s[i])
                             i += 1
                     out.append(res)
-                yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": out})
+                yield pd.DataFrame({"w": pdf["w"], "cnt": pdf["cnt"],
+                                    "s": out})
 
+        # only vocabulary entries containing (a, b) need rewriting; the
+        # rest of the (already small) word table passes through JVM-side
+        has_pair = F.exists(
+            zipped, lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
         nxt = scratch_dir(spark, f"bpe-{tag}-{(rnd + 1) % 2}")
-        (syms.mapInPandas(merge_pass, "doc_id long, s array<string>")
-             .write.mode("overwrite").parquet(nxt))
+        (vocab.where(has_pair)
+              .mapInPandas(merge_pass, "w string, cnt bigint, s array<string>")
+              .unionByName(vocab.where(~has_pair))
+              .write.mode("overwrite").parquet(nxt))
         cur = nxt
 
     return spark.createDataFrame(

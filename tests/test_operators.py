@@ -409,9 +409,13 @@ class TestCleaning:
 class TestBpeTrain:
     def test_matches_pure_python_reference(self, spark, sf_small):
         """The distributed BPE trainer must learn exactly the merges an
-        independent single-process implementation learns on the same
-        corpus (count desc, pair-lexicographic tie-break, greedy
-        left-to-right application)."""
+        independent single-process word-frequency implementation
+        (Sennrich 2016) learns on the same corpus: whitespace word
+        counts, pair counts weighted by word frequency, count-desc /
+        pair-lexicographic tie-break, greedy left-to-right application
+        within each distinct word."""
+        import re
+
         import duckdb
 
         from table_versions_spark.operators.text import BPE_MERGES, q_bpe_train
@@ -422,20 +426,25 @@ class TestBpeTrain:
         texts = [t for (t,) in duckdb.sql(
             f"SELECT text FROM read_parquet('{sf_small}/documents.parquet') "
             "ORDER BY doc_id").fetchall()]
-        corpus = [list(t) for t in texts]
+        # word -> (count, symbols); re.ASCII \s == the JVM regex \s set
+        wcounts: dict[str, int] = {}
+        for t in texts:
+            for w in re.split(r"\s+", t, flags=re.ASCII):
+                if w:
+                    wcounts[w] = wcounts.get(w, 0) + 1
+        vocab = {w: list(w) for w in wcounts}
         expected = []
         for rnd in range(BPE_MERGES):
             counts: dict[tuple, int] = {}
-            for s in corpus:
+            for w, s in vocab.items():
                 for x, y in zip(s, s[1:]):
-                    counts[(x, y)] = counts.get((x, y), 0) + 1
+                    counts[(x, y)] = counts.get((x, y), 0) + wcounts[w]
             if not counts:
                 break
             (a, b), n = min(counts.items(),
                             key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
             expected.append((rnd + 1, a, b, a + b, n))
-            nxt = []
-            for s in corpus:
+            for w, s in vocab.items():
                 res, i = [], 0
                 while i < len(s):
                     if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
@@ -444,6 +453,5 @@ class TestBpeTrain:
                     else:
                         res.append(s[i])
                         i += 1
-                nxt.append(res)
-            corpus = nxt
+                vocab[w] = res
         assert got == expected
