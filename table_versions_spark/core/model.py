@@ -300,7 +300,29 @@ class RemovePartition:
     op: str = field(default="remove-partition", repr=False)
 
 
-TableOperation = Union[InitTable, AddTableVersion, AddPartitionVersion, RemovePartition]
+@dataclass(frozen=True)
+class UpdateColumnMapping:
+    """Metadata-only schema change (``rename_column`` / ``drop_column``) as
+    a logged commit (extension; Delta records schema changes in the log the
+    same way). Carries the column-mapping state both AFTER and BEFORE the
+    change, so (a) history shows the rename/drop, (b) concurrent metadata
+    writers CAS-conflict on the commit append instead of last-write-wins
+    on ``_meta.json``, and (c) the mapping as of ANY commit is
+    reconstructable by folding — time travel and restore can show/restore
+    the schema of that era. Ignored by the partition/snapshot version
+    folds (like ``InitTable``)."""
+
+    schema_ddl: str
+    column_mapping: "tuple[tuple[str, str], ...]"
+    dropped_columns: "tuple[str, ...]"
+    prev_schema_ddl: str
+    prev_column_mapping: "tuple[tuple[str, str], ...]"
+    prev_dropped_columns: "tuple[str, ...]"
+    op: str = field(default="update-column-mapping", repr=False)
+
+
+TableOperation = Union[InitTable, AddTableVersion, AddPartitionVersion,
+                       RemovePartition, UpdateColumnMapping]
 
 
 @dataclass(frozen=True)
@@ -402,6 +424,14 @@ def operation_to_json(op: TableOperation) -> dict[str, Any]:
                 "version": op.version.label}
     if isinstance(op, RemovePartition):
         return {"op": "remove-partition", "partition": op.partition.render()}
+    if isinstance(op, UpdateColumnMapping):
+        return {"op": "update-column-mapping",
+                "schema_ddl": op.schema_ddl,
+                "column_mapping": [list(m) for m in op.column_mapping],
+                "dropped_columns": list(op.dropped_columns),
+                "prev_schema_ddl": op.prev_schema_ddl,
+                "prev_column_mapping": [list(m) for m in op.prev_column_mapping],
+                "prev_dropped_columns": list(op.prev_dropped_columns)}
     raise TypeError(f"Unknown operation {op!r}")
 
 
@@ -416,6 +446,14 @@ def operation_from_json(d: dict[str, Any]) -> TableOperation:
                                    Version.parse(d["version"]))
     if kind == "remove-partition":
         return RemovePartition(Partition.parse(d["partition"]))
+    if kind == "update-column-mapping":
+        return UpdateColumnMapping(
+            d["schema_ddl"],
+            tuple((m[0], m[1]) for m in d["column_mapping"]),
+            tuple(d["dropped_columns"]),
+            d["prev_schema_ddl"],
+            tuple((m[0], m[1]) for m in d["prev_column_mapping"]),
+            tuple(d["prev_dropped_columns"]))
     raise ValueError(f"Unknown operation kind {kind!r}")
 
 

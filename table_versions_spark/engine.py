@@ -157,11 +157,35 @@ class VersionedEngine:
             partition_derivations=tuple(sorted(derivations.items())),
             check_constraints=tuple(check_constraints or ()),
         )
+        self._validate_constraints(defn)
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
         log = FileTableVersions(defn.location, self.storage)
         log.init(table, defn.is_snapshot, user_id, message)
         return defn
+
+    def _validate_constraints(self, defn: TableDefinition) -> None:
+        """Resolve each CHECK constraint against the declared schema at
+        declaration time and require a BOOLEAN expression — a non-boolean
+        constraint (e.g. just ``'v'``) would otherwise surface only at
+        insert time with numeric-coercion pass/fail surprises, and a typo'd
+        column name only on the first write."""
+        if not defn.check_constraints or not defn.schema_ddl:
+            return
+        from pyspark.sql.types import BooleanType
+
+        probe = self.spark.createDataFrame([], defn.schema_ddl)
+        for expr in defn.check_constraints:
+            try:
+                dtype = probe.selectExpr(expr).schema[0].dataType
+            except Exception as e:
+                raise ValueError(
+                    f"check constraint {expr!r} does not resolve against "
+                    f"declared schema ({defn.schema_ddl}): {e}") from e
+            if not isinstance(dtype, BooleanType):
+                raise ValueError(
+                    f"check constraint {expr!r} must be a BOOLEAN "
+                    f"expression, got {dtype.simpleString()}")
 
     def definition(self, table: TableName | str) -> TableDefinition:
         if isinstance(table, str):
@@ -467,6 +491,7 @@ class VersionedEngine:
               when_matched_delete: str | bool = False,
               when_not_matched_insert: str | bool = True,
               when_not_matched_by_source_delete: str | bool = False,
+              sync_scope: str | None = None,
               ) -> CommitResult:
         """General MERGE (Delta/ANSI ``MERGE INTO`` shape; the reference has
         no row-level surface). Rows of ``table`` ("target") join ``source``
@@ -480,11 +505,21 @@ class VersionedEngine:
         - target-only + ``when_not_matched_by_source_delete`` condition →
           dropped (Delta ``WHEN NOT MATCHED BY SOURCE DELETE`` — the
           full-sync shape: the target converges to the source set; the
-          condition sees only ``t.col``). On a partitioned table this
-          applies within the partitions the source touches — untouched
-          partitions are never read, so pair it with a source that covers
-          every partition it should sync.
+          condition sees only ``t.col``)
         - target-only otherwise → kept unchanged
+
+        ``when_not_matched_by_source_delete`` on a *partitioned* table
+        requires an explicit ``sync_scope`` — ``True`` reads like Delta's
+        whole-table semantics, but the default partition-scoped merge only
+        deletes target-only rows inside partitions the source touches,
+        and rows in untouched partitions would silently survive a "full
+        sync". Pass ``sync_scope="source-partitions"`` to accept the
+        scoped behavior (untouched partitions keep their version and
+        their rows — pair it with a source that covers every partition it
+        should sync), or ``sync_scope="all"`` for true whole-table
+        convergence (every existing partition participates, so each is
+        read and rewritten-or-dropped — the cost a real full sync
+        implies).
 
         Conditions are ``True`` (always), ``False`` (never), or a SQL
         boolean expression string evaluated on the matched pair — reference
@@ -503,15 +538,28 @@ class VersionedEngine:
         """
         from pyspark.sql import functions as F
 
-        defn, _ = self._log(table)
+        defn, log = self._log(table)
         pcols = list(defn.partition_schema.columns)
+        if sync_scope not in (None, "source-partitions", "all"):
+            raise ValueError(
+                f"sync_scope must be 'source-partitions' or 'all', "
+                f"got {sync_scope!r}")
+        if when_not_matched_by_source_delete is not False and pcols \
+                and sync_scope is None:
+            raise ValueError(
+                "when_not_matched_by_source_delete on a partitioned table "
+                "needs an explicit sync_scope: 'source-partitions' deletes "
+                "target-only rows ONLY inside partitions the source "
+                "touches (rows in untouched partitions survive); 'all' "
+                "converges the whole table (every partition is read and "
+                "rewritten or dropped)")
         current = self.read(table)
         cols = current.columns
         if set(source.columns) != set(cols):
             raise ValueError(
                 f"merge source schema {sorted(source.columns)} must match "
                 f"table schema {sorted(cols)}")
-        if pcols:
+        if pcols and sync_scope != "all":
             # scope to touched partitions only; untouched partitions keep
             # their version (no read, no write) exactly as in upsert()
             touched = source.select(*pcols).distinct()
@@ -563,6 +611,14 @@ class VersionedEngine:
         touched_keys = source.select(*pcols).distinct().collect()
         drop = [Partition.parse("/".join(f"{c}={esc(r[c])}" for c in pcols))
                 for r in touched_keys]
+        if sync_scope == "all":
+            # whole-table sync: every existing partition participates, so
+            # each must be dropped-or-rewritten in this commit (a partition
+            # emptied by the sync would otherwise keep its old version and
+            # its stale rows). Keys come from the log fold — metadata only.
+            state = log.current_version(defn.name)
+            drop = sorted(set(drop) | set(state.partition_versions),
+                          key=lambda p: p.render())
         return self._insert(out, table, user_id, message,
                             drop_partitions=drop)
 
@@ -866,15 +922,61 @@ class VersionedEngine:
         are logical names; they are translated to the physical names the
         footer stats were recorded under. See :meth:`_read_physical` for
         the full contract of the remaining parameters."""
-        defn = self.definition(table)
-        if stats_filter and defn.column_mapping:
-            to_phys = dict(defn.column_mapping)
+        defn, log = self._log(table)
+        eff = self._defn_at(defn, log, at_commit=at_commit,
+                            at_timestamp=at_timestamp)
+        if stats_filter and eff.column_mapping:
+            to_phys = dict(eff.column_mapping)
             stats_filter = {to_phys.get(c, c): v
                             for c, v in stats_filter.items()}
-        return self._apply_mapping(defn, self._read_physical(
+        return self._apply_mapping(eff, self._read_physical(
             table, at_commit=at_commit, partition_filter=partition_filter,
             stats_filter=stats_filter, at_timestamp=at_timestamp,
             bucket_filter=bucket_filter))
+
+    def _defn_at(self, defn: TableDefinition, log: FileTableVersions,
+                 at_commit: str | None = None,
+                 at_timestamp=None) -> TableDefinition:
+        """Definition with the column-mapping state AS OF the read's commit.
+
+        Rename/drop are logged commits (``UpdateColumnMapping`` carries the
+        state before and after each change), so a time-travel read — or a
+        read after ``checkout`` moved the pointer back — shows the schema
+        of that era, not today's. Fast path: a current read with the
+        pointer at head uses ``_meta.json`` directly (it is the head
+        materialization of the fold); only time-travel/rolled-back reads
+        pay the log scan."""
+        if at_timestamp is not None:
+            at_commit = log.commit_id_at_timestamp(at_timestamp)
+        if at_commit is None:
+            ptr_id, ptr_seq = log._read_pointer()
+            if ptr_seq is not None and ptr_seq == log.head_seq():
+                return defn
+            at_commit = ptr_id
+        from .core.model import UpdateColumnMapping
+
+        last_before = first_after = None
+        past_target = False
+        for u in log.table_state(defn.name).updates:
+            for op in u.operations:
+                if isinstance(op, UpdateColumnMapping):
+                    if not past_target:
+                        last_before = op
+                    elif first_after is None:
+                        first_after = op
+            if u.metadata.commit_id == at_commit:
+                past_target = True
+        if last_before is not None:
+            return dataclasses.replace(
+                defn, schema_ddl=last_before.schema_ddl,
+                column_mapping=last_before.column_mapping,
+                dropped_columns=last_before.dropped_columns)
+        if first_after is not None:
+            return dataclasses.replace(
+                defn, schema_ddl=first_after.prev_schema_ddl,
+                column_mapping=first_after.prev_column_mapping,
+                dropped_columns=first_after.prev_dropped_columns)
+        return defn
 
     def _apply_mapping(self, defn: TableDefinition,
                        df: DataFrame) -> DataFrame:
@@ -1041,6 +1143,7 @@ class VersionedEngine:
         before = log.current_version(defn.name, at_commit=since_commit)
         head_id = to_commit or log.table_state(defn.name).current_version
         after = log.current_version(defn.name, at_commit=head_id)
+        eff = self._defn_at(defn, log, at_commit=head_id)
         from .core.metastore import (AddPartition, UpdatePartitionVersion,
                                      UpdateTableVersion)
 
@@ -1051,7 +1154,7 @@ class VersionedEngine:
         if isinstance(after, SnapshotTableVersion):
             if any(isinstance(op, UpdateTableVersion) for op in changes.operations):
                 return self._apply_mapping(
-                    defn, reader.load(path_for(defn.location, after.version)))
+                    eff, reader.load(path_for(defn.location, after.version)))
             return self._empty(defn)
         touched = sorted(
             os.path.join(defn.location, op.partition.render(), op.version.label)
@@ -1059,18 +1162,56 @@ class VersionedEngine:
             if isinstance(op, (AddPartition, UpdatePartitionVersion)))
         if not touched:
             return self._empty(defn)
-        return self._apply_mapping(defn, self._declared_types(
+        return self._apply_mapping(eff, self._declared_types(
             reader.option("basePath", defn.location).load(touched), defn))
 
+    def _commit_mapping_change(self, defn: TableDefinition, new_ddl: str,
+                               new_mapping: tuple, new_dropped: tuple,
+                               user_id: str, message: str) -> None:
+        """Record a rename/drop as a logged commit (before/after state in
+        the op), THEN materialize it to ``_meta.json``. The commit append
+        is the serialization point: two concurrent mapping changes CAS-
+        conflict instead of last-write-wins on the meta file, and history/
+        time-travel can see (and reconstruct) the change."""
+        from .core.model import UpdateColumnMapping
+
+        prev = (defn.schema_ddl, tuple(defn.column_mapping),
+                tuple(defn.dropped_columns))
+        op = UpdateColumnMapping(new_ddl, tuple(new_mapping),
+                                 tuple(new_dropped), *prev)
+
+        def precondition(state):
+            last = None
+            for u in state.updates:
+                for o in u.operations:
+                    if isinstance(o, UpdateColumnMapping):
+                        last = o
+            if last is not None and (last.schema_ddl, last.column_mapping,
+                                     last.dropped_columns) != prev:
+                raise ConcurrentWriteError(
+                    f"{defn.name.fully_qualified_name}: column mapping "
+                    "changed concurrently; re-read the table and retry")
+
+        log = FileTableVersions(defn.location, self.storage)
+        self._commit(defn, log,
+                     TableUpdate(TableUpdateMetadata.create(user_id, message),
+                                 (op,)),
+                     precondition=precondition)
+        write_table_meta(dataclasses.replace(
+            defn, schema_ddl=new_ddl, column_mapping=tuple(new_mapping),
+            dropped_columns=tuple(new_dropped)), self.storage)
+
     def rename_column(self, table: TableName | str, old: str,
-                      new: str) -> None:
+                      new: str, user_id: str = "unknown") -> None:
         """Metadata-only column rename (Delta column-mapping name mode):
         no data file is touched — data keeps its original PHYSICAL name;
-        reads surface the new logical name, writes translate back. Applies
-        to every commit (mapping is table-level metadata), so time-travel
-        reads also show the new name. Partition / bucket / Bloom columns
-        and columns referenced by constraints or derivations are
-        rewrite-coupled to their name and cannot be renamed."""
+        reads surface the new logical name, writes translate back. The
+        change is a logged commit: it appears in ``history()``, conflicts
+        with concurrent mapping changes, and reads of earlier commits
+        (time travel / after ``checkout``) show the schema of that era.
+        Partition / bucket / Bloom columns and columns referenced by
+        constraints or derivations are rewrite-coupled to their name and
+        cannot be renamed."""
         import re
 
         defn = self.definition(table)
@@ -1096,15 +1237,18 @@ class VersionedEngine:
         if new != physical:  # identity mappings carry no information
             to_phys[new] = physical
         ddl = ", ".join(f"{new if n == old else n} {t}" for n, t in fields)
-        write_table_meta(dataclasses.replace(
-            defn, schema_ddl=ddl,
-            column_mapping=tuple(sorted(to_phys.items()))), self.storage)
+        self._commit_mapping_change(
+            defn, ddl, tuple(sorted(to_phys.items())),
+            tuple(defn.dropped_columns), user_id,
+            f"RENAME COLUMN {old} TO {new}")
 
-    def drop_column(self, table: TableName | str, col: str) -> None:
+    def drop_column(self, table: TableName | str, col: str,
+                    user_id: str = "unknown") -> None:
         """Metadata-only DROP COLUMN: the physical data stays in every
         version (old commits remain byte-identical); reads simply exclude
         it. The physical name stays reserved — schema evolution refuses to
-        reuse it (the bytes would resurrect under the new column)."""
+        reuse it (the bytes would resurrect under the new column). Logged
+        as a commit, like :meth:`rename_column`."""
         defn = self.definition(table)
         self._guard_structural_column(defn, col, "drop")
         fields = self._schema_fields(defn)
@@ -1114,11 +1258,10 @@ class VersionedEngine:
         to_phys = dict(defn.column_mapping)
         physical = to_phys.pop(col, col)
         ddl = ", ".join(f"{n} {t}" for n, t in fields if n != col)
-        write_table_meta(dataclasses.replace(
-            defn, schema_ddl=ddl,
-            column_mapping=tuple(sorted(to_phys.items())),
-            dropped_columns=tuple(sorted(set(defn.dropped_columns)
-                                         | {physical}))), self.storage)
+        self._commit_mapping_change(
+            defn, ddl, tuple(sorted(to_phys.items())),
+            tuple(sorted(set(defn.dropped_columns) | {physical})),
+            user_id, f"DROP COLUMN {col}")
 
     def _schema_fields(self, defn: TableDefinition) -> list[tuple[str, str]]:
         from .streaming.source import _schema_fields
@@ -1139,7 +1282,10 @@ class VersionedEngine:
             raise ValueError(f"Cannot {verb} bucket column {col!r}")
         if col in defn.bloom_columns:
             raise ValueError(f"Cannot {verb} Bloom-indexed column {col!r}")
-        pat = re.compile(rf"\b{re.escape(col)}\b")
+        # Spark SQL resolves identifiers case-insensitively by default, so
+        # the reference match must too: a constraint written 'V >= 0' still
+        # pins column 'v'
+        pat = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
         refs = [c for c in defn.check_constraints if pat.search(c)]
         refs += [e for _, e in defn.partition_derivations if pat.search(e)]
         if refs:
@@ -1204,10 +1350,28 @@ class VersionedEngine:
             # already at the target state — still record the intent so the
             # restore is auditable, but with a no-op operation list
             pass
-        return self._commit(defn, log, TableUpdate(
+        # restore the column-mapping/schema state of the target era too
+        # (Delta RESTORE also restores schema): forward-commit the change
+        # and re-materialize _meta.json
+        from .core.model import UpdateColumnMapping
+
+        eff = self._defn_at(defn, log, at_commit=commit_id)
+        tgt = (eff.schema_ddl, tuple(eff.column_mapping),
+               tuple(eff.dropped_columns))
+        cur = (defn.schema_ddl, tuple(defn.column_mapping),
+               tuple(defn.dropped_columns))
+        if tgt != cur:
+            ops.append(UpdateColumnMapping(*tgt, *cur))
+        result = self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(
                 user_id, message or f"restore to {commit_id}"),
             tuple(ops)))
+        if tgt != cur:
+            write_table_meta(dataclasses.replace(
+                defn, schema_ddl=eff.schema_ddl,
+                column_mapping=tuple(eff.column_mapping),
+                dropped_columns=tuple(eff.dropped_columns)), self.storage)
+        return result
 
     def sync_catalog(self, table: TableName | str,
                      catalog_table: str | None = None) -> int:

@@ -503,27 +503,38 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import windowed_counts
     from .common import scratch_dir
 
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = scratch_dir(spark, f"stream-win-src-{tag}")
-    marker = os.path.join(src, "_SUCCESS")
-    if not os.path.exists(marker):
-        (load_events(spark, sf_dir)
-         .select("event_id", "ts", "event_type", "value")
-         .write.mode("overwrite").parquet(src))
-    run = scratch_dir(spark, f"stream-win-run-{tag}-{next(_SEQ)}")
-    stream = (spark.readStream
-              .schema("event_id bigint, ts timestamp, event_type string, "
-                      "value double")
-              .parquet(src))
-    agg = windowed_counts(stream, ts_col="ts", window_duration="1 hour",
-                          watermark_delay="10 minutes", key_col="event_type")
-    q = (agg.withColumn("sum_value", F.round("sum_value", 2))
-         .writeStream.format("parquet")
-         .option("path", os.path.join(run, "out"))
-         .option("checkpointLocation", os.path.join(run, "ckpt"))
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # pin the conf for THIS run only — a query function must not leak
+    # session-global config into every later query in the session
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        src = scratch_dir(spark, f"stream-win-src-{tag}")
+        marker = os.path.join(src, "_SUCCESS")
+        if not os.path.exists(marker):
+            (load_events(spark, sf_dir)
+             .select("event_id", "ts", "event_type", "value")
+             .write.mode("overwrite").parquet(src))
+        run = scratch_dir(spark, f"stream-win-run-{tag}-{next(_SEQ)}")
+        stream = (spark.readStream
+                  .schema("event_id bigint, ts timestamp, event_type string, "
+                          "value double")
+                  .parquet(src))
+        agg = windowed_counts(stream, ts_col="ts", window_duration="1 hour",
+                              watermark_delay="10 minutes",
+                              key_col="event_type")
+        q = (agg.withColumn("sum_value", F.round("sum_value", 2))
+             .writeStream.format("parquet")
+             .option("path", os.path.join(run, "out"))
+             .option("checkpointLocation", os.path.join(run, "ckpt"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return spark.read.parquet(os.path.join(run, "out"))
 
 

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 @pytest.fixture
 def clean_catalog(spark):
     yield
-    for t in ["cdb.pages", "cdb.users"]:
+    for t in ["cdb.pages", "cdb.users", "cdb.pageview"]:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -44,6 +44,49 @@ class TestCatalogSync:
         engine.remove_partitions("cdb.pages", [Partition.parse("d=a")], "u", "rm")
         engine.sync_catalog("cdb.pages")
         assert [tuple(r) for r in spark.table("cdb.pages").collect()] == [(9, "b")]
+
+    def test_date_typed_partition_column(self, spark, engine, clean_catalog):
+        """The reference's flagship flow: a table PARTITIONED BY a
+        *date*-typed column, written versioned, synced, then read via
+        vanilla spark.table() with a date-literal filter that partition-
+        prunes (examples/.../DatePartitionedTableLoaderSpec.scala:31-101).
+        The declared type must round-trip: dir names render as
+        event_date=2019-03-13, the catalog surfaces a DateType column,
+        and the filter prunes to one versioned partition dir."""
+        import datetime as dt
+
+        from pyspark.sql.types import DateType
+
+        d1, d2, d3 = (dt.date(2019, 3, 13), dt.date(2019, 3, 14),
+                      dt.date(2019, 3, 15))
+        ddl = "path string, event_date date"
+        engine.create_table("cdb.pageview", schema_ddl=ddl,
+                            partition_columns=["event_date"])
+        engine.insert(spark.createDataFrame(
+            [("a", d1), ("b", d1), ("c", d2), ("d", d3)], ddl),
+            "cdb.pageview", "u", "three days")
+        assert engine.sync_catalog("cdb.pageview") == 3
+
+        tbl = spark.table("cdb.pageview")
+        assert isinstance(tbl.schema["event_date"].dataType, DateType)
+        got = sorted((r["path"], r["event_date"]) for r in tbl.collect())
+        assert got == [("a", d1), ("b", d1), ("c", d2), ("d", d3)]
+
+        # date-literal filter partition-prunes to the one versioned dir
+        day = tbl.where(F.col("event_date") == F.lit(d1))
+        assert sorted(r["path"] for r in day.collect()) == ["a", "b"]
+        plan = day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        files = day.inputFiles()
+        assert files and all("event_date=2019-03-13" in f for f in files)
+
+        # reprocess one day; the catalog follows to the fresh version
+        engine.insert(spark.createDataFrame([("z", d1)], ddl),
+                      "cdb.pageview", "u", "reprocess day 1")
+        assert engine.sync_catalog("cdb.pageview") == 1
+        got = sorted((r["path"], r["event_date"])
+                     for r in spark.table("cdb.pageview").collect())
+        assert got == [("c", d2), ("d", d3), ("z", d1)]
 
     def test_snapshot_lifecycle(self, spark, engine, clean_catalog):
         engine.create_table("cdb.users", schema_ddl="id bigint, name string")

@@ -557,7 +557,8 @@ class TestDataSkipping:
 
     def test_rename_column_without_rewrite(self, spark, engine):
         """Delta-style name-mode mapping: rename touches no data file;
-        reads/writes translate; time travel shows the current name."""
+        reads/writes translate; the rename is a logged commit, so time
+        travel shows the schema of the era being read."""
         engine.create_table("db.cm", schema_ddl="id bigint, v double")
         r1 = engine.insert(spark.createDataFrame(
             [(1, 1.0), (2, 2.0)], "id bigint, v double"), "db.cm", "u", "v1")
@@ -567,6 +568,9 @@ class TestDataSkipping:
         assert got.columns == ["id", "amount"]
         assert {(r.id, r.amount) for r in got.collect()} == {(1, 1.0), (2, 2.0)}
         assert set(got.inputFiles()) == files_before  # no rewrite
+        # the rename is in the history (auditable, attributable)
+        assert engine.history("db.cm").first()["message"] \
+            == "RENAME COLUMN v TO amount"
         # writers use the new logical name; files keep the physical name
         engine.insert(spark.createDataFrame(
             [(3, 3.0)], "id bigint, amount double"),
@@ -574,10 +578,16 @@ class TestDataSkipping:
         assert {(r.id, r.amount)
                 for r in engine.read("db.cm").collect()} == {
                     (1, 1.0), (2, 2.0), (3, 3.0)}
-        # mapping is table-level: the pre-rename commit reads with the
-        # new name too
+        # time travel to the pre-rename commit shows the OLD schema — the
+        # rename is a logged change, not retroactive table-level metadata
         old = engine.read("db.cm", at_commit=r1.commit_id)
-        assert old.columns == ["id", "amount"] and old.count() == 2
+        assert old.columns == ["id", "v"] and old.count() == 2
+        # checkout (pointer move) reads likewise see the old era's schema
+        engine.checkout("db.cm", r1.commit_id)
+        assert engine.read("db.cm").columns == ["id", "v"]
+        head = engine.history("db.cm").first()["commit_id"]
+        engine.checkout("db.cm", head)
+        assert engine.read("db.cm").columns == ["id", "amount"]
         # stats_filter accepts the logical name
         hit = (engine.read("db.cm", stats_filter={"amount": (3.0, 3.0)})
                .where("amount = 3.0"))
@@ -587,6 +597,22 @@ class TestDataSkipping:
         defn = engine.definition("db.cm")
         assert defn.column_mapping == ()  # identity mapping elided
         assert engine.read("db.cm").columns == ["id", "v"]
+
+    def test_restore_restores_column_mapping(self, spark, engine):
+        """RESTORE rolls the schema back too: a rename after the target
+        commit is undone by the forward-commit restore (like Delta)."""
+        engine.create_table("db.cr", schema_ddl="id bigint, v double")
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0)], "id bigint, v double"), "db.cr", "u", "v1")
+        engine.rename_column("db.cr", "v", "amount")
+        engine.insert(spark.createDataFrame(
+            [(2, 2.0)], "id bigint, amount double"),
+            "db.cr", "u", "v2", mode="append")
+        engine.restore("db.cr", r1.commit_id, user_id="u")
+        got = engine.read("db.cr")
+        assert got.columns == ["id", "v"]
+        assert {(r.id, r.v) for r in got.collect()} == {(1, 1.0)}
+        assert engine.definition("db.cr").column_mapping == ()
 
     def test_drop_column_metadata_only(self, spark, engine):
         import pytest as _pytest
@@ -621,6 +647,24 @@ class TestDataSkipping:
             engine.rename_column("db.cg", "v", "val")
         with _pytest.raises(ValueError, match="No column"):
             engine.drop_column("db.cg", "nope")
+        # Spark resolves identifiers case-insensitively: a constraint
+        # written 'VAL2 >= 0' still pins column 'val2'
+        engine.create_table("db.cg2", schema_ddl="id bigint, val2 double",
+                            check_constraints=["VAL2 >= 0"])
+        with _pytest.raises(ValueError, match="constraint"):
+            engine.rename_column("db.cg2", "val2", "v2")
+
+    def test_check_constraints_validated_at_declaration(self, spark, engine):
+        """Non-boolean or unresolvable constraint expressions fail at
+        create_table, not at the first insert."""
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="BOOLEAN"):
+            engine.create_table("db.ckb", schema_ddl="id bigint, v double",
+                                check_constraints=["v"])
+        with _pytest.raises(ValueError, match="resolve"):
+            engine.create_table("db.ckr", schema_ddl="id bigint, v double",
+                                check_constraints=["nope > 0"])
 
     def test_check_constraints_reject_bad_insert(self, spark, engine):
         """Declared CHECK constraints gate every write path; NULL passes
@@ -664,6 +708,40 @@ class TestDataSkipping:
                      when_not_matched_by_source_delete="t.v < 2")
         got = {(r.id, r.v) for r in engine.read("db.ms").collect()}
         assert got == {(2, 20.0), (3, 3.0), (4, 40.0)}
+
+    def test_merge_full_sync_partitioned_needs_scope(self, spark, engine):
+        """On a partitioned table when_not_matched_by_source_delete=True
+        silently skips untouched partitions, so an explicit sync_scope is
+        required: 'source-partitions' keeps the scoped behavior, 'all'
+        converges the whole table (untouched-partition rows go too)."""
+        import pytest as _pytest
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("db.fsync", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+            "db.fsync", "u", "v1")
+        src = spark.createDataFrame([(1, 10.0, "a")], ddl)
+        with _pytest.raises(ValueError, match="sync_scope"):
+            engine.merge(src, "db.fsync", keys=["id"], user_id="u",
+                         message="sync",
+                         when_not_matched_by_source_delete=True)
+        # scoped: only partition 'a' converges; 'b' survives untouched
+        engine.merge(src, "db.fsync", keys=["id"], user_id="u",
+                     message="scoped sync",
+                     when_not_matched_by_source_delete=True,
+                     sync_scope="source-partitions")
+        got = {(r.id, r.v, r.d) for r in engine.read("db.fsync").collect()}
+        assert got == {(1, 10.0, "a"), (3, 3.0, "b")}
+        # whole-table: partition 'b' (untouched by the source) converges
+        # too — its target-only row is deleted and the partition dropped
+        engine.merge(src, "db.fsync", keys=["id"], user_id="u",
+                     message="full sync",
+                     when_not_matched_by_source_delete=True,
+                     sync_scope="all")
+        got = {(r.id, r.v, r.d) for r in engine.read("db.fsync").collect()}
+        assert got == {(1, 10.0, "a")}
 
     def test_generated_partition_column(self, spark, engine):
         """partition_derivations: a writer that omits the partition column
