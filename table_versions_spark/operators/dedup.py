@@ -585,7 +585,46 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("bigint")))
 
 
+PREFIX_BLOCK = 64  # blocking-key length; docs shorter than this are out
+                   # of scope (full-equality dups are q_dedup_exact's job)
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix/truncation duplicates: pairs where one document's text is a
+    prefix of (or equal to) another's — the dup class produced by
+    re-crawls that truncate, snippet extraction, and max-length cutoffs,
+    which Jaccard-style near-dup passes under-score when the longer doc
+    is much longer.
+
+    Scale shape: candidate generation is an equi-join on the first
+    ``PREFIX_BLOCK`` characters (a prefix relation implies equal blocks
+    once both docs are ≥ the block length — shorter docs are out of
+    scope by contract), so there is never an all-pairs product; the
+    block key is content, distributed like any dedup hash. The
+    ``startswith`` verify runs only inside blocks."""
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.length("text") >= PREFIX_BLOCK)
+            .select("doc_id", "text",
+                    F.substring("text", 1, PREFIX_BLOCK).alias("blk")))
+    a = docs.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("text").alias("ta"), "blk")
+    b = docs.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("text").alias("tb"), "blk")
+    # role-ordered pairs: a = the (strictly shorter) prefix side; equal-
+    # length exact dups tie-break on id so each pair appears exactly once
+    shorter = F.length("ta") < F.length("tb")
+    equal = ((F.length("ta") == F.length("tb"))
+             & (F.col("doc_id_a") < F.col("doc_id_b")))
+    return (a.join(b, "blk")
+            .where((shorter | equal) & F.col("tb").startswith(F.col("ta")))
+            .select("doc_id_a", "doc_id_b",
+                    F.length("ta").cast("int").alias("len_a"),
+                    F.length("tb").cast("int").alias("len_b"),
+                    (F.length("ta") == F.length("tb")).alias("exact")))
+
+
 QUERIES = {
+    "q_dedup_prefix": q_dedup_prefix,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_groups": q_dedup_groups,
     "q_dedup_simhash": q_dedup_simhash,
@@ -628,6 +667,18 @@ _NGRAM_PAIRS_CTES = (
     f"WHERE jaccard >= {JACCARD_THRESHOLD})")
 
 ORACLES = {
+    "q_dedup_prefix": (
+        "WITH d AS (SELECT doc_id, text, "
+        f"substring(text, 1, {PREFIX_BLOCK}) AS blk FROM documents "
+        f"WHERE length(text) >= {PREFIX_BLOCK}) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(length(a.text) AS INT) AS len_a, "
+        "CAST(length(b.text) AS INT) AS len_b, "
+        "length(a.text) = length(b.text) AS exact "
+        "FROM d a JOIN d b ON a.blk = b.blk "
+        "WHERE (length(a.text) < length(b.text) "
+        "OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id)) "
+        "AND starts_with(b.text, a.text)"),
     "q_dedup_ngram": (
         f"WITH {_NGRAM_PAIRS_CTES} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"),

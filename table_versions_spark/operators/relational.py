@@ -434,6 +434,38 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("trailing_30d_total")))
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide metrics → long (metric, value) rows — the shape
+    feeding any generic metrics sink): per-returnflag aggregates unpivot
+    into one row per (flag, metric). ``DataFrame.unpivot`` is a zero-
+    shuffle projection on top of the aggregate — each input row expands
+    to #metrics output rows map-side."""
+    agg = (load(spark, sf_dir, "lineitem")
+           .groupBy("l_returnflag")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+                F.count("*").cast("double").alias("n_items")))
+    return agg.unpivot(["l_returnflag"],
+                       ["sum_qty", "sum_price", "n_items"],
+                       "metric", "val")
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond q_rollup/q_cube's fixed lattices):
+    (flag, status), (flag), and grand total in ONE pass — Spark expands
+    the sets in a single Expand+partial-agg plan, so the fact table is
+    read and shuffled once no matter how many sets. ``grouping()`` flags
+    disambiguate NULL-as-group from NULL-in-data."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tvx_li_gs")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(grouping(l_returnflag) AS INT) AS g_flag, "
+        "CAST(grouping(l_linestatus) AS INT) AS g_status, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n "
+        "FROM tvx_li_gs GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag), ())")
+
+
 QUERIES = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_orc": q_scan_orc,
@@ -473,9 +505,26 @@ QUERIES = {
     "q_window_range_frame": q_window_range_frame,
     "q_date_from_ts": q_date_from_ts,
     "q_join_skew_salted": q_join_skew_salted,
+    "q_unpivot": q_unpivot,
+    "q_grouping_sets": q_grouping_sets,
 }
 
 ORACLES = {
+    "q_unpivot": (
+        "WITH agg AS (SELECT l_returnflag, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "CAST(COUNT(*) AS DOUBLE) AS n_items FROM lineitem GROUP BY 1) "
+        "SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM agg "
+        "UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM agg "
+        "UNION ALL SELECT l_returnflag, 'n_items', n_items FROM agg"),
+    "q_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(GROUPING(l_returnflag) AS INT) AS g_flag, "
+        "CAST(GROUPING(l_linestatus) AS INT) AS g_status, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_returnflag), ())"),
     "q_scan_parquet": f"SELECT {', '.join(LINEITEM_COLS)} FROM lineitem",
     "q_scan_orc": "SELECT * FROM supplier",
     "q_scan_table": "SELECT * FROM nation",

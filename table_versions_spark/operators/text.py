@@ -147,6 +147,77 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+TEMP_ALPHA = 0.5    # temperature exponent: p_g ∝ count_g^alpha
+TEMP_TARGET = 200   # total docs the tempered sample aims for
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-training recipe,
+    e.g. mBERT/XLM-R: sample group g with probability ∝ count_g^alpha,
+    alpha<1 upweights low-resource groups): per-language quotas
+    ``floor(TARGET · sqrt(c_g)/Σ sqrt(c))`` and a deterministic
+    multiplicative-hash rank selects each group's docs.
+
+    Scale shape: the quota table is one tiny aggregate broadcast back
+    onto the rank window's output; the only fact shuffle is the window's
+    partition-by-lang (bounded group count ⇒ bounded skew; a heavy group
+    would use the two-level rank trick). sqrt/divide/floor are IEEE
+    correctly-rounded, so the quota arithmetic is engine-portable and the
+    oracle reproduces it bit-exactly."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum(F.sqrt("c")).alias("z"))
+    quotas = (counts.crossJoin(F.broadcast(total))
+              .select("lang",
+                      F.floor(F.lit(TEMP_TARGET) * F.sqrt("c") / F.col("z"))
+                       .alias("quota")))
+    h = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (ranked.join(F.broadcast(quotas), "lang")
+            .where(F.col("rn") <= F.col("quota"))
+            .select("doc_id", "lang"))
+
+
+PARA_WORDS = 20  # words per pseudo-paragraph chunk
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup stats (the C4/Gopher line-dedup pass,
+    over fixed 20-word chunks since this corpus has no newlines): every
+    doc's text splits into consecutive word chunks, each chunk instance
+    that is NOT the corpus-wide first occurrence (ordered by doc_id then
+    chunk position) counts as a duplicate. Returns per-doc chunk/dup
+    counts — the signal a pipeline uses to strip boilerplate or drop
+    dup-heavy docs.
+
+    Scale shape: chunking is one codegen'd scan (sequence + slice +
+    array_join, no Python); the first-occurrence rule is a window over
+    the chunk-text shuffle — keys are content chunks, which at corpus
+    scale distribute like any dedup hash (the heaviest key = the most
+    repeated boilerplate paragraph; a pathological one salts like any
+    top-k)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(PARA_WORDS))).cast("int")
+    chunk_of = (lambda i:
+                F.array_join(F.slice(words, i * PARA_WORDS + 1, PARA_WORDS),
+                             " "))
+    chunks = (docs.select(
+        "doc_id",
+        F.posexplode(F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                 chunk_of)).alias("chunk_idx", "chunk")))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    return (chunks.withColumn("rn", F.row_number().over(w))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks")))
+
+
 BPE_MERGES = 5  # merge rules to learn; production vocabularies iterate ~30k
 
 
@@ -397,6 +468,8 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_sample_per_group": q_sample_per_group,
+    "q_sample_temperature": q_sample_temperature,
+    "q_dedup_paragraph": q_dedup_paragraph,
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
     "q_sample_weighted": q_sample_weighted,
@@ -412,6 +485,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_sample_temperature": (
+        "WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents "
+        "GROUP BY 1), "
+        "quotas AS (SELECT lang, CAST(FLOOR("
+        f"{TEMP_TARGET} * sqrt(c) / (SELECT SUM(sqrt(c)) FROM counts)) "
+        "AS BIGINT) AS quota FROM counts), "
+        "ranked AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+        f"PARTITION BY lang ORDER BY (doc_id * {_SPLIT_MIX}) % 1000000007, "
+        "doc_id) AS rn FROM documents) "
+        "SELECT doc_id, ranked.lang AS lang FROM ranked "
+        "JOIN quotas ON ranked.lang = quotas.lang WHERE rn <= quota"),
+    "q_dedup_paragraph": (
+        "WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "chunks AS (SELECT doc_id, i AS chunk_idx, "
+        f"array_to_string(w[(i * {PARA_WORDS} + 1):"
+        f"((i + 1) * {PARA_WORDS})], ' ') AS chunk "
+        "FROM ws, UNNEST(range(CAST(CEIL(len(w) / "
+        f"CAST({PARA_WORDS} AS DOUBLE)) AS BIGINT))) AS t(i)), "
+        "ranked AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY chunk "
+        "ORDER BY doc_id, chunk_idx) AS rn FROM chunks) "
+        "SELECT doc_id, COUNT(*) AS n_chunks, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_chunks FROM ranked GROUP BY doc_id"),
     "q_sample_per_group": (
         "SELECT doc_id, source FROM ("
         "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "

@@ -33,6 +33,8 @@ PARITY_SUBSET = [
     "q_dedup_incremental", "q_zorder_skipping", "q_derived_partition",
     "q_udaf_pandas", "q_udtf", "q_window_range_frame",
     "q_curation_pipeline", "q_rename_column", "q_update",
+    "q_unpivot", "q_grouping_sets", "q_sample_temperature",
+    "q_dedup_paragraph", "q_dedup_prefix",
 ]
 
 
