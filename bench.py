@@ -73,6 +73,8 @@ HEADLINE = [
     "q_anomaly",
     "q_session_window",
     "q_dedup_incremental",
+    "q_dedup_paragraph",
+    "q_grouping_sets",
 ]
 
 

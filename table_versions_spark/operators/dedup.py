@@ -169,26 +169,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .where(est >= MINHASH_SIM_THRESHOLD)
                  .select("doc_id_a", "doc_id_b")
                  .distinct())
-    # The (tiny: scales with true-dup density, not corpus size) survivor
-    # set is consumed three times — probe side plus a doc-id prune for
-    # EACH payload side — and without reuse every consumer re-runs the
-    # whole band join. persist() (memory-and-disk) rather than a scratch
-    # parquet roundtrip: the table is KBs, so eviction risk is nil, and
-    # folding it into the final action saves a whole write job (measured
-    # ~0.2 s at sf0.1; the big sig table above keeps its disk
-    # materialization). Then re-derive shingles ONLY for surviving docs
-    # (semi-join before the shingle expr): the exact-verify cost becomes
-    # O(survivors), not O(corpus) — and the survivor shingle table is
-    # persisted too, so the documents scan behind it runs once, not once
-    # per payload side.
-    survivors = survivors.persist()
+    # Materialize the (tiny: scales with true-dup density, not corpus size)
+    # survivor set: the verify consumes it three times — probe side plus a
+    # doc-id prune for EACH payload side — and without this every consumer
+    # re-runs the whole band join. Then re-derive shingles ONLY for
+    # surviving docs (semi-join before the shingle expr): the exact-verify
+    # cost becomes O(survivors), not O(corpus). Measured 3.9 s → <1 s for
+    # the verify stage at sf0.1 (256 survivors over 5000 docs). A persist()
+    # variant (skipping this write job) measured faster solo but bimodal
+    # and ~1.3 s slower inside the full bench session — the parquet
+    # roundtrip keeps the AQE-planned, cache-independent shape.
+    surv_dir = scratch_dir(
+        spark, f"minhash-surv-{os.path.basename(os.path.normpath(sf_dir))}")
+    survivors.write.mode("overwrite").parquet(surv_dir)
+    survivors = spark.read.parquet(surv_dir)
     ids = (survivors.select(F.col("doc_id_a").alias("doc_id"))
            .unionByName(survivors.select(F.col("doc_id_b").alias("doc_id")))
            .distinct())
     docs_sh = (load(spark, sf_dir, "documents")
                .join(F.broadcast(ids), "doc_id")
-               .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
-               .persist())
+               .select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh")))
     payload_a = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
                                F.col("sh").alias("sh_a"))
     payload_b = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
