@@ -458,6 +458,47 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-to-versioned streaming replication — the ``tvx`` data
+    source driving BOTH faces: the base table's commit log streams out
+    through ``readStream.format("tvx")`` (one micro-batch per commit
+    span) and lands in a replica table through ``writeStream.format
+    ("tvx")`` (one versioned commit per epoch, exactly-once via the
+    ``txn=(txnApp, batchId)`` idempotence token). The replica's contents
+    then equal the base's — the oracle aggregates the raw events table.
+
+    This is the change-data-replication shape (Delta "CDF in → table
+    out"): restartable from the checkpoint, replay-safe at the sink, no
+    driver-side data movement — rows travel Arrow-batch → parquet file,
+    commits are metadata."""
+    from ..streaming.source import register
+
+    st = _shared(spark, sf_dir)
+    register(spark)
+    eng = st["eng"]
+    if "stream_sink" not in st:
+        from .common import scratch_dir
+
+        eng.create_table("vx.events_replica", schema_ddl=EVENTS_DDL,
+                         partition_columns=["event_date"])
+        dst = eng.definition("vx.events_replica").location
+        src = eng.definition("vx.events_base").location
+        ckpt = scratch_dir(spark, f"stream-sink-ckpt-{next(_SEQ)}")
+        q = (spark.readStream.format("tvx").option("location", src).load()
+             .writeStream.format("tvx").option("location", dst)
+             .option("txnApp", "events-replication")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        st["stream_sink"] = True
+    return (eng.read("vx.events_replica")
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("min_event"),
+                 F.max("event_id").alias("max_event"),
+                 F.sum("user_id").alias("sum_user")))
+
+
 EVENTS_TS_DDL = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double")
 
@@ -806,6 +847,7 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_stream_agg": q_stream_agg,
+    "q_stream_sink": q_stream_sink,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -837,6 +879,11 @@ QUERIES = {
 
 ORACLES = {
     "q_stream_agg": (
+        "SELECT event_type, COUNT(*) AS n, "
+        "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
+        "CAST(SUM(user_id) AS BIGINT) AS sum_user "
+        "FROM events GROUP BY event_type"),
+    "q_stream_sink": (
         "SELECT event_type, COUNT(*) AS n, "
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "

@@ -1,0 +1,323 @@
+"""Versioned tables as a DataFrame *sink* — ``df.write.format("tvx")`` and
+``df.writeStream.format("tvx")``.
+
+The write-side complement of :mod:`.source`: the reference's only write
+path is the engine's ``versionedInsertInto`` equivalent
+(``spark/.../VersionContext.scala:29-44``); this exposes the same
+versioned-commit semantics through the standard DataFrame writer API, so a
+session that only speaks ``spark.read``/``df.write`` can still produce
+versioned commits (``VersionedEngine.insert`` remains the full-featured
+path — constraints, schema evolution, clustering, bucketing).
+
+Built on the Spark 4 Python Data Source API Arrow writers:
+
+- **batch** (:class:`VersionedTableWriter`): every task writes its rows as
+  parquet/ORC files *directly into the final immutable version dirs*
+  (``<part>/<label>/part-*.parquet``) — uncommitted dirs are invisible to
+  every reader, so no staging/rename pass is needed; the driver-side
+  ``commit`` links previous files for append mode, collects footer stats,
+  and appends ONE commit record — the same atomic-publish point the engine
+  uses. ``mode("overwrite")`` = replace-touched-partitions (Hive-insert
+  semantics); ``mode("append")`` = accumulate (previous version's files
+  hardlinked, no rewrite).
+- **streaming** (:class:`VersionedTableStreamWriter`): tasks stage files
+  under ``_staging/`` (they don't know the epoch yet); ``commit(messages,
+  batchId)`` moves them into a fresh version dir and commits with the
+  idempotence token ``txn=(txnApp, batchId)`` — a batch replayed after a
+  crash between the log commit and the streaming checkpoint is SKIPPED,
+  upgrading foreachBatch-style at-least-once to exactly-once (Delta's
+  ``txnAppId``/``txnVersion`` recipe, same as ``VersionedEngine.insert``).
+
+Scale notes: rows never pass through Python objects (Arrow in, Arrow out);
+each task writes one file per partition it actually holds (pair with a
+``repartition(*pcols)`` upstream to avoid the small-files spiral, exactly
+as ``engine.insert(distribute=True)`` does); driver-side work is metadata
+only (links, footer reads, one log append).
+
+Unsupported via this sink (use ``engine.insert``): column-mapped tables,
+CHECK constraints, generated partition columns, bucketing (all need the
+engine's Spark-side plan rewrites / validation).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+from ..core.log import FileTableVersions, read_table_meta
+from ..core.model import (
+    UNVERSIONED,
+    AddPartitionVersion,
+    AddTableVersion,
+    Partition,
+    SnapshotTableVersion,
+    TableDefinition,
+    TableUpdate,
+    TableUpdateMetadata,
+    Version,
+    escape_partition_value,
+)
+from ..core.paths import path_for
+
+
+@dataclass
+class TvxCommitMessage(WriterCommitMessage):
+    # [(partition render or None for snapshot, dir written, rows)]
+    written: "list[tuple[str | None, str, int]]"
+    # streaming only: the task's private staging root (removed after the
+    # epoch commit moves its files out)
+    root: "str | None" = None
+
+
+def _guard_writable(defn: TableDefinition, schema) -> None:
+    if defn.column_mapping or defn.dropped_columns:
+        raise ValueError(
+            f"{defn.name.fully_qualified_name} uses column mapping; write "
+            "through VersionedEngine.insert (the tvx sink has no "
+            "logical→physical translation)")
+    for feature, present in [
+            ("check_constraints", defn.check_constraints),
+            ("partition_derivations", defn.partition_derivations),
+            ("bucket_columns", defn.bucket_columns)]:
+        if present:
+            raise ValueError(
+                f"{defn.name.fully_qualified_name} declares {feature}; "
+                "write through VersionedEngine.insert (the tvx sink does "
+                "not evaluate them)")
+    if defn.schema_ddl and schema is not None:
+        from .source import _schema_fields
+
+        declared = {n for n, _ in _schema_fields(defn.schema_ddl)}
+        incoming = set(schema.fieldNames())
+        if incoming != declared:
+            raise ValueError(
+                f"write schema {sorted(incoming)} must match declared "
+                f"schema {sorted(declared)} (schema evolution goes "
+                "through VersionedEngine.insert(evolve_schema=True))")
+
+
+def _write_task_files(iterator, pcols: list[str], fmt: str,
+                      out_root: str, subdir: str = "") -> list:
+    """Executor side: split the task's Arrow batches by partition value and
+    write one file per partition under ``out_root[/render][/subdir]``.
+    Returns ``[(render|None, dir, rows)]``."""
+    import pyarrow as pa
+
+    by_render: dict = {}
+    for batch in iterator:
+        t = pa.Table.from_batches([batch])
+        if not pcols:
+            by_render.setdefault(None, []).append(t)
+            continue
+        cols = [t.column(c).to_pylist() for c in pcols]
+        groups: dict[str, list[int]] = {}
+        for i, row in enumerate(zip(*cols)):
+            render = "/".join(f"{c}={escape_partition_value(v)}"
+                              for c, v in zip(pcols, row))
+            groups.setdefault(render, []).append(i)
+        for render, idxs in groups.items():
+            by_render.setdefault(render, []).append(t.take(idxs))
+    written = []
+    for render, parts in by_render.items():
+        tbl = pa.concat_tables(parts)
+        drop = [c for c in pcols if c in tbl.column_names]
+        if drop:  # partition values live in the dir name, as partitionBy does
+            tbl = tbl.drop_columns(drop)
+        d = (os.path.join(out_root, render, subdir) if render
+             else out_root)
+        os.makedirs(d, exist_ok=True)
+        ext = "orc" if fmt == "orc" else "parquet"
+        path = os.path.join(d, f"part-{uuid.uuid4().hex}.{ext}")
+        if fmt == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(tbl, path)
+        else:
+            import pyarrow.parquet as pq
+
+            pq.write_table(tbl, path)
+        written.append((render, d, tbl.num_rows))
+    return written
+
+
+def _commit_versioned_write(location: str, version: Version,
+                            renders, append: bool,
+                            user_id: str, message: str,
+                            txn: "tuple[str, int] | None" = None) -> None:
+    """Driver side: link previous files for append, collect footer stats,
+    append ONE commit record — atomic at the commit-file write."""
+    from ..engine import _collect_version_stats, _link_data_files
+
+    defn = read_table_meta(location)
+    log = FileTableVersions(location)
+    prev = log.current_version(defn.name)
+    ops: list = []
+    stats: dict = {}
+    if defn.is_snapshot:
+        vdir = path_for(location, version)
+        os.makedirs(vdir, exist_ok=True)
+        if append and isinstance(prev, SnapshotTableVersion) \
+                and prev.version != UNVERSIONED:
+            _link_data_files(path_for(location, prev.version), vdir)
+        ops.append(AddTableVersion(version))
+        payload = _collect_version_stats(vdir,
+                                         bloom_columns=defn.bloom_columns)
+        if payload:
+            stats[version.label] = payload
+    else:
+        prev_pv = getattr(prev, "partition_versions", {})
+        for render in sorted(r for r in renders if r is not None):
+            part = Partition.parse(render)
+            vdir = os.path.join(location, render, version.label)
+            os.makedirs(vdir, exist_ok=True)
+            if append and part in prev_pv:
+                _link_data_files(
+                    os.path.join(location, render, prev_pv[part].label), vdir)
+            ops.append(AddPartitionVersion(part, version))
+            payload = _collect_version_stats(
+                vdir, bloom_columns=defn.bloom_columns)
+            if payload:
+                stats[os.path.join(render, version.label)] = payload
+    if not ops:
+        return
+    log.commit(defn.name,
+               TableUpdate(TableUpdateMetadata.create(user_id, message,
+                                                      txn=txn),
+                           tuple(ops), stats=stats or None))
+
+
+def _txn_already_committed(location: str, app: str, batch_id: int) -> bool:
+    log = FileTableVersions(location)
+    for u in log.table_state().updates:
+        if (u.metadata.txn_app == app and u.metadata.txn_version is not None
+                and u.metadata.txn_version >= batch_id):
+            return True
+    return False
+
+
+class VersionedTableWriter(DataSourceArrowWriter):
+    """Batch face: one versioned commit per ``df.write.format("tvx")``."""
+
+    def __init__(self, location: str, overwrite: bool, schema=None):
+        defn = read_table_meta(location)
+        _guard_writable(defn, schema)
+        self.location = location
+        self.pcols = list(defn.partition_schema.columns)
+        self.format = defn.format
+        self.overwrite = overwrite
+        self.version = Version.generate()
+
+    def write(self, iterator):
+        # tasks write straight into the final (still-uncommitted, hence
+        # invisible) version dirs: <location>/<render>/<label>/part-*.ext —
+        # task file names are uuid-unique, so concurrent tasks touching the
+        # same partition never collide and no staging/rename pass exists
+        if not self.pcols:
+            written = _write_task_files(iterator, self.pcols, self.format,
+                                        path_for(self.location, self.version))
+        else:
+            written = _write_task_files(iterator, self.pcols, self.format,
+                                        self.location,
+                                        subdir=self.version.label)
+        return TvxCommitMessage(written=written)
+
+    def commit(self, messages):
+        renders = set()
+        for m in messages:
+            if m is not None:
+                renders.update(r for r, _, _ in m.written)
+        mode = "overwrite" if self.overwrite else "append"
+        _commit_versioned_write(
+            self.location, self.version,
+            renders if self.pcols else [None],
+            append=not self.overwrite,
+            user_id="tvx-writer", message=f"tvx batch write ({mode})")
+
+    def abort(self, messages):
+        import shutil
+
+        for m in messages or []:
+            if m is None:
+                continue
+            for _, d, _ in m.written:
+                shutil.rmtree(d, ignore_errors=True)
+
+
+class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming face: one versioned commit per micro-batch, exactly-once
+    via ``txn=(txnApp, batchId)``."""
+
+    def __init__(self, location: str, overwrite: bool, txn_app: str,
+                 schema=None):
+        defn = read_table_meta(location)
+        _guard_writable(defn, schema)
+        self.location = location
+        self.pcols = list(defn.partition_schema.columns)
+        self.format = defn.format
+        self.overwrite = overwrite
+        self.txn_app = txn_app
+        self.staging_root = os.path.join(location, "_staging")
+
+    def write(self, iterator):
+        # the task doesn't know the epoch: stage under a task-unique dir,
+        # commit() moves the files into the epoch's version dir
+        task_root = os.path.join(self.staging_root, uuid.uuid4().hex)
+        return TvxCommitMessage(
+            written=_write_task_files(iterator, self.pcols, self.format,
+                                      task_root),
+            root=task_root)
+
+    def commit(self, messages, batchId: int):
+        import shutil
+
+        staged: dict = {}
+        roots = []
+        for m in messages:
+            if m is not None:
+                if m.root:
+                    roots.append(m.root)
+                for render, d, rows in m.written:
+                    staged.setdefault(render, []).append(d)
+        try:
+            if _txn_already_committed(self.location, self.txn_app, batchId):
+                return  # replayed epoch: already in the log, drop the stage
+            if not staged:
+                return
+            version = Version.generate()
+            for render, dirs in staged.items():
+                final = (path_for(self.location, version) if render is None
+                         else os.path.join(self.location, render,
+                                           version.label))
+                os.makedirs(final, exist_ok=True)
+                for d in dirs:
+                    for f in os.listdir(d):
+                        os.replace(os.path.join(d, f),
+                                   os.path.join(final, f))
+            _commit_versioned_write(
+                self.location, version, list(staged),
+                append=not self.overwrite,
+                user_id="tvx-stream-writer",
+                message=f"tvx stream epoch {batchId}",
+                txn=(self.txn_app, batchId))
+        finally:
+            for root in roots:
+                shutil.rmtree(root, ignore_errors=True)
+
+    def abort(self, messages, batchId: int):
+        import shutil
+
+        for m in messages or []:
+            if m is None:
+                continue
+            if m.root:
+                shutil.rmtree(m.root, ignore_errors=True)
+            else:
+                for _, d, _ in m.written:
+                    shutil.rmtree(d, ignore_errors=True)

@@ -107,6 +107,25 @@ class VersionedTableDataSource(DataSource):
                                          self.options.get("at_commit"),
                                          schema=schema)
 
+    def writer(self, schema, overwrite: bool):
+        """Batch sink: ``df.write.format("tvx").option("location", dir)`` —
+        one versioned commit per write (see :mod:`.sink`)."""
+        from .sink import VersionedTableWriter
+
+        return VersionedTableWriter(self.options["location"], overwrite,
+                                    schema=schema)
+
+    def streamWriter(self, schema, overwrite: bool):
+        """Streaming sink: one versioned commit per micro-batch with
+        exactly-once epoch idempotence (``txnApp`` option names the
+        writer's token stream; default is per-location)."""
+        from .sink import VersionedTableStreamWriter
+
+        location = self.options["location"]
+        txn_app = self.options.get("txnApp", f"tvx-stream:{location}")
+        return VersionedTableStreamWriter(location, overwrite, txn_app,
+                                          schema=schema)
+
 
 class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""

@@ -264,3 +264,109 @@ class TestParallelStreamReader:
         q.awaitTermination(60)
         got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
         assert got == [(1, "a"), (2, "b")]
+
+
+class TestTvxSink:
+    """df.write.format("tvx") / writeStream.format("tvx") — the write-side
+    face of the data source (streaming/sink.py)."""
+
+    def test_batch_sink_overwrite_and_append(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, v double, d string"
+        engine.create_table("sk.pt", schema_ddl=ddl, partition_columns=["d"])
+        loc = engine.definition("sk.pt").location
+        spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, None)], ddl
+        ).write.format("tvx").mode("overwrite").option("location", loc).save()
+        got = sorted((r.id, r.d) for r in engine.read("sk.pt").collect())
+        assert got == [(1, "a"), (2, "b"), (3, None)]
+        # append accumulates (previous files hardlinked, no rewrite)
+        spark.createDataFrame([(9, 9.0, "a")], ddl).write.format("tvx").mode(
+            "append").option("location", loc).save()
+        got = sorted((r.id, r.d) for r in engine.read("sk.pt").collect())
+        assert got == [(1, "a"), (2, "b"), (3, None), (9, "a")]
+        # overwrite replaces ONLY touched partitions (Hive-insert semantics)
+        spark.createDataFrame([(7, 7.0, "a")], ddl).write.format("tvx").mode(
+            "overwrite").option("location", loc).save()
+        got = sorted((r.id, r.d) for r in engine.read("sk.pt").collect())
+        assert got == [(2, "b"), (3, None), (7, "a")]
+        # footer stats rode each commit: log-only ANALYZE agrees
+        assert engine.table_stats("sk.pt")["rows"] == 3
+        # round trip through the tvx SOURCE face
+        rt = sorted((r.id, r.d) for r in spark.read.format("tvx")
+                    .option("location", loc).load().collect())
+        assert rt == got
+
+    def test_batch_sink_snapshot(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("sk.sn", schema_ddl="id bigint, name string")
+        loc = engine.definition("sk.sn").location
+        spark.createDataFrame([(1, "x")], "id bigint, name string"
+                              ).write.format("tvx").mode("overwrite").option(
+            "location", loc).save()
+        spark.createDataFrame([(2, "y")], "id bigint, name string"
+                              ).write.format("tvx").mode("append").option(
+            "location", loc).save()
+        assert engine.read("sk.sn").count() == 2
+        # each write is one commit; overwrite replaced, append accumulated
+        assert engine.history("sk.sn").count() == 3  # init + 2 writes
+
+    def test_sink_guards(self, spark, engine):
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("sk.ck", schema_ddl="id bigint, v double",
+                            check_constraints=["v >= 0"])
+        loc = engine.definition("sk.ck").location
+        with _pytest.raises(Exception, match="check_constraints"):
+            spark.createDataFrame([(1, 1.0)], "id bigint, v double"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location", loc).save()
+        engine.create_table("sk.cm", schema_ddl="id bigint, v double")
+        engine.insert(spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
+                      "sk.cm", "u", "v1")
+        engine.rename_column("sk.cm", "v", "amount")
+        with _pytest.raises(Exception, match="column mapping"):
+            spark.createDataFrame([(2, 2.0)], "id bigint, amount double"
+                                  ).write.format("tvx").mode("append"
+                                  ).option("location",
+                                           engine.definition("sk.cm").location
+                                  ).save()
+
+    def test_stream_sink_exactly_once(self, spark, engine, tmp_path):
+        """One commit per epoch; a replayed epoch (same txnApp+batchId,
+        fresh checkpoint) is absorbed by the idempotence token."""
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("sk.st", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        loc = engine.definition("sk.st").location
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, d string"
+                              ).write.mode("overwrite").parquet(src)
+
+        def run(ckpt):
+            q = (spark.readStream.schema("id bigint, d string").parquet(src)
+                 .writeStream.format("tvx").option("location", loc)
+                 .option("txnApp", "t1")
+                 .option("checkpointLocation", str(tmp_path / ckpt))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run("ckpt1")
+        got = sorted((r.id, r.d) for r in engine.read("sk.st").collect())
+        assert got == [(1, "a"), (2, "b")]
+        run("ckpt2")  # replay epoch 0 under the same token stream
+        got = sorted((r.id, r.d) for r in engine.read("sk.st").collect())
+        assert got == [(1, "a"), (2, "b")]  # absorbed, not double-applied
+        # staging fully drained
+        import os
+        staging = os.path.join(loc, "_staging")
+        assert not os.path.isdir(staging) or os.listdir(staging) == []
