@@ -319,6 +319,59 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merged string, n bigint")
 
 
+def q_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus (the inference half
+    of the tokenizer; ``q_bpe_train`` is the learning half): per document,
+    the whitespace word count and the BPE token count after applying the
+    learned merges in training order.
+
+    Scale shape mirrors training's word-frequency trick: merges apply to
+    the DISTINCT-WORD table only (one Arrow-batched pass over O(vocab)
+    rows, folding the K merges greedily left-to-right per word — the
+    exact segmentation training produced), and documents get their token
+    counts back through a word→n_tokens join + per-doc sum. The merge
+    table itself is K rows collected to the driver (K = vocabulary
+    hyperparameter, not data size). No SQL oracle — greedy merge
+    application isn't SQL-expressible — rows-only check; exactness is
+    pinned by the pytest comparing against the independent pure-Python
+    BPE's segmentation."""
+    import pandas as pd
+
+    merges = [(r.left, r.right)
+              for r in q_bpe_train(spark, sf_dir)
+              .orderBy("merge_no").collect()]
+
+    docs = load(spark, sf_dir, "documents")
+    doc_words = (docs.select("doc_id",
+                             F.explode(F.split("text", r"\s+")).alias("w"))
+                 .where(F.col("w") != ""))
+    vocab = doc_words.groupBy("w").agg(F.count("*").alias("cnt"))
+
+    def tokenize(batches, merges=merges):
+        for pdf in batches:
+            counts = []
+            for w in pdf["w"]:
+                s = list(w)
+                for a, b in merges:
+                    res, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                counts.append(len(s))
+            yield pd.DataFrame({"w": pdf["w"], "n_tok": counts})
+
+    word_tokens = vocab.select("w").mapInPandas(tokenize, "w string, n_tok int")
+    return (doc_words.join(word_tokens, "w")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_tok").alias("n_tokens")))
+
+
 CHUNK_SIZE = 200   # chars per chunk
 CHUNK_STRIDE = 150  # overlap = CHUNK_SIZE - CHUNK_STRIDE
 
@@ -468,6 +521,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_sample_per_group": q_sample_per_group,
+    "q_tokenize_apply": q_tokenize_apply,
     "q_sample_temperature": q_sample_temperature,
     "q_dedup_paragraph": q_dedup_paragraph,
     "q_train_test_split": q_train_test_split,

@@ -44,6 +44,11 @@ _MIN_DATE_SQL = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
 # O(metadata) instead of O(data).
 _SHARED: dict[str, dict] = {}
 _SEQ = itertools.count()
+# Process-unique token for streaming run/checkpoint scratch dirs: the
+# scratch base is STABLE across processes (/tmp/tvx-scratch or the cluster
+# conf), so a bare sequence number can collide with a previous process's
+# checkpoint — availableNow would then see "no new data" and emit nothing.
+_RUN = __import__("uuid").uuid4().hex[:8]
 
 
 def _engine(spark: SparkSession) -> VersionedEngine:
@@ -483,7 +488,7 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                          partition_columns=["event_date"])
         dst = eng.definition("vx.events_replica").location
         src = eng.definition("vx.events_base").location
-        ckpt = scratch_dir(spark, f"stream-sink-ckpt-{next(_SEQ)}")
+        ckpt = scratch_dir(spark, f"stream-sink-ckpt-{_RUN}-{next(_SEQ)}")
         q = (spark.readStream.format("tvx").option("location", src).load()
              .writeStream.format("tvx").option("location", dst)
              .option("txnApp", "events-replication")
@@ -557,7 +562,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (load_events(spark, sf_dir)
              .select("event_id", "ts", "event_type", "value")
              .write.mode("overwrite").parquet(src))
-        run = scratch_dir(spark, f"stream-win-run-{tag}-{next(_SEQ)}")
+        run = scratch_dir(spark, f"stream-win-run-{tag}-{_RUN}-{next(_SEQ)}")
         stream = (spark.readStream
                   .schema("event_id bigint, ts timestamp, event_type string, "
                           "value double")
@@ -609,7 +614,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src, exist_ok=True)
         shutil.copy(os.path.join(tmp, part), os.path.join(src, "f1.parquet"))
         shutil.copy(os.path.join(tmp, part), os.path.join(src, "f2.parquet"))
-    run = scratch_dir(spark, f"stream-dedup-run-{tag}-{next(_SEQ)}")
+    run = scratch_dir(spark, f"stream-dedup-run-{tag}-{_RUN}-{next(_SEQ)}")
     stream = (spark.readStream
               .schema("event_id bigint, user_id bigint, "
                       "event_type string, value double")
@@ -672,7 +677,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         "inner").select("purchase_id", "user_id", "view_id")
-    run = scratch_dir(spark, f"stream-join-run-{tag}-{next(_SEQ)}")
+    run = scratch_dir(spark, f"stream-join-run-{tag}-{_RUN}-{next(_SEQ)}")
     q = (joined.writeStream.format("parquet")
          .option("path", os.path.join(run, "out"))
          .option("checkpointLocation", os.path.join(run, "ckpt"))

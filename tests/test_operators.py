@@ -78,7 +78,8 @@ class TestRegistry:
         # exactly the algorithm-specific ops may omit an oracle
         assert rows_only == {"q_agg_approx_distinct",
                              "q_dedup_minhash", "q_dedup_simhash",
-                             "q_approx_quantile", "q_bpe_train"}
+                             "q_approx_quantile", "q_bpe_train",
+                             "q_tokenize_apply"}
 
     @pytest.mark.parametrize("name", sorted(entrymod.queries()))
     def test_query_runs(self, spark, sf_small, registry, name):
@@ -456,4 +457,49 @@ class TestBpeTrain:
                         res.append(s[i])
                         i += 1
                 vocab[w] = res
+        assert got == expected
+
+    def test_tokenize_apply_matches_reference_segmentation(self, spark,
+                                                           sf_small):
+        """Applying the learned merges must reproduce the reference
+        implementation's per-document token counts exactly (the trained
+        vocabulary after BPE_MERGES rounds, greedy in-order application)."""
+        import re
+
+        import duckdb
+
+        from table_versions_spark.operators.text import (
+            BPE_MERGES,
+            q_bpe_train,
+            q_tokenize_apply,
+        )
+
+        merges = [(r.left, r.right)
+                  for r in q_bpe_train(spark, sf_small)
+                  .orderBy("merge_no").collect()]
+        assert len(merges) == BPE_MERGES
+
+        def apply(word: str) -> int:
+            s = list(word)
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            return len(s)
+
+        expected = {}
+        for doc_id, text in duckdb.sql(
+                f"SELECT doc_id, text FROM "
+                f"read_parquet('{sf_small}/documents.parquet')").fetchall():
+            words = [w for w in re.split(r"\s+", text, flags=re.ASCII) if w]
+            expected[doc_id] = (len(words), sum(apply(w) for w in words))
+
+        got = {r.doc_id: (r.n_words, r.n_tokens)
+               for r in q_tokenize_apply(spark, sf_small).collect()}
         assert got == expected
