@@ -38,6 +38,9 @@ EXPECTED: dict[str, set[str]] = {
     # single-row broadcast scalar (corpus token total for the unigram LM)
     # crossed into the vocabulary side — 1-row build, optimal plan
     "q_lm_score": {"bnlj"},
+    # single-row broadcast scalar (Σ sqrt(count) normalizer) crossed into
+    # the per-group quota table — 1-row build, optimal plan
+    "q_sample_temperature": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},
