@@ -75,6 +75,8 @@ from .core.model import (
     latest_snapshot_table_version,
 )
 from .core.paths import path_for
+
+_DV_DIR = "_dv"  # deletion-vector sidecar dir inside a version dir
 from .core.storage import DEFAULT_STORAGE, Storage
 
 _PARTITION_DIR_MARKER = "="
@@ -623,15 +625,33 @@ class VersionedEngine:
                             drop_partitions=drop)
 
     def delete(self, table: TableName | str, predicate: str, user_id: str,
-               message: str) -> CommitResult:
-        """Row-level delete: rewrite only partitions that contain matching
-        rows, dropping them, as a fresh version; a partition with no matches
-        keeps its current version untouched. Old versions remain
-        time-travelable until ``vacuum`` (the reference offers no row-level
-        operations at all)."""
+               message: str, mode: str = "rewrite") -> CommitResult:
+        """Row-level delete. Old versions remain time-travelable until
+        ``vacuum`` (the reference offers no row-level operations at all).
+
+        ``mode="rewrite"`` (default): rewrite only partitions that contain
+        matching rows, dropping them, as a fresh version; a partition with
+        no matches keeps its current version untouched; a partition
+        emptied by the delete is dropped in the same commit.
+
+        ``mode="dv"`` (deletion vectors — Delta DV shape): ZERO data
+        rewrite. Each affected partition gets a fresh version dir whose
+        data files are hardlinks of the previous version's, plus a
+        ``_dv/`` parquet sidecar recording the deleted ``(file,
+        row_index)`` positions; reads anti-join the vector out. The write
+        cost is O(deleted positions) + metadata — the right mode when
+        deleting a sliver of a TB-scale partition (GDPR erasure, spot
+        corrections); prefer ``rewrite`` (or run ``compact``, which
+        materializes vectors away) once vectors accumulate. A partition
+        whose every row is deleted stays present with zero live rows
+        (unlike ``rewrite``, which drops it)."""
         from pyspark.sql import functions as F
 
-        defn, _ = self._log(table)
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+        defn, log = self._log(table)
+        if mode == "dv":
+            return self._delete_dv(defn, log, predicate, user_id, message)
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
@@ -661,6 +681,134 @@ class VersionedEngine:
         remaining = scoped.where(~cond)
         return self._insert(remaining, table, user_id, message,
                             drop_partitions=affected)
+
+    def _delete_dv(self, defn: TableDefinition, log: FileTableVersions,
+                   predicate: str, user_id: str,
+                   message: str) -> CommitResult:
+        """Deletion-vector delete (see :meth:`delete` ``mode="dv"``).
+
+        One metadata-scan job finds matching positions (existing vectors
+        already applied, so a twice-deleted row is recorded once); only
+        partition KEYS and per-partition counts come to the driver. The
+        new vector = old vector ∪ new positions, written distributed
+        (one ``partitionBy`` job), then each affected partition's new
+        version dir is hardlinked and committed with footer stats whose
+        row counts are adjusted by the vector size — ``table_stats``
+        stays exact without scanning."""
+        from pyspark.sql import functions as F
+
+        from .core.model import escape_partition_value as esc
+
+        if defn.format != "parquet":
+            raise ValueError(
+                "delete(mode='dv') requires parquet (positions use the "
+                "parquet _metadata.row_index column); use mode='rewrite'")
+        pcols = list(defn.partition_schema.columns)
+        state = log.current_version(defn.name)
+        if defn.is_snapshot:
+            if state.version == UNVERSIONED:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            dirs = {None: path_for(defn.location, state.version)}
+        else:
+            dirs = {p: os.path.join(defn.location, p.render(), v.label)
+                    for p, v in state.partition_versions.items()}
+            if not dirs:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+        reader = self.spark.read.format(defn.format)
+        if defn.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        paths = sorted(dirs.values())
+        scan = (reader.option("basePath", defn.location).load(paths)
+                if pcols else reader.load(paths))
+        scan = self._with_dv_keys(scan)
+        # apply existing vectors so already-deleted rows don't re-match,
+        # and the logical-name mapping so the predicate resolves
+        old_dvs = self._dv_dirs(paths)
+        if old_dvs:
+            scan = scan.join(self._dv_frame(old_dvs),
+                             ["__dv_dir", "__dv_file", "__dv_idx"],
+                             "left_anti")
+        scan = self._apply_mapping(defn, scan)
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        matched = (scan.where(cond)
+                   .select(*pcols, F.col("__dv_file").alias("file"),
+                           F.col("__dv_idx").alias("idx")))
+        version = Version.generate()
+        if defn.is_snapshot:
+            counts = matched.groupBy().count().collect()
+            n_del = int(counts[0]["count"]) if counts else 0
+            if n_del == 0:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            new_dir = path_for(defn.location, version)
+            _link_data_files(dirs[None], new_dir, self.storage)
+            merged = matched.select("file", "idx")
+            if old_dvs:
+                merged = merged.unionByName(
+                    self.spark.read.parquet(
+                        *[os.path.join(d, _DV_DIR) for d in old_dvs])
+                    .select("file", "idx")).distinct()
+            merged.write.mode("overwrite").parquet(
+                os.path.join(new_dir, _DV_DIR))
+            dv_total = merged.count()
+            payload = _collect_version_stats(
+                new_dir, self.storage, bloom_columns=defn.bloom_columns)
+            stats = {}
+            if payload:
+                payload["rows"] = max(payload["rows"] - dv_total, 0)
+                stats[version.label] = payload
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message),
+                (AddTableVersion(version),), stats=stats or None))
+        # partitioned: bounded driver state — partition keys + counts only
+        per_part = {tuple(r[c] for c in pcols): int(r["n"])
+                    for r in matched.groupBy(*pcols)
+                    .agg(F.count("*").alias("n")).collect()}
+        if not per_part:
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message), ()))
+        renders = {key: "/".join(f"{c}={esc(v)}"
+                                 for c, v in zip(pcols, key))
+                   for key in per_part}
+        affected = {key: Partition.parse(r) for key, r in renders.items()}
+        # merge in the affected partitions' existing vectors (attributed
+        # back to their partition values) and write ONE partitionBy job
+        merged = matched
+        for key, part in affected.items():
+            old = os.path.join(dirs[part], _DV_DIR)
+            if self.storage.exists(old):
+                prev = self.spark.read.parquet(old).select("file", "idx")
+                for c, v in zip(pcols, key):
+                    prev = prev.withColumn(c, F.lit(v))
+                merged = merged.unionByName(prev.select(*matched.columns))
+        staging = os.path.join(defn.location,
+                               f"_dv_staging-{version.label}")
+        (merged.distinct().repartition(*[F.col(c) for c in pcols])
+         .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
+        ops, stats = [], {}
+        try:
+            for key, part in sorted(affected.items(),
+                                    key=lambda kv: kv[1].render()):
+                render = renders[key]
+                new_dir = os.path.join(defn.location, render, version.label)
+                _link_data_files(dirs[part], new_dir, self.storage)
+                staged = os.path.join(staging, render)
+                dv_dst = os.path.join(new_dir, _DV_DIR)
+                self.storage.publish_dir(staged, dv_dst)
+                dv_total = self.spark.read.parquet(dv_dst).count()
+                ops.append(AddPartitionVersion(part, version))
+                payload = _collect_version_stats(
+                    new_dir, self.storage, bloom_columns=defn.bloom_columns)
+                if payload:
+                    payload["rows"] = max(payload["rows"] - dv_total, 0)
+                    stats[os.path.join(render, version.label)] = payload
+        finally:
+            self.storage.remove_tree(staging)
+        return self._commit(defn, log, TableUpdate(
+            TableUpdateMetadata.create(user_id, message), tuple(ops),
+            stats=stats or None))
 
     def update(self, table: TableName | str, set: dict[str, str],
                predicate: str, user_id: str, message: str) -> CommitResult:
@@ -1047,15 +1195,16 @@ class VersionedEngine:
             if stats_filter and _stats_exclude(
                     smap.get(state.version.label), stats_filter):
                 return self._empty(defn)
+            dv_dirs = self._dv_dirs([sdir])
             if bucket_filter:
                 files = self._bucket_filter_files(defn, [sdir], bucket_filter)
-                return self._read_files(defn, files)
+                return self._read_files(defn, files, dv_dirs)
             if stats_filter:
                 pruned = self._stats_prune_files(
                     defn, {state.version.label: sdir}, smap, stats_filter)
                 if pruned is not None:
-                    return self._read_files(defn, pruned)
-            return reader.load(sdir)
+                    return self._read_files(defn, pruned, dv_dirs)
+            return self._apply_dvs(reader.load(sdir), dv_dirs)
         partitions = state.partition_versions
         if partition_filter:
             unknown = set(partition_filter) - set(defn.partition_schema.columns)
@@ -1080,18 +1229,20 @@ class VersionedEngine:
                  for p, v in sorted(partitions.items())]
         if not paths:
             return self._empty(defn)
+        dv_dirs = self._dv_dirs(paths)
         if bucket_filter:
             files = self._bucket_filter_files(defn, paths, bucket_filter)
-            return self._read_files(defn, files)
+            return self._read_files(defn, files, dv_dirs)
         if stats_filter:
             rels = {f"{p.render()}/{v.label}":
                     os.path.join(defn.location, p.render(), v.label)
                     for p, v in sorted(partitions.items())}
             pruned = self._stats_prune_files(defn, rels, smap, stats_filter)
             if pruned is not None:
-                return self._read_files(defn, pruned)
-        return self._declared_types(
-            reader.option("basePath", defn.location).load(paths), defn)
+                return self._read_files(defn, pruned, dv_dirs)
+        return self._declared_types(self._apply_dvs(
+            reader.option("basePath", defn.location).load(paths), dv_dirs),
+            defn)
 
     def _stats_prune_files(self, defn: TableDefinition,
                            rel_dirs: dict[str, str], smap: dict,
@@ -1153,8 +1304,9 @@ class VersionedEngine:
             reader = reader.option("mergeSchema", "true")
         if isinstance(after, SnapshotTableVersion):
             if any(isinstance(op, UpdateTableVersion) for op in changes.operations):
-                return self._apply_mapping(
-                    eff, reader.load(path_for(defn.location, after.version)))
+                sdir = path_for(defn.location, after.version)
+                return self._apply_mapping(eff, self._apply_dvs(
+                    reader.load(sdir), self._dv_dirs([sdir])))
             return self._empty(defn)
         touched = sorted(
             os.path.join(defn.location, op.partition.render(), op.version.label)
@@ -1162,8 +1314,9 @@ class VersionedEngine:
             if isinstance(op, (AddPartition, UpdatePartitionVersion)))
         if not touched:
             return self._empty(defn)
-        return self._apply_mapping(eff, self._declared_types(
-            reader.option("basePath", defn.location).load(touched), defn))
+        return self._apply_mapping(eff, self._declared_types(self._apply_dvs(
+            reader.option("basePath", defn.location).load(touched),
+            self._dv_dirs(touched)), defn))
 
     def _commit_mapping_change(self, defn: TableDefinition, new_ddl: str,
                                new_mapping: tuple, new_dropped: tuple,
@@ -1538,14 +1691,70 @@ class VersionedEngine:
                 f"bucket_filter must cover exactly the bucket columns "
                 f"{list(defn.bucket_columns)}, got {sorted(bucket_filter)}")
 
-    def _read_files(self, defn: TableDefinition, files: list[str]) -> DataFrame:
+    def _read_files(self, defn: TableDefinition, files: list[str],
+                    dv_dirs: list[str] | None = None) -> DataFrame:
         if not files:
             return self._empty(defn)
         reader = self.spark.read.format(defn.format)
         if defn.merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return self._declared_types(
-            reader.option("basePath", defn.location).load(files), defn)
+        return self._declared_types(self._apply_dvs(
+            reader.option("basePath", defn.location).load(files),
+            dv_dirs or []), defn)
+
+    def _dv_dirs(self, dirs: list[str]) -> list[str]:
+        """Version dirs among ``dirs`` carrying a deletion vector. One
+        storage-existence probe per selected dir — the same order of driver
+        metadata work as Spark's own file listing; a table that never used
+        dv-mode deletes pays only the probes."""
+        return [d for d in dirs
+                if self.storage.exists(os.path.join(d, _DV_DIR))]
+
+    def _dv_frame(self, dv_dirs: list[str]) -> DataFrame:
+        """(__dv_dir, __dv_file, __dv_idx) rows of the given dirs' vectors.
+        The owning version dir is derived from each DV file's own
+        ``_metadata.file_path`` (strip ``/_dv/<file>``) — no naming
+        assumptions about data files, which are NOT unique across
+        partition dirs (one partitionBy job reuses part-NNNNN-<uuid>
+        names in every partition it writes)."""
+        from pyspark.sql import functions as F
+
+        dv = self.spark.read.parquet(
+            *[os.path.join(d, _DV_DIR) for d in dv_dirs])
+        return (dv.select(
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             f"/{_DV_DIR}/[^/]+$", "").alias("__dv_dir"),
+            F.col("file").alias("__dv_file"),
+            F.col("idx").alias("__dv_idx")).distinct())
+
+    @staticmethod
+    def _with_dv_keys(df: DataFrame) -> DataFrame:
+        """Attach (__dv_dir, __dv_file, __dv_idx) join keys to a file-source
+        scan from its ``_metadata`` column."""
+        from pyspark.sql import functions as F
+
+        fp = F.col("_metadata.file_path")
+        return (df
+                .withColumn("__dv_dir",
+                            F.regexp_replace(fp, "/[^/]+$", ""))
+                .withColumn("__dv_file",
+                            F.element_at(F.split(fp, "/"), -1))
+                .withColumn("__dv_idx", F.col("_metadata.row_index")))
+
+    def _apply_dvs(self, df: DataFrame, dv_dirs: list[str]) -> DataFrame:
+        """Filter out rows recorded in the selected dirs' deletion vectors
+        (Delta DV shape — zero-rewrite row deletes). Positions are
+        ``(version dir, file, row_index)`` — the dir qualifier comes from
+        file metadata on both sides, so identically-named files in
+        different partition dirs can never cross-match. The DV side
+        scales with deleted rows, not table size; AQE broadcasts it when
+        small."""
+        if not dv_dirs:
+            return df
+        return (self._with_dv_keys(df)
+                .join(self._dv_frame(dv_dirs),
+                      ["__dv_dir", "__dv_file", "__dv_idx"], "left_anti")
+                .drop("__dv_dir", "__dv_file", "__dv_idx"))
 
     def sync_cloud_catalog(self, table: TableName | str, client) -> int:
         """Point a Glue-style cloud catalog at the current versioned

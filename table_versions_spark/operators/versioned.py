@@ -180,6 +180,24 @@ def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level delete via DELETION VECTORS (engine.delete(mode="dv"),
+    Delta DV shape): the same 'error'-purge as q_delete, but with ZERO
+    data rewrite — affected partitions get a fresh version dir that
+    hardlinks the previous files and carries a ``_dv/`` sidecar of
+    deleted (file, row_index) positions; reads anti-join the vector out.
+    The oracle is identical to q_delete's, proving the two delete modes
+    agree row-for-row; the plans differ completely (rewrite vs
+    O(deleted-positions) metadata commit — the mode a TB-scale partition
+    wants for a sliver-sized purge)."""
+    st = _shared(spark, sf_dir)
+    table = _clone_base(st)
+    st["eng"].delete(table, "event_type = 'error'", "tester",
+                     "purge errors via dv", mode="dv")
+    return st["eng"].read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (engine.update, Delta ``UPDATE ... SET ... WHERE``):
     'error' events get value doubled and their type rewritten, in one
@@ -876,6 +894,7 @@ QUERIES = {
     "q_partition_prune": q_partition_prune,
     "q_upsert": q_upsert,
     "q_delete": q_delete,
+    "q_delete_dv": q_delete_dv,
     "q_update": q_update,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
@@ -1010,6 +1029,10 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, CAST(ts AS DATE) AS event_date "
         f"FROM events WHERE CAST(ts AS DATE) <> {_MIN_DATE_SQL}"),
     "q_delete": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "WHERE event_type <> 'error'"),
+    "q_delete_dv": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),

@@ -371,6 +371,16 @@ def _dir_batches(directory: str, partition, pa_schema,
                 pvals[cv.column] = _cast_partition_value(
                     unescape_partition_value(cv.value),
                     ptypes.get(cv.column, "string"))
+    # deletion vectors (engine delete(mode="dv")): positions recorded in
+    # the dir's _dv sidecar are masked out per file, same semantics as the
+    # engine read path's anti-join
+    dv_by_file: dict[str, set[int]] = {}
+    dv_dir = os.path.join(directory, "_dv")
+    if os.path.isdir(dv_dir):
+        dv_tbl = pq.read_table(dv_dir, columns=["file", "idx"])
+        for f, i in zip(dv_tbl.column("file").to_pylist(),
+                        dv_tbl.column("idx").to_pylist()):
+            dv_by_file.setdefault(f, set()).add(i)
     declared = set(pa_schema.names)
     for fname in sorted(os.listdir(directory)):
         path = os.path.join(directory, fname)
@@ -383,6 +393,12 @@ def _dir_batches(directory: str, partition, pa_schema,
         else:
             present = [n for n in pq.read_schema(path).names if n in declared]
             table = pq.read_table(path, columns=present)
+        if fname in dv_by_file:
+            import numpy as np
+
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[list(dv_by_file[fname])] = False
+            table = table.filter(pa.array(mask))
         n = table.num_rows
         columns = []
         for field in pa_schema:

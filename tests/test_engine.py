@@ -1648,3 +1648,86 @@ class TestRestore:
         engine.restore("db.rs4", r1.commit_id)
         assert [r["id"] for r in engine.read(
             "db.rs4", at_commit=r2.commit_id).collect()] == [2]
+
+
+class TestDeletionVectors:
+    def test_dv_delete_matches_rewrite_semantics(self, spark, engine):
+        """mode='dv' removes exactly the predicate-TRUE rows (NULL kept),
+        with ZERO data-file rewrite: the new version dir hardlinks the old
+        files byte-identically, deletes live only in the _dv sidecar."""
+        import os
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("dv.t", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, None, "a"), (3, 3.0, "a"), (4, 4.0, "b")],
+            ddl), "dv.t", "u", "v1")
+        old_files = {os.path.basename(f)
+                     for f in engine.read("dv.t").inputFiles()}
+        r = engine.delete("dv.t", "v < 3", "u", "dv delete", mode="dv")
+        got = sorted((x.id, x.d) for x in engine.read("dv.t").collect())
+        # id=1 (v=1.0) deleted; id=2 (NULL) kept — SQL semantics
+        assert got == [(2, "a"), (3, "a"), (4, "b")]
+        new_files = {os.path.basename(f)
+                     for f in engine.read("dv.t").inputFiles()
+                     if "/_dv/" not in f}  # inputFiles lists the DV scan too
+        assert new_files == old_files  # same physical data files
+        # untouched partition b keeps its version
+        parts = engine.current_version("dv.t").partition_versions
+        from table_versions_spark.core.model import Partition
+        labels = {p.render(): v.label for p, v in parts.items()}
+        assert labels["d=a"] != labels["d=b"]
+        # time travel to pre-delete shows everything
+        pre = engine.history("dv.t").collect()[-2]["commit_id"]
+        assert engine.read("dv.t", at_commit=pre).count() == 4
+        # log-only ANALYZE stays exact (rows adjusted by the vector)
+        assert engine.table_stats("dv.t")["rows"] == 3
+
+    def test_dv_deletes_stack_and_compact_materializes(self, spark, engine):
+        import os
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("dv.s", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(i, float(i), "a") for i in range(10)], ddl), "dv.s", "u", "v1")
+        engine.delete("dv.s", "id < 3", "u", "dv1", mode="dv")
+        engine.delete("dv.s", "id >= 8", "u", "dv2", mode="dv")
+        got = sorted(x.id for x in engine.read("dv.s").collect())
+        assert got == [3, 4, 5, 6, 7]
+        assert engine.table_stats("dv.s")["rows"] == 5
+        # compact rewrites through the DV-applied read: vectors vanish
+        engine.compact("dv.s")
+        assert sorted(x.id for x in engine.read("dv.s").collect()) == got
+        cur_dir = os.path.dirname(engine.read("dv.s").inputFiles()[0])
+        if cur_dir.startswith("file:"):
+            cur_dir = cur_dir[len("file:"):]
+        assert not os.path.isdir(os.path.join(cur_dir, "_dv"))
+
+    def test_dv_snapshot_and_tvx_source_parity(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("dv.sn", schema_ddl="id bigint, name string")
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id bigint, name string"),
+            "dv.sn", "u", "v1")
+        engine.delete("dv.sn", "id = 2", "u", "dv", mode="dv")
+        assert sorted(r.id for r in engine.read("dv.sn").collect()) == [1, 3]
+        # the tvx data source applies the vector too
+        register(spark)
+        loc = engine.definition("dv.sn").location
+        via_tvx = sorted(r.id for r in spark.read.format("tvx")
+                         .option("location", loc).load().collect())
+        assert via_tvx == [1, 3]
+        # CDF read of the dv commit carries only live rows
+        pre = engine.history("dv.sn").collect()[1]["commit_id"]
+        changed = engine.read_changes("dv.sn", since_commit=pre)
+        assert sorted(r.id for r in changed.collect()) == [1, 3]
+
+    def test_dv_rejected_on_orc(self, spark, engine):
+        import pytest as _pytest
+
+        engine.create_table("dv.orc", schema_ddl="id bigint", format="orc")
+        engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                      "dv.orc", "u", "v1")
+        with _pytest.raises(ValueError, match="parquet"):
+            engine.delete("dv.orc", "id = 1", "u", "x", mode="dv")
