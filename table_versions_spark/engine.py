@@ -810,8 +810,165 @@ class VersionedEngine:
             TableUpdateMetadata.create(user_id, message), tuple(ops),
             stats=stats or None))
 
+    def _update_dv(self, defn: TableDefinition, log: FileTableVersions,
+                   set: dict[str, str], predicate: str, user_id: str,
+                   message: str) -> CommitResult:
+        """Deletion-vector UPDATE (see :meth:`update` ``mode="dv"``): mask
+        the matched rows' old positions with a vector and write ONLY the
+        updated rows as new files into the hardlinked new version dir —
+        unmatched rows are never rewritten. One scan job finds positions
+        and computes the updated payload; only partition keys/counts reach
+        the driver."""
+        from pyspark.sql import functions as F
+
+        from .core.model import escape_partition_value as esc
+
+        if defn.format != "parquet":
+            raise ValueError(
+                "update(mode='dv') requires parquet (positions use the "
+                "parquet _metadata.row_index column); use mode='rewrite'")
+        pcols = list(defn.partition_schema.columns)
+        state = log.current_version(defn.name)
+        if defn.is_snapshot:
+            if state.version == UNVERSIONED:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            dirs = {None: path_for(defn.location, state.version)}
+        else:
+            dirs = {p: os.path.join(defn.location, p.render(), v.label)
+                    for p, v in state.partition_versions.items()}
+            if not dirs:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+        reader = self.spark.read.format(defn.format)
+        if defn.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        paths = sorted(dirs.values())
+        scan = (reader.option("basePath", defn.location).load(paths)
+                if pcols else reader.load(paths))
+        scan = self._with_dv_keys(scan)
+        old_dvs = self._dv_dirs(paths)
+        if old_dvs:
+            scan = scan.join(self._dv_frame(old_dvs),
+                             ["__dv_dir", "__dv_file", "__dv_idx"],
+                             "left_anti")
+        scan = self._apply_mapping(defn, scan)
+        data_cols = [c for c in scan.columns
+                     if not c.startswith("__dv_")]
+        unknown = [c for c in set if c not in data_cols]
+        if unknown:
+            raise ValueError(f"Unknown column(s) in SET: {unknown}")
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        matched = scan.where(cond)
+        # updated payload: every assignment against the OLD row, then
+        # logical→physical names for the file write
+        to_phys = dict(defn.column_mapping)
+        updated = matched.select(*[
+            (F.expr(set[c]) if c in set else F.col(c))
+            .alias(to_phys.get(c, c)) for c in data_cols])
+        positions = matched.select(
+            *pcols, F.col("__dv_file").alias("file"),
+            F.col("__dv_idx").alias("idx"))
+        version = Version.generate()
+        # partition columns are never renameable (_guard_structural_column),
+        # so their logical and physical names coincide — dir renders match
+        # the partitionBy output directly
+
+        def _move_data_files(staged_dir: str, dst_dir: str) -> None:
+            for f in sorted(self.storage.list_dir(staged_dir)):
+                if f.startswith((".", "_")):
+                    continue
+                self.storage.link_or_copy(os.path.join(staged_dir, f),
+                                          os.path.join(dst_dir, f))
+
+        if defn.is_snapshot:
+            n = positions.count()
+            if n == 0:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            new_dir = path_for(defn.location, version)
+            _link_data_files(dirs[None], new_dir, self.storage)
+            upd_staging = os.path.join(defn.location,
+                                       f"_upd_staging-{version.label}")
+            try:
+                updated.write.mode("overwrite").parquet(upd_staging)
+                _move_data_files(upd_staging, new_dir)
+            finally:
+                self.storage.remove_tree(upd_staging)
+            merged = positions.select("file", "idx")
+            if old_dvs:
+                merged = merged.unionByName(
+                    self.spark.read.parquet(
+                        *[os.path.join(d, _DV_DIR) for d in old_dvs])
+                    .select("file", "idx")).distinct()
+            merged.write.mode("overwrite").parquet(
+                os.path.join(new_dir, _DV_DIR))
+            dv_total = self.spark.read.parquet(
+                os.path.join(new_dir, _DV_DIR)).count()
+            payload = _collect_version_stats(
+                new_dir, self.storage, bloom_columns=defn.bloom_columns)
+            stats = {}
+            if payload:
+                payload["rows"] = max(payload["rows"] - dv_total, 0)
+                stats[version.label] = payload
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message),
+                (AddTableVersion(version),), stats=stats or None))
+        per_part = {tuple(r[c] for c in pcols): int(r["n"])
+                    for r in positions.groupBy(*pcols)
+                    .agg(F.count("*").alias("n")).collect()}
+        if not per_part:
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message), ()))
+        renders = {key: "/".join(f"{c}={esc(v)}"
+                                 for c, v in zip(pcols, key))
+                   for key in per_part}
+        affected = {key: Partition.parse(r) for key, r in renders.items()}
+        merged = positions
+        for key, part in affected.items():
+            old = os.path.join(dirs[part], _DV_DIR)
+            if self.storage.exists(old):
+                prev = self.spark.read.parquet(old).select("file", "idx")
+                for c, v in zip(pcols, key):
+                    prev = prev.withColumn(c, F.lit(v))
+                merged = merged.unionByName(prev.select(*positions.columns))
+        dv_staging = os.path.join(defn.location,
+                                  f"_dv_staging-{version.label}")
+        upd_staging = os.path.join(defn.location,
+                                   f"_upd_staging-{version.label}")
+        ops, stats = [], {}
+        try:
+            (merged.distinct().repartition(*[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols).mode("overwrite").parquet(dv_staging))
+            (updated.repartition(*[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols).mode("overwrite")
+             .parquet(upd_staging))
+            for key, part in sorted(affected.items(),
+                                    key=lambda kv: kv[1].render()):
+                render = renders[key]
+                new_dir = os.path.join(defn.location, render, version.label)
+                _link_data_files(dirs[part], new_dir, self.storage)
+                _move_data_files(os.path.join(upd_staging, render), new_dir)
+                dv_dst = os.path.join(new_dir, _DV_DIR)
+                self.storage.publish_dir(os.path.join(dv_staging, render),
+                                         dv_dst)
+                dv_total = self.spark.read.parquet(dv_dst).count()
+                ops.append(AddPartitionVersion(part, version))
+                payload = _collect_version_stats(
+                    new_dir, self.storage, bloom_columns=defn.bloom_columns)
+                if payload:
+                    payload["rows"] = max(payload["rows"] - dv_total, 0)
+                    stats[os.path.join(render, version.label)] = payload
+        finally:
+            self.storage.remove_tree(dv_staging)
+            self.storage.remove_tree(upd_staging)
+        return self._commit(defn, log, TableUpdate(
+            TableUpdateMetadata.create(user_id, message), tuple(ops),
+            stats=stats or None))
+
     def update(self, table: TableName | str, set: dict[str, str],
-               predicate: str, user_id: str, message: str) -> CommitResult:
+               predicate: str, user_id: str, message: str,
+               mode: str = "rewrite") -> CommitResult:
         """Row-level UPDATE (Delta ``UPDATE ... SET ... WHERE`` shape): rows
         matching ``predicate`` get each ``set`` column replaced by its SQL
         expression (evaluated against the pre-update row, all assignments
@@ -821,14 +978,25 @@ class VersionedEngine:
         unchanged (SQL semantics). Partition columns cannot be assigned —
         that would move rows across partitions (use delete+insert, the
         same restriction most engines place on UPDATE of partition keys).
+
+        ``mode="dv"``: like :meth:`delete` dv-mode, the unmatched rows are
+        never rewritten — the new version dir hardlinks the previous
+        files, a ``_dv/`` sidecar masks the matched rows' old positions,
+        and ONLY the updated rows are written as new files into the same
+        dir. Write cost is O(matched rows) + metadata; parquet only.
         """
         from pyspark.sql import functions as F
 
-        defn, _ = self._log(table)
+        defn, log = self._log(table)
         pcols = list(defn.partition_schema.columns)
         bad = [c for c in set if c in pcols]
         if bad:
             raise ValueError(f"Cannot UPDATE partition column(s) {bad}")
+        if mode not in ("rewrite", "dv"):
+            raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+        if mode == "dv":
+            return self._update_dv(defn, log, set, predicate, user_id,
+                                   message)
         current = self.read(table)
         unknown = [c for c in set if c not in current.columns]
         if unknown:

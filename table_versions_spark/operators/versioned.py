@@ -215,6 +215,25 @@ def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE via DELETION VECTORS (engine.update(mode="dv")):
+    the same rewrite as q_update, but unmatched rows are never rewritten —
+    matched rows' old positions go into the ``_dv/`` sidecar and only the
+    updated rows are written as new files into the hardlinked version
+    dir. Oracle identical to q_update's: both modes must agree
+    row-for-row."""
+    st = _shared(spark, sf_dir)
+    table = _clone_base(st)
+    st["eng"].update(table,
+                     set={"value": "value * 2",
+                          "event_type": "concat('was_', event_type)"},
+                     predicate="event_type = 'error'",
+                     user_id="tester", message="dv reclassify errors",
+                     mode="dv")
+    return st["eng"].read(table).select(
+        "event_id", "user_id", "event_type", "value", "event_date")
+
+
 def q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General MERGE into a partitioned versioned table (engine.merge,
     Delta ``MERGE INTO`` shape): the earliest day's events arrive
@@ -896,6 +915,7 @@ QUERIES = {
     "q_delete": q_delete,
     "q_delete_dv": q_delete_dv,
     "q_update": q_update,
+    "q_update_dv": q_update_dv,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
@@ -1037,6 +1057,12 @@ ORACLES = {
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
     "q_update": (
+        "SELECT event_id, user_id, "
+        "CASE WHEN event_type = 'error' THEN 'was_' || event_type "
+        "ELSE event_type END AS event_type, "
+        "CASE WHEN event_type = 'error' THEN value * 2 ELSE value END "
+        "AS value, CAST(ts AS DATE) AS event_date FROM events"),
+    "q_update_dv": (
         "SELECT event_id, user_id, "
         "CASE WHEN event_type = 'error' THEN 'was_' || event_type "
         "ELSE event_type END AS event_type, "

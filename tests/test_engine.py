@@ -1731,3 +1731,55 @@ class TestDeletionVectors:
                       "dv.orc", "u", "v1")
         with _pytest.raises(ValueError, match="parquet"):
             engine.delete("dv.orc", "id = 1", "u", "x", mode="dv")
+
+    def test_dv_update_writes_only_updated_rows(self, spark, engine):
+        """update(mode='dv'): unmatched rows keep their original files
+        (hardlinks + vector); only updated rows land as new files."""
+        import os
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("dv.u", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b"), (4, None, "a")],
+            ddl), "dv.u", "u", "v1")
+        old_files = {os.path.basename(f)
+                     for f in engine.read("dv.u").inputFiles()}
+        engine.update("dv.u", set={"v": "v * 10"}, predicate="v < 3",
+                      user_id="u", message="dv update", mode="dv")
+        got = sorted((r.id, r.v, r.d) for r in engine.read("dv.u").collect())
+        # NULL predicate leaves id=4 unchanged (SQL semantics)
+        assert got == [(1, 10.0, "a"), (2, 20.0, "a"), (3, 3.0, "b"),
+                       (4, None, "a")]
+        data_files = {os.path.basename(f)
+                      for f in engine.read("dv.u").inputFiles()
+                      if "/_dv/" not in f}
+        assert old_files <= data_files          # originals all still read
+        assert len(data_files) > len(old_files)  # plus the updated-row file
+        # untouched partition b keeps its version; stats stay exact
+        parts = {p.render(): v.label for p, v in
+                 engine.current_version("dv.u").partition_versions.items()}
+        assert parts["d=a"] != parts["d=b"]
+        assert engine.table_stats("dv.u")["rows"] == 4
+        # stacking: dv update after dv update composes
+        engine.update("dv.u", set={"v": "v + 1"}, predicate="id = 1",
+                      user_id="u", message="dv update 2", mode="dv")
+        got = sorted((r.id, r.v) for r in engine.read("dv.u").collect())
+        assert got == [(1, 11.0), (2, 20.0), (3, 3.0), (4, None)]
+        # time travel to before any update
+        pre = engine.history("dv.u").collect()[-2]["commit_id"]
+        assert sorted(r.v for r in engine.read("dv.u", at_commit=pre)
+                      .collect() if r.v is not None) == [1.0, 2.0, 3.0]
+
+    def test_dv_update_snapshot_with_column_mapping(self, spark, engine):
+        """DV update on a snapshot table whose column was renamed: the
+        predicate and SET use logical names, files keep physical names."""
+        engine.create_table("dv.um", schema_ddl="id bigint, v double")
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"), "dv.um", "u", "v1")
+        engine.rename_column("dv.um", "v", "amount")
+        engine.update("dv.um", set={"amount": "amount * 100"},
+                      predicate="id = 2", user_id="u", message="dv",
+                      mode="dv")
+        got = sorted((r.id, r.amount)
+                     for r in engine.read("dv.um").collect())
+        assert got == [(1, 1.0), (2, 200.0)]
