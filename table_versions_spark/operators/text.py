@@ -228,18 +228,22 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE corpus pass tokenizes on whitespace and aggregates ``word →
     count`` (an ordinary word-count shuffle — the only O(corpus) work).
-    Every merge round after that operates on the distinct-word table
-    only, which is vocabulary-sized and corpus-size-independent: (a) a
-    map-side-combined adjacent-pair count over each distinct word's
-    symbol array, *weighted by the word's corpus count* — aggregation
-    state is O(#distinct pairs); (b) a driver argmax over the top row
-    (count desc, pair lexicographic — deterministic); (c) the merge is
-    applied only to vocabulary entries that actually contain the winning
-    pair (JVM-side ``exists`` prefilter), rewriting those few symbol
-    arrays in an Arrow-batched pass while untouched entries flow through
-    unchanged. Per-round scratch materialization keeps lineage O(1)
-    regardless of merge count — at a production ~30k-merge vocabulary the
-    per-round cost is O(vocab), not 30k full-corpus passes.
+    Every merge round after that operates on the distinct-word table and
+    a materialized PAIR-COUNT table, both vocabulary-sized and
+    corpus-size-independent:
+
+    (a) the driver argmax reads the top pair-count row (count desc, pair
+    lexicographic — deterministic); (b) the merge is applied only to
+    vocabulary entries that actually contain the winning pair (JVM-side
+    ``exists`` prefilter), rewriting those few symbol arrays in an
+    Arrow-batched pass while untouched entries flow through unchanged;
+    (c) the pair-count table is updated by DELTAS — the changed words'
+    old pairs are subtracted and their new pairs added, so the per-round
+    shuffle is O(pairs of changed words), not O(vocab). This is what
+    makes a production ~30k-merge vocabulary feasible: rounds touch only
+    the words the previous merge rewrote (Sennrich's incremental
+    pair-statistics trick, distributed). Per-round scratch
+    materialization keeps lineage O(1) regardless of merge count.
 
     Pairs never span word boundaries (the defining property of the
     word-based formulation). Returns the learned merge table. No SQL
@@ -256,6 +260,20 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tag = os.path.basename(os.path.normpath(sf_dir))
+
+    def pair_zip(col="s"):
+        n = F.size(col)
+        m = F.greatest(n - 1, F.lit(0))
+        return F.arrays_zip(F.slice(col, 1, m).alias("a"),
+                            F.slice(col, 2, m).alias("b"))
+
+    def pair_counts(df, sign=1):
+        return (df.where(F.size("s") >= 2)
+                .select((F.col("cnt") * sign).alias("w_cnt"),
+                        F.explode(pair_zip()).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("w_cnt").alias("cnt")))
+
     cur = scratch_dir(spark, f"bpe-{tag}-0")
     # one O(corpus) pass: whitespace word count, then symbolize each
     # distinct word once (chars; a production tokenizer appends an
@@ -267,18 +285,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("transform(sequence(1, length(w)), "
                         "i -> substring(w, i, 1))").alias("s"))
          .write.mode("overwrite").parquet(cur))
+    counts_cur = scratch_dir(spark, f"bpe-counts-{tag}-0")
+    pair_counts(spark.read.parquet(cur)).write.mode("overwrite") \
+        .parquet(counts_cur)
 
     merges = []
     for rnd in range(BPE_MERGES):
         vocab = spark.read.parquet(cur)
-        n = F.size("s")
-        m = F.greatest(n - 1, F.lit(0))
-        zipped = F.arrays_zip(F.slice("s", 1, m).alias("a"),
-                              F.slice("s", 2, m).alias("b"))
-        top = (vocab.where(n >= 2)
-               .select("cnt", F.explode(zipped).alias("p"))
-               .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-               .agg(F.sum("cnt").alias("cnt"))
+        counts = spark.read.parquet(counts_cur)
+        top = (counts.where(F.col("cnt") > 0)
                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
                .first())
         if top is None:
@@ -306,13 +321,32 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         # only vocabulary entries containing (a, b) need rewriting; the
         # rest of the (already small) word table passes through JVM-side
         has_pair = F.exists(
-            zipped, lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
+            pair_zip(), lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)))
+        changed = vocab.where(has_pair)
+        # materialize ONLY the rewritten slice (O(changed)): the Python
+        # merge pass runs once, and the +delta side below reads it back
+        # without re-scanning the vocabulary
+        rew_dir = scratch_dir(spark, f"bpe-rew-{tag}-{rnd % 2}")
+        (changed.mapInPandas(merge_pass,
+                             "w string, cnt bigint, s array<string>")
+         .write.mode("overwrite").parquet(rew_dir))
+        rew = spark.read.parquet(rew_dir)
         nxt = scratch_dir(spark, f"bpe-{tag}-{(rnd + 1) % 2}")
-        (vocab.where(has_pair)
-              .mapInPandas(merge_pass, "w string, cnt bigint, s array<string>")
-              .unionByName(vocab.where(~has_pair))
-              .write.mode("overwrite").parquet(nxt))
-        cur = nxt
+        (rew.unionByName(vocab.where(~has_pair))
+         .write.mode("overwrite").parquet(nxt))
+        # delta update of the pair statistics: subtract the changed
+        # words' old pairs, add their new ones — the shuffle is
+        # O(pairs of changed words), not O(vocab). (The vocab copy above
+        # is still O(vocab) I/O per round — the batch-materialization
+        # price of O(1) lineage; the expensive part, the pair explode +
+        # count shuffle, is what the deltas shrink.)
+        counts_nxt = scratch_dir(spark, f"bpe-counts-{tag}-{(rnd + 1) % 2}")
+        (counts.unionByName(pair_counts(changed, sign=-1))
+         .unionByName(pair_counts(rew, sign=1))
+         .groupBy("a", "b").agg(F.sum("cnt").alias("cnt"))
+         .where(F.col("cnt") > 0)
+         .write.mode("overwrite").parquet(counts_nxt))
+        cur, counts_cur = nxt, counts_nxt
 
     return spark.createDataFrame(
         merges, "merge_no int, left string, right string, "
