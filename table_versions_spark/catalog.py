@@ -91,34 +91,52 @@ def catalog_current_version(spark: SparkSession, catalog_table: str,
     return PartitionedTableVersion(mapping)
 
 
+def _physical_schema_ddl(defn: TableDefinition) -> str:
+    """The declared schema with logical names replaced by the PHYSICAL
+    names data files carry (partition columns are never renameable, so
+    they pass through)."""
+    from .core.model import TableName  # noqa: F401  (doc anchor)
+    from .streaming.source import _schema_fields
+
+    to_phys = dict(defn.column_mapping)
+    return ", ".join(f"{to_phys.get(n, n)} {t}"
+                     for n, t in _schema_fields(defn.schema_ddl))
+
+
 def sync_catalog(spark: SparkSession, defn: TableDefinition,
                  log: FileTableVersions,
                  catalog_table: str | None = None) -> int:
     """Create-if-absent and point the Spark catalog table at the current
     versioned locations. Returns the number of ALTER ops applied.
 
-    Tables using column mapping (``rename_column``/``drop_column``) cannot
-    sync: a vanilla catalog reader resolves parquet columns by PHYSICAL
-    name, so it would surface NULLs for renamed columns and resurrect
-    dropped ones — the same restriction Delta places on column-mapping
-    tables read by plain Hive."""
-    if defn.column_mapping or defn.dropped_columns:
-        raise ValueError(
-            f"{defn.name.fully_qualified_name} uses column mapping "
-            "(renamed/dropped columns); a plain catalog reader cannot "
-            "apply the logical↔physical name translation")
+    Tables using column mapping (``rename_column``/``drop_column``) sync
+    through a VIEW: a vanilla catalog reader resolves parquet columns by
+    PHYSICAL name (it would surface NULLs for renamed columns and
+    resurrect dropped ones), so the partition-location machinery targets
+    a ``<name>__phys`` table declared with the physical schema, and
+    ``<name>`` becomes ``CREATE OR REPLACE VIEW`` applying the
+    logical-name projection — plain ``spark.table(name)`` then reads
+    correct current-version data under the logical names, with partition
+    pruning flowing through the view."""
     name = catalog_table or defn.name.fully_qualified_name
     db = name.split(".")[0]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    mapped = bool(defn.column_mapping or defn.dropped_columns)
+    view_name = None
+    if mapped:
+        view_name, name = name, f"{name}__phys"
+        schema_ddl = _physical_schema_ddl(defn)
+    else:
+        schema_ddl = defn.schema_ddl
     if not spark.catalog.tableExists(name):
         pcols = list(defn.partition_schema.columns)
         if defn.is_snapshot:
             # snapshot tables need a LOCATION up front; point at the base —
             # the first sync moves it to the current version dir
-            spark.sql(f"CREATE TABLE {name} ({defn.schema_ddl}) "
+            spark.sql(f"CREATE TABLE {name} ({schema_ddl}) "
                       f"USING {defn.format} LOCATION '{defn.location}'")
         else:
-            spark.sql(f"CREATE TABLE {name} ({defn.schema_ddl}) "
+            spark.sql(f"CREATE TABLE {name} ({schema_ddl}) "
                       f"USING {defn.format} PARTITIONED BY ({', '.join(pcols)})")
     target = log.current_version(defn.name)
     actual = catalog_current_version(spark, name, defn)
@@ -144,4 +162,19 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
                       f"PARTITION {_partition_expr(op.partition)}")
     # refresh so cached relation metadata picks up the new locations
     spark.catalog.refreshTable(name)
+    if mapped:
+        # (re)derive the logical-name view — CREATE OR REPLACE keeps it in
+        # lockstep with the current mapping; a pre-mapping plain TABLE
+        # under the logical name is superseded by the view
+        from .streaming.source import _schema_fields
+
+        to_phys = dict(defn.column_mapping)
+        cols = ", ".join(
+            (f"{to_phys[n]} AS {n}" if n in to_phys else n)
+            for n, _ in _schema_fields(defn.schema_ddl))
+        if spark.catalog.tableExists(view_name) and \
+                spark.catalog.getTable(view_name).tableType != "VIEW":
+            spark.sql(f"DROP TABLE {view_name}")
+        spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
+                  f"SELECT {cols} FROM {name}")
     return len(ops)

@@ -117,18 +117,44 @@ class TestPartitionExpr:
         assert _partition_expr(p2) == "(d='\\'x')"
 
 
-def test_sync_rejects_column_mapped_tables(spark, engine):
-    """A plain catalog reader resolves parquet by physical name — sync
-    must refuse tables with renamed/dropped columns."""
-    import pytest
-
-    from table_versions_spark.catalog import sync_catalog
-    from table_versions_spark.core.log import FileTableVersions
-
-    engine.create_table("db.cmap", schema_ddl="id bigint, v double")
-    engine.insert(spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
-                  "db.cmap", "u", "v1")
-    engine.rename_column("db.cmap", "v", "amount")
-    defn = engine.definition("db.cmap")
-    with pytest.raises(ValueError, match="column mapping"):
-        sync_catalog(spark, defn, FileTableVersions(defn.location))
+def test_sync_column_mapped_table_via_view(spark, engine):
+    """A column-mapped table syncs as <name>__phys (physical schema, real
+    partition locations) + a logical-name VIEW over it, so vanilla
+    spark.table() sees renamed columns correctly and never resurrects
+    dropped ones."""
+    try:
+        ddl = "id bigint, v double, w string, d string"
+        engine.create_table("cdb.cmap", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "x", "a"), (2, 2.0, "y", "b")], ddl),
+            "cdb.cmap", "u", "v1")
+        engine.rename_column("cdb.cmap", "v", "amount")
+        engine.drop_column("cdb.cmap", "w")
+        n = engine.sync_catalog("cdb.cmap")
+        assert n == 2  # two partitions added to the __phys table
+        tbl = spark.table("cdb.cmap")
+        assert tbl.columns == ["id", "amount", "d"]
+        got = sorted((r.id, r.amount, r.d) for r in tbl.collect())
+        assert got == [(1, 1.0, "a"), (2, 2.0, "b")]
+        # partition pruning flows through the view
+        one = tbl.where("d = 'a'")
+        assert [r.id for r in one.collect()] == [1]
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        # a further rename re-syncs the view in lockstep
+        engine.rename_column("cdb.cmap", "amount", "price")
+        engine.sync_catalog("cdb.cmap")
+        assert spark.table("cdb.cmap").columns == ["id", "price", "d"]
+        # reprocess one partition: catalog follows on the physical table
+        engine.insert(spark.createDataFrame([(9, 9.0, "b")],
+                                            "id bigint, price double, "
+                                            "d string"),
+                      "cdb.cmap", "u", "v2")
+        assert engine.sync_catalog("cdb.cmap") == 1
+        got = sorted((r.id, r.price, r.d)
+                     for r in spark.table("cdb.cmap").collect())
+        assert got == [(1, 1.0, "a"), (9, 9.0, "b")]
+    finally:
+        spark.sql("DROP VIEW IF EXISTS cdb.cmap")
+        spark.sql("DROP TABLE IF EXISTS cdb.cmap__phys")
