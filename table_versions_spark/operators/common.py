@@ -52,6 +52,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("event_date", F.to_date("ts")))
 
 
+_SCRATCH_NS = __import__("uuid").uuid4().hex[:8]
+
+
 def scratch_dir(spark: SparkSession, name: str) -> str:
     """Cluster-visible scratch path for intermediate materializations
     (e.g. minhash signature tables).
@@ -61,6 +64,12 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
     HDFS path so every executor sees the same files), else — local masters
     only — the machine temp dir. A driver-local temp path on a multi-node
     cluster would silently break executor reads, so that combination raises.
+
+    Paths are namespaced per DRIVER PROCESS: scratch names are stable
+    within a process (so in-process caching/alternation works), but two
+    concurrent driver processes must never share a dir — one overwriting
+    an intermediate while the other reads it corrupts both (observed as a
+    flake when two local runs raced the BPE round tables).
     """
     import os
     import tempfile
@@ -73,4 +82,4 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
             raise ValueError(
                 "Running on a cluster: set spark.tvx.scratch.dir to a "
                 "shared-storage path visible to all executors")
-    return os.path.join(base, name)
+    return os.path.join(base, _SCRATCH_NS, name)
