@@ -75,6 +75,8 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_dedup_paragraph",
     "q_grouping_sets",
+    "q_delete_dv",
+    "q_update_dv",
 ]
 
 

@@ -1445,7 +1445,8 @@ class VersionedEngine:
         return kept if dropped else None
 
     def read_changes(self, table: TableName | str, since_commit: str,
-                     to_commit: str | None = None) -> DataFrame:
+                     to_commit: str | None = None,
+                     row_level: bool = False) -> DataFrame:
         """Incremental read: rows in partitions/snapshots whose version
         changed after ``since_commit`` (exclusive) up to ``to_commit``
         (inclusive; default head). The change-data-feed primitive for
@@ -1454,15 +1455,28 @@ class VersionedEngine:
         metadata-level diff (``compute_changes``), zero scan of unchanged
         partitions.
 
-        Removed partitions produce no rows (this surfaces adds/updates, not
-        deletes — consumers needing tombstones can diff ``current_version``
-        states directly).
+        Default (``row_level=False``): the changed partitions' CURRENT
+        rows, no tombstones — removed partitions produce no rows.
+
+        ``row_level=True`` (Delta CDF shape): rows carry a
+        ``_change_type`` column — ``"delete"`` for rows live in the
+        *before* state but not the *after*, ``"insert"`` for the reverse;
+        an updated row appears as a delete+insert pair. The diff is the
+        NET change between the two states (not per-commit events). For
+        deletion-vector commits the diff is EXACT and costs O(changed
+        positions + new files): deletes come from the vector delta and
+        inserts from files added to the (hardlink-superset) new dir. Any
+        other version replacement falls back to file-granularity — all
+        before-rows delete + all after-rows insert, even where contents
+        overlap (the same coarseness Delta CDF has without CDC files).
         """
         defn, log = self._log(table)
         before = log.current_version(defn.name, at_commit=since_commit)
         head_id = to_commit or log.table_state(defn.name).current_version
         after = log.current_version(defn.name, at_commit=head_id)
         eff = self._defn_at(defn, log, at_commit=head_id)
+        if row_level:
+            return self._read_changes_rows(defn, eff, before, after)
         from .core.metastore import (AddPartition, UpdatePartitionVersion,
                                      UpdateTableVersion)
 
@@ -1485,6 +1499,133 @@ class VersionedEngine:
         return self._apply_mapping(eff, self._declared_types(self._apply_dvs(
             reader.option("basePath", defn.location).load(touched),
             self._dv_dirs(touched)), defn))
+
+    def _read_changes_rows(self, defn: TableDefinition,
+                           eff: TableDefinition, before, after) -> DataFrame:
+        """Row-level CDF (see :meth:`read_changes` ``row_level=True``).
+
+        Driver work is metadata only: per changed partition, compare the
+        before/after dirs' file listings; a dir pair where the after set
+        is a superset (the deletion-vector commit shape: hardlinks +
+        possibly new files) diffs EXACTLY via the vector delta, anything
+        else falls back to delete-all + insert-all of that pair. All
+        refined pairs share ONE before-scan and ONE after-scan."""
+        from pyspark.sql import functions as F
+
+        loc = defn.location
+        pairs: list[tuple[str | None, str | None]] = []
+        if defn.is_snapshot:
+            b = (path_for(loc, before.version)
+                 if isinstance(before, SnapshotTableVersion)
+                 and before.version != UNVERSIONED else None)
+            a = (path_for(loc, after.version)
+                 if isinstance(after, SnapshotTableVersion)
+                 and after.version != UNVERSIONED else None)
+            if b != a:
+                pairs.append((b, a))
+        else:
+            bmap = getattr(before, "partition_versions", {})
+            amap = getattr(after, "partition_versions", {})
+            for p in sorted(set(bmap) | set(amap), key=lambda x: x.render()):
+                bv, av = bmap.get(p), amap.get(p)
+                if bv == av:
+                    continue
+                pairs.append((
+                    os.path.join(loc, p.render(), bv.label) if bv else None,
+                    os.path.join(loc, p.render(), av.label) if av else None))
+
+        def data_files(d: str) -> set[str]:
+            return {f for f in self.storage.list_dir(d)
+                    if not f.startswith((".", "_"))
+                    and not self.storage.is_dir(os.path.join(d, f))}
+
+        coarse_del, coarse_ins, refined = [], [], []
+        for b, a in pairs:
+            if b is None:
+                if a is not None:
+                    coarse_ins.append(a)
+            elif a is None:
+                coarse_del.append(b)
+            else:
+                bf, af = data_files(b), data_files(a)
+                if bf <= af:
+                    refined.append((b, a, bf))
+                else:
+                    coarse_del.append(b)
+                    coarse_ins.append(a)
+
+        cols = [n for n, _ in self._schema_fields(eff)]
+        ct = "_change_type"
+
+        def load(dirs: list[str]) -> DataFrame:
+            r = self.spark.read.format(defn.format)
+            if defn.merge_schema:
+                r = r.option("mergeSchema", "true")
+            if defn.is_snapshot:
+                return r.load(dirs)
+            return r.option("basePath", loc).load(dirs)
+
+        def finalize(df: DataFrame, kind: str) -> DataFrame:
+            if not defn.is_snapshot:
+                df = self._declared_types(df, defn)
+            return (self._apply_mapping(eff, df)
+                    .select(*cols).withColumn(ct, F.lit(kind)))
+
+        out: list[DataFrame] = []
+        if coarse_del:
+            out.append(finalize(self._apply_dvs(
+                load(coarse_del), self._dv_dirs(coarse_del)), "delete"))
+        if coarse_ins:
+            out.append(finalize(self._apply_dvs(
+                load(coarse_ins), self._dv_dirs(coarse_ins)), "insert"))
+        if refined:
+            strip = F.regexp_replace(F.col("__dv_dir"), "^file:", "")
+            slots = self.spark.createDataFrame(
+                [(b, i) for i, (b, _, _) in enumerate(refined)]
+                + [(a, i) for i, (_, a, _) in enumerate(refined)],
+                "mdir string, __slot int")
+
+            def with_slot(df: DataFrame) -> DataFrame:
+                return (df.withColumn("__dv_dir", strip)
+                        .join(F.broadcast(slots),
+                              F.col("__dv_dir") == F.col("mdir"))
+                        .drop("mdir"))
+
+            def positions(dirs: list[str]) -> DataFrame:
+                dv = self._dv_dirs(dirs)
+                if not dv:
+                    return self.spark.createDataFrame(
+                        [], "__dv_dir string, __dv_file string, "
+                            "__dv_idx bigint, __slot int")
+                return with_slot(self._dv_frame(dv))
+
+            key = ["__slot", "__dv_file", "__dv_idx"]
+            a_pos = positions([a for _, a, _ in refined]).select(*key)
+            b_pos = positions([b for b, _, _ in refined]).select(*key)
+            delta = a_pos.join(b_pos, key, "left_anti")
+            drop_keys = ["__dv_dir", "__dv_file", "__dv_idx", "__slot"]
+            bscan = with_slot(self._with_dv_keys(
+                load([b for b, _, _ in refined])))
+            out.append(finalize(
+                bscan.join(delta, key, "left_semi").drop(*drop_keys),
+                "delete"))
+            known = self.spark.createDataFrame(
+                [(i, f) for i, (_, _, bf) in enumerate(refined)
+                 for f in sorted(bf)], "__slot int, __dv_file string")
+            ascan = with_slot(self._with_dv_keys(
+                load([a for _, a, _ in refined])))
+            out.append(finalize(
+                ascan.join(F.broadcast(known), ["__slot", "__dv_file"],
+                           "left_anti")
+                     .join(a_pos, key, "left_anti").drop(*drop_keys),
+                "insert"))
+        if not out:
+            return (self._apply_mapping(eff, self._empty(eff))
+                    .withColumn(ct, F.lit("")).limit(0))
+        result = out[0]
+        for df in out[1:]:
+            result = result.unionByName(df)
+        return result
 
     def _commit_mapping_change(self, defn: TableDefinition, new_ddl: str,
                                new_mapping: tuple, new_dropped: tuple,

@@ -215,6 +215,24 @@ def q_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "event_date")
 
 
+def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed (engine.read_changes(row_level=True), Delta
+    CDF shape): after a deletion-vector purge of 'error' events, the CDF
+    since the pre-delete commit is EXACTLY the purged rows tagged
+    _change_type='delete' — derived from the vector delta, not a rescan
+    diff. The oracle states the same set in SQL, proving both the delete's
+    row selection and the feed's tombstone semantics."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    table = _clone_base(st)
+    pre = eng.history(table).first()["commit_id"]
+    eng.delete(table, "event_type = 'error'", "tester", "purge errors",
+               mode="dv")
+    return (eng.read_changes(table, since_commit=pre, row_level=True)
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date", "_change_type"))
+
+
 def q_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via DELETION VECTORS (engine.update(mode="dv")):
     the same rewrite as q_update, but unmatched rows are never rewritten —
@@ -916,6 +934,7 @@ QUERIES = {
     "q_delete_dv": q_delete_dv,
     "q_update": q_update,
     "q_update_dv": q_update_dv,
+    "q_change_feed_rows": q_change_feed_rows,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
@@ -1056,6 +1075,10 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
         "WHERE event_type <> 'error'"),
+    "q_change_feed_rows": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
+        "FROM events WHERE event_type = 'error'"),
     "q_update": (
         "SELECT event_id, user_id, "
         "CASE WHEN event_type = 'error' THEN 'was_' || event_type "

@@ -1783,3 +1783,76 @@ class TestDeletionVectors:
         got = sorted((r.id, r.amount)
                      for r in engine.read("dv.um").collect())
         assert got == [(1, 1.0), (2, 200.0)]
+
+
+class TestRowLevelCDF:
+    def test_dv_commits_diff_exactly(self, spark, engine):
+        """DV delete/update commits produce exact row-level change sets:
+        deletes from the vector delta, inserts from the new files."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cdf.t", schema_ddl=ddl, partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+            "cdf.t", "u", "v1")
+        engine.delete("cdf.t", "id = 1", "u", "dv del", mode="dv")
+        changes = engine.read_changes("cdf.t", since_commit=r1.commit_id,
+                                      row_level=True)
+        got = sorted((r.id, r._change_type) for r in changes.collect())
+        assert got == [(1, "delete")]
+        # dv update: delete+insert pair for the matched row only
+        r2 = engine.history("cdf.t").first()["commit_id"]
+        engine.update("cdf.t", set={"v": "v * 10"}, predicate="id = 2",
+                      user_id="u", message="dv upd", mode="dv")
+        changes = engine.read_changes("cdf.t", since_commit=r2,
+                                      row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in changes.collect())
+        assert got == [(2, 2.0, "delete"), (2, 20.0, "insert")]
+        # spanning both commits: net = delete(1), delete(2 old), insert(2 new)
+        changes = engine.read_changes("cdf.t", since_commit=r1.commit_id,
+                                      row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in changes.collect())
+        assert got == [(1, 1.0, "delete"), (2, 2.0, "delete"),
+                       (2, 20.0, "insert")]
+
+    def test_rewrites_and_partition_lifecycle_are_coarse(self, spark, engine):
+        ddl = "id bigint, d string"
+        engine.create_table("cdf.c", schema_ddl=ddl, partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], ddl), "cdf.c", "u", "v1")
+        # overwrite partition a + add partition c
+        engine.insert(spark.createDataFrame([(9, "a"), (5, "c")], ddl),
+                      "cdf.c", "u", "v2")
+        changes = engine.read_changes("cdf.c", since_commit=r1.commit_id,
+                                      row_level=True)
+        got = sorted((r.id, r.d, r._change_type) for r in changes.collect())
+        # partition a: coarse delete(1) + insert(9); c: insert(5); b untouched
+        assert got == [(1, "a", "delete"), (5, "c", "insert"),
+                       (9, "a", "insert")]
+        # removing a partition yields tombstones (unlike the default mode)
+        from table_versions_spark.core.model import Partition
+        head = engine.history("cdf.c").first()["commit_id"]
+        engine.remove_partitions("cdf.c", [Partition.parse("d=b")], "u", "rm")
+        changes = engine.read_changes("cdf.c", since_commit=head,
+                                      row_level=True)
+        got = [(r.id, r.d, r._change_type) for r in changes.collect()]
+        assert got == [(2, "b", "delete")]
+
+    def test_snapshot_replace_and_no_change(self, spark, engine):
+        engine.create_table("cdf.s", schema_ddl="id bigint, name string")
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id bigint, name string"),
+            "cdf.s", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(2, "b2"), (3, "c")], "id bigint, name string"),
+            "cdf.s", "u", "v2")
+        changes = engine.read_changes("cdf.s", since_commit=r1.commit_id,
+                                      row_level=True)
+        got = sorted((r.id, r.name, r._change_type)
+                     for r in changes.collect())
+        assert got == [(1, "a", "delete"), (2, "b", "delete"),
+                       (2, "b2", "insert"), (3, "c", "insert")]
+        head = engine.history("cdf.s").first()["commit_id"]
+        empty = engine.read_changes("cdf.s", since_commit=head,
+                                    row_level=True)
+        assert empty.count() == 0
+        assert "_change_type" in empty.columns
