@@ -74,7 +74,7 @@ def _registry() -> tuple[dict, dict]:
         "q_unpivot", "q_grouping_sets", "q_sample_temperature",
         "q_dedup_paragraph", "q_dedup_prefix", "q_stream_sink",
         "q_bpe_train", "q_tokenize_apply", "q_delete_dv", "q_update_dv",
-        "q_change_feed_rows",
+        "q_change_feed_rows", "q_stream_cdf",
         # Round-3-green families rotate behind the fresh material.
         "q_insert_overwrite_partition", "q_partition_prune", "q_upsert",
         "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",

@@ -559,6 +559,47 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("user_id").alias("sum_user")))
 
 
+def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming row-level change feed (``readStream.format("tvx")
+    .option("changeFeed", "true")``): first pass consumes the base
+    table's initial state (every row arrives as ``_change_type=insert``),
+    then a deletion-vector purge of 'error' events commits, and the
+    resumed stream's next span emits EXACTLY the purged rows as
+    ``delete`` tombstones — computed executor-side from the vector
+    delta, never a rescan diff. The per-change-type aggregate is the
+    oracle: inserts cover all events, deletes cover the error rows."""
+    import os
+
+    from ..streaming.source import register
+    from .common import scratch_dir
+
+    st = _shared(spark, sf_dir)
+    register(spark)
+    eng = st["eng"]
+    table = _clone_base(st)
+    loc = eng.definition(table).location
+    run = scratch_dir(spark, f"stream-cdf-{_RUN}-{next(_SEQ)}")
+    out, ckpt = os.path.join(run, "out"), os.path.join(run, "ckpt")
+
+    def consume():
+        q = (spark.readStream.format("tvx").option("location", loc)
+             .option("changeFeed", "true").load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    consume()  # initial state: inserts
+    eng.delete(table, "event_type = 'error'", "tester", "purge", mode="dv")
+    consume()  # delta span: exact delete tombstones
+    return (spark.read.parquet(out)
+            .groupBy("_change_type")
+            .agg(F.count("*").alias("n"),
+                 F.min("event_id").alias("min_event"),
+                 F.max("event_id").alias("max_event"),
+                 F.sum("event_id").alias("sum_event")))
+
+
 EVENTS_TS_DDL = ("event_id bigint, ts timestamp, user_id bigint, "
                  "event_type string, value double")
 
@@ -908,6 +949,7 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_stream_agg": q_stream_agg,
     "q_stream_sink": q_stream_sink,
+    "q_stream_cdf": q_stream_cdf,
     "q_stream_window": q_stream_window,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -951,6 +993,14 @@ ORACLES = {
         "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
         "CAST(SUM(user_id) AS BIGINT) AS sum_user "
         "FROM events GROUP BY event_type"),
+    "q_stream_cdf": (
+        "SELECT 'insert' AS _change_type, COUNT(*) AS n, "
+        "MIN(event_id) AS min_event, MAX(event_id) AS max_event, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_event FROM events "
+        "UNION ALL "
+        "SELECT 'delete', COUNT(*), MIN(event_id), MAX(event_id), "
+        "CAST(SUM(event_id) AS BIGINT) FROM events "
+        "WHERE event_type = 'error'"),
     "q_stream_window": (
         # closed-window rule: a window row appears iff its end ≤ the final
         # watermark (max event time − 10 min); hour buckets are epoch-

@@ -65,12 +65,17 @@ class VersionedTableDataSource(DataSource):
     def name(cls) -> str:
         return FORMAT_NAME
 
+    def _change_feed(self) -> bool:
+        return str(self.options.get("changeFeed", "false")).lower() == "true"
+
     def schema(self):
         defn = read_table_meta(self.options["location"])
         if not defn.schema_ddl:
             raise ValueError(
                 f"{defn.name.fully_qualified_name} has no declared schema; "
                 "a streaming source needs one (pass schema_ddl to create_table)")
+        if self._change_feed():
+            return defn.schema_ddl + ", _change_type string"
         return defn.schema_ddl
 
     def streamReader(self, schema) -> "VersionedTableParallelStreamReader":
@@ -79,12 +84,17 @@ class VersionedTableDataSource(DataSource):
         routes pyspark's ``_streamReader`` fallback) — admission control
         needs the offset-aware read(start) API."""
         if int(self.options.get("maxCommitsPerTrigger", 0)) > 0:
+            if self._change_feed():
+                raise ValueError(
+                    "changeFeed and maxCommitsPerTrigger cannot combine: "
+                    "the change feed needs the partition-parallel reader")
             raise PySparkNotImplementedError(
                 errorClass="NOT_IMPLEMENTED",
                 messageParameters={"feature":
                                    "streamReader with maxCommitsPerTrigger"})
-        return VersionedTableParallelStreamReader(self.options["location"],
-                                                  schema=schema)
+        return VersionedTableParallelStreamReader(
+            self.options["location"], schema=schema,
+            change_feed=self._change_feed())
 
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
         return VersionedTableStreamReader(
@@ -213,6 +223,22 @@ class VersionedDirPartition(InputPartition):
         self.partition = partition
 
 
+class ChangeFeedPartition(InputPartition):
+    """One planned change-feed unit: either a coarse whole-dir emit
+    (kind="coarse", change_type delete|insert) or a refined before/after
+    pair whose diff the executor computes from the dirs' deletion
+    vectors (kind="refined")."""
+
+    def __init__(self, kind: str, change_type, b_dir, a_dir,
+                 b_files: tuple, partition):
+        self.kind = kind
+        self.change_type = change_type
+        self.b_dir = b_dir
+        self.a_dir = a_dir
+        self.b_files = b_files
+        self.partition = partition
+
+
 class VersionedTableParallelStreamReader(DataSourceStreamReader):
     """Partition-parallel streaming reader: offsets are commit seqs; each
     micro-batch plans one ``InputPartition`` per changed version directory,
@@ -221,7 +247,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
     The reader instance is pickled to executors for ``read``; it carries
     only plain strings/dicts plus the target Arrow schema."""
 
-    def __init__(self, location: str, schema=None):
+    def __init__(self, location: str, schema=None, change_feed: bool = False):
         self.location = location
         self.defn = read_table_meta(location)
         self.log = FileTableVersions(location)
@@ -229,7 +255,10 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
         pcols = set(self.defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = self.defn.format
-        self.pa_schema = _arrow_schema(self.defn.schema_ddl, schema)
+        self.change_feed = change_feed
+        ddl = (self.defn.schema_ddl + ", _change_type string"
+               if change_feed else self.defn.schema_ddl)
+        self.pa_schema = _arrow_schema(ddl, schema)
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
@@ -237,14 +266,64 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         return {"seq": self.log.head_seq()}
 
+    def _state_dirs(self, seq: int) -> dict:
+        """qualifier (partition render, or "" for snapshot) → version dir
+        of the state at commit seq; {} before the first commit."""
+        if seq < 0:
+            return {}
+        state = self.log.current_version(
+            self.defn.name, at_commit=self.log.commit_id_at(seq))
+        if isinstance(state, SnapshotTableVersion):
+            if state.version == UNVERSIONED:
+                return {}
+            return {"": path_for(self.defn.location, state.version)}
+        return {p.render(): os.path.join(self.defn.location, p.render(),
+                                         v.label)
+                for p, v in state.partition_versions.items()}
+
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if end["seq"] <= start["seq"]:
             return []
-        return [VersionedDirPartition(d, p)
-                for p, d in _changed_dirs(self.log, self.defn,
-                                          start["seq"], end["seq"])]
+        if not self.change_feed:
+            return [VersionedDirPartition(d, p)
+                    for p, d in _changed_dirs(self.log, self.defn,
+                                              start["seq"], end["seq"])]
+        # change feed: plan per changed (before, after) dir pair — exact
+        # vector-delta diff when the after dir is a file superset of the
+        # before dir (the dv-commit shape), coarse delete+insert otherwise
+        from ..core.model import Partition
 
-    def read(self, part: VersionedDirPartition):
+        before = self._state_dirs(start["seq"])
+        after = self._state_dirs(end["seq"])
+        parts: list[InputPartition] = []
+        for q in sorted(set(before) | set(after)):
+            b, a = before.get(q), after.get(q)
+            if b == a:
+                continue
+            partition = Partition.parse(q) if q else None
+            if b is None:
+                parts.append(ChangeFeedPartition(
+                    "coarse", "insert", a, None, (), partition))
+            elif a is None:
+                parts.append(ChangeFeedPartition(
+                    "coarse", "delete", b, None, (), partition))
+            else:
+                bf = _data_files(b)
+                if bf <= _data_files(a):
+                    parts.append(ChangeFeedPartition(
+                        "refined", None, b, a, tuple(sorted(bf)), partition))
+                else:
+                    parts.append(ChangeFeedPartition(
+                        "coarse", "delete", b, None, (), partition))
+                    parts.append(ChangeFeedPartition(
+                        "coarse", "insert", a, None, (), partition))
+        return parts
+
+    def read(self, part):
+        if isinstance(part, ChangeFeedPartition):
+            yield from _change_feed_batches(part, self.pa_schema,
+                                            self.ptypes, self.format)
+            return
         yield from _dir_batches(part.directory, part.partition,
                                 self.pa_schema, self.ptypes, self.format)
 
@@ -341,28 +420,13 @@ def _cast_column(chunked, target):
         raise
 
 
-def _dir_batches(directory: str, partition, pa_schema,
-                 ptypes: dict[str, str], fmt: str):
-    """Yield the rows of one version directory as column-pruned
-    ``pyarrow.RecordBatch``es matching ``pa_schema``.
-
-    This is the data plane of the ``tvx`` source — batch and streaming
-    readers both land here, executor-side. Rows never pass through Python
-    objects: files are read as Arrow tables (only declared columns),
-    partition-path values are materialized as constant arrays, and missing
-    columns (schema evolution) become typed nulls.
-    """
-    import pyarrow as pa
-    import pyarrow.orc as orc
-    import pyarrow.parquet as pq
-
-    if not os.path.isdir(directory):
-        return  # vacuumed beyond retention — same contract as read_changes
-    # stored partition values are in escaped dir-name form — surface them the
-    # way engine.read does: unescape %XX and map the Hive NULL sentinel to None
+def _partition_values(partition, ptypes: dict[str, str]) -> dict:
+    """Stored partition values are in escaped dir-name form — surface them
+    the way engine.read does: unescape %XX, map the Hive NULL sentinel to
+    None, cast to the declared type."""
     from ..core.model import HIVE_DEFAULT_PARTITION, unescape_partition_value
 
-    pvals = {}
+    pvals: dict = {}
     if partition is not None:
         for cv in partition.column_values:
             if cv.value == HIVE_DEFAULT_PARTITION:
@@ -371,46 +435,143 @@ def _dir_batches(directory: str, partition, pa_schema,
                 pvals[cv.column] = _cast_partition_value(
                     unescape_partition_value(cv.value),
                     ptypes.get(cv.column, "string"))
-    # deletion vectors (engine delete(mode="dv")): positions recorded in
-    # the dir's _dv sidecar are masked out per file, same semantics as the
-    # engine read path's anti-join
-    dv_by_file: dict[str, set[int]] = {}
+    return pvals
+
+
+def _dv_positions(directory: str) -> dict[str, set[int]]:
+    """file → deleted row indices from the dir's ``_dv`` sidecar ({} if
+    the dir carries no deletion vector)."""
+    import pyarrow.parquet as pq
+
     dv_dir = os.path.join(directory, "_dv")
+    out: dict[str, set[int]] = {}
     if os.path.isdir(dv_dir):
         dv_tbl = pq.read_table(dv_dir, columns=["file", "idx"])
         for f, i in zip(dv_tbl.column("file").to_pylist(),
                         dv_tbl.column("idx").to_pylist()):
-            dv_by_file.setdefault(f, set()).add(i)
-    declared = set(pa_schema.names)
-    for fname in sorted(os.listdir(directory)):
-        path = os.path.join(directory, fname)
-        if fname.startswith((".", "_")) or not os.path.isfile(path):
-            continue
-        if fmt == "orc":
-            table = orc.read_table(path)
-            table = table.select([n for n in table.column_names
-                                  if n in declared])
-        else:
-            present = [n for n in pq.read_schema(path).names if n in declared]
-            table = pq.read_table(path, columns=present)
-        if fname in dv_by_file:
-            import numpy as np
+            out.setdefault(f, set()).add(i)
+    return out
 
+
+def _data_files(directory: str) -> set[str]:
+    return {f for f in os.listdir(directory)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(directory, f))}
+
+
+def _read_file(path: str, fmt: str, declared: set[str]):
+    """One data file as a column-pruned Arrow table."""
+    if fmt == "orc":
+        import pyarrow.orc as orc
+
+        table = orc.read_table(path)
+        return table.select([n for n in table.column_names
+                             if n in declared])
+    import pyarrow.parquet as pq
+
+    present = [n for n in pq.read_schema(path).names if n in declared]
+    return pq.read_table(path, columns=present)
+
+
+def _table_to_batches(table, pa_schema, consts: dict):
+    """Arrow table → RecordBatches matching ``pa_schema``: file columns
+    cast, constants (partition values / _change_type) materialized as
+    constant arrays, anything else typed nulls."""
+    import pyarrow as pa
+
+    n = table.num_rows
+    columns = []
+    for field in pa_schema:
+        if field.name in table.column_names:
+            columns.append(_cast_column(table.column(field.name),
+                                        field.type))
+        elif field.name in consts and consts[field.name] is not None:
+            columns.append(pa.array([consts[field.name]] * n)
+                           .cast(field.type))
+        else:
+            columns.append(pa.nulls(n, field.type))
+    yield from pa.table(columns, schema=pa_schema).to_batches()
+
+
+def _dir_batches(directory: str, partition, pa_schema,
+                 ptypes: dict[str, str], fmt: str,
+                 constants: dict | None = None,
+                 only_files: "set[str] | None" = None):
+    """Yield the rows of one version directory as column-pruned
+    ``pyarrow.RecordBatch``es matching ``pa_schema``.
+
+    This is the data plane of the ``tvx`` source — batch and streaming
+    readers both land here, executor-side. Rows never pass through Python
+    objects: files are read as Arrow tables (only declared columns),
+    partition-path values (and any extra ``constants``, e.g. the change
+    feed's ``_change_type``) are materialized as constant arrays, and
+    missing columns (schema evolution) become typed nulls. Rows recorded
+    in the dir's deletion vector are masked out, same semantics as the
+    engine read path's anti-join.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if not os.path.isdir(directory):
+        return  # vacuumed beyond retention — same contract as read_changes
+    consts = dict(_partition_values(partition, ptypes))
+    consts.update(constants or {})
+    dv_by_file = _dv_positions(directory)
+    declared = set(pa_schema.names)
+    for fname in sorted(_data_files(directory)):
+        if only_files is not None and fname not in only_files:
+            continue
+        table = _read_file(os.path.join(directory, fname), fmt, declared)
+        if fname in dv_by_file:
             mask = np.ones(table.num_rows, dtype=bool)
             mask[list(dv_by_file[fname])] = False
             table = table.filter(pa.array(mask))
-        n = table.num_rows
-        columns = []
-        for field in pa_schema:
-            if field.name in table.column_names:
-                columns.append(_cast_column(table.column(field.name),
-                                            field.type))
-            elif field.name in pvals and pvals[field.name] is not None:
-                columns.append(pa.array([pvals[field.name]] * n)
-                               .cast(field.type))
-            else:
-                columns.append(pa.nulls(n, field.type))
-        yield from pa.table(columns, schema=pa_schema).to_batches()
+        yield from _table_to_batches(table, pa_schema, consts)
+
+
+def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
+                         ptypes: dict[str, str], fmt: str):
+    """Executor side of the streaming change feed.
+
+    coarse: the whole dir (vector applied) under the planned change type.
+    refined: the before/after pair diffs via the deletion-vector delta —
+    deletes are the before files' rows at positions newly recorded in the
+    after vector; inserts are the rows of files the after dir added
+    (minus any vector entries on them). O(changed positions + new files),
+    no rescan diff.
+    """
+    if part.kind == "coarse":
+        yield from _dir_batches(part.b_dir, part.partition, pa_schema,
+                                ptypes, fmt,
+                                constants={"_change_type": part.change_type})
+        return
+    declared = set(pa_schema.names)
+    consts = dict(_partition_values(part.partition, ptypes))
+    b_dv = _dv_positions(part.b_dir)
+    a_dv = _dv_positions(part.a_dir)
+    b_files = set(part.b_files)
+    # deletes: before-file rows at newly-vectored positions
+    for fname in sorted(b_files):
+        delta = sorted(a_dv.get(fname, set()) - b_dv.get(fname, set()))
+        if not delta:
+            continue
+        table = _read_file(os.path.join(part.b_dir, fname), fmt, declared)
+        yield from _table_to_batches(
+            table.take(delta), pa_schema,
+            {**consts, "_change_type": "delete"})
+    # inserts: files the after dir added, minus their vector entries
+    for fname in sorted(_data_files(part.a_dir) - b_files):
+        table = _read_file(os.path.join(part.a_dir, fname), fmt, declared)
+        masked = a_dv.get(fname)
+        if masked:
+            import numpy as np
+            import pyarrow as pa
+
+            mask = np.ones(table.num_rows, dtype=bool)
+            mask[list(masked)] = False
+            table = table.filter(pa.array(mask))
+        yield from _table_to_batches(
+            table, pa_schema, {**consts, "_change_type": "insert"})
 
 
 def _cast_partition_value(value: str, typ: str):

@@ -370,3 +370,58 @@ class TestTvxSink:
         import os
         staging = os.path.join(loc, "_staging")
         assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+class TestStreamingChangeFeed:
+    def test_change_feed_emits_typed_rows(self, spark, engine, tmp_path):
+        """readStream.format('tvx').option('changeFeed','true'): per span,
+        dv commits diff exactly (vector delta + added files), rewrites and
+        partition adds/removes emit coarse tombstone/insert rows."""
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cf.t", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+            "cf.t", "u", "v1")
+        loc = engine.definition("cf.t").location
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (spark.readStream.format("tvx").option("location", loc)
+                 .option("changeFeed", "true").load()
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()  # initial state: everything is an insert
+        got = sorted((r.id, r._change_type)
+                     for r in spark.read.parquet(out).collect())
+        assert got == [(1, "insert"), (2, "insert"), (3, "insert")]
+        # dv delete + dv update + overwrite of partition b, then resume:
+        # the next span diffs exactly for the dv commits and coarsely for
+        # the rewrite
+        engine.delete("cf.t", "id = 1", "u", "dvd", mode="dv")
+        engine.update("cf.t", set={"v": "v * 10"}, predicate="id = 2",
+                      user_id="u", message="dvu", mode="dv")
+        engine.insert(spark.createDataFrame([(9, 9.0, "b")], ddl),
+                      "cf.t", "u", "replace b")
+        run_once()
+        got = sorted((r.id, r.v, r._change_type)
+                     for r in spark.read.parquet(out).collect())
+        assert got == [
+            (1, 1.0, "delete"), (1, 1.0, "insert"),
+            (2, 2.0, "delete"), (2, 2.0, "insert"), (2, 20.0, "insert"),
+            (3, 3.0, "delete"), (3, 3.0, "insert"),
+            (9, 9.0, "insert")]
+        # agreement with the batch row-level CDF for the same span
+        pre = engine.history("cf.t").collect()[-2]["commit_id"]
+        batch = engine.read_changes("cf.t", since_commit=pre,
+                                    row_level=True)
+        got_b = sorted((r.id, r.v, r._change_type)
+                       for r in batch.collect())
+        assert got_b == [(1, 1.0, "delete"), (2, 2.0, "delete"),
+                         (2, 20.0, "insert"), (3, 3.0, "delete"),
+                         (9, 9.0, "insert")]
