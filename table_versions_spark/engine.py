@@ -752,7 +752,8 @@ class VersionedEngine:
                     .select("file", "idx")).distinct()
             merged.write.mode("overwrite").parquet(
                 os.path.join(new_dir, _DV_DIR))
-            dv_total = merged.count()
+            dv_total = _dv_row_count(os.path.join(new_dir, _DV_DIR),
+                                     self.storage)
             payload = _collect_version_stats(
                 new_dir, self.storage, bloom_columns=defn.bloom_columns)
             stats = {}
@@ -797,7 +798,7 @@ class VersionedEngine:
                 staged = os.path.join(staging, render)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(staged, dv_dst)
-                dv_total = self.spark.read.parquet(dv_dst).count()
+                dv_total = _dv_row_count(dv_dst, self.storage)
                 ops.append(AddPartitionVersion(part, version))
                 payload = _collect_version_stats(
                     new_dir, self.storage, bloom_columns=defn.bloom_columns)
@@ -903,8 +904,8 @@ class VersionedEngine:
                     .select("file", "idx")).distinct()
             merged.write.mode("overwrite").parquet(
                 os.path.join(new_dir, _DV_DIR))
-            dv_total = self.spark.read.parquet(
-                os.path.join(new_dir, _DV_DIR)).count()
+            dv_total = _dv_row_count(
+                os.path.join(new_dir, _DV_DIR), self.storage)
             payload = _collect_version_stats(
                 new_dir, self.storage, bloom_columns=defn.bloom_columns)
             stats = {}
@@ -952,7 +953,7 @@ class VersionedEngine:
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(os.path.join(dv_staging, render),
                                          dv_dst)
-                dv_total = self.spark.read.parquet(dv_dst).count()
+                dv_total = _dv_row_count(dv_dst, self.storage)
                 ops.append(AddPartitionVersion(part, version))
                 payload = _collect_version_stats(
                     new_dir, self.storage, bloom_columns=defn.bloom_columns)
@@ -2341,6 +2342,22 @@ def _bloom_union(blooms: list[dict]) -> dict | None:
             acc[i] |= byte
     return {"m": blooms[0]["m"], "k": blooms[0]["k"],
             "bits": base64.b64encode(bytes(acc)).decode("ascii")}
+
+
+def _dv_row_count(dv_dir: str, storage: Storage | None = None) -> int:
+    """Rows in a _dv sidecar from parquet footers — driver-side metadata
+    only, no Spark job (the vectors are written distinct, so footer row
+    counts ARE the position count)."""
+    import pyarrow.parquet as pq
+
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    total = 0
+    for name in storage.list_dir(dv_dir):
+        if name.startswith((".", "_")) or not name.endswith(".parquet"):
+            continue
+        with storage.open_input(os.path.join(dv_dir, name)) as f:
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 def _collect_version_stats(version_dir: str,
