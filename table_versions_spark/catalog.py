@@ -103,6 +103,33 @@ def _physical_schema_ddl(defn: TableDefinition) -> str:
                      for n, t in _schema_fields(defn.schema_ddl))
 
 
+def _guard_no_deletion_vectors(defn: TableDefinition,
+                               log: FileTableVersions) -> None:
+    """Refuse catalog sync while any current version dir carries a ``_dv``
+    deletion-vector sidecar: a vanilla catalog reader knows nothing about
+    vectors, so rows deleted via ``delete(mode='dv')`` would resurrect in
+    ``spark.table()``, and rows updated via ``update(mode='dv')`` would
+    appear twice (hardlinked old file plus new file). ``compact()``
+    materializes vectors away; sync after that. Same refusal pattern as
+    the column-mapping VIEW interlock."""
+    state = log.current_version(defn.name)
+    if isinstance(state, SnapshotTableVersion):
+        dirs = ([] if state.version == UNVERSIONED
+                else [path_for(defn.location, state.version)])
+    else:
+        dirs = [os.path.join(defn.location, p.render(), v.label)
+                for p, v in state.partition_versions.items()]
+    bad = sorted(d for d in dirs
+                 if log.storage.exists(os.path.join(d, "_dv")))
+    if bad:
+        raise ValueError(
+            f"{defn.name.fully_qualified_name} has deletion vectors in "
+            f"{len(bad)} current version dir(s) (e.g. {bad[0]}); a plain "
+            "catalog reader would resurrect deleted rows or double-count "
+            "updated ones. Run compact() to materialize vectors away, "
+            "then sync.")
+
+
 def sync_catalog(spark: SparkSession, defn: TableDefinition,
                  log: FileTableVersions,
                  catalog_table: str | None = None) -> int:
@@ -118,6 +145,7 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
     logical-name projection — plain ``spark.table(name)`` then reads
     correct current-version data under the logical names, with partition
     pruning flowing through the view."""
+    _guard_no_deletion_vectors(defn, log)
     name = catalog_table or defn.name.fully_qualified_name
     db = name.split(".")[0]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")

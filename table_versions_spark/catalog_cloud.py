@@ -137,6 +137,9 @@ def sync_cloud_catalog(client: CloudCatalogClient, defn: TableDefinition,
             f"{defn.name.fully_qualified_name} uses column mapping "
             "(renamed/dropped columns); a plain catalog reader cannot "
             "apply the logical↔physical name translation")
+    from .catalog import _guard_no_deletion_vectors
+
+    _guard_no_deletion_vectors(defn, log)
     db, name = defn.name.schema, defn.name.name
     try:
         client.get_table(db, name)

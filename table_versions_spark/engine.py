@@ -79,6 +79,27 @@ from .core.paths import path_for
 _DV_DIR = "_dv"  # deletion-vector sidecar dir inside a version dir
 from .core.storage import DEFAULT_STORAGE, Storage
 
+# Comparing a `_metadata.file_path`-derived dir against a raw storage path
+# must survive scheme/normalization drift: Spark renders `file:/x`,
+# `s3a://bucket/k`, sometimes doubled slashes, while the engine holds the
+# raw configured path. Both sides are pushed through the SAME normalizer
+# (scheme stripped to a leading "/", slash runs collapsed) so the
+# comparison is an equi-join, never a suffix scan.
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:(//)?"
+
+
+def _norm_path(path: str) -> str:
+    import re
+
+    return re.sub("/{2,}", "/", re.sub(_SCHEME_RE, "/", path))
+
+
+def _norm_path_expr(column):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.regexp_replace(column, _SCHEME_RE, "/"), "/{2,}", "/")
+
 _PARTITION_DIR_MARKER = "="
 
 
@@ -703,6 +724,11 @@ class VersionedEngine:
             raise ValueError(
                 "delete(mode='dv') requires parquet (positions use the "
                 "parquet _metadata.row_index column); use mode='rewrite'")
+        if defn.bucket_count:
+            raise ValueError(
+                "delete(mode='dv') is not supported on bucketed tables: "
+                "bucket ids ride part-file names, and vectors would break "
+                "the filename/bucket contract; use mode='rewrite'")
         pcols = list(defn.partition_schema.columns)
         state = log.current_version(defn.name)
         if defn.is_snapshot:
@@ -828,6 +854,12 @@ class VersionedEngine:
             raise ValueError(
                 "update(mode='dv') requires parquet (positions use the "
                 "parquet _metadata.row_index column); use mode='rewrite'")
+        if defn.bucket_count:
+            raise ValueError(
+                "update(mode='dv') is not supported on bucketed tables: "
+                "updated rows are written without bucket clustering, which "
+                "would break the filename/bucket contract; use "
+                "mode='rewrite'")
         pcols = list(defn.partition_schema.columns)
         state = log.current_version(defn.name)
         if defn.is_snapshot:
@@ -861,12 +893,35 @@ class VersionedEngine:
             raise ValueError(f"Unknown column(s) in SET: {unknown}")
         cond = F.coalesce(F.expr(predicate), F.lit(False))
         matched = scan.where(cond)
-        # updated payload: every assignment against the OLD row, then
+        # updated payload: every assignment against the OLD row, each SET
+        # expression cast to the column's DECLARED type — the rewrite path
+        # gets both for free via insert()'s schema check; without the cast
+        # this path would write files whose column types drift from the
+        # declared schema (int literal into a bigint column, etc.)
+        declared = ({f.name: f.dataType for f in self.spark.createDataFrame(
+            [], defn.schema_ddl).schema.fields} if defn.schema_ddl else {})
+        updated_logical = matched.select(*[
+            ((F.expr(set[c]).cast(declared[c]) if c in declared
+              else F.expr(set[c])) if c in set else F.col(c)).alias(c)
+            for c in data_cols])
+        if defn.check_constraints:
+            # same violated-row probe as _insert: a violation rejects the
+            # commit before any file or vector is written
+            from functools import reduce
+
+            violated = reduce(
+                lambda a, b: a | b,
+                [F.expr(c) == False  # noqa: E712
+                 for c in defn.check_constraints])
+            bad = updated_logical.where(violated).limit(1).collect()
+            if bad:
+                raise ConstraintViolationError(
+                    f"CHECK constraint {defn.check_constraints} rejected "
+                    f"updated row {bad[0].asDict()}")
         # logical→physical names for the file write
         to_phys = dict(defn.column_mapping)
-        updated = matched.select(*[
-            (F.expr(set[c]) if c in set else F.col(c))
-            .alias(to_phys.get(c, c)) for c in data_cols])
+        updated = updated_logical.select(*[
+            F.col(c).alias(to_phys.get(c, c)) for c in data_cols])
         positions = matched.select(
             *pcols, F.col("__dv_file").alias("file"),
             F.col("__dv_idx").alias("idx"))
@@ -1580,10 +1635,10 @@ class VersionedEngine:
             out.append(finalize(self._apply_dvs(
                 load(coarse_ins), self._dv_dirs(coarse_ins)), "insert"))
         if refined:
-            strip = F.regexp_replace(F.col("__dv_dir"), "^file:", "")
+            strip = _norm_path_expr(F.col("__dv_dir"))
             slots = self.spark.createDataFrame(
-                [(b, i) for i, (b, _, _) in enumerate(refined)]
-                + [(a, i) for i, (_, a, _) in enumerate(refined)],
+                [(_norm_path(b), i) for i, (b, _, _) in enumerate(refined)]
+                + [(_norm_path(a), i) for i, (_, a, _) in enumerate(refined)],
                 "mdir string, __slot int")
 
             def with_slot(df: DataFrame) -> DataFrame:
@@ -1919,7 +1974,12 @@ class VersionedEngine:
                 continue
             if how == "inner" and not all(files):
                 continue  # inner join: a missing side yields no rows
-            dfs = [self._read_files(d, f) for d, f in zip(defns, files)]
+            # apply any deletion vectors on the touched version dirs —
+            # dv modes are refused on bucketed tables going forward, but a
+            # vector from before that guard must not resurrect rows here
+            dfs = [self._read_files(
+                d, f, self._dv_dirs(sorted({os.path.dirname(p) for p in f})))
+                for d, f in zip(defns, files)]
             sizes = [_size(f) for f in files]
             # stream the largest side through the others; for the 2-table
             # outer form the left table must stay the stream side
@@ -2208,14 +2268,23 @@ class VersionedEngine:
         ``cluster_mode="zorder"`` the rewrite sorts on the Morton curve
         over ≥2 columns — the full ``OPTIMIZE ZORDER BY`` shape: skipping
         then works on any clustered column."""
-        defn, _ = self._log(table)
+        defn, log = self._log(table)
         df = self.read(table)
         if defn.is_snapshot and target_partitions:
             df = df.coalesce(target_partitions)
         # partitioned case: insert's distribute=True already clusters by
-        # partition columns — one shuffle total
-        return self.insert(df, table, user_id, "compaction",
-                           cluster_by=cluster_by, cluster_mode=cluster_mode)
+        # partition columns — one shuffle total. Current partitions the
+        # rewrite does NOT re-add are dropped in the same commit: a
+        # partition whose rows are all dv-deleted has zero live rows, and
+        # materializing its vector away means removing it (rewrite-delete
+        # semantics) — otherwise the old vector-carrying dir would stay
+        # current forever.
+        state = log.current_version(defn.name)
+        drop = (list(getattr(state, "partition_versions", {}))
+                if not defn.is_snapshot else ())
+        return self._insert(df, table, user_id, "compaction",
+                            drop_partitions=drop,
+                            cluster_by=cluster_by, cluster_mode=cluster_mode)
 
     def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
         """Every version-label directory on disk for this table."""

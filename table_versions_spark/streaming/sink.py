@@ -193,13 +193,13 @@ def _commit_versioned_write(location: str, version: Version,
                            tuple(ops), stats=stats or None))
 
 
-def _txn_already_committed(location: str, app: str, batch_id: int) -> bool:
+def _txn_high_water(location: str, app: str) -> "int | None":
+    """Highest txn_version committed for ``app`` (None = never)."""
     log = FileTableVersions(location)
-    for u in log.table_state().updates:
-        if (u.metadata.txn_app == app and u.metadata.txn_version is not None
-                and u.metadata.txn_version >= batch_id):
-            return True
-    return False
+    versions = [u.metadata.txn_version for u in log.table_state().updates
+                if u.metadata.txn_app == app
+                and u.metadata.txn_version is not None]
+    return max(versions) if versions else None
 
 
 class VersionedTableWriter(DataSourceArrowWriter):
@@ -286,8 +286,22 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                 for render, d, rows in m.written:
                     staged.setdefault(render, []).append(d)
         try:
-            if _txn_already_committed(self.location, self.txn_app, batchId):
-                return  # replayed epoch: already in the log, drop the stage
+            high = _txn_high_water(self.location, self.txn_app)
+            if high is not None:
+                if batchId < high:
+                    # exactly-once replay only ever re-delivers the LATEST
+                    # epoch (batchId == high); anything lower means the
+                    # query restarted with a FRESH checkpoint (batchId
+                    # reset to 0) under a txnApp that already recorded
+                    # later epochs — silently skipping would drop every
+                    # batch, so fail loudly instead
+                    raise ValueError(
+                        f"txnApp {self.txn_app!r} already committed epoch "
+                        f"{high} but this query submitted epoch {batchId}; "
+                        "a new checkpoint location needs a new txnApp "
+                        "option (or reuse the old checkpoint)")
+                if batchId == high:
+                    return  # replayed epoch: in the log, drop the stage
             if not staged:
                 return
             version = Version.generate()

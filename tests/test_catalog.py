@@ -158,3 +158,25 @@ def test_sync_column_mapped_table_via_view(spark, engine):
     finally:
         spark.sql("DROP VIEW IF EXISTS cdb.cmap")
         spark.sql("DROP TABLE IF EXISTS cdb.cmap__phys")
+
+
+def test_sync_refuses_tables_with_deletion_vectors(spark, engine):
+    """A plain catalog reader ignores _dv sidecars: deleted rows would
+    resurrect and dv-updated rows double-count — sync must refuse until
+    compact() materializes the vectors away."""
+    try:
+        engine.create_table("cdb.dvg", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id bigint, d string"),
+            "cdb.dvg", "u", "v1")
+        engine.sync_catalog("cdb.dvg")  # clean table syncs fine
+        engine.delete("cdb.dvg", "id = 1", "u", "dv", mode="dv")
+        with pytest.raises(ValueError, match="compact"):
+            engine.sync_catalog("cdb.dvg")
+        engine.compact("cdb.dvg")
+        engine.sync_catalog("cdb.dvg")
+        assert sorted(r.id for r in spark.table("cdb.dvg").collect()) \
+            == [2, 3]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.dvg")

@@ -134,3 +134,21 @@ class TestCloudCatalogSync:
         # read-back round-trips to the same stored partition state
         assert (cloud_catalog_current_version(fake, defn).partition_versions
                 == engine.current_version("cdb.r").partition_versions)
+
+
+def test_cloud_sync_refuses_deletion_vectors(spark, engine, fake):
+    """Same guard as the Hive path: vectors are invisible to a plain
+    catalog reader, so sync refuses until compact()."""
+    import pytest as _pytest
+
+    engine.create_table("cdb.cdv", schema_ddl="id bigint, d string",
+                        partition_columns=["d"])
+    defn = engine.definition("cdb.cdv")
+    log = FileTableVersions(defn.location, engine.storage)
+    engine.insert(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, d string"), "cdb.cdv", "u", "v1")
+    engine.delete("cdb.cdv", "id = 1", "u", "dv", mode="dv")
+    with _pytest.raises(ValueError, match="compact"):
+        sync_cloud_catalog(fake, defn, log)
+    engine.compact("cdb.cdv")
+    assert sync_cloud_catalog(fake, defn, log) > 0

@@ -425,3 +425,34 @@ class TestStreamingChangeFeed:
         assert got_b == [(1, 1.0, "delete"), (2, 2.0, "delete"),
                          (2, 20.0, "insert"), (3, 3.0, "delete"),
                          (9, 9.0, "insert")]
+
+
+class TestStreamSinkTxnGuard:
+    def test_fresh_checkpoint_under_used_txn_app_fails_loudly(
+            self, spark, engine, tmp_path):
+        """A query restarted with a NEW checkpoint resets batchId to 0; if
+        its txnApp already recorded later epochs, every batch would be
+        silently skipped as a 'replay' — the sink must raise instead.
+        Replaying the LATEST epoch (crash between log commit and
+        checkpoint write) stays absorbed."""
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.sink import (
+            TvxCommitMessage,
+            VersionedTableStreamWriter,
+            _commit_versioned_write,
+        )
+        from table_versions_spark.core.model import Version
+
+        engine.create_table("sk.guard", schema_ddl="id bigint")
+        loc = engine.definition("sk.guard").location
+        # record epoch 5 for app t9 (as a past run of the sink would)
+        _commit_versioned_write(loc, Version.generate(), [None],
+                                append=True, user_id="tvx-stream-writer",
+                                message="epoch 5", txn=("t9", 5))
+        w = VersionedTableStreamWriter(loc, overwrite=False, txn_app="t9")
+        # replay of the latest epoch: absorbed silently
+        w.commit([TvxCommitMessage(written=[], root=None)], 5)
+        # fresh checkpoint (batchId back at 0): loud failure, not data loss
+        with _pytest.raises(ValueError, match="new txnApp"):
+            w.commit([TvxCommitMessage(written=[], root=None)], 0)
