@@ -64,44 +64,37 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # Never appeared in any driver CORRECTNESS artifact (r1-r3 budget
-        # truncated at 50/round); all verified hash-matching locally in the
-        # round-3 session — lead with them so the official record completes.
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
-        "q_tpch_q21", "q_lm_score", "q_pack_sequences", "q_sample_weighted",
-        "q_shuffle_shards", "q_semdedup",
-        # New in round 4.
+        # New in round 5 — exact row-level CDF across rewrite commits via
+        # _cdc sidecars; its oracle FAILS if the coarse fallback fires.
+        "q_change_feed_rewrite",
+        # Oldest official rows (green only in the round-1/2 artifacts while
+        # the code around them kept evolving — VERDICT r4 #6 asked to lead
+        # round 5 with these families; all re-verified in the r4 sweep):
+        # the relational core...
+        "q_sort", "q_str_funcs", "q_math_funcs", "q_date_funcs",
+        "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
+        "q_cube", "q_rollup", "q_agg_hash", "q_agg_distinct",
+        "q_window_rank", "q_window_running", "q_topk",
+        "q_set_intersect", "q_set_except", "q_project", "q_distinct",
+        "q_filter_eq", "q_limit", "q_union_all",
+        "q_scan_parquet", "q_scan_orc", "q_scan_table",
+        "q_collect", "q_create_ds", "q_typed_cast",
+        "q_udf_pandas", "q_join_skew_salted",
+        # ...and the r1-green TPC-H block (q2/q11/q12/q16/q20/q21 were
+        # refreshed in r4; these 16 were not since r1).
+        "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
+        "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
+        "q_tpch_q19", "q_tpch_q22",
+        # Round-4 material rotates behind (officially green in r4).
         "q_unpivot", "q_grouping_sets", "q_sample_temperature",
         "q_dedup_paragraph", "q_dedup_prefix", "q_stream_sink",
-        "q_bpe_train", "q_tokenize_apply", "q_delete_dv", "q_update_dv",
-        "q_change_feed_rows", "q_stream_cdf",
-        # Round-3-green families rotate behind the fresh material.
-        "q_insert_overwrite_partition", "q_partition_prune", "q_upsert",
-        "q_delete", "q_merge", "q_rollup_incremental", "q_asof_join",
-        "q_sessionize", "q_funnel", "q_date_from_ts",
-        "q_curation_pipeline",
-        "q_stream_window", "q_stream_session", "q_knn_join",
-        "q_json_funcs", "q_anomaly", "q_session_window",
-        "q_scan_csv", "q_scan_json", "q_dedup_incremental",
-        "q_stream_dedup", "q_stream_join", "q_udaf_pandas", "q_udtf",
-        "q_window_range_frame", "q_rename_column", "q_update",
-        "q_sample_per_group", "q_histogram",
-        "q_time_travel_ts",
-        "q_change_feed", "q_compact_invariant", "q_clustered_skipping",
-        "q_zorder_skipping", "q_derived_partition", "q_bloom_skipping",
-        "q_vacuum_invariant",
-        "q_pii_redact", "q_contamination", "q_repetition", "q_tfidf",
-        "q_bm25", "q_sim_ann_lsh", "q_stream_agg", "q_schema_evolution",
-        "q_multi_partition_prune", "q_table_stats", "q_kmeans", "q_restore",
-        # remaining versioned flows (engine write path)
-        "q_snapshot_replace", "q_time_travel", "q_bucketed_join",
+        "q_delete_dv", "q_update_dv", "q_change_feed_rows", "q_stream_cdf",
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+        "q_tpch_q20", "q_tpch_q21",
     ]
-    r2_green_modules = [text, similarity, multimodal, dedup]
-    r2_green = {name for m in r2_green_modules for name in m.QUERIES}
     pset = set(priority)
-    ordered = (priority
-               + [n for n in queries if n not in pset and n not in r2_green]
-               + [n for n in queries if n not in pset and n in r2_green])
+    ordered = priority + [n for n in queries if n not in pset]
     queries = {n: queries[n] for n in ordered}
     oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles

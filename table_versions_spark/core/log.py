@@ -426,6 +426,7 @@ def write_table_meta(defn: TableDefinition,
         "column_mapping": [list(p) for p in defn.column_mapping],
         "dropped_columns": list(defn.dropped_columns),
         "partition_derivations": [list(p) for p in defn.partition_derivations],
+        "change_data_feed": defn.change_data_feed,
     }, indent=1)
     storage.write_atomic(os.path.join(defn.location, META_FILE), payload)
 
@@ -455,4 +456,5 @@ def read_table_meta(location: str,
         dropped_columns=tuple(d.get("dropped_columns", ())),
         partition_derivations=tuple(
             (c, e) for c, e in d.get("partition_derivations", ())),
+        change_data_feed=d.get("change_data_feed", False),
     )

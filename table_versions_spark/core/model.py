@@ -264,6 +264,14 @@ class TableDefinition:
     # computed from the expression — the derivation lives with the table,
     # not in every writer job.
     partition_derivations: tuple[tuple[str, str], ...] = ()
+    # Change data feed (extension; Delta ``delta.enableChangeDataFeed``):
+    # when True, rewrite-mode DELETE/UPDATE/MERGE additionally write a
+    # ``_cdc/`` sidecar of exactly-changed rows (+ ``_change_type``) into
+    # each new version dir, so ``read_changes(row_level=True)`` and the
+    # streaming change feed stay row-exact across rewrite commits instead
+    # of falling back to delete-all+insert-all. Costs one extra write job
+    # over the CHANGED rows per such commit.
+    change_data_feed: bool = False
 
     @property
     def is_snapshot(self) -> bool:

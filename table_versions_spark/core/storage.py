@@ -85,6 +85,14 @@ class Storage:
         """Binary file-like for reading (parquet footers etc.)."""
         raise NotImplementedError
 
+    def open_output(self, path: str):
+        """Binary file-like for writing one data file; the write becomes
+        visible at ``close()`` (direct file on POSIX, buffered PUT on
+        object stores). For files inside uncommitted version dirs —
+        invisible to readers until the commit record lands — so no
+        stronger atomicity is needed."""
+        raise NotImplementedError
+
     def file_size(self, path: str) -> int:
         """Size in bytes of a single file/object (0 if unknown)."""
         raise NotImplementedError
@@ -124,6 +132,11 @@ class Storage:
         (hardlink on POSIX, server-side copy on object stores)."""
         raise NotImplementedError
 
+    def move_file(self, src: str, dst: str) -> None:
+        """Move one file (rename on POSIX, copy+delete on object stores).
+        ``dst``'s parent may not exist."""
+        raise NotImplementedError
+
     def remove_tree(self, path: str) -> None:
         """Recursively delete; missing is not an error."""
         raise NotImplementedError
@@ -157,6 +170,11 @@ class LocalStorage(Storage):
 
     def open_input(self, path):
         return open(_strip_scheme(path), "rb")
+
+    def open_output(self, path):
+        path = _strip_scheme(path)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return open(path, "wb")
 
     def file_size(self, path):
         try:
@@ -226,6 +244,11 @@ class LocalStorage(Storage):
             os.link(src, dst)
         except OSError:
             shutil.copy2(src, dst)
+
+    def move_file(self, src, dst):
+        src, dst = _strip_scheme(src), _strip_scheme(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
 
     def remove_tree(self, path):
         shutil.rmtree(_strip_scheme(path), ignore_errors=True)
@@ -317,6 +340,9 @@ class ObjectStoreStorage(Storage):
     def open_input(self, path):
         return io.BytesIO(self._get(path))
 
+    def open_output(self, path):
+        return _PutOnClose(self, path)
+
     def file_size(self, path):
         try:
             return os.path.getsize(_strip_scheme(path))
@@ -397,10 +423,29 @@ class ObjectStoreStorage(Storage):
     def link_or_copy(self, src, dst):
         self._copy(src, dst)
 
+    def move_file(self, src, dst):
+        self._copy(src, dst)
+        self._delete(src)
+
     def remove_tree(self, path):
         for rel in self._walk_files(path):
             self._delete(os.path.join(path, rel))
         self._cleanup_prefix(path)
+
+
+class _PutOnClose(io.BytesIO):
+    """Buffered object-store write: bytes accumulate locally, one PUT at
+    close — the shape every object-store writer has (no partial keys)."""
+
+    def __init__(self, storage: ObjectStoreStorage, path: str):
+        super().__init__()
+        self._storage = storage
+        self._path = path
+
+    def close(self):
+        if not self.closed:
+            self._storage._put(self._path, self.getvalue())
+        super().close()
 
 
 class MemoryStorage(ObjectStoreStorage):
@@ -630,3 +675,26 @@ class S3Storage(ObjectStoreStorage):
 
     def _cleanup_prefix(self, path):
         pass
+
+    def __reduce__(self):
+        # executors get a fresh boto3 client on unpickle (clients hold
+        # sockets/locks and cannot cross process boundaries); a custom
+        # client= is a driver-side concern and is deliberately dropped
+        return (S3Storage, (self.copy_workers,))
+
+
+def storage_from_name(name: "str | None") -> Storage:
+    """Resolve a storage backend by the short name the ``tvx`` data source
+    accepts as ``.option("storage", ...)``: ``local`` (default),
+    ``object`` (object-store semantics emulated on local paths — the
+    test/CI face), ``s3`` (boto3). MemoryStorage is deliberately absent:
+    its state lives in one process and executor writes would be lost."""
+    if not name or name == "local":
+        return DEFAULT_STORAGE
+    key = name.lower()
+    if key in ("object", "objectstore"):
+        return ObjectStoreStorage()
+    if key == "s3":
+        return S3Storage()
+    raise ValueError(
+        f"Unknown storage backend {name!r}; expected local | object | s3")

@@ -76,7 +76,9 @@ from .core.model import (
 )
 from .core.paths import path_for
 
-_DV_DIR = "_dv"  # deletion-vector sidecar dir inside a version dir
+_DV_DIR = "_dv"    # deletion-vector sidecar dir inside a version dir
+_CDC_DIR = "_cdc"  # change-data-feed sidecar dir inside a version dir
+_CDC_BEFORE = "_before"  # marker file naming the diffed-against label
 from .core.storage import DEFAULT_STORAGE, Storage
 
 # Comparing a `_metadata.file_path`-derived dir against a raw storage path
@@ -99,6 +101,19 @@ def _norm_path_expr(column):
 
     return F.regexp_replace(
         F.regexp_replace(column, _SCHEME_RE, "/"), "/{2,}", "/")
+
+
+def _uri_decode_expr(column):
+    """Reverse Hadoop's URI encoding of a `_metadata.file_path`-derived
+    string: an on-disk dir named ``d=p%3A0`` (Hive-escaped ':') surfaces
+    in file metadata as ``d=p%253A0`` ('%' re-encoded). ``url_decode``
+    with '+' pre-protected (url_decode alone would turn a literal '+'
+    into a space) is an exact percent-decoder, recovering the on-disk
+    name. Apply ONLY to metadata-derived strings — raw storage paths may
+    contain lone '%' bytes that are not valid percent sequences."""
+    from pyspark.sql import functions as F
+
+    return F.url_decode(F.regexp_replace(column, r"\+", "%2B"))
 
 _PARTITION_DIR_MARKER = "="
 
@@ -139,6 +154,7 @@ class VersionedEngine:
                      bloom_columns: list[str] | None = None,
                      partition_derivations: dict[str, str] | None = None,
                      check_constraints: list[str] | None = None,
+                     change_data_feed: bool = False,
                      ) -> TableDefinition:
         """Create + init a versioned table (idempotent).
 
@@ -179,6 +195,7 @@ class VersionedEngine:
             bloom_columns=tuple(bloom_columns or ()),
             partition_derivations=tuple(sorted(derivations.items())),
             check_constraints=tuple(check_constraints or ()),
+            change_data_feed=change_data_feed,
         )
         self._validate_constraints(defn)
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
@@ -293,10 +310,17 @@ class VersionedEngine:
                 txn: tuple[str, int] | None = None,
                 check_conflicts: bool = False,
                 cluster_by: list[str] | None = None,
-                cluster_mode: str = "range") -> CommitResult:
+                cluster_mode: str = "range",
+                cdc: DataFrame | None = None) -> CommitResult:
         """insert() plus ``drop_partitions``: partitions to REMOVE in the
         same commit unless the write itself re-adds them — lets delete()
-        empty a partition atomically (write + remove = one commit)."""
+        empty a partition atomically (write + remove = one commit).
+
+        ``cdc``: the exactly-changed rows of this commit (logical table
+        columns + ``_change_type`` delete|insert), written as ``_cdc/``
+        sidecars into the new version dirs when the table declares
+        ``change_data_feed`` — Delta's CDC-file recipe, consumed by
+        ``read_changes(row_level=True)`` and the streaming change feed."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
@@ -387,6 +411,10 @@ class VersionedEngine:
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
                 if p not in written]
+        if cdc is not None and defn.change_data_feed:
+            # sidecars land INSIDE the uncommitted version dirs — like the
+            # data files themselves, invisible until the commit record
+            self._write_cdc_sidecars(cdc, defn, version, ops, previous)
         # footer stats AFTER any append-mode linking, so linked-in files are
         # included (stale stats would let the skipper wrongly drop rows).
         # Stats ride the commit record (Delta-style): plan-time skipping
@@ -624,8 +652,23 @@ class VersionedEngine:
         out = (j.where(keep)
                 .select(*[F.when(take_source, scol(c)).otherwise(tcol(c))
                           .alias(c) for c in cols]))
+        cdc = None
+        if defn.change_data_feed:
+            # exactly-changed rows from the same join: deleted/updated
+            # target rows as deletes, updated/inserted source rows as
+            # inserts (an update emits its pre+post pair, Delta-style)
+            ct = "_change_type"
+            tsel = [tcol(c).alias(c) for c in cols]
+            ssel = [scol(c).alias(c) for c in cols]
+            upd = matched & ~delete_c & update_c
+            cdc = (j.where((matched & delete_c) | (t_only & nmbs_delete_c)
+                           | upd).select(*tsel)
+                   .withColumn(ct, F.lit("delete"))
+                   .unionByName(
+                       j.where(upd | (s_only & insert_c)).select(*ssel)
+                       .withColumn(ct, F.lit("insert"))))
         if not pcols:
-            return self.insert(out, table, user_id, message)
+            return self._insert(out, table, user_id, message, cdc=cdc)
         # A touched partition whose every row was merge-deleted writes no
         # files, so it must be dropped in the SAME commit or it would keep
         # its old version (and its stale rows). Partition KEYS only come to
@@ -643,7 +686,7 @@ class VersionedEngine:
             drop = sorted(set(drop) | set(state.partition_versions),
                           key=lambda p: p.render())
         return self._insert(out, table, user_id, message,
-                            drop_partitions=drop)
+                            drop_partitions=drop, cdc=cdc)
 
     def delete(self, table: TableName | str, predicate: str, user_id: str,
                message: str, mode: str = "rewrite") -> CommitResult:
@@ -679,8 +722,15 @@ class VersionedEngine:
         # rows where it evaluates NULL are KEPT (`~cond` alone would drop
         # them — NULL is not TRUE under negation either)
         cond = F.coalesce(F.expr(predicate), F.lit(False))
+        # change-data-feed tables record the deleted rows exactly (one
+        # extra job over the MATCHED rows; a fully-emptied partition needs
+        # no sidecar — its removal already reads as delete-all)
+        cdc = (current.where(cond).withColumn("_change_type",
+                                              F.lit("delete"))
+               if defn.change_data_feed else None)
         if not pcols:
-            return self.insert(current.where(~cond), table, user_id, message)
+            return self._insert(current.where(~cond), table, user_id,
+                                message, cdc=cdc)
         # partition KEYS (not data rows) come to the driver: a partition
         # emptied by the delete writes no files, so its RemovePartition op
         # must ride the same commit. escape_partition_value maps a NULL
@@ -701,7 +751,7 @@ class VersionedEngine:
             _null_safe_cond(pcols, "cur", "aff"), "left_semi")
         remaining = scoped.where(~cond)
         return self._insert(remaining, table, user_id, message,
-                            drop_partitions=affected)
+                            drop_partitions=affected, cdc=cdc)
 
     def _delete_dv(self, defn: TableDefinition, log: FileTableVersions,
                    predicate: str, user_id: str,
@@ -802,14 +852,7 @@ class VersionedEngine:
         affected = {key: Partition.parse(r) for key, r in renders.items()}
         # merge in the affected partitions' existing vectors (attributed
         # back to their partition values) and write ONE partitionBy job
-        merged = matched
-        for key, part in affected.items():
-            old = os.path.join(dirs[part], _DV_DIR)
-            if self.storage.exists(old):
-                prev = self.spark.read.parquet(old).select("file", "idx")
-                for c, v in zip(pcols, key):
-                    prev = prev.withColumn(c, F.lit(v))
-                merged = merged.unionByName(prev.select(*matched.columns))
+        merged = self._old_dv_union(matched, dirs, affected, renders, pcols)
         staging = os.path.join(defn.location,
                                f"_dv_staging-{version.label}")
         (merged.distinct().repartition(*[F.col(c) for c in pcols])
@@ -980,14 +1023,8 @@ class VersionedEngine:
                                  for c, v in zip(pcols, key))
                    for key in per_part}
         affected = {key: Partition.parse(r) for key, r in renders.items()}
-        merged = positions
-        for key, part in affected.items():
-            old = os.path.join(dirs[part], _DV_DIR)
-            if self.storage.exists(old):
-                prev = self.spark.read.parquet(old).select("file", "idx")
-                for c, v in zip(pcols, key):
-                    prev = prev.withColumn(c, F.lit(v))
-                merged = merged.unionByName(prev.select(*positions.columns))
+        merged = self._old_dv_union(positions, dirs, affected, renders,
+                                    pcols)
         dv_staging = os.path.join(defn.location,
                                   f"_dv_staging-{version.label}")
         upd_staging = os.path.join(defn.location,
@@ -1066,17 +1103,32 @@ class VersionedEngine:
                  if c in set else F.col(c))
                 for c in df.columns])
 
+        ct = "_change_type"
+
+        def cdc_frame(scope_df):
+            # exactly-changed rows: matched old as delete + matched new as
+            # insert (Delta update_pre/postimage, collapsed to the same
+            # delete|insert vocabulary the rest of the CDF uses)
+            if not defn.change_data_feed:
+                return None
+            matched = scope_df.where(cond)
+            return (matched.withColumn(ct, F.lit("delete"))
+                    .unionByName(apply(matched).withColumn(
+                        ct, F.lit("insert"))))
+
         if not pcols:
-            return self.insert(apply(current), table, user_id, message)
+            return self._insert(apply(current), table, user_id, message,
+                                cdc=cdc_frame(current))
         affected_df = current.where(cond).select(*pcols).distinct()
         if not affected_df.limit(1).collect():
             return self.insert(current.limit(0), table, user_id, message,
                                distribute=False)
         scoped = current.alias("cur").join(
             F.broadcast(affected_df).alias("aff"),
-            _null_safe_cond(pcols, "cur", "aff"), "left_semi")
-        return self.insert(apply(scoped.select(*current.columns)), table,
-                           user_id, message)
+            _null_safe_cond(pcols, "cur", "aff"),
+            "left_semi").select(*current.columns)
+        return self._insert(apply(scoped), table, user_id, message,
+                            cdc=cdc_frame(scoped))
 
     def remove_partitions(self, table: TableName | str,
                           partitions: list[Partition], user_id: str,
@@ -1123,15 +1175,22 @@ class VersionedEngine:
             format=src_defn.format, user_id=user_id,
             bucket_columns=list(src_defn.bucket_columns) or None,
             bucket_count=src_defn.bucket_count)
-        if src_defn.merge_schema and not dst_defn.merge_schema:
-            # a schema-evolved source reads with footer merging; the clone
-            # holds the same mixed-schema files and must read the same way
-            dst_defn = TableDefinition(
-                name=dst_defn.name, location=dst_defn.location,
-                partition_schema=dst_defn.partition_schema,
-                format=dst_defn.format, schema_ddl=dst_defn.schema_ddl,
-                bucket_columns=dst_defn.bucket_columns,
-                bucket_count=dst_defn.bucket_count, merge_schema=True)
+        # carry the FULL definition (Delta clones carry table properties):
+        # merge_schema (mixed-schema files must read with footer merging),
+        # column mapping (cloned files hold PHYSICAL names — without the
+        # mapping a renamed column would read as NULL), constraints, bloom
+        # columns, generated partitions, change_data_feed. All were already
+        # validated on the source.
+        extras = dict(
+            merge_schema=src_defn.merge_schema,
+            bloom_columns=src_defn.bloom_columns,
+            check_constraints=src_defn.check_constraints,
+            column_mapping=src_defn.column_mapping,
+            dropped_columns=src_defn.dropped_columns,
+            partition_derivations=src_defn.partition_derivations,
+            change_data_feed=src_defn.change_data_feed)
+        if any(getattr(dst_defn, k) != v for k, v in extras.items()):
+            dst_defn = dataclasses.replace(dst_defn, **extras)
             write_table_meta(dst_defn, self.storage)
         ops: list = []
         stats: dict[str, dict] = {}
@@ -1595,7 +1654,7 @@ class VersionedEngine:
                     if not f.startswith((".", "_"))
                     and not self.storage.is_dir(os.path.join(d, f))}
 
-        coarse_del, coarse_ins, refined = [], [], []
+        coarse_del, coarse_ins, refined, cdc_dirs = [], [], [], []
         for b, a in pairs:
             if b is None:
                 if a is not None:
@@ -1603,6 +1662,13 @@ class VersionedEngine:
             elif a is None:
                 coarse_del.append(b)
             else:
+                # a _cdc sidecar diffed against EXACTLY this before-dir is
+                # row-exact for the pair (rewrite commits); multi-commit
+                # spans miss the marker and fall through
+                acdc = os.path.join(a, _CDC_DIR)
+                if self._cdc_before(acdc) == os.path.basename(b):
+                    cdc_dirs.append(acdc)
+                    continue
                 bf, af = data_files(b), data_files(a)
                 if bf <= af:
                     refined.append((b, a, bf))
@@ -1628,6 +1694,18 @@ class VersionedEngine:
                     .select(*cols).withColumn(ct, F.lit(kind)))
 
         out: list[DataFrame] = []
+        if cdc_dirs:
+            # sidecars are always parquet (regardless of table format) and
+            # carry _change_type as a file column; partition values come
+            # back from the render path segments exactly as the main read
+            r = self.spark.read.format("parquet")
+            if defn.merge_schema:
+                r = r.option("mergeSchema", "true")
+            scan = (r.load(sorted(cdc_dirs)) if defn.is_snapshot
+                    else r.option("basePath", loc).load(sorted(cdc_dirs)))
+            if not defn.is_snapshot:
+                scan = self._declared_types(scan, defn)
+            out.append(self._apply_mapping(eff, scan).select(*cols, ct))
         if coarse_del:
             out.append(finalize(self._apply_dvs(
                 load(coarse_del), self._dv_dirs(coarse_del)), "delete"))
@@ -1635,7 +1713,7 @@ class VersionedEngine:
             out.append(finalize(self._apply_dvs(
                 load(coarse_ins), self._dv_dirs(coarse_ins)), "insert"))
         if refined:
-            strip = _norm_path_expr(F.col("__dv_dir"))
+            strip = _norm_path_expr(_uri_decode_expr(F.col("__dv_dir")))
             slots = self.spark.createDataFrame(
                 [(_norm_path(b), i) for i, (b, _, _) in enumerate(refined)]
                 + [(_norm_path(a), i) for i, (_, a, _) in enumerate(refined)],
@@ -2071,6 +2149,102 @@ class VersionedEngine:
         return self._declared_types(self._apply_dvs(
             reader.option("basePath", defn.location).load(files),
             dv_dirs or []), defn)
+
+    def _write_cdc_sidecars(self, cdc: DataFrame, defn: TableDefinition,
+                            version, ops, previous) -> None:
+        """Write this commit's exactly-changed rows as ``_cdc/`` parquet
+        sidecars inside the new version dirs (Delta CDC-file shape). Each
+        sidecar carries a ``_before`` marker naming the version label it
+        was diffed against, so readers use it ONLY for the exact
+        before/after pair it describes (a multi-commit span falls back to
+        the vector-delta / coarse paths). One distributed ``partitionBy``
+        job over the changed rows; driver work is links + markers."""
+        from pyspark.sql import functions as F
+
+        pcols = list(defn.partition_schema.columns)
+        # logical→physical names for the file write, same as the data path
+        for logical, physical in defn.column_mapping:
+            if logical in cdc.columns:
+                cdc = cdc.withColumnRenamed(logical, physical)
+        if defn.is_snapshot:
+            if not any(isinstance(op, AddTableVersion) for op in ops):
+                return
+            dst = os.path.join(path_for(defn.location, version), _CDC_DIR)
+            cdc.write.mode("overwrite").parquet(dst)
+            before = (previous.version.label
+                      if isinstance(previous, SnapshotTableVersion)
+                      and previous.version != UNVERSIONED else "")
+            self.storage.write_atomic(os.path.join(dst, _CDC_BEFORE), before)
+            return
+        staging = os.path.join(defn.location,
+                               f"_cdc_staging-{version.label}")
+        try:
+            (cdc.repartition(*[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
+            prev_pv = getattr(previous, "partition_versions", {})
+            for op in ops:
+                if not isinstance(op, AddPartitionVersion):
+                    continue
+                render = op.partition.render()
+                staged = os.path.join(staging, render)
+                if not self.storage.is_dir(staged):
+                    continue  # this partition's rewrite changed no rows
+                dst = os.path.join(defn.location, render, version.label,
+                                   _CDC_DIR)
+                self.storage.publish_dir(staged, dst)
+                old = prev_pv.get(op.partition)
+                self.storage.write_atomic(
+                    os.path.join(dst, _CDC_BEFORE),
+                    old.label if old is not None else "")
+        finally:
+            self.storage.remove_tree(staging)
+
+    def _cdc_before(self, cdc_dir: str) -> str | None:
+        """The version label a ``_cdc`` sidecar was diffed against, or
+        None when the marker is absent/unreadable."""
+        try:
+            return self.storage.read_text(
+                os.path.join(cdc_dir, _CDC_BEFORE)).strip()
+        except Exception:  # noqa: BLE001 — any miss ⇒ not usable
+            return None
+
+    def _old_dv_union(self, matched: DataFrame, dirs: dict, affected: dict,
+                      renders: dict, pcols: list[str]) -> DataFrame:
+        """Union the affected partitions' EXISTING vectors into ``matched``
+        (columns ``[*pcols, file, idx]``) as ONE parquet scan — plan size
+        O(1) in #affected partitions. The round-4 shape unioned one
+        ``spark.read`` per partition, which grows a plan leaf per affected
+        partition (10k partitions = 10k-leaf union: driver planning blows
+        up long before data does). Each DV row's owning partition render
+        is derived from its own path segments (scheme-proof — no raw-path
+        comparison) and joined to a broadcast render→typed-values map."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        dv_paths = [os.path.join(dirs[part], _DV_DIR)
+                    for part in affected.values()
+                    if self.storage.exists(os.path.join(dirs[part], _DV_DIR))]
+        if not dv_paths:
+            return matched
+        n = len(pcols)
+        segs = F.split(F.col("_metadata.file_path"), "/")
+        # .../<render: n segs>/<label>/_dv/<file> → render = segs[-(n+3):-3];
+        # decoded back to the on-disk (Hive-escaped) form — any literal '/'
+        # inside a value is itself Hive-escaped, so decoding post-join is
+        # safe (it can never introduce a separator)
+        render = _uri_decode_expr(F.array_join(
+            F.slice(segs, F.size(segs) - (n + 2), n), "/"))
+        schema = StructType(
+            [StructField("__render", StringType(), False)]
+            + [StructField(c, matched.schema[c].dataType, True)
+               for c in pcols])
+        mapping = self.spark.createDataFrame(
+            [(renders[key], *key) for key in affected], schema)
+        prev = (self.spark.read.parquet(*dv_paths)
+                .select(render.alias("__render"), "file", "idx")
+                .join(F.broadcast(mapping), "__render")
+                .select(*matched.columns))
+        return matched.unionByName(prev)
 
     def _dv_dirs(self, dirs: list[str]) -> list[str]:
         """Version dirs among ``dirs`` carrying a deletion vector. One

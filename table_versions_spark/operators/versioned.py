@@ -233,6 +233,33 @@ def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date", "_change_type"))
 
 
+def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed across a REWRITE commit (engine.update
+    mode='rewrite' on a ``change_data_feed=True`` table): the ``_cdc/``
+    sidecar written at commit time makes the CDF EXACT — the matched
+    rows' pre-image as deletes plus their post-image as inserts, and
+    NOTHING for the unmatched rows of the rewritten partitions (the
+    coarse fallback would emit those too, failing this oracle)."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "cdf_base" not in st:
+        eng.create_table("vx.events_cdf", schema_ddl=EVENTS_DDL,
+                         partition_columns=["event_date"],
+                         change_data_feed=True)
+        eng.insert(_events_for_insert(spark, sf_dir), "vx.events_cdf",
+                   "tester", "all days")
+        st["cdf_base"] = "vx.events_cdf"
+    table = f"vx.cdcrw_{next(_SEQ)}"
+    eng.clone_table(st["cdf_base"], table, user_id="tester")
+    pre = eng.history(table).first()["commit_id"]
+    eng.update(table, set={"value": "value * 2"},
+               predicate="event_type = 'error'",
+               user_id="tester", message="reprice errors", mode="rewrite")
+    return (eng.read_changes(table, since_commit=pre, row_level=True)
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date", "_change_type"))
+
+
 def q_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via DELETION VECTORS (engine.update(mode="dv")):
     the same rewrite as q_update, but unmatched rows are never rewritten —
@@ -977,6 +1004,7 @@ QUERIES = {
     "q_update": q_update,
     "q_update_dv": q_update_dv,
     "q_change_feed_rows": q_change_feed_rows,
+    "q_change_feed_rewrite": q_change_feed_rewrite,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
@@ -1128,6 +1156,14 @@ ORACLES = {
     "q_change_feed_rows": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
+        "FROM events WHERE event_type = 'error'"),
+    "q_change_feed_rewrite": (
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
+        "FROM events WHERE event_type = 'error' "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value * 2 AS value, "
+        "CAST(ts AS DATE) AS event_date, 'insert' AS _change_type "
         "FROM events WHERE event_type = 'error'"),
     "q_update": (
         "SELECT event_id, user_id, "

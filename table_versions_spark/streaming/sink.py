@@ -65,6 +65,7 @@ from ..core.model import (
     escape_partition_value,
 )
 from ..core.paths import path_for
+from ..core.storage import DEFAULT_STORAGE
 
 
 @dataclass
@@ -104,45 +105,56 @@ def _guard_writable(defn: TableDefinition, schema) -> None:
 
 
 def _write_task_files(iterator, pcols: list[str], fmt: str,
-                      out_root: str, subdir: str = "") -> list:
+                      out_root: str, subdir: str = "",
+                      storage=None) -> list:
     """Executor side: split the task's Arrow batches by partition value and
     write one file per partition under ``out_root[/render][/subdir]``.
+    Grouping is Arrow-native (``group_by`` on the partition columns, then
+    one ``take`` per group): per-ROW work never enters Python — only the
+    per-GROUP distinct keys do (O(#partitions in the task), tiny).
     Returns ``[(render|None, dir, rows)]``."""
+    import numpy as np
     import pyarrow as pa
 
-    by_render: dict = {}
-    for batch in iterator:
-        t = pa.Table.from_batches([batch])
-        if not pcols:
-            by_render.setdefault(None, []).append(t)
-            continue
-        cols = [t.column(c).to_pylist() for c in pcols]
-        groups: dict[str, list[int]] = {}
-        for i, row in enumerate(zip(*cols)):
-            render = "/".join(f"{c}={escape_partition_value(v)}"
-                              for c, v in zip(pcols, row))
-            groups.setdefault(render, []).append(i)
-        for render, idxs in groups.items():
-            by_render.setdefault(render, []).append(t.take(idxs))
-    written = []
-    for render, parts in by_render.items():
-        tbl = pa.concat_tables(parts)
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    batches = list(iterator)
+    written: list = []
+    if not batches:
+        return written
+    t = pa.Table.from_batches(batches)
+    if t.num_rows == 0:
+        return written
+    if not pcols:
+        groups = [(None, t)]
+    else:
+        key_tbl = t.select(pcols).append_column(
+            "__tvx_idx", pa.array(np.arange(t.num_rows), type=pa.int64()))
+        grouped = key_tbl.group_by(pcols).aggregate([("__tvx_idx", "list")])
+        idx_col = grouped.column("__tvx_idx_list").combine_chunks()
+        keys = [grouped.column(c).to_pylist() for c in pcols]  # O(#groups)
+        groups = [
+            ("/".join(f"{c}={escape_partition_value(k[gi])}"
+                      for c, k in zip(pcols, keys)),
+             t.take(idx_col[gi].values))
+            for gi in range(grouped.num_rows)]
+    for render, tbl in groups:
         drop = [c for c in pcols if c in tbl.column_names]
         if drop:  # partition values live in the dir name, as partitionBy does
             tbl = tbl.drop_columns(drop)
         d = (os.path.join(out_root, render, subdir) if render
              else out_root)
-        os.makedirs(d, exist_ok=True)
+        storage.makedirs(d)
         ext = "orc" if fmt == "orc" else "parquet"
         path = os.path.join(d, f"part-{uuid.uuid4().hex}.{ext}")
-        if fmt == "orc":
-            import pyarrow.orc as orc
+        with storage.open_output(path) as f:
+            if fmt == "orc":
+                import pyarrow.orc as orc
 
-            orc.write_table(tbl, path)
-        else:
-            import pyarrow.parquet as pq
+                orc.write_table(tbl, f)
+            else:
+                import pyarrow.parquet as pq
 
-            pq.write_table(tbl, path)
+                pq.write_table(tbl, f)
         written.append((render, d, tbl.num_rows))
     return written
 
@@ -150,24 +162,26 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
 def _commit_versioned_write(location: str, version: Version,
                             renders, append: bool,
                             user_id: str, message: str,
-                            txn: "tuple[str, int] | None" = None) -> None:
+                            txn: "tuple[str, int] | None" = None,
+                            storage=None) -> None:
     """Driver side: link previous files for append, collect footer stats,
     append ONE commit record — atomic at the commit-file write."""
     from ..engine import _collect_version_stats, _link_data_files
 
-    defn = read_table_meta(location)
-    log = FileTableVersions(location)
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    defn = read_table_meta(location, storage)
+    log = FileTableVersions(location, storage)
     prev = log.current_version(defn.name)
     ops: list = []
     stats: dict = {}
     if defn.is_snapshot:
         vdir = path_for(location, version)
-        os.makedirs(vdir, exist_ok=True)
+        storage.makedirs(vdir)
         if append and isinstance(prev, SnapshotTableVersion) \
                 and prev.version != UNVERSIONED:
-            _link_data_files(path_for(location, prev.version), vdir)
+            _link_data_files(path_for(location, prev.version), vdir, storage)
         ops.append(AddTableVersion(version))
-        payload = _collect_version_stats(vdir,
+        payload = _collect_version_stats(vdir, storage,
                                          bloom_columns=defn.bloom_columns)
         if payload:
             stats[version.label] = payload
@@ -176,13 +190,14 @@ def _commit_versioned_write(location: str, version: Version,
         for render in sorted(r for r in renders if r is not None):
             part = Partition.parse(render)
             vdir = os.path.join(location, render, version.label)
-            os.makedirs(vdir, exist_ok=True)
+            storage.makedirs(vdir)
             if append and part in prev_pv:
                 _link_data_files(
-                    os.path.join(location, render, prev_pv[part].label), vdir)
+                    os.path.join(location, render, prev_pv[part].label),
+                    vdir, storage)
             ops.append(AddPartitionVersion(part, version))
             payload = _collect_version_stats(
-                vdir, bloom_columns=defn.bloom_columns)
+                vdir, storage, bloom_columns=defn.bloom_columns)
             if payload:
                 stats[os.path.join(render, version.label)] = payload
     if not ops:
@@ -193,9 +208,10 @@ def _commit_versioned_write(location: str, version: Version,
                            tuple(ops), stats=stats or None))
 
 
-def _txn_high_water(location: str, app: str) -> "int | None":
+def _txn_high_water(location: str, app: str,
+                    storage=None) -> "int | None":
     """Highest txn_version committed for ``app`` (None = never)."""
-    log = FileTableVersions(location)
+    log = FileTableVersions(location, storage)
     versions = [u.metadata.txn_version for u in log.table_state().updates
                 if u.metadata.txn_app == app
                 and u.metadata.txn_version is not None]
@@ -205,8 +221,10 @@ def _txn_high_water(location: str, app: str) -> "int | None":
 class VersionedTableWriter(DataSourceArrowWriter):
     """Batch face: one versioned commit per ``df.write.format("tvx")``."""
 
-    def __init__(self, location: str, overwrite: bool, schema=None):
-        defn = read_table_meta(location)
+    def __init__(self, location: str, overwrite: bool, schema=None,
+                 storage=None):
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
+        defn = read_table_meta(location, self.storage)
         _guard_writable(defn, schema)
         self.location = location
         self.pcols = list(defn.partition_schema.columns)
@@ -221,11 +239,13 @@ class VersionedTableWriter(DataSourceArrowWriter):
         # same partition never collide and no staging/rename pass exists
         if not self.pcols:
             written = _write_task_files(iterator, self.pcols, self.format,
-                                        path_for(self.location, self.version))
+                                        path_for(self.location, self.version),
+                                        storage=self.storage)
         else:
             written = _write_task_files(iterator, self.pcols, self.format,
                                         self.location,
-                                        subdir=self.version.label)
+                                        subdir=self.version.label,
+                                        storage=self.storage)
         return TvxCommitMessage(written=written)
 
     def commit(self, messages):
@@ -238,16 +258,15 @@ class VersionedTableWriter(DataSourceArrowWriter):
             self.location, self.version,
             renders if self.pcols else [None],
             append=not self.overwrite,
-            user_id="tvx-writer", message=f"tvx batch write ({mode})")
+            user_id="tvx-writer", message=f"tvx batch write ({mode})",
+            storage=self.storage)
 
     def abort(self, messages):
-        import shutil
-
         for m in messages or []:
             if m is None:
                 continue
             for _, d, _ in m.written:
-                shutil.rmtree(d, ignore_errors=True)
+                self.storage.remove_tree(d)
 
 
 class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
@@ -255,8 +274,9 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
     via ``txn=(txnApp, batchId)``."""
 
     def __init__(self, location: str, overwrite: bool, txn_app: str,
-                 schema=None):
-        defn = read_table_meta(location)
+                 schema=None, storage=None):
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
+        defn = read_table_meta(location, self.storage)
         _guard_writable(defn, schema)
         self.location = location
         self.pcols = list(defn.partition_schema.columns)
@@ -271,12 +291,10 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
         task_root = os.path.join(self.staging_root, uuid.uuid4().hex)
         return TvxCommitMessage(
             written=_write_task_files(iterator, self.pcols, self.format,
-                                      task_root),
+                                      task_root, storage=self.storage),
             root=task_root)
 
     def commit(self, messages, batchId: int):
-        import shutil
-
         staged: dict = {}
         roots = []
         for m in messages:
@@ -286,7 +304,8 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                 for render, d, rows in m.written:
                     staged.setdefault(render, []).append(d)
         try:
-            high = _txn_high_water(self.location, self.txn_app)
+            high = _txn_high_water(self.location, self.txn_app,
+                                   self.storage)
             if high is not None:
                 if batchId < high:
                     # exactly-once replay only ever re-delivers the LATEST
@@ -309,29 +328,27 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                 final = (path_for(self.location, version) if render is None
                          else os.path.join(self.location, render,
                                            version.label))
-                os.makedirs(final, exist_ok=True)
+                self.storage.makedirs(final)
                 for d in dirs:
-                    for f in os.listdir(d):
-                        os.replace(os.path.join(d, f),
-                                   os.path.join(final, f))
+                    for f in self.storage.list_dir(d):
+                        self.storage.move_file(os.path.join(d, f),
+                                               os.path.join(final, f))
             _commit_versioned_write(
                 self.location, version, list(staged),
                 append=not self.overwrite,
                 user_id="tvx-stream-writer",
                 message=f"tvx stream epoch {batchId}",
-                txn=(self.txn_app, batchId))
+                txn=(self.txn_app, batchId), storage=self.storage)
         finally:
             for root in roots:
-                shutil.rmtree(root, ignore_errors=True)
+                self.storage.remove_tree(root)
 
     def abort(self, messages, batchId: int):
-        import shutil
-
         for m in messages or []:
             if m is None:
                 continue
             if m.root:
-                shutil.rmtree(m.root, ignore_errors=True)
+                self.storage.remove_tree(m.root)
             else:
                 for _, d, _ in m.written:
-                    shutil.rmtree(d, ignore_errors=True)
+                    self.storage.remove_tree(d)

@@ -54,12 +54,18 @@ from ..core.metastore import (
 )
 from ..core.model import UNVERSIONED, SnapshotTableVersion
 from ..core.paths import path_for
+from ..core.storage import DEFAULT_STORAGE, storage_from_name
 
 FORMAT_NAME = "tvx"
 
 
 class VersionedTableDataSource(DataSource):
-    """``spark.readStream.format("tvx").option("location", dir)``."""
+    """``spark.readStream.format("tvx").option("location", dir)``.
+
+    ``.option("storage", "local" | "object" | "s3")`` selects the metadata
+    /data-plane backend (default local POSIX) — the same ``Storage``
+    abstraction the engine uses, so the whole ``tvx`` read/write surface
+    works on object stores, not just local disks."""
 
     @classmethod
     def name(cls) -> str:
@@ -68,8 +74,11 @@ class VersionedTableDataSource(DataSource):
     def _change_feed(self) -> bool:
         return str(self.options.get("changeFeed", "false")).lower() == "true"
 
+    def _storage(self):
+        return storage_from_name(self.options.get("storage"))
+
     def schema(self):
-        defn = read_table_meta(self.options["location"])
+        defn = read_table_meta(self.options["location"], self._storage())
         if not defn.schema_ddl:
             raise ValueError(
                 f"{defn.name.fully_qualified_name} has no declared schema; "
@@ -94,13 +103,13 @@ class VersionedTableDataSource(DataSource):
                                    "streamReader with maxCommitsPerTrigger"})
         return VersionedTableParallelStreamReader(
             self.options["location"], schema=schema,
-            change_feed=self._change_feed())
+            change_feed=self._change_feed(), storage=self._storage())
 
     def simpleStreamReader(self, schema) -> "VersionedTableStreamReader":
         return VersionedTableStreamReader(
             self.options["location"],
             max_commits=int(self.options.get("maxCommitsPerTrigger", 0)),
-            schema=schema)
+            schema=schema, storage=self._storage())
 
     def reader(self, schema) -> "VersionedTableBatchReader":
         """Batch face: ``spark.read.format("tvx").option("location", dir)``.
@@ -115,7 +124,8 @@ class VersionedTableDataSource(DataSource):
         """
         return VersionedTableBatchReader(self.options["location"],
                                          self.options.get("at_commit"),
-                                         schema=schema)
+                                         schema=schema,
+                                         storage=self._storage())
 
     def writer(self, schema, overwrite: bool):
         """Batch sink: ``df.write.format("tvx").option("location", dir)`` —
@@ -123,7 +133,7 @@ class VersionedTableDataSource(DataSource):
         from .sink import VersionedTableWriter
 
         return VersionedTableWriter(self.options["location"], overwrite,
-                                    schema=schema)
+                                    schema=schema, storage=self._storage())
 
     def streamWriter(self, schema, overwrite: bool):
         """Streaming sink: one versioned commit per micro-batch with
@@ -134,19 +144,22 @@ class VersionedTableDataSource(DataSource):
         location = self.options["location"]
         txn_app = self.options.get("txnApp", f"tvx-stream:{location}")
         return VersionedTableStreamWriter(location, overwrite, txn_app,
-                                          schema=schema)
+                                          schema=schema,
+                                          storage=self._storage())
 
 
 class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     """Offsets: ``{"seq": <last consumed commit seq>}`` (−1 = nothing yet)."""
 
-    def __init__(self, location: str, max_commits: int = 0, schema=None):
+    def __init__(self, location: str, max_commits: int = 0, schema=None,
+                 storage=None):
         self.location = location
         # admission control: cap commits consumed per micro-batch (0 = no
         # cap) so a large backlog can't become one giant first batch
         self.max_commits = max_commits
-        self.defn = read_table_meta(location)
-        self.log = FileTableVersions(location)
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
+        self.defn = read_table_meta(location, self.storage)
+        self.log = FileTableVersions(location, self.storage)
         fields = _schema_fields(self.defn.schema_ddl)
         self.pcols = list(self.defn.partition_schema.columns)
         self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
@@ -184,7 +197,8 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         for partition, d in _changed_dirs(self.log, self.defn,
                                           start_seq, end_seq):
             yield from _dir_batches(d, partition, self.pa_schema,
-                                    self.ptypes, self.defn.format)
+                                    self.ptypes, self.defn.format,
+                                    storage=self.storage)
 
 
 def _changed_dirs(log, defn, start_seq: int, end_seq: int):
@@ -247,10 +261,12 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
     The reader instance is pickled to executors for ``read``; it carries
     only plain strings/dicts plus the target Arrow schema."""
 
-    def __init__(self, location: str, schema=None, change_feed: bool = False):
+    def __init__(self, location: str, schema=None, change_feed: bool = False,
+                 storage=None):
         self.location = location
-        self.defn = read_table_meta(location)
-        self.log = FileTableVersions(location)
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
+        self.defn = read_table_meta(location, self.storage)
+        self.log = FileTableVersions(location, self.storage)
         fields = _schema_fields(self.defn.schema_ddl)
         pcols = set(self.defn.partition_schema.columns)
         self.ptypes = {n: t for n, t in fields if n in pcols}
@@ -308,8 +324,17 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
                 parts.append(ChangeFeedPartition(
                     "coarse", "delete", b, None, (), partition))
             else:
-                bf = _data_files(b)
-                if bf <= _data_files(a):
+                # a _cdc sidecar diffed against exactly this before-dir is
+                # row-exact for the pair (rewrite commits on
+                # change_data_feed tables); else vector-delta, else coarse
+                cdc_dir = os.path.join(a, "_cdc")
+                if _cdc_before_label(cdc_dir, self.storage) == \
+                        os.path.basename(b):
+                    parts.append(ChangeFeedPartition(
+                        "cdc", None, None, cdc_dir, (), partition))
+                    continue
+                bf = _data_files(b, self.storage)
+                if bf <= _data_files(a, self.storage):
                     parts.append(ChangeFeedPartition(
                         "refined", None, b, a, tuple(sorted(bf)), partition))
                 else:
@@ -322,10 +347,12 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
     def read(self, part):
         if isinstance(part, ChangeFeedPartition):
             yield from _change_feed_batches(part, self.pa_schema,
-                                            self.ptypes, self.format)
+                                            self.ptypes, self.format,
+                                            storage=self.storage)
             return
         yield from _dir_batches(part.directory, part.partition,
-                                self.pa_schema, self.ptypes, self.format)
+                                self.pa_schema, self.ptypes, self.format,
+                                storage=self.storage)
 
     def commit(self, end: dict) -> None:
         pass  # progress is checkpointed by the engine; nothing to GC
@@ -336,9 +363,10 @@ class VersionedTableBatchReader(DataSourceReader):
     time-travel) state — one input partition per version directory."""
 
     def __init__(self, location: str, at_commit: str | None = None,
-                 schema=None):
-        defn = read_table_meta(location)
-        log = FileTableVersions(location)
+                 schema=None, storage=None):
+        self.storage = storage if storage is not None else DEFAULT_STORAGE
+        defn = read_table_meta(location, self.storage)
+        log = FileTableVersions(location, self.storage)
         state = log.current_version(defn.name, at_commit=at_commit)
         fields = _schema_fields(defn.schema_ddl)
         pcols = set(defn.partition_schema.columns)
@@ -360,7 +388,8 @@ class VersionedTableBatchReader(DataSourceReader):
         if not part.directory:
             return
         yield from _dir_batches(part.directory, part.partition,
-                                self.pa_schema, self.ptypes, self.format)
+                                self.pa_schema, self.ptypes, self.format,
+                                storage=self.storage)
 
 
 def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
@@ -438,39 +467,61 @@ def _partition_values(partition, ptypes: dict[str, str]) -> dict:
     return pvals
 
 
-def _dv_positions(directory: str) -> dict[str, set[int]]:
+def _dv_positions(directory: str, storage=None) -> dict[str, set[int]]:
     """file → deleted row indices from the dir's ``_dv`` sidecar ({} if
     the dir carries no deletion vector)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    storage = storage if storage is not None else DEFAULT_STORAGE
     dv_dir = os.path.join(directory, "_dv")
     out: dict[str, set[int]] = {}
-    if os.path.isdir(dv_dir):
-        dv_tbl = pq.read_table(dv_dir, columns=["file", "idx"])
-        for f, i in zip(dv_tbl.column("file").to_pylist(),
-                        dv_tbl.column("idx").to_pylist()):
-            out.setdefault(f, set()).add(i)
+    if storage.is_dir(dv_dir):
+        parts = []
+        for name in sorted(storage.list_dir(dv_dir)):
+            if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                continue
+            with storage.open_input(os.path.join(dv_dir, name)) as f:
+                parts.append(pq.read_table(f, columns=["file", "idx"]))
+        if parts:
+            dv_tbl = pa.concat_tables(parts)
+            for f, i in zip(dv_tbl.column("file").to_pylist(),
+                            dv_tbl.column("idx").to_pylist()):
+                out.setdefault(f, set()).add(i)
     return out
 
 
-def _data_files(directory: str) -> set[str]:
-    return {f for f in os.listdir(directory)
+def _cdc_before_label(cdc_dir: str, storage) -> "str | None":
+    """The version label a ``_cdc`` sidecar was diffed against, or None
+    when the marker is absent."""
+    try:
+        return storage.read_text(os.path.join(cdc_dir, "_before")).strip()
+    except Exception:  # noqa: BLE001 — any miss ⇒ not usable
+        return None
+
+
+def _data_files(directory: str, storage=None) -> set[str]:
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    return {f for f in storage.list_dir(directory)
             if not f.startswith((".", "_"))
-            and os.path.isfile(os.path.join(directory, f))}
+            and not storage.is_dir(os.path.join(directory, f))}
 
 
-def _read_file(path: str, fmt: str, declared: set[str]):
+def _read_file(path: str, fmt: str, declared: set[str], storage=None):
     """One data file as a column-pruned Arrow table."""
+    storage = storage if storage is not None else DEFAULT_STORAGE
     if fmt == "orc":
         import pyarrow.orc as orc
 
-        table = orc.read_table(path)
+        with storage.open_input(path) as f:
+            table = orc.read_table(f)
         return table.select([n for n in table.column_names
                              if n in declared])
     import pyarrow.parquet as pq
 
-    present = [n for n in pq.read_schema(path).names if n in declared]
-    return pq.read_table(path, columns=present)
+    with storage.open_input(path) as f:
+        present = [n for n in pq.read_schema(f).names if n in declared]
+        return pq.read_table(f, columns=present)
 
 
 def _table_to_batches(table, pa_schema, consts: dict):
@@ -496,7 +547,8 @@ def _table_to_batches(table, pa_schema, consts: dict):
 def _dir_batches(directory: str, partition, pa_schema,
                  ptypes: dict[str, str], fmt: str,
                  constants: dict | None = None,
-                 only_files: "set[str] | None" = None):
+                 only_files: "set[str] | None" = None,
+                 storage=None):
     """Yield the rows of one version directory as column-pruned
     ``pyarrow.RecordBatch``es matching ``pa_schema``.
 
@@ -512,16 +564,18 @@ def _dir_batches(directory: str, partition, pa_schema,
     import numpy as np
     import pyarrow as pa
 
-    if not os.path.isdir(directory):
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    if not storage.is_dir(directory):
         return  # vacuumed beyond retention — same contract as read_changes
     consts = dict(_partition_values(partition, ptypes))
     consts.update(constants or {})
-    dv_by_file = _dv_positions(directory)
+    dv_by_file = _dv_positions(directory, storage)
     declared = set(pa_schema.names)
-    for fname in sorted(_data_files(directory)):
+    for fname in sorted(_data_files(directory, storage)):
         if only_files is not None and fname not in only_files:
             continue
-        table = _read_file(os.path.join(directory, fname), fmt, declared)
+        table = _read_file(os.path.join(directory, fname), fmt, declared,
+                           storage)
         if fname in dv_by_file:
             mask = np.ones(table.num_rows, dtype=bool)
             mask[list(dv_by_file[fname])] = False
@@ -530,7 +584,7 @@ def _dir_batches(directory: str, partition, pa_schema,
 
 
 def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
-                         ptypes: dict[str, str], fmt: str):
+                         ptypes: dict[str, str], fmt: str, storage=None):
     """Executor side of the streaming change feed.
 
     coarse: the whole dir (vector applied) under the planned change type.
@@ -540,28 +594,39 @@ def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
     (minus any vector entries on them). O(changed positions + new files),
     no rescan diff.
     """
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    if part.kind == "cdc":
+        # exact changed rows written at commit time; always parquet, with
+        # _change_type as a file column (pa_schema includes it, so
+        # _dir_batches surfaces it like any declared column)
+        yield from _dir_batches(part.a_dir, part.partition, pa_schema,
+                                ptypes, "parquet", storage=storage)
+        return
     if part.kind == "coarse":
         yield from _dir_batches(part.b_dir, part.partition, pa_schema,
                                 ptypes, fmt,
-                                constants={"_change_type": part.change_type})
+                                constants={"_change_type": part.change_type},
+                                storage=storage)
         return
     declared = set(pa_schema.names)
     consts = dict(_partition_values(part.partition, ptypes))
-    b_dv = _dv_positions(part.b_dir)
-    a_dv = _dv_positions(part.a_dir)
+    b_dv = _dv_positions(part.b_dir, storage)
+    a_dv = _dv_positions(part.a_dir, storage)
     b_files = set(part.b_files)
     # deletes: before-file rows at newly-vectored positions
     for fname in sorted(b_files):
         delta = sorted(a_dv.get(fname, set()) - b_dv.get(fname, set()))
         if not delta:
             continue
-        table = _read_file(os.path.join(part.b_dir, fname), fmt, declared)
+        table = _read_file(os.path.join(part.b_dir, fname), fmt, declared,
+                           storage)
         yield from _table_to_batches(
             table.take(delta), pa_schema,
             {**consts, "_change_type": "delete"})
     # inserts: files the after dir added, minus their vector entries
-    for fname in sorted(_data_files(part.a_dir) - b_files):
-        table = _read_file(os.path.join(part.a_dir, fname), fmt, declared)
+    for fname in sorted(_data_files(part.a_dir, storage) - b_files):
+        table = _read_file(os.path.join(part.a_dir, fname), fmt, declared,
+                           storage)
         masked = a_dv.get(fname)
         if masked:
             import numpy as np

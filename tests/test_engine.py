@@ -1860,6 +1860,39 @@ class TestDeletionVectors:
                        engine.bucketed_join("dv.bj1", "dv.bj2").collect())
         assert len(after) == 5 and masked not in after
 
+    def test_dv_old_vector_carry_is_single_scan(self, spark, engine,
+                                                monkeypatch):
+        """Stacked dv deletes across MANY partitions: carrying the old
+        vectors forward is ONE parquet scan attributed by path segments,
+        not one plan leaf per affected partition (VERDICT r4 #3)."""
+        import pyspark.sql.readwriter as rw
+
+        ddl = "id bigint, d string"
+        engine.create_table("dv.many", schema_ddl=ddl,
+                            partition_columns=["d"])
+        # 20 partitions incl. a special-char value (escaped dir name)
+        rows = [(i, f"p:{i % 20}") for i in range(100)]
+        engine.insert(spark.createDataFrame(rows, ddl), "dv.many", "u", "v1")
+        engine.delete("dv.many", "id < 60", "u", "dv1", mode="dv")
+        calls = []
+        orig = rw.DataFrameReader.parquet
+
+        def counting(self, *paths, **kw):
+            calls.append(paths)
+            return orig(self, *paths, **kw)
+
+        monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+        # second dv delete must merge 20 partitions' old vectors
+        engine.delete("dv.many", "id >= 60 and id < 80", "u", "dv2",
+                      mode="dv")
+        monkeypatch.undo()
+        # one read for the existing-vector anti-join + ONE for the carry —
+        # never one per partition
+        assert len(calls) <= 3, calls
+        got = sorted(r.id for r in engine.read("dv.many").collect())
+        assert got == list(range(80, 100))
+        assert engine.table_stats("dv.many")["rows"] == 20
+
     def test_dv_update_snapshot_with_column_mapping(self, spark, engine):
         """DV update on a snapshot table whose column was renamed: the
         predicate and SET use logical names, files keep physical names."""
@@ -1903,6 +1936,68 @@ class TestRowLevelCDF:
         got = sorted((r.id, r.v, r._change_type) for r in changes.collect())
         assert got == [(1, 1.0, "delete"), (2, 2.0, "delete"),
                        (2, 20.0, "insert")]
+
+    def test_dv_cdf_exact_on_special_char_partitions(self, spark, engine):
+        """Hadoop URI-encodes '%' in on-disk dir names inside
+        _metadata.file_path (d=x%3Ay surfaces as d=x%253Ay); the refined
+        slot join must decode before matching or it silently returns an
+        EMPTY diff for any special-char partition."""
+        ddl = "id bigint, d string"
+        engine.create_table("cdf.sp", schema_ddl=ddl, partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "x:y"), (2, "x:y"), (3, "b")], ddl), "cdf.sp", "u", "v1")
+        engine.delete("cdf.sp", "id = 1", "u", "dv", mode="dv")
+        changes = engine.read_changes("cdf.sp", since_commit=r1.commit_id,
+                                      row_level=True)
+        got = sorted((r.id, r.d, r._change_type) for r in changes.collect())
+        assert got == [(1, "x:y", "delete")]
+
+    def test_cdc_sidecars_make_rewrites_exact(self, spark, engine):
+        """change_data_feed=True: rewrite-mode UPDATE/DELETE/MERGE write
+        _cdc sidecars, so read_changes(row_level=True) returns exactly the
+        changed rows instead of delete-all+insert-all."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cdc.t", schema_ddl=ddl, partition_columns=["d"],
+                            change_data_feed=True)
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b"), (4, 4.0, "b")],
+            ddl), "cdc.t", "u", "v1")
+        engine.update("cdc.t", set={"v": "v * 10"}, predicate="id = 2",
+                      user_id="u", message="upd")
+        ch = engine.read_changes("cdc.t", since_commit=r1.commit_id,
+                                 row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == [(2, 2.0, "delete"), (2, 20.0, "insert")]
+        # delete: only the matched row, not the whole rewritten partition
+        r2 = engine.history("cdc.t").first()["commit_id"]
+        engine.delete("cdc.t", "id = 3", "u", "del")
+        ch = engine.read_changes("cdc.t", since_commit=r2, row_level=True)
+        assert sorted((r.id, r._change_type) for r in ch.collect()) \
+            == [(3, "delete")]
+        # merge: update pair + insert, nothing else
+        r3 = engine.history("cdc.t").first()["commit_id"]
+        src = spark.createDataFrame([(4, 44.0, "b"), (9, 9.0, "b")], ddl)
+        engine.merge(src, "cdc.t", ["id"], "u", "mrg")
+        ch = engine.read_changes("cdc.t", since_commit=r3, row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == [(4, 4.0, "delete"), (4, 44.0, "insert"),
+                       (9, 9.0, "insert")]
+        # a span covering multiple commits misses the per-commit marker
+        # and falls back to the coarse union — rows still come back
+        assert engine.read_changes("cdc.t", since_commit=r1.commit_id,
+                                   row_level=True).count() >= 3
+
+    def test_cdc_sidecar_snapshot_table(self, spark, engine):
+        engine.create_table("cdc.sn", schema_ddl="id bigint, v double",
+                            change_data_feed=True)
+        s1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"), "cdc.sn", "u", "v1")
+        engine.update("cdc.sn", set={"v": "0.0"}, predicate="id = 1",
+                      user_id="u", message="u")
+        ch = engine.read_changes("cdc.sn", since_commit=s1.commit_id,
+                                 row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == [(1, 0.0, "insert"), (1, 1.0, "delete")]
 
     def test_rewrites_and_partition_lifecycle_are_coarse(self, spark, engine):
         ddl = "id bigint, d string"

@@ -456,3 +456,148 @@ class TestStreamSinkTxnGuard:
         # fresh checkpoint (batchId back at 0): loud failure, not data loss
         with _pytest.raises(ValueError, match="new txnApp"):
             w.commit([TvxCommitMessage(written=[], root=None)], 0)
+
+
+def test_sink_partition_grouping_is_vectorized():
+    """The write path must never iterate rows in Python: grouping is
+    Arrow-native (group_by + take); the only to_pylist is over per-GROUP
+    distinct keys."""
+    import inspect
+
+    from table_versions_spark.streaming import sink
+
+    src = inspect.getsource(sink._write_task_files)
+    assert "group_by" in src
+    assert "enumerate" not in src and "zip(*" not in src
+    assert src.count("to_pylist") <= 1
+
+
+class TestTvxStorageBackends:
+    def test_tvx_sink_and_source_on_object_store(self, spark, tmp_path):
+        """format('tvx') with .option('storage', 'object'): the whole
+        write/commit/read path runs through object-store semantics — no
+        renames, no hardlinks (append carries files forward by COPY, so
+        every data file has nlink == 1)."""
+        import os as _os
+
+        from table_versions_spark.core.storage import ObjectStoreStorage
+        from table_versions_spark.engine import VersionedEngine
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        eng = VersionedEngine(spark, str(tmp_path / "wh"),
+                              ObjectStoreStorage())
+        ddl = "id bigint, d string"
+        eng.create_table("osb.t", schema_ddl=ddl, partition_columns=["d"])
+        loc = eng.definition("osb.t").location
+        spark.createDataFrame([(1, "a"), (2, "b")], ddl).write.format(
+            "tvx").mode("overwrite").option("location", loc).option(
+            "storage", "object").save()
+        spark.createDataFrame([(3, "a")], ddl).write.format("tvx").mode(
+            "append").option("location", loc).option(
+            "storage", "object").save()
+        got = sorted((r.id, r.d) for r in eng.read("osb.t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "a")]
+        for f in eng.read("osb.t").inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            assert _os.stat(p).st_nlink == 1, f
+        rt = sorted((r.id, r.d) for r in spark.read.format("tvx")
+                    .option("location", loc).option("storage", "object")
+                    .load().collect())
+        assert rt == got
+        # streaming sink epoch through the object backend
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(9, "c")], ddl).write.parquet(src)
+        q = (spark.readStream.schema(ddl).parquet(src)
+             .writeStream.format("tvx").option("location", loc)
+             .option("storage", "object").option("txnApp", "osb1")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted((r.id, r.d) for r in eng.read("osb.t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "a"), (9, "c")]
+
+
+class TestStreamingCdcSidecars:
+    def test_change_feed_uses_cdc_sidecar_for_rewrites(self, spark, engine,
+                                                       tmp_path):
+        """On a change_data_feed table, the streaming change feed emits
+        EXACT rows for a rewrite UPDATE (cdc partition kind) instead of
+        the coarse delete-all+insert-all pair."""
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cfx.t", schema_ddl=ddl, partition_columns=["d"],
+                            change_data_feed=True)
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+            "cfx.t", "u", "v1")
+        loc = engine.definition("cfx.t").location
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (spark.readStream.format("tvx").option("location", loc)
+                 .option("changeFeed", "true").load()
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run_once()  # initial snapshot: 3 inserts
+        assert spark.read.parquet(out).count() == 3
+        engine.update("cfx.t", set={"v": "v * 10"}, predicate="id = 1",
+                      user_id="u", message="rewrite upd")
+        run_once()
+        rows = sorted((r.id, r.v, r._change_type)
+                      for r in spark.read.parquet(out).collect())
+        # coarse would emit 4 extra rows for partition a (delete 1,2 +
+        # insert 1,2); exact emits only id=1's pair
+        assert rows == [(1, 1.0, "delete"), (1, 1.0, "insert"),
+                        (1, 10.0, "insert"),
+                        (2, 2.0, "insert"), (3, 3.0, "insert")]
+
+
+class TestStreamSchemaEvolution:
+    def test_stream_across_evolution_commit(self, spark, engine, tmp_path):
+        """The tvx source builds its Arrow schema from the CURRENT DDL and
+        casts/null-fills old files: a stream started BEFORE an
+        evolve_schema commit keeps its original schema for new batches; a
+        fresh stream started AFTER sees the widened schema with NULLs for
+        pre-evolution rows."""
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("se.t", schema_ddl="id bigint")
+        engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                      "se.t", "u", "v1")
+        loc = engine.definition("se.t").location
+        out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+
+        def run(out, ckpt):
+            q = (spark.readStream.format("tvx").option("location", loc)
+                 .load().writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(out1, ck1)
+        assert [r.id for r in spark.read.parquet(out1).collect()] == [1]
+        # widen the schema mid-stream (append keeps row 1 via linking)
+        engine.insert(spark.createDataFrame([(2, "x")],
+                                            "id bigint, name string"),
+                      "se.t", "u", "v2", mode="append", evolve_schema=True)
+        # restarting the query (same checkpoint) re-resolves the source
+        # schema from the CURRENT DDL, so the delta batch carries the new
+        # column; the pre-evolution batch-1 files simply lack it
+        run(out1, ck1)
+        merged = spark.read.option("mergeSchema", "true").parquet(out1)
+        assert sorted(r.id for r in merged.collect()) == [1, 1, 2]
+        assert {(r.id, r.name) for r in merged.collect()} \
+            >= {(2, "x"), (1, None)}
+        # fresh stream: evolved schema, old row surfaces NULL
+        out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+        run(out2, ck2)
+        rows = sorted((r.id, r.name)
+                      for r in spark.read.parquet(out2).collect())
+        assert rows == [(1, None), (2, "x")]
