@@ -28,11 +28,14 @@ Built on the Spark 4 Python Data Source API Arrow writers:
   upgrading foreachBatch-style at-least-once to exactly-once (Delta's
   ``txnAppId``/``txnVersion`` recipe, same as ``VersionedEngine.insert``).
 
-Scale notes: rows never pass through Python objects (Arrow in, Arrow out);
-each task writes one file per partition it actually holds (pair with a
+Scale notes: rows never pass through Python objects (Arrow in, Arrow out;
+partition grouping is an Arrow ``group_by`` + per-group ``take``); each
+task writes one file per partition it actually holds (pair with a
 ``repartition(*pcols)`` upstream to avoid the small-files spiral, exactly
 as ``engine.insert(distribute=True)`` does); driver-side work is metadata
-only (links, footer reads, one log append).
+only (links, footer reads, one log append). Every filesystem touch goes
+through the ``Storage`` backend selected by ``.option("storage", ...)``
+(default local POSIX), so the sink works on object stores too.
 
 Unsupported via this sink (use ``engine.insert``): column-mapped tables,
 CHECK constraints, generated partition columns, bucketing (all need the

@@ -1987,6 +1987,41 @@ class TestRowLevelCDF:
         assert engine.read_changes("cdc.t", since_commit=r1.commit_id,
                                    row_level=True).count() >= 3
 
+    def test_cdc_upsert_and_per_commit_events(self, spark, engine):
+        """upsert on a CDF table writes sidecars too; per_commit=True
+        returns per-commit events tagged _commit_id, each exact, where
+        the net span diff would fall back coarse."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cdc.pc", schema_ddl=ddl,
+                            partition_columns=["d"], change_data_feed=True)
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+            "cdc.pc", "u", "v1")
+        engine.upsert(spark.createDataFrame([(2, 22.0, "a")], ddl),
+                      "cdc.pc", ["id"], "u", "ups")
+        c2 = engine.history("cdc.pc").first()["commit_id"]
+        engine.update("cdc.pc", set={"v": "v + 1"}, predicate="id = 1",
+                      user_id="u", message="upd")
+        c3 = engine.history("cdc.pc").first()["commit_id"]
+        # upsert alone: exact replace pair
+        ch = engine.read_changes("cdc.pc", since_commit=r1.commit_id,
+                                 to_commit=c2, row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == [(2, 2.0, "delete"), (2, 22.0, "insert")]
+        # per-commit events over BOTH commits: each commit's exact rows
+        ch = engine.read_changes("cdc.pc", since_commit=r1.commit_id,
+                                 row_level=True, per_commit=True)
+        got = sorted((r.id, r.v, r._change_type, r._commit_id)
+                     for r in ch.collect())
+        assert got == sorted([(2, 2.0, "delete", c2),
+                              (2, 22.0, "insert", c2),
+                              (1, 1.0, "delete", c3),
+                              (1, 2.0, "insert", c3)])
+        # empty span: typed empty frame with _commit_id
+        ch = engine.read_changes("cdc.pc", since_commit=c3,
+                                 row_level=True, per_commit=True)
+        assert ch.count() == 0 and "_commit_id" in ch.columns
+
     def test_cdc_sidecar_snapshot_table(self, spark, engine):
         engine.create_table("cdc.sn", schema_ddl="id bigint, v double",
                             change_data_feed=True)
