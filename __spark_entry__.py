@@ -65,8 +65,9 @@ def _registry() -> tuple[dict, dict]:
         oracles.update(m.ORACLES)
     priority = [
         # New in round 5 — exact row-level CDF across rewrite commits via
-        # _cdc sidecars; its oracle FAILS if the coarse fallback fires.
-        "q_change_feed_rewrite",
+        # _cdc sidecars (oracle FAILS if the coarse fallback fires), and
+        # per-commit CDF events (dv delete + rewrite update, both exact).
+        "q_change_feed_rewrite", "q_change_feed_per_commit",
         # Oldest official rows (green only in the round-1/2 artifacts while
         # the code around them kept evolving — VERDICT r4 #6 asked to lead
         # round 5 with these families; all re-verified in the r4 sweep):

@@ -260,6 +260,37 @@ def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date", "_change_type"))
 
 
+def q_change_feed_per_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDF events (read_changes(row_level=True,
+    per_commit=True), Delta's per-commit shape): a deletion-vector DELETE
+    commit followed by a rewrite UPDATE commit on a change_data_feed
+    table — the span returns EACH commit's exact rows (vector delta for
+    the first, _cdc sidecar for the second), where the net span diff
+    would go coarse. ``_commit_id`` is dropped for the oracle compare
+    (commit ids are run-random); the rows themselves pin exactness."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    if "cdf_base" not in st:
+        eng.create_table("vx.events_cdf", schema_ddl=EVENTS_DDL,
+                         partition_columns=["event_date"],
+                         change_data_feed=True)
+        eng.insert(_events_for_insert(spark, sf_dir), "vx.events_cdf",
+                   "tester", "all days")
+        st["cdf_base"] = "vx.events_cdf"
+    table = f"vx.cdcpc_{next(_SEQ)}"
+    eng.clone_table(st["cdf_base"], table, user_id="tester")
+    pre = eng.history(table).first()["commit_id"]
+    eng.delete(table, "event_type = 'error'", "tester", "purge errors",
+               mode="dv")
+    eng.update(table, set={"value": "value * 2"},
+               predicate="event_type = 'click'",
+               user_id="tester", message="reprice clicks", mode="rewrite")
+    return (eng.read_changes(table, since_commit=pre, row_level=True,
+                             per_commit=True)
+            .select("event_id", "user_id", "event_type", "value",
+                    "event_date", "_change_type"))
+
+
 def q_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE via DELETION VECTORS (engine.update(mode="dv")):
     the same rewrite as q_update, but unmatched rows are never rewritten —
@@ -1005,6 +1036,7 @@ QUERIES = {
     "q_update_dv": q_update_dv,
     "q_change_feed_rows": q_change_feed_rows,
     "q_change_feed_rewrite": q_change_feed_rewrite,
+    "q_change_feed_per_commit": q_change_feed_per_commit,
     "q_merge": q_merge,
     "q_bucketed_join": q_bucketed_join,
     "q_rollup_incremental": q_rollup_incremental,
@@ -1165,6 +1197,20 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value * 2 AS value, "
         "CAST(ts AS DATE) AS event_date, 'insert' AS _change_type "
         "FROM events WHERE event_type = 'error'"),
+    "q_change_feed_per_commit": (
+        # commit 1 (dv delete of errors): deletes of all error rows;
+        # commit 2 (rewrite update of clicks): pre+post pair per click
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
+        "FROM events WHERE event_type = 'error' "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
+        "FROM events WHERE event_type = 'click' "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value * 2 AS value, "
+        "CAST(ts AS DATE) AS event_date, 'insert' AS _change_type "
+        "FROM events WHERE event_type = 'click'"),
     "q_update": (
         "SELECT event_id, user_id, "
         "CASE WHEN event_type = 'error' THEN 'was_' || event_type "
