@@ -76,6 +76,7 @@ HEADLINE = [
     "q_dedup_paragraph",
     "q_grouping_sets",
     "q_delete_dv",
+    "q_change_feed_rewrite",
     "q_update_dv",
 ]
 
