@@ -43,3 +43,23 @@ def versioned_to_base_path(path: str) -> str:
     if Version.is_version_label(last):
         return stripped.rsplit("/", 1)[0]
     return stripped
+
+
+# Sidecar directories inside an immutable version dir (both "_"-prefixed,
+# so Spark scans and the engine's own data-file listings skip them):
+DV_DIR = "_dv"    # deletion-vector positions: (file, idx) parquet
+CDC_DIR = "_cdc"  # change-data-feed rows of the commit that wrote the dir
+CDC_BEFORE = "_before"  # marker in CDC_DIR naming the diffed-against label
+
+
+def cdc_before_label(cdc_dir: str, storage) -> str | None:
+    """The version label a ``_cdc`` sidecar was diffed against, or None
+    when the marker is absent/unreadable. Shared by the batch CDF reader
+    (engine) and the streaming change feed (tvx source) so both agree on
+    which sidecars are usable."""
+    import os
+
+    try:
+        return storage.read_text(os.path.join(cdc_dir, CDC_BEFORE)).strip()
+    except Exception:  # noqa: BLE001 — any miss ⇒ not usable
+        return None

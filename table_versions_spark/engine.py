@@ -76,9 +76,10 @@ from .core.model import (
 )
 from .core.paths import path_for
 
-_DV_DIR = "_dv"    # deletion-vector sidecar dir inside a version dir
-_CDC_DIR = "_cdc"  # change-data-feed sidecar dir inside a version dir
-_CDC_BEFORE = "_before"  # marker file naming the diffed-against label
+from .core.paths import CDC_BEFORE as _CDC_BEFORE  # noqa: E402
+from .core.paths import CDC_DIR as _CDC_DIR  # noqa: E402
+from .core.paths import DV_DIR as _DV_DIR  # noqa: E402
+from .core.paths import cdc_before_label as _cdc_before_label  # noqa: E402
 from .core.storage import DEFAULT_STORAGE, Storage
 
 # Comparing a `_metadata.file_path`-derived dir against a raw storage path
@@ -391,9 +392,12 @@ class VersionedEngine:
                                        drop_col=drop_col)
             if mode == "append" and isinstance(previous, SnapshotTableVersion) \
                     and previous.version != UNVERSIONED:
-                _link_data_files(path_for(defn.location, previous.version),
-                                 path_for(defn.location, version),
-                                 self.storage)
+                prev_dir = path_for(defn.location, previous.version)
+                new_dir = path_for(defn.location, version)
+                _link_data_files(prev_dir, new_dir, self.storage)
+                # linked files still hold any dv-masked rows: the vector
+                # must ride along or the deleted rows resurrect
+                _carry_dv_sidecar(prev_dir, new_dir, self.storage)
         else:
             ops = self._write_partitioned(df, defn, version,
                                           distribute=distribute,
@@ -403,10 +407,13 @@ class VersionedEngine:
                 for op in ops:
                     old = previous.partition_versions.get(op.partition)
                     if old is not None:
-                        _link_data_files(
-                            os.path.join(defn.location, op.partition.render(), old.label),
-                            os.path.join(defn.location, op.partition.render(), version.label),
-                            self.storage)
+                        prev_dir = os.path.join(
+                            defn.location, op.partition.render(), old.label)
+                        new_dir = os.path.join(
+                            defn.location, op.partition.render(),
+                            version.label)
+                        _link_data_files(prev_dir, new_dir, self.storage)
+                        _carry_dv_sidecar(prev_dir, new_dir, self.storage)
         written = {op.partition for op in ops
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
@@ -432,6 +439,13 @@ class VersionedEngine:
                     os.path.join(defn.location, rel), self.storage,
                     bloom_columns=defn.bloom_columns)
                 if payload is not None:
+                    # a carried-forward deletion vector masks rows the
+                    # footers still count — keep log-only ANALYZE exact
+                    dv = os.path.join(defn.location, rel, _DV_DIR)
+                    if self.storage.exists(dv):
+                        payload["rows"] = max(
+                            payload["rows"] - _dv_row_count(dv, self.storage),
+                            0)
                     stats[rel] = payload
         precondition = None
         if read_fold is not None:
@@ -1207,9 +1221,13 @@ class VersionedEngine:
         if src_defn.is_snapshot:
             if isinstance(cur, SnapshotTableVersion) \
                     and cur.version != UNVERSIONED:
-                _link_data_files(path_for(src_defn.location, cur.version),
-                                 path_for(dst_defn.location, cur.version),
-                                 self.storage)
+                sdir = path_for(src_defn.location, cur.version)
+                ddir = path_for(dst_defn.location, cur.version)
+                _link_data_files(sdir, ddir, self.storage)
+                # deletion vectors ride along or dv-deleted rows would
+                # resurrect in the clone (src stats are already
+                # dv-adjusted, so carrying keeps them exact too)
+                _carry_dv_sidecar(sdir, ddir, self.storage)
                 ops.append(AddTableVersion(cur.version))
                 rel = cur.version.label
                 if rel in src_stats:
@@ -1217,9 +1235,10 @@ class VersionedEngine:
         else:
             for part, ver in cur.partition_versions.items():
                 rel = f"{part.render()}/{ver.label}"
-                _link_data_files(os.path.join(src_defn.location, rel),
-                                 os.path.join(dst_defn.location, rel),
-                                 self.storage)
+                sdir = os.path.join(src_defn.location, rel)
+                ddir = os.path.join(dst_defn.location, rel)
+                _link_data_files(sdir, ddir, self.storage)
+                _carry_dv_sidecar(sdir, ddir, self.storage)
                 ops.append(AddPartitionVersion(part, ver))
                 if rel in src_stats:
                     stats[rel] = src_stats[rel]
@@ -1622,15 +1641,21 @@ class VersionedEngine:
                 raise UnknownCommitError(f"Unknown commit id: {since_commit}")
             end = log._find_seq(head_id)
             out = None
+            # each iteration's before-state is the previous one's after —
+            # carry it so a K-commit span folds the log K times, not 2K
+            b = before
             for seq in range(start + 1, (end or 0) + 1):
                 cid = log.commit_id_at(seq)
-                b = log.current_version(
-                    defn.name, at_commit=log.commit_id_at(seq - 1))
                 a = log.current_version(defn.name, at_commit=cid)
                 df = (self._read_changes_rows(
                         defn, self._defn_at(defn, log, at_commit=cid), b, a)
                       .withColumn("_commit_id", F.lit(cid)))
-                out = df if out is None else out.unionByName(df)
+                # allowMissingColumns: a span crossing an evolve_schema
+                # commit unions frames with different column sets — the
+                # pre-evolution commits surface the new columns as NULL
+                out = (df if out is None
+                       else out.unionByName(df, allowMissingColumns=True))
+                b = a
             if out is None:
                 return (self._read_changes_rows(defn, eff, after, after)
                         .withColumn("_commit_id", F.lit("")))
@@ -1709,10 +1734,15 @@ class VersionedEngine:
             else:
                 # a _cdc sidecar diffed against EXACTLY this before-dir is
                 # row-exact for the pair (rewrite commits); multi-commit
-                # spans miss the marker and fall through
+                # spans miss the marker and fall through. A matching
+                # marker over an EMPTY sidecar means the rewrite changed
+                # no rows in this pair — skip it entirely (the coarse
+                # path would fabricate a delete-all+insert-all).
                 acdc = os.path.join(a, _CDC_DIR)
                 if self._cdc_before(acdc) == os.path.basename(b):
-                    cdc_dirs.append(acdc)
+                    if any(not f.startswith((".", "_"))
+                           for f in self.storage.list_dir(acdc)):
+                        cdc_dirs.append(acdc)
                     continue
                 bf, af = data_files(b), data_files(a)
                 if bf <= af:
@@ -1721,8 +1751,19 @@ class VersionedEngine:
                     coarse_del.append(b)
                     coarse_ins.append(a)
 
-        cols = [n for n, _ in self._schema_fields(eff)]
+        fields = self._schema_fields(eff)
+        cols = [n for n, _ in fields]
         ct = "_change_type"
+
+        def fill_missing(df: DataFrame) -> DataFrame:
+            # a pre-evolution dir (or sidecar) holds files that predate a
+            # widened schema: the evolved columns exist in NO loaded file,
+            # so even mergeSchema can't surface them — null-fill to the
+            # declared type (exactly what reading the full table does)
+            for n, t in fields:
+                if n not in df.columns:
+                    df = df.withColumn(n, F.lit(None).cast(t))
+            return df
 
         def load(dirs: list[str]) -> DataFrame:
             r = self.spark.read.format(defn.format)
@@ -1735,7 +1776,7 @@ class VersionedEngine:
         def finalize(df: DataFrame, kind: str) -> DataFrame:
             if not defn.is_snapshot:
                 df = self._declared_types(df, defn)
-            return (self._apply_mapping(eff, df)
+            return (fill_missing(self._apply_mapping(eff, df))
                     .select(*cols).withColumn(ct, F.lit(kind)))
 
         out: list[DataFrame] = []
@@ -1750,7 +1791,8 @@ class VersionedEngine:
                     else r.option("basePath", loc).load(sorted(cdc_dirs)))
             if not defn.is_snapshot:
                 scan = self._declared_types(scan, defn)
-            out.append(self._apply_mapping(eff, scan).select(*cols, ct))
+            out.append(fill_missing(self._apply_mapping(eff, scan))
+                       .select(*cols, ct))
         if coarse_del:
             out.append(finalize(self._apply_dvs(
                 load(coarse_del), self._dv_dirs(coarse_del)), "delete"))
@@ -2207,6 +2249,16 @@ class VersionedEngine:
         from pyspark.sql import functions as F
 
         pcols = list(defn.partition_schema.columns)
+        # pin every column to its DECLARED type before the write (same
+        # guarantee the dv-update path gives its updated-row files): the
+        # sidecar unions against other commits' sidecars and the main
+        # scans, so a drifted type would poison those unions
+        declared = ({f.name: f.dataType for f in self.spark.createDataFrame(
+            [], defn.schema_ddl).schema.fields} if defn.schema_ddl else {})
+        if declared:
+            cdc = cdc.select(*[
+                (F.col(c).cast(declared[c]).alias(c) if c in declared
+                 else F.col(c)) for c in cdc.columns])
         # logical→physical names for the file write, same as the data path
         for logical, physical in defn.column_mapping:
             if logical in cdc.columns:
@@ -2232,11 +2284,15 @@ class VersionedEngine:
                     continue
                 render = op.partition.render()
                 staged = os.path.join(staging, render)
-                if not self.storage.is_dir(staged):
-                    continue  # this partition's rewrite changed no rows
                 dst = os.path.join(defn.location, render, version.label,
                                    _CDC_DIR)
-                self.storage.publish_dir(staged, dst)
+                if self.storage.is_dir(staged):
+                    self.storage.publish_dir(staged, dst)
+                # marker is written even when the rewrite changed ZERO
+                # rows in this partition (staged dir absent): a matching
+                # marker over an empty sidecar means "exactly no changes"
+                # — without it the readers would fall back to a spurious
+                # coarse delete-all+insert-all for the rewritten pair
                 old = prev_pv.get(op.partition)
                 self.storage.write_atomic(
                     os.path.join(dst, _CDC_BEFORE),
@@ -2245,13 +2301,9 @@ class VersionedEngine:
             self.storage.remove_tree(staging)
 
     def _cdc_before(self, cdc_dir: str) -> str | None:
-        """The version label a ``_cdc`` sidecar was diffed against, or
-        None when the marker is absent/unreadable."""
-        try:
-            return self.storage.read_text(
-                os.path.join(cdc_dir, _CDC_BEFORE)).strip()
-        except Exception:  # noqa: BLE001 — any miss ⇒ not usable
-            return None
+        """See :func:`core.paths.cdc_before_label` (shared with the
+        streaming change feed)."""
+        return _cdc_before_label(cdc_dir, self.storage)
 
     def _old_dv_union(self, matched: DataFrame, dirs: dict, affected: dict,
                       renders: dict, pcols: list[str]) -> DataFrame:
@@ -2834,6 +2886,28 @@ def _link_data_files(src_dir: str, dst_dir: str,
         if storage.exists(dst):
             dst = os.path.join(dst_dir, f"prev-{_uuid.uuid4().hex[:8]}-{name}")
         storage.link_or_copy(src, dst)
+
+
+def _carry_dv_sidecar(src_dir: str, dst_dir: str,
+                      storage: Storage | None = None) -> None:
+    """Carry a ``_dv`` deletion-vector sidecar into a new version dir
+    whose data files were linked from ``src_dir`` (append-mode insert,
+    the tvx sink's append commit, clone_table): the linked files still
+    physically contain the masked rows, so dropping the vector would
+    resurrect every dv-deleted row. Vector entries key on the carried
+    file NAMES, which linking preserves (collision renames only occur
+    across separate writes, whose uuid part-names cannot collide)."""
+    storage = storage if storage is not None else DEFAULT_STORAGE
+    src = os.path.join(src_dir, _DV_DIR)
+    if not storage.exists(src):
+        return
+    dst = os.path.join(dst_dir, _DV_DIR)
+    storage.makedirs(dst)
+    for name in storage.list_dir(src):
+        if name.startswith((".", "_")):
+            continue
+        storage.link_or_copy(os.path.join(src, name),
+                             os.path.join(dst, name))
 
 
 def _discover_partitions(staging: str, depth: int,

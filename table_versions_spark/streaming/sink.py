@@ -167,14 +167,32 @@ def _commit_versioned_write(location: str, version: Version,
                             user_id: str, message: str,
                             txn: "tuple[str, int] | None" = None,
                             storage=None) -> None:
-    """Driver side: link previous files for append, collect footer stats,
-    append ONE commit record — atomic at the commit-file write."""
-    from ..engine import _collect_version_stats, _link_data_files
+    """Driver side: link previous files for append (deletion vectors ride
+    along — the linked files still hold any dv-masked rows), collect
+    footer stats (dv-adjusted), append ONE commit record — atomic at the
+    commit-file write."""
+    from ..engine import (
+        _carry_dv_sidecar,
+        _collect_version_stats,
+        _dv_row_count,
+        _link_data_files,
+    )
 
     storage = storage if storage is not None else DEFAULT_STORAGE
     defn = read_table_meta(location, storage)
     log = FileTableVersions(location, storage)
     prev = log.current_version(defn.name)
+
+    def _stats_payload(vdir: str):
+        payload = _collect_version_stats(vdir, storage,
+                                         bloom_columns=defn.bloom_columns)
+        if payload:
+            dv = os.path.join(vdir, "_dv")
+            if storage.exists(dv):
+                payload["rows"] = max(
+                    payload["rows"] - _dv_row_count(dv, storage), 0)
+        return payload
+
     ops: list = []
     stats: dict = {}
     if defn.is_snapshot:
@@ -182,10 +200,11 @@ def _commit_versioned_write(location: str, version: Version,
         storage.makedirs(vdir)
         if append and isinstance(prev, SnapshotTableVersion) \
                 and prev.version != UNVERSIONED:
-            _link_data_files(path_for(location, prev.version), vdir, storage)
+            prev_dir = path_for(location, prev.version)
+            _link_data_files(prev_dir, vdir, storage)
+            _carry_dv_sidecar(prev_dir, vdir, storage)
         ops.append(AddTableVersion(version))
-        payload = _collect_version_stats(vdir, storage,
-                                         bloom_columns=defn.bloom_columns)
+        payload = _stats_payload(vdir)
         if payload:
             stats[version.label] = payload
     else:
@@ -195,12 +214,12 @@ def _commit_versioned_write(location: str, version: Version,
             vdir = os.path.join(location, render, version.label)
             storage.makedirs(vdir)
             if append and part in prev_pv:
-                _link_data_files(
-                    os.path.join(location, render, prev_pv[part].label),
-                    vdir, storage)
+                prev_dir = os.path.join(location, render,
+                                        prev_pv[part].label)
+                _link_data_files(prev_dir, vdir, storage)
+                _carry_dv_sidecar(prev_dir, vdir, storage)
             ops.append(AddPartitionVersion(part, version))
-            payload = _collect_version_stats(
-                vdir, storage, bloom_columns=defn.bloom_columns)
+            payload = _stats_payload(vdir)
             if payload:
                 stats[os.path.join(render, version.label)] = payload
     if not ops:

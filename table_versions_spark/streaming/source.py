@@ -53,7 +53,7 @@ from ..core.metastore import (
     compute_changes,
 )
 from ..core.model import UNVERSIONED, SnapshotTableVersion
-from ..core.paths import path_for
+from ..core.paths import CDC_DIR, DV_DIR, cdc_before_label, path_for
 from ..core.storage import DEFAULT_STORAGE, storage_from_name
 
 FORMAT_NAME = "tvx"
@@ -327,8 +327,8 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
                 # a _cdc sidecar diffed against exactly this before-dir is
                 # row-exact for the pair (rewrite commits on
                 # change_data_feed tables); else vector-delta, else coarse
-                cdc_dir = os.path.join(a, "_cdc")
-                if _cdc_before_label(cdc_dir, self.storage) == \
+                cdc_dir = os.path.join(a, CDC_DIR)
+                if cdc_before_label(cdc_dir, self.storage) == \
                         os.path.basename(b):
                     parts.append(ChangeFeedPartition(
                         "cdc", None, None, cdc_dir, (), partition))
@@ -474,7 +474,7 @@ def _dv_positions(directory: str, storage=None) -> dict[str, set[int]]:
     import pyarrow.parquet as pq
 
     storage = storage if storage is not None else DEFAULT_STORAGE
-    dv_dir = os.path.join(directory, "_dv")
+    dv_dir = os.path.join(directory, DV_DIR)
     out: dict[str, set[int]] = {}
     if storage.is_dir(dv_dir):
         parts = []
@@ -489,15 +489,6 @@ def _dv_positions(directory: str, storage=None) -> dict[str, set[int]]:
                             dv_tbl.column("idx").to_pylist()):
                 out.setdefault(f, set()).add(i)
     return out
-
-
-def _cdc_before_label(cdc_dir: str, storage) -> "str | None":
-    """The version label a ``_cdc`` sidecar was diffed against, or None
-    when the marker is absent."""
-    try:
-        return storage.read_text(os.path.join(cdc_dir, "_before")).strip()
-    except Exception:  # noqa: BLE001 — any miss ⇒ not usable
-        return None
 
 
 def _data_files(directory: str, storage=None) -> set[str]:

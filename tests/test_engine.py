@@ -1893,6 +1893,56 @@ class TestDeletionVectors:
         assert got == list(range(80, 100))
         assert engine.table_stats("dv.many")["rows"] == 20
 
+    def test_append_carries_deletion_vectors(self, spark, engine):
+        """insert(mode='append') links the previous files — the vector
+        must ride along or dv-deleted rows resurrect (and log-only
+        ANALYZE must stay dv-adjusted)."""
+        ddl = "id bigint, d string"
+        engine.create_table("dv.ap", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ddl), "dv.ap", "u", "v1")
+        engine.delete("dv.ap", "id = 1", "u", "dv", mode="dv")
+        engine.insert(spark.createDataFrame([(9, "a")], ddl),
+                      "dv.ap", "u", "v2", mode="append")
+        got = sorted(r.id for r in engine.read("dv.ap").collect())
+        assert got == [2, 3, 9]          # id=1 stays deleted
+        assert engine.table_stats("dv.ap")["rows"] == 3
+        # snapshot table append too
+        engine.create_table("dv.aps", schema_ddl="id bigint")
+        engine.insert(spark.createDataFrame([(1,), (2,)], "id bigint"),
+                      "dv.aps", "u", "v1")
+        engine.delete("dv.aps", "id = 1", "u", "dv", mode="dv")
+        engine.insert(spark.createDataFrame([(3,)], "id bigint"),
+                      "dv.aps", "u", "v2", mode="append")
+        assert sorted(r.id for r in engine.read("dv.aps").collect()) == [2, 3]
+
+    def test_tvx_sink_append_carries_deletion_vectors(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, d string"
+        engine.create_table("dv.sk", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a")], ddl), "dv.sk", "u", "v1")
+        engine.delete("dv.sk", "id = 1", "u", "dv", mode="dv")
+        loc = engine.definition("dv.sk").location
+        spark.createDataFrame([(9, "a")], ddl).write.format("tvx").mode(
+            "append").option("location", loc).save()
+        got = sorted(r.id for r in engine.read("dv.sk").collect())
+        assert got == [2, 9]
+        assert engine.table_stats("dv.sk")["rows"] == 2
+
+    def test_clone_carries_deletion_vectors(self, spark, engine):
+        ddl = "id bigint, d string"
+        engine.create_table("dv.cl", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ddl), "dv.cl", "u", "v1")
+        engine.delete("dv.cl", "id = 1", "u", "dv", mode="dv")
+        engine.clone_table("dv.cl", "dv.cl2")
+        got = sorted(r.id for r in engine.read("dv.cl2").collect())
+        assert got == [2, 3]
+        assert engine.table_stats("dv.cl2")["rows"] == 2
+
     def test_dv_update_snapshot_with_column_mapping(self, spark, engine):
         """DV update on a snapshot table whose column was renamed: the
         predicate and SET use logical names, files keep physical names."""
@@ -2021,6 +2071,51 @@ class TestRowLevelCDF:
         ch = engine.read_changes("cdc.pc", since_commit=c3,
                                  row_level=True, per_commit=True)
         assert ch.count() == 0 and "_commit_id" in ch.columns
+
+    def test_per_commit_span_across_schema_evolution(self, spark, engine):
+        """A per-commit span crossing an evolve_schema commit unions
+        frames with different column sets — pre-evolution events surface
+        the new column as NULL instead of crashing."""
+        engine.create_table("cdc.ev", schema_ddl="id bigint",
+                            change_data_feed=True)
+        r1 = engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                           "cdc.ev", "u", "v1")
+        engine.insert(spark.createDataFrame([(2, "x")],
+                                            "id bigint, name string"),
+                      "cdc.ev", "u", "v2", mode="append",
+                      evolve_schema=True)
+        engine.update("cdc.ev", set={"name": "'y'"}, predicate="id = 2",
+                      user_id="u", message="upd")
+        ch = engine.read_changes("cdc.ev", since_commit=r1.commit_id,
+                                 row_level=True, per_commit=True)
+        rows = {(r.id, r.name, r._change_type) for r in ch.collect()}
+        # evolution commit (append = linked superset): refined diff emits
+        # ONLY the added file's row; update commit: exact sidecar pair.
+        # Unchanged row 1 is never re-emitted. Before the fix the
+        # before-scan crashed selecting the evolved column (absent from
+        # every pre-evolution file).
+        assert rows == {(2, "x", "insert"), (2, "x", "delete"),
+                        (2, "y", "insert")}
+
+    def test_cdc_zero_change_rewrite_stays_exact(self, spark, engine):
+        """A rewritten partition whose rewrite changed no rows (merge
+        condition false) must NOT fall back to a spurious coarse
+        delete-all+insert-all — the marker-only sidecar pins 'exactly no
+        changes'."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cdc.z", schema_ddl=ddl, partition_columns=["d"],
+                            change_data_feed=True)
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, 5.0, "a"), (2, 5.0, "b")], ddl), "cdc.z", "u", "v1")
+        # source touches BOTH partitions; update condition only fires in a
+        src = spark.createDataFrame([(1, 9.0, "a"), (2, 1.0, "b")], ddl)
+        engine.merge(src, "cdc.z", ["id"], "u", "mrg",
+                     when_matched_update="s.v > t.v",
+                     when_not_matched_insert=False)
+        ch = engine.read_changes("cdc.z", since_commit=r1.commit_id,
+                                 row_level=True)
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == [(1, 5.0, "delete"), (1, 9.0, "insert")]
 
     def test_cdc_sidecar_snapshot_table(self, spark, engine):
         engine.create_table("cdc.sn", schema_ddl="id bigint, v double",
