@@ -173,6 +173,23 @@ def main(sf_dir: str, warehouse: str) -> None:
     print(f"[13] streamed the commit log into a replica table "
           f"(readStream→writeStream format('tvx')): {dst_n} rows, "
           "exactly-once per epoch")
+    # 14. row-exact change data feed across rewrites -----------------------
+    eng.create_table("demo.cdf", schema_ddl="id bigint, score double",
+                     change_data_feed=True)
+    base = eng.insert(spark.range(100).select(
+        F.col("id"), (F.col("id") * 1.0).alias("score")),
+        "demo.cdf", "demo", "load")
+    eng.update("demo.cdf", set={"score": "score * 2"},
+               predicate="id % 10 = 0", user_id="demo", message="boost")
+    feed = eng.read_changes("demo.cdf", since_commit=base.commit_id,
+                            row_level=True)
+    n_del = feed.where("_change_type = 'delete'").count()
+    n_ins = feed.where("_change_type = 'insert'").count()
+    assert (n_del, n_ins) == (10, 10), (n_del, n_ins)
+    print(f"[14] change_data_feed table: rewrite UPDATE emitted exactly "
+          f"{n_del}+{n_ins} changed rows via the _cdc sidecar "
+          "(not the 100-row coarse rewrite)")
+
     print("demo complete.")
 
 
