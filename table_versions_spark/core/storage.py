@@ -337,8 +337,19 @@ class ObjectStoreStorage(Storage):
     def read_text(self, path):
         return self._get(path).decode("utf-8")
 
+    def _get_range(self, path: str, start: int, length: int) -> bytes:
+        """Ranged GET (S3 ``Range: bytes=...``). Emulation: seek+read."""
+        with open(_strip_scheme(path), "rb") as f:
+            f.seek(start)
+            return f.read(length)
+
     def open_input(self, path):
-        return io.BytesIO(self._get(path))
+        # lazy seekable reader over ranged GETs: a parquet FOOTER read (or
+        # a column-pruned read) fetches only the byte ranges pyarrow asks
+        # for instead of downloading the whole object — the difference
+        # between O(file) and O(footer) per file at commit/stats time
+        return io.BufferedReader(_RangedReader(self, path),
+                                 buffer_size=1 << 16)
 
     def open_output(self, path):
         return _PutOnClose(self, path)
@@ -433,6 +444,47 @@ class ObjectStoreStorage(Storage):
         self._cleanup_prefix(path)
 
 
+class _RangedReader(io.RawIOBase):
+    """Seekable read-only file over an object store's ranged GETs —
+    every ``read`` maps to one ``_get_range``; wrap in a BufferedReader
+    so pyarrow's many small footer reads coalesce."""
+
+    def __init__(self, storage: ObjectStoreStorage, path: str):
+        self._storage = storage
+        self._path = path
+        self._size = storage.file_size(path)
+        self._pos = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def seek(self, offset, whence=io.SEEK_SET):
+        if whence == io.SEEK_SET:
+            self._pos = offset
+        elif whence == io.SEEK_CUR:
+            self._pos += offset
+        elif whence == io.SEEK_END:
+            self._pos = self._size + offset
+        else:
+            raise ValueError(f"invalid whence: {whence}")
+        return self._pos
+
+    def tell(self):
+        return self._pos
+
+    def readinto(self, b):
+        n = min(len(b), max(self._size - self._pos, 0))
+        if n <= 0:
+            return 0
+        data = self._storage._get_range(self._path, self._pos, n)
+        b[:len(data)] = data
+        self._pos += len(data)
+        return len(data)
+
+
 class _PutOnClose(io.BytesIO):
     """Buffered object-store write: bytes accumulate locally, one PUT at
     close — the shape every object-store writer has (no partial keys)."""
@@ -478,6 +530,9 @@ class MemoryStorage(ObjectStoreStorage):
                 return False
             self._objects[key] = data
             return True
+
+    def _get_range(self, path, start, length):
+        return self._get(path)[start:start + length]
 
     def _delete(self, path):
         with self._lock:
@@ -578,6 +633,13 @@ class S3Storage(ObjectStoreStorage):
             return self._s3.get_object(Bucket=bucket, Key=key)["Body"].read()
         except self._s3.exceptions.NoSuchKey:
             raise FileNotFoundError(path) from None
+
+    def _get_range(self, path, start, length):
+        bucket, key = self._parse(path)
+        resp = self._s3.get_object(
+            Bucket=bucket, Key=key,
+            Range=f"bytes={start}-{start + length - 1}")
+        return resp["Body"].read()
 
     def _put(self, path, data):
         bucket, key = self._parse(path)

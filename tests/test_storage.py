@@ -198,3 +198,60 @@ class TestMultiprocessCommitCAS:
         assert len(head.partition_versions) == n_workers * n_commits
         # pointer is exactly at head — no trailing allowed anymore
         assert state.current_version == state.updates[-1].metadata.commit_id
+
+
+class TestRangedReads:
+    def test_open_input_is_ranged_and_seekable(self, tmp_path):
+        """Object-store open_input must serve pyarrow footer reads via
+        ranged GETs (O(footer), not O(file)) and satisfy the full
+        read/seek/tell contract."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from table_versions_spark.core.storage import ObjectStoreStorage
+
+        s = ObjectStoreStorage()
+        p = str(tmp_path / "t.parquet")
+        import os as _os
+        pq.write_table(
+            pa.table({"a": list(range(20000)),
+                      "b": [("x%05d" % i) * 8 for i in range(20000)]}),
+            p, compression="none")
+        assert _os.path.getsize(p) > 1 << 19  # ≫ the 64 KiB read buffer
+        ranges = []
+        orig = s._get_range
+
+        def spy(path, start, length):
+            ranges.append((start, length))
+            return orig(path, start, length)
+
+        s._get_range = spy
+        with s.open_input(p) as f:
+            assert isinstance(f, io.BufferedReader)
+            meta = pq.ParquetFile(f).metadata
+            assert meta.num_rows == 20000
+        total = sum(n for _, n in ranges)
+        assert total < s.file_size(p)  # footer read ≪ full object
+        # column-pruned read fetches less than the whole file too
+        ranges.clear()
+        with s.open_input(p) as f:
+            t = pq.read_table(f, columns=["a"])
+        assert t.num_rows == 20000
+        assert sum(n for _, n in ranges) < s.file_size(p)
+        # plain sequential read still returns full content
+        with s.open_input(p) as f:
+            data = f.read()
+        assert len(data) == s.file_size(p)
+
+    def test_memory_storage_ranged(self):
+        from table_versions_spark.core.storage import MemoryStorage
+
+        m = MemoryStorage()
+        m._put("/x/blob", b"0123456789")
+        with m.open_input("/x/blob") as f:
+            f.seek(4)
+            assert f.read(3) == b"456"
+            f.seek(-2, 2)
+            assert f.read() == b"89"
