@@ -1724,13 +1724,27 @@ class VersionedEngine:
                     if not f.startswith((".", "_"))
                     and not self.storage.is_dir(os.path.join(d, f))}
 
+        def require_dir(d: str) -> str:
+            # a vacuumed dir means this span's row-level diff is no longer
+            # reconstructible — fail with the reason instead of a raw
+            # PATH_NOT_FOUND (or, worse, a silent under-report of deletes).
+            # CDC-sidecar pairs never reach here: the sidecar alone is
+            # sufficient, so they stay exact even past retention.
+            if not self.storage.is_dir(d):
+                raise ValueError(
+                    f"version dir {d} was vacuumed: row-level changes over "
+                    "this span are no longer reconstructible — use a "
+                    "since_commit within the vacuum retention (CDC-sidecar "
+                    "commits on change_data_feed tables remain exact)")
+            return d
+
         coarse_del, coarse_ins, refined, cdc_dirs = [], [], [], []
         for b, a in pairs:
             if b is None:
                 if a is not None:
-                    coarse_ins.append(a)
+                    coarse_ins.append(require_dir(a))
             elif a is None:
-                coarse_del.append(b)
+                coarse_del.append(require_dir(b))
             else:
                 # a _cdc sidecar diffed against EXACTLY this before-dir is
                 # row-exact for the pair (rewrite commits); multi-commit
@@ -1744,6 +1758,7 @@ class VersionedEngine:
                            for f in self.storage.list_dir(acdc)):
                         cdc_dirs.append(acdc)
                     continue
+                require_dir(b), require_dir(a)
                 bf, af = data_files(b), data_files(a)
                 if bf <= af:
                     refined.append((b, a, bf))

@@ -252,8 +252,11 @@ def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"vx.cdcrw_{next(_SEQ)}"
     eng.clone_table(st["cdf_base"], table, user_id="tester")
     pre = eng.history(table).first()["commit_id"]
+    # scope to ONE day-partition: only it is rewritten (and sidecar'd) —
+    # the partition-scoped rewrite shape a production UPDATE has
     eng.update(table, set={"value": "value * 2"},
-               predicate="event_type = 'error'",
+               predicate=("event_type = 'error' AND "
+                          f"event_date = DATE'{st['min_date']}'"),
                user_id="tester", message="reprice errors", mode="rewrite")
     return (eng.read_changes(table, since_commit=pre, row_level=True)
             .select("event_id", "user_id", "event_type", "value",
@@ -1193,10 +1196,12 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date, 'delete' AS _change_type "
         "FROM events WHERE event_type = 'error' "
+        f"AND CAST(ts AS DATE) = {_MIN_DATE_SQL} "
         "UNION ALL "
         "SELECT event_id, user_id, event_type, value * 2 AS value, "
         "CAST(ts AS DATE) AS event_date, 'insert' AS _change_type "
-        "FROM events WHERE event_type = 'error'"),
+        "FROM events WHERE event_type = 'error' "
+        f"AND CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
     "q_change_feed_per_commit": (
         # commit 1 (dv delete of errors): deletes of all error rows;
         # commit 2 (rewrite update of clicks): pre+post pair per click

@@ -2117,6 +2117,38 @@ class TestRowLevelCDF:
         got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
         assert got == [(1, 5.0, "delete"), (1, 9.0, "insert")]
 
+    def test_row_level_cdf_past_retention_fails_loudly(self, spark, engine):
+        """A vacuumed before-dir makes the span's row diff unreconstructible:
+        clear error, not PATH_NOT_FOUND or a silent under-report. A
+        CDC-sidecar commit stays exact past retention (metadata-only)."""
+        import pytest as _pytest
+
+        ddl = "id bigint, d string"
+        engine.create_table("cdf.vac", schema_ddl=ddl,
+                            partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "b")], ddl), "cdf.vac", "u", "v1")
+        engine.insert(spark.createDataFrame([(3, "a")], ddl),
+                      "cdf.vac", "u", "v2")
+        engine.insert(spark.createDataFrame([(4, "a")], ddl),
+                      "cdf.vac", "u", "v3")
+        assert engine.vacuum("cdf.vac", keep_commits=1)
+        with _pytest.raises(ValueError, match="vacuum"):
+            engine.read_changes("cdf.vac", since_commit=r1.commit_id,
+                                row_level=True).collect()
+        # CDC table: sidecar pair survives vacuum of its before-dir
+        engine.create_table("cdf.vc", schema_ddl=ddl,
+                            partition_columns=["d"],
+                            change_data_feed=True)
+        c1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a")], ddl), "cdf.vc", "u", "v1")
+        engine.delete("cdf.vc", "id = 1", "u", "del")  # rewrite + sidecar
+        engine.vacuum("cdf.vc", keep_commits=1)
+        ch = engine.read_changes("cdf.vc", since_commit=c1.commit_id,
+                                 row_level=True)
+        assert sorted((r.id, r._change_type) for r in ch.collect()) \
+            == [(1, "delete")]
+
     def test_cdc_sidecar_snapshot_table(self, spark, engine):
         engine.create_table("cdc.sn", schema_ddl="id bigint, v double",
                             change_data_feed=True)
