@@ -883,20 +883,30 @@ class VersionedEngine:
          .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
         ops, stats = [], {}
         try:
-            for key, part in sorted(affected.items(),
-                                    key=lambda kv: kv[1].render()):
+            # per-partition publish is independent metadata work (links +
+            # sidecar publish + footer reads) — parallel threads keep a
+            # 10k-partition commit's wall clock bounded by round trips/16,
+            # not their sum; results assemble in deterministic order
+            def publish(item):
+                key, part = item
                 render = renders[key]
                 new_dir = os.path.join(defn.location, render, version.label)
                 _link_data_files(dirs[part], new_dir, self.storage)
-                staged = os.path.join(staging, render)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
-                self.storage.publish_dir(staged, dv_dst)
+                self.storage.publish_dir(os.path.join(staging, render),
+                                         dv_dst)
                 dv_total = _dv_row_count(dv_dst, self.storage)
-                ops.append(AddPartitionVersion(part, version))
                 payload = _collect_version_stats(
                     new_dir, self.storage, bloom_columns=defn.bloom_columns)
                 if payload:
                     payload["rows"] = max(payload["rows"] - dv_total, 0)
+                return part, render, payload
+
+            for part, render, payload in _parallel_publish(
+                    publish, sorted(affected.items(),
+                                    key=lambda kv: kv[1].render())):
+                ops.append(AddPartitionVersion(part, version))
+                if payload:
                     stats[os.path.join(render, version.label)] = payload
         finally:
             self.storage.remove_tree(staging)
@@ -1060,8 +1070,9 @@ class VersionedEngine:
             (updated.repartition(*[F.col(c) for c in pcols])
              .write.partitionBy(*pcols).mode("overwrite")
              .parquet(upd_staging))
-            for key, part in sorted(affected.items(),
-                                    key=lambda kv: kv[1].render()):
+
+            def publish(item):
+                key, part = item
                 render = renders[key]
                 new_dir = os.path.join(defn.location, render, version.label)
                 _link_data_files(dirs[part], new_dir, self.storage)
@@ -1070,11 +1081,17 @@ class VersionedEngine:
                 self.storage.publish_dir(os.path.join(dv_staging, render),
                                          dv_dst)
                 dv_total = _dv_row_count(dv_dst, self.storage)
-                ops.append(AddPartitionVersion(part, version))
                 payload = _collect_version_stats(
                     new_dir, self.storage, bloom_columns=defn.bloom_columns)
                 if payload:
                     payload["rows"] = max(payload["rows"] - dv_total, 0)
+                return part, render, payload
+
+            for part, render, payload in _parallel_publish(
+                    publish, sorted(affected.items(),
+                                    key=lambda kv: kv[1].render())):
+                ops.append(AddPartitionVersion(part, version))
+                if payload:
                     stats[os.path.join(render, version.label)] = payload
         finally:
             self.storage.remove_tree(dv_staging)
@@ -1669,16 +1686,26 @@ class VersionedEngine:
         reader = self.spark.read.format(defn.format)
         if defn.merge_schema:
             reader = reader.option("mergeSchema", "true")
+        def require_dirs(dirs: list[str]) -> list[str]:
+            missing = [d for d in dirs if not self.storage.is_dir(d)]
+            if missing:
+                raise ValueError(
+                    f"version dir {missing[0]} was vacuumed: changes over "
+                    "this span are no longer readable — use commits within "
+                    "the vacuum retention")
+            return dirs
+
         if isinstance(after, SnapshotTableVersion):
             if any(isinstance(op, UpdateTableVersion) for op in changes.operations):
                 sdir = path_for(defn.location, after.version)
+                require_dirs([sdir])
                 return self._apply_mapping(eff, self._apply_dvs(
                     reader.load(sdir), self._dv_dirs([sdir])))
             return self._empty(defn)
-        touched = sorted(
+        touched = require_dirs(sorted(
             os.path.join(defn.location, op.partition.render(), op.version.label)
             for op in changes.operations
-            if isinstance(op, (AddPartition, UpdatePartitionVersion)))
+            if isinstance(op, (AddPartition, UpdatePartitionVersion))))
         if not touched:
             return self._empty(defn)
         return self._apply_mapping(eff, self._declared_types(self._apply_dvs(
@@ -2294,9 +2321,8 @@ class VersionedEngine:
             (cdc.repartition(*[F.col(c) for c in pcols])
              .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
             prev_pv = getattr(previous, "partition_versions", {})
-            for op in ops:
-                if not isinstance(op, AddPartitionVersion):
-                    continue
+
+            def publish(op):
                 render = op.partition.render()
                 staged = os.path.join(staging, render)
                 dst = os.path.join(defn.location, render, version.label,
@@ -2312,6 +2338,9 @@ class VersionedEngine:
                 self.storage.write_atomic(
                     os.path.join(dst, _CDC_BEFORE),
                     old.label if old is not None else "")
+
+            _parallel_publish(publish, [
+                op for op in ops if isinstance(op, AddPartitionVersion)])
         finally:
             self.storage.remove_tree(staging)
 
@@ -2901,6 +2930,21 @@ def _link_data_files(src_dir: str, dst_dir: str,
         if storage.exists(dst):
             dst = os.path.join(dst_dir, f"prev-{_uuid.uuid4().hex[:8]}-{name}")
         storage.link_or_copy(src, dst)
+
+
+def _parallel_publish(fn, items, max_workers: int = 16):
+    """Run independent per-partition publish closures concurrently and
+    return their results in the ITEM order (deterministic commits). The
+    closures are pure storage metadata work — links, sidecar publishes,
+    footer reads — so threads (not processes) absorb the per-call round
+    trips; a failure propagates like the serial loop's would."""
+    if len(items) <= 1:
+        return [fn(i) for i in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(items))) as pool:
+        return list(pool.map(fn, items))
 
 
 def _carry_dv_sidecar(src_dir: str, dst_dir: str,
