@@ -404,16 +404,19 @@ class VersionedEngine:
                                           cluster_by=cluster_by,
                                           drop_col=drop_col)
             if mode == "append" and isinstance(previous, PartitionedTableVersion):
-                for op in ops:
-                    old = previous.partition_versions.get(op.partition)
-                    if old is not None:
-                        prev_dir = os.path.join(
-                            defn.location, op.partition.render(), old.label)
-                        new_dir = os.path.join(
-                            defn.location, op.partition.render(),
-                            version.label)
-                        _link_data_files(prev_dir, new_dir, self.storage)
-                        _carry_dv_sidecar(prev_dir, new_dir, self.storage)
+                def link_prev(op):
+                    old = previous.partition_versions[op.partition]
+                    prev_dir = os.path.join(
+                        defn.location, op.partition.render(), old.label)
+                    new_dir = os.path.join(
+                        defn.location, op.partition.render(), version.label)
+                    _link_data_files(prev_dir, new_dir, self.storage)
+                    _carry_dv_sidecar(prev_dir, new_dir, self.storage)
+
+                _parallel_publish(link_prev, [
+                    op for op in ops
+                    if previous.partition_versions.get(op.partition)
+                    is not None])
         written = {op.partition for op in ops
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
@@ -428,13 +431,7 @@ class VersionedEngine:
         # reads the log it already has, never one sidecar per directory.
         stats: dict[str, dict] = {}
         if defn.format == "parquet":
-            for op in ops:
-                if isinstance(op, AddTableVersion):
-                    rel = op.version.label
-                elif isinstance(op, AddPartitionVersion):
-                    rel = f"{op.partition.render()}/{version.label}"
-                else:
-                    continue
+            def collect(rel):
                 payload = _collect_version_stats(
                     os.path.join(defn.location, rel), self.storage,
                     bloom_columns=defn.bloom_columns)
@@ -446,6 +443,14 @@ class VersionedEngine:
                         payload["rows"] = max(
                             payload["rows"] - _dv_row_count(dv, self.storage),
                             0)
+                return rel, payload
+
+            rels = [op.version.label if isinstance(op, AddTableVersion)
+                    else f"{op.partition.render()}/{version.label}"
+                    for op in ops
+                    if isinstance(op, (AddTableVersion, AddPartitionVersion))]
+            for rel, payload in _parallel_publish(collect, rels):
+                if payload is not None:
                     stats[rel] = payload
         precondition = None
         if read_fold is not None:
@@ -1339,16 +1344,18 @@ class VersionedEngine:
            .mode("errorifexists").save(staging))
         try:
             partitions = _discover_partitions(staging, len(pcols), self.storage)
-            ops = []
-            for rel in partitions:
-                part = Partition.parse(rel)
+
+            # atomic rename on POSIX; copy+delete on object stores — safe
+            # either way because nothing references the destination until
+            # the commit record lands (the log is the atomicity point).
+            # Publishes are independent per partition: parallel threads
+            # bound a 10k-partition commit by round-trips/16, not their sum
+            def publish(rel):
                 dest = os.path.join(defn.location, rel, version.label)
-                # atomic rename on POSIX; copy+delete on object stores — safe
-                # either way because nothing references the destination until
-                # the commit record lands (the log is the atomicity point)
                 self.storage.publish_dir(os.path.join(staging, rel), dest)
-                ops.append(AddPartitionVersion(part, version))
-            return ops
+                return AddPartitionVersion(Partition.parse(rel), version)
+
+            return _parallel_publish(publish, partitions)
         finally:
             self.storage.remove_tree(staging)
 
