@@ -148,8 +148,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     per_user = (ev.groupBy("user_id")
                 .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-                      .alias("t_view"),
-                     F.max("ts").alias("t_last")))
+                      .alias("t_view")))
     clicks = (ev.where(F.col("event_type") == "click")
               .select("user_id", F.col("ts").alias("t_click")))
     purchases = (ev.where(F.col("event_type") == "purchase")

@@ -145,10 +145,8 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ratio(n: int):
         total = (f"greatest(size(toks) - {n - 1}, 0)" if n > 1
                  else "size(toks)")
-        grams = ("array_distinct(CASE WHEN size(toks) >= {n} THEN "
-                 "transform(sequence(1, size(toks) - {n1}), "
-                 "i -> concat_ws(' ', slice(toks, i, {n}))) "
-                 "ELSE array() END)".format(n=n, n1=n - 1) if n > 1
+        # the n>1 arm IS _word_ngrams_expr — one definition, no drift
+        grams = (_word_ngrams_expr(n) if n > 1
                  else "array_distinct(toks)")
         return F.expr(
             f"CASE WHEN {total} <= 0 THEN 0.0 ELSE "
@@ -324,12 +322,12 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE chain, so the COMPOSITION (not just each stage) is hash-checked.
     """
     from .dedup import q_dedup_groups
-    from .text import q_quality_score
+    from .text import q_dedup_exact, q_quality_score
 
     docs = load(spark, sf_dir, "documents")
-    exact_keep = (docs.withColumn("h", F.sha2(F.col("text"), 256))
-                  .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-                  .select("doc_id"))
+    # reuse the exact-dedup OPERATOR so the composed pipeline can never
+    # drift from the per-stage rule it claims to stack
+    exact_keep = q_dedup_exact(spark, sf_dir).select("doc_id")
     near_keep = (q_dedup_groups(spark, sf_dir)
                  .where(F.col("doc_id") == F.col("group_id"))
                  .select("doc_id"))

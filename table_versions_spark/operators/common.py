@@ -83,3 +83,36 @@ def scratch_dir(spark: SparkSession, name: str) -> str:
                 "Running on a cluster: set spark.tvx.scratch.dir to a "
                 "shared-storage path visible to all executors")
     return os.path.join(base, _SCRATCH_NS, name)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through Hadoop's FileSystem — works for ANY
+    scratch URI (file:/, s3a://, hdfs://), unlike ``os.path.exists``,
+    which silently returns False on remote URIs and defeats the
+    cross-call setup caching built on these markers."""
+    fs, p, _ = _hadoop_fs(spark, path)
+    return fs.exists(p)
+
+
+def fs_list_files(spark: SparkSession, path: str) -> list[str]:
+    """Child file NAMES of a scratch dir via Hadoop's FileSystem."""
+    fs, p, _ = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def fs_copy_file(spark: SparkSession, src: str, dst: str) -> None:
+    """Copy one scratch file via Hadoop's FileUtil (any scheme);
+    creates the destination's parent."""
+    sfs, sp, jvm = _hadoop_fs(spark, src)
+    dfs, dp, _ = _hadoop_fs(spark, dst)
+    dfs.mkdirs(dp.getParent())
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sfs, sp, dfs, dp, False, spark._jsc.hadoopConfiguration())

@@ -292,11 +292,11 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.readers import read
-    from .common import scratch_dir
+    from .common import fs_exists, scratch_dir
 
     src = scratch_dir(spark, "csv-customer-"
                       + os.path.basename(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
         (load(spark, sf_dir, "customer")
          .write.mode("overwrite").option("header", "true").csv(src))
     return read(spark, src, format="csv", header="true",
@@ -311,11 +311,11 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.readers import read
-    from .common import scratch_dir
+    from .common import fs_exists, scratch_dir
 
     src = scratch_dir(spark, "json-orders-"
                       + os.path.basename(os.path.normpath(sf_dir)))
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
         load(spark, sf_dir, "orders").write.mode("overwrite").json(src)
     return read(spark, src, format="json",
                 schema=("o_orderkey bigint, o_custkey bigint, "

@@ -173,7 +173,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    qrows = (emb.orderBy("vec_id").limit(KNN_QUERIES)
+    # query set = literal vec_id < KNN_QUERIES — the SAME rule the corpus
+    # filter and the DuckDB oracle use ("the N lowest ids" via orderBy+limit
+    # only coincides with it for contiguous 0-based ids)
+    qrows = (emb.where(F.col("vec_id") < KNN_QUERIES)
              .select("vec_id", "embedding").collect())
     q_ids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
     q_mat = np.array([[float(x) for x in r.embedding] for r in qrows],

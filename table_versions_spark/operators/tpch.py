@@ -344,7 +344,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .where(F.col("l_shipdate")
+            .where(F.col("l_shipdate").cast("date")
                    > F.date_add(F.col("o_orderdate").cast("date"), 30))
             .groupBy("l_returnflag")
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),

@@ -44,11 +44,27 @@ _MIN_DATE_SQL = "(SELECT MIN(CAST(ts AS DATE)) FROM events)"
 # O(metadata) instead of O(data).
 _SHARED: dict[str, dict] = {}
 _SEQ = itertools.count()
-# Process-unique token for streaming run/checkpoint scratch dirs: the
-# scratch base is STABLE across processes (/tmp/tvx-scratch or the cluster
-# conf), so a bare sequence number can collide with a previous process's
-# checkpoint — availableNow would then see "no new data" and emit nothing.
+# Extra per-process token for streaming run/checkpoint dir NAMES.
+# scratch_dir already namespaces per driver process, so cross-process
+# collision is impossible; _RUN additionally keeps run dirs unique if a
+# process ever re-enters a query family after clearing _SEQ-based state
+# (cheap belt over the existing suspenders).
 _RUN = __import__("uuid").uuid4().hex[:8]
+
+
+def _await(q, timeout: int = 300) -> None:
+    """awaitTermination with the boolean CHECKED: a timed-out (still
+    running) availableNow query must raise, not silently hand back a
+    partial sink — a wrong-but-plausible result is worse than a timeout.
+    The query is stopped before raising so it can't keep competing for
+    executors or poison a cached setup marker."""
+    if not q.awaitTermination(timeout):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} still running after "
+                f"{timeout}s — partial results discarded")
 
 
 def _engine(spark: SparkSession) -> VersionedEngine:
@@ -233,6 +249,20 @@ def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_date", "_change_type"))
 
 
+def _cdf_base(st: dict, spark: SparkSession, sf_dir: str) -> str:
+    """Once-per-process base events table with change_data_feed=True;
+    CDF queries shallow-clone it (same pattern as _clone_base)."""
+    if "cdf_base" not in st:
+        eng = st["eng"]
+        eng.create_table("vx.events_cdf", schema_ddl=EVENTS_DDL,
+                         partition_columns=["event_date"],
+                         change_data_feed=True)
+        eng.insert(_events_for_insert(spark, sf_dir), "vx.events_cdf",
+                   "tester", "all days")
+        st["cdf_base"] = "vx.events_cdf"
+    return st["cdf_base"]
+
+
 def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change feed across a REWRITE commit (engine.update
     mode='rewrite' on a ``change_data_feed=True`` table): the ``_cdc/``
@@ -242,13 +272,7 @@ def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse fallback would emit those too, failing this oracle)."""
     st = _shared(spark, sf_dir)
     eng = st["eng"]
-    if "cdf_base" not in st:
-        eng.create_table("vx.events_cdf", schema_ddl=EVENTS_DDL,
-                         partition_columns=["event_date"],
-                         change_data_feed=True)
-        eng.insert(_events_for_insert(spark, sf_dir), "vx.events_cdf",
-                   "tester", "all days")
-        st["cdf_base"] = "vx.events_cdf"
+    _cdf_base(st, spark, sf_dir)
     table = f"vx.cdcrw_{next(_SEQ)}"
     eng.clone_table(st["cdf_base"], table, user_id="tester")
     pre = eng.history(table).first()["commit_id"]
@@ -273,13 +297,7 @@ def q_change_feed_per_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (commit ids are run-random); the rows themselves pin exactness."""
     st = _shared(spark, sf_dir)
     eng = st["eng"]
-    if "cdf_base" not in st:
-        eng.create_table("vx.events_cdf", schema_ddl=EVENTS_DDL,
-                         partition_columns=["event_date"],
-                         change_data_feed=True)
-        eng.insert(_events_for_insert(spark, sf_dir), "vx.events_cdf",
-                   "tester", "all days")
-        st["cdf_base"] = "vx.events_cdf"
+    _cdf_base(st, spark, sf_dir)
     table = f"vx.cdcpc_{next(_SEQ)}"
     eng.clone_table(st["cdf_base"], table, user_id="tester")
     pre = eng.history(table).first()["commit_id"]
@@ -575,7 +593,7 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("user_id").alias("sum_user")))
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(name)
 
 
@@ -610,7 +628,7 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("txnApp", "events-replication")
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await(q)
         st["stream_sink"] = True
     return (eng.read("vx.events_replica")
             .groupBy("event_type")
@@ -648,7 +666,7 @@ def q_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
              .writeStream.format("parquet").option("path", out)
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await(q)
 
     consume()  # initial state: inserts
     eng.delete(table, "event_type = 'error'", "tester", "purge", mode="dv")
@@ -714,8 +732,9 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         tag = os.path.basename(os.path.normpath(sf_dir))
         src = scratch_dir(spark, f"stream-win-src-{tag}")
-        marker = os.path.join(src, "_SUCCESS")
-        if not os.path.exists(marker):
+        from .common import fs_exists
+
+        if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
             (load_events(spark, sf_dir)
              .select("event_id", "ts", "event_type", "value")
              .write.mode("overwrite").parquet(src))
@@ -732,7 +751,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              .option("path", os.path.join(run, "out"))
              .option("checkpointLocation", os.path.join(run, "ckpt"))
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await(q)
     finally:
         if prev is None:
             spark.conf.unset(conf_key)
@@ -755,22 +774,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` once upstream replays have a known
     lateness horizon."""
     import os
-    import shutil
 
-    from .common import scratch_dir
+    from .common import fs_copy_file, fs_exists, fs_list_files, scratch_dir
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = scratch_dir(spark, f"stream-dedup-src-{tag}")
-    if not os.path.exists(os.path.join(src, "f2.parquet")):
+    # scratch may be a shared-storage URI on a cluster — every touch goes
+    # through Hadoop's FileSystem, never os.*/shutil
+    if not fs_exists(spark, os.path.join(src, "f2.parquet")):
         tmp = scratch_dir(spark, f"stream-dedup-tmp-{tag}")
         (load_events(spark, sf_dir)
          .select("event_id", "user_id", "event_type", "value")
          .coalesce(1).write.mode("overwrite").parquet(tmp))
-        part = next(f for f in sorted(os.listdir(tmp))
+        part = next(f for f in sorted(fs_list_files(spark, tmp))
                     if f.endswith(".parquet"))
-        os.makedirs(src, exist_ok=True)
-        shutil.copy(os.path.join(tmp, part), os.path.join(src, "f1.parquet"))
-        shutil.copy(os.path.join(tmp, part), os.path.join(src, "f2.parquet"))
+        fs_copy_file(spark, os.path.join(tmp, part),
+                     os.path.join(src, "f1.parquet"))
+        fs_copy_file(spark, os.path.join(tmp, part),
+                     os.path.join(src, "f2.parquet"))
     run = scratch_dir(spark, f"stream-dedup-run-{tag}-{_RUN}-{next(_SEQ)}")
     stream = (spark.readStream
               .schema("event_id bigint, user_id bigint, "
@@ -782,7 +803,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("path", os.path.join(run, "out"))
          .option("checkpointLocation", os.path.join(run, "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await(q)
     return spark.read.parquet(os.path.join(run, "out"))
 
 
@@ -808,7 +829,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = scratch_dir(spark, f"stream-join-src-{tag}")
     # the marker is the LAST-written export, so a crash mid-setup re-runs
     # the whole export instead of leaving a half-built source
-    if not os.path.exists(os.path.join(src, "purchases", "_SUCCESS")):
+    from .common import fs_exists
+
+    if not fs_exists(spark, os.path.join(src, "purchases", "_SUCCESS")):
         ev = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value")
         (ev.where(F.col("event_type") == "view")
@@ -839,7 +862,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("path", os.path.join(run, "out"))
          .option("checkpointLocation", os.path.join(run, "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await(q)
     out = spark.read.parquet(os.path.join(run, "out"))
     # doc-grain summary keeps the compare payload small and integer-exact
     return (out.groupBy("user_id")
@@ -924,7 +947,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
                     timeoutConf=GroupStateTimeout.NoTimeout))
     q = (sessions.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    _await(q)
     return spark.table(name)
 
 
