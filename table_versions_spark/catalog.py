@@ -164,8 +164,14 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
             spark.sql(f"CREATE TABLE {name} ({schema_ddl}) "
                       f"USING {defn.format} LOCATION '{defn.location}'")
         else:
+            # LOCATION makes the catalog table EXTERNAL: a managed table's
+            # DROP TABLE (user-issued, or this function's own drop on the
+            # column-mapping transition below) would DELETE the versioned
+            # partition data under a Hive metastore
             spark.sql(f"CREATE TABLE {name} ({schema_ddl}) "
-                      f"USING {defn.format} PARTITIONED BY ({', '.join(pcols)})")
+                      f"USING {defn.format} "
+                      f"PARTITIONED BY ({', '.join(pcols)}) "
+                      f"LOCATION '{defn.location}'")
     target = log.current_version(defn.name)
     actual = catalog_current_version(spark, name, defn)
     ops = compute_changes(actual, target).operations

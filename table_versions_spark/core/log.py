@@ -203,9 +203,13 @@ class FileTableVersions:
         return commit_id, seq
 
     def _find_seq(self, commit_id: str) -> int | None:
-        for i, fname in enumerate(self._commit_files()):
+        # newest-first: the ids looked up in practice (checkpoint writes,
+        # txn replays, CDF spans, rollbacks) are near the head, so the
+        # common case reads O(recent) files instead of the whole log
+        files = self._commit_files()
+        for i in range(len(files) - 1, -1, -1):
             data = json.loads(
-                self.storage.read_text(os.path.join(self.log_dir, fname)))
+                self.storage.read_text(os.path.join(self.log_dir, files[i])))
             if data["commit_id"] == commit_id:
                 return i
         return None
@@ -222,7 +226,8 @@ class FileTableVersions:
         return [u.metadata for u in reversed(self._read_all_updates())]
 
     def current_version(self, table: TableName | None = None,
-                        at_commit: str | None = None) -> TableVersion:
+                        at_commit: str | None = None,
+                        at_seq: int | None = None) -> TableVersion:
         """Fold ops up to (and incl.) the pointer — or an explicit commit for
         time-travel reads (reference ``TableVersions.scala:29-41``).
 
@@ -231,7 +236,9 @@ class FileTableVersions:
         target commit, so the cost is O(commits since last checkpoint)."""
         self._require_exists(table)
         if at_commit is not None:
-            pointer, seq = at_commit, self._find_seq(at_commit)
+            # at_seq: callers that already KNOW the commit's seq (the
+            # checkpoint writer, span iterators) skip the id lookup
+            seq = at_seq if at_seq is not None else self._find_seq(at_commit)
             if seq is None:
                 raise UnknownCommitError(f"Unknown commit id: {at_commit}")
         else:
@@ -264,7 +271,8 @@ class FileTableVersions:
         return apply_partition_updates(state, ops)
 
     def stats_map(self, table: TableName | None = None,
-                  at_commit: str | None = None) -> dict[str, dict]:
+                  at_commit: str | None = None,
+                  at_seq: int | None = None) -> dict[str, dict]:
         """Folded version-dir statistics at the pointer (or a commit):
         ``{rel_dir: {"rows": n, "columns": {col: {"min","max"}}}}``.
 
@@ -276,7 +284,7 @@ class FileTableVersions:
         — absence means 'cannot skip', never 'skip'."""
         self._require_exists(table)
         if at_commit is not None:
-            seq = self._find_seq(at_commit)
+            seq = at_seq if at_seq is not None else self._find_seq(at_commit)
             if seq is None:
                 raise UnknownCommitError(f"Unknown commit id: {at_commit}")
         else:
@@ -300,7 +308,7 @@ class FileTableVersions:
         # writer race the pointer may already be past seq, and a checkpoint
         # whose state includes ops beyond its labeled seq would corrupt every
         # later time-travel read that resumes from it
-        state = self.current_version(at_commit=commit_id)
+        state = self.current_version(at_commit=commit_id, at_seq=seq)
         if isinstance(state, SnapshotTableVersion):
             payload = {"seq": seq, "commit_id": commit_id, "is_snapshot": True,
                        "snapshot_version": state.version.label}
@@ -310,7 +318,7 @@ class FileTableVersions:
                                       for p, v in state.partition_versions.items()}}
         # folded stats ride the checkpoint too, so stats_map never replays
         # commits older than the newest checkpoint
-        payload["stats"] = self.stats_map(at_commit=commit_id)
+        payload["stats"] = self.stats_map(at_commit=commit_id, at_seq=seq)
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{seq:0{COMMIT_WIDTH}d}.json")
         self.storage.write_atomic(path, json.dumps(payload, indent=1))

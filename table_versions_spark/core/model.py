@@ -82,7 +82,11 @@ UNVERSIONED = Version(epoch_seconds=0, nanos=0,
 # Partitions
 # ---------------------------------------------------------------------------
 
-_PARTITION_COL_RE = re.compile(r"^([a-z_][a-z0-9_]*)=(.+)$")
+# any Spark-legal identifier — create_table/insert accept mixed-case
+# column names, and Spark's partitionBy writes their dirs verbatim, so a
+# lowercase-only pattern would fail the publish-time parse AFTER the full
+# data write (reference model.scala:30 is lowercase-only; widened here)
+_PARTITION_COL_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)=(.+)$")
 
 
 @dataclass(frozen=True, order=True)

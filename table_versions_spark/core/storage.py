@@ -197,14 +197,27 @@ class LocalStorage(Storage):
             raise
 
     def create_exclusive(self, path, data):
+        # the payload is staged to a tmp file FIRST, then hardlinked into
+        # place: link() is the atomic claim (EEXIST on a lost race) and
+        # the claimed file is complete by construction — O_EXCL-then-write
+        # would leave a truncated commit file if the writer dies mid-write,
+        # permanently bricking the log (the slot is claimed, unreadable,
+        # and unrepairable). Real object stores give this via atomic
+        # conditional PUT.
+        path = _strip_scheme(path)
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".claim-")
         try:
-            fd = os.open(_strip_scheme(path),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(data)
-        return True
+            with os.fdopen(fd, "w") as f:
+                f.write(data)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
 
     def update_atomic(self, path, fn):
         import fcntl
@@ -287,16 +300,24 @@ class ObjectStoreStorage(Storage):
         os.replace(tmp, path)
 
     def _put_if_absent(self, path: str, data: bytes) -> bool:
-        """Conditional put: S3 ``If-None-Match: *``. True iff created."""
+        """Conditional put: S3 ``If-None-Match: *``. True iff created.
+        Emulated as stage-to-tmp + atomic link (same rationale as
+        LocalStorage.create_exclusive: a real conditional PUT can never
+        leave a claimed-but-truncated object, so neither may we)."""
         path = _strip_scheme(path)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".claim-")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-        return True
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            try:
+                os.link(tmp, path)
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
 
     def _copy(self, src: str, dst: str) -> None:
         """Server-side copy (S3 CopyObject)."""
@@ -453,6 +474,10 @@ class _RangedReader(io.RawIOBase):
         self._storage = storage
         self._path = path
         self._size = storage.file_size(path)
+        if self._size == 0 and not storage._exists_key(path):
+            # parity with LocalStorage.open_input: a missing object is an
+            # error, not a successful empty stream
+            raise FileNotFoundError(path)
         self._pos = 0
 
     def readable(self):
@@ -716,21 +741,34 @@ class S3Storage(ObjectStoreStorage):
                                         MaxKeys=1)
         return resp.get("KeyCount", 0) > 0
 
+    @staticmethod
+    def _is_404(exc) -> bool:
+        resp = getattr(exc, "response", None) or {}
+        return (resp.get("ResponseMetadata", {}).get("HTTPStatusCode") == 404
+                or resp.get("Error", {}).get("Code")
+                in ("404", "NoSuchKey", "NotFound"))
+
     def _exists_key(self, path):
         bucket, key = self._parse(path)
         try:
             self._s3.head_object(Bucket=bucket, Key=key)
             return True
-        except Exception:  # noqa: BLE001 — 404 ⇒ absent
-            return False
+        except Exception as e:  # noqa: BLE001
+            if self._is_404(e):
+                return False
+            # throttling/auth/transport errors must SURFACE — treating
+            # them as "absent" silently skips vectors/stats/markers
+            raise
 
     def file_size(self, path):
         bucket, key = self._parse(path)
         try:
             return self._s3.head_object(Bucket=bucket,
                                         Key=key)["ContentLength"]
-        except Exception:  # noqa: BLE001
-            return 0
+        except Exception as e:  # noqa: BLE001
+            if self._is_404(e):
+                return 0
+            raise
 
     def makedirs(self, path):
         pass  # no directories on S3

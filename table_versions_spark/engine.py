@@ -1670,7 +1670,8 @@ class VersionedEngine:
             b = before
             for seq in range(start + 1, (end or 0) + 1):
                 cid = log.commit_id_at(seq)
-                a = log.current_version(defn.name, at_commit=cid)
+                a = log.current_version(defn.name, at_commit=cid,
+                                        at_seq=seq)
                 df = (self._read_changes_rows(
                         defn, self._defn_at(defn, log, at_commit=cid), b, a)
                       .withColumn("_commit_id", F.lit(cid)))

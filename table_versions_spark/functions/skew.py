@@ -31,6 +31,15 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str] | str,
     ``salt`` times. ``on`` names join column(s) present in both frames."""
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti",
+                   "cross"):
+        # the replicated side survives right/full/outer joins once PER
+        # SALT REPLICA: every unmatched `other` row would silently appear
+        # `salt` times
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            "the replicated side would duplicate once per salt value")
     keys = [on] if isinstance(on, str) else list(on)
     for k in keys:
         if k not in skewed.columns or k not in other.columns:

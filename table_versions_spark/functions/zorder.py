@@ -34,6 +34,16 @@ def zorder_column(df: DataFrame, cols: list[str],
     if len(cols) < 2:
         raise ValueError("z-ordering needs at least 2 columns; "
                          "use cluster_by for a single column")
+    if bits * len(cols) > 63:
+        # interleaved bit positions beyond 63 would wrap shiftleft's
+        # count mod 64 on a long, silently folding high-order bits of
+        # later columns onto bit 0 and garbling the curve — shrink the
+        # per-column precision so every position fits the long
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(
+                f"z-ordering {len(cols)} columns cannot fit a 64-bit "
+                "z-value; cluster on at most 63 columns")
     aggs = []
     for c in cols:
         aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),

@@ -86,10 +86,15 @@ class IncrementalRollup:
                             CURSOR_FILE)
 
     def _read_cursor(self) -> str | None:
+        # ONLY a genuinely-absent target/cursor means "never refreshed";
+        # a transient storage error or corrupted cursor must raise, not
+        # silently trigger a full 100 TB rebuild
+        from .core.log import UnknownTableError
+
         try:
             return json.loads(
                 self.engine.storage.read_text(self._cursor_path()))["source_commit"]
-        except Exception:  # noqa: BLE001 — absent target table or cursor
+        except (FileNotFoundError, UnknownTableError):
             return None
 
     def _write_cursor(self, commit_id: str) -> None:
@@ -158,9 +163,16 @@ class IncrementalRollup:
             # partition's aggregate rows wholesale (group_cols ⊇ partition
             # cols guarantees the fresh agg carries every current group of
             # the changed partitions)
-            result = self.engine.insert(
+            # drop_partitions: a changed source partition whose live rows
+            # dropped to ZERO (dv-mode delete-all keeps the partition with
+            # no rows — UpdatePartitionVersion, not RemovePartition) emits
+            # no agg groups, so plain overwrite would leave its stale
+            # aggregate rows in the target forever; dropping changed
+            # partitions the fresh agg doesn't re-add keeps target exact
+            result = self.engine._insert(
                 out, self.target, user_id,
-                f"rollup: refresh {len(changed)} partition(s)")
+                f"rollup: refresh {len(changed)} partition(s)",
+                drop_partitions=changed)
         return result
 
     def _check_schema(self, out: DataFrame) -> None:

@@ -2203,3 +2203,44 @@ class TestRowLevelCDF:
                                     row_level=True)
         assert empty.count() == 0
         assert "_change_type" in empty.columns
+
+
+def test_mixed_case_partition_column_roundtrip(spark, engine):
+    """An uppercase-containing partition column survives the whole
+    write/publish/read/delete cycle (the publish-time Partition.parse
+    previously rejected it AFTER the data was written)."""
+    ddl = "id bigint, eventDate string"
+    engine.create_table("mc.t", schema_ddl=ddl,
+                        partition_columns=["eventDate"])
+    engine.insert(spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], ddl), "mc.t", "u", "v1")
+    got = sorted((r.id, r.eventDate) for r in engine.read("mc.t").collect())
+    assert got == [(1, "2024-01-01"), (2, "2024-01-02")]
+    engine.delete("mc.t", "id = 1", "u", "del")
+    assert [r.id for r in engine.read("mc.t").collect()] == [2]
+
+
+def test_rollup_drops_stale_aggregates_of_emptied_partition(spark, engine):
+    """A dv-emptied source partition (UpdatePartitionVersion with zero
+    live rows) must remove its aggregate rows from the rollup target on
+    refresh — not leave the pre-delete totals forever."""
+    from pyspark.sql import functions as F
+
+    from table_versions_spark.rollup import IncrementalRollup
+
+    ddl = "id bigint, v double, d string"
+    engine.create_table("ru.src", schema_ddl=ddl, partition_columns=["d"])
+    engine.insert(spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "b")], ddl),
+        "ru.src", "u", "v1")
+    r = IncrementalRollup(
+        engine, "ru.src", "ru.tgt",
+        agg=lambda df: df.groupBy("d").agg(F.sum("v").alias("s")),
+        group_cols=["d"])
+    r.refresh()
+    assert sorted((x.d, x.s) for x in engine.read("ru.tgt").collect()) \
+        == [("a", 3.0), ("b", 3.0)]
+    engine.delete("ru.src", "d = 'a'", "u", "purge", mode="dv")
+    r.refresh()
+    assert sorted((x.d, x.s) for x in engine.read("ru.tgt").collect()) \
+        == [("b", 3.0)]

@@ -81,9 +81,16 @@ class TestPartition:
             assert Partition.parse(s).render() == s
 
     def test_parse_invalid(self):
-        for bad in ["", "noequals", "UPPER=x", "a=/b", "=v"]:
+        for bad in ["", "noequals", "a=/b", "=v", "1a=x", "a-b=x"]:
             with pytest.raises(ValueError):
                 Partition.parse(bad)
+
+    def test_parse_mixed_case_column(self):
+        # create_table/insert accept any Spark identifier and partitionBy
+        # writes its dir verbatim — the publish-time parse must accept it
+        # (a lowercase-only pattern failed AFTER the full data write)
+        p = Partition.parse("eventDate=2024-01-01")
+        assert p.column_values[0].column == "eventDate"
 
     def test_resolve(self):
         p = Partition.of(("date", "2019-01-31"))
