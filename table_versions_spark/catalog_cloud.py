@@ -194,21 +194,31 @@ class GlueCatalogClient(CloudCatalogClient):
                 "partition_keys": [k["Name"]
                                    for k in t.get("PartitionKeys", [])]}
 
+    # Glue UpdateTable REPLACES the whole definition: every TableInput-
+    # legal field of the existing table must be carried over or it is
+    # silently wiped (TableType/Parameters loss breaks Athena readers)
+    _TABLE_INPUT_FIELDS = (
+        "Name", "Description", "Owner", "LastAccessTime",
+        "LastAnalyzedTime", "Retention", "StorageDescriptor",
+        "PartitionKeys", "ViewOriginalText", "ViewExpandedText",
+        "TableType", "Parameters", "TargetTable")
+
     def create_table(self, database, name, location, partition_keys):
         self._glue.create_table(
             DatabaseName=database,
             TableInput={"Name": name,
+                        "TableType": "EXTERNAL_TABLE",
                         "StorageDescriptor": {"Location": location},
                         "PartitionKeys": [{"Name": k, "Type": "string"}
                                           for k in partition_keys]})
 
     def update_table_location(self, database, name, location):
         t = self._glue.get_table(DatabaseName=database, Name=name)["Table"]
-        sd = dict(t["StorageDescriptor"], Location=location)
-        self._glue.update_table(
-            DatabaseName=database,
-            TableInput={"Name": name, "StorageDescriptor": sd,
-                        "PartitionKeys": t.get("PartitionKeys", [])})
+        table_input = {k: t[k] for k in self._TABLE_INPUT_FIELDS if k in t}
+        table_input["StorageDescriptor"] = dict(
+            t.get("StorageDescriptor", {}), Location=location)
+        self._glue.update_table(DatabaseName=database,
+                                TableInput=table_input)
 
     def get_partitions(self, database, name):
         out = []

@@ -89,3 +89,22 @@ class TestGlueMotoSync:
         assert s1 != s2
         loc = glue.get_table("gdb", "users")["location"]
         assert loc.rstrip("/").endswith(s2.version.label)
+
+
+class TestGlueTableInputPreservation:
+    def test_update_location_preserves_table_fields(self, glue):
+        """Glue UpdateTable replaces the WHOLE definition: relocating a
+        snapshot table must carry TableType/Parameters/Description or
+        Athena-style readers lose the table."""
+        c = glue._glue
+        c.create_table(DatabaseName="gdb", TableInput={
+            "Name": "keepme", "TableType": "EXTERNAL_TABLE",
+            "Description": "hands off",
+            "Parameters": {"classification": "parquet"},
+            "StorageDescriptor": {"Location": "s3://b/t/v1"}})
+        glue.update_table_location("gdb", "keepme", "s3://b/t/v2")
+        t = c.get_table(DatabaseName="gdb", Name="keepme")["Table"]
+        assert t["StorageDescriptor"]["Location"] == "s3://b/t/v2"
+        assert t["TableType"] == "EXTERNAL_TABLE"
+        assert t["Parameters"] == {"classification": "parquet"}
+        assert t["Description"] == "hands off"
