@@ -235,9 +235,10 @@ class FileTableVersions:
         §4.2), the fold resumes from the newest checkpoint at-or-before the
         target commit, so the cost is O(commits since last checkpoint)."""
         self._require_exists(table)
-        if at_commit is not None:
+        if at_commit is not None or at_seq is not None:
             # at_seq: callers that already KNOW the commit's seq (the
-            # checkpoint writer, span iterators) skip the id lookup
+            # checkpoint writer, span iterators, the streaming source whose
+            # offsets ARE seqs) skip the id lookup entirely
             seq = at_seq if at_seq is not None else self._find_seq(at_commit)
             if seq is None:
                 raise UnknownCommitError(f"Unknown commit id: {at_commit}")
@@ -283,7 +284,7 @@ class FileTableVersions:
         ``current_version``. Dirs committed without stats are simply absent
         — absence means 'cannot skip', never 'skip'."""
         self._require_exists(table)
-        if at_commit is not None:
+        if at_commit is not None or at_seq is not None:
             seq = at_seq if at_seq is not None else self._find_seq(at_commit)
             if seq is None:
                 raise UnknownCommitError(f"Unknown commit id: {at_commit}")

@@ -201,6 +201,42 @@ class VersionedEngine:
         self._validate_constraints(defn)
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
+        else:
+            # the table already exists: create_table is idempotent, but the
+            # caller must get the STORED definition back (the stored one may
+            # carry column mappings, evolved schema, …) — and an explicitly
+            # conflicting redeclaration must fail loudly, not silently hand
+            # back an unpersisted definition that mismatches the real table
+            stored = read_table_meta(defn.location, self.storage)
+            clashes = [
+                f"{label}: declared {dec!r} != stored {cur!r}"
+                for label, given, dec, cur in [
+                    ("schema_ddl", schema_ddl is not None,
+                     defn.schema_ddl, stored.schema_ddl),
+                    ("partition_columns", partition_columns is not None,
+                     defn.partition_schema.columns,
+                     stored.partition_schema.columns),
+                    ("format", True, defn.format, stored.format),
+                    ("bucket_columns", bucket_columns is not None,
+                     defn.bucket_columns, stored.bucket_columns),
+                    ("bucket_count", bucket_count != 0,
+                     defn.bucket_count, stored.bucket_count),
+                    ("bloom_columns", bloom_columns is not None,
+                     defn.bloom_columns, stored.bloom_columns),
+                    ("partition_derivations",
+                     partition_derivations is not None,
+                     defn.partition_derivations,
+                     stored.partition_derivations),
+                    ("check_constraints", check_constraints is not None,
+                     defn.check_constraints, stored.check_constraints),
+                    ("change_data_feed", change_data_feed,
+                     defn.change_data_feed, stored.change_data_feed),
+                ] if given and dec != cur]
+            if clashes:
+                raise ValueError(
+                    f"{table.fully_qualified_name} already exists with a "
+                    "different definition: " + "; ".join(clashes))
+            defn = stored
         log = FileTableVersions(defn.location, self.storage)
         log.init(table, defn.is_snapshot, user_id, message)
         return defn
@@ -379,12 +415,16 @@ class VersionedEngine:
             cluster_by = [drop_col]
         elif cluster_mode not in ("range", "zorder"):
             raise ValueError(f"Unknown cluster_mode {cluster_mode!r}")
-        previous = log.current_version(defn.name)
         # head-state fold at read time, for optimistic conflict detection:
         # commit-time preconditions compare against THIS, not against
-        # `previous` (which follows the pointer and may be rolled back)
+        # `previous` (which follows the pointer and may be rolled back).
+        # Read order matters: the fold is captured BEFORE `previous` — a
+        # commit landing between the two reads then surfaces as a
+        # precondition clash (spurious-but-safe retry) instead of being
+        # silently dropped by linking from a pre-conflict `previous`.
         read_fold = (self._head_fold(defn, log.table_state(defn.name))
                      if (mode == "append" or check_conflicts) else None)
+        previous = log.current_version(defn.name)
         version = Version.generate()
         if defn.is_snapshot:
             ops = self._write_snapshot(df, defn, version,

@@ -54,7 +54,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..core.log import FileTableVersions, read_table_meta
+from ..core.log import ConcurrentWriteError, FileTableVersions, read_table_meta
 from ..core.model import (
     UNVERSIONED,
     AddPartitionVersion,
@@ -172,6 +172,7 @@ def _commit_versioned_write(location: str, version: Version,
     footer stats (dv-adjusted), append ONE commit record — atomic at the
     commit-file write."""
     from ..engine import (
+        VersionedEngine,
         _carry_dv_sidecar,
         _collect_version_stats,
         _dv_row_count,
@@ -181,6 +182,13 @@ def _commit_versioned_write(location: str, version: Version,
     storage = storage if storage is not None else DEFAULT_STORAGE
     defn = read_table_meta(location, storage)
     log = FileTableVersions(location, storage)
+    # append links the previous version's files: capture the conflict
+    # baseline (head fold) BEFORE reading the link source, exactly as
+    # engine._insert does — a concurrent append landing in between then
+    # fails the commit precondition instead of having its rows silently
+    # dropped by the stale link
+    read_fold = (VersionedEngine._head_fold(defn, log.table_state(defn.name))
+                 if append else None)
     prev = log.current_version(defn.name)
 
     def _stats_payload(vdir: str):
@@ -224,10 +232,37 @@ def _commit_versioned_write(location: str, version: Version,
                 stats[os.path.join(render, version.label)] = payload
     if not ops:
         return
+    precondition = None
+    if read_fold is not None:
+        if defn.is_snapshot:
+            expected_v = read_fold.version
+
+            def precondition(state, _e=expected_v):
+                now = VersionedEngine._head_fold(defn, state).version
+                if now != _e:
+                    raise ConcurrentWriteError(
+                        f"Snapshot table {defn.name.fully_qualified_name} "
+                        "changed since this write began")
+        else:
+            touched = {op.partition for op in ops
+                       if isinstance(op, AddPartitionVersion)}
+            expected_pv = {p: read_fold.partition_versions.get(p)
+                           for p in touched}
+
+            def precondition(state, _e=expected_pv):
+                now = VersionedEngine._head_fold(defn,
+                                                 state).partition_versions
+                clash = sorted(p.render() for p, v in _e.items()
+                               if now.get(p) != v)
+                if clash:
+                    raise ConcurrentWriteError(
+                        "Concurrent update to partition(s) "
+                        f"{clash} of {defn.name.fully_qualified_name}")
     log.commit(defn.name,
                TableUpdate(TableUpdateMetadata.create(user_id, message,
                                                       txn=txn),
-                           tuple(ops), stats=stats or None))
+                           tuple(ops), stats=stats or None),
+               precondition=precondition)
 
 
 def _txn_high_water(location: str, app: str,

@@ -122,6 +122,12 @@ class VersionedTableDataSource(DataSource):
         use this format where only a DataFrame reader API is accepted or
         from a session that doesn't import this library's engine.
         """
+        if self._change_feed():
+            raise ValueError(
+                "changeFeed is a streaming option (readStream); a batch "
+                "read would return the current snapshot with NULL "
+                "_change_type — use VersionedEngine.read_changes for "
+                "batch change queries")
         return VersionedTableBatchReader(self.options["location"],
                                          self.options.get("at_commit"),
                                          schema=schema,
@@ -164,6 +170,7 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
         self.pcols = list(self.defn.partition_schema.columns)
         self.ptypes = {name: typ for name, typ in fields if name in self.pcols}
         self.pa_schema = _arrow_schema(self.defn.schema_ddl, schema)
+        self.colmap = _phys_to_logical(self.defn)
 
     # -- offsets -----------------------------------------------------------
 
@@ -198,18 +205,17 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
                                           start_seq, end_seq):
             yield from _dir_batches(d, partition, self.pa_schema,
                                     self.ptypes, self.defn.format,
-                                    storage=self.storage)
+                                    storage=self.storage,
+                                    colmap=self.colmap)
 
 
 def _changed_dirs(log, defn, start_seq: int, end_seq: int):
     """(partition, version_dir) pairs whose version changed in
     (start_seq, end_seq]; start_seq < 0 means the full state at end_seq.
     Sorted by dir path for deterministic planning."""
-    before = (log.current_version(defn.name,
-                                  at_commit=log.commit_id_at(start_seq))
+    before = (log.current_version(defn.name, at_seq=start_seq)
               if start_seq >= 0 else None)
-    after = log.current_version(defn.name,
-                                at_commit=log.commit_id_at(end_seq))
+    after = log.current_version(defn.name, at_seq=end_seq)
     if before is None:
         if isinstance(after, SnapshotTableVersion):
             dirs = ([] if after.version == UNVERSIONED
@@ -275,6 +281,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
         ddl = (self.defn.schema_ddl + ", _change_type string"
                if change_feed else self.defn.schema_ddl)
         self.pa_schema = _arrow_schema(ddl, schema)
+        self.colmap = _phys_to_logical(self.defn)
 
     def initialOffset(self) -> dict:
         return {"seq": -1}
@@ -287,8 +294,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
         of the state at commit seq; {} before the first commit."""
         if seq < 0:
             return {}
-        state = self.log.current_version(
-            self.defn.name, at_commit=self.log.commit_id_at(seq))
+        state = self.log.current_version(self.defn.name, at_seq=seq)
         if isinstance(state, SnapshotTableVersion):
             if state.version == UNVERSIONED:
                 return {}
@@ -348,11 +354,12 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
         if isinstance(part, ChangeFeedPartition):
             yield from _change_feed_batches(part, self.pa_schema,
                                             self.ptypes, self.format,
-                                            storage=self.storage)
+                                            storage=self.storage,
+                                            colmap=self.colmap)
             return
         yield from _dir_batches(part.directory, part.partition,
                                 self.pa_schema, self.ptypes, self.format,
-                                storage=self.storage)
+                                storage=self.storage, colmap=self.colmap)
 
     def commit(self, end: dict) -> None:
         pass  # progress is checkpointed by the engine; nothing to GC
@@ -373,6 +380,7 @@ class VersionedTableBatchReader(DataSourceReader):
         self.ptypes = {n: t for n, t in fields if n in pcols}
         self.format = defn.format
         self.pa_schema = _arrow_schema(defn.schema_ddl, schema)
+        self.colmap = _phys_to_logical(defn)
         if isinstance(state, SnapshotTableVersion):
             self.dirs = ([] if state.version == UNVERSIONED
                          else [(None, path_for(defn.location, state.version))])
@@ -389,7 +397,15 @@ class VersionedTableBatchReader(DataSourceReader):
             return
         yield from _dir_batches(part.directory, part.partition,
                                 self.pa_schema, self.ptypes, self.format,
-                                storage=self.storage)
+                                storage=self.storage, colmap=self.colmap)
+
+
+def _phys_to_logical(defn) -> dict[str, str]:
+    """physical file-column name → logical schema name (renamed columns:
+    files always carry the ORIGINAL physical names — mirror of the engine
+    read path's ``_apply_mapping``). {} when the table has no mapping."""
+    return {physical: logical for logical, physical in defn.column_mapping
+            if physical != logical}
 
 
 def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
@@ -498,21 +514,31 @@ def _data_files(directory: str, storage=None) -> set[str]:
             and not storage.is_dir(os.path.join(directory, f))}
 
 
-def _read_file(path: str, fmt: str, declared: set[str], storage=None):
-    """One data file as a column-pruned Arrow table."""
+def _read_file(path: str, fmt: str, declared: set[str], storage=None,
+               colmap: "dict[str, str] | None" = None):
+    """One data file as a column-pruned Arrow table. ``colmap`` (physical →
+    logical) renames mapped columns to their logical names after the read;
+    pruning keeps a column present under EITHER name (CDC sidecars carry
+    logical names, data files physical ones)."""
     storage = storage if storage is not None else DEFAULT_STORAGE
+    keep = declared if not colmap else (
+        declared | {p for p, l in colmap.items() if l in declared})
     if fmt == "orc":
         import pyarrow.orc as orc
 
         with storage.open_input(path) as f:
             table = orc.read_table(f)
-        return table.select([n for n in table.column_names
-                             if n in declared])
-    import pyarrow.parquet as pq
+        table = table.select([n for n in table.column_names if n in keep])
+    else:
+        import pyarrow.parquet as pq
 
-    with storage.open_input(path) as f:
-        present = [n for n in pq.read_schema(f).names if n in declared]
-        return pq.read_table(f, columns=present)
+        with storage.open_input(path) as f:
+            present = [n for n in pq.read_schema(f).names if n in keep]
+            table = pq.read_table(f, columns=present)
+    if colmap:
+        table = table.rename_columns(
+            [colmap.get(n, n) for n in table.column_names])
+    return table
 
 
 def _table_to_batches(table, pa_schema, consts: dict):
@@ -538,8 +564,8 @@ def _table_to_batches(table, pa_schema, consts: dict):
 def _dir_batches(directory: str, partition, pa_schema,
                  ptypes: dict[str, str], fmt: str,
                  constants: dict | None = None,
-                 only_files: "set[str] | None" = None,
-                 storage=None):
+                 storage=None,
+                 colmap: "dict[str, str] | None" = None):
     """Yield the rows of one version directory as column-pruned
     ``pyarrow.RecordBatch``es matching ``pa_schema``.
 
@@ -563,10 +589,8 @@ def _dir_batches(directory: str, partition, pa_schema,
     dv_by_file = _dv_positions(directory, storage)
     declared = set(pa_schema.names)
     for fname in sorted(_data_files(directory, storage)):
-        if only_files is not None and fname not in only_files:
-            continue
         table = _read_file(os.path.join(directory, fname), fmt, declared,
-                           storage)
+                           storage, colmap=colmap)
         if fname in dv_by_file:
             mask = np.ones(table.num_rows, dtype=bool)
             mask[list(dv_by_file[fname])] = False
@@ -575,7 +599,8 @@ def _dir_batches(directory: str, partition, pa_schema,
 
 
 def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
-                         ptypes: dict[str, str], fmt: str, storage=None):
+                         ptypes: dict[str, str], fmt: str, storage=None,
+                         colmap: "dict[str, str] | None" = None):
     """Executor side of the streaming change feed.
 
     coarse: the whole dir (vector applied) under the planned change type.
@@ -591,13 +616,14 @@ def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
         # _change_type as a file column (pa_schema includes it, so
         # _dir_batches surfaces it like any declared column)
         yield from _dir_batches(part.a_dir, part.partition, pa_schema,
-                                ptypes, "parquet", storage=storage)
+                                ptypes, "parquet", storage=storage,
+                                colmap=colmap)
         return
     if part.kind == "coarse":
         yield from _dir_batches(part.b_dir, part.partition, pa_schema,
                                 ptypes, fmt,
                                 constants={"_change_type": part.change_type},
-                                storage=storage)
+                                storage=storage, colmap=colmap)
         return
     declared = set(pa_schema.names)
     consts = dict(_partition_values(part.partition, ptypes))
@@ -610,14 +636,14 @@ def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
         if not delta:
             continue
         table = _read_file(os.path.join(part.b_dir, fname), fmt, declared,
-                           storage)
+                           storage, colmap=colmap)
         yield from _table_to_batches(
             table.take(delta), pa_schema,
             {**consts, "_change_type": "delete"})
     # inserts: files the after dir added, minus their vector entries
     for fname in sorted(_data_files(part.a_dir, storage) - b_files):
         table = _read_file(os.path.join(part.a_dir, fname), fmt, declared,
-                           storage)
+                           storage, colmap=colmap)
         masked = a_dv.get(fname)
         if masked:
             import numpy as np

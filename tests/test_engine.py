@@ -2244,3 +2244,25 @@ def test_rollup_drops_stale_aggregates_of_emptied_partition(spark, engine):
     r.refresh()
     assert sorted((x.d, x.s) for x in engine.read("ru.tgt").collect()) \
         == [("b", 3.0)]
+
+
+class TestCreateTableRedeclaration:
+    def test_recreate_returns_stored_definition(self, spark, engine):
+        """create_table on an existing table hands back the STORED defn
+        (which may carry mappings/evolved schema), never the unpersisted
+        redeclaration."""
+        engine.create_table("db.ct1", schema_ddl="id bigint, v string")
+        engine.rename_column("db.ct1", "v", "w")
+        again = engine.create_table("db.ct1")
+        assert dict(again.column_mapping) == {"w": "v"}
+        assert "w" in again.schema_ddl
+
+    def test_conflicting_redeclaration_rejected(self, spark, engine):
+        engine.create_table("db.ct2", schema_ddl="id bigint, v string")
+        with pytest.raises(ValueError, match="already exists"):
+            engine.create_table("db.ct2", partition_columns=["v"])
+        with pytest.raises(ValueError, match="already exists"):
+            engine.create_table("db.ct2", schema_ddl="id bigint")
+        # identical redeclaration stays idempotent
+        d = engine.create_table("db.ct2", schema_ddl="id bigint, v string")
+        assert d.schema_ddl == "id bigint, v string"

@@ -601,3 +601,98 @@ class TestStreamSchemaEvolution:
         rows = sorted((r.id, r.name)
                       for r in spark.read.parquet(out2).collect())
         assert rows == [(1, None), (2, "x")]
+
+
+class TestSourceColumnMapping:
+    """The tvx source must surface renamed columns under their LOGICAL
+    names with real data — files keep physical names forever, and a
+    reader that pruned by logical name alone would null-fill the column."""
+
+    def test_batch_read_applies_mapping(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        ddl = "id bigint, v string"
+        engine.create_table("db.cmfeed", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame([(1, "x")], ddl),
+                      "db.cmfeed", "u", "c1")
+        engine.rename_column("db.cmfeed", "v", "w")
+        engine.insert(spark.createDataFrame([(2, "y")], "id bigint, w string"),
+                      "db.cmfeed", "u", "c2", mode="append")
+        register(spark)
+        loc = engine.definition("db.cmfeed").location
+        df = spark.read.format("tvx").option("location", loc).load()
+        assert df.columns == ["id", "w"]
+        assert sorted(tuple(r) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+    def test_stream_read_applies_mapping(self, spark, engine, tmp_path):
+        from table_versions_spark.streaming.source import register
+
+        ddl = "id bigint, v string"
+        engine.create_table("db.cmstream", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame([(1, "x")], ddl),
+                      "db.cmstream", "u", "c1")
+        engine.rename_column("db.cmstream", "v", "w")
+        register(spark)
+        loc = engine.definition("db.cmstream").location
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+        q = (spark.readStream.format("tvx").option("location", loc).load()
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(60)
+        assert [(r.id, r.w) for r in spark.read.parquet(out).collect()] \
+            == [(1, "x")]
+
+    def test_batch_changefeed_option_rejected(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        engine.create_table("db.cfbatch", schema_ddl="id bigint")
+        register(spark)
+        loc = engine.definition("db.cfbatch").location
+        with pytest.raises(Exception, match="changeFeed"):
+            (spark.read.format("tvx").option("location", loc)
+             .option("changeFeed", "true").load().collect())
+
+
+class TestSinkConflictDetection:
+    def test_sink_append_detects_concurrent_commit(self, spark, engine):
+        """A commit landing between the sink's state read and its commit
+        must fail the write, not silently drop the concurrent rows the
+        stale append-link omits. (The writer's commit() runs in a Python
+        worker subprocess, so the race is injected by driving the
+        driver-side commit helper directly.)"""
+        import table_versions_spark.engine as eng_mod
+        from table_versions_spark.core.model import Version
+        from table_versions_spark.streaming.sink import (
+            _commit_versioned_write,
+        )
+
+        ddl = "id bigint, d string"
+        engine.create_table("db.sinkcc", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                      "db.sinkcc", "u", "base")
+        loc = engine.definition("db.sinkcc").location
+
+        orig = eng_mod._link_data_files
+        done = {}
+
+        def racing(prev_dir, new_dir, storage):
+            if not done:
+                done["x"] = True
+                engine.insert(spark.createDataFrame([(5, "a")], ddl),
+                              "db.sinkcc", "w2", "winner", mode="append")
+            return orig(prev_dir, new_dir, storage)
+
+        eng_mod._link_data_files = racing
+        try:
+            with pytest.raises(Exception, match="Concurrent"):
+                _commit_versioned_write(
+                    loc, Version.generate(), ["d=a"], append=True,
+                    user_id="loser", message="stale append",
+                    storage=engine.storage)
+        finally:
+            eng_mod._link_data_files = orig
+        # the winner's row is intact, the loser never committed
+        assert sorted(r.id for r in engine.read("db.sinkcc").collect()) \
+            == [1, 5]
