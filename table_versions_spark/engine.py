@@ -348,7 +348,8 @@ class VersionedEngine:
                 check_conflicts: bool = False,
                 cluster_by: list[str] | None = None,
                 cluster_mode: str = "range",
-                cdc: DataFrame | None = None) -> CommitResult:
+                cdc: DataFrame | None = None,
+                conflict_fold=None) -> CommitResult:
         """insert() plus ``drop_partitions``: partitions to REMOVE in the
         same commit unless the write itself re-adds them — lets delete()
         empty a partition atomically (write + remove = one commit).
@@ -357,7 +358,15 @@ class VersionedEngine:
         columns + ``_change_type`` delete|insert), written as ``_cdc/``
         sidecars into the new version dirs when the table declares
         ``change_data_feed`` — Delta's CDC-file recipe, consumed by
-        ``read_changes(row_level=True)`` and the streaming change feed."""
+        ``read_changes(row_level=True)`` and the streaming change feed.
+
+        ``conflict_fold``: a head fold captured by the CALLER before it
+        read the table — read-modify-write operators (upsert/merge/delete/
+        update/compact) pass this so the commit precondition guards their
+        whole read→rewrite window, not just _insert's own slice of it. A
+        commit landing after the caller's read then raises
+        ``ConcurrentWriteError`` instead of being silently erased by the
+        stale rewrite."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"Unknown insert mode {mode!r}")
         defn, log = self._log(table)
@@ -422,8 +431,9 @@ class VersionedEngine:
         # commit landing between the two reads then surfaces as a
         # precondition clash (spurious-but-safe retry) instead of being
         # silently dropped by linking from a pre-conflict `previous`.
-        read_fold = (self._head_fold(defn, log.table_state(defn.name))
-                     if (mode == "append" or check_conflicts) else None)
+        read_fold = conflict_fold
+        if read_fold is None and (mode == "append" or check_conflicts):
+            read_fold = self._head_fold(defn, log.table_state(defn.name))
         previous = log.current_version(defn.name)
         version = Version.generate()
         if defn.is_snapshot:
@@ -494,30 +504,12 @@ class VersionedEngine:
                     stats[rel] = payload
         precondition = None
         if read_fold is not None:
-            if defn.is_snapshot:
-                expected_v = read_fold.version
-
-                def precondition(state, _e=expected_v):
-                    now = self._head_fold(defn, state).version
-                    if now != _e:
-                        raise ConcurrentWriteError(
-                            f"Snapshot table {defn.name.fully_qualified_name} "
-                            "changed since this write began")
-            else:
-                touched = {op.partition for op in ops
-                           if isinstance(op, (AddPartitionVersion,
-                                              RemovePartition))}
-                expected_pv = {p: read_fold.partition_versions.get(p)
-                               for p in touched}
-
-                def precondition(state, _e=expected_pv):
-                    now = self._head_fold(defn, state).partition_versions
-                    clash = sorted(p.render() for p, v in _e.items()
-                                   if now.get(p) != v)
-                    if clash:
-                        raise ConcurrentWriteError(
-                            "Concurrent update to partition(s) "
-                            f"{clash} of {defn.name.fully_qualified_name}")
+            touched = (None if defn.is_snapshot else
+                       {op.partition for op in ops
+                        if isinstance(op, (AddPartitionVersion,
+                                           RemovePartition))})
+            precondition = self._conflict_precondition(defn, read_fold,
+                                                       touched)
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message, txn=txn), tuple(ops),
             stats=stats or None), precondition=precondition)
@@ -579,7 +571,11 @@ class VersionedEngine:
         """
         from pyspark.sql import functions as F
 
-        defn, _ = self._log(table)
+        defn, log = self._log(table)
+        # conflict baseline BEFORE the data read: the commit precondition
+        # must guard the whole read→merge→commit window (see _insert's
+        # conflict_fold note)
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
         if pcols:
@@ -603,7 +599,8 @@ class VersionedEngine:
                    .withColumn("_change_type", F.lit("delete"))
                    .unionByName(df.withColumn("_change_type",
                                               F.lit("insert"))))
-        return self._insert(merged, table, user_id, message, cdc=cdc)
+        return self._insert(merged, table, user_id, message, cdc=cdc,
+                            conflict_fold=base_fold)
 
     def merge(self, source: DataFrame, table: TableName | str,
               keys: list[str], user_id: str, message: str,
@@ -673,6 +670,7 @@ class VersionedEngine:
                 "touches (rows in untouched partitions survive); 'all' "
                 "converges the whole table (every partition is read and "
                 "rewritten or dropped)")
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         current = self.read(table)
         cols = current.columns
         if set(source.columns) != set(cols):
@@ -737,7 +735,8 @@ class VersionedEngine:
                        j.where(upd | (s_only & insert_c)).select(*ssel)
                        .withColumn(ct, F.lit("insert"))))
         if not pcols:
-            return self._insert(out, table, user_id, message, cdc=cdc)
+            return self._insert(out, table, user_id, message, cdc=cdc,
+                                conflict_fold=base_fold)
         # A touched partition whose every row was merge-deleted writes no
         # files, so it must be dropped in the SAME commit or it would keep
         # its old version (and its stale rows). Partition KEYS only come to
@@ -755,7 +754,8 @@ class VersionedEngine:
             drop = sorted(set(drop) | set(state.partition_versions),
                           key=lambda p: p.render())
         return self._insert(out, table, user_id, message,
-                            drop_partitions=drop, cdc=cdc)
+                            drop_partitions=drop, cdc=cdc,
+                            conflict_fold=base_fold)
 
     def delete(self, table: TableName | str, predicate: str, user_id: str,
                message: str, mode: str = "rewrite") -> CommitResult:
@@ -786,6 +786,7 @@ class VersionedEngine:
         if mode == "dv":
             return self._delete_dv(defn, log, predicate, user_id, message)
         pcols = list(defn.partition_schema.columns)
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         current = self.read(table)
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # rows where it evaluates NULL are KEPT (`~cond` alone would drop
@@ -799,7 +800,7 @@ class VersionedEngine:
                if defn.change_data_feed else None)
         if not pcols:
             return self._insert(current.where(~cond), table, user_id,
-                                message, cdc=cdc)
+                                message, cdc=cdc, conflict_fold=base_fold)
         # partition KEYS (not data rows) come to the driver: a partition
         # emptied by the delete writes no files, so its RemovePartition op
         # must ride the same commit. escape_partition_value maps a NULL
@@ -820,7 +821,8 @@ class VersionedEngine:
             _null_safe_cond(pcols, "cur", "aff"), "left_semi")
         remaining = scoped.where(~cond)
         return self._insert(remaining, table, user_id, message,
-                            drop_partitions=affected, cdc=cdc)
+                            drop_partitions=affected, cdc=cdc,
+                            conflict_fold=base_fold)
 
     def _delete_dv(self, defn: TableDefinition, log: FileTableVersions,
                    predicate: str, user_id: str,
@@ -849,6 +851,9 @@ class VersionedEngine:
                 "bucket ids ride part-file names, and vectors would break "
                 "the filename/bucket contract; use mode='rewrite'")
         pcols = list(defn.partition_schema.columns)
+        # conflict baseline before the state/dirs read: the final commit's
+        # precondition guards the whole scan→vector-write window
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         state = log.current_version(defn.name)
         if defn.is_snapshot:
             if state.version == UNVERSIONED:
@@ -907,7 +912,8 @@ class VersionedEngine:
                 stats[version.label] = payload
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message),
-                (AddTableVersion(version),), stats=stats or None))
+                (AddTableVersion(version),), stats=stats or None),
+                precondition=self._conflict_precondition(defn, base_fold))
         # partitioned: bounded driver state — partition keys + counts only
         per_part = {tuple(r[c] for c in pcols): int(r["n"])
                     for r in matched.groupBy(*pcols)
@@ -957,7 +963,9 @@ class VersionedEngine:
             self.storage.remove_tree(staging)
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops),
-            stats=stats or None))
+            stats=stats or None),
+            precondition=self._conflict_precondition(
+                defn, base_fold, {*affected.values()}))
 
     def _update_dv(self, defn: TableDefinition, log: FileTableVersions,
                    set: dict[str, str], predicate: str, user_id: str,
@@ -983,6 +991,9 @@ class VersionedEngine:
                 "would break the filename/bucket contract; use "
                 "mode='rewrite'")
         pcols = list(defn.partition_schema.columns)
+        # conflict baseline before the state/dirs read: the final commit's
+        # precondition guards the whole scan→vector-write window
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         state = log.current_version(defn.name)
         if defn.is_snapshot:
             if state.version == UNVERSIONED:
@@ -1091,7 +1102,8 @@ class VersionedEngine:
                 stats[version.label] = payload
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message),
-                (AddTableVersion(version),), stats=stats or None))
+                (AddTableVersion(version),), stats=stats or None),
+                precondition=self._conflict_precondition(defn, base_fold))
         per_part = {tuple(r[c] for c in pcols): int(r["n"])
                     for r in positions.groupBy(*pcols)
                     .agg(F.count("*").alias("n")).collect()}
@@ -1143,7 +1155,9 @@ class VersionedEngine:
             self.storage.remove_tree(upd_staging)
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops),
-            stats=stats or None))
+            stats=stats or None),
+            precondition=self._conflict_precondition(
+                defn, base_fold, {*affected.values()}))
 
     def update(self, table: TableName | str, set: dict[str, str],
                predicate: str, user_id: str, message: str,
@@ -1176,6 +1190,7 @@ class VersionedEngine:
         if mode == "dv":
             return self._update_dv(defn, log, set, predicate, user_id,
                                    message)
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         current = self.read(table)
         unknown = [c for c in set if c not in current.columns]
         if unknown:
@@ -1204,7 +1219,8 @@ class VersionedEngine:
 
         if not pcols:
             return self._insert(apply(current), table, user_id, message,
-                                cdc=cdc_frame(current))
+                                cdc=cdc_frame(current),
+                                conflict_fold=base_fold)
         affected_df = current.where(cond).select(*pcols).distinct()
         if not affected_df.limit(1).collect():
             return self.insert(current.limit(0), table, user_id, message,
@@ -1214,7 +1230,7 @@ class VersionedEngine:
             _null_safe_cond(pcols, "cur", "aff"),
             "left_semi").select(*current.columns)
         return self._insert(apply(scoped), table, user_id, message,
-                            cdc=cdc_frame(scoped))
+                            cdc=cdc_frame(scoped), conflict_fold=base_fold)
 
     def remove_partitions(self, table: TableName | str,
                           partitions: list[Partition], user_id: str,
@@ -1419,6 +1435,38 @@ class VersionedEngine:
         if defn.is_snapshot:
             return latest_snapshot_table_version(ops)
         return apply_partition_updates(PartitionedTableVersion({}), ops)
+
+    def _conflict_precondition(self, defn: TableDefinition, base_fold,
+                               touched=None):
+        """Commit precondition for optimistic concurrency control: raises
+        ``ConcurrentWriteError`` when the head fold's entries for the
+        ``touched`` partitions (or the snapshot version) moved since the
+        caller captured ``base_fold``. ``touched=None`` on a partitioned
+        table guards EVERY partition present in the baseline."""
+        if defn.is_snapshot:
+            expected_v = base_fold.version
+
+            def precondition(state, _e=expected_v):
+                now = self._head_fold(defn, state).version
+                if now != _e:
+                    raise ConcurrentWriteError(
+                        f"Snapshot table {defn.name.fully_qualified_name} "
+                        "changed since this write began")
+        else:
+            scope = (set(base_fold.partition_versions)
+                     if touched is None else touched)
+            expected_pv = {p: base_fold.partition_versions.get(p)
+                           for p in scope}
+
+            def precondition(state, _e=expected_pv):
+                now = self._head_fold(defn, state).partition_versions
+                clash = sorted(p.render() for p, v in _e.items()
+                               if now.get(p) != v)
+                if clash:
+                    raise ConcurrentWriteError(
+                        "Concurrent update to partition(s) "
+                        f"{clash} of {defn.name.fully_qualified_name}")
+        return precondition
 
     @staticmethod
     def _last_txn_version(log: FileTableVersions,
@@ -2632,6 +2680,7 @@ class VersionedEngine:
         over ≥2 columns — the full ``OPTIMIZE ZORDER BY`` shape: skipping
         then works on any clustered column."""
         defn, log = self._log(table)
+        base_fold = self._head_fold(defn, log.table_state(defn.name))
         df = self.read(table)
         if defn.is_snapshot and target_partitions:
             df = df.coalesce(target_partitions)
@@ -2647,7 +2696,8 @@ class VersionedEngine:
                 if not defn.is_snapshot else ())
         return self._insert(df, table, user_id, "compaction",
                             drop_partitions=drop,
-                            cluster_by=cluster_by, cluster_mode=cluster_mode)
+                            cluster_by=cluster_by, cluster_mode=cluster_mode,
+                            conflict_fold=base_fold)
 
     def _all_version_dirs(self, defn: TableDefinition) -> list[str]:
         """Every version-label directory on disk for this table."""

@@ -2266,3 +2266,109 @@ class TestCreateTableRedeclaration:
         # identical redeclaration stays idempotent
         d = engine.create_table("db.ct2", schema_ddl="id bigint, v string")
         assert d.schema_ddl == "id bigint, v string"
+
+
+class TestRmwConflictDetection:
+    """upsert/merge/delete/update/compact are read-modify-write: a commit
+    landing after their data read must fail their commit (OCC), not be
+    silently erased by the stale rewrite."""
+
+    DDL = "id bigint, v string, d string"
+
+    def _base(self, spark, engine, name):
+        engine.create_table(name, schema_ddl=self.DDL,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "x", "1"), (2, "y", "2")], self.DDL), name, "u", "base")
+
+    def _with_race(self, spark, engine, name, op):
+        """Run ``op`` with a concurrent insert into d=1 injected after the
+        op's data read (via the partition-write / link hook)."""
+        from table_versions_spark.engine import (
+            VersionedEngine,
+            _link_data_files,
+        )
+        import table_versions_spark.engine as eng_mod
+
+        eng2 = VersionedEngine(spark, engine.warehouse, engine.storage)
+        done = {}
+
+        def race_once():
+            if not done:
+                done["x"] = True
+                eng2.insert(spark.createDataFrame([(9, "r", "1")], self.DDL),
+                            name, "w2", "winner")
+
+        orig_wp = VersionedEngine._write_partitioned
+        orig_link = _link_data_files
+
+        def racing_wp(eng_self, df, defn, version, distribute=True, **kw):
+            ops = orig_wp(eng_self, df, defn, version,
+                          distribute=distribute, **kw)
+            if eng_self is engine and defn.name.name == name.split(".")[1]:
+                race_once()
+            return ops
+
+        def racing_link(prev_dir, new_dir, storage):
+            race_once()
+            return orig_link(prev_dir, new_dir, storage)
+
+        VersionedEngine._write_partitioned = racing_wp
+        eng_mod._link_data_files = racing_link
+        try:
+            op()
+        finally:
+            VersionedEngine._write_partitioned = orig_wp
+            eng_mod._link_data_files = orig_link
+
+    def _assert_conflicts(self, spark, engine, name, op):
+        from table_versions_spark.core.log import ConcurrentWriteError
+
+        self._base(spark, engine, name)
+        with pytest.raises(ConcurrentWriteError):
+            self._with_race(spark, engine, name, op)
+        # the winner's row survived; the loser's rewrite never landed
+        got = sorted(tuple(r) for r in engine.read(name).collect())
+        assert (9, "r", "1") in got
+
+    def test_upsert(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_up",
+            lambda: engine.upsert(
+                spark.createDataFrame([(1, "z", "1")], self.DDL),
+                "db.occ_up", ["id"], "u", "m"))
+
+    def test_merge(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_mg",
+            lambda: engine.merge(
+                spark.createDataFrame([(1, "z", "1")], self.DDL),
+                "db.occ_mg", ["id"], "u", "m"))
+
+    def test_delete_rewrite(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_del",
+            lambda: engine.delete("db.occ_del", "id = 1", "u", "m"))
+
+    def test_update_rewrite(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_upd",
+            lambda: engine.update("db.occ_upd", {"v": "'q'"}, "id = 1",
+                                  "u", "m"))
+
+    def test_delete_dv(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_dvd",
+            lambda: engine.delete("db.occ_dvd", "id = 1", "u", "m",
+                                  mode="dv"))
+
+    def test_update_dv(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_dvu",
+            lambda: engine.update("db.occ_dvu", {"v": "'q'"}, "id = 1",
+                                  "u", "m", mode="dv"))
+
+    def test_compact(self, spark, engine):
+        self._assert_conflicts(
+            spark, engine, "db.occ_cp",
+            lambda: engine.compact("db.occ_cp", "u"))
