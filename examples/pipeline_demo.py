@@ -94,7 +94,9 @@ def main(sf_dir: str, warehouse: str) -> None:
 
     # 8. maintenance -------------------------------------------------------
     eng.compact("demo.events")
-    removed = eng.vacuum("demo.events", keep_commits=2)
+    # grace_hours=0: this demo just created every dir, and no other writer
+    # can be in flight here (production callers keep the default grace)
+    removed = eng.vacuum("demo.events", keep_commits=2, grace_hours=0)
     print(f"[8] compacted; vacuum removed {len(removed)} old version dir(s)")
 
     # 9. write-time quality gating (CHECK constraints) ---------------------

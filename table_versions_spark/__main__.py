@@ -68,6 +68,9 @@ def main(argv: list[str] | None = None) -> int:
         if cmd == "vacuum":
             sp.add_argument("--keep", type=int, default=3,
                             help="commits whose versions to retain")
+            sp.add_argument("--grace-hours", type=float, default=1.0,
+                            help="never delete version dirs younger than "
+                                 "this (in-flight write protection)")
         if cmd == "show":
             sp.add_argument("-n", type=int, default=20, help="rows to print")
     args = p.parse_args(argv)
@@ -146,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
 
         # vacuum is metadata+filesystem only; no Spark session needed
         eng = VersionedEngine(None, args.warehouse)
-        removed = eng.vacuum(args.table, keep_commits=args.keep)
+        removed = eng.vacuum(args.table, keep_commits=args.keep,
+                             grace_hours=args.grace_hours)
         for r in removed:
             print(f"removed {r}")
         print(f"{len(removed)} version dir(s) removed")

@@ -2612,7 +2612,8 @@ class VersionedEngine:
     # ------------------------------------------------------- maintenance
 
     def vacuum(self, table: TableName | str, keep_commits: int = 3,
-               keep_hours: float | None = None) -> list[str]:
+               keep_hours: float | None = None,
+               grace_hours: float = 1.0) -> list[str]:
         """Delete version directories unreachable from the current pointer
         state or from the states of the last ``keep_commits`` commits.
 
@@ -2627,8 +2628,18 @@ class VersionedEngine:
         every commit younger than the given age — the two horizons union,
         so a burst of recent commits can't age data out of its time-travel
         window and a quiet table still retains its last ``keep_commits``.
+
+        ``grace_hours``: version directories YOUNGER than this are never
+        deleted even when unreferenced — an in-flight write publishes its
+        files into final (still-uncommitted, hence unreferenced) version
+        dirs before its commit record lands, and a vacuum racing that
+        window would delete the data out from under the commit. Version
+        labels embed their creation timestamp, so the guard needs no
+        extra I/O. Pass ``grace_hours=0`` only when no write can be in
+        flight (Delta's retention-duration check plays the same role).
         """
         import datetime as _dt
+        import time as _time
 
         defn, log = self._log(table)
         state = log.table_state(defn.name)
@@ -2655,11 +2666,16 @@ class VersionedEngine:
             else:
                 for p, v in tv.partition_versions.items():
                     referenced.add(os.path.join(defn.location, p.render(), v.label))
+        grace_cutoff = _time.time() - grace_hours * 3600
         removed = []
         for vdir in self._all_version_dirs(defn):
-            if vdir not in referenced:
-                self.storage.remove_tree(vdir)
-                removed.append(vdir)
+            if vdir in referenced:
+                continue
+            if Version.parse(os.path.basename(vdir)).epoch_seconds \
+                    >= grace_cutoff:
+                continue  # young enough to be an in-flight write's dir
+            self.storage.remove_tree(vdir)
+            removed.append(vdir)
         return removed
 
     def compact(self, table: TableName | str, user_id: str = "maintenance",

@@ -561,7 +561,7 @@ def q_vacuum_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
                  .withColumn("value", F.col("value") * 2),
                table, "tester", "reprocess earliest day")
-    eng.vacuum(table, keep_commits=1)
+    eng.vacuum(table, keep_commits=1, grace_hours=0)
     return eng.read(table).select(
         "event_id", "user_id", "event_type", "value", "event_date")
 

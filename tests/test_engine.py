@@ -236,7 +236,7 @@ class TestMaintenance:
         defn = engine.definition("db.pageview")
         d = os.path.join(defn.location, "date=2019-03-13")
         assert len(os.listdir(d)) == 5
-        removed = engine.vacuum("db.pageview", keep_commits=2)
+        removed = engine.vacuum("db.pageview", keep_commits=2, grace_hours=0)
         assert len(removed) == 3
         assert len(os.listdir(d)) == 2
         # current read still works
@@ -254,7 +254,7 @@ class TestMaintenance:
         from table_versions_spark.core.model import Version
         n_before = sum(Version.is_version_label(e) for e in os.listdir(defn.location))
         assert n_before == 4
-        engine.vacuum("db.users", keep_commits=1)
+        engine.vacuum("db.users", keep_commits=1, grace_hours=0)
         n_after = sum(Version.is_version_label(e) for e in os.listdir(defn.location))
         assert n_after == 1
         assert engine.read("db.users").count() == 3
@@ -270,12 +270,12 @@ class TestMaintenance:
                           "db.vh", "u", f"v{i}")
         defn = engine.definition("db.vh")
         # all 4 commits are seconds old: a 1-hour window keeps everything
-        removed = engine.vacuum("db.vh", keep_commits=1, keep_hours=1.0)
+        removed = engine.vacuum("db.vh", keep_commits=1, keep_hours=1.0, grace_hours=0)
         assert removed == []
         assert sum(Version.is_version_label(e)
                    for e in os.listdir(defn.location)) == 4
         # a zero-hour window adds nothing beyond keep_commits
-        engine.vacuum("db.vh", keep_commits=1, keep_hours=0.0)
+        engine.vacuum("db.vh", keep_commits=1, keep_hours=0.0, grace_hours=0)
         assert sum(Version.is_version_label(e)
                    for e in os.listdir(defn.location)) == 1
 
@@ -975,7 +975,7 @@ class TestVacuumInteractions:
                            "db.vi", "u", "v1")
         engine.insert(spark.createDataFrame(USERS_V2, USERS_SCHEMA),
                       "db.vi", "u", "v2")
-        removed = engine.vacuum("db.vi", keep_commits=1)
+        removed = engine.vacuum("db.vi", keep_commits=1, grace_hours=0)
         assert removed  # v1's version dir went away
         from py4j.protocol import Py4JJavaError
         from pyspark.errors import AnalysisException
@@ -995,7 +995,7 @@ class TestVacuumInteractions:
                       "db.vi2", "u", "v1")
         engine.insert(spark.createDataFrame([(2, "a")], "id bigint, d string"),
                       "db.vi2", "u", "v2")  # overwrites d=a
-        engine.vacuum("db.vi2", keep_commits=1)
+        engine.vacuum("db.vi2", keep_commits=1, grace_hours=0)
         register(spark)
         out, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
         q = (spark.readStream.format("tvx")
@@ -1630,7 +1630,7 @@ class TestRestore:
             [(1, "a")], "id bigint, d string"), "db.rs3", "u", "v1")
         engine.insert(spark.createDataFrame(
             [(2, "a")], "id bigint, d string"), "db.rs3", "u", "v2")
-        engine.vacuum("db.rs3", keep_commits=1)
+        engine.vacuum("db.rs3", keep_commits=1, grace_hours=0)
         import pytest as _pytest
         with _pytest.raises(ValueError, match="vacuumed"):
             engine.restore("db.rs3", r1.commit_id)
@@ -2132,7 +2132,7 @@ class TestRowLevelCDF:
                       "cdf.vac", "u", "v2")
         engine.insert(spark.createDataFrame([(4, "a")], ddl),
                       "cdf.vac", "u", "v3")
-        assert engine.vacuum("cdf.vac", keep_commits=1)
+        assert engine.vacuum("cdf.vac", keep_commits=1, grace_hours=0)
         with _pytest.raises(ValueError, match="vacuum"):
             engine.read_changes("cdf.vac", since_commit=r1.commit_id,
                                 row_level=True).collect()
@@ -2143,7 +2143,7 @@ class TestRowLevelCDF:
         c1 = engine.insert(spark.createDataFrame(
             [(1, "a"), (2, "a")], ddl), "cdf.vc", "u", "v1")
         engine.delete("cdf.vc", "id = 1", "u", "del")  # rewrite + sidecar
-        engine.vacuum("cdf.vc", keep_commits=1)
+        engine.vacuum("cdf.vc", keep_commits=1, grace_hours=0)
         ch = engine.read_changes("cdf.vc", since_commit=c1.commit_id,
                                  row_level=True)
         assert sorted((r.id, r._change_type) for r in ch.collect()) \
@@ -2372,3 +2372,19 @@ class TestRmwConflictDetection:
         self._assert_conflicts(
             spark, engine, "db.occ_cp",
             lambda: engine.compact("db.occ_cp", "u"))
+
+
+def test_vacuum_grace_window_protects_inflight_dirs(spark, engine):
+    """An unreferenced version dir younger than grace_hours survives
+    vacuum — it may belong to an in-flight write that published files but
+    has not committed yet; grace_hours=0 removes it."""
+    ddl = "id bigint, d string"
+    engine.create_table("db.vg", schema_ddl=ddl, partition_columns=["d"])
+    engine.insert(spark.createDataFrame([(1, "a")], ddl), "db.vg", "u", "c1")
+    engine.insert(spark.createDataFrame([(2, "a")], ddl), "db.vg", "u", "c2")
+    engine.insert(spark.createDataFrame([(3, "a")], ddl), "db.vg", "u", "c3")
+    # default grace: the freshly-written superseded dirs are kept
+    assert engine.vacuum("db.vg", keep_commits=1) == []
+    # explicit zero-grace: they go
+    assert engine.vacuum("db.vg", keep_commits=1, grace_hours=0)
+    assert sorted(r.id for r in engine.read("db.vg").collect()) == [3]
