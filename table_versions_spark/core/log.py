@@ -135,23 +135,25 @@ class FileTableVersions:
         """Append update, move pointer to it
         (reference ``InMemoryTableVersions.scala:16-28``).
 
-        ``precondition`` (optional): callable ``TableState -> None`` that
+        ``precondition`` (optional): callable ``LogView -> None`` that
         raises (typically ``ConcurrentWriteError``) to abort the commit.
-        It is re-evaluated against a fresh state read before every CAS
-        attempt, and the claimed slot is exactly ``len(state.updates)`` from
-        that same read — so when the exclusive create succeeds, the log the
-        precondition validated is provably the complete prefix of this
-        commit (slot claims are dense: slot N can only be claimed after
-        0..N-1 exist). This is optimistic-concurrency-control at the commit
-        file, the same serialization point Delta uses on its JSON log."""
+        It is re-evaluated against a fresh ``LogView`` before every CAS
+        attempt, whose prefix [0, seq-1] is exactly the claimed slot's
+        predecessors (commit files are immutable and slot claims are
+        dense: slot N can only be claimed after 0..N-1 exist) — so when
+        the exclusive create succeeds, the log the precondition validated
+        is provably the complete prefix of this commit. The view's folds
+        resume from checkpoints, keeping the precondition O(commits since
+        checkpoint) instead of a full log replay per attempt. This is
+        optimistic-concurrency-control at the commit file, the same
+        serialization point Delta uses on its JSON log."""
         self._require_exists(table)
         payload = json.dumps(update_to_json(update), indent=1)
         seq = len(self._commit_files())
         while True:
             if precondition is not None:
-                state = self.table_state(table)
-                seq = len(state.updates)
-                precondition(state)
+                seq = len(self._commit_files())
+                precondition(LogView(self, seq - 1))
             seq_path = os.path.join(self.log_dir, f"{seq:0{COMMIT_WIDTH}d}.json")
             if self.storage.create_exclusive(seq_path, payload):
                 break
@@ -215,6 +217,13 @@ class FileTableVersions:
         return None
 
     # -- queries -----------------------------------------------------------
+
+    def current_commit_id(self, table: TableName | None = None) -> str:
+        """Commit id the pointer currently names — one pointer read, no
+        log replay (use instead of ``table_state().current_version`` when
+        only the id is needed)."""
+        self._require_exists(table)
+        return self._read_pointer()[0]
 
     def table_state(self, table: TableName | None = None) -> TableState:
         self._require_exists(table)
@@ -320,6 +329,10 @@ class FileTableVersions:
         # folded stats ride the checkpoint too, so stats_map never replays
         # commits older than the newest checkpoint
         payload["stats"] = self.stats_map(at_commit=commit_id, at_seq=seq)
+        # folded txn high-waters likewise: exactly-once probes and
+        # streaming-epoch commits stay O(since-checkpoint)
+        payload["txns"] = {a: [v, c]
+                           for a, (v, c) in self._txn_map_at(seq).items()}
         path = os.path.join(self.log_dir,
                             f"{CHECKPOINT_PREFIX}{seq:0{COMMIT_WIDTH}d}.json")
         self.storage.write_atomic(path, json.dumps(payload, indent=1))
@@ -401,12 +414,78 @@ class FileTableVersions:
                       if f.endswith(".json") and f[:-len(".json")].isdigit())
 
     def _read_all_updates(self) -> list[TableUpdate]:
+        return self._read_updates_range(0, len(self._commit_files()) - 1)
+
+    def _read_updates_range(self, start_seq: int,
+                            end_seq: int) -> list[TableUpdate]:
+        """Updates at seqs [start_seq, end_seq], inclusive."""
         out = []
-        for fname in self._commit_files():
+        for fname in self._commit_files()[start_seq:end_seq + 1]:
             data = json.loads(
                 self.storage.read_text(os.path.join(self.log_dir, fname)))
             out.append(update_from_json(data))
         return out
+
+    # -- checkpoint-resumed folds (scale path) ------------------------------
+
+    def head_fold(self, table: TableName | None = None) -> TableVersion:
+        """Fold of ALL commits (the head, pointer-independent), resuming
+        from the newest checkpoint — O(commits since checkpoint), never a
+        full log replay. This is the conflict-detection baseline: commit
+        preconditions compare against THIS, not the pointer state (which
+        a rollback may have moved)."""
+        self._require_exists(table)
+        return self.current_version(table, at_seq=self.head_seq())
+
+    def _txn_map_at(self, seq: int) -> dict[str, tuple[int, str]]:
+        """app → (highest txn_version, its commit_id) folded over commits
+        0..seq, resuming from the newest checkpoint's ``txns`` map (a
+        legacy checkpoint without one forces a full scan — correct,
+        just slower, until the next checkpoint is written)."""
+        raw, start = self._load_checkpoint_raw(seq)
+        txns: dict[str, tuple[int, str]] = {}
+        if raw is not None:
+            if "txns" in raw:
+                txns = {a: (int(v), c)
+                        for a, (v, c) in (raw["txns"] or {}).items()}
+            else:
+                start = 0
+        for u in self._read_updates_range(start, seq):
+            app, ver = u.metadata.txn_app, u.metadata.txn_version
+            if app and ver is not None:
+                cur = txns.get(app)
+                if cur is None or ver > cur[0]:
+                    txns[app] = (ver, u.metadata.commit_id)
+        return txns
+
+    def txn_high_water(self, app: str) -> "tuple[int, str] | None":
+        """Highest committed (txn_version, commit_id) for ``app``, or None
+        — the exactly-once idempotence probe, checkpoint-resumed so a
+        long-lived streaming writer's per-epoch cost stays O(recent), not
+        O(epochs so far)."""
+        return self._txn_map_at(self.head_seq()).get(app)
+
+
+class LogView:
+    """Read view of the log's immutable prefix [0, seq], handed to commit
+    preconditions. Folds resume from checkpoints, so a precondition costs
+    O(commits since checkpoint) — not a full log replay per CAS attempt.
+    ``updates`` materializes the raw prefix for preconditions that need to
+    scan operations (rare; O(seq))."""
+
+    def __init__(self, log: "FileTableVersions", seq: int):
+        self._log = log
+        self.seq = seq
+
+    def head_fold(self) -> TableVersion:
+        return self._log.current_version(at_seq=self.seq)
+
+    def txn_high_water(self, app: str) -> "tuple[int, str] | None":
+        return self._log._txn_map_at(self.seq).get(app)
+
+    @property
+    def updates(self) -> tuple:
+        return tuple(self._log._read_updates_range(0, self.seq))
 
 
 # ---------------------------------------------------------------------------

@@ -433,7 +433,7 @@ class VersionedEngine:
         # silently dropped by linking from a pre-conflict `previous`.
         read_fold = conflict_fold
         if read_fold is None and (mode == "append" or check_conflicts):
-            read_fold = self._head_fold(defn, log.table_state(defn.name))
+            read_fold = log.head_fold(defn.name)
         previous = log.current_version(defn.name)
         version = Version.generate()
         if defn.is_snapshot:
@@ -575,7 +575,7 @@ class VersionedEngine:
         # conflict baseline BEFORE the data read: the commit precondition
         # must guard the whole read→merge→commit window (see _insert's
         # conflict_fold note)
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
         if pcols:
@@ -670,7 +670,7 @@ class VersionedEngine:
                 "touches (rows in untouched partitions survive); 'all' "
                 "converges the whole table (every partition is read and "
                 "rewritten or dropped)")
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         current = self.read(table)
         cols = current.columns
         if set(source.columns) != set(cols):
@@ -786,7 +786,7 @@ class VersionedEngine:
         if mode == "dv":
             return self._delete_dv(defn, log, predicate, user_id, message)
         pcols = list(defn.partition_schema.columns)
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         current = self.read(table)
         # SQL DELETE semantics: remove rows where the predicate is TRUE;
         # rows where it evaluates NULL are KEPT (`~cond` alone would drop
@@ -853,7 +853,7 @@ class VersionedEngine:
         pcols = list(defn.partition_schema.columns)
         # conflict baseline before the state/dirs read: the final commit's
         # precondition guards the whole scan→vector-write window
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         state = log.current_version(defn.name)
         if defn.is_snapshot:
             if state.version == UNVERSIONED:
@@ -993,7 +993,7 @@ class VersionedEngine:
         pcols = list(defn.partition_schema.columns)
         # conflict baseline before the state/dirs read: the final commit's
         # precondition guards the whole scan→vector-write window
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         state = log.current_version(defn.name)
         if defn.is_snapshot:
             if state.version == UNVERSIONED:
@@ -1190,7 +1190,7 @@ class VersionedEngine:
         if mode == "dv":
             return self._update_dv(defn, log, set, predicate, user_id,
                                    message)
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         current = self.read(table)
         unknown = [c for c in set if c not in current.columns]
         if unknown:
@@ -1447,7 +1447,7 @@ class VersionedEngine:
             expected_v = base_fold.version
 
             def precondition(state, _e=expected_v):
-                now = self._head_fold(defn, state).version
+                now = state.head_fold().version
                 if now != _e:
                     raise ConcurrentWriteError(
                         f"Snapshot table {defn.name.fully_qualified_name} "
@@ -1459,7 +1459,7 @@ class VersionedEngine:
                            for p in scope}
 
             def precondition(state, _e=expected_pv):
-                now = self._head_fold(defn, state).partition_versions
+                now = state.head_fold().partition_versions
                 clash = sorted(p.render() for p, v in _e.items()
                                if now.get(p) != v)
                 if clash:
@@ -1471,14 +1471,10 @@ class VersionedEngine:
     @staticmethod
     def _last_txn_version(log: FileTableVersions,
                           app: str) -> tuple[int, str] | None:
-        """Highest committed (txn_version, commit_id) for an app id, or None."""
-        best = None
-        for u in log.table_state().updates:
-            if (u.metadata.txn_app == app
-                    and u.metadata.txn_version is not None
-                    and (best is None or u.metadata.txn_version > best[0])):
-                best = (u.metadata.txn_version, u.metadata.commit_id)
-        return best
+        """Highest committed (txn_version, commit_id) for an app id, or
+        None — checkpoint-resumed (see ``FileTableVersions.txn_high_water``)
+        so per-batch idempotence probes stay O(recent commits)."""
+        return log.txn_high_water(app)
 
     # ----------------------------------------------------------------- read
 
@@ -1735,7 +1731,7 @@ class VersionedEngine:
         """
         defn, log = self._log(table)
         before = log.current_version(defn.name, at_commit=since_commit)
-        head_id = to_commit or log.table_state(defn.name).current_version
+        head_id = to_commit or log.current_commit_id(defn.name)
         after = log.current_version(defn.name, at_commit=head_id)
         eff = self._defn_at(defn, log, at_commit=head_id)
         if row_level and per_commit:
@@ -2696,7 +2692,7 @@ class VersionedEngine:
         over ≥2 columns — the full ``OPTIMIZE ZORDER BY`` shape: skipping
         then works on any clustered column."""
         defn, log = self._log(table)
-        base_fold = self._head_fold(defn, log.table_state(defn.name))
+        base_fold = log.head_fold(defn.name)
         df = self.read(table)
         if defn.is_snapshot and target_partitions:
             df = df.coalesce(target_partitions)

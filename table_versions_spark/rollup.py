@@ -107,7 +107,7 @@ class IncrementalRollup:
         """Fold source changes since the last refresh into the target.
         Returns the target ``CommitResult``, or None if already current."""
         src_defn, src_log = self.engine._log(self.source)
-        head = src_log.table_state(src_defn.name).current_version
+        head = src_log.current_commit_id(src_defn.name)
         cursor = self._read_cursor()
         if cursor == head:
             return None

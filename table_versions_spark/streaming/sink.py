@@ -172,7 +172,6 @@ def _commit_versioned_write(location: str, version: Version,
     footer stats (dv-adjusted), append ONE commit record — atomic at the
     commit-file write."""
     from ..engine import (
-        VersionedEngine,
         _carry_dv_sidecar,
         _collect_version_stats,
         _dv_row_count,
@@ -187,8 +186,7 @@ def _commit_versioned_write(location: str, version: Version,
     # engine._insert does — a concurrent append landing in between then
     # fails the commit precondition instead of having its rows silently
     # dropped by the stale link
-    read_fold = (VersionedEngine._head_fold(defn, log.table_state(defn.name))
-                 if append else None)
+    read_fold = log.head_fold(defn.name) if append else None
     prev = log.current_version(defn.name)
 
     def _stats_payload(vdir: str):
@@ -238,7 +236,7 @@ def _commit_versioned_write(location: str, version: Version,
             expected_v = read_fold.version
 
             def precondition(state, _e=expected_v):
-                now = VersionedEngine._head_fold(defn, state).version
+                now = state.head_fold().version
                 if now != _e:
                     raise ConcurrentWriteError(
                         f"Snapshot table {defn.name.fully_qualified_name} "
@@ -250,8 +248,7 @@ def _commit_versioned_write(location: str, version: Version,
                            for p in touched}
 
             def precondition(state, _e=expected_pv):
-                now = VersionedEngine._head_fold(defn,
-                                                 state).partition_versions
+                now = state.head_fold().partition_versions
                 clash = sorted(p.render() for p, v in _e.items()
                                if now.get(p) != v)
                 if clash:
@@ -267,12 +264,11 @@ def _commit_versioned_write(location: str, version: Version,
 
 def _txn_high_water(location: str, app: str,
                     storage=None) -> "int | None":
-    """Highest txn_version committed for ``app`` (None = never)."""
-    log = FileTableVersions(location, storage)
-    versions = [u.metadata.txn_version for u in log.table_state().updates
-                if u.metadata.txn_app == app
-                and u.metadata.txn_version is not None]
-    return max(versions) if versions else None
+    """Highest txn_version committed for ``app`` (None = never) —
+    checkpoint-resumed, so a long-lived stream's per-epoch probe reads
+    O(commits since checkpoint), not the whole log."""
+    got = FileTableVersions(location, storage).txn_high_water(app)
+    return got[0] if got is not None else None
 
 
 class VersionedTableWriter(DataSourceArrowWriter):

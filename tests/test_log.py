@@ -337,3 +337,54 @@ class TestTimestampTravel:
         # at 10:00:04: only b (03) qualifies despite sitting after a in the log
         assert log.commit_id_at_timestamp("2024-01-01T10:00:04+00:00") == "c-b"
         assert log.commit_id_at_timestamp("2024-01-01T10:00:59+00:00") == "c-c"
+
+
+class TestCheckpointResumedFolds:
+    def _commit_txn(self, log, version, app=None, ver=None):
+        meta = (TableUpdateMetadata.create("u", "m", txn=(app, ver))
+                if app else TableUpdateMetadata.create("u", "m"))
+        log.commit(T, TableUpdate(
+            meta, (AddPartitionVersion(Partition.parse("d=1"), version),)))
+
+    def test_txn_high_water_rides_checkpoints(self, log):
+        log.init(T, False, "u", "init")
+        for i in range(25):  # crosses two checkpoint boundaries
+            self._commit_txn(log, Version.generate(), app="appA", ver=i)
+        got = log.txn_high_water("appA")
+        assert got is not None and got[0] == 24
+        assert log.txn_high_water("ghost") is None
+        # the newest checkpoint's folded txns map is present and correct
+        raw, start = log._load_checkpoint_raw(log.head_seq())
+        assert raw is not None and "txns" in raw
+        assert int(raw["txns"]["appA"][0]) == start - 2  # ckpt at seq start-1
+
+    def test_txn_high_water_legacy_checkpoint_falls_back(self, log):
+        import json as _json
+        import os as _os
+
+        log.init(T, False, "u", "init")
+        for i in range(12):
+            self._commit_txn(log, Version.generate(), app="appB", ver=i)
+        # simulate a checkpoint written before the txns field existed
+        raw, start = log._load_checkpoint_raw(log.head_seq())
+        assert raw is not None
+        del raw["txns"]
+        path = _os.path.join(
+            log.log_dir, f"_checkpoint-{start - 1:08d}.json")
+        assert log.storage.exists(path) or True
+        log.storage.write_atomic(path, _json.dumps(raw))
+        got = log.txn_high_water("appB")
+        assert got is not None and got[0] == 11
+
+    def test_head_fold_matches_full_replay(self, log):
+        log.init(T, False, "u", "init")
+        versions = [Version.generate() for _ in range(23)]
+        for v in versions:
+            self._commit_txn(log, v)
+        head = log.head_fold(T)
+        assert head.partition_versions[Partition.parse("d=1")] == versions[-1]
+        # pointer rollback does not move the head fold
+        early = log.table_state(T).updates[3].metadata.commit_id
+        log.set_current_version(T, early)
+        assert log.head_fold(T).partition_versions[
+            Partition.parse("d=1")] == versions[-1]
