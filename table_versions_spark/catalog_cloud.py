@@ -25,8 +25,6 @@ form — matching how Hive/Glue themselves store them.
 
 from __future__ import annotations
 
-import os
-
 from .core.log import FileTableVersions
 from .core.metastore import (
     AddPartition,
@@ -46,7 +44,7 @@ from .core.model import (
     escape_partition_value,
     unescape_partition_value,
 )
-from .core.paths import path_for
+from .core.paths import path_for, resolved_versioned_path
 
 
 class CloudCatalogClient:
@@ -156,13 +154,13 @@ def sync_cloud_catalog(client: CloudCatalogClient, defn: TableDefinition,
         elif isinstance(op, AddPartition):
             client.create_partition(
                 db, name, _raw_values(op.partition),
-                os.path.join(defn.location, op.partition.render(),
-                             op.version.label))
+                resolved_versioned_path(defn.location, op.partition,
+                                        op.version))
         elif isinstance(op, UpdatePartitionVersion):
             client.update_partition(
                 db, name, _raw_values(op.partition),
-                os.path.join(defn.location, op.partition.render(),
-                             op.version.label))
+                resolved_versioned_path(defn.location, op.partition,
+                                        op.version))
         elif isinstance(op, RemovePartitionOp):
             client.delete_partition(db, name, _raw_values(op.partition))
     return len(ops)

@@ -149,6 +149,55 @@ class Storage:
         return path
 
 
+
+def _claim_via_link(path: str, data: bytes) -> bool:
+    """Atomic create-if-absent on a local filesystem: stage the payload to
+    a tmp file FIRST, then hardlink into place — link() is the atomic
+    claim (EEXIST on a lost race) and the claimed file is complete by
+    construction. O_EXCL-then-write would leave a truncated commit file if
+    the writer dies mid-write, permanently bricking the log (the slot is
+    claimed, unreadable, and unrepairable). Real object stores give this
+    via atomic conditional PUT (If-None-Match: *). Shared by LocalStorage
+    and the object-store emulation so the claim protocol cannot drift."""
+    path = _strip_scheme(path)
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".claim-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+    finally:
+        os.unlink(tmp)
+
+
+def _flock_update(path: str, fn, read_current, put_text) -> "str | None":
+    """Serialized read-modify-write under an flock sidecar: the local
+    analogue of S3's GET-ETag -> PUT If-Match loop. ``read_current``
+    returns the current text or None; ``put_text`` persists the new
+    value. Shared by both local backends so the locking protocol cannot
+    drift."""
+    import fcntl
+
+    p = _strip_scheme(path)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p + ".lock", "a") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            current = read_current()
+            new = fn(current)
+            if new is not None:
+                put_text(new)
+                return new
+            return current
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+
+
 class LocalStorage(Storage):
     """POSIX backend — the round-1 behavior, verbatim."""
 
@@ -197,45 +246,15 @@ class LocalStorage(Storage):
             raise
 
     def create_exclusive(self, path, data):
-        # the payload is staged to a tmp file FIRST, then hardlinked into
-        # place: link() is the atomic claim (EEXIST on a lost race) and
-        # the claimed file is complete by construction — O_EXCL-then-write
-        # would leave a truncated commit file if the writer dies mid-write,
-        # permanently bricking the log (the slot is claimed, unreadable,
-        # and unrepairable). Real object stores give this via atomic
-        # conditional PUT.
-        path = _strip_scheme(path)
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".claim-")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(data)
-            try:
-                os.link(tmp, path)
-                return True
-            except FileExistsError:
-                return False
-        finally:
-            os.unlink(tmp)
+        return _claim_via_link(path, data.encode("utf-8"))
 
     def update_atomic(self, path, fn):
-        import fcntl
-
-        path = _strip_scheme(path)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        lock_path = path + ".lock"
-        with open(lock_path, "a") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                current = self.read_text(path) if os.path.exists(path) else None
-                new = fn(current)
-                if new is not None:
-                    self.write_atomic(path, new)
-                    return new
-                return current
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+        return _flock_update(
+            path, fn,
+            read_current=lambda: (self.read_text(path)
+                                  if os.path.exists(_strip_scheme(path))
+                                  else None),
+            put_text=lambda new: self.write_atomic(path, new))
 
     def delete(self, path):
         try:
@@ -301,23 +320,8 @@ class ObjectStoreStorage(Storage):
 
     def _put_if_absent(self, path: str, data: bytes) -> bool:
         """Conditional put: S3 ``If-None-Match: *``. True iff created.
-        Emulated as stage-to-tmp + atomic link (same rationale as
-        LocalStorage.create_exclusive: a real conditional PUT can never
-        leave a claimed-but-truncated object, so neither may we)."""
-        path = _strip_scheme(path)
-        d = os.path.dirname(path)
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".claim-")
-        try:
-            with os.fdopen(fd, "wb") as f:
-                f.write(data)
-            try:
-                os.link(tmp, path)
-                return True
-            except FileExistsError:
-                return False
-        finally:
-            os.unlink(tmp)
+        Emulated via the shared stage-tmp-then-link claim."""
+        return _claim_via_link(path, data)
 
     def _copy(self, src: str, dst: str) -> None:
         """Server-side copy (S3 CopyObject)."""
@@ -391,22 +395,11 @@ class ObjectStoreStorage(Storage):
         # Emulation: flock beside the object. A real backend loops
         # GET (capturing ETag) → fn → PUT with If-Match until the
         # conditional write succeeds — same serialized semantics.
-        import fcntl
-
-        p = _strip_scheme(path)
-        os.makedirs(os.path.dirname(p), exist_ok=True)
-        with open(p + ".lock", "a") as lock:
-            fcntl.flock(lock, fcntl.LOCK_EX)
-            try:
-                current = (self.read_text(path)
-                           if self._exists_key(path) else None)
-                new = fn(current)
-                if new is not None:
-                    self._put(path, new.encode("utf-8"))
-                    return new
-                return current
-            finally:
-                fcntl.flock(lock, fcntl.LOCK_UN)
+        return _flock_update(
+            path, fn,
+            read_current=lambda: (self.read_text(path)
+                                  if self._exists_key(path) else None),
+            put_text=lambda new: self._put(path, new.encode("utf-8")))
 
     def delete(self, path):
         self._delete(path)
@@ -417,34 +410,43 @@ class ObjectStoreStorage(Storage):
         os.makedirs(_strip_scheme(path), exist_ok=True)
 
     def _walk_files(self, root: str) -> list[str]:
-        """All file keys under prefix ``root``, as paths relative to it."""
+        """All file keys under prefix ``root``, as paths relative to it.
+
+        ONE recursive enumeration — never a per-child existence/prefix
+        probe (on a real object store that's one non-delimited paginated
+        LIST; see the S3 override). A flat key listing also cannot miss a
+        key that is simultaneously an object and a prefix of deeper keys
+        ('a' and 'a/b' coexisting), which a delimited child-walk would
+        classify as prefix-only and silently skip."""
+        root_s = _strip_scheme(root)
         out: list[str] = []
+        for dirpath, _dirs, files in os.walk(root_s):
+            rel_base = os.path.relpath(dirpath, root_s)
+            for f in files:
+                out.append(f if rel_base == "." else
+                           f"{rel_base.replace(os.sep, '/')}/{f}")
+        return sorted(out)
 
-        def rec(prefix: str) -> None:
-            base = os.path.join(root, prefix) if prefix else root
-            for name in self._list(base):
-                rel = f"{prefix}/{name}" if prefix else name
-                if self._is_prefix(os.path.join(base, name)):
-                    rec(rel)
-                else:
-                    out.append(rel)
-
-        rec("")
-        return out
+    def _delete_many(self, paths: list[str]) -> None:
+        """Bulk delete: concurrent single deletes by default; real
+        backends override with native batch calls (S3 DeleteObjects)."""
+        if not paths:
+            return
+        with ThreadPoolExecutor(max_workers=self.copy_workers) as pool:
+            list(pool.map(self._delete, paths))
 
     def publish_dir(self, src, dst):
         """No rename on an object store: copy each staged object to its
         final key (concurrent server-side copies), then delete the staging
-        keys. Readers can't observe the half-published prefix because
-        nothing references it until the commit record lands — the log, not
-        the directory move, is the atomicity point."""
+        keys (bulk). Readers can't observe the half-published prefix
+        because nothing references it until the commit record lands — the
+        log, not the directory move, is the atomicity point."""
         files = self._walk_files(src)
         with ThreadPoolExecutor(max_workers=self.copy_workers) as pool:
             list(pool.map(
                 lambda rel: self._copy(os.path.join(src, rel),
                                        os.path.join(dst, rel)), files))
-        for rel in files:
-            self._delete(os.path.join(src, rel))
+        self._delete_many([os.path.join(src, rel) for rel in files])
         self._cleanup_prefix(src)
 
     def _cleanup_prefix(self, path: str) -> None:
@@ -460,8 +462,8 @@ class ObjectStoreStorage(Storage):
         self._delete(src)
 
     def remove_tree(self, path):
-        for rel in self._walk_files(path):
-            self._delete(os.path.join(path, rel))
+        self._delete_many([os.path.join(path, rel)
+                           for rel in self._walk_files(path)])
         self._cleanup_prefix(path)
 
 
@@ -575,6 +577,14 @@ class MemoryStorage(ObjectStoreStorage):
         prefix = self._norm(path) + "/"
         return any(k.startswith(prefix) for k in self._objects)
 
+    def _walk_files(self, root):
+        # flat key scan — the in-memory analogue of S3's non-delimited
+        # LIST (the base class walks the local filesystem)
+        prefix = self._norm(root) + "/"
+        with self._lock:
+            return sorted(k[len(prefix):] for k in self._objects
+                          if k.startswith(prefix))
+
     def _exists_key(self, path):
         return self._norm(path) in self._objects
 
@@ -627,6 +637,7 @@ class S3Storage(ObjectStoreStorage):
 
     def __init__(self, copy_workers: int = 16, client=None):
         super().__init__(copy_workers=copy_workers)
+        self._custom_client = client is not None
         if client is None:
             try:
                 import boto3
@@ -776,10 +787,49 @@ class S3Storage(ObjectStoreStorage):
     def _cleanup_prefix(self, path):
         pass
 
+    def _walk_files(self, root):
+        """One non-delimited paginated LIST of the whole prefix — every
+        file key in a single enumeration, no per-child round trips, and a
+        key that is both an object and a prefix of deeper keys appears in
+        Contents like any other."""
+        bucket, prefix = self._parse(root)
+        prefix = prefix + "/" if prefix else ""
+        keys: list[str] = []
+        paginator = self._s3.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                rel = obj["Key"][len(prefix):]
+                if rel and not rel.endswith("/"):
+                    keys.append(rel)
+        return sorted(keys)
+
+    def _delete_many(self, paths):
+        # native bulk delete: 1000 keys per DeleteObjects request instead
+        # of one round trip per key
+        by_bucket: dict[str, list[str]] = {}
+        for p in paths:
+            bucket, key = self._parse(p)
+            by_bucket.setdefault(bucket, []).append(key)
+        for bucket, keys in by_bucket.items():
+            for i in range(0, len(keys), 1000):
+                self._s3.delete_objects(
+                    Bucket=bucket,
+                    Delete={"Objects": [{"Key": k}
+                                        for k in keys[i:i + 1000]],
+                            "Quiet": True})
+
     def __reduce__(self):
         # executors get a fresh boto3 client on unpickle (clients hold
-        # sockets/locks and cannot cross process boundaries); a custom
-        # client= is a driver-side concern and is deliberately dropped
+        # sockets/locks and cannot cross process boundaries). A CUSTOM
+        # client (endpoint_url/credentials/region) cannot be rebuilt from
+        # nothing — silently substituting boto3's defaults would point
+        # executors at the wrong endpoint, so refuse loudly instead.
+        if self._custom_client:
+            raise TypeError(
+                "S3Storage with a custom boto3 client cannot be pickled "
+                "to executors; configure endpoint/credentials via the "
+                "environment or AWS config files so a default "
+                "boto3.client('s3') resolves them on every worker")
         return (S3Storage, (self.copy_workers,))
 
 

@@ -125,7 +125,20 @@ class IncrementalRollup:
         out = self.agg(self.engine.read(self.source))
         self._check_schema(out)
         self._ensure_target(out)
-        return self.engine.insert(out, self.target, user_id, "rollup: full build")
+        # a rebuild must converge the target to exactly the fresh
+        # aggregation: insert-overwrite alone only replaces partitions
+        # present in `out`, so a target partition whose source rows
+        # vanished (e.g. a crash between a prior full build and its
+        # cursor write, then a source partition removal) would keep its
+        # stale aggregates forever — drop every existing target partition
+        # in the same commit; the write re-adds the live ones
+        tgt_defn, tgt_log = self.engine._log(self.target)
+        drop = ([] if tgt_defn.is_snapshot else list(getattr(
+            tgt_log.current_version(tgt_defn.name),
+            "partition_versions", {})))
+        return self.engine._insert(out, self.target, user_id,
+                                   "rollup: full build",
+                                   drop_partitions=drop)
 
     def _incremental(self, cursor: str, head: str, user_id: str):
         src_defn, src_log = self.engine._log(self.source)

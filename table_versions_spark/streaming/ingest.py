@@ -65,15 +65,18 @@ def versioned_stream_writer(stream_df: DataFrame, engine: VersionedEngine,
 def windowed_counts(stream_df: DataFrame, ts_col: str = "ts",
                     window_duration: str = "1 hour",
                     watermark_delay: str = "10 minutes",
-                    key_col: str = "event_type") -> DataFrame:
+                    key_col: str = "event_type",
+                    value_col: str = "value") -> DataFrame:
     """Watermarked tumbling-window counts — the canonical late-data-tolerant
     streaming aggregation. State per (window, key) is dropped once the
-    watermark passes the window end."""
+    watermark passes the window end. ``value_col`` names the summed metric
+    (every other column knob is configurable; this one was silently
+    hardcoded)."""
     return (stream_df
             .withWatermark(ts_col, watermark_delay)
             .groupBy(F.window(ts_col, window_duration).alias("win"), key_col)
             .agg(F.count("*").alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 F.sum(value_col).alias("sum_value"))
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"),
                     key_col, "n_events", "sum_value"))

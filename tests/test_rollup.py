@@ -77,3 +77,26 @@ class TestIncrementalRollup:
         with pytest.raises(ValueError, match="partition column"):
             IncrementalRollup(engine, "db.src3", "db.agg3",
                               group_cols=["event_type"], agg=_agg)
+
+
+def test_full_rebuild_drops_stale_target_partitions(spark, engine):
+    """A rebuild over a non-empty target must converge it to the fresh
+    aggregation: a crash between a full build and its cursor write,
+    followed by a source-partition removal, must not leave the removed
+    partition's aggregates in the target forever."""
+    engine.create_table("rb.src", schema_ddl=DDL, partition_columns=["d"])
+    engine.insert(spark.createDataFrame(
+        [(1, "click", 1.0, "d1"), (2, "view", 2.0, "d2")], DDL),
+        "rb.src", "u", "base")
+    roll = IncrementalRollup(engine, "rb.src", "rb.agg",
+                             group_cols=["d", "event_type"], agg=_agg)
+    roll.refresh()
+    # simulate the crash: cursor write never happened
+    engine.storage.delete(roll._cursor_path())
+    # source partition d2 disappears before the re-run
+    from table_versions_spark.core.model import Partition
+
+    engine.remove_partitions("rb.src", [Partition.parse("d=d2")], "u", "rm")
+    roll.refresh()  # cursor None -> full build again
+    assert _got(spark, engine, "rb.agg") == _expected(spark, engine, "rb.src")
+    assert all(r[0] != "d2" for r in _got(spark, engine, "rb.agg"))

@@ -131,6 +131,15 @@ class FakeS3Client:
             self.objects.pop((Bucket, Key), None)
             self.etags.pop((Bucket, Key), None)
 
+    def delete_objects(self, Bucket, Delete):
+        # boto3 DeleteObjects: up to 1000 keys per request
+        assert len(Delete["Objects"]) <= 1000
+        with self.lock:
+            for o in Delete["Objects"]:
+                self.objects.pop((Bucket, o["Key"]), None)
+                self.etags.pop((Bucket, o["Key"]), None)
+        return {"Deleted": [{"Key": o["Key"]} for o in Delete["Objects"]]}
+
     def head_object(self, Bucket, Key):
         with self.lock:
             k = (Bucket, Key)
@@ -278,3 +287,26 @@ class TestS3Primitives:
     def test_missing_key_raises_filenotfound(self, s3):
         with pytest.raises(FileNotFoundError):
             s3.read_text(f"s3://{BUCKET}/nope")
+
+
+class TestS3WalkAndPickle:
+    def test_walk_includes_key_that_is_both_object_and_prefix(
+            self, s3, fake_client):
+        """On S3, 'a' and 'a/b' can coexist; a delimited child-walk would
+        classify 'a' as prefix-only and silently skip the object. The flat
+        non-delimited LIST must return both."""
+        fake_client.put_object(BUCKET, "root/a", b"obj")
+        fake_client.put_object(BUCKET, "root/a/b", b"nested")
+        assert s3._walk_files(f"s3://{BUCKET}/root") == ["a", "a/b"]
+
+    def test_bulk_delete_used_by_remove_tree(self, s3, fake_client):
+        for i in range(5):
+            fake_client.put_object(BUCKET, f"rt/f{i}", b"x")
+        s3.remove_tree(f"s3://{BUCKET}/rt")
+        assert not [k for (_, k) in fake_client.objects if k.startswith("rt/")]
+
+    def test_custom_client_refuses_pickling(self, s3):
+        import pickle
+
+        with pytest.raises(TypeError, match="custom boto3 client"):
+            pickle.dumps(s3)
