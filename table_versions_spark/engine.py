@@ -839,8 +839,6 @@ class VersionedEngine:
         stays exact without scanning."""
         from pyspark.sql import functions as F
 
-        from .core.model import escape_partition_value as esc
-
         if defn.format != "parquet":
             raise ValueError(
                 "delete(mode='dv') requires parquet (positions use the "
@@ -886,24 +884,27 @@ class VersionedEngine:
                    .select(*pcols, F.col("__dv_file").alias("file"),
                            F.col("__dv_idx").alias("idx")))
         version = Version.generate()
+        staging = os.path.join(defn.location,
+                               f"_dv_staging-{version.label}")
         if defn.is_snapshot:
-            counts = matched.groupBy().count().collect()
-            n_del = int(counts[0]["count"]) if counts else 0
-            if n_del == 0:
-                return self._commit(defn, log, TableUpdate(
-                    TableUpdateMetadata.create(user_id, message), ()))
-            new_dir = path_for(defn.location, version)
-            _link_data_files(dirs[None], new_dir, self.storage)
-            merged = matched.select("file", "idx")
-            if old_dvs:
-                merged = merged.unionByName(
-                    self.spark.read.parquet(
-                        *[os.path.join(d, _DV_DIR) for d in old_dvs])
-                    .select("file", "idx")).distinct()
-            merged.write.mode("overwrite").parquet(
-                os.path.join(new_dir, _DV_DIR))
-            dv_total = _dv_row_count(os.path.join(new_dir, _DV_DIR),
-                                     self.storage)
+            try:
+                # ONE fact scan: the positions write IS the match pass;
+                # emptiness reads from the staged footers (driver
+                # metadata), never a second groupBy().count() scan
+                (matched.select("file", "idx")
+                 .write.mode("overwrite").parquet(staging))
+                if _dv_row_count(staging, self.storage) == 0:
+                    return self._commit(defn, log, TableUpdate(
+                        TableUpdateMetadata.create(user_id, message), ()))
+                new_dir = path_for(defn.location, version)
+                _link_data_files(dirs[None], new_dir, self.storage)
+                dv_dst = os.path.join(new_dir, _DV_DIR)
+                self.storage.publish_dir(staging, dv_dst)
+                self._carry_old_dvs([(os.path.join(d, _DV_DIR), dv_dst)
+                                     for d in old_dvs])
+            finally:
+                self.storage.remove_tree(staging)
+            dv_total = _dv_row_count(dv_dst, self.storage)
             payload = _collect_version_stats(
                 new_dir, self.storage, bloom_columns=defn.bloom_columns)
             stats = {}
@@ -914,33 +915,33 @@ class VersionedEngine:
                 TableUpdateMetadata.create(user_id, message),
                 (AddTableVersion(version),), stats=stats or None),
                 precondition=self._conflict_precondition(defn, base_fold))
-        # partitioned: bounded driver state — partition keys + counts only
-        per_part = {tuple(r[c] for c in pcols): int(r["n"])
-                    for r in matched.groupBy(*pcols)
-                    .agg(F.count("*").alias("n")).collect()}
-        if not per_part:
-            return self._commit(defn, log, TableUpdate(
-                TableUpdateMetadata.create(user_id, message), ()))
-        renders = {key: "/".join(f"{c}={esc(v)}"
-                                 for c, v in zip(pcols, key))
-                   for key in per_part}
-        affected = {key: Partition.parse(r) for key, r in renders.items()}
-        # merge in the affected partitions' existing vectors (attributed
-        # back to their partition values) and write ONE partitionBy job
-        merged = self._old_dv_union(matched, dirs, affected, renders, pcols)
-        staging = os.path.join(defn.location,
-                               f"_dv_staging-{version.label}")
-        (merged.distinct().repartition(*[F.col(c) for c in pcols])
-         .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
+        # partitioned: ONE fact scan — the partitionBy write of matched
+        # positions discovers the affected partitions via staging-dir
+        # listing (exactly _write_partitioned's trick; the old
+        # groupBy/collect pre-pass was a SECOND full scan), with Spark's
+        # own partition-value rendering so escaping can never desync
         ops, stats = [], {}
         try:
+            (matched.repartition(*[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
+            rels = _discover_partitions(staging, len(pcols), self.storage)
+            if not rels:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            affected = {rel: Partition.parse(rel) for rel in rels}
+            # existing vectors ride along as file-level links — no job
+            self._carry_old_dvs([
+                (os.path.join(dirs[part], _DV_DIR),
+                 os.path.join(staging, rel))
+                for rel, part in affected.items()
+                if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
+
             # per-partition publish is independent metadata work (links +
             # sidecar publish + footer reads) — parallel threads keep a
             # 10k-partition commit's wall clock bounded by round trips/16,
             # not their sum; results assemble in deterministic order
             def publish(item):
-                key, part = item
-                render = renders[key]
+                render, part = item
                 new_dir = os.path.join(defn.location, render, version.label)
                 _link_data_files(dirs[part], new_dir, self.storage)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
@@ -954,8 +955,7 @@ class VersionedEngine:
                 return part, render, payload
 
             for part, render, payload in _parallel_publish(
-                    publish, sorted(affected.items(),
-                                    key=lambda kv: kv[1].render())):
+                    publish, sorted(affected.items())):
                 ops.append(AddPartitionVersion(part, version))
                 if payload:
                     stats[os.path.join(render, version.label)] = payload
@@ -977,8 +977,6 @@ class VersionedEngine:
         and computes the updated payload; only partition keys/counts reach
         the driver."""
         from pyspark.sql import functions as F
-
-        from .core.model import escape_partition_value as esc
 
         if defn.format != "parquet":
             raise ValueError(
@@ -1071,27 +1069,29 @@ class VersionedEngine:
                                           os.path.join(dst_dir, f))
 
         if defn.is_snapshot:
-            n = positions.count()
-            if n == 0:
-                return self._commit(defn, log, TableUpdate(
-                    TableUpdateMetadata.create(user_id, message), ()))
-            new_dir = path_for(defn.location, version)
-            _link_data_files(dirs[None], new_dir, self.storage)
+            dv_staging = os.path.join(defn.location,
+                                      f"_dv_staging-{version.label}")
             upd_staging = os.path.join(defn.location,
                                        f"_upd_staging-{version.label}")
             try:
+                # the positions write IS the match pass; emptiness reads
+                # from staged footers, not a second count() scan
+                (positions.select("file", "idx")
+                 .write.mode("overwrite").parquet(dv_staging))
+                if _dv_row_count(dv_staging, self.storage) == 0:
+                    return self._commit(defn, log, TableUpdate(
+                        TableUpdateMetadata.create(user_id, message), ()))
+                new_dir = path_for(defn.location, version)
+                _link_data_files(dirs[None], new_dir, self.storage)
                 updated.write.mode("overwrite").parquet(upd_staging)
                 _move_data_files(upd_staging, new_dir)
+                dv_dst = os.path.join(new_dir, _DV_DIR)
+                self.storage.publish_dir(dv_staging, dv_dst)
+                self._carry_old_dvs([(os.path.join(d, _DV_DIR), dv_dst)
+                                     for d in old_dvs])
             finally:
+                self.storage.remove_tree(dv_staging)
                 self.storage.remove_tree(upd_staging)
-            merged = positions.select("file", "idx")
-            if old_dvs:
-                merged = merged.unionByName(
-                    self.spark.read.parquet(
-                        *[os.path.join(d, _DV_DIR) for d in old_dvs])
-                    .select("file", "idx")).distinct()
-            merged.write.mode("overwrite").parquet(
-                os.path.join(new_dir, _DV_DIR))
             dv_total = _dv_row_count(
                 os.path.join(new_dir, _DV_DIR), self.storage)
             payload = _collect_version_stats(
@@ -1104,33 +1104,34 @@ class VersionedEngine:
                 TableUpdateMetadata.create(user_id, message),
                 (AddTableVersion(version),), stats=stats or None),
                 precondition=self._conflict_precondition(defn, base_fold))
-        per_part = {tuple(r[c] for c in pcols): int(r["n"])
-                    for r in positions.groupBy(*pcols)
-                    .agg(F.count("*").alias("n")).collect()}
-        if not per_part:
-            return self._commit(defn, log, TableUpdate(
-                TableUpdateMetadata.create(user_id, message), ()))
-        renders = {key: "/".join(f"{c}={esc(v)}"
-                                 for c, v in zip(pcols, key))
-                   for key in per_part}
-        affected = {key: Partition.parse(r) for key, r in renders.items()}
-        merged = self._old_dv_union(positions, dirs, affected, renders,
-                                    pcols)
+        # partitioned: the positions partitionBy write both finds the
+        # matched positions AND discovers the affected partitions from the
+        # staging listing (the old groupBy/collect pre-pass was one more
+        # full predicate scan); old vectors ride along as file links
         dv_staging = os.path.join(defn.location,
                                   f"_dv_staging-{version.label}")
         upd_staging = os.path.join(defn.location,
                                    f"_upd_staging-{version.label}")
         ops, stats = [], {}
         try:
-            (merged.distinct().repartition(*[F.col(c) for c in pcols])
+            (positions.repartition(*[F.col(c) for c in pcols])
              .write.partitionBy(*pcols).mode("overwrite").parquet(dv_staging))
+            rels = _discover_partitions(dv_staging, len(pcols), self.storage)
+            if not rels:
+                return self._commit(defn, log, TableUpdate(
+                    TableUpdateMetadata.create(user_id, message), ()))
+            affected = {rel: Partition.parse(rel) for rel in rels}
+            self._carry_old_dvs([
+                (os.path.join(dirs[part], _DV_DIR),
+                 os.path.join(dv_staging, rel))
+                for rel, part in affected.items()
+                if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
             (updated.repartition(*[F.col(c) for c in pcols])
              .write.partitionBy(*pcols).mode("overwrite")
              .parquet(upd_staging))
 
             def publish(item):
-                key, part = item
-                render = renders[key]
+                render, part = item
                 new_dir = os.path.join(defn.location, render, version.label)
                 _link_data_files(dirs[part], new_dir, self.storage)
                 _move_data_files(os.path.join(upd_staging, render), new_dir)
@@ -1145,8 +1146,7 @@ class VersionedEngine:
                 return part, render, payload
 
             for part, render, payload in _parallel_publish(
-                    publish, sorted(affected.items(),
-                                    key=lambda kv: kv[1].render())):
+                    publish, sorted(affected.items())):
                 ops.append(AddPartitionVersion(part, version))
                 if payload:
                     stats[os.path.join(render, version.label)] = payload
@@ -2441,43 +2441,24 @@ class VersionedEngine:
         streaming change feed)."""
         return _cdc_before_label(cdc_dir, self.storage)
 
-    def _old_dv_union(self, matched: DataFrame, dirs: dict, affected: dict,
-                      renders: dict, pcols: list[str]) -> DataFrame:
-        """Union the affected partitions' EXISTING vectors into ``matched``
-        (columns ``[*pcols, file, idx]``) as ONE parquet scan — plan size
-        O(1) in #affected partitions. The round-4 shape unioned one
-        ``spark.read`` per partition, which grows a plan leaf per affected
-        partition (10k partitions = 10k-leaf union: driver planning blows
-        up long before data does). Each DV row's owning partition render
-        is derived from its own path segments (scheme-proof — no raw-path
-        comparison) and joined to a broadcast render→typed-values map."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        dv_paths = [os.path.join(dirs[part], _DV_DIR)
-                    for part in affected.values()
-                    if self.storage.exists(os.path.join(dirs[part], _DV_DIR))]
-        if not dv_paths:
-            return matched
-        n = len(pcols)
-        segs = F.split(F.col("_metadata.file_path"), "/")
-        # .../<render: n segs>/<label>/_dv/<file> → render = segs[-(n+3):-3];
-        # decoded back to the on-disk (Hive-escaped) form — any literal '/'
-        # inside a value is itself Hive-escaped, so decoding post-join is
-        # safe (it can never introduce a separator)
-        render = _uri_decode_expr(F.array_join(
-            F.slice(segs, F.size(segs) - (n + 2), n), "/"))
-        schema = StructType(
-            [StructField("__render", StringType(), False)]
-            + [StructField(c, matched.schema[c].dataType, True)
-               for c in pcols])
-        mapping = self.spark.createDataFrame(
-            [(renders[key], *key) for key in affected], schema)
-        prev = (self.spark.read.parquet(*dv_paths)
-                .select(render.alias("__render"), "file", "idx")
-                .join(F.broadcast(mapping), "__render")
-                .select(*matched.columns))
-        return matched.unionByName(prev)
+    def _carry_old_dvs(self, pairs: "list[tuple[str, str]]") -> None:
+        """Carry EXISTING deletion-vector files into freshly staged vector
+        dirs as file-level links/copies — zero Spark jobs and zero data
+        decode (vector files are immutable parquet; the new and old
+        position sets are disjoint by construction, the new positions
+        having been anti-joined against the old vectors at scan time).
+        Replaces the attribute-and-union Spark job, which decoded and
+        re-encoded every old vector row just to move it unchanged.
+        ``pairs`` = [(old_dv_dir, staged_dst_dir)]; carried files get a
+        ``prev-`` prefix so staged ``part-*`` names can never collide."""
+        def carry(pair):
+            dv_dir, dst = pair
+            for f in sorted(self.storage.list_dir(dv_dir)):
+                if f.startswith((".", "_")) or not f.endswith(".parquet"):
+                    continue
+                self.storage.link_or_copy(os.path.join(dv_dir, f),
+                                          os.path.join(dst, f"prev-{f}"))
+        _parallel_publish(carry, pairs)
 
     def _dv_dirs(self, dirs: list[str]) -> list[str]:
         """Version dirs among ``dirs`` carrying a deletion vector. One

@@ -377,15 +377,23 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
             if not staged:
                 return
             version = Version.generate()
+            # stage→final moves are independent per-file metadata ops
+            # (rename locally, copy+delete on object stores): run them on
+            # the publish thread pool so an epoch touching many partitions
+            # costs wall-clock of round trips/16, not their sum
+            from ..engine import _parallel_publish
+
+            moves = []
             for render, dirs in staged.items():
                 final = (path_for(self.location, version) if render is None
                          else os.path.join(self.location, render,
                                            version.label))
                 self.storage.makedirs(final)
                 for d in dirs:
-                    for f in self.storage.list_dir(d):
-                        self.storage.move_file(os.path.join(d, f),
-                                               os.path.join(final, f))
+                    moves.extend((os.path.join(d, f),
+                                  os.path.join(final, f))
+                                 for f in self.storage.list_dir(d))
+            _parallel_publish(lambda m: self.storage.move_file(*m), moves)
             _commit_versioned_write(
                 self.location, version, list(staged),
                 append=not self.overwrite,
