@@ -37,9 +37,25 @@ only (links, footer reads, one log append). Every filesystem touch goes
 through the ``Storage`` backend selected by ``.option("storage", ...)``
 (default local POSIX), so the sink works on object stores too.
 
-Unsupported via this sink (use ``engine.insert``): column-mapped tables,
-CHECK constraints, generated partition columns, bucketing (all need the
-engine's Spark-side plan rewrites / validation).
+Capability parity with ``engine.insert`` (no SparkSession on this path —
+see :mod:`.arrowexpr` for how each is kept byte-identical):
+
+- column-mapped tables: incoming logical names are renamed to the
+  on-disk physical names per batch (pure rename; mapped columns are
+  never partition/constraint/derivation columns, ``rename_column``
+  guards that);
+- CHECK constraints: evaluated per task over the Arrow batches with
+  DuckDB, after driver-side validation that the expression sits in the
+  dialect-neutral grammar where DuckDB and Spark SQL agree — a
+  violation fails the job before any commit (written files are swept by
+  ``abort``); out-of-grammar constraints refuse at construction;
+- generated partition columns: the catalogue forms (``to_date``, date
+  parts, ``substring``, integer arithmetic, identity) are compiled to
+  Arrow kernels at construction; out-of-catalogue derivations refuse.
+
+Still unsupported (use ``engine.insert``): bucketing — the
+filename-index==bucket-id contract needs Spark-side hash clustering the
+DataSource writer cannot impose on its input partitioning.
 """
 
 from __future__ import annotations
@@ -54,7 +70,12 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from ..core.log import ConcurrentWriteError, FileTableVersions, read_table_meta
+from ..core.log import (
+    ConcurrentWriteError,
+    ConstraintViolationError,
+    FileTableVersions,
+    read_table_meta,
+)
 from ..core.model import (
     UNVERSIONED,
     AddPartitionVersion,
@@ -80,36 +101,126 @@ class TvxCommitMessage(WriterCommitMessage):
     root: "str | None" = None
 
 
-def _guard_writable(defn: TableDefinition, schema) -> None:
-    if defn.column_mapping or defn.dropped_columns:
-        raise ValueError(
-            f"{defn.name.fully_qualified_name} uses column mapping; write "
-            "through VersionedEngine.insert (the tvx sink has no "
-            "logical→physical translation)")
-    for feature, present in [
-            ("check_constraints", defn.check_constraints),
-            ("partition_derivations", defn.partition_derivations),
-            ("bucket_columns", defn.bucket_columns)]:
-        if present:
-            raise ValueError(
-                f"{defn.name.fully_qualified_name} declares {feature}; "
-                "write through VersionedEngine.insert (the tvx sink does "
-                "not evaluate them)")
-    if defn.schema_ddl and schema is not None:
-        from .source import _schema_fields
+@dataclass
+class WritePlan:
+    """Per-write capability plan, compiled driver-side by
+    :func:`_write_plan` and shipped (plain data, pickle-safe) to the
+    executors where :func:`_apply_write_plan` runs it per task."""
+    rename: tuple = ()        # ((logical, physical), ...)
+    constraints: tuple = ()   # validated CHECK expressions (logical names)
+    derivations: tuple = ()   # ((pcol, arrowexpr spec), ...) — omitted only
 
-        declared = {n for n, _ in _schema_fields(defn.schema_ddl)}
+
+def _write_plan(defn: TableDefinition, schema) -> WritePlan:
+    if defn.bucket_columns:
+        raise ValueError(
+            f"{defn.name.fully_qualified_name} declares bucket_columns; "
+            "write through VersionedEngine.insert (bucket clustering "
+            "needs the engine's Spark-side repartition)")
+    refuse = (f"write to {defn.name.fully_qualified_name} through "
+              "VersionedEngine.insert")
+    if schema is None and (defn.check_constraints
+                           or defn.partition_derivations):
+        raise ValueError(
+            f"{refuse}: no write schema available to validate "
+            "constraints/derivations against")
+    derivations = []
+    if schema is not None:
+        from .arrowexpr import compile_derivation
+
+        incoming_names = {n.lower() for n in schema.fieldNames()}
+        for col, expr in defn.partition_derivations:
+            if col.lower() in incoming_names:
+                continue  # writer supplied the derived column itself
+            spec = compile_derivation(expr, schema)
+            if isinstance(spec, str):
+                raise ValueError(
+                    f"{refuse}: partition derivation {col}={expr!r} is "
+                    f"outside the sink's Arrow catalogue ({spec})")
+            derivations.append((col, spec))
+    from .source import _schema_fields
+
+    declared_fields = (_schema_fields(defn.schema_ddl)
+                       if defn.schema_ddl else [])
+    constraints = ()
+    if defn.check_constraints:
+        from .arrowexpr import validate_constraint
+
+        declared_cols = [n for n, _ in declared_fields]
+        for expr in defn.check_constraints:
+            reason = validate_constraint(expr, declared_cols)
+            if reason is not None:
+                raise ValueError(
+                    f"{refuse}: CHECK constraint {expr!r} is outside the "
+                    f"dialect-neutral grammar ({reason}), so the sink "
+                    "cannot evaluate it faithfully without Spark")
+        constraints = tuple(defn.check_constraints)
+    if declared_fields and schema is not None:
+        declared = {n for n, _ in declared_fields}
+        derivable = {col for col, _ in derivations}
         incoming = set(schema.fieldNames())
-        if incoming != declared:
+        if not (incoming <= declared and (declared - derivable) <= incoming):
             raise ValueError(
                 f"write schema {sorted(incoming)} must match declared "
-                f"schema {sorted(declared)} (schema evolution goes "
-                "through VersionedEngine.insert(evolve_schema=True))")
+                f"schema {sorted(declared)}"
+                + (f" (less any derived partition columns "
+                   f"{sorted(derivable)})" if derivable else "")
+                + " (schema evolution goes through "
+                "VersionedEngine.insert(evolve_schema=True))")
+    plan = WritePlan(rename=tuple(defn.column_mapping),
+                     constraints=constraints,
+                     derivations=tuple(derivations))
+    if constraints and schema is not None:
+        # construction-time faithfulness probe: run the EXACT executor path
+        # (derive, then DuckDB) over an empty batch of the incoming types —
+        # binder errors (e.g. a varchar-vs-integer comparison Spark would
+        # silently coerce but DuckDB refuses) become a loud refusal here,
+        # not a per-task crash on the first real write
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        try:
+            _apply_write_plan(
+                pa.Table.from_pylist([], schema=to_arrow_schema(schema)),
+                plan)
+        except Exception as e:
+            raise ValueError(
+                f"{refuse}: CHECK constraints {constraints} cannot be "
+                f"evaluated faithfully by the sink's DuckDB probe ({e})")
+    return plan
+
+
+def _apply_write_plan(t, plan: "WritePlan | None"):
+    """Executor side: derive omitted partition columns, probe CHECK
+    constraints (violation iff FALSE; NULL passes — the engine's
+    semantics), then rename logical→physical for column-mapped tables.
+    All Arrow-vectorized; a violation aborts the job before commit."""
+    if plan is None:
+        return t
+    if plan.derivations:
+        from .arrowexpr import apply_derivation
+
+        for col, spec in plan.derivations:
+            if col not in t.column_names:
+                t = t.append_column(col,
+                                    apply_derivation(spec, t.column(spec[1])))
+    if plan.constraints:
+        from .arrowexpr import violations
+
+        bad = violations(t, plan.constraints)
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {plan.constraints} rejected "
+                f"row {bad[0]}")
+    if plan.rename:
+        to_phys = dict(plan.rename)
+        t = t.rename_columns([to_phys.get(c, c) for c in t.column_names])
+    return t
 
 
 def _write_task_files(iterator, pcols: list[str], fmt: str,
                       out_root: str, subdir: str = "",
-                      storage=None) -> list:
+                      storage=None, plan: "WritePlan | None" = None) -> list:
     """Executor side: split the task's Arrow batches by partition value and
     write one file per partition under ``out_root[/render][/subdir]``.
     Grouping is Arrow-native (``group_by`` on the partition columns, then
@@ -127,6 +238,7 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
     t = pa.Table.from_batches(batches)
     if t.num_rows == 0:
         return written
+    t = _apply_write_plan(t, plan)
     if not pcols:
         groups = [(None, t)]
     else:
@@ -136,7 +248,10 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
         idx_col = grouped.column("__tvx_idx_list").combine_chunks()
         keys = [grouped.column(c).to_pylist() for c in pcols]  # O(#groups)
         groups = [
-            ("/".join(f"{c}={escape_partition_value(k[gi])}"
+            # empty string renders as the default partition, matching
+            # Spark's getPartitionPathString (engine.insert's partitionBy
+            # writes); escape_partition_value maps None to it already
+            ("/".join(f"{c}={escape_partition_value(None if k[gi] == '' else k[gi])}"
                       for c, k in zip(pcols, keys)),
              t.take(idx_col[gi].values))
             for gi in range(grouped.num_rows)]
@@ -278,7 +393,7 @@ class VersionedTableWriter(DataSourceArrowWriter):
                  storage=None):
         self.storage = storage if storage is not None else DEFAULT_STORAGE
         defn = read_table_meta(location, self.storage)
-        _guard_writable(defn, schema)
+        self.plan = _write_plan(defn, schema)
         self.location = location
         self.pcols = list(defn.partition_schema.columns)
         self.format = defn.format
@@ -293,12 +408,12 @@ class VersionedTableWriter(DataSourceArrowWriter):
         if not self.pcols:
             written = _write_task_files(iterator, self.pcols, self.format,
                                         path_for(self.location, self.version),
-                                        storage=self.storage)
+                                        storage=self.storage, plan=self.plan)
         else:
             written = _write_task_files(iterator, self.pcols, self.format,
                                         self.location,
                                         subdir=self.version.label,
-                                        storage=self.storage)
+                                        storage=self.storage, plan=self.plan)
         return TvxCommitMessage(written=written)
 
     def commit(self, messages):
@@ -330,7 +445,7 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                  schema=None, storage=None):
         self.storage = storage if storage is not None else DEFAULT_STORAGE
         defn = read_table_meta(location, self.storage)
-        _guard_writable(defn, schema)
+        self.plan = _write_plan(defn, schema)
         self.location = location
         self.pcols = list(defn.partition_schema.columns)
         self.format = defn.format
@@ -344,7 +459,8 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
         task_root = os.path.join(self.staging_root, uuid.uuid4().hex)
         return TvxCommitMessage(
             written=_write_task_files(iterator, self.pcols, self.format,
-                                      task_root, storage=self.storage),
+                                      task_root, storage=self.storage,
+                                      plan=self.plan),
             root=task_root)
 
     def commit(self, messages, batchId: int):

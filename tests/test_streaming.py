@@ -316,28 +316,55 @@ class TestTvxSink:
         assert engine.history("sk.sn").count() == 3  # init + 2 writes
 
     def test_sink_guards(self, spark, engine):
+        """What the sink still refuses: bucketing (needs Spark-side hash
+        clustering) and constraints/derivations outside the faithful
+        evaluation subset — supported features are covered by
+        TestSinkCapabilities."""
         import pytest as _pytest
 
         from table_versions_spark.streaming.source import register
 
         register(spark)
-        engine.create_table("sk.ck", schema_ddl="id bigint, v double",
-                            check_constraints=["v >= 0"])
-        loc = engine.definition("sk.ck").location
-        with _pytest.raises(Exception, match="check_constraints"):
+        engine.create_table("sk.bk", schema_ddl="id bigint, v double",
+                            bucket_columns=["id"], bucket_count=4)
+        with _pytest.raises(Exception, match="bucket"):
             spark.createDataFrame([(1, 1.0)], "id bigint, v double"
                                   ).write.format("tvx").mode("overwrite"
-                                  ).option("location", loc).save()
-        engine.create_table("sk.cm", schema_ddl="id bigint, v double")
-        engine.insert(spark.createDataFrame([(1, 1.0)], "id bigint, v double"),
-                      "sk.cm", "u", "v1")
-        engine.rename_column("sk.cm", "v", "amount")
-        with _pytest.raises(Exception, match="column mapping"):
-            spark.createDataFrame([(2, 2.0)], "id bigint, amount double"
-                                  ).write.format("tvx").mode("append"
                                   ).option("location",
-                                           engine.definition("sk.cm").location
+                                           engine.definition("sk.bk").location
                                   ).save()
+        # a constraint using a function call sits outside the
+        # dialect-neutral grammar: refuse at construction, loudly
+        engine.create_table("sk.ckf", schema_ddl="id bigint, s string",
+                            check_constraints=["length(s) > 0"])
+        with _pytest.raises(Exception, match="grammar"):
+            spark.createDataFrame([(1, "x")], "id bigint, s string"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("sk.ckf").location
+                                  ).save()
+        # in-grammar but type-divergent: Spark coerces 's > 5' via implicit
+        # cast, DuckDB's binder refuses — the construction-time probe turns
+        # that into a loud refusal instead of a per-task crash
+        engine.create_table("sk.ckt", schema_ddl="id bigint, s string",
+                            check_constraints=["s > 5"])
+        with _pytest.raises(Exception, match="faithfully"):
+            spark.createDataFrame([(1, "9")], "id bigint, s string"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("sk.ckt").location
+                                  ).save()
+        # a derivation outside the Arrow catalogue likewise
+        engine.create_table("sk.dvf", schema_ddl="id bigint, ts timestamp, "
+                            "d string", partition_columns=["d"],
+                            partition_derivations={
+                                "d": "date_format(ts, 'yyyy-MM')"})
+        with _pytest.raises(Exception, match="catalogue"):
+            spark.createDataFrame(
+                [(1, __import__("datetime").datetime(2026, 1, 2))],
+                "id bigint, ts timestamp"
+            ).write.format("tvx").mode("overwrite").option(
+                "location", engine.definition("sk.dvf").location).save()
 
     def test_stream_sink_exactly_once(self, spark, engine, tmp_path):
         """One commit per epoch; a replayed epoch (same txnApp+batchId,
@@ -370,6 +397,143 @@ class TestTvxSink:
         import os
         staging = os.path.join(loc, "_staging")
         assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+class TestSinkCapabilities:
+    """Capabilities the sink evaluates WITHOUT Spark on the write path —
+    column mapping (pure rename), CHECK constraints (DuckDB over the Arrow
+    batches, dialect-neutral grammar), generated partition columns (Arrow
+    kernel catalogue) — each byte-identical with engine.insert."""
+
+    def test_column_mapped_write_roundtrip(self, spark, engine):
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.cm", schema_ddl="id bigint, v double")
+        engine.insert(spark.createDataFrame([(1, 1.0)],
+                                            "id bigint, v double"),
+                      "skc.cm", "u", "v1")
+        engine.rename_column("skc.cm", "v", "amount")
+        loc = engine.definition("skc.cm").location
+        spark.createDataFrame([(2, 2.0)], "id bigint, amount double"
+                              ).write.format("tvx").mode("append"
+                              ).option("location", loc).save()
+        got = sorted((r.id, r.amount) for r in
+                     engine.read("skc.cm").collect())
+        assert got == [(1, 1.0), (2, 2.0)]
+        via_src = sorted((r.id, r.amount) for r in
+                         spark.read.format("tvx").option("location", loc)
+                         .load().collect())
+        assert via_src == got
+        # on disk the new file carries the PHYSICAL name, like engine.insert
+        import pyarrow.parquet as pq
+        phys = {c for f in engine.read("skc.cm").inputFiles()
+                for c in pq.read_schema(f.removeprefix("file:")).names}
+        assert "v" in phys and "amount" not in phys
+
+    def test_check_constraints_enforced(self, spark, engine):
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.ck", schema_ddl="id bigint, v double",
+                            check_constraints=["v >= 0"])
+        loc = engine.definition("skc.ck").location
+        spark.createDataFrame([(1, 0.5), (2, None)], "id bigint, v double"
+                              ).write.format("tvx").mode("overwrite"
+                              ).option("location", loc).save()
+        # NULL passes (SQL CHECK semantics), engine.insert parity
+        assert engine.read("skc.ck").count() == 2
+        before = engine.history("skc.ck").count()
+        with _pytest.raises(Exception, match="CHECK constraint"):
+            spark.createDataFrame([(3, -1.0)], "id bigint, v double"
+                                  ).write.format("tvx").mode("append"
+                                  ).option("location", loc).save()
+        # the violating job aborted before any commit; table unchanged
+        assert engine.history("skc.ck").count() == before
+        assert engine.read("skc.ck").count() == 2
+
+    def test_derived_partitions_match_engine_insert(self, spark, engine):
+        import datetime as dt
+        import os
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        for t in ("skc.gp_e", "skc.gp_s"):
+            engine.create_table(t,
+                                schema_ddl="id bigint, ts timestamp, d date",
+                                partition_columns=["d"],
+                                partition_derivations={"d": "to_date(ts)"})
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2019, 3, 13, 10)),
+             (2, dt.datetime(2019, 3, 14, 2))],
+            "id bigint, ts timestamp")
+        engine.insert(df, "skc.gp_e", "u", "engine path")
+        df.write.format("tvx").mode("overwrite").option(
+            "location", engine.definition("skc.gp_s").location).save()
+        renders = []
+        for t in ("skc.gp_e", "skc.gp_s"):
+            loc = engine.definition(t).location
+            renders.append(sorted(p for p in os.listdir(loc)
+                                  if p.startswith("d=")))
+        assert renders[0] == renders[1]  # byte-identical partition dirs
+        assert renders[0] == ["d=2019-03-13", "d=2019-03-14"]
+        got = {(r.id, r.d) for r in engine.read("skc.gp_s").collect()}
+        assert got == {(1, dt.date(2019, 3, 13)), (2, dt.date(2019, 3, 14))}
+
+    def test_empty_string_partition_renders_default(self, spark, engine):
+        """Spark's partitionBy maps an empty-string partition value to
+        __HIVE_DEFAULT_PARTITION__; the sink's Arrow grouping must render
+        identically or engine/sink writers would split one logical
+        partition across two directories."""
+        import os
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.es", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        loc = engine.definition("skc.es").location
+        spark.createDataFrame([(1, ""), (2, "x")], "id bigint, d string"
+                              ).write.format("tvx").mode("overwrite"
+                              ).option("location", loc).save()
+        dirs = sorted(p for p in os.listdir(loc) if p.startswith("d="))
+        assert dirs == ["d=__HIVE_DEFAULT_PARTITION__", "d=x"]
+        # engine.insert into the same partition lands in the SAME dir
+        engine.insert(spark.createDataFrame([(3, "")], "id bigint, d string"),
+                      "skc.es", "u", "engine write", mode="append")
+        assert sorted(p for p in os.listdir(loc)
+                      if p.startswith("d=")) == dirs
+
+    def test_streaming_sink_applies_plan(self, spark, engine, tmp_path):
+        """The streaming face shares the same write plan: derived
+        partition columns materialize per micro-batch."""
+        import datetime as dt
+        import os
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.gst",
+                            schema_ddl="id bigint, ts timestamp, d date",
+                            partition_columns=["d"],
+                            partition_derivations={"d": "to_date(ts)"})
+        loc = engine.definition("skc.gst").location
+        src = str(tmp_path / "src")
+        spark.createDataFrame([(1, dt.datetime(2020, 5, 6, 3))],
+                              "id bigint, ts timestamp"
+                              ).write.mode("overwrite").parquet(src)
+        q = (spark.readStream.schema("id bigint, ts timestamp").parquet(src)
+             .writeStream.format("tvx").option("location", loc)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+        assert sorted(p for p in os.listdir(loc)
+                      if p.startswith("d=")) == ["d=2020-05-06"]
+        got = {(r.id, r.d) for r in engine.read("skc.gst").collect()}
+        assert got == {(1, dt.date(2020, 5, 6))}
 
 
 class TestStreamingChangeFeed:
