@@ -145,27 +145,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"minhash-sig-{os.path.basename(os.path.normpath(sf_dir))}")
     sig.write.mode("overwrite").parquet(sig_dir)
     sig = spark.read.parquet(sig_dir)
-    # Bands + signatures ride the band shuffle together, and the estimated-
-    # Jaccard gate runs BEFORE pair dedup: on a high-overlap corpus the band
-    # join admits ~every moderately-similar pair (363k at sf0.1, 256 real),
-    # so filtering early shrinks the distinct() from 363k pairs to the
-    # survivors. The estimate itself is a native array_intersect — the
-    # position tag packed into each signature value makes positional
-    # equality a set operation (codegen'd) instead of an interpreted
-    # zip_with/aggregate lambda. Measured 2× faster end-to-end than the
-    # narrow-shuffle + post-distinct-join plan at sf0.1.
-    banded = sig.select("doc_id", "sig", F.explode(F.expr(
+    # NARROW band join: only (doc_id, 64-bit band key) rides the band
+    # shuffle — 16-byte rows instead of rows carrying the 1 KB signature
+    # array (which at 100 TB is an O(corpus × 32 × 1 KB) exchange). The
+    # estimated-Jaccard gate still runs BEFORE pair dedup — on a
+    # high-overlap corpus the band join admits ~every moderately-similar
+    # pair (363k at sf0.1, 256 real), so filtering early shrinks the
+    # distinct() to the survivors — but the signatures are equi-joined
+    # back onto the candidate pairs from the materialized sig table: AQE
+    # broadcasts it while it fits (5 MB at sf0.1) and falls back to a
+    # candidate-sized shuffle join at scale, both strictly smaller than
+    # shipping signatures through the band exchange. The estimate itself
+    # is a native array_intersect — the position tag packed into each
+    # signature value makes positional equality a set operation
+    # (codegen'd) instead of an interpreted zip_with/aggregate lambda.
+    # Measured ~12% faster end-to-end than the sig-through-the-band-
+    # shuffle plan at sf0.1 (2.3–2.4 s vs 2.7 s warm), and an earlier
+    # narrow variant that ran distinct() BEFORE the estimate gate
+    # measured 2× slower — gate placement is the load-bearing part.
+    banded = sig.select("doc_id", F.explode(F.expr(
         f"transform(sequence(0, {LSH_BANDS - 1}), "
-        f"b -> named_struct('idx', b, 'key', "
-        f"xxhash64(slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS}))))")).alias("band"))
-    a = banded.select(F.col("doc_id").alias("doc_id_a"),
-                      F.col("sig").alias("sig_a"), "band")
-    b = banded.select(F.col("doc_id").alias("doc_id_b"),
-                      F.col("sig").alias("sig_b"), "band")
+        f"b -> xxhash64(b, slice(sig, b * {LSH_ROWS} + 1, {LSH_ROWS})))"
+        )).alias("band"))
+    a = banded.select(F.col("doc_id").alias("doc_id_a"), "band")
+    b = banded.select(F.col("doc_id").alias("doc_id_b"), "band")
+    pairs = (a.join(b, "band")
+             .where(F.col("doc_id_a") < F.col("doc_id_b"))
+             .select("doc_id_a", "doc_id_b"))
+    sig_a = sig.select(F.col("doc_id").alias("doc_id_a"),
+                       F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_id_b"),
+                       F.col("sig").alias("sig_b"))
     est = (F.size(F.array_intersect("sig_a", "sig_b")).cast("double")
            / F.lit(float(NUM_MINHASHES)))
-    survivors = (a.join(b, "band")
-                 .where(F.col("doc_id_a") < F.col("doc_id_b"))
+    survivors = (pairs.join(sig_a, "doc_id_a").join(sig_b, "doc_id_b")
                  .where(est >= MINHASH_SIM_THRESHOLD)
                  .select("doc_id_a", "doc_id_b")
                  .distinct())

@@ -105,8 +105,14 @@ def violations(arrow_table, constraints: "tuple[str, ...]",
         # as Spark would — never in the executor's OS timezone
         tzs = {f.type.tz for f in arrow_table.schema
                if pat.is_timestamp(f.type) and f.type.tz}
+        if len(tzs) > 1:
+            # not producible through the sink (Spark attaches ONE session
+            # tz to every Arrow timestamp column) — refuse loudly rather
+            # than evaluate some column's literals in another's zone
+            raise ValueError(
+                f"mixed timestamp timezones {sorted(tzs)} in one batch")
         if tzs:
-            tz = sorted(tzs)[0]
+            tz = next(iter(tzs))
             if not re.fullmatch(r"[A-Za-z0-9_+\-/:]+", tz):
                 raise ValueError(f"unsupported timestamp timezone {tz!r}")
             con.execute(f"SET TimeZone = '{tz}'")

@@ -167,27 +167,105 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
                    f"{sorted(derivable)})" if derivable else "")
                 + " (schema evolution goes through "
                 "VersionedEngine.insert(evolve_schema=True))")
+    if schema is not None:
+        # partition values render from Python objects (_render_pvalue);
+        # float/double/binary have no str() that matches Java's
+        # Double.toString / Spark's binary rendering, so a sink write
+        # would split one logical partition across two directory names
+        derived_names = {col.lower() for col, _ in derivations}
+        pcols_lower = {c.lower() for c in defn.partition_schema.columns}
+        for f in schema.fields:
+            if (f.name.lower() in pcols_lower
+                    and f.name.lower() not in derived_names
+                    and f.dataType.typeName() in ("float", "double",
+                                                  "binary")):
+                raise ValueError(
+                    f"{refuse}: partition column {f.name} of type "
+                    f"{f.dataType.typeName()} cannot be rendered with "
+                    "Spark directory-name parity by the sink")
     plan = WritePlan(rename=tuple(defn.column_mapping),
                      constraints=constraints,
                      derivations=tuple(derivations))
     if constraints and schema is not None:
         # construction-time faithfulness probe: run the EXACT executor path
-        # (derive, then DuckDB) over an empty batch of the incoming types —
-        # binder errors (e.g. a varchar-vs-integer comparison Spark would
-        # silently coerce but DuckDB refuses) become a loud refusal here,
-        # not a per-task crash on the first real write
+        # (derive, then DuckDB) over a ONE-ROW batch of representative
+        # values for the incoming types. Binder errors (e.g. a
+        # varchar-vs-integer comparison Spark would silently coerce but
+        # DuckDB refuses) AND vectorized-cast errors that only fire with
+        # rows present (e.g. ts >= '2020-01': Spark casts the partial
+        # timestamp literal, DuckDB's conversion raises) become a loud
+        # refusal here, not a per-task crash on the first real write.
+        # The probe row may legitimately VIOLATE the constraints — only
+        # evaluation errors refuse, violations() output is discarded.
         import pyarrow as pa
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        from .arrowexpr import violations
+
+        arrow_schema = to_arrow_schema(schema)
         try:
-            _apply_write_plan(
-                pa.Table.from_pylist([], schema=to_arrow_schema(schema)),
-                plan)
+            probe = pa.Table.from_pylist(
+                [{f.name: _probe_value(f.type) for f in arrow_schema}],
+                schema=arrow_schema)
+            probe = _apply_write_plan(
+                probe, WritePlan(derivations=tuple(derivations)))
+            violations(probe, constraints)
         except Exception as e:
             raise ValueError(
                 f"{refuse}: CHECK constraints {constraints} cannot be "
                 f"evaluated faithfully by the sink's DuckDB probe ({e})")
     return plan
+
+
+def _probe_value(t):
+    """A representative non-null Python value for one Arrow type — the
+    construction-time constraint probe needs a row PRESENT so DuckDB
+    executes its vectorized literal casts, not just its binder."""
+    import datetime
+    import decimal
+
+    import pyarrow.types as pat
+
+    if pat.is_boolean(t):
+        return True
+    if pat.is_integer(t):
+        return 1
+    if pat.is_floating(t):
+        return 1.0
+    if pat.is_decimal(t):
+        return decimal.Decimal(1).scaleb(-t.scale)
+    if pat.is_timestamp(t):
+        return datetime.datetime(2000, 1, 1)
+    if pat.is_date(t):
+        return datetime.date(2000, 1, 1)
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "a"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return b"a"
+    return None  # nested/other: constraints can't reference these anyway
+
+
+def _render_pvalue(v):
+    """Python value → the string Spark's getPartitionPathString renders
+    (before Hive escaping): booleans lowercase, timestamps in Spark's
+    cast-to-string form (space separator, fractional seconds trimmed of
+    trailing zeros), '' → the default partition (None).  int/date/Decimal
+    str() already match Java's rendering; float/double/binary are refused
+    at construction (_write_plan)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, datetime.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    if v == "":
+        return None
+    return v
 
 
 def _apply_write_plan(t, plan: "WritePlan | None"):
@@ -248,10 +326,11 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
         idx_col = grouped.column("__tvx_idx_list").combine_chunks()
         keys = [grouped.column(c).to_pylist() for c in pcols]  # O(#groups)
         groups = [
-            # empty string renders as the default partition, matching
-            # Spark's getPartitionPathString (engine.insert's partitionBy
-            # writes); escape_partition_value maps None to it already
-            ("/".join(f"{c}={escape_partition_value(None if k[gi] == '' else k[gi])}"
+            # _render_pvalue matches Spark's getPartitionPathString
+            # (engine.insert's partitionBy writes): '' → default
+            # partition, booleans lowercase, timestamps Spark-formatted;
+            # escape_partition_value maps None to the default partition
+            ("/".join(f"{c}={escape_partition_value(_render_pvalue(k[gi]))}"
                       for c, k in zip(pcols, keys)),
              t.take(idx_col[gi].values))
             for gi in range(grouped.num_rows)]

@@ -164,3 +164,21 @@ class TestDerivationCatalogue:
     def test_out_of_catalogue_returns_reason(self, expr):
         schema = FakeSchema(ts="timestamp", name="string", id="long")
         assert isinstance(compile_derivation(expr, schema), str)
+
+
+def test_mixed_timestamp_timezones_refused():
+    """Two distinct tz annotations in one batch cannot both pin DuckDB's
+    TimeZone — refuse loudly rather than cast one column's literals in
+    the other's zone (not producible via the sink, which attaches one
+    session tz; guarded for direct callers)."""
+    import pyarrow as pa
+    import pytest
+
+    from table_versions_spark.streaming.arrowexpr import violations
+
+    t = pa.table({
+        "a": pa.array([1000000], pa.timestamp("us", tz="UTC")),
+        "b": pa.array([1000000], pa.timestamp("us", tz="America/New_York")),
+    })
+    with pytest.raises(ValueError, match="mixed timestamp timezones"):
+        violations(t, ("a IS NOT NULL",))

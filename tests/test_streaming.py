@@ -507,6 +507,94 @@ class TestSinkCapabilities:
         assert sorted(p for p in os.listdir(loc)
                       if p.startswith("d=")) == dirs
 
+    def test_partition_value_render_parity(self, spark, engine):
+        """Non-string partition values (bool, timestamp) must render the
+        directory name exactly as Spark's partitionBy does — Python's
+        str(True) is 'True' vs Spark's 'true', and a datetime's default
+        str keeps trailing fractional zeros Spark trims — or one logical
+        partition splits across two directories."""
+        import datetime as dt
+        import os
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        for t in ("skc.pv_e", "skc.pv_s"):
+            engine.create_table(
+                t, schema_ddl="id bigint, b boolean, ts timestamp",
+                partition_columns=["b", "ts"])
+        df = spark.createDataFrame(
+            [(1, True, dt.datetime(2020, 5, 6, 7, 8, 9, 500000)),
+             (2, False, dt.datetime(2020, 5, 6, 7, 8, 9))],
+            "id bigint, b boolean, ts timestamp")
+        engine.insert(df, "skc.pv_e", "u", "engine path")
+        loc_s = engine.definition("skc.pv_s").location
+        df.write.format("tvx").mode("overwrite").option(
+            "location", loc_s).save()
+
+        def pdirs(t):
+            loc = engine.definition(t).location
+            out = []
+            for b in sorted(p for p in os.listdir(loc)
+                            if p.startswith("b=")):
+                out += [f"{b}/{ts}" for ts in
+                        sorted(os.listdir(os.path.join(loc, b)))]
+            return out
+
+        assert pdirs("skc.pv_e") == pdirs("skc.pv_s")
+        assert pdirs("skc.pv_e")[0].startswith("b=false/ts=")
+        # and overwriting an engine-written partition through the sink
+        # REPLACES it (same directory), never writes a doppelgänger dir
+        engine.create_table("skc.pv_r", schema_ddl="id bigint, b boolean",
+                            partition_columns=["b"])
+        loc_r = engine.definition("skc.pv_r").location
+        engine.insert(spark.createDataFrame([(1, True)],
+                                            "id bigint, b boolean"),
+                      "skc.pv_r", "u", "engine write")
+        spark.createDataFrame([(2, True)], "id bigint, b boolean"
+                              ).write.format("tvx").mode("overwrite"
+                              ).option("location", loc_r).save()
+        assert [(r.id, r.b) for r in engine.read("skc.pv_r").collect()] \
+            == [(2, True)]
+
+    def test_unrenderable_partition_type_refused(self, spark, engine):
+        """float/double partition values have no Python rendering that
+        matches Java's Double.toString — refuse at construction."""
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.fp", schema_ddl="id bigint, f double",
+                            partition_columns=["f"])
+        with _pytest.raises(Exception, match="render"):
+            spark.createDataFrame([(1, 1.5)], "id bigint, f double"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("skc.fp").location
+                                  ).save()
+
+    def test_value_dependent_cast_divergence_refused(self, spark, engine):
+        """A partial-timestamp literal (ts >= '2020-01') binds in DuckDB
+        but its vectorized cast only raises once rows are present; Spark
+        casts it fine. The one-row construction probe must surface that
+        as a loud refusal, not a per-task crash on the first write."""
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.pt", schema_ddl="id bigint, ts timestamp",
+                            check_constraints=["ts >= '2020-01'"])
+        with _pytest.raises(Exception, match="faithfully"):
+            spark.createDataFrame([(1, "2026-01-01 00:00:00")],
+                                  "id bigint, ts string"
+                                  ).selectExpr("id", "cast(ts as timestamp) ts"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("skc.pt").location
+                                  ).save()
+
     def test_streaming_sink_applies_plan(self, spark, engine, tmp_path):
         """The streaming face shares the same write plan: derived
         partition columns materialize per micro-batch."""
