@@ -171,17 +171,22 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
         # partition values render from Python objects (_render_pvalue);
         # float/double/binary have no str() that matches Java's
         # Double.toString / Spark's binary rendering, so a sink write
-        # would split one logical partition across two directory names
-        derived_names = {col.lower() for col, _ in derivations}
-        pcols_lower = {c.lower() for c in defn.partition_schema.columns}
-        for f in schema.fields:
-            if (f.name.lower() in pcols_lower
-                    and f.name.lower() not in derived_names
-                    and f.dataType.typeName() in ("float", "double",
-                                                  "binary")):
+        # would split one logical partition across two directory names.
+        # A derived partition column's effective type is its spec's
+        # output: only the bare-column ('identity') form can carry a
+        # non-renderable source type through — every other catalogue form
+        # yields date/int/string.
+        by_name = {f.name: f.dataType.typeName() for f in schema.fields}
+        eff = {f.name.lower(): f.dataType.typeName()
+               for f in schema.fields}
+        for col, spec in derivations:
+            if spec[0] == "identity":
+                eff[col.lower()] = by_name[spec[1]]
+        for c in defn.partition_schema.columns:
+            if eff.get(c.lower()) in ("float", "double", "binary"):
                 raise ValueError(
-                    f"{refuse}: partition column {f.name} of type "
-                    f"{f.dataType.typeName()} cannot be rendered with "
+                    f"{refuse}: partition column {c} of type "
+                    f"{eff[c.lower()]} cannot be rendered with "
                     "Spark directory-name parity by the sink")
     plan = WritePlan(rename=tuple(defn.column_mapping),
                      constraints=constraints,
@@ -259,7 +264,10 @@ def _render_pvalue(v):
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, datetime.datetime):
-        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        # explicit field formatting, not strftime: glibc's %Y renders
+        # year 1 as '1' where Spark pads to '0001'
+        s = (f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
+             f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}")
         if v.microsecond:
             s += f".{v.microsecond:06d}".rstrip("0")
         return s
@@ -285,7 +293,19 @@ def _apply_write_plan(t, plan: "WritePlan | None"):
     if plan.constraints:
         from .arrowexpr import violations
 
-        bad = violations(t, plan.constraints)
+        try:
+            bad = violations(t, plan.constraints)
+        except Exception as e:
+            # the construction-time probe runs under UTC (the plan worker
+            # has no SparkSession, so the session timezone is unknowable
+            # there); a timezone-dependent evaluation failure can only
+            # surface here — make it actionable, not a bare DuckDB error
+            raise ValueError(
+                f"CHECK constraints {plan.constraints} could not be "
+                f"evaluated faithfully over this batch (its timestamp "
+                f"timezone is the Spark session's, which the "
+                f"construction-time probe cannot see): {e} — write "
+                "through VersionedEngine.insert") from e
         if bad:
             raise ConstraintViolationError(
                 f"CHECK constraint {plan.constraints} rejected "

@@ -574,6 +574,37 @@ class TestSinkCapabilities:
                                            engine.definition("skc.fp").location
                                   ).save()
 
+    def test_identity_derived_float_partition_refused(self, spark, engine):
+        """A bare-column partition derivation over a double source smuggles
+        the unrenderable type past the incoming-schema check — the refusal
+        must look at the EFFECTIVE type, source column included."""
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("skc.fpd", schema_ddl="id bigint, f double, p double",
+                            partition_columns=["p"],
+                            partition_derivations={"p": "f"})
+        with _pytest.raises(Exception, match="render"):
+            spark.createDataFrame([(1, 1e-07)], "id bigint, f double"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("skc.fpd").location
+                                  ).save()
+
+    def test_render_pvalue_pads_ancient_years(self):
+        """glibc strftime renders year 1 as '1'; Spark pads to '0001' —
+        the sentinel timestamp 0001-01-01 must not split a partition."""
+        import datetime as dt
+
+        from table_versions_spark.streaming.sink import _render_pvalue
+
+        assert _render_pvalue(dt.datetime(1, 1, 1)) == "0001-01-01 00:00:00"
+        assert _render_pvalue(
+            dt.datetime(999, 12, 31, 1, 2, 3, 400000)) \
+            == "0999-12-31 01:02:03.4"
+
     def test_value_dependent_cast_divergence_refused(self, spark, engine):
         """A partial-timestamp literal (ts >= '2020-01') binds in DuckDB
         but its vectorized cast only raises once rows are present; Spark
