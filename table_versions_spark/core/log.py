@@ -259,7 +259,13 @@ class FileTableVersions:
                     raise UnknownCommitError(f"Unknown commit id: {pointer}")
 
         base, start_seq = self._load_checkpoint(seq)
-        files = self._commit_files()[start_seq:seq + 1]
+        files = self._commit_files()
+        if seq >= len(files):
+            # an explicit at_seq past the head (e.g. a streaming checkpoint
+            # replayed against a truncated/recreated log) must fail loudly —
+            # the slice below would silently clamp to a shorter state
+            raise UnknownCommitError(f"No commit at seq {seq}")
+        files = files[start_seq:seq + 1]
         ops = []
         for fname in files:
             data = json.loads(
@@ -305,7 +311,10 @@ class FileTableVersions:
                     raise UnknownCommitError(f"Unknown commit id: {pointer}")
         raw, start_seq = self._load_checkpoint_raw(seq)
         stats: dict[str, dict] = dict(raw.get("stats") or {}) if raw else {}
-        for fname in self._commit_files()[start_seq:seq + 1]:
+        fnames = self._commit_files()
+        if seq >= len(fnames):
+            raise UnknownCommitError(f"No commit at seq {seq}")
+        for fname in fnames[start_seq:seq + 1]:
             d = json.loads(
                 self.storage.read_text(os.path.join(self.log_dir, fname)))
             stats.update(d.get("stats") or {})

@@ -812,11 +812,23 @@ class S3Storage(ObjectStoreStorage):
             by_bucket.setdefault(bucket, []).append(key)
         for bucket, keys in by_bucket.items():
             for i in range(0, len(keys), 1000):
-                self._s3.delete_objects(
+                resp = self._s3.delete_objects(
                     Bucket=bucket,
                     Delete={"Objects": [{"Key": k}
                                         for k in keys[i:i + 1000]],
                             "Quiet": True})
+                # Quiet mode still reports per-key failures in Errors —
+                # the per-key delete_object this replaced raised on them,
+                # and a silently-kept key means vacuum/publish report
+                # success while the data persists
+                errs = resp.get("Errors") or []
+                if errs:
+                    first = errs[0]
+                    raise OSError(
+                        f"S3 DeleteObjects left {len(errs)} key(s) "
+                        f"undeleted in {bucket}; first: "
+                        f"{first.get('Key')}: {first.get('Code')} "
+                        f"{first.get('Message')}")
 
     def __reduce__(self):
         # executors get a fresh boto3 client on unpickle (clients hold

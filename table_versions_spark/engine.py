@@ -71,8 +71,6 @@ from .core.model import (
     TableUpdateMetadata,
     TableVersion,
     Version,
-    apply_partition_updates,
-    latest_snapshot_table_version,
 )
 from .core.paths import path_for
 
@@ -148,7 +146,7 @@ class VersionedEngine:
 
     def create_table(self, table: TableName | str, schema_ddl: str | None = None,
                      partition_columns: list[str] | None = None,
-                     format: str = "parquet", user_id: str = "unknown",
+                     format: str | None = None, user_id: str = "unknown",
                      message: str = "init",
                      bucket_columns: list[str] | None = None,
                      bucket_count: int = 0,
@@ -189,7 +187,7 @@ class VersionedEngine:
             name=table,
             location=self.table_location(table),
             partition_schema=PartitionSchema(tuple(partition_columns or ())),
-            format=format,
+            format=format or "parquet",
             schema_ddl=schema_ddl,
             bucket_columns=tuple(bucket_columns or ()),
             bucket_count=bucket_count,
@@ -216,7 +214,8 @@ class VersionedEngine:
                     ("partition_columns", partition_columns is not None,
                      defn.partition_schema.columns,
                      stored.partition_schema.columns),
-                    ("format", True, defn.format, stored.format),
+                    ("format", format is not None, defn.format,
+                     stored.format),
                     ("bucket_columns", bucket_columns is not None,
                      defn.bucket_columns, stored.bucket_columns),
                     ("bucket_count", bucket_count != 0,
@@ -1429,20 +1428,16 @@ class VersionedEngine:
         return CommitResult(after, changes, update.metadata.commit_id)
 
     @staticmethod
-    def _head_fold(defn: TableDefinition, state) -> TableVersion:
-        """Fold of ALL committed updates (the head), pointer-independent."""
-        ops = [op for u in state.updates for op in u.operations]
-        if defn.is_snapshot:
-            return latest_snapshot_table_version(ops)
-        return apply_partition_updates(PartitionedTableVersion({}), ops)
-
-    def _conflict_precondition(self, defn: TableDefinition, base_fold,
+    def _conflict_precondition(defn: TableDefinition, base_fold,
                                touched=None):
         """Commit precondition for optimistic concurrency control: raises
         ``ConcurrentWriteError`` when the head fold's entries for the
         ``touched`` partitions (or the snapshot version) moved since the
         caller captured ``base_fold``. ``touched=None`` on a partitioned
-        table guards EVERY partition present in the baseline."""
+        table guards EVERY partition present in the baseline.
+
+        Static so non-engine writers (the tvx sink) share the exact same
+        conflict semantics instead of re-deriving them."""
         if defn.is_snapshot:
             expected_v = base_fold.version
 

@@ -132,13 +132,20 @@ class IncrementalRollup:
         # cursor write, then a source partition removal) would keep its
         # stale aggregates forever — drop every existing target partition
         # in the same commit; the write re-adds the live ones
+        # conflict baseline BEFORE deriving the drop list, and head_fold
+        # rather than the pointer state: the RemovePartition ops land on
+        # top of the full-log fold, so the drop list must cover head-only
+        # partitions (a rollback may have moved the pointer back), and a
+        # concurrent write into a dropped partition must fail the commit
+        # precondition instead of being silently erased by the rebuild
         tgt_defn, tgt_log = self.engine._log(self.target)
-        drop = ([] if tgt_defn.is_snapshot else list(getattr(
-            tgt_log.current_version(tgt_defn.name),
-            "partition_versions", {})))
+        base_fold = tgt_log.head_fold(tgt_defn.name)
+        drop = ([] if tgt_defn.is_snapshot else
+                list(getattr(base_fold, "partition_versions", {})))
         return self.engine._insert(out, self.target, user_id,
                                    "rollup: full build",
-                                   drop_partitions=drop)
+                                   drop_partitions=drop,
+                                   conflict_fold=base_fold)
 
     def _incremental(self, cursor: str, head: str, user_id: str):
         src_defn, src_log = self.engine._log(self.source)

@@ -71,7 +71,6 @@ from pyspark.sql.datasource import (
 )
 
 from ..core.log import (
-    ConcurrentWriteError,
     ConstraintViolationError,
     FileTableVersions,
     read_table_meta,
@@ -446,29 +445,15 @@ def _commit_versioned_write(location: str, version: Version,
         return
     precondition = None
     if read_fold is not None:
-        if defn.is_snapshot:
-            expected_v = read_fold.version
+        # the engine's OCC precondition, verbatim — one implementation of
+        # the conflict semantics for both writers
+        from ..engine import VersionedEngine
 
-            def precondition(state, _e=expected_v):
-                now = state.head_fold().version
-                if now != _e:
-                    raise ConcurrentWriteError(
-                        f"Snapshot table {defn.name.fully_qualified_name} "
-                        "changed since this write began")
-        else:
-            touched = {op.partition for op in ops
-                       if isinstance(op, AddPartitionVersion)}
-            expected_pv = {p: read_fold.partition_versions.get(p)
-                           for p in touched}
-
-            def precondition(state, _e=expected_pv):
-                now = state.head_fold().partition_versions
-                clash = sorted(p.render() for p, v in _e.items()
-                               if now.get(p) != v)
-                if clash:
-                    raise ConcurrentWriteError(
-                        "Concurrent update to partition(s) "
-                        f"{clash} of {defn.name.fully_qualified_name}")
+        touched = (None if defn.is_snapshot else
+                   {op.partition for op in ops
+                    if isinstance(op, AddPartitionVersion)})
+        precondition = VersionedEngine._conflict_precondition(
+            defn, read_fold, touched)
     log.commit(defn.name,
                TableUpdate(TableUpdateMetadata.create(user_id, message,
                                                       txn=txn),

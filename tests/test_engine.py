@@ -2267,6 +2267,16 @@ class TestCreateTableRedeclaration:
         d = engine.create_table("db.ct2", schema_ddl="id bigint, v string")
         assert d.schema_ddl == "id bigint, v string"
 
+    def test_defaulted_recreate_of_nonparquet_table(self, spark, engine):
+        """A bare recreate (no format argument) of an ORC table must stay
+        idempotent — only an EXPLICIT format clash rejects."""
+        engine.create_table("db.ct4", schema_ddl="id bigint", format="orc")
+        again = engine.create_table("db.ct4")
+        assert again.format == "orc"
+        assert engine.create_table("db.ct4", format="orc").format == "orc"
+        with pytest.raises(ValueError, match="format"):
+            engine.create_table("db.ct4", format="parquet")
+
 
 class TestRmwConflictDetection:
     """upsert/merge/delete/update/compact are read-modify-write: a commit

@@ -388,3 +388,20 @@ class TestCheckpointResumedFolds:
         log.set_current_version(T, early)
         assert log.head_fold(T).partition_versions[
             Partition.parse("d=1")] == versions[-1]
+
+
+class TestAtSeqBounds:
+    def test_at_seq_past_head_raises(self, log):
+        """An explicit at_seq beyond the head (a streaming checkpoint
+        replayed against a truncated/recreated log) must raise, never
+        silently clamp to a shorter state — a clamped fold makes
+        before==after and the stream emits nothing forever."""
+        log.init(T, False, "u", "init")
+        log.commit(T, mk_update(AddPartitionVersion(
+            Partition.parse("d=1"), Version.generate())))
+        head = log.head_seq()
+        assert log.current_version(T, at_seq=head)  # in range: fine
+        with pytest.raises(UnknownCommitError):
+            log.current_version(T, at_seq=head + 5)
+        with pytest.raises(UnknownCommitError):
+            log.stats_map(T, at_seq=head + 5)

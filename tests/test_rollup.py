@@ -100,3 +100,42 @@ def test_full_rebuild_drops_stale_target_partitions(spark, engine):
     roll.refresh()  # cursor None -> full build again
     assert _got(spark, engine, "rb.agg") == _expected(spark, engine, "rb.src")
     assert all(r[0] != "d2" for r in _got(spark, engine, "rb.agg"))
+
+
+def test_full_rebuild_occ_guards_concurrent_target_write(spark, engine):
+    """A full rebuild is read-modify-write over the whole target: a commit
+    landing into a rebuilt partition after the rebuild captured its
+    baseline must fail the rebuild's commit (ConcurrentWriteError), never
+    be silently erased by the rebuild's drop+re-add."""
+    from table_versions_spark.core.log import ConcurrentWriteError
+    from table_versions_spark.engine import VersionedEngine
+
+    engine.create_table("rb.osrc", schema_ddl=DDL, partition_columns=["d"])
+    engine.insert(spark.createDataFrame([(1, "click", 1.0, "d1")], DDL),
+                  "rb.osrc", "u", "base")
+    roll = IncrementalRollup(engine, "rb.osrc", "rb.oagg",
+                             group_cols=["d", "event_type"], agg=_agg)
+    roll.refresh()
+
+    eng2 = VersionedEngine(spark, engine.warehouse, engine.storage)
+    done = {}
+    orig = VersionedEngine._write_partitioned
+
+    def racing(eng_self, df, defn, version, distribute=True, **kw):
+        ops = orig(eng_self, df, defn, version, distribute=distribute, **kw)
+        if defn.name.name == "oagg" and not done:
+            done["x"] = True  # concurrent write into a rebuilt partition
+            eng2.insert(spark.createDataFrame(
+                [("d1", "click", 9.0, 1)],
+                "d string, event_type string, total double, n bigint"),
+                "rb.oagg", "w2", "winner")
+        return ops
+
+    VersionedEngine._write_partitioned = racing
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            roll._full_build("u")
+    finally:
+        VersionedEngine._write_partitioned = orig
+    # the winner's commit survived; the stale rebuild never landed
+    assert ("d1", "click", 9.0, 1) in _got(spark, engine, "rb.oagg")

@@ -132,13 +132,23 @@ class FakeS3Client:
             self.etags.pop((Bucket, Key), None)
 
     def delete_objects(self, Bucket, Delete):
-        # boto3 DeleteObjects: up to 1000 keys per request
+        # boto3 DeleteObjects: up to 1000 keys per request; per-key
+        # failures come back in Errors, not as an exception
         assert len(Delete["Objects"]) <= 1000
+        deleted, errors = [], []
         with self.lock:
             for o in Delete["Objects"]:
+                if o["Key"] in getattr(self, "fail_delete_keys", ()):
+                    errors.append({"Key": o["Key"], "Code": "AccessDenied",
+                                   "Message": "injected"})
+                    continue
                 self.objects.pop((Bucket, o["Key"]), None)
                 self.etags.pop((Bucket, o["Key"]), None)
-        return {"Deleted": [{"Key": o["Key"]} for o in Delete["Objects"]]}
+                deleted.append({"Key": o["Key"]})
+        out = {"Deleted": deleted}
+        if errors:
+            out["Errors"] = errors
+        return out
 
     def head_object(self, Bucket, Key):
         with self.lock:
@@ -304,6 +314,16 @@ class TestS3WalkAndPickle:
             fake_client.put_object(BUCKET, f"rt/f{i}", b"x")
         s3.remove_tree(f"s3://{BUCKET}/rt")
         assert not [k for (_, k) in fake_client.objects if k.startswith("rt/")]
+
+    def test_bulk_delete_surfaces_per_key_failures(self, s3, fake_client):
+        """DeleteObjects reports per-key failures in the response body, not
+        as an exception — swallowing them makes vacuum report dirs as
+        removed while the data persists. The storage must raise."""
+        for i in range(3):
+            fake_client.put_object(BUCKET, f"bd/f{i}", b"x")
+        fake_client.fail_delete_keys = {"bd/f1"}
+        with pytest.raises(OSError, match="AccessDenied"):
+            s3.remove_tree(f"s3://{BUCKET}/bd")
 
     def test_custom_client_refuses_pickling(self, s3):
         import pickle
