@@ -244,6 +244,26 @@ class TestParallelStreamReader:
         assert sorted(map(tuple, tbl.to_pylist()[0].items())) == [
             ("d", "b"), ("id", 4)]
 
+    def test_checkpoint_past_head_fails_loudly(self, spark, engine):
+        """An offset beyond the log head (checkpoint replayed against a
+        truncated/recreated table) must raise, not fold a clamped state
+        that makes before==after and the stream silently emit nothing."""
+        from table_versions_spark.core.log import UnknownCommitError
+        from table_versions_spark.streaming.source import (
+            VersionedTableParallelStreamReader)
+
+        engine.create_table("db.trunc", schema_ddl="id bigint, d string",
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], "id bigint, d string"),
+                      "db.trunc", "u", "c1")
+        loc = engine.definition("db.trunc").location
+        r = VersionedTableParallelStreamReader(loc)
+        head = r.latestOffset()["seq"]
+        with pytest.raises(UnknownCommitError):
+            r.partitions({"seq": head}, {"seq": head + 7})
+        with pytest.raises(UnknownCommitError):
+            r.partitions({"seq": head + 3}, {"seq": head + 7})
+
     def test_parallel_reader_is_default_stream_path(self, spark, engine,
                                                     tmp_path):
         """readStream without maxCommitsPerTrigger goes through the
