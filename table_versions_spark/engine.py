@@ -1834,9 +1834,11 @@ class VersionedEngine:
                     os.path.join(loc, p.render(), av.label) if av else None))
 
         def data_files(d: str) -> set[str]:
+            # name-filter only: the only non-data entries a version dir
+            # holds (_dv/, _cdc/, _SUCCESS, .crc) start with _ or ., and
+            # a per-entry is_dir probe costs one LIST per file on S3
             return {f for f in self.storage.list_dir(d)
-                    if not f.startswith((".", "_"))
-                    and not self.storage.is_dir(os.path.join(d, f))}
+                    if not f.startswith((".", "_"))}
 
         def require_dir(d: str) -> str:
             # a vacuumed dir means this span's row-level diff is no longer
@@ -1968,6 +1970,14 @@ class VersionedEngine:
                 ascan.join(F.broadcast(known), ["__slot", "__dv_file"],
                            "left_anti")
                      .join(a_pos, key, "left_anti").drop(*drop_keys),
+                "insert"))
+            # resurrections: positions vectored BEFORE but not AFTER (a
+            # restore of a dv-delete commit shrinks the vector) come back
+            # to life — emit them as inserts from the after scan (the file
+            # exists in both dirs; refined requires a file superset)
+            resurrect = b_pos.join(a_pos, key, "left_anti")
+            out.append(finalize(
+                ascan.join(resurrect, key, "left_semi").drop(*drop_keys),
                 "insert"))
         if not out:
             return (self._apply_mapping(eff, self._empty(eff))

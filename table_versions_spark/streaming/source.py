@@ -45,7 +45,11 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
 )
 
-from ..core.log import FileTableVersions, read_table_meta
+from ..core.log import (
+    FileTableVersions,
+    UnknownCommitError,
+    read_table_meta,
+)
 from ..core.metastore import (
     AddPartition,
     UpdatePartitionVersion,
@@ -177,15 +181,20 @@ class VersionedTableStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"seq": -1}
 
-    def _commit_id_at(self, seq: int) -> str | None:
-        if seq < 0:
-            return None
-        return self.log.commit_id_at(seq)
-
     # -- reads -------------------------------------------------------------
 
     def read(self, start: dict):
         head = self.log.head_seq()
+        if start["seq"] > head:
+            # a checkpoint offset past the head means the checkpoint
+            # belongs to a different (truncated/recreated) log — clamping
+            # would regress the offset and silently skip the new log's
+            # commits
+            raise UnknownCommitError(
+                f"stream checkpoint offset {start['seq']} is past the log "
+                f"head {head} of {self.location}: the checkpoint does not "
+                "belong to this table's log (recreated table?) — start the "
+                "query with a fresh checkpoint")
         if self.max_commits > 0:
             head = min(head, start["seq"] + self.max_commits)
         end = {"seq": head}
@@ -244,10 +253,11 @@ class VersionedDirPartition(InputPartition):
 
 
 class ChangeFeedPartition(InputPartition):
-    """One planned change-feed unit: either a coarse whole-dir emit
-    (kind="coarse", change_type delete|insert) or a refined before/after
-    pair whose diff the executor computes from the dirs' deletion
-    vectors (kind="refined")."""
+    """One planned change-feed unit: a coarse whole-dir emit
+    (kind="coarse"; change_type "delete" reads b_dir, "insert" reads
+    a_dir), a refined before/after pair whose diff the executor computes
+    from the dirs' deletion vectors (kind="refined"), or a commit-time
+    ``_cdc/`` sidecar dir in a_dir (kind="cdc")."""
 
     def __init__(self, kind: str, change_type, b_dir, a_dir,
                  b_files: tuple, partition):
@@ -325,20 +335,25 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
             partition = Partition.parse(q) if q else None
             if b is None:
                 parts.append(ChangeFeedPartition(
-                    "coarse", "insert", a, None, (), partition))
+                    "coarse", "insert", None, _require_dir(a, self.storage),
+                    (), partition))
             elif a is None:
                 parts.append(ChangeFeedPartition(
-                    "coarse", "delete", b, None, (), partition))
+                    "coarse", "delete", _require_dir(b, self.storage), None,
+                    (), partition))
             else:
                 # a _cdc sidecar diffed against exactly this before-dir is
                 # row-exact for the pair (rewrite commits on
-                # change_data_feed tables); else vector-delta, else coarse
+                # change_data_feed tables) and stays exact even past
+                # vacuum retention; else vector-delta, else coarse
                 cdc_dir = os.path.join(a, CDC_DIR)
                 if cdc_before_label(cdc_dir, self.storage) == \
                         os.path.basename(b):
                     parts.append(ChangeFeedPartition(
                         "cdc", None, None, cdc_dir, (), partition))
                     continue
+                _require_dir(b, self.storage)
+                _require_dir(a, self.storage)
                 bf = _data_files(b, self.storage)
                 if bf <= _data_files(a, self.storage):
                     parts.append(ChangeFeedPartition(
@@ -347,7 +362,7 @@ class VersionedTableParallelStreamReader(DataSourceStreamReader):
                     parts.append(ChangeFeedPartition(
                         "coarse", "delete", b, None, (), partition))
                     parts.append(ChangeFeedPartition(
-                        "coarse", "insert", a, None, (), partition))
+                        "coarse", "insert", None, a, (), partition))
         return parts
 
     def read(self, part):
@@ -507,19 +522,39 @@ def _dv_positions(directory: str, storage=None) -> dict[str, set[int]]:
     return out
 
 
+def _require_dir(d: str, storage) -> str:
+    """Change-feed planning guard: a vacuumed dir means this span's diff is
+    no longer reconstructible — fail with the reason instead of silently
+    planning an empty before-state (which would re-emit the whole after
+    dir as inserts and drop every delete). Same contract as
+    ``engine.read_changes``; CDC-sidecar pairs never reach this."""
+    if not storage.is_dir(d):
+        raise ValueError(
+            f"version dir {d} was vacuumed: streaming change-feed rows "
+            "over this span are no longer reconstructible — restart from "
+            "a fresh checkpoint within the vacuum retention (CDC-sidecar "
+            "commits on change_data_feed tables remain exact)")
+    return d
+
+
 def _data_files(directory: str, storage=None) -> set[str]:
+    """Data-file names of one version dir. Name-filter only: the only
+    non-data entries a version dir ever holds (``_dv/``, ``_cdc/``,
+    ``_SUCCESS``, ``.crc``) start with ``_`` or ``.``, and a per-entry
+    ``is_dir`` probe would cost one LIST round-trip per file on S3."""
     storage = storage if storage is not None else DEFAULT_STORAGE
     return {f for f in storage.list_dir(directory)
-            if not f.startswith((".", "_"))
-            and not storage.is_dir(os.path.join(directory, f))}
+            if not f.startswith((".", "_"))}
 
 
 def _read_file(path: str, fmt: str, declared: set[str], storage=None,
                colmap: "dict[str, str] | None" = None):
     """One data file as a column-pruned Arrow table. ``colmap`` (physical →
     logical) renames mapped columns to their logical names after the read;
-    pruning keeps a column present under EITHER name (CDC sidecars carry
-    logical names, data files physical ones)."""
+    pruning keeps a column present under EITHER name. Data files AND CDC
+    sidecars both carry physical names (``_write_cdc_sidecars`` renames
+    logical→physical before the write, same as the data path), so the
+    same mapping applies to both."""
     storage = storage if storage is not None else DEFAULT_STORAGE
     keep = declared if not colmap else (
         declared | {p for p, l in colmap.items() if l in declared})
@@ -527,8 +562,10 @@ def _read_file(path: str, fmt: str, declared: set[str], storage=None,
         import pyarrow.orc as orc
 
         with storage.open_input(path) as f:
-            table = orc.read_table(f)
-        table = table.select([n for n in table.column_names if n in keep])
+            o = orc.ORCFile(f)
+            # push the column list into the stripe read, mirroring the
+            # parquet branch — never decode undeclared columns
+            table = o.read(columns=[n for n in o.schema.names if n in keep])
     else:
         import pyarrow.parquet as pq
 
@@ -554,8 +591,10 @@ def _table_to_batches(table, pa_schema, consts: dict):
             columns.append(_cast_column(table.column(field.name),
                                         field.type))
         elif field.name in consts and consts[field.name] is not None:
-            columns.append(pa.array([consts[field.name]] * n)
-                           .cast(field.type))
+            # O(1) Python work per constant column — never an n-element
+            # Python list on the data plane
+            columns.append(pa.repeat(
+                pa.scalar(consts[field.name], field.type), n))
         else:
             columns.append(pa.nulls(n, field.type))
     yield from pa.table(columns, schema=pa_schema).to_batches()
@@ -620,26 +659,43 @@ def _change_feed_batches(part: "ChangeFeedPartition", pa_schema,
                                 colmap=colmap)
         return
     if part.kind == "coarse":
-        yield from _dir_batches(part.b_dir, part.partition, pa_schema,
+        d = part.b_dir if part.change_type == "delete" else part.a_dir
+        yield from _dir_batches(d, part.partition, pa_schema,
                                 ptypes, fmt,
                                 constants={"_change_type": part.change_type},
                                 storage=storage, colmap=colmap)
         return
+    # re-check at execution: vacuum may have removed a dir between the
+    # driver's planning and this task — fail with the retention reason,
+    # not a raw FileNotFoundError from the first open
+    _require_dir(part.b_dir, storage)
+    _require_dir(part.a_dir, storage)
     declared = set(pa_schema.names)
     consts = dict(_partition_values(part.partition, ptypes))
     b_dv = _dv_positions(part.b_dir, storage)
     a_dv = _dv_positions(part.a_dir, storage)
     b_files = set(part.b_files)
-    # deletes: before-file rows at newly-vectored positions
+    # deletes: before-file rows at newly-vectored positions.
+    # resurrections: rows whose vector entries DISAPPEARED (a restore of
+    # a dv-delete commit shrinks the vector) come back as inserts — the
+    # file exists in both dirs (refined requires a file superset), so one
+    # read serves both sides of the delta.
     for fname in sorted(b_files):
-        delta = sorted(a_dv.get(fname, set()) - b_dv.get(fname, set()))
-        if not delta:
+        bv, av = b_dv.get(fname, set()), a_dv.get(fname, set())
+        delta = sorted(av - bv)
+        back = sorted(bv - av)
+        if not delta and not back:
             continue
         table = _read_file(os.path.join(part.b_dir, fname), fmt, declared,
                            storage, colmap=colmap)
-        yield from _table_to_batches(
-            table.take(delta), pa_schema,
-            {**consts, "_change_type": "delete"})
+        if delta:
+            yield from _table_to_batches(
+                table.take(delta), pa_schema,
+                {**consts, "_change_type": "delete"})
+        if back:
+            yield from _table_to_batches(
+                table.take(back), pa_schema,
+                {**consts, "_change_type": "insert"})
     # inserts: files the after dir added, minus their vector entries
     for fname in sorted(_data_files(part.a_dir, storage) - b_files):
         table = _read_file(os.path.join(part.a_dir, fname), fmt, declared,

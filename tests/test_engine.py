@@ -2398,3 +2398,73 @@ def test_vacuum_grace_window_protects_inflight_dirs(spark, engine):
     # explicit zero-grace: they go
     assert engine.vacuum("db.vg", keep_commits=1, grace_hours=0)
     assert sorted(r.id for r in engine.read("db.vg").collect()) == [3]
+
+
+class TestCdfResurrection:
+    def test_restore_of_dv_delete_resurrects_rows(self, spark, engine):
+        """A restore of a dv-delete commit SHRINKS the deletion vector
+        (same files, smaller vector): the refined row-level diff must
+        emit the resurrected rows as inserts, never an empty change set."""
+        ddl = "id bigint, d string"
+        engine.create_table("cdf.rz", schema_ddl=ddl, partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a")], ddl), "cdf.rz", "u", "v1")
+        engine.delete("cdf.rz", "id = 1", "u", "dv del", mode="dv")
+        pre = engine.history("cdf.rz").first()["commit_id"]
+        engine.restore("cdf.rz", r1.commit_id, "u")
+        ch = engine.read_changes("cdf.rz", since_commit=pre, row_level=True)
+        got = sorted((r.id, r._change_type) for r in ch.collect())
+        assert got == [(1, "insert")]
+        # spanning delete+restore: state is back to v1, so no pair at all
+        ch = engine.read_changes("cdf.rz", since_commit=r1.commit_id,
+                                 row_level=True)
+        assert ch.count() == 0
+
+    def test_streaming_change_feed_resurrection(self, spark, engine):
+        """The streaming change feed's refined executor path emits the
+        same resurrection inserts."""
+        import pyarrow as pa
+
+        from table_versions_spark.streaming.source import (
+            VersionedTableParallelStreamReader)
+
+        ddl = "id bigint, d string"
+        engine.create_table("cdf.rs", schema_ddl=ddl, partition_columns=["d"])
+        r1 = engine.insert(spark.createDataFrame(
+            [(1, "a"), (2, "a")], ddl), "cdf.rs", "u", "v1")
+        engine.delete("cdf.rs", "id = 1", "u", "dv del", mode="dv")
+        engine.restore("cdf.rs", r1.commit_id, "u")
+        loc = engine.definition("cdf.rs").location
+        r = VersionedTableParallelStreamReader(loc, change_feed=True)
+        head = r.latestOffset()["seq"]
+        parts = r.partitions({"seq": head - 1}, {"seq": head})
+        assert len(parts) == 1 and parts[0].kind == "refined"
+        rows = [row for p in parts for b in r.read(p)
+                for row in pa.Table.from_batches([b]).to_pylist()]
+        got = sorted((x["id"], x["_change_type"]) for x in rows)
+        assert got == [(1, "insert")]
+
+
+def test_streaming_change_feed_vacuumed_dir_fails_loudly(spark, engine):
+    """ChangeFeed planning over a vacuumed before-dir must raise the
+    retention error, not degrade to refined-with-empty-before (which
+    re-emits the whole after dir as inserts and drops every delete)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from table_versions_spark.streaming.source import (
+        VersionedTableParallelStreamReader)
+
+    ddl = "id bigint, d string"
+    engine.create_table("cdf.vg", schema_ddl=ddl, partition_columns=["d"])
+    engine.insert(spark.createDataFrame([(1, "a")], ddl), "cdf.vg", "u", "v1")
+    first = engine.history("cdf.vg").first()["commit_id"]
+    loc = engine.definition("cdf.vg").location
+    r = VersionedTableParallelStreamReader(loc, change_feed=True)
+    engine.insert(spark.createDataFrame([(2, "a")], ddl), "cdf.vg", "u", "v2")
+    # simulate vacuum removing the superseded before-dir
+    before_dir = r._state_dirs(1)["d=a"]
+    shutil.rmtree(before_dir)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"seq": 1}, {"seq": 2})
