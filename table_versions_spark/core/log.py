@@ -76,6 +76,17 @@ class ConcurrentWriteError(RuntimeError):
     commit depends on between the caller's read and its commit attempt."""
 
 
+class TxnAlreadyCommitted(Exception):
+    """Commit-time idempotence signal: the (app, version) txn token this
+    commit carries is already in the log — a racing duplicate (zombie
+    driver + retry) landed between the writer's probe and its commit.
+    Carries the prior commit's id; writers catch it and skip."""
+
+    def __init__(self, commit_id: str):
+        super().__init__(commit_id)
+        self.commit_id = commit_id
+
+
 class ConstraintViolationError(ValueError):
     """An insert carried rows failing a declared CHECK constraint; the
     write was rejected before any data landed."""

@@ -114,7 +114,40 @@ _ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(c) for c in range(0x20)} | {chr(0
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def render_partition_value(value) -> "str | None":
+    """Python value → the string Spark's ``getPartitionPathString`` renders
+    (before Hive escaping): booleans lowercase, timestamps in Spark's
+    cast-to-string form (space separator, zero-padded year, fractional
+    seconds trimmed of trailing zeros), empty string → the default
+    partition (None). ``int``/``date``/``Decimal`` ``str()`` already match
+    Java's rendering. float/bytes are REFUSED: Python has no rendering
+    that matches ``Double.toString`` / Spark's binary form, and a silently
+    divergent name would address (or drop) the wrong directory."""
+    import datetime
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, datetime.datetime):
+        # explicit field formatting, not strftime: glibc's %Y renders
+        # year 1 as '1' where Spark pads to '0001'
+        s = (f"{value.year:04d}-{value.month:02d}-{value.day:02d} "
+             f"{value.hour:02d}:{value.minute:02d}:{value.second:02d}")
+        if value.microsecond:
+            s += f".{value.microsecond:06d}".rstrip("0")
+        return s
+    if isinstance(value, (float, bytes)):
+        raise ValueError(
+            f"partition value {value!r} of type {type(value).__name__} "
+            "cannot be rendered with Spark directory-name parity")
+    if value == "":
+        return None
+    return value
+
+
 def escape_partition_value(value) -> str:
+    value = render_partition_value(value)
     if value is None:
         return HIVE_DEFAULT_PARTITION
     return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch

@@ -166,6 +166,12 @@ def _claim_via_link(path: str, data: bytes) -> bool:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(data)
+            f.flush()
+            # fsync BEFORE the link lands the name: without it a power
+            # loss can leave the claimed slot pointing at truncated bytes
+            # — exactly the bricked-log state this protocol exists to
+            # rule out
+            os.fsync(f.fileno())
         try:
             os.link(tmp, path)
             return True
@@ -239,6 +245,12 @@ class LocalStorage(Storage):
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(data)
+                f.flush()
+                # fsync before the rename makes the name visible: a crash
+                # must never surface an empty/truncated pointer or meta
+                # file (the rename itself may be lost — that only leaves
+                # the previous value, which is consistent)
+                os.fsync(f.fileno())
             os.replace(tmp, path)
         except BaseException:
             if os.path.exists(tmp):
@@ -292,8 +304,15 @@ class ObjectStoreStorage(Storage):
     The default primitives target a local directory (the *emulation*: tests
     run the full engine with object-store semantics — no rename, no links,
     conditional-put CAS — while Spark still reads/writes the same local
-    paths). A real S3/GCS backend overrides only the ``_``-prefixed
-    primitives with SDK calls; the publish/CAS protocol is inherited.
+    paths). A real SDK backend (see ``S3Storage``) overrides the
+    ``_``-prefixed primitives AND the local-FS conveniences the emulation
+    inherits for free — ``file_size``, ``update_atomic``, ``makedirs``,
+    ``_is_prefix``/``_exists_key``/``_list``/``_walk_files``,
+    ``_cleanup_prefix``, ``_get_range`` — i.e. everything that touches
+    ``os.*`` here; the publish/CAS *protocol* methods (``publish_dir``,
+    ``create_exclusive`` wiring, ``remove_tree``, ``open_input``/
+    ``open_output``) are what's actually inherited. Use ``S3Storage`` as
+    the authoritative checklist when adding a backend.
 
     ``copy_workers`` parallelizes per-file publish copies, the way a real
     backend would issue concurrent server-side COPY requests.
@@ -314,9 +333,16 @@ class ObjectStoreStorage(Storage):
         # emulate PUT atomicity (readers see old or new object) with
         # write-to-tmp + replace; a real object store gives this natively
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".put-")
-        with os.fdopen(fd, "wb") as f:
-            f.write(data)
-        os.replace(tmp, path)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+        except BaseException:
+            # never leave the temp inside the destination tree: a later
+            # _walk_files would treat the junk .put-* as a real key
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def _put_if_absent(self, path: str, data: bytes) -> bool:
         """Conditional put: S3 ``If-None-Match: *``. True iff created.
@@ -324,8 +350,22 @@ class ObjectStoreStorage(Storage):
         return _claim_via_link(path, data)
 
     def _copy(self, src: str, dst: str) -> None:
-        """Server-side copy (S3 CopyObject)."""
-        self._put(dst, self._get(src))
+        """Server-side copy (S3 CopyObject). The local emulation streams
+        chunked (copyfile) instead of buffering whole files: publish_dir
+        runs up to copy_workers of these concurrently, and whole-file
+        buffers would hold GBs in RAM for a large-partition publish."""
+        src_p, dst_p = _strip_scheme(src), _strip_scheme(dst)
+        os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst_p),
+                                   prefix=".put-")
+        os.close(fd)
+        try:
+            shutil.copyfile(src_p, tmp)
+            os.replace(tmp, dst_p)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
 
     def _delete(self, path: str) -> None:
         try:
@@ -490,13 +530,18 @@ class _RangedReader(io.RawIOBase):
 
     def seek(self, offset, whence=io.SEEK_SET):
         if whence == io.SEEK_SET:
-            self._pos = offset
+            pos = offset
         elif whence == io.SEEK_CUR:
-            self._pos += offset
+            pos = self._pos + offset
         elif whence == io.SEEK_END:
-            self._pos = self._size + offset
+            pos = self._size + offset
         else:
             raise ValueError(f"invalid whence: {whence}")
+        if pos < 0:
+            # io contract: negative positions raise — storing one would
+            # later issue a malformed negative-start ranged GET
+            raise ValueError(f"negative seek position {pos}")
+        self._pos = pos
         return self._pos
 
     def tell(self):
@@ -565,17 +610,24 @@ class MemoryStorage(ObjectStoreStorage):
         with self._lock:
             self._objects.pop(self._norm(path), None)
 
+    def _copy(self, src, dst):
+        # dict-to-dict: the base class's chunked local-file copy does not
+        # apply to in-memory objects
+        self._put(dst, self._get(src))
+
     def _list(self, path):
         prefix = self._norm(path) + "/"
         names = set()
-        for key in self._objects:
-            if key.startswith(prefix):
-                names.add(key[len(prefix):].split("/", 1)[0])
+        with self._lock:  # concurrent _put/_delete mutate the dict
+            for key in self._objects:
+                if key.startswith(prefix):
+                    names.add(key[len(prefix):].split("/", 1)[0])
         return sorted(names)
 
     def _is_prefix(self, path):
         prefix = self._norm(path) + "/"
-        return any(k.startswith(prefix) for k in self._objects)
+        with self._lock:
+            return any(k.startswith(prefix) for k in self._objects)
 
     def _walk_files(self, root):
         # flat key scan — the in-memory analogue of S3's non-delimited
@@ -683,14 +735,25 @@ class S3Storage(ObjectStoreStorage):
 
     def _put_if_absent(self, path, data):
         bucket, key = self._parse(path)
-        try:
-            self._s3.put_object(Bucket=bucket, Key=key, Body=data,
-                                IfNoneMatch="*")
-            return True
-        except self._s3.exceptions.ClientError as e:  # pragma: no cover
-            if e.response["ResponseMetadata"]["HTTPStatusCode"] in (409, 412):
-                return False
-            raise
+        while True:
+            try:
+                self._s3.put_object(Bucket=bucket, Key=key, Body=data,
+                                    IfNoneMatch="*")
+                return True
+            except self._s3.exceptions.ClientError as e:  # pragma: no cover
+                code = e.response["ResponseMetadata"]["HTTPStatusCode"]
+                if code == 412:
+                    return False  # key exists: the slot is claimed
+                if code == 409:
+                    # ConditionalRequestConflict: racing conditional PUTs,
+                    # outcome UNKNOWN — the key may remain absent. Treating
+                    # it as 'claimed' would skip a commit slot and break
+                    # the log's dense-sequence invariant; probe and retry
+                    # (update_atomic handles 409 the same way).
+                    if self._exists_key(path):
+                        return False
+                    continue
+                raise
 
     def update_atomic(self, path, fn):
         bucket, key = self._parse(path)
@@ -851,9 +914,9 @@ def storage_from_name(name: "str | None") -> Storage:
     ``object`` (object-store semantics emulated on local paths — the
     test/CI face), ``s3`` (boto3). MemoryStorage is deliberately absent:
     its state lives in one process and executor writes would be lost."""
-    if not name or name == "local":
+    key = (name or "").lower()
+    if not key or key == "local":
         return DEFAULT_STORAGE
-    key = name.lower()
     if key in ("object", "objectstore"):
         return ObjectStoreStorage()
     if key == "s3":

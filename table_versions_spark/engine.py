@@ -50,6 +50,7 @@ from .core.log import (
     ConcurrentWriteError,
     ConstraintViolationError,
     FileTableVersions,
+    TxnAlreadyCommitted,
     UnknownCommitError,
     UnknownTableError,
     read_table_meta,
@@ -113,6 +114,24 @@ def _uri_decode_expr(column):
     from pyspark.sql import functions as F
 
     return F.url_decode(F.regexp_replace(column, r"\+", "%2B"))
+
+def _txn_recheck_precondition(txn: tuple, inner=None):
+    """Compose a commit precondition that re-verifies the (app, version)
+    idempotence token INSIDE the CAS loop: probe-then-commit alone lets a
+    racing duplicate writer (zombie driver + retry) double-apply a batch.
+    Raises :class:`TxnAlreadyCommitted` (carrying the winner's commit id)
+    for the writer to catch and skip; delegates to ``inner`` otherwise."""
+    app, version = txn
+
+    def precondition(state):
+        done = state.txn_high_water(app)
+        if done is not None and done[0] >= version:
+            raise TxnAlreadyCommitted(done[1])
+        if inner is not None:
+            inner(state)
+
+    return precondition
+
 
 _PARTITION_DIR_MARKER = "="
 
@@ -509,9 +528,22 @@ class VersionedEngine:
                                            RemovePartition))})
             precondition = self._conflict_precondition(defn, read_fold,
                                                        touched)
-        return self._commit(defn, log, TableUpdate(
-            TableUpdateMetadata.create(user_id, message, txn=txn), tuple(ops),
-            stats=stats or None), precondition=precondition)
+        if txn is not None:
+            # commit-time idempotence recheck: the probe at the top of
+            # _insert is probe-then-commit — a racing duplicate (zombie
+            # driver + its retry, same (app, version)) can land between
+            # the probe and this commit, and the partition precondition
+            # alone would not notice if the read_fold was captured after
+            # the winner's commit. Re-verify INSIDE the CAS loop.
+            precondition = _txn_recheck_precondition(txn, precondition)
+        try:
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message, txn=txn),
+                tuple(ops), stats=stats or None), precondition=precondition)
+        except TxnAlreadyCommitted as dup:
+            current = log.current_version(defn.name)
+            return CommitResult(current, compute_changes(current, current),
+                                dup.commit_id)
 
     def _check_or_evolve_schema(self, df: DataFrame, defn: TableDefinition,
                                 evolve: bool) -> TableDefinition:
@@ -542,10 +574,22 @@ class VersionedEngine:
                 f"Cannot add column(s) {clash}: the name is still the "
                 "physical name of a renamed or dropped column in existing "
                 "data files")
+        # apply the widening onto a FRESH read of the stored meta, not the
+        # defn this insert started from: a concurrent rename_column's meta
+        # write landing in between would otherwise be clobbered by our
+        # stale mapping fields (the schema stays fail-open if the insert
+        # later aborts — widened with nulls, never narrowed)
+        stored = read_table_meta(defn.location, self.storage)
+        stored_names = {n for n, _ in self._schema_fields(stored)}
+        still_new = [c for c in new_cols if c not in stored_names]
+        if not still_new:  # a concurrent evolve already added them
+            return stored
         added = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                          for f in df.schema.fields if f.name in set(new_cols))
+                          for f in df.schema.fields
+                          if f.name in set(still_new))
         defn = dataclasses.replace(
-            defn, schema_ddl=f"{defn.schema_ddl}, {added}", merge_schema=True)
+            stored, schema_ddl=f"{stored.schema_ddl}, {added}",
+            merge_schema=True)
         write_table_meta(defn, self.storage)
         return defn
 
@@ -577,6 +621,13 @@ class VersionedEngine:
         base_fold = log.head_fold(defn.name)
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
+        if set(df.columns) != set(current.columns):
+            # survivors are projected to df.columns before the rewrite: a
+            # column missing from df would be silently NULLed for every
+            # untouched row in the touched partitions
+            raise ValueError(
+                f"upsert source schema {sorted(df.columns)} must match "
+                f"table schema {sorted(current.columns)}")
         if pcols:
             touched = df.select(*pcols).distinct()
             # null-safe (<=>) semi-join: a NULL partition value in df must
@@ -813,7 +864,12 @@ class VersionedEngine:
         if not affected:
             return self.insert(current.limit(0), table, user_id, message,
                                distribute=False)
-        affected_df = current.where(cond).select(*pcols).distinct()
+        # rebuild the scope frame from the ALREADY-COLLECTED keys: reusing
+        # the collected rows saves a second full predicate scan and pins
+        # the scope to exactly the partitions the drop list names (a
+        # non-deterministic predicate would otherwise scope differently)
+        affected_df = self.spark.createDataFrame(
+            affected_rows, current.select(*pcols).schema)
         # null-safe scope join: NULL-partition rows must be rewritten too
         scoped = current.alias("cur").join(
             F.broadcast(affected_df).alias("aff"),
@@ -1022,7 +1078,21 @@ class VersionedEngine:
         if unknown:
             raise ValueError(f"Unknown column(s) in SET: {unknown}")
         cond = F.coalesce(F.expr(predicate), F.lit(False))
-        matched = scan.where(cond)
+        version = Version.generate()
+        # materialize the matched rows ONCE: positions, the updated
+        # payload and the constraint probe are separate Spark jobs, and a
+        # non-deterministic predicate re-evaluated per job would mask
+        # rows that were never rewritten (row loss) — every downstream
+        # job reads this one scratch set
+        match_staging = os.path.join(defn.location,
+                                     f"_match_staging-{version.label}")
+        (scan.where(cond).select(*data_cols, "__dv_file", "__dv_idx")
+         .write.mode("overwrite").parquet(match_staging))
+        if _dv_row_count(match_staging, self.storage) == 0:
+            self.storage.remove_tree(match_staging)
+            return self._commit(defn, log, TableUpdate(
+                TableUpdateMetadata.create(user_id, message), ()))
+        matched = self.spark.read.parquet(match_staging)
         # updated payload: every assignment against the OLD row, each SET
         # expression cast to the column's DECLARED type — the rewrite path
         # gets both for free via insert()'s schema check; without the cast
@@ -1043,8 +1113,13 @@ class VersionedEngine:
                 lambda a, b: a | b,
                 [F.expr(c) == False  # noqa: E712
                  for c in defn.check_constraints])
-            bad = updated_logical.where(violated).limit(1).collect()
+            try:
+                bad = updated_logical.where(violated).limit(1).collect()
+            except Exception:
+                self.storage.remove_tree(match_staging)
+                raise
             if bad:
+                self.storage.remove_tree(match_staging)
                 raise ConstraintViolationError(
                     f"CHECK constraint {defn.check_constraints} rejected "
                     f"updated row {bad[0].asDict()}")
@@ -1055,7 +1130,6 @@ class VersionedEngine:
         positions = matched.select(
             *pcols, F.col("__dv_file").alias("file"),
             F.col("__dv_idx").alias("idx"))
-        version = Version.generate()
         # partition columns are never renameable (_guard_structural_column),
         # so their logical and physical names coincide — dir renders match
         # the partitionBy output directly
@@ -1091,6 +1165,7 @@ class VersionedEngine:
             finally:
                 self.storage.remove_tree(dv_staging)
                 self.storage.remove_tree(upd_staging)
+                self.storage.remove_tree(match_staging)
             dv_total = _dv_row_count(
                 os.path.join(new_dir, _DV_DIR), self.storage)
             payload = _collect_version_stats(
@@ -1152,6 +1227,7 @@ class VersionedEngine:
         finally:
             self.storage.remove_tree(dv_staging)
             self.storage.remove_tree(upd_staging)
+            self.storage.remove_tree(match_staging)
         return self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(user_id, message), tuple(ops),
             stats=stats or None),
@@ -2138,7 +2214,10 @@ class VersionedEngine:
         reference's ``computeChanges`` does (``Metastore.scala:56-84``)."""
         defn, log = self._log(table)
         target = log.current_version(defn.name, at_commit=commit_id)
-        current = log.current_version(defn.name)
+        # diff against the HEAD fold, not the pointer: the restore ops land
+        # on top of the full-log fold, so a pointer moved by checkout would
+        # otherwise make the committed state neither target nor history
+        current = log.head_fold(defn.name)
         ops: list = []
         if isinstance(target, SnapshotTableVersion):
             if not isinstance(current, SnapshotTableVersion):
@@ -2184,10 +2263,20 @@ class VersionedEngine:
                tuple(defn.dropped_columns))
         if tgt != cur:
             ops.append(UpdateColumnMapping(*tgt, *cur))
+
+        def precondition(state, _base=current):
+            # strict whole-table OCC: the restore ops were diffed against
+            # _base; ANY commit landing in between would make the result
+            # neither the target state nor any historical state
+            if state.head_fold() != _base:
+                raise ConcurrentWriteError(
+                    f"{defn.name.fully_qualified_name} changed since this "
+                    "restore computed its diff — re-run the restore")
+
         result = self._commit(defn, log, TableUpdate(
             TableUpdateMetadata.create(
                 user_id, message or f"restore to {commit_id}"),
-            tuple(ops)))
+            tuple(ops)), precondition=precondition)
         if tgt != cur:
             write_table_meta(dataclasses.replace(
                 defn, schema_ddl=eff.schema_ddl,
@@ -2281,8 +2370,12 @@ class VersionedEngine:
             # apply any deletion vectors on the touched version dirs —
             # dv modes are refused on bucketed tables going forward, but a
             # vector from before that guard must not resurrect rows here
-            dfs = [self._read_files(
-                d, f, self._dv_dirs(sorted({os.path.dirname(p) for p in f})))
+            # column mapping applies like every other read surface:
+            # renamed columns surface their logical names, dropped columns
+            # stay hidden (bucket columns are structural — never renamed —
+            # so the join keys are unaffected)
+            dfs = [self._apply_mapping(d, self._read_files(
+                d, f, self._dv_dirs(sorted({os.path.dirname(p) for p in f}))))
                 for d, f in zip(defns, files)]
             sizes = [_size(f) for f in files]
             # stream the largest side through the others; for the 2-table

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -49,7 +50,7 @@ _SEQ = itertools.count()
 # collision is impossible; _RUN additionally keeps run dirs unique if a
 # process ever re-enters a query family after clearing _SEQ-based state
 # (cheap belt over the existing suspenders).
-_RUN = __import__("uuid").uuid4().hex[:8]
+_RUN = uuid.uuid4().hex[:8]
 
 
 def _await(q, timeout: int = 300) -> None:
@@ -79,8 +80,11 @@ def _events_for_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shared(spark: SparkSession, sf_dir: str) -> dict:
     # keyed by the session too: a cached engine bound to a stopped/replaced
-    # SparkSession must not leak into a fresh session's queries (the spark
-    # object rides the key, so GC id-reuse cannot alias entries)
+    # SparkSession must not leak into a fresh session's queries. Only
+    # id(spark) rides the KEY; what prevents GC id-reuse from aliasing
+    # entries is the 'spark' field in the VALUE dict below, which keeps
+    # the session object alive for as long as its entry exists — do not
+    # remove that field as redundant
     key = (id(spark), sf_dir)
     st = _SHARED.get(key)
     if st is None:
@@ -568,8 +572,11 @@ def q_vacuum_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming read of the versioned base table through the
-    ``tvx`` commit-log stream source (one micro-batch per commit span,
-    availableNow trigger) with an in-stream aggregation to a memory sink.
+    ``tvx`` commit-log stream source with an in-stream aggregation to a
+    memory sink. Under availableNow the Python DataSource stream has no
+    admission control, so the whole backlog lands as ONE micro-batch (see
+    ``q_stream_window``'s note); in continuous operation each trigger
+    consumes the commit span since its checkpointed seq.
 
     The streamed rows are exactly the rows the base table's single insert
     committed, so the per-event_type aggregate equals the same aggregate
@@ -600,10 +607,11 @@ def q_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-to-versioned streaming replication — the ``tvx`` data
     source driving BOTH faces: the base table's commit log streams out
-    through ``readStream.format("tvx")`` (one micro-batch per commit
-    span) and lands in a replica table through ``writeStream.format
-    ("tvx")`` (one versioned commit per epoch, exactly-once via the
-    ``txn=(txnApp, batchId)`` idempotence token). The replica's contents
+    through ``readStream.format("tvx")`` (the span since the checkpointed
+    seq per trigger; ONE batch under availableNow, which has no Python
+    DataSource admission control) and lands in a replica table through
+    ``writeStream.format("tvx")`` (one versioned commit per epoch,
+    exactly-once via the ``txn=(txnApp, batchId)`` idempotence token). The replica's contents
     then equal the base's — the oracle aggregates the raw events table.
 
     This is the change-data-replication shape (Delta "CDF in → table
@@ -757,7 +765,12 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
-    return spark.read.parquet(os.path.join(run, "out"))
+    # explicit schema: a run that closes ZERO windows commits no files,
+    # and schema inference over the empty sink dir would crash instead of
+    # returning the empty set the oracle expects
+    return spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n_events bigint, sum_value double").parquet(os.path.join(run, "out"))
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,7 +876,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", os.path.join(run, "ckpt"))
          .outputMode("append").trigger(availableNow=True).start())
     _await(q)
-    out = spark.read.parquet(os.path.join(run, "out"))
+    # explicit schema: zero matched pairs = empty sink dir = inference crash
+    out = spark.read.schema(
+        "purchase_id bigint, user_id bigint, view_id bigint"
+        ).parquet(os.path.join(run, "out"))
     # doc-grain summary keeps the compare payload small and integer-exact
     return (out.groupBy("user_id")
             .agg(F.count("*").alias("n_pairs"),
@@ -1102,7 +1118,10 @@ ORACLES = {
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
     "q_stream_dedup": (
-        "SELECT event_id, user_id, event_type, value FROM events"),
+        # DISTINCT states the documented semantics ("the distinct event
+        # set") instead of silently relying on event_id uniqueness in the
+        # testdata
+        "SELECT DISTINCT event_id, user_id, event_type, value FROM events"),
     "q_stream_join": (
         "WITH e AS (SELECT event_id, user_id, event_type, "
         "CAST(ts AS TIMESTAMP) AS ts FROM events), "

@@ -73,6 +73,7 @@ from pyspark.sql.datasource import (
 from ..core.log import (
     ConstraintViolationError,
     FileTableVersions,
+    TxnAlreadyCommitted,
     read_table_meta,
 )
 from ..core.model import (
@@ -167,7 +168,8 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
                 + " (schema evolution goes through "
                 "VersionedEngine.insert(evolve_schema=True))")
     if schema is not None:
-        # partition values render from Python objects (_render_pvalue);
+        # partition values render from Python objects
+        # (core.model.render_partition_value inside escape_partition_value);
         # float/double/binary have no str() that matches Java's
         # Double.toString / Spark's binary rendering, so a sink write
         # would split one logical partition across two directory names.
@@ -249,32 +251,6 @@ def _probe_value(t):
     return None  # nested/other: constraints can't reference these anyway
 
 
-def _render_pvalue(v):
-    """Python value → the string Spark's getPartitionPathString renders
-    (before Hive escaping): booleans lowercase, timestamps in Spark's
-    cast-to-string form (space separator, fractional seconds trimmed of
-    trailing zeros), '' → the default partition (None).  int/date/Decimal
-    str() already match Java's rendering; float/double/binary are refused
-    at construction (_write_plan)."""
-    import datetime
-
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, datetime.datetime):
-        # explicit field formatting, not strftime: glibc's %Y renders
-        # year 1 as '1' where Spark pads to '0001'
-        s = (f"{v.year:04d}-{v.month:02d}-{v.day:02d} "
-             f"{v.hour:02d}:{v.minute:02d}:{v.second:02d}")
-        if v.microsecond:
-            s += f".{v.microsecond:06d}".rstrip("0")
-        return s
-    if v == "":
-        return None
-    return v
-
-
 def _apply_write_plan(t, plan: "WritePlan | None"):
     """Executor side: derive omitted partition columns, probe CHECK
     constraints (violation iff FALSE; NULL passes — the engine's
@@ -345,11 +321,12 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
         idx_col = grouped.column("__tvx_idx_list").combine_chunks()
         keys = [grouped.column(c).to_pylist() for c in pcols]  # O(#groups)
         groups = [
-            # _render_pvalue matches Spark's getPartitionPathString
-            # (engine.insert's partitionBy writes): '' → default
-            # partition, booleans lowercase, timestamps Spark-formatted;
-            # escape_partition_value maps None to the default partition
-            ("/".join(f"{c}={escape_partition_value(_render_pvalue(k[gi]))}"
+            # escape_partition_value renders with Spark's
+            # getPartitionPathString parity (booleans lowercase,
+            # timestamps Spark-formatted, ''/None → default partition)
+            # before Hive-escaping — matching engine.insert's partitionBy
+            # dirs exactly (float/binary are refused at construction)
+            ("/".join(f"{c}={escape_partition_value(k[gi])}"
                       for c, k in zip(pcols, keys)),
              t.take(idx_col[gi].values))
             for gi in range(grouped.num_rows)]
@@ -454,11 +431,21 @@ def _commit_versioned_write(location: str, version: Version,
                     if isinstance(op, AddPartitionVersion)})
         precondition = VersionedEngine._conflict_precondition(
             defn, read_fold, touched)
-    log.commit(defn.name,
-               TableUpdate(TableUpdateMetadata.create(user_id, message,
-                                                      txn=txn),
-                           tuple(ops), stats=stats or None),
-               precondition=precondition)
+    if txn is not None:
+        # same commit-time idempotence recheck as engine._insert: a
+        # racing duplicate epoch (zombie driver + restarted query) must
+        # skip inside the CAS loop, not double-commit
+        from ..engine import _txn_recheck_precondition
+
+        precondition = _txn_recheck_precondition(txn, precondition)
+    try:
+        log.commit(defn.name,
+                   TableUpdate(TableUpdateMetadata.create(user_id, message,
+                                                          txn=txn),
+                               tuple(ops), stats=stats or None),
+                   precondition=precondition)
+    except TxnAlreadyCommitted:
+        return  # the racing writer's commit IS this epoch: nothing to do
 
 
 def _txn_high_water(location: str, app: str,

@@ -513,7 +513,13 @@ def _dv_positions(directory: str, storage=None) -> dict[str, set[int]]:
             if name.startswith((".", "_")) or not name.endswith(".parquet"):
                 continue
             with storage.open_input(os.path.join(dv_dir, name)) as f:
-                parts.append(pq.read_table(f, columns=["file", "idx"]))
+                # cast to one nullable schema: vector files written from a
+                # live _metadata scan carry REQUIRED fields, ones written
+                # from a scratch re-read carry OPTIONAL — concat_tables
+                # rejects the nullability mismatch
+                parts.append(pq.read_table(f, columns=["file", "idx"]).cast(
+                    pa.schema([pa.field("file", pa.string()),
+                               pa.field("idx", pa.int64())])))
         if parts:
             dv_tbl = pa.concat_tables(parts)
             for f, i in zip(dv_tbl.column("file").to_pylist(),

@@ -2468,3 +2468,138 @@ def test_streaming_change_feed_vacuumed_dir_fails_loudly(spark, engine):
     shutil.rmtree(before_dir)
     with _pytest.raises(ValueError, match="vacuumed"):
         r.partitions({"seq": 1}, {"seq": 2})
+
+
+class TestEngineReviewFixes:
+    def test_upsert_missing_column_refused(self, spark, engine):
+        """Survivors are projected to df.columns: a column missing from
+        the upsert frame would silently NULL it for every untouched row
+        in the touched partitions — refuse loudly instead."""
+        ddl = "id bigint, v string, extra string"
+        engine.create_table("rf.up", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame([(1, "a", "keep")], ddl),
+                      "rf.up", "u", "base")
+        with pytest.raises(ValueError, match="upsert source schema"):
+            engine.upsert(spark.createDataFrame([(1, "b")],
+                                                "id bigint, v string"),
+                          "rf.up", ["id"], "u", "bad")
+
+    def test_delete_drops_boolean_partition(self, spark, engine):
+        """Partition drop lists render collected Python values: str(True)
+        is 'True' but Spark's dir is 'flag=true' — the emptied partition
+        must still be dropped (and its rows must not survive)."""
+        ddl = "id bigint, flag boolean"
+        engine.create_table("rf.bp", schema_ddl=ddl,
+                            partition_columns=["flag"])
+        engine.insert(spark.createDataFrame(
+            [(1, True), (2, False)], ddl), "rf.bp", "u", "base")
+        engine.delete("rf.bp", "flag = true", "u", "purge true")
+        got = [(r.id, r.flag) for r in engine.read("rf.bp").collect()]
+        assert got == [(2, False)]
+        state = engine._log("rf.bp")[1].current_version()
+        assert [p.render() for p in state.partition_versions] \
+            == ["flag=false"]
+
+    def test_delete_drops_timestamp_partition_with_micros(self, spark,
+                                                          engine):
+        """Spark renders ts partition dirs with trailing fractional zeros
+        trimmed ('.5', not '.500000'); the drop-list render must match."""
+        import datetime as dt
+
+        ddl = "id bigint, ts timestamp"
+        engine.create_table("rf.tp", schema_ddl=ddl,
+                            partition_columns=["ts"])
+        engine.insert(spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1, 0, 0, 0, 500000)),
+             (2, dt.datetime(2021, 1, 1))], ddl), "rf.tp", "u", "base")
+        engine.delete("rf.tp", "id = 1", "u", "purge")
+        assert [r.id for r in engine.read("rf.tp").collect()] == [2]
+        state = engine._log("rf.tp")[1].current_version()
+        assert len(state.partition_versions) == 1
+
+    def test_restore_after_checkout_restores_against_head(self, spark,
+                                                          engine):
+        """Restore ops land on top of the full-log fold: after a checkout
+        moved the pointer back, a restore targeting that same state must
+        still emit the ops that bring the HEAD there — a pointer-based
+        diff would commit no-ops and the head state would win."""
+        ddl = "id bigint, d string"
+        engine.create_table("rf.rs", schema_ddl=ddl, partition_columns=["d"])
+        c1 = engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                           "rf.rs", "u", "v1")
+        engine.insert(spark.createDataFrame([(2, "a")], ddl),
+                      "rf.rs", "u", "v2")
+        engine.checkout("rf.rs", c1.commit_id)
+        assert [r.id for r in engine.read("rf.rs").collect()] == [1]
+        engine.restore("rf.rs", c1.commit_id, "u")
+        assert [r.id for r in engine.read("rf.rs").collect()] == [1]
+
+    def test_bucketed_join_applies_column_mapping(self, spark, engine):
+        """bucketed_join surfaces logical names and hides dropped columns
+        like every other read surface."""
+        engine.create_table("rf.bf", schema_ddl="k bigint, amount double",
+                            bucket_columns=["k"], bucket_count=2)
+        engine.create_table("rf.bd", schema_ddl="k bigint, name string",
+                            bucket_columns=["k"], bucket_count=2)
+        engine.insert(spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                            "k bigint, amount double"),
+                      "rf.bf", "u", "f")
+        engine.insert(spark.createDataFrame([(1, "x")],
+                                            "k bigint, name string"),
+                      "rf.bd", "u", "d")
+        engine.rename_column("rf.bf", "amount", "revenue")
+        out = engine.bucketed_join("rf.bf", "rf.bd")
+        assert "revenue" in out.columns and "amount" not in out.columns
+        assert [(r.k, r.revenue, r.name) for r in out.collect()] \
+            == [(1, 10.0, "x")]
+
+    def test_txn_recheck_blocks_duplicate_append(self, spark, engine):
+        """probe-then-commit alone double-applies a batch when a racing
+        duplicate (same txn token) lands between the probe and the
+        commit; the commit-time recheck must skip instead."""
+        from table_versions_spark.engine import VersionedEngine
+
+        ddl = "id bigint, d string"
+        engine.create_table("rf.tx", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(0, "a")], ddl),
+                      "rf.tx", "u", "base")
+        eng2 = VersionedEngine(spark, engine.warehouse, engine.storage)
+        done = {}
+        orig = VersionedEngine._write_partitioned
+
+        def racing(eng_self, df, defn, version, distribute=True, **kw):
+            ops = orig(eng_self, df, defn, version,
+                       distribute=distribute, **kw)
+            if defn.name.name == "tx" and not done and eng_self is engine:
+                done["x"] = True  # zombie writer lands the SAME txn first
+                eng2.insert(spark.createDataFrame([(1, "a")], ddl),
+                            "rf.tx", "w2", "zombie", mode="append",
+                            txn=("app", 5))
+            return ops
+
+        VersionedEngine._write_partitioned = racing
+        try:
+            r = engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                              "rf.tx", "u", "retry", mode="append",
+                              txn=("app", 5))
+        finally:
+            VersionedEngine._write_partitioned = orig
+        # the retry was skipped: batch applied exactly once
+        got = sorted(r.id for r in engine.read("rf.tx").collect())
+        assert got == [0, 1]
+        assert not r.changes.operations  # skip reported as empty change set
+
+    def test_update_dv_single_matched_set(self, spark, engine):
+        """dv-update's positions, payload and probe all read ONE
+        materialized matched set — a non-deterministic predicate must not
+        mask rows that were never rewritten."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("rf.nd", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(i, float(i), "a") for i in range(200)], ddl),
+            "rf.nd", "u", "base")
+        engine.update("rf.nd", set={"v": "-1.0"}, predicate="rand() < 0.5",
+                      user_id="u", message="nd", mode="dv")
+        rows = engine.read("rf.nd").collect()
+        assert len(rows) == 200  # no row lost, no row duplicated
+        assert all(r.v == -1.0 or r.v == float(r.id) for r in rows)

@@ -255,3 +255,32 @@ class TestRangedReads:
             assert f.read(3) == b"456"
             f.seek(-2, 2)
             assert f.read() == b"89"
+
+
+def test_storage_from_name_case_insensitive():
+    from table_versions_spark.core.storage import (
+        DEFAULT_STORAGE,
+        ObjectStoreStorage,
+        storage_from_name,
+    )
+
+    assert storage_from_name("Local") is DEFAULT_STORAGE
+    assert storage_from_name("LOCAL") is DEFAULT_STORAGE
+    assert isinstance(storage_from_name("Object"), ObjectStoreStorage)
+    with pytest.raises(ValueError, match="Unknown storage"):
+        storage_from_name("hdfs")
+
+
+def test_ranged_reader_rejects_negative_seek(tmp_path):
+    from table_versions_spark.core.storage import ObjectStoreStorage
+
+    p = str(tmp_path / "f.bin")
+    st = ObjectStoreStorage()
+    st.write_atomic(p, "0123456789")
+    with st.open_input(p) as f:
+        f.seek(3)
+        assert f.read(2) == b"34"
+        with pytest.raises(ValueError, match="negative seek"):
+            f.seek(-5)
+        with pytest.raises(ValueError, match="negative seek"):
+            f.seek(-99, 1)

@@ -106,6 +106,10 @@ class FakeS3Client:
         with self.lock:
             k = (Bucket, Key)
             conditional = IfNoneMatch is not None or IfMatch is not None
+            if conditional and getattr(self, "fail_conditional_409", 0) > 0:
+                # ConditionalRequestConflict: outcome unknown, key absent
+                self.fail_conditional_409 -= 1
+                raise _FakeExceptions.ClientError(409)
             if conditional and self.fail_conditional_puts > 0:
                 self.fail_conditional_puts -= 1
                 raise _FakeExceptions.ClientError(412)
@@ -314,6 +318,19 @@ class TestS3WalkAndPickle:
             fake_client.put_object(BUCKET, f"rt/f{i}", b"x")
         s3.remove_tree(f"s3://{BUCKET}/rt")
         assert not [k for (_, k) in fake_client.objects if k.startswith("rt/")]
+
+    def test_conditional_put_retries_on_409(self, s3, fake_client):
+        """409 ConditionalRequestConflict leaves the outcome UNKNOWN (the
+        key may remain absent): create_exclusive must probe-and-retry,
+        never treat the slot as claimed — a skipped slot breaks the
+        commit log's dense-sequence invariant."""
+        fake_client.fail_conditional_409 = 1
+        assert s3.create_exclusive(f"s3://{BUCKET}/log/409.json", "payload")
+        assert s3.read_text(f"s3://{BUCKET}/log/409.json") == "payload"
+        # 409 racing a put that DID land: resolves to 'claimed'
+        fake_client.put_object(BUCKET, "log/409b.json", b"winner")
+        fake_client.fail_conditional_409 = 1
+        assert not s3.create_exclusive(f"s3://{BUCKET}/log/409b.json", "x")
 
     def test_bulk_delete_surfaces_per_key_failures(self, s3, fake_client):
         """DeleteObjects reports per-key failures in the response body, not

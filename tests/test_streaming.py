@@ -618,10 +618,11 @@ class TestSinkCapabilities:
         the sentinel timestamp 0001-01-01 must not split a partition."""
         import datetime as dt
 
-        from table_versions_spark.streaming.sink import _render_pvalue
+        from table_versions_spark.core.model import render_partition_value
 
-        assert _render_pvalue(dt.datetime(1, 1, 1)) == "0001-01-01 00:00:00"
-        assert _render_pvalue(
+        assert render_partition_value(
+            dt.datetime(1, 1, 1)) == "0001-01-01 00:00:00"
+        assert render_partition_value(
             dt.datetime(999, 12, 31, 1, 2, 3, 400000)) \
             == "0999-12-31 01:02:03.4"
 
