@@ -42,7 +42,7 @@ from .core.model import (
     TableDefinition,
     Version,
 )
-from .core.paths import path_for
+from .core.paths import path_for, resolved_versioned_path
 
 from .core.model import unescape_partition_value  # noqa: F401  (re-export)
 
@@ -81,14 +81,82 @@ def catalog_current_version(spark: SparkSession, catalog_table: str,
         row = (spark.sql(f"DESCRIBE FORMATTED {catalog_table}")
                .where("col_name = 'Location'").select("data_type").first())
         return SnapshotTableVersion(version_of(row[0]) if row else UNVERSIONED)
+    # Hive lowercases partition column names on the way in — read-back
+    # renders must be re-cased to the DECLARED names or the diff against
+    # the log state emits a spurious Add('Day=x') + Remove('day=x') pair
+    # whose DROP deletes the live catalog partition every other sync
+    canon = {c.lower(): c for c in defn.partition_schema.columns}
+
+    def recase(part: Partition) -> Partition:
+        from .core.model import ColumnValue
+
+        return Partition(tuple(
+            ColumnValue(canon.get(cv.column.lower(), cv.column), cv.value)
+            for cv in part.column_values))
+
+    bulk = _bulk_partition_versions(spark, catalog_table, defn)
+    if bulk is not None:
+        return PartitionedTableVersion(
+            {recase(p): v for p, v in bulk.items()})
     mapping = {}
     for prow in spark.sql(f"SHOW PARTITIONS {catalog_table}").collect():
-        part = Partition.parse(prow[0])
+        part = recase(Partition.parse(prow[0]))
         loc = (spark.sql(f"DESCRIBE FORMATTED {catalog_table} "
                          f"PARTITION {_partition_expr(part)}")
                .where("col_name = 'Location'").select("data_type").first())
         mapping[part] = version_of(loc[0]) if loc else UNVERSIONED
     return PartitionedTableVersion(mapping)
+
+
+def _bulk_partition_versions(spark: SparkSession, catalog_table: str,
+                             defn: TableDefinition) -> "dict | None":
+    """All catalog partitions' (Partition, Version) in ONE metastore call
+    via the JVM SessionCatalog — the SHOW PARTITIONS + one DESCRIBE per
+    partition fallback is an N+1 round-trip pattern (minutes of wall
+    clock on a 10k-partition table, even for a no-op sync). Returns None
+    when the py4j surface is unavailable (non-session catalogs, API
+    drift) — callers fall back to the per-partition loop."""
+    from .core.model import escape_partition_value
+
+    try:
+        parts = catalog_table.split(".")
+        if len(parts) == 1:
+            db = spark.catalog.currentDatabase()
+            tbl = parts[0]
+        elif len(parts) == 2:
+            db, tbl = parts
+        else:
+            return None  # catalog-qualified: session-catalog API only
+        jvm = spark._jvm
+        ident = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+            tbl, jvm.scala.Some(db))
+        jparts = (spark._jsparkSession.sessionState().catalog()
+                  .listPartitions(ident, jvm.scala.Option.empty()))
+        cols = list(defn.partition_schema.columns)
+        out = {}
+        it = jparts.iterator()
+        while it.hasNext():
+            p = it.next()
+            spec = p.spec()  # raw (unescaped) values, keyed by column
+            render = []
+            for c in cols:
+                opt = spec.get(c)
+                if opt.isEmpty():
+                    opt = spec.get(c.lower())
+                if opt.isEmpty():
+                    return None  # unexpected spec shape: fall back
+                render.append(f"{c}={escape_partition_value(opt.get())}")
+            loc = p.storage().locationUri()
+            label = (str(loc.get()).rstrip("/").rsplit("/", 1)[-1]
+                     if not loc.isEmpty() else "")
+            try:
+                v = Version.parse(label)
+            except ValueError:
+                v = UNVERSIONED
+            out[Partition.parse("/".join(render))] = v
+        return out
+    except Exception:
+        return None
 
 
 def _physical_schema_ddl(defn: TableDefinition) -> str:
@@ -104,21 +172,25 @@ def _physical_schema_ddl(defn: TableDefinition) -> str:
 
 
 def _guard_no_deletion_vectors(defn: TableDefinition,
-                               log: FileTableVersions) -> None:
+                               log: FileTableVersions,
+                               state=None) -> None:
     """Refuse catalog sync while any current version dir carries a ``_dv``
     deletion-vector sidecar: a vanilla catalog reader knows nothing about
     vectors, so rows deleted via ``delete(mode='dv')`` would resurrect in
     ``spark.table()``, and rows updated via ``update(mode='dv')`` would
     appear twice (hardlinked old file plus new file). ``compact()``
     materializes vectors away; sync after that. Same refusal pattern as
-    the column-mapping VIEW interlock."""
-    state = log.current_version(defn.name)
+    the column-mapping VIEW interlock. Pass the already-folded ``state``
+    to avoid a second full log fold per sync."""
+    if state is None:
+        state = log.current_version(defn.name)
     if isinstance(state, SnapshotTableVersion):
         dirs = ([] if state.version == UNVERSIONED
                 else [path_for(defn.location, state.version)])
     else:
-        dirs = [os.path.join(defn.location, p.render(), v.label)
-                for p, v in state.partition_versions.items()]
+        dirs = [resolved_versioned_path(defn.location, p, v)
+                for p, v in state.partition_versions.items()
+                if v != UNVERSIONED]
     bad = sorted(d for d in dirs
                  if log.storage.exists(os.path.join(d, "_dv")))
     if bad:
@@ -145,10 +217,16 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
     logical-name projection — plain ``spark.table(name)`` then reads
     correct current-version data under the logical names, with partition
     pruning flowing through the view."""
-    _guard_no_deletion_vectors(defn, log)
+    target = log.current_version(defn.name)
+    _guard_no_deletion_vectors(defn, log, state=target)
     name = catalog_table or defn.name.fully_qualified_name
-    db = name.split(".")[0]
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    qualifier = name.split(".")[:-1]
+    if qualifier:
+        # only when the table name is actually qualified — an unqualified
+        # name lives in the current database, and 'interop' in
+        # sync_catalog(..., catalog_table='interop') is a TABLE name, not
+        # a database to create
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {'.'.join(qualifier)}")
     mapped = bool(defn.column_mapping or defn.dropped_columns)
     view_name = None
     if mapped:
@@ -172,7 +250,20 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
                       f"USING {defn.format} "
                       f"PARTITIONED BY ({', '.join(pcols)}) "
                       f"LOCATION '{defn.location}'")
-    target = log.current_version(defn.name)
+    else:
+        # schema reconciliation: evolution widened the declared schema
+        # after the catalog table was created — without ADD COLUMNS the
+        # evolved columns never reach vanilla readers (and the mapped
+        # view regeneration below would reference a column its __phys
+        # table lacks, failing every subsequent sync)
+        from .streaming.source import _schema_fields
+
+        have = {c.name.lower() for c in spark.catalog.listColumns(name)}
+        missing = [(n, t) for n, t in _schema_fields(schema_ddl)
+                   if n.lower() not in have]
+        if missing:
+            spark.sql(f"ALTER TABLE {name} ADD COLUMNS ("
+                      + ", ".join(f"{n} {t}" for n, t in missing) + ")")
     actual = catalog_current_version(spark, name, defn)
     ops = compute_changes(actual, target).operations
     for op in ops:  # one statement per op, as in the reference (:45-54)
@@ -180,14 +271,14 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
             spark.sql(f"ALTER TABLE {name} SET LOCATION "
                       f"'{path_for(defn.location, op.version)}'")
         elif isinstance(op, AddPartition):
-            loc = os.path.join(defn.location, op.partition.render(),
-                               op.version.label)
+            loc = resolved_versioned_path(defn.location, op.partition,
+                                          op.version)
             spark.sql(f"ALTER TABLE {name} ADD IF NOT EXISTS "
                       f"PARTITION {_partition_expr(op.partition)} "
                       f"LOCATION '{loc}'")
         elif isinstance(op, UpdatePartitionVersion):
-            loc = os.path.join(defn.location, op.partition.render(),
-                               op.version.label)
+            loc = resolved_versioned_path(defn.location, op.partition,
+                                          op.version)
             spark.sql(f"ALTER TABLE {name} "
                       f"PARTITION {_partition_expr(op.partition)} "
                       f"SET LOCATION '{loc}'")

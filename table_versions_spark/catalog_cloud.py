@@ -53,13 +53,27 @@ class CloudCatalogClient:
     dict-backed fake. All ``values`` lists are raw (unescaped) partition
     values in partition-key order."""
 
+    def ensure_database(self, database: str) -> None:
+        """Create the database if absent (idempotent) — the Hive path's
+        ``CREATE DATABASE IF NOT EXISTS`` equivalent."""
+        raise NotImplementedError
+
     def get_table(self, database: str, name: str) -> dict:
-        """-> {"location": str, "partition_keys": [str, ...]};
-        KeyError if absent."""
+        """-> {"location": str ('' when the catalog entry has no
+        location), "partition_keys": [str, ...]}; KeyError ONLY when the
+        table is absent (a malformed-but-present table must not read as
+        absent, or sync crash-loops on CreateTable AlreadyExists)."""
         raise NotImplementedError
 
     def create_table(self, database: str, name: str, location: str,
-                     partition_keys: list[str]) -> None:
+                     partition_keys: "list[tuple[str, str]]",
+                     columns: "list[tuple[str, str]]",
+                     format: str) -> None:
+        """``partition_keys``/``columns`` are (name, type) pairs in
+        declared order; ``format`` is the table's file format — a real
+        catalog needs the full storage descriptor (columns + serde +
+        input/output formats) or the synced table is an unreadable shell
+        to the plain readers this module exists to serve."""
         raise NotImplementedError
 
     def update_table_location(self, database: str, name: str,
@@ -102,6 +116,15 @@ def _raw_values(partition: Partition) -> list[str]:
 
 def _partition_of(defn: TableDefinition, values: list[str]) -> Partition:
     cols = defn.partition_schema.columns
+    if len(values) != len(cols):
+        # zip would silently truncate, collapsing distinct catalog
+        # partitions onto one key and driving sync into non-convergent
+        # wrong-arity client calls with no diagnostic
+        raise ValueError(
+            f"{defn.name.fully_qualified_name}: catalog partition has "
+            f"{len(values)} value(s) {values!r} but the table declares "
+            f"{len(cols)} partition column(s) {list(cols)} — the catalog "
+            "entry was created with different partition keys")
     return Partition.parse("/".join(
         f"{c}={v if v == HIVE_DEFAULT_PARTITION else escape_partition_value(v)}"
         for c, v in zip(cols, values)))
@@ -137,14 +160,25 @@ def sync_cloud_catalog(client: CloudCatalogClient, defn: TableDefinition,
             "apply the logical↔physical name translation")
     from .catalog import _guard_no_deletion_vectors
 
-    _guard_no_deletion_vectors(defn, log)
+    target = log.current_version(defn.name)
+    _guard_no_deletion_vectors(defn, log, state=target)
     db, name = defn.name.schema, defn.name.name
+    client.ensure_database(db)
     try:
         client.get_table(db, name)
     except KeyError:
-        client.create_table(db, name, defn.location,
-                            list(defn.partition_schema.columns))
-    target = log.current_version(defn.name)
+        from .streaming.source import _schema_fields
+
+        fields = (_schema_fields(defn.schema_ddl)
+                  if defn.schema_ddl else [])
+        pcols = {c.lower() for c in defn.partition_schema.columns}
+        types = {n.lower(): t for n, t in fields}
+        client.create_table(
+            db, name, defn.location,
+            [(c, types.get(c.lower(), "string"))
+             for c in defn.partition_schema.columns],
+            [(n, t) for n, t in fields if n.lower() not in pcols],
+            defn.format)
     actual = cloud_catalog_current_version(client, defn)
     ops = compute_changes(actual, target).operations
     for op in ops:
@@ -182,13 +216,28 @@ class GlueCatalogClient(CloudCatalogClient):
                     "GlueCatalogClient requires boto3, or pass client=") from e
             client = boto3.client("glue")
         self._glue = client
+        self._sd_cache: dict = {}
+
+    def ensure_database(self, database):
+        try:
+            self._glue.get_database(Name=database)
+        except self._glue.exceptions.EntityNotFoundException:
+            try:
+                self._glue.create_database(DatabaseInput={"Name": database})
+            except self._glue.exceptions.AlreadyExistsException:
+                pass  # racing creator: converged either way
 
     def get_table(self, database, name):
         try:
             t = self._glue.get_table(DatabaseName=database, Name=name)["Table"]
         except self._glue.exceptions.EntityNotFoundException:
             raise KeyError(f"{database}.{name}") from None
-        return {"location": t["StorageDescriptor"]["Location"],
+        # a present-but-locationless table (crawler/other tool) must NOT
+        # read as absent — sync would crash-loop on CreateTable
+        # AlreadyExists; '' maps to UNVERSIONED and converges via
+        # update_table_location
+        return {"location": t.get("StorageDescriptor", {}).get("Location",
+                                                               ""),
                 "partition_keys": [k["Name"]
                                    for k in t.get("PartitionKeys", [])]}
 
@@ -201,14 +250,54 @@ class GlueCatalogClient(CloudCatalogClient):
         "PartitionKeys", "ViewOriginalText", "ViewExpandedText",
         "TableType", "Parameters", "TargetTable")
 
-    def create_table(self, database, name, location, partition_keys):
+    # Hive storage-descriptor triples per file format: without columns,
+    # serde and input/output formats the synced table is an unreadable
+    # shell to Athena/EMR/Hive — the plain readers this sync serves
+    _FORMATS = {
+        "parquet": (
+            "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat"),
+        "orc": (
+            "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+            "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+            "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat"),
+    }
+
+    def _storage_descriptor(self, location, columns, format):
+        serde, in_fmt, out_fmt = self._FORMATS.get(
+            format, self._FORMATS["parquet"])
+        return {"Location": location,
+                "Columns": [{"Name": n, "Type": t} for n, t in columns],
+                "SerdeInfo": {"SerializationLibrary": serde},
+                "InputFormat": in_fmt,
+                "OutputFormat": out_fmt}
+
+    def create_table(self, database, name, location, partition_keys,
+                     columns, format):
+        sd = self._storage_descriptor(location, columns, format)
+        self._sd_cache[(database, name)] = sd
         self._glue.create_table(
             DatabaseName=database,
             TableInput={"Name": name,
                         "TableType": "EXTERNAL_TABLE",
-                        "StorageDescriptor": {"Location": location},
-                        "PartitionKeys": [{"Name": k, "Type": "string"}
-                                          for k in partition_keys]})
+                        "Parameters": {"classification": format,
+                                       "EXTERNAL": "TRUE"},
+                        "StorageDescriptor": sd,
+                        "PartitionKeys": [{"Name": k, "Type": t}
+                                          for k, t in partition_keys]})
+
+    def _table_sd(self, database, name):
+        """The table's storage descriptor (sans Location), reused for
+        partition SDs so partitions are readable too — fetched once per
+        client per table, not once per partition op."""
+        sd = self._sd_cache.get((database, name))
+        if sd is None:
+            t = self._glue.get_table(DatabaseName=database,
+                                     Name=name)["Table"]
+            sd = t.get("StorageDescriptor", {})
+            self._sd_cache[(database, name)] = sd
+        return {k: v for k, v in sd.items() if k != "Location"}
 
     def update_table_location(self, database, name, location):
         t = self._glue.get_table(DatabaseName=database, Name=name)["Table"]
@@ -231,14 +320,18 @@ class GlueCatalogClient(CloudCatalogClient):
         self._glue.create_partition(
             DatabaseName=database, TableName=name,
             PartitionInput={"Values": values,
-                            "StorageDescriptor": {"Location": location}})
+                            "StorageDescriptor": dict(
+                                self._table_sd(database, name),
+                                Location=location)})
 
     def update_partition(self, database, name, values, location):
         self._glue.update_partition(
             DatabaseName=database, TableName=name,
             PartitionValueList=values,
             PartitionInput={"Values": values,
-                            "StorageDescriptor": {"Location": location}})
+                            "StorageDescriptor": dict(
+                                self._table_sd(database, name),
+                                Location=location)})
 
     def delete_partition(self, database, name, values):
         self._glue.delete_partition(DatabaseName=database, TableName=name,

@@ -180,3 +180,44 @@ def test_sync_refuses_tables_with_deletion_vectors(spark, engine):
             == [2, 3]
     finally:
         spark.sql("DROP TABLE IF EXISTS cdb.dvg")
+
+
+def test_sync_mixed_case_partition_column_converges(spark, engine):
+    """Hive lowercases partition column names; the read-back must re-case
+    to the declared names or every other sync emits a spurious Add+Drop
+    pair and the DROP deletes the live catalog partition."""
+    try:
+        ddl = "id bigint, Day string"
+        engine.create_table("cdb.mc", schema_ddl=ddl,
+                            partition_columns=["Day"])
+        engine.insert(spark.createDataFrame([(1, "d1"), (2, "d2")], ddl),
+                      "cdb.mc", "u", "base")
+        assert engine.sync_catalog("cdb.mc") == 2
+        # converged: a re-sync with no commits applies ZERO ops
+        assert engine.sync_catalog("cdb.mc") == 0
+        assert sorted(r.id for r in spark.table("cdb.mc").collect()) \
+            == [1, 2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.mc")
+
+
+def test_sync_reconciles_evolved_schema(spark, engine):
+    """Columns added via evolve_schema after the first sync must reach
+    vanilla readers on the next sync (ALTER TABLE ADD COLUMNS)."""
+    try:
+        ddl = "id bigint, d string"
+        engine.create_table("cdb.ev", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                      "cdb.ev", "u", "base")
+        engine.sync_catalog("cdb.ev")
+        engine.insert(spark.createDataFrame(
+            [(2, 5.0, "a")], "id bigint, extra double, d string"),
+            "cdb.ev", "u", "widen", evolve_schema=True)
+        engine.sync_catalog("cdb.ev")
+        got = spark.table("cdb.ev")
+        assert "extra" in got.columns
+        assert sorted((r.id, r.extra) for r in got.collect()) \
+            == [(2, 5.0)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.ev")

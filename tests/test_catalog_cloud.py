@@ -27,15 +27,23 @@ class FakeCatalogClient:
     def __init__(self):
         self.tables = {}
         self.partitions = {}  # (db, name) -> {tuple(values): location}
+        self.databases = set()
         self.calls = []
+
+    def ensure_database(self, db):
+        self.databases.add(db)
 
     def get_table(self, db, name):
         return self.tables[(db, name)]
 
-    def create_table(self, db, name, location, partition_keys):
+    def create_table(self, db, name, location, partition_keys, columns,
+                     format):
+        assert db in self.databases, "create_table before ensure_database"
         self.calls.append(("create_table", name))
-        self.tables[(db, name)] = {"location": location,
-                                   "partition_keys": partition_keys}
+        self.tables[(db, name)] = {
+            "location": location,
+            "partition_keys": [k for k, _ in partition_keys],
+            "columns": columns, "format": format}
         self.partitions[(db, name)] = {}
 
     def update_table_location(self, db, name, location):
@@ -152,3 +160,36 @@ def test_cloud_sync_refuses_deletion_vectors(spark, engine, fake):
         sync_cloud_catalog(fake, defn, log)
     engine.compact("cdb.cdv")
     assert sync_cloud_catalog(fake, defn, log) > 0
+
+
+def test_partition_arity_mismatch_raises(spark, engine, fake):
+    """A catalog entry created with different partition keys must fail
+    with a diagnostic, not silently truncate via zip."""
+    ddl = "id bigint, a string, b string"
+    engine.create_table("cdb.ar", schema_ddl=ddl,
+                        partition_columns=["a", "b"])
+    engine.insert(spark.createDataFrame([(1, "x", "y")], ddl),
+                  "cdb.ar", "u", "base")
+    defn, log = engine._log("cdb.ar")
+    fake.ensure_database("cdb")
+    fake.create_table("cdb", "ar", defn.location, [("a", "string")],
+                      [("id", "bigint")], "parquet")
+    fake.partitions[("cdb", "ar")][("x",)] = defn.location + "/a=x/v"
+    with pytest.raises(ValueError, match="partition column"):
+        sync_cloud_catalog(fake, defn, log)
+
+
+def test_locationless_table_converges(spark, engine, fake):
+    """A present-but-locationless snapshot catalog entry must read as
+    UNVERSIONED (and converge via update_table_location), not as absent
+    (which would crash-loop on create_table AlreadyExists)."""
+    engine.create_table("cdb.nl", schema_ddl="id bigint")
+    engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                  "cdb.nl", "u", "base")
+    defn, log = engine._log("cdb.nl")
+    fake.ensure_database("cdb")
+    fake.tables[("cdb", "nl")] = {"location": "", "partition_keys": []}
+    fake.partitions[("cdb", "nl")] = {}
+    assert sync_cloud_catalog(fake, defn, log) == 1
+    assert ("create_table", "nl") not in fake.calls
+    assert fake.tables[("cdb", "nl")]["location"].rstrip("/") != ""
