@@ -68,6 +68,9 @@ def _registry() -> tuple[dict, dict]:
         # _cdc sidecars (oracle FAILS if the coarse fallback fires), and
         # per-commit CDF events (dv delete + rewrite update, both exact).
         "q_change_feed_rewrite", "q_change_feed_per_commit",
+        # New in round 5 (late): SCD2 dimension build, cohort retention,
+        # corpus n-gram frequency table — all oracle-backed.
+        "q_scd2", "q_retention", "q_ngram_topk",
         # Oldest official rows (green only in the round-1/2 artifacts while
         # the code around them kept evolving — VERDICT r4 #6 asked to lead
         # round 5 with these families; all re-verified in the r4 sweep):

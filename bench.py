@@ -78,6 +78,9 @@ HEADLINE = [
     "q_delete_dv",
     "q_change_feed_rewrite",
     "q_update_dv",
+    "q_scd2",
+    "q_retention",
+    "q_ngram_topk",
 ]
 
 

@@ -108,6 +108,12 @@ def catalog_current_version(spark: SparkSession, catalog_table: str,
     return PartitionedTableVersion(mapping)
 
 
+class PartitionKeyMismatch(ValueError):
+    """The catalog entry's partition keys disagree with the declared
+    partition schema — sync cannot converge; recreate the catalog entry
+    (or pass a different ``catalog_table``)."""
+
+
 def _bulk_partition_versions(spark: SparkSession, catalog_table: str,
                              defn: TableDefinition) -> "dict | None":
     """All catalog partitions' (Partition, Version) in ONE metastore call
@@ -115,8 +121,16 @@ def _bulk_partition_versions(spark: SparkSession, catalog_table: str,
     partition fallback is an N+1 round-trip pattern (minutes of wall
     clock on a 10k-partition table, even for a no-op sync). Returns None
     when the py4j surface is unavailable (non-session catalogs, API
-    drift) — callers fall back to the per-partition loop."""
+    drift) — callers fall back to the per-partition loop.
+
+    Raises :class:`PartitionKeyMismatch` (not ``None``-fallback) when the
+    catalog entry carries a different partition-key arity than ``defn``
+    declares: reading only the declared subset of the spec would collapse
+    distinct catalog partitions onto one key and drive the diff into
+    wrong-arity ALTER statements with no diagnostic — the same defect
+    class ``catalog_cloud._partition_of`` rejects loudly."""
     from .core.model import escape_partition_value
+    from .core.paths import parse_version
 
     try:
         parts = catalog_table.split(".")
@@ -138,6 +152,13 @@ def _bulk_partition_versions(spark: SparkSession, catalog_table: str,
         while it.hasNext():
             p = it.next()
             spec = p.spec()  # raw (unescaped) values, keyed by column
+            if spec.size() != len(cols):
+                raise PartitionKeyMismatch(
+                    f"{catalog_table}: catalog partition spec has "
+                    f"{spec.size()} key(s) but the table declares "
+                    f"{len(cols)} partition column(s) {cols} — the "
+                    "catalog entry was created with different partition "
+                    "keys")
             render = []
             for c in cols:
                 opt = spec.get(c)
@@ -147,14 +168,12 @@ def _bulk_partition_versions(spark: SparkSession, catalog_table: str,
                     return None  # unexpected spec shape: fall back
                 render.append(f"{c}={escape_partition_value(opt.get())}")
             loc = p.storage().locationUri()
-            label = (str(loc.get()).rstrip("/").rsplit("/", 1)[-1]
-                     if not loc.isEmpty() else "")
-            try:
-                v = Version.parse(label)
-            except ValueError:
-                v = UNVERSIONED
+            v = (parse_version(str(loc.get())) if not loc.isEmpty()
+                 else UNVERSIONED)
             out[Partition.parse("/".join(render))] = v
         return out
+    except PartitionKeyMismatch:
+        raise
     except Exception:
         return None
 
@@ -163,12 +182,12 @@ def _physical_schema_ddl(defn: TableDefinition) -> str:
     """The declared schema with logical names replaced by the PHYSICAL
     names data files carry (partition columns are never renameable, so
     they pass through)."""
+    from .core.ddl import schema_fields
     from .core.model import TableName  # noqa: F401  (doc anchor)
-    from .streaming.source import _schema_fields
 
     to_phys = dict(defn.column_mapping)
     return ", ".join(f"{to_phys.get(n, n)} {t}"
-                     for n, t in _schema_fields(defn.schema_ddl))
+                     for n, t in schema_fields(defn.schema_ddl))
 
 
 def _guard_no_deletion_vectors(defn: TableDefinition,
@@ -250,16 +269,16 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
                       f"USING {defn.format} "
                       f"PARTITIONED BY ({', '.join(pcols)}) "
                       f"LOCATION '{defn.location}'")
-    else:
+    elif schema_ddl:  # schema-less tables have nothing to reconcile
         # schema reconciliation: evolution widened the declared schema
         # after the catalog table was created — without ADD COLUMNS the
         # evolved columns never reach vanilla readers (and the mapped
         # view regeneration below would reference a column its __phys
         # table lacks, failing every subsequent sync)
-        from .streaming.source import _schema_fields
+        from .core.ddl import schema_fields
 
         have = {c.name.lower() for c in spark.catalog.listColumns(name)}
-        missing = [(n, t) for n, t in _schema_fields(schema_ddl)
+        missing = [(n, t) for n, t in schema_fields(schema_ddl)
                    if n.lower() not in have]
         if missing:
             spark.sql(f"ALTER TABLE {name} ADD COLUMNS ("
@@ -291,12 +310,12 @@ def sync_catalog(spark: SparkSession, defn: TableDefinition,
         # (re)derive the logical-name view — CREATE OR REPLACE keeps it in
         # lockstep with the current mapping; a pre-mapping plain TABLE
         # under the logical name is superseded by the view
-        from .streaming.source import _schema_fields
+        from .core.ddl import schema_fields
 
         to_phys = dict(defn.column_mapping)
         cols = ", ".join(
             (f"{to_phys[n]} AS {n}" if n in to_phys else n)
-            for n, _ in _schema_fields(defn.schema_ddl))
+            for n, _ in schema_fields(defn.schema_ddl))
         if spark.catalog.tableExists(view_name) and \
                 spark.catalog.getTable(view_name).tableType != "VIEW":
             spark.sql(f"DROP TABLE {view_name}")

@@ -60,9 +60,12 @@ class CloudCatalogClient:
 
     def get_table(self, database: str, name: str) -> dict:
         """-> {"location": str ('' when the catalog entry has no
-        location), "partition_keys": [str, ...]}; KeyError ONLY when the
-        table is absent (a malformed-but-present table must not read as
-        absent, or sync crash-loops on CreateTable AlreadyExists)."""
+        location), "partition_keys": [str, ...], "columns":
+        [(name, type), ...]}; KeyError ONLY when the table is absent (a
+        malformed-but-present table must not read as absent, or sync
+        crash-loops on CreateTable AlreadyExists). ``columns`` may be
+        omitted by minimal clients — sync then skips schema
+        reconciliation (evolved columns won't reach catalog readers)."""
         raise NotImplementedError
 
     def create_table(self, database: str, name: str, location: str,
@@ -78,6 +81,14 @@ class CloudCatalogClient:
 
     def update_table_location(self, database: str, name: str,
                               location: str) -> None:
+        raise NotImplementedError
+
+    def update_table_columns(self, database: str, name: str,
+                             columns: "list[tuple[str, str]]") -> None:
+        """Replace the table's non-partition column list (schema
+        reconciliation after ``evolve_schema`` widened the declared
+        schema). Only called when :meth:`get_table` reported ``columns``
+        and some declared column is missing from it."""
         raise NotImplementedError
 
     def get_partitions(self, database: str, name: str) -> list[dict]:
@@ -162,23 +173,33 @@ def sync_cloud_catalog(client: CloudCatalogClient, defn: TableDefinition,
 
     target = log.current_version(defn.name)
     _guard_no_deletion_vectors(defn, log, state=target)
+    from .core.ddl import schema_fields
+
     db, name = defn.name.schema, defn.name.name
+    fields = schema_fields(defn.schema_ddl) if defn.schema_ddl else []
+    pcols = {c.lower() for c in defn.partition_schema.columns}
+    declared = [(n, t) for n, t in fields if n.lower() not in pcols]
     client.ensure_database(db)
     try:
-        client.get_table(db, name)
+        t = client.get_table(db, name)
     except KeyError:
-        from .streaming.source import _schema_fields
-
-        fields = (_schema_fields(defn.schema_ddl)
-                  if defn.schema_ddl else [])
-        pcols = {c.lower() for c in defn.partition_schema.columns}
         types = {n.lower(): t for n, t in fields}
         client.create_table(
             db, name, defn.location,
             [(c, types.get(c.lower(), "string"))
              for c in defn.partition_schema.columns],
-            [(n, t) for n, t in fields if n.lower() not in pcols],
-            defn.format)
+            declared, defn.format)
+    else:
+        # schema reconciliation: evolution widened the declared schema
+        # after the catalog entry was created — without a column update
+        # the evolved columns never reach Athena/Hive readers (the Hive
+        # path's ADD COLUMNS equivalent). Skipped when the client's
+        # get_table doesn't report columns.
+        have = t.get("columns")
+        if have is not None and declared:
+            have_names = {str(n).lower() for n, _ in have}
+            if any(n.lower() not in have_names for n, _ in declared):
+                client.update_table_columns(db, name, declared)
     actual = cloud_catalog_current_version(client, defn)
     ops = compute_changes(actual, target).operations
     for op in ops:
@@ -236,10 +257,12 @@ class GlueCatalogClient(CloudCatalogClient):
         # read as absent — sync would crash-loop on CreateTable
         # AlreadyExists; '' maps to UNVERSIONED and converges via
         # update_table_location
-        return {"location": t.get("StorageDescriptor", {}).get("Location",
-                                                               ""),
+        sd = t.get("StorageDescriptor", {})
+        return {"location": sd.get("Location", ""),
                 "partition_keys": [k["Name"]
-                                   for k in t.get("PartitionKeys", [])]}
+                                   for k in t.get("PartitionKeys", [])],
+                "columns": [(c["Name"], c.get("Type", "string"))
+                            for c in sd.get("Columns", [])]}
 
     # Glue UpdateTable REPLACES the whole definition: every TableInput-
     # legal field of the existing table must be carried over or it is
@@ -299,21 +322,38 @@ class GlueCatalogClient(CloudCatalogClient):
             self._sd_cache[(database, name)] = sd
         return {k: v for k, v in sd.items() if k != "Location"}
 
-    def update_table_location(self, database, name, location):
+    def _update_table_sd(self, database, name, **sd_overrides):
+        """UpdateTable carrying the FULL existing definition with the
+        given storage-descriptor fields replaced (Glue's UpdateTable
+        replaces everything it isn't handed). Invalidates the partition-SD
+        cache — subsequent partition ops must see the new descriptor."""
         t = self._glue.get_table(DatabaseName=database, Name=name)["Table"]
         table_input = {k: t[k] for k in self._TABLE_INPUT_FIELDS if k in t}
         table_input["StorageDescriptor"] = dict(
-            t.get("StorageDescriptor", {}), Location=location)
+            t.get("StorageDescriptor", {}), **sd_overrides)
+        self._sd_cache.pop((database, name), None)
         self._glue.update_table(DatabaseName=database,
                                 TableInput=table_input)
+
+    def update_table_location(self, database, name, location):
+        self._update_table_sd(database, name, Location=location)
+
+    def update_table_columns(self, database, name, columns):
+        self._update_table_sd(
+            database, name,
+            Columns=[{"Name": n, "Type": t} for n, t in columns])
 
     def get_partitions(self, database, name):
         out = []
         paginator = self._glue.get_paginator("get_partitions")
         for page in paginator.paginate(DatabaseName=database, TableName=name):
             for p in page.get("Partitions", []):
+                # tolerate crawler-created partitions without an SD or
+                # location: '' reads back as UNVERSIONED and converges
+                # via update_partition (same hardening as get_table)
                 out.append({"values": list(p["Values"]),
-                            "location": p["StorageDescriptor"]["Location"]})
+                            "location": p.get("StorageDescriptor",
+                                              {}).get("Location", "")})
         return out
 
     def create_partition(self, database, name, values, location):

@@ -274,8 +274,53 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.covar_samp("l_extendedprice", disc_price), 1).alias("price_cov")))
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each customer's per-date
+    price becomes a validity interval ``[valid_from, valid_to)`` with the
+    open-ended current row flagged. The warehouse-classic change-history
+    materialization (Kimball SCD2), expressed as one window pass.
+
+    Scale shape: one shuffle on the dimension key, then ``lead()`` per
+    key — no self-join (the naive SCD2 build joins each row to its
+    successor, doubling the shuffle). Customer-key windows are tiny
+    (orders/customer is bounded), so no skew risk at 100 TB."""
+    src = (load(spark, sf_dir, "orders")
+           .groupBy("o_custkey",
+                    F.to_date("o_orderdate").alias("o_orderdate"))
+           .agg(F.max("o_totalprice").alias("price")))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    return (src.select(
+        "o_custkey", "price",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date; for each
+    (cohort, weeks-since-cohort) bucket, how many distinct users were
+    active. The canonical product-analytics rollup.
+
+    Scale shape: activity is first reduced to DISTINCT (user, day) —
+    collapsing the fact table before any join — then the per-user cohort
+    (a groupBy on the same user_id key, so AQE reuses the exchange) joins
+    back on user_id and a single agg produces the matrix. No window
+    functions, no driver collection; both shuffles are on user_id."""
+    ev = (load_events(spark, sf_dir)
+          .select("user_id", F.col("event_date").alias("d"))
+          .distinct())
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (ev.join(first, "user_id")
+            .groupBy("cohort_date",
+                     F.floor(F.datediff("d", "cohort_date") / 7)
+                      .alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 QUERIES = {
     "q_asof_join": q_asof_join,
+    "q_scd2": q_scd2,
+    "q_retention": q_retention,
     "q_range_join": q_range_join,
     "q_window_lag": q_window_lag,
     "q_pivot": q_pivot,
@@ -291,6 +336,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_scd2": (
+        "WITH src AS (SELECT o_custkey, CAST(o_orderdate AS DATE) "
+        "AS o_orderdate, MAX(o_totalprice) AS price FROM orders "
+        "GROUP BY o_custkey, CAST(o_orderdate AS DATE)) "
+        "SELECT o_custkey, price, o_orderdate AS valid_from, "
+        "LEAD(o_orderdate) OVER w AS valid_to, "
+        "(LEAD(o_orderdate) OVER w IS NULL) AS is_current "
+        "FROM src WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate)"),
+    "q_retention": (
+        "WITH e AS (SELECT DISTINCT user_id, "
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), "
+        "f AS (SELECT user_id, MIN(d) AS cohort_date FROM e "
+        "GROUP BY user_id) "
+        "SELECT cohort_date, "
+        "CAST(FLOOR(date_diff('day', cohort_date, d) / 7.0) AS BIGINT) "
+        "AS week_offset, COUNT(DISTINCT e.user_id) AS n_users "
+        "FROM e JOIN f ON e.user_id = f.user_id "
+        "GROUP BY cohort_date, week_offset"),
     "q_asof_join": (
         "WITH prior AS (SELECT user_id, ts, MAX(event_id) AS prior_event_id "
         "FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts), "

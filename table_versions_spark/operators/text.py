@@ -563,8 +563,30 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pos")))
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: the 50 most frequent word trigrams
+    (phrase mining / boilerplate detection — the frequency table n-gram
+    LM and repeated-template filters are built from).
+
+    Scale shape: the trigram expansion is a codegen'd higher-order
+    function (``transform`` over index ``sequence`` + ``explode``) — no
+    Python, fan-out ≈ tokens per doc; counting is a partial-agg groupBy
+    and the final top-k is ``TakeOrderedAndProject`` (per-partition heaps,
+    driver merges 50 rows/partition — never a global sort)."""
+    grams = (load(spark, sf_dir, "documents")
+             .select(F.filter(F.split("text", " "),
+                              lambda x: x != "").alias("w"))
+             .where(F.size("w") >= 3)
+             .select(F.explode(F.expr(
+                 "transform(sequence(0, size(w) - 3), "
+                 "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).alias("gram")))
+    return (grams.groupBy("gram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "gram").limit(50))
+
+
 QUERIES = {
     "q_bpe_train": q_bpe_train,
+    "q_ngram_topk": q_ngram_topk,
     "q_sample_per_group": q_sample_per_group,
     "q_tokenize_apply": q_tokenize_apply,
     "q_sample_temperature": q_sample_temperature,
@@ -584,6 +606,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ngram_topk": (
+        "WITH d AS (SELECT list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "g AS (SELECT UNNEST(list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram "
+        "FROM d WHERE len(w) >= 3) "
+        "SELECT gram, COUNT(*) AS n FROM g "
+        "GROUP BY gram ORDER BY n DESC, gram LIMIT 50"),
     "q_sample_temperature": (
         "WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents "
         "GROUP BY 1), "

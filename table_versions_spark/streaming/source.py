@@ -423,22 +423,9 @@ def _phys_to_logical(defn) -> dict[str, str]:
             if physical != logical}
 
 
-def _schema_fields(schema_ddl: str) -> list[tuple[str, str]]:
-    """"a int, b decimal(10,2), c array<int>" → [(name, type), ...] —
-    splits on top-level commas only (type args carry their own commas)."""
-    out, depth, start = [], 0, 0
-    for i, ch in enumerate(schema_ddl + ","):
-        if ch in "(<":
-            depth += 1
-        elif ch in ")>":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            piece = schema_ddl[start:i].strip()
-            if piece:
-                name, _, typ = piece.partition(" ")
-                out.append((name, typ.strip().lower()))
-            start = i + 1
-    return out
+# canonical implementation lives in core.ddl (pyspark-free callers need
+# it too); re-exported here because this was its historical home
+from ..core.ddl import schema_fields as _schema_fields  # noqa: E402,F401
 
 
 def _arrow_schema(schema_ddl: str, schema=None):

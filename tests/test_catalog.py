@@ -221,3 +221,51 @@ def test_sync_reconciles_evolved_schema(spark, engine):
             == [(2, 5.0)]
     finally:
         spark.sql("DROP TABLE IF EXISTS cdb.ev")
+
+
+def test_sync_schema_less_table_with_existing_entry(spark, engine):
+    """A table whose meta carries no schema_ddl must still sync when the
+    catalog entry already exists (reconciliation has nothing to compare
+    against and must not crash on _schema_fields(None))."""
+    from table_versions_spark.catalog import sync_catalog
+
+    try:
+        engine.create_table("cdb.nds", schema_ddl="id bigint")
+        engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                      "cdb.nds", "u", "base")
+        defn, log = engine._log("cdb.nds")
+        spark.sql(f"CREATE TABLE cdb.nds (id bigint) USING parquet "
+                  f"LOCATION '{defn.location}'")
+        import dataclasses
+        bare = dataclasses.replace(defn, schema_ddl=None)
+        assert sync_catalog(spark, bare, log) == 1
+        assert [r.id for r in spark.table("cdb.nds").collect()] == [1]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.nds")
+
+
+def test_bulk_listing_partition_arity_mismatch_raises(spark, engine):
+    """A catalog entry partitioned by MORE columns than the table
+    declares must raise a clean diagnostic, not collapse distinct
+    partitions onto one key (zip-truncation class)."""
+    import pytest as _pytest
+
+    from table_versions_spark.catalog import (
+        PartitionKeyMismatch,
+        _bulk_partition_versions,
+    )
+
+    try:
+        ddl = "id bigint, a string"
+        engine.create_table("cdb.bam", schema_ddl=ddl,
+                            partition_columns=["a"])
+        defn, _ = engine._log("cdb.bam")
+        spark.sql("CREATE TABLE cdb.bam (id bigint, a string, b string) "
+                  "USING parquet PARTITIONED BY (a, b) "
+                  f"LOCATION '{defn.location}'")
+        spark.sql("ALTER TABLE cdb.bam ADD PARTITION (a='1', b='1')")
+        spark.sql("ALTER TABLE cdb.bam ADD PARTITION (a='1', b='2')")
+        with _pytest.raises(PartitionKeyMismatch, match="partition column"):
+            _bulk_partition_versions(spark, "cdb.bam", defn)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.bam")

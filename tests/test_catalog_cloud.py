@@ -50,6 +50,10 @@ class FakeCatalogClient:
         self.calls.append(("update_table_location", location))
         self.tables[(db, name)]["location"] = location
 
+    def update_table_columns(self, db, name, columns):
+        self.calls.append(("update_table_columns", tuple(columns)))
+        self.tables[(db, name)]["columns"] = columns
+
     def get_partitions(self, db, name):
         return [{"values": list(v), "location": loc}
                 for v, loc in self.partitions.get((db, name), {}).items()]
@@ -193,3 +197,46 @@ def test_locationless_table_converges(spark, engine, fake):
     assert sync_cloud_catalog(fake, defn, log) == 1
     assert ("create_table", "nl") not in fake.calls
     assert fake.tables[("cdb", "nl")]["location"].rstrip("/") != ""
+
+
+def test_cloud_sync_reconciles_evolved_schema(spark, engine, fake):
+    """Columns added via evolve_schema after the first sync must reach
+    the cloud catalog's storage descriptor on the next sync (the Hive
+    path's ADD COLUMNS equivalent) — and only when actually missing."""
+    ddl = "id bigint, d string"
+    engine.create_table("cdb.cev", schema_ddl=ddl,
+                        partition_columns=["d"])
+    engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                  "cdb.cev", "u", "base")
+    defn, log = engine._log("cdb.cev")
+    sync_cloud_catalog(fake, defn, log)
+    assert fake.tables[("cdb", "cev")]["columns"] == [("id", "bigint")]
+    engine.insert(spark.createDataFrame(
+        [(2, 5.0, "a")], "id bigint, extra double, d string"),
+        "cdb.cev", "u", "widen", evolve_schema=True)
+    defn, log = engine._log("cdb.cev")
+    sync_cloud_catalog(fake, defn, log)
+    assert ("update_table_columns",
+            (("id", "bigint"), ("extra", "double"))) in fake.calls
+    assert fake.tables[("cdb", "cev")]["columns"] == [
+        ("id", "bigint"), ("extra", "double")]
+    # converged: a re-sync must NOT re-issue the column update
+    n = len([c for c in fake.calls if c[0] == "update_table_columns"])
+    sync_cloud_catalog(fake, defn, log)
+    assert len([c for c in fake.calls
+                if c[0] == "update_table_columns"]) == n
+
+
+def test_cloud_sync_tolerates_columnless_get_table(spark, engine, fake):
+    """A minimal client whose get_table omits 'columns' skips schema
+    reconciliation instead of crashing."""
+    engine.create_table("cdb.ncol", schema_ddl="id bigint")
+    engine.insert(spark.createDataFrame([(1,)], "id bigint"),
+                  "cdb.ncol", "u", "base")
+    defn, log = engine._log("cdb.ncol")
+    fake.ensure_database("cdb")
+    fake.tables[("cdb", "ncol")] = {"location": defn.location,
+                                    "partition_keys": []}
+    fake.partitions[("cdb", "ncol")] = {}
+    assert sync_cloud_catalog(fake, defn, log) == 1
+    assert not any(c[0] == "update_table_columns" for c in fake.calls)
