@@ -270,18 +270,15 @@ class FileTableVersions:
                     raise UnknownCommitError(f"Unknown commit id: {pointer}")
 
         base, start_seq = self._load_checkpoint(seq)
-        files = self._commit_files()
-        if seq >= len(files):
+        if seq >= len(self._commit_files()):
             # an explicit at_seq past the head (e.g. a streaming checkpoint
             # replayed against a truncated/recreated log) must fail loudly —
             # the slice below would silently clamp to a shorter state
             raise UnknownCommitError(f"No commit at seq {seq}")
-        files = files[start_seq:seq + 1]
-        ops = []
-        for fname in files:
-            data = json.loads(
-                self.storage.read_text(os.path.join(self.log_dir, fname)))
-            ops.extend(update_from_json(data).operations)
+        # via _read_updates_range so a LogView's memo serves composed
+        # preconditions (head fold + txn map) with ONE read of the range
+        ops = [op for u in self._read_updates_range(start_seq, seq)
+               for op in u.operations]
 
         if base is not None:
             is_snapshot, state = base
@@ -360,6 +357,15 @@ class FileTableVersions:
     def _load_checkpoint_raw(self, max_seq: int):
         """Raw dict of the newest checkpoint with seq <= max_seq plus the
         first unapplied seq, or (None, 0)."""
+        memo = getattr(self, "_memo", None)
+        if memo is not None and ("ckpt", max_seq) in memo:
+            return memo[("ckpt", max_seq)]
+        out = self._load_checkpoint_raw_uncached(max_seq)
+        if memo is not None:
+            memo[("ckpt", max_seq)] = out
+        return out
+
+    def _load_checkpoint_raw_uncached(self, max_seq: int):
         best = None
         for fname in self.storage.list_dir(self.log_dir):
             if fname.startswith(CHECKPOINT_PREFIX) and fname.endswith(".json"):
@@ -430,8 +436,14 @@ class FileTableVersions:
     # -- internals ---------------------------------------------------------
 
     def _commit_files(self) -> list[str]:
-        return sorted(f for f in self.storage.list_dir(self.log_dir)
-                      if f.endswith(".json") and f[:-len(".json")].isdigit())
+        memo = getattr(self, "_memo", None)
+        if memo is not None and "files" in memo:
+            return memo["files"]
+        out = sorted(f for f in self.storage.list_dir(self.log_dir)
+                     if f.endswith(".json") and f[:-len(".json")].isdigit())
+        if memo is not None:
+            memo["files"] = out
+        return out
 
     def _read_all_updates(self) -> list[TableUpdate]:
         return self._read_updates_range(0, len(self._commit_files()) - 1)
@@ -439,11 +451,16 @@ class FileTableVersions:
     def _read_updates_range(self, start_seq: int,
                             end_seq: int) -> list[TableUpdate]:
         """Updates at seqs [start_seq, end_seq], inclusive."""
+        memo = getattr(self, "_memo", None)
+        if memo is not None and ("updates", start_seq, end_seq) in memo:
+            return memo[("updates", start_seq, end_seq)]
         out = []
         for fname in self._commit_files()[start_seq:end_seq + 1]:
             data = json.loads(
                 self.storage.read_text(os.path.join(self.log_dir, fname)))
             out.append(update_from_json(data))
+        if memo is not None:
+            memo[("updates", start_seq, end_seq)] = out
         return out
 
     # -- checkpoint-resumed folds (scale path) ------------------------------
@@ -491,21 +508,47 @@ class LogView:
     preconditions. Folds resume from checkpoints, so a precondition costs
     O(commits since checkpoint) — not a full log replay per CAS attempt.
     ``updates`` materializes the raw prefix for preconditions that need to
-    scan operations (rare; O(seq))."""
+    scan operations (rare; O(seq)).
+
+    Storage reads (commit-file listing, checkpoint, commit range) are
+    memoized PER VIEW: composed preconditions (txn recheck + conflict
+    fold) both resume from the same checkpoint over the same commit
+    range, and without sharing, each CAS attempt would issue every GET
+    twice — on S3 that doubles request count exactly when contention
+    multiplies retries. A fresh view per attempt keeps the memo safely
+    scoped to one immutable prefix."""
 
     def __init__(self, log: "FileTableVersions", seq: int):
         self._log = log
         self.seq = seq
+        self._memo: dict = {}
+
+    def _shared(self):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def install():
+            prev = getattr(self._log, "_memo", None)
+            self._log._memo = self._memo
+            try:
+                yield
+            finally:
+                self._log._memo = prev
+
+        return install()
 
     def head_fold(self) -> TableVersion:
-        return self._log.current_version(at_seq=self.seq)
+        with self._shared():
+            return self._log.current_version(at_seq=self.seq)
 
     def txn_high_water(self, app: str) -> "tuple[int, str] | None":
-        return self._log._txn_map_at(self.seq).get(app)
+        with self._shared():
+            return self._log._txn_map_at(self.seq).get(app)
 
     @property
     def updates(self) -> tuple:
-        return tuple(self._log._read_updates_range(0, self.seq))
+        with self._shared():
+            return tuple(self._log._read_updates_range(0, self.seq))
 
 
 # ---------------------------------------------------------------------------

@@ -733,9 +733,24 @@ class S3Storage(ObjectStoreStorage):
         bucket, key = self._parse(path)
         self._s3.put_object(Bucket=bucket, Key=key, Body=data)
 
+    # bounded CAS retries: racing conditional PUTs on ONE key produce
+    # sustained 409s; an unbounded immediate-retry loop amplifies exactly
+    # that contention (full-payload re-PUTs in a tight loop) and hangs
+    # forever against a store that 409s persistently. Exponential backoff
+    # with jitter, hard attempt cap, loud error after.
+    _CAS_ATTEMPTS = 64
+
+    @staticmethod
+    def _cas_backoff(attempt: int) -> None:  # pragma: no cover - timing
+        import random
+        import time
+
+        time.sleep(min(0.025 * (2 ** min(attempt, 6)), 1.6)
+                   * (0.5 + random.random()))
+
     def _put_if_absent(self, path, data):
         bucket, key = self._parse(path)
-        while True:
+        for attempt in range(self._CAS_ATTEMPTS):
             try:
                 self._s3.put_object(Bucket=bucket, Key=key, Body=data,
                                     IfNoneMatch="*")
@@ -752,12 +767,17 @@ class S3Storage(ObjectStoreStorage):
                     # (update_atomic handles 409 the same way).
                     if self._exists_key(path):
                         return False
+                    self._cas_backoff(attempt)
                     continue
                 raise
+        raise TimeoutError(  # pragma: no cover - requires persistent 409s
+            f"conditional PUT of {path} still conflicted after "
+            f"{self._CAS_ATTEMPTS} attempts — persistent "
+            "ConditionalRequestConflict from the store")
 
     def update_atomic(self, path, fn):
         bucket, key = self._parse(path)
-        while True:
+        for attempt in range(self._CAS_ATTEMPTS):
             etag = None
             current = None
             try:
@@ -781,8 +801,14 @@ class S3Storage(ObjectStoreStorage):
                 return new
             except self._s3.exceptions.ClientError as e:  # pragma: no cover
                 if e.response["ResponseMetadata"]["HTTPStatusCode"] in (409, 412):
-                    continue  # lost the CAS race: re-read and retry
+                    # lost the CAS race: re-read and retry (with backoff —
+                    # N writers on one key retry O(N²) times total without it)
+                    self._cas_backoff(attempt)
+                    continue
                 raise
+        raise TimeoutError(  # pragma: no cover - requires persistent races
+            f"atomic update of {path} lost the CAS race "
+            f"{self._CAS_ATTEMPTS} times in a row")
 
     def _copy(self, src, dst):
         sb, sk = self._parse(src)

@@ -216,6 +216,7 @@ class VersionedEngine:
             change_data_feed=change_data_feed,
         )
         self._validate_constraints(defn)
+        self._validate_partition_types(defn)
         if not self.storage.exists(os.path.join(defn.location, "_meta.json")):
             write_table_meta(defn, self.storage)
         else:
@@ -258,6 +259,33 @@ class VersionedEngine:
         log = FileTableVersions(defn.location, self.storage)
         log.init(table, defn.is_snapshot, user_id, message)
         return defn
+
+    # no float/double/binary partition columns: their directory-name
+    # rendering has no cross-engine parity (Spark's Double.toString vs
+    # Python's repr vs Hive), so every later partition render — drop
+    # lists in delete/merge, partition_filter reads, catalog sync — would
+    # address the wrong directory for some values. Refused at declaration
+    # (and re-checked against the actual frame in _insert for DDL-less
+    # tables) instead of failing deep in a write.
+    _NO_PARTITION_TYPES = ("float", "double", "real", "binary")
+
+    def _validate_partition_types(self, defn: TableDefinition) -> None:
+        if not defn.schema_ddl or not defn.partition_schema.columns:
+            return
+        from .core.ddl import schema_fields
+
+        types = {n.lower(): t for n, t in schema_fields(defn.schema_ddl)}
+        bad = [(c, types[c.lower()])
+               for c in defn.partition_schema.columns
+               if types.get(c.lower(), "").split("(")[0]
+               in self._NO_PARTITION_TYPES]
+        if bad:
+            raise ValueError(
+                f"partition column(s) {bad} have approximate/binary "
+                "types, which cannot be rendered as directory names with "
+                "cross-engine parity — partition by a string/decimal/"
+                "date/integral derivation instead (e.g. "
+                "partition_derivations={'bucket': 'CAST(x AS DECIMAL(18,6))'})")
 
     def _validate_constraints(self, defn: TableDefinition) -> None:
         """Resolve each CHECK constraint against the declared schema at
@@ -401,6 +429,24 @@ class VersionedEngine:
         for col, expr in defn.partition_derivations:
             if col not in df.columns:
                 df = df.withColumn(col, F_expr(expr))
+        # frame-side twin of create_table's _validate_partition_types:
+        # catches float/double/binary partition values on DDL-less tables
+        # BEFORE any file is written (a failed render mid-publish would
+        # strand data files in an uncommitted version dir)
+        from pyspark.sql.types import BinaryType, DoubleType, FloatType
+
+        lower = {c.lower(): c for c in df.columns}
+        for pcol in defn.partition_schema.columns:
+            c = lower.get(pcol.lower())
+            if c is not None and isinstance(
+                    df.schema[c].dataType,
+                    (FloatType, DoubleType, BinaryType)):
+                raise ValueError(
+                    f"partition column {pcol} is "
+                    f"{df.schema[c].dataType.simpleString()}: approximate/"
+                    "binary partition values cannot be rendered as "
+                    "directory names with cross-engine parity — cast to "
+                    "string/decimal/date/integral first")
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
         if defn.check_constraints:
             # one extra aggregation job, only on tables that declared
@@ -621,13 +667,24 @@ class VersionedEngine:
         base_fold = log.head_fold(defn.name)
         pcols = list(defn.partition_schema.columns)
         current = self.read(table)
-        if set(df.columns) != set(current.columns):
+        # case-INSENSITIVE compare: Spark resolves columns that way by
+        # default, and select/unionByName below accept case-variant
+        # sources — the guard must not reject what the merge handles
+        if ({c.lower() for c in df.columns}
+                != {c.lower() for c in current.columns}):
             # survivors are projected to df.columns before the rewrite: a
             # column missing from df would be silently NULLed for every
             # untouched row in the touched partitions
             raise ValueError(
                 f"upsert source schema {sorted(df.columns)} must match "
                 f"table schema {sorted(current.columns)}")
+        canon = {c.lower(): c for c in current.columns}
+        if [canon[c.lower()] for c in df.columns] != list(df.columns):
+            # normalize a case-variant source to the declared casing so
+            # the rewritten files carry the declared column names (other
+            # engines read parquet case-sensitively even if Spark doesn't)
+            df = df.select(*[F.col(c).alias(canon[c.lower()])
+                             for c in df.columns])
         if pcols:
             touched = df.select(*pcols).distinct()
             # null-safe (<=>) semi-join: a NULL partition value in df must
@@ -1092,44 +1149,51 @@ class VersionedEngine:
             self.storage.remove_tree(match_staging)
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message), ()))
-        matched = self.spark.read.parquet(match_staging)
-        # updated payload: every assignment against the OLD row, each SET
-        # expression cast to the column's DECLARED type — the rewrite path
-        # gets both for free via insert()'s schema check; without the cast
-        # this path would write files whose column types drift from the
-        # declared schema (int literal into a bigint column, etc.)
-        declared = ({f.name: f.dataType for f in self.spark.createDataFrame(
-            [], defn.schema_ddl).schema.fields} if defn.schema_ddl else {})
-        updated_logical = matched.select(*[
-            ((F.expr(set[c]).cast(declared[c]) if c in declared
-              else F.expr(set[c])) if c in set else F.col(c)).alias(c)
-            for c in data_cols])
-        if defn.check_constraints:
-            # same violated-row probe as _insert: a violation rejects the
-            # commit before any file or vector is written
-            from functools import reduce
+        # anything that throws between here and the branch-local
+        # try/finally blocks below (SET-expression parse errors, cast
+        # analysis failures, the constraint probe) must not strand the
+        # materialized match set — it can be GBs, and vacuum never
+        # collects root-level scratch dirs
+        try:
+            matched = self.spark.read.parquet(match_staging)
+            # updated payload: every assignment against the OLD row, each
+            # SET expression cast to the column's DECLARED type — the
+            # rewrite path gets both for free via insert()'s schema check;
+            # without the cast this path would write files whose column
+            # types drift from the declared schema (int literal into a
+            # bigint column, etc.)
+            declared = ({f.name: f.dataType
+                         for f in self.spark.createDataFrame(
+                             [], defn.schema_ddl).schema.fields}
+                        if defn.schema_ddl else {})
+            updated_logical = matched.select(*[
+                ((F.expr(set[c]).cast(declared[c]) if c in declared
+                  else F.expr(set[c])) if c in set else F.col(c)).alias(c)
+                for c in data_cols])
+            if defn.check_constraints:
+                # same violated-row probe as _insert: a violation rejects
+                # the commit before any file or vector is written
+                from functools import reduce
 
-            violated = reduce(
-                lambda a, b: a | b,
-                [F.expr(c) == False  # noqa: E712
-                 for c in defn.check_constraints])
-            try:
+                violated = reduce(
+                    lambda a, b: a | b,
+                    [F.expr(c) == False  # noqa: E712
+                     for c in defn.check_constraints])
                 bad = updated_logical.where(violated).limit(1).collect()
-            except Exception:
-                self.storage.remove_tree(match_staging)
-                raise
-            if bad:
-                self.storage.remove_tree(match_staging)
-                raise ConstraintViolationError(
-                    f"CHECK constraint {defn.check_constraints} rejected "
-                    f"updated row {bad[0].asDict()}")
-        # logical→physical names for the file write
-        to_phys = dict(defn.column_mapping)
-        updated = updated_logical.select(*[
-            F.col(c).alias(to_phys.get(c, c)) for c in data_cols])
-        positions = matched.select(
-            *pcols, F.col("__dv_file").alias("file"),
-            F.col("__dv_idx").alias("idx"))
+                if bad:
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {defn.check_constraints} "
+                        f"rejected updated row {bad[0].asDict()}")
+            # logical→physical names for the file write
+            to_phys = dict(defn.column_mapping)
+            updated = updated_logical.select(*[
+                F.col(c).alias(to_phys.get(c, c)) for c in data_cols])
+            positions = matched.select(
+                *pcols, F.col("__dv_file").alias("file"),
+                F.col("__dv_idx").alias("idx"))
+        except BaseException:
+            self.storage.remove_tree(match_staging)
+            raise
         # partition columns are never renameable (_guard_structural_column),
         # so their logical and physical names coincide — dir renders match
         # the partitionBy output directly

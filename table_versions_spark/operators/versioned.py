@@ -791,13 +791,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .common import fs_copy_file, fs_exists, fs_list_files, scratch_dir
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    src = scratch_dir(spark, f"stream-dedup-src-{tag}")
+    src = scratch_dir(spark, f"stream-dedup-src2-{tag}")
     # scratch may be a shared-storage URI on a cluster — every touch goes
     # through Hadoop's FileSystem, never os.*/shutil
     if not fs_exists(spark, os.path.join(src, "f2.parquet")):
         tmp = scratch_dir(spark, f"stream-dedup-tmp-{tag}")
+        # land ONE deterministic representative per event_id (min of each
+        # payload column): dropDuplicates picks an arbitrary row when ids
+        # repeat, so without this the query and the oracle could disagree
+        # on which payload survives — the test must not depend on
+        # event_id uniqueness in the testdata
         (load_events(spark, sf_dir)
-         .select("event_id", "user_id", "event_type", "value")
+         .groupBy("event_id")
+         .agg(F.min("user_id").alias("user_id"),
+              F.min("event_type").alias("event_type"),
+              F.min("value").alias("value"))
          .coalesce(1).write.mode("overwrite").parquet(tmp))
         part = next(f for f in sorted(fs_list_files(spark, tmp))
                     if f.endswith(".parquet"))
@@ -1118,10 +1126,12 @@ ORACLES = {
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
     "q_stream_dedup": (
-        # DISTINCT states the documented semantics ("the distinct event
-        # set") instead of silently relying on event_id uniqueness in the
-        # testdata
-        "SELECT DISTINCT event_id, user_id, event_type, value FROM events"),
+        # same deterministic per-id representative the landed source
+        # carries (min of each payload column) — no reliance on event_id
+        # uniqueness in the testdata on either side
+        "SELECT event_id, MIN(user_id) AS user_id, "
+        "MIN(event_type) AS event_type, MIN(value) AS value "
+        "FROM events GROUP BY event_id"),
     "q_stream_join": (
         "WITH e AS (SELECT event_id, user_id, event_type, "
         "CAST(ts AS TIMESTAMP) AS ts FROM events), "

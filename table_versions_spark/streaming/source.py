@@ -615,7 +615,16 @@ def _dir_batches(directory: str, partition, pa_schema,
 
     storage = storage if storage is not None else DEFAULT_STORAGE
     if not storage.is_dir(directory):
-        return  # vacuumed beyond retention — same contract as read_changes
+        # a planned dir that vanished before the task ran was vacuumed
+        # out from under the query. Silently yielding nothing here would
+        # commit the micro-batch (or batch read) MINUS these rows — a
+        # downstream replica diverges with no signal. Loud, like
+        # engine.read_changes and the refined change-feed recheck.
+        raise ValueError(
+            f"version dir {directory} is missing (vacuumed between "
+            "planning and execution): this span's rows are no longer "
+            "readable — re-run the query, or restart streaming from a "
+            "fresh checkpoint within the vacuum retention")
     consts = dict(_partition_values(partition, ptypes))
     consts.update(constants or {})
     dv_by_file = _dv_positions(directory, storage)

@@ -269,3 +269,35 @@ def test_bulk_listing_partition_arity_mismatch_raises(spark, engine):
             _bulk_partition_versions(spark, "cdb.bam", defn)
     finally:
         spark.sql("DROP TABLE IF EXISTS cdb.bam")
+
+
+def test_bulk_partition_listing_active_and_consistent(spark, engine):
+    """The one-call SessionCatalog listing must actually engage (a silent
+    fallback to SHOW PARTITIONS + DESCRIBE-per-partition is an N+1
+    metastore pattern — minutes on a 10k-partition table) and must agree
+    with the per-partition read-back."""
+    from table_versions_spark.catalog import (
+        _bulk_partition_versions,
+        catalog_current_version,
+        sync_catalog,
+    )
+
+    try:
+        ddl = "id bigint, d string"
+        engine.create_table("cdb.blk", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(i, f"p{i % 5}") for i in range(20)], ddl),
+            "cdb.blk", "u", "base")
+        defn, log = engine._log("cdb.blk")
+        sync_catalog(spark, defn, log)
+        bulk = _bulk_partition_versions(spark, "cdb.blk", defn)
+        assert bulk is not None, (
+            "bulk listing fell back — the py4j SessionCatalog surface "
+            "drifted; sync still works but is N+1 round trips")
+        assert len(bulk) == 5
+        cur = catalog_current_version(spark, "cdb.blk", defn)
+        assert {p: v for p, v in bulk.items()} == dict(
+            cur.partition_versions)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.blk")

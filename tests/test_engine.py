@@ -2603,3 +2603,59 @@ class TestEngineReviewFixes:
         rows = engine.read("rf.nd").collect()
         assert len(rows) == 200  # no row lost, no row duplicated
         assert all(r.v == -1.0 or r.v == float(r.id) for r in rows)
+
+
+class TestReviewFixesR5:
+    def test_float_partition_column_refused_at_create(self, spark, engine):
+        """Approximate/binary partition types have no cross-engine
+        directory-name parity — refused at declaration, not deep in a
+        later delete/merge render."""
+        with pytest.raises(ValueError, match="approximate/binary"):
+            engine.create_table("rf.fp", schema_ddl="id bigint, x double",
+                                partition_columns=["x"])
+        with pytest.raises(ValueError, match="approximate/binary"):
+            engine.create_table("rf.fp2", schema_ddl="id bigint, b binary",
+                                partition_columns=["b"])
+
+    def test_float_partition_refused_at_insert_for_ddl_less_table(
+            self, spark, engine):
+        """DDL-less tables can't be checked at create — the frame check
+        must reject BEFORE any file is written."""
+        engine.create_table("rf.fpi", partition_columns=["x"])
+        df = spark.createDataFrame([(1, 2.5)], "id bigint, x double")
+        with pytest.raises(ValueError, match="approximate/binary"):
+            engine.insert(df, "rf.fpi", "u", "base")
+
+    def test_upsert_accepts_case_variant_source(self, spark, engine):
+        """Spark resolves columns case-insensitively; the schema guard
+        must too, and the rewrite must land files with DECLARED casing."""
+        ddl = "id bigint, v string, d string"
+        engine.create_table("rf.uc", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, "old", "a"), (2, "keep", "a")], ddl), "rf.uc", "u", "base")
+        src = spark.createDataFrame(
+            [(1, "new", "a")], "ID bigint, V string, D string")
+        engine.upsert(src, "rf.uc", keys=["id"], user_id="u",
+                      message="case-variant upsert")
+        got = engine.read("rf.uc")
+        assert got.columns == ["id", "v", "d"]  # declared casing on disk
+        assert sorted((r.id, r.v) for r in got.collect()) \
+            == [(1, "new"), (2, "keep")]
+
+    def test_update_dv_bad_set_expression_leaves_no_scratch(
+            self, spark, engine):
+        """A SET expression that fails to parse must not strand the
+        materialized match set (root-level scratch is never vacuumed)."""
+        ddl = "id bigint, v double, d string"
+        engine.create_table("rf.badset", schema_ddl=ddl,
+                            partition_columns=["d"])
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "a")], ddl), "rf.badset", "u", "base")
+        defn = engine.definition("rf.badset")
+        with pytest.raises(Exception):
+            engine.update("rf.badset", set={"v": "v +"}, predicate="id > 0",
+                          user_id="u", message="bad", mode="dv")
+        leftovers = [f for f in engine.storage.list_dir(defn.location)
+                     if f.startswith("_match_staging")]
+        assert leftovers == []

@@ -405,3 +405,46 @@ class TestAtSeqBounds:
             log.current_version(T, at_seq=head + 5)
         with pytest.raises(UnknownCommitError):
             log.stats_map(T, at_seq=head + 5)
+
+
+class TestLogViewMemo:
+    def test_composed_preconditions_share_storage_reads(self, tmp_path):
+        """txn recheck + conflict fold on ONE LogView must not re-read
+        the same commit files / listing twice (on S3 that doubles GETs
+        per CAS attempt exactly when contention multiplies retries)."""
+        from table_versions_spark.core.log import LogView
+        from table_versions_spark.core.storage import LocalStorage
+
+        class Counting(LocalStorage):
+            def __init__(self):
+                super().__init__()
+                self.reads = 0
+                self.lists = 0
+
+            def read_text(self, path):
+                self.reads += 1
+                return super().read_text(path)
+
+            def list_dir(self, path):
+                self.lists += 1
+                return super().list_dir(path)
+
+        storage = Counting()
+        log = FileTableVersions(str(tmp_path / "t"), storage)
+        log.init(T, False, "u", "init")
+        for i in range(4):
+            log.commit(T, TableUpdate(
+                TableUpdateMetadata.create("u", "m", txn=("app", i)),
+                (AddPartitionVersion(Partition.parse(f"d={i}"),
+                                     Version.generate()),)))
+        view = LogView(log, log.head_seq())
+        storage.reads = storage.lists = 0
+        view.head_fold()
+        r1, l1 = storage.reads, storage.lists
+        view.txn_high_water("app")  # same range: memo hit, ~no new reads
+        assert storage.reads <= r1 + 1
+        # a FRESH view re-reads (no cross-attempt staleness)
+        view2 = LogView(log, log.head_seq())
+        storage.reads = 0
+        view2.head_fold()
+        assert storage.reads > 0

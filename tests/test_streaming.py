@@ -1000,3 +1000,20 @@ class TestSinkConflictDetection:
         # the winner's row is intact, the loser never committed
         assert sorted(r.id for r in engine.read("db.sinkcc").collect()) \
             == [1, 5]
+
+
+def test_dir_batches_raises_on_missing_dir(tmp_path):
+    """A planned version dir that vanished before the task ran (vacuumed
+    mid-query) must raise, not silently yield nothing — a silent empty
+    commits the micro-batch MINUS those rows and a downstream replica
+    diverges with no signal."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from table_versions_spark.core.storage import LocalStorage
+    from table_versions_spark.streaming.source import _dir_batches
+
+    schema = pa.schema([("id", pa.int64())])
+    with _pytest.raises(ValueError, match="vacuumed"):
+        list(_dir_batches(str(tmp_path / "gone"), None, schema, {},
+                          "parquet", storage=LocalStorage()))
