@@ -64,38 +64,34 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # New in round 5 — exact row-level CDF across rewrite commits via
-        # _cdc sidecars (oracle FAILS if the coarse fallback fires), and
-        # per-commit CDF events (dv delete + rewrite update, both exact).
-        "q_change_feed_rewrite", "q_change_feed_per_commit",
-        # New in round 5 (late): SCD2 dimension build, cohort retention,
-        # corpus n-gram frequency table — all oracle-backed.
-        "q_scd2", "q_retention", "q_ngram_topk",
-        # Oldest official rows (green only in the round-1/2 artifacts while
-        # the code around them kept evolving — VERDICT r4 #6 asked to lead
-        # round 5 with these families; all re-verified in the r4 sweep):
-        # the relational core...
-        "q_sort", "q_str_funcs", "q_math_funcs", "q_date_funcs",
-        "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
-        "q_cube", "q_rollup", "q_agg_hash", "q_agg_distinct",
-        "q_window_rank", "q_window_running", "q_topk",
-        "q_set_intersect", "q_set_except", "q_project", "q_distinct",
-        "q_filter_eq", "q_limit", "q_union_all",
-        "q_scan_parquet", "q_scan_orc", "q_scan_table",
-        "q_collect", "q_create_ds", "q_typed_cast",
-        "q_udf_pandas", "q_join_skew_salted",
-        # ...and the r1-green TPC-H block (q2/q11/q12/q16/q20/q21 were
-        # refreshed in r4; these 16 were not since r1).
-        "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q13",
-        "q_tpch_q14", "q_tpch_q15", "q_tpch_q17", "q_tpch_q18",
-        "q_tpch_q19", "q_tpch_q22",
-        # Round-4 material rotates behind (officially green in r4).
-        "q_unpivot", "q_grouping_sets", "q_sample_temperature",
-        "q_dedup_paragraph", "q_dedup_prefix", "q_stream_sink",
-        "q_delete_dv", "q_update_dv", "q_change_feed_rows", "q_stream_cdf",
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
-        "q_tpch_q20", "q_tpch_q21",
+        # Round-6 rotation (VERDICT r5 #4): the stalest green rows. Last
+        # officially green in r1:
+        "q_agg_approx_distinct", "q_tpch_q22",
+        # ...in r2 — versioned flows, dedup family, similarity, text:
+        "q_time_travel", "q_snapshot_replace", "q_bucketed_join",
+        "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_ngram", "q_dedup_embedding", "q_dedup_groups",
+        "q_sim_search", "q_sim_ann_ivf", "q_embed_quantize",
+        "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
+        "q_text_stats", "q_chunk_docs", "q_multimodal",
+        "q_multimodal_frames", "q_sample_stratified", "q_train_test_split",
+        "q_pivot", "q_explode", "q_window_lag", "q_range_join",
+        "q_approx_quantile", "q_quantiles", "q_corr",
+        # ...in r3 — time travel ts, restore, schema evolution, skipping
+        # indexes, streaming, cleaning:
+        "q_time_travel_ts", "q_restore", "q_schema_evolution",
+        "q_zorder_skipping", "q_bloom_skipping", "q_clustered_skipping",
+        "q_multi_partition_prune", "q_derived_partition",
+        "q_compact_invariant", "q_vacuum_invariant", "q_change_feed",
+        "q_table_stats", "q_stream_agg", "q_sim_ann_lsh", "q_kmeans",
+        "q_bm25", "q_tfidf", "q_pii_redact", "q_contamination",
+        "q_repetition", "q_histogram", "q_sample_per_group",
+        # r4 families rotate behind (refreshed in the r4 artifact), then
+        # the r5-green relational/TPC-H core comes last via registry order.
+        "q_upsert", "q_merge", "q_delete", "q_update",
+        "q_delete_dv", "q_update_dv", "q_change_feed_rows",
+        "q_partition_prune", "q_insert_overwrite_partition",
+        "q_stream_sink", "q_stream_cdf", "q_stream_dedup",
     ]
     pset = set(priority)
     ordered = priority + [n for n in queries if n not in pset]

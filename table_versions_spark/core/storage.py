@@ -687,9 +687,17 @@ class S3Storage(ObjectStoreStorage):
     byte-level primitives.
     """
 
-    def __init__(self, copy_workers: int = 16, client=None):
+    def __init__(self, copy_workers: int = 16, client=None,
+                 endpoint_url: "str | None" = None,
+                 region: "str | None" = None):
+        """``endpoint_url``/``region`` configure an S3-compatible store
+        (MinIO, moto server, on-prem gateways) as PLAIN data — unlike a
+        prebuilt ``client=``, they survive pickling, so executors rebuild
+        an identically-pointed client (see ``__reduce__``)."""
         super().__init__(copy_workers=copy_workers)
         self._custom_client = client is not None
+        self.endpoint_url = endpoint_url
+        self.region = region
         if client is None:
             try:
                 import boto3
@@ -697,7 +705,12 @@ class S3Storage(ObjectStoreStorage):
                 raise ImportError(
                     "S3Storage requires boto3 (pip install boto3), or pass "
                     "a preconfigured client=") from e
-            client = boto3.client("s3")
+            kwargs = {}
+            if endpoint_url:
+                kwargs["endpoint_url"] = endpoint_url
+            if region:
+                kwargs["region_name"] = region
+            client = boto3.client("s3", **kwargs)
         self._s3 = client
 
     @staticmethod
@@ -928,18 +941,23 @@ class S3Storage(ObjectStoreStorage):
         if self._custom_client:
             raise TypeError(
                 "S3Storage with a custom boto3 client cannot be pickled "
-                "to executors; configure endpoint/credentials via the "
+                "to executors; pass endpoint_url=/region= (plain data, "
+                "rebuilt per worker) or configure credentials via the "
                 "environment or AWS config files so a default "
                 "boto3.client('s3') resolves them on every worker")
-        return (S3Storage, (self.copy_workers,))
+        return (S3Storage, (self.copy_workers, None,
+                            self.endpoint_url, self.region))
 
 
 def storage_from_name(name: "str | None") -> Storage:
     """Resolve a storage backend by the short name the ``tvx`` data source
     accepts as ``.option("storage", ...)``: ``local`` (default),
     ``object`` (object-store semantics emulated on local paths — the
-    test/CI face), ``s3`` (boto3). MemoryStorage is deliberately absent:
-    its state lives in one process and executor writes would be lost."""
+    test/CI face), ``s3`` (boto3), or ``s3@<endpoint_url>`` for
+    S3-compatible stores (MinIO, moto server) — the endpoint is plain
+    data, so it reaches executors through the pickled backend.
+    MemoryStorage is deliberately absent: its state lives in one process
+    and executor writes would be lost."""
     key = (name or "").lower()
     if not key or key == "local":
         return DEFAULT_STORAGE
@@ -947,5 +965,8 @@ def storage_from_name(name: "str | None") -> Storage:
         return ObjectStoreStorage()
     if key == "s3":
         return S3Storage()
+    if key.startswith("s3@"):
+        return S3Storage(endpoint_url=name[len("s3@"):])
     raise ValueError(
-        f"Unknown storage backend {name!r}; expected local | object | s3")
+        f"Unknown storage backend {name!r}; expected "
+        "local | object | s3 | s3@<endpoint_url>")

@@ -221,7 +221,9 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 5  # merge rules to learn; production vocabularies iterate ~30k
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bpe_train(spark: SparkSession, sf_dir: str,
+                merges: "int | None" = None,
+                round_stats: "list | None" = None) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich et al. 2016,
     arXiv:1508.07909) — the vocabulary-learning step of a training-data
     pipeline, in the paper's word-frequency formulation:
@@ -251,6 +253,15 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the driver runs the rows-only check; exactness is pinned by a
     pytest comparing against an independent pure-Python BPE on the same
     corpus.
+
+    ``merges`` overrides :data:`BPE_MERGES` (the driver-check default);
+    a production ~30k-merge vocabulary runs the same loop — per-round
+    cost is what the delta formulation bounds, and
+    tests/test_operators.py pins that bound at a deeper merge count.
+    ``round_stats``, when a list, receives one ``(round, changed_words,
+    vocab_words)`` tuple per merge round — ``changed_words`` comes from
+    the staged rewrite's parquet footers (metadata, no extra scan), so
+    the O(changed)-per-round claim is observable, not asserted.
     """
     import os
 
@@ -289,8 +300,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_counts(spark.read.parquet(cur)).write.mode("overwrite") \
         .parquet(counts_cur)
 
-    merges = []
-    for rnd in range(BPE_MERGES):
+    def _footer_rows(d: str) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+
+    learned = []
+    for rnd in range(merges if merges is not None else BPE_MERGES):
         vocab = spark.read.parquet(cur)
         counts = spark.read.parquet(counts_cur)
         top = (counts.where(F.col("cnt") > 0)
@@ -299,7 +316,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         if top is None:
             break
         a, b, cnt = top.a, top.b, int(top.cnt)
-        merges.append((rnd + 1, a, b, a + b, cnt))
+        learned.append((rnd + 1, a, b, a + b, cnt))
 
         def merge_pass(batches, a=a, b=b):
             for pdf in batches:
@@ -331,6 +348,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "w string, cnt bigint, s array<string>")
          .write.mode("overwrite").parquet(rew_dir))
         rew = spark.read.parquet(rew_dir)
+        if round_stats is not None:
+            # footer metadata only — observing the O(changed) bound must
+            # not itself add a scan job per round
+            round_stats.append((rnd + 1, _footer_rows(rew_dir),
+                                _footer_rows(cur)))
         nxt = scratch_dir(spark, f"bpe-{tag}-{(rnd + 1) % 2}")
         (rew.unionByName(vocab.where(~has_pair))
          .write.mode("overwrite").parquet(nxt))
@@ -349,7 +371,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur, counts_cur = nxt, counts_nxt
 
     return spark.createDataFrame(
-        merges, "merge_no int, left string, right string, "
+        learned, "merge_no int, left string, right string, "
                 "merged string, n bigint")
 
 

@@ -53,9 +53,18 @@ see :mod:`.arrowexpr` for how each is kept byte-identical):
   parts, ``substring``, integer arithmetic, identity) are compiled to
   Arrow kernels at construction; out-of-catalogue derivations refuse.
 
-Still unsupported (use ``engine.insert``): bucketing — the
-filename-index==bucket-id contract needs Spark-side hash clustering the
-DataSource writer cannot impose on its input partitioning.
+- bucketed tables: each task's batch is split by the row's bucket id —
+  the SAME Murmur3 ``pmod(hash(cols), n)`` HashPartitioning assigns at
+  ``engine.insert``'s ``repartition(n, cols)`` (vectorized over the
+  Arrow buffers, ``core/sparkhash.bucket_ids_arrow``) — and the id is
+  stamped into the part-file name (``part-00003-…``), the same Hive
+  filename contract the engine's readers parse
+  (``engine._bucket_files`` / ``_bucket_filter_files``). The sink can't
+  impose Spark-side clustering (Python DataSources have no
+  requiredDistribution), so it may produce several files per bucket per
+  commit — bucket-pruned reads and ``bucketed_join`` group files by the
+  parsed index, not by count, so both stay correct; co-bucketed join
+  branch sizes just track the writer's upstream partitioning.
 """
 
 from __future__ import annotations
@@ -91,6 +100,10 @@ from ..core.model import (
 from ..core.paths import path_for
 from ..core.storage import DEFAULT_STORAGE
 
+# transient per-row bucket-id column, appended by _apply_write_plan and
+# consumed (grouped on, then dropped) by _write_task_files — never written
+BUCKET_COL = "__tvx_bucket"
+
 
 @dataclass
 class TvxCommitMessage(WriterCommitMessage):
@@ -109,21 +122,44 @@ class WritePlan:
     rename: tuple = ()        # ((logical, physical), ...)
     constraints: tuple = ()   # validated CHECK expressions (logical names)
     derivations: tuple = ()   # ((pcol, arrowexpr spec), ...) — omitted only
+    bucket: tuple = ()        # (bucket_count, ((col, spark_type), ...))
 
 
 def _write_plan(defn: TableDefinition, schema) -> WritePlan:
-    if defn.bucket_columns:
-        raise ValueError(
-            f"{defn.name.fully_qualified_name} declares bucket_columns; "
-            "write through VersionedEngine.insert (bucket clustering "
-            "needs the engine's Spark-side repartition)")
     refuse = (f"write to {defn.name.fully_qualified_name} through "
               "VersionedEngine.insert")
     if schema is None and (defn.check_constraints
-                           or defn.partition_derivations):
+                           or defn.partition_derivations
+                           or defn.bucket_count):
         raise ValueError(
             f"{refuse}: no write schema available to validate "
-            "constraints/derivations against")
+            "constraints/derivations/bucketing against")
+    bucket: tuple = ()
+    if defn.bucket_count:
+        # the sink can't make Spark cluster rows into bucket_count tasks
+        # (Python DataSources have no requiredDistribution), so instead of
+        # the engine's task-index-is-bucket-id contract it SPLITS each
+        # task's batch by the row's bucket id (same Murmur3, vectorized)
+        # and stamps the id into the part-file name — multiple files per
+        # bucket, which _bucket_files/_bucket_filter_files already group by
+        # the parsed part index (engine.py:2465,2490)
+        from ..core.sparkhash import HASHABLE_BUCKET_TYPES
+
+        by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        spec = []
+        for c in defn.bucket_columns:
+            t = by_name.get(c)
+            if t is None:
+                raise ValueError(
+                    f"{refuse}: bucket column {c} missing from the write "
+                    f"schema {sorted(by_name)}")
+            if t.split("(")[0] not in HASHABLE_BUCKET_TYPES:
+                raise ValueError(
+                    f"{refuse}: bucket column {c} has type {t}, which the "
+                    "sink cannot hash with Spark HashPartitioning parity "
+                    "(supported: int/bigint/boolean/string/date)")
+            spec.append((c, t))
+        bucket = (defn.bucket_count, tuple(spec))
     derivations = []
     if schema is not None:
         from .arrowexpr import compile_derivation
@@ -191,7 +227,8 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
                     "Spark directory-name parity by the sink")
     plan = WritePlan(rename=tuple(defn.column_mapping),
                      constraints=constraints,
-                     derivations=tuple(derivations))
+                     derivations=tuple(derivations),
+                     bucket=bucket)
     if constraints and schema is not None:
         # construction-time faithfulness probe: run the EXACT executor path
         # (derive, then DuckDB) over a ONE-ROW batch of representative
@@ -285,6 +322,20 @@ def _apply_write_plan(t, plan: "WritePlan | None"):
             raise ConstraintViolationError(
                 f"CHECK constraint {plan.constraints} rejected "
                 f"row {bad[0]}")
+    if plan.bucket:
+        # before rename: the bucket spec names logical columns. One
+        # vectorized pass (core/sparkhash.bucket_ids_arrow — numpy over
+        # the Arrow buffers, zero per-row Python) stamps each row's
+        # bucket id; _write_task_files groups on it and writes the id
+        # into the part-file name (Hive's filename contract).
+        import pyarrow as pa
+
+        from ..core.sparkhash import bucket_ids_arrow
+
+        count, spec = plan.bucket
+        ids = bucket_ids_arrow(t, [c for c, _ in spec],
+                               [ty for _, ty in spec], count)
+        t = t.append_column(BUCKET_COL, pa.array(ids, type=pa.int32()))
     if plan.rename:
         to_phys = dict(plan.rename)
         t = t.rename_columns([to_phys.get(c, c) for c in t.column_names])
@@ -312,14 +363,18 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
     if t.num_rows == 0:
         return written
     t = _apply_write_plan(t, plan)
-    if not pcols:
-        groups = [(None, t)]
+    bucketed = plan is not None and bool(plan.bucket)
+    gcols = list(pcols) + ([BUCKET_COL] if bucketed else [])
+    if not gcols:
+        groups = [(None, None, t)]
     else:
-        key_tbl = t.select(pcols).append_column(
+        key_tbl = t.select(gcols).append_column(
             "__tvx_idx", pa.array(np.arange(t.num_rows), type=pa.int64()))
-        grouped = key_tbl.group_by(pcols).aggregate([("__tvx_idx", "list")])
+        grouped = key_tbl.group_by(gcols).aggregate([("__tvx_idx", "list")])
         idx_col = grouped.column("__tvx_idx_list").combine_chunks()
         keys = [grouped.column(c).to_pylist() for c in pcols]  # O(#groups)
+        bids = (grouped.column(BUCKET_COL).to_pylist() if bucketed
+                else [None] * grouped.num_rows)
         groups = [
             # escape_partition_value renders with Spark's
             # getPartitionPathString parity (booleans lowercase,
@@ -327,18 +382,24 @@ def _write_task_files(iterator, pcols: list[str], fmt: str,
             # before Hive-escaping — matching engine.insert's partitionBy
             # dirs exactly (float/binary are refused at construction)
             ("/".join(f"{c}={escape_partition_value(k[gi])}"
-                      for c, k in zip(pcols, keys)),
+                      for c, k in zip(pcols, keys)) or None,
+             bids[gi],
              t.take(idx_col[gi].values))
             for gi in range(grouped.num_rows)]
-    for render, tbl in groups:
-        drop = [c for c in pcols if c in tbl.column_names]
+    for render, bid, tbl in groups:
+        drop = [c for c in (*pcols, BUCKET_COL) if c in tbl.column_names]
         if drop:  # partition values live in the dir name, as partitionBy does
             tbl = tbl.drop_columns(drop)
         d = (os.path.join(out_root, render, subdir) if render
              else out_root)
         storage.makedirs(d)
         ext = "orc" if fmt == "orc" else "parquet"
-        path = os.path.join(d, f"part-{uuid.uuid4().hex}.{ext}")
+        # bucketed: the bucket id rides the part index (Hive's filename
+        # contract), parsed back by engine._bucket_files and
+        # _bucket_filter_files — several files per bucket are fine
+        stem = (f"part-{bid:05d}-{uuid.uuid4().hex}" if bid is not None
+                else f"part-{uuid.uuid4().hex}")
+        path = os.path.join(d, f"{stem}.{ext}")
         with storage.open_output(path) as f:
             if fmt == "orc":
                 import pyarrow.orc as orc

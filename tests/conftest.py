@@ -2,6 +2,16 @@ import os
 
 import pytest
 
+# Dummy AWS credentials, set BEFORE the session JVM starts so that Spark's
+# python workers (which inherit the JVM env captured at the first
+# SparkSession) can sign requests against the moto *server* fixtures
+# (tests/test_dv_cdc_s3_moto.py). moto ignores the values; having them set
+# is also moto's own recommendation for the mock_aws suites.
+for _k, _v in (("AWS_ACCESS_KEY_ID", "tvx-test"),
+               ("AWS_SECRET_ACCESS_KEY", "tvx-test"),
+               ("AWS_DEFAULT_REGION", "us-east-1")):
+    os.environ.setdefault(_k, _v)
+
 TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 SF_SMALL = os.path.join(TESTDATA, "sf0.001")
 SF_MEDIUM = os.path.join(TESTDATA, "sf0.01")

@@ -182,6 +182,55 @@ def test_sync_refuses_tables_with_deletion_vectors(spark, engine):
         spark.sql("DROP TABLE IF EXISTS cdb.dvg")
 
 
+@pytest.mark.parametrize("path", ["bulk", "fallback"])
+def test_sync_bulk_and_fallback_paths_converge(spark, engine, monkeypatch,
+                                               path):
+    """catalog_current_version has two read paths: the bulk JVM
+    SessionCatalog.listPartitions call and the SHOW PARTITIONS + DESCRIBE
+    per-partition fallback (taken when the py4j surface is unavailable).
+    They must produce IDENTICAL state — the r5 case-recasing bug lived
+    exactly in this seam, visible only on whichever path a test didn't
+    force. Both paths run the full lifecycle: initial sync, update,
+    no-op convergence, mixed-case + escaped partition values."""
+    import table_versions_spark.catalog as cat
+
+    if path == "fallback":
+        monkeypatch.setattr(cat, "_bulk_partition_versions",
+                            lambda *a, **k: None)
+    try:
+        # mixed-case partition column AND a value needing dir-name
+        # escaping — the two historical desync hazards
+        ddl = "id bigint, Day string"
+        engine.create_table("cdb.bf", schema_ddl=ddl,
+                            partition_columns=["Day"])
+        engine.insert(spark.createDataFrame(
+            [(1, "d1"), (2, "x:y"), (3, "d3")], ddl), "cdb.bf", "u", "base")
+        assert engine.sync_catalog("cdb.bf") == 3
+        assert sorted((r.id, r.Day) for r in
+                      spark.table("cdb.bf").collect()) \
+            == [(1, "d1"), (2, "x:y"), (3, "d3")]
+        # converged: re-sync applies zero ops (read-back == log state)
+        assert engine.sync_catalog("cdb.bf") == 0
+        # reprocess one partition: exactly one location update
+        engine.insert(spark.createDataFrame([(9, "x:y")], ddl),
+                      "cdb.bf", "u", "redo")
+        assert engine.sync_catalog("cdb.bf") == 1
+        assert engine.sync_catalog("cdb.bf") == 0
+        assert sorted((r.id, r.Day) for r in
+                      spark.table("cdb.bf").collect()) \
+            == [(1, "d1"), (3, "d3"), (9, "x:y")]
+        # the state the forced path reads equals the log's view
+        defn = engine.definition("cdb.bf")
+        got = cat.catalog_current_version(spark, "cdb.bf", defn)
+        from table_versions_spark.core.log import FileTableVersions
+
+        want = FileTableVersions(defn.location, engine.storage) \
+            .current_version(defn.name)
+        assert got.partition_versions == want.partition_versions
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdb.bf")
+
+
 def test_sync_mixed_case_partition_column_converges(spark, engine):
     """Hive lowercases partition column names; the read-back must re-case
     to the declared names or every other sync emits a spurious Add+Drop

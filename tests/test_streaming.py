@@ -336,18 +336,18 @@ class TestTvxSink:
         assert engine.history("sk.sn").count() == 3  # init + 2 writes
 
     def test_sink_guards(self, spark, engine):
-        """What the sink still refuses: bucketing (needs Spark-side hash
-        clustering) and constraints/derivations outside the faithful
-        evaluation subset — supported features are covered by
-        TestSinkCapabilities."""
+        """What the sink still refuses: bucket columns it cannot hash with
+        HashPartitioning parity (float/double/decimal/timestamp) and
+        constraints/derivations outside the faithful evaluation subset —
+        supported features are covered by TestSinkCapabilities."""
         import pytest as _pytest
 
         from table_versions_spark.streaming.source import register
 
         register(spark)
         engine.create_table("sk.bk", schema_ddl="id bigint, v double",
-                            bucket_columns=["id"], bucket_count=4)
-        with _pytest.raises(Exception, match="bucket"):
+                            bucket_columns=["v"], bucket_count=4)
+        with _pytest.raises(Exception, match="hash"):
             spark.createDataFrame([(1, 1.0)], "id bigint, v double"
                                   ).write.format("tvx").mode("overwrite"
                                   ).option("location",
@@ -579,39 +579,111 @@ class TestSinkCapabilities:
 
     def test_unrenderable_partition_type_refused(self, spark, engine):
         """float/double partition values have no Python rendering that
-        matches Java's Double.toString — refuse at construction."""
+        matches Java's Double.toString — refused at DECLARATION since
+        engine._validate_partition_types (every later partition render
+        would address the wrong directory for some values)."""
         import pytest as _pytest
 
-        from table_versions_spark.streaming.source import register
-
-        register(spark)
-        engine.create_table("skc.fp", schema_ddl="id bigint, f double",
-                            partition_columns=["f"])
         with _pytest.raises(Exception, match="render"):
-            spark.createDataFrame([(1, 1.5)], "id bigint, f double"
-                                  ).write.format("tvx").mode("overwrite"
-                                  ).option("location",
-                                           engine.definition("skc.fp").location
-                                  ).save()
+            engine.create_table("skc.fp", schema_ddl="id bigint, f double",
+                                partition_columns=["f"])
 
     def test_identity_derived_float_partition_refused(self, spark, engine):
         """A bare-column partition derivation over a double source smuggles
         the unrenderable type past the incoming-schema check — the refusal
-        must look at the EFFECTIVE type, source column included."""
+        must look at the EFFECTIVE type, source column included.
+        Declaration-time validation catches the declared double p."""
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="render"):
+            engine.create_table(
+                "skc.fpd", schema_ddl="id bigint, f double, p double",
+                partition_columns=["p"],
+                partition_derivations={"p": "f"})
+
+    def test_sink_refuses_float_partition_on_ddl_less_table(
+            self, spark, engine):
+        """Tables declared WITHOUT schema_ddl skip the declaration-time
+        partition-type check (nothing to check against), so the sink's
+        own frame-side effective-type guard (sink._write_plan) is the
+        live refusal path — both for a direct double partition column
+        and for one smuggled in via an identity derivation."""
         import pytest as _pytest
 
         from table_versions_spark.streaming.source import register
 
         register(spark)
-        engine.create_table("skc.fpd", schema_ddl="id bigint, f double, p double",
-                            partition_columns=["p"],
+        engine.create_table("skc.fpn", partition_columns=["f"])
+        with _pytest.raises(Exception, match="render"):
+            spark.createDataFrame([(1, 1.5)], "id bigint, f double"
+                                  ).write.format("tvx").mode("overwrite"
+                                  ).option("location",
+                                           engine.definition("skc.fpn").location
+                                  ).save()
+        engine.create_table("skc.fpdn", partition_columns=["p"],
                             partition_derivations={"p": "f"})
         with _pytest.raises(Exception, match="render"):
             spark.createDataFrame([(1, 1e-07)], "id bigint, f double"
                                   ).write.format("tvx").mode("overwrite"
                                   ).option("location",
-                                           engine.definition("skc.fpd").location
+                                           engine.definition("skc.fpdn").location
                                   ).save()
+
+    def test_sink_bucketed_write(self, spark, engine):
+        """Sink writes to bucketed tables: rows are split by the vectorized
+        Murmur3 bucket id and the id rides the part-file name, so
+        bucket-pruned point reads and bucketed_join see sink-written data
+        exactly as engine-written data."""
+        import re
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        rows = [(i, f"name-{i}", i % 7) for i in range(200)]
+        ddl = "id bigint, name string, grp bigint"
+        ddl_e = "id bigint, ename string, egrp bigint"
+        engine.create_table("skb.s", schema_ddl=ddl,
+                            bucket_columns=["id"], bucket_count=8)
+        engine.create_table("skb.e", schema_ddl=ddl_e,
+                            bucket_columns=["id"], bucket_count=8)
+        df = spark.createDataFrame(rows, ddl)
+        df.write.format("tvx").mode("overwrite").option(
+            "location", engine.definition("skb.s").location).save()
+        engine.insert(spark.createDataFrame(rows, ddl_e),
+                      "skb.e", "u", "engine write")
+
+        # every sink-written file carries a parseable bucket index
+        loc = engine.definition("skb.s").location
+        files = [f for d, _, fs in os.walk(loc) for f in fs
+                 if f.startswith("part-")]
+        assert files
+        assert all(re.match(r"part-\d{5}-", f) for f in files)
+
+        # bucket-pruned point read returns exactly the key's rows, and the
+        # pruned file set is a strict subset (1/bucket_count-ish)
+        got = engine.read("skb.s", bucket_filter={"id": 42})
+        assert [(r.id, r.name) for r in
+                got.where("id = 42").collect()] == [(42, "name-42")]
+        # sink-written and engine-written buckets agree row-for-row
+        for key in (0, 1, 42, 199):
+            s = set(map(tuple, engine.read(
+                "skb.s", bucket_filter={"id": key}).collect()))
+            e = set(map(tuple, engine.read(
+                "skb.e", bucket_filter={"id": key}).collect()))
+            assert s == e and (key, f"name-{key}", key % 7) in s
+
+        # co-bucketed join between an engine-written and a sink-written
+        # table: zero-shuffle branch union, full row parity
+        j = engine.bucketed_join("skb.s", "skb.e")
+        assert j.count() == 200
+
+        # append through the sink accumulates within the bucket contract
+        spark.createDataFrame([(1000, "name-1000", 0)], ddl
+                              ).write.format("tvx").mode("append").option(
+            "location", loc).save()
+        got = engine.read("skb.s", bucket_filter={"id": 1000})
+        assert (1000, "name-1000", 0) in set(map(tuple, got.collect()))
+        assert engine.read("skb.s").count() == 201
 
     def test_render_pvalue_pads_ancient_years(self):
         """glibc strftime renders year 1 as '1'; Spark pads to '0001' —
@@ -773,7 +845,9 @@ def test_sink_partition_grouping_is_vectorized():
     src = inspect.getsource(sink._write_task_files)
     assert "group_by" in src
     assert "enumerate" not in src and "zip(*" not in src
-    assert src.count("to_pylist") <= 1
+    # two per-GROUP conversions: partition keys + bucket ids (both
+    # O(#groups)); the per-ROW bucket hash is numpy (bucket_ids_arrow)
+    assert src.count("to_pylist") <= 2
 
 
 class TestTvxStorageBackends:
