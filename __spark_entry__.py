@@ -64,6 +64,9 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
+        # New in round 6 — training-mixture rebalancing, corpus
+        # normalization, quality binning (all oracle-backed):
+        "q_domain_mix", "q_text_normalize", "q_quality_bucket",
         # Round-6 rotation (VERDICT r5 #4): the stalest green rows. Last
         # officially green in r1:
         "q_agg_approx_distinct", "q_tpch_q22",

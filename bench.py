@@ -81,6 +81,9 @@ HEADLINE = [
     "q_scd2",
     "q_retention",
     "q_ngram_topk",
+    "q_domain_mix",
+    "q_text_normalize",
+    "q_quality_bucket",
 ]
 
 

@@ -8,7 +8,7 @@ aggregations. Each has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .common import load
 
@@ -585,6 +585,64 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("pos")))
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing (the Pile/LLaMA data-mix recipe): per
+    source, the corpus's ACTUAL token share vs a uniform target mix, and
+    the per-source sampling weight (= epochs over that source) a loader
+    applies to hit the target. One partial-agg shuffle over the corpus
+    (token counting is a codegen'd split+size, counts combine map-side);
+    the mixture table itself is #sources rows — broadcast-sized by
+    construction, so downstream weighted sampling joins it for free at
+    any corpus scale."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = (docs
+                  .select("source",
+                          F.size(F.filter(F.split("text", r"\s+"),
+                                          lambda x: x != "")).alias("toks"))
+                  .groupBy("source")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("toks").alias("n_tokens")))
+    w = Window.partitionBy()
+    return (per_source
+            .withColumn("share",
+                        F.col("n_tokens").cast("double")
+                        / F.sum("n_tokens").over(w))
+            .withColumn("target_share",
+                        F.lit(1.0) / F.count("*").over(w))
+            .withColumn("weight", F.col("target_share") / F.col("share"))
+            .select("source", "n_docs", "n_tokens", "share",
+                    "target_share", "weight")
+            .orderBy("source"))
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus normalization pass (every tokenizer's precondition):
+    lowercase, collapse runs of whitespace to single spaces, trim. Pure
+    codegen'd string expressions — one scan, no shuffle, exactly the
+    shape a 100 TB normalize-in-place wants (the regex classes are
+    dialect-safe: Java's ``\\s`` and RE2's ``\\s`` agree on the ASCII
+    whitespace set this corpus can contain)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id", norm.alias("norm_text"),
+        F.length("text").cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"))
+
+
+def q_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality binning for curriculum ordering / threshold filtering:
+    per-source deciles of document length (the cheap quality proxy every
+    pipeline starts with; swap the ORDER BY for an LM score without
+    changing the plan shape). One shuffle on source — ntile is a
+    window over the per-source sort, and sources are few and fat, which
+    is exactly the shape range-partitioned window execution handles."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select("doc_id", "source", "n_chars",
+                       F.ntile(10).over(w).alias("decile"))
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram statistics: the 50 most frequent word trigrams
     (phrase mining / boilerplate detection — the frequency table n-gram
@@ -609,6 +667,9 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_bpe_train": q_bpe_train,
     "q_ngram_topk": q_ngram_topk,
+    "q_domain_mix": q_domain_mix,
+    "q_text_normalize": q_text_normalize,
+    "q_quality_bucket": q_quality_bucket,
     "q_sample_per_group": q_sample_per_group,
     "q_tokenize_apply": q_tokenize_apply,
     "q_sample_temperature": q_sample_temperature,
@@ -628,6 +689,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_domain_mix": (
+        "WITH per_source AS (SELECT source, COUNT(*) AS n_docs, "
+        "CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> ''))) AS BIGINT) AS n_tokens "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t, "
+        "COUNT(*) AS ns FROM per_source) "
+        "SELECT source, n_docs, n_tokens, "
+        "CAST(n_tokens AS DOUBLE) / t AS share, "
+        "CAST(1 AS DOUBLE) / ns AS target_share, "
+        "(CAST(1 AS DOUBLE) / ns) / (CAST(n_tokens AS DOUBLE) / t) "
+        "AS weight FROM per_source, tot ORDER BY source"),
+    "q_text_normalize": (
+        "SELECT doc_id, "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text, "
+        "CAST(length(text) AS BIGINT) AS raw_len, "
+        "CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+        "AS BIGINT) AS norm_len FROM documents"),
+    "q_quality_bucket": (
+        "SELECT doc_id, source, n_chars, "
+        "CAST(ntile(10) OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents"),
     "q_ngram_topk": (
         "WITH d AS (SELECT list_filter(string_split(text, ' '), "
         "x -> x <> '') AS w FROM documents), "
