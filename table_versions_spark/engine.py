@@ -955,11 +955,11 @@ class VersionedEngine:
             raise ValueError(
                 "delete(mode='dv') requires parquet (positions use the "
                 "parquet _metadata.row_index column); use mode='rewrite'")
-        if defn.bucket_count:
-            raise ValueError(
-                "delete(mode='dv') is not supported on bucketed tables: "
-                "bucket ids ride part-file names, and vectors would break "
-                "the filename/bucket contract; use mode='rewrite'")
+        # bucketed tables are fine here: a dv delete never writes data
+        # files — the new version dir is links (original part indices are
+        # preserved inside the prefixed names) plus a _dv sidecar, and
+        # every bucket-aware read surface (read(bucket_filter=...),
+        # bucketed_join) applies vectors after file selection
         pcols = list(defn.partition_schema.columns)
         # conflict baseline before the state/dirs read: the final commit's
         # precondition guards the whole scan→vector-write window
@@ -1094,12 +1094,11 @@ class VersionedEngine:
             raise ValueError(
                 "update(mode='dv') requires parquet (positions use the "
                 "parquet _metadata.row_index column); use mode='rewrite'")
-        if defn.bucket_count:
-            raise ValueError(
-                "update(mode='dv') is not supported on bucketed tables: "
-                "updated rows are written without bucket clustering, which "
-                "would break the filename/bucket contract; use "
-                "mode='rewrite'")
+        # bucketed tables: supported — the updated rows' write below is
+        # hash-clustered into bucket_count tasks on the bucket columns
+        # (task index == bucket id == part-file index, the same contract
+        # every insert honors), so the new files join bucket-by-bucket
+        # like the linked originals
         pcols = list(defn.partition_schema.columns)
         # conflict baseline before the state/dirs read: the final commit's
         # precondition guards the whole scan→vector-write window
@@ -1220,7 +1219,14 @@ class VersionedEngine:
                         TableUpdateMetadata.create(user_id, message), ()))
                 new_dir = path_for(defn.location, version)
                 _link_data_files(dirs[None], new_dir, self.storage)
-                updated.write.mode("overwrite").parquet(upd_staging)
+                upd_out = updated
+                if defn.bucket_count:
+                    # bucket contract: task index == bucket id rides the
+                    # part-file name, same as every insert
+                    upd_out = updated.repartition(
+                        defn.bucket_count,
+                        *[F.col(c) for c in defn.bucket_columns])
+                upd_out.write.mode("overwrite").parquet(upd_staging)
                 _move_data_files(upd_staging, new_dir)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(dv_staging, dv_dst)
@@ -1264,8 +1270,15 @@ class VersionedEngine:
                  os.path.join(dv_staging, rel))
                 for rel, part in affected.items()
                 if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
-            (updated.repartition(*[F.col(c) for c in pcols])
-             .write.partitionBy(*pcols).mode("overwrite")
+            upd_out = (updated.repartition(
+                           defn.bucket_count,
+                           *[F.col(c) for c in defn.bucket_columns])
+                       # bucket contract: every task holds exactly one
+                       # bucket's rows, so each partition dir it writes
+                       # gets files named with that bucket's index
+                       if defn.bucket_count
+                       else updated.repartition(*[F.col(c) for c in pcols]))
+            (upd_out.write.partitionBy(*pcols).mode("overwrite")
              .parquet(upd_staging))
 
             def publish(item):

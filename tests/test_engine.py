@@ -1811,21 +1811,90 @@ class TestDeletionVectors:
         got = sorted((r.id, r.v) for r in df.collect())
         assert got == [(1, 7.0), (2, 2.5)]
 
-    def test_dv_rejected_on_bucketed_tables(self, spark, engine):
-        """Bucket ids ride part-file names; dv writes would break the
-        filename/bucket contract, so both dv modes refuse."""
-        import pytest as _pytest
+    def test_dv_on_bucketed_tables(self, spark, engine):
+        """DV modes on bucketed tables keep the filename/bucket contract:
+        a dv delete only links files (original part indices preserved) +
+        writes the sidecar; a dv update writes ONLY the updated rows,
+        hash-clustered so the new files' part indices ARE their bucket
+        ids. Bucket-pruned point reads and bucketed_join must agree with
+        the rewrite semantics throughout."""
+        import re as _re
 
         ddl = "id bigint, v double"
+        rows = [(i, float(i)) for i in range(40)]
         engine.create_table("dv.bk", schema_ddl=ddl,
                             bucket_columns=["id"], bucket_count=4)
-        engine.insert(spark.createDataFrame([(1, 1.0), (2, 2.0)], ddl),
-                      "dv.bk", "u", "v1")
-        with _pytest.raises(ValueError, match="bucket"):
-            engine.delete("dv.bk", "id = 1", "u", "x", mode="dv")
-        with _pytest.raises(ValueError, match="bucket"):
-            engine.update("dv.bk", set={"v": "0.0"}, predicate="id = 1",
-                          user_id="u", message="x", mode="dv")
+        engine.create_table("dv.bk2", schema_ddl="id bigint, w double",
+                            bucket_columns=["id"], bucket_count=4)
+        engine.insert(spark.createDataFrame(rows, ddl), "dv.bk", "u", "v1")
+        engine.insert(spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(40)], "id bigint, w double"),
+            "dv.bk2", "u", "v1")
+
+        engine.delete("dv.bk", "id IN (3, 17)", "u", "dvd", mode="dv")
+        assert sorted(r.id for r in engine.read("dv.bk").collect()) == \
+            [i for i in range(40) if i not in (3, 17)]
+        # bucket-pruned read of a deleted key: vector applied after file
+        # selection, so the row is gone there too
+        assert engine.read("dv.bk", bucket_filter={"id": 17}) \
+            .where("id = 17").count() == 0
+
+        engine.update("dv.bk", set={"v": "v * 100"}, predicate="id = 5",
+                      user_id="u", message="dvu", mode="dv")
+        got = engine.read("dv.bk", bucket_filter={"id": 5}) \
+            .where("id = 5").collect()
+        assert [(r.id, r.v) for r in got] == [(5, 500.0)]
+        # every data file in the new version dir still carries a
+        # parseable bucket index (links keep theirs; the updated-row
+        # file's index came from the bucket-clustered write)
+        files = {os.path.basename(f)
+                 for f in engine.read("dv.bk").inputFiles()}
+        assert files
+        assert all(_re.search(r"part-(\d+)", f) for f in files)
+        # co-bucketed join sees the dv state: deleted rows absent,
+        # updated row carries the new value
+        j = {(r.id, r.v, r.w) for r in
+             engine.bucketed_join("dv.bk", "dv.bk2").collect()}
+        assert len(j) == 38
+        assert (5, 500.0, 50.0) in j
+        assert not any(i in (3, 17) for i, _, _ in j)
+        # the updated row joins in the RIGHT bucket: prune both sides to
+        # id=5's bucket and the pair is still there
+        from table_versions_spark.core.sparkhash import bucket_id
+        b5 = bucket_id([5], ["bigint"], 4)
+        # inputFiles() also lists the anti-join side's _dv sidecars —
+        # data files only here
+        upd_files = [f for f in engine.read("dv.bk").inputFiles()
+                     if "/_dv/" not in f
+                     and int(_re.search(r"part-(\d+)",
+                                        os.path.basename(f)).group(1)) == b5]
+        assert any("part-" in f for f in upd_files)
+        assert 5 in {r.id for r in
+                     spark.read.parquet(*upd_files).collect()}
+
+    def test_dv_on_partitioned_bucketed_table(self, spark, engine):
+        """The partitioned arm of dv delete/update on a bucketed table:
+        updated rows route through the bucket-clustered partitionBy
+        write, so each partition dir's new files carry the writing
+        task's bucket index. Parity with rewrite semantics is the
+        oracle."""
+        ddl = "id bigint, v double, d string"
+        rows = [(i, float(i), "a" if i % 2 else "b") for i in range(40)]
+        for t in ("dv.pbk", "dv.pbk_rw"):
+            engine.create_table(t, schema_ddl=ddl, partition_columns=["d"],
+                                bucket_columns=["id"], bucket_count=4)
+            engine.insert(spark.createDataFrame(rows, ddl), t, "u", "v1")
+        for mode, t in (("dv", "dv.pbk"), ("rewrite", "dv.pbk_rw")):
+            engine.delete(t, "id IN (2, 7)", "u", "del", mode=mode)
+            engine.update(t, set={"v": "v + 1000"}, predicate="id >= 38",
+                          user_id="u", message="upd", mode=mode)
+        got = sorted(tuple(r) for r in engine.read("dv.pbk").collect())
+        want = sorted(tuple(r) for r in engine.read("dv.pbk_rw").collect())
+        assert got == want and len(got) == 38
+        # bucket-pruned read of an updated key sees the new value
+        assert [(r.id, r.v) for r in
+                engine.read("dv.pbk", bucket_filter={"id": 39})
+                .where("id = 39").collect()] == [(39, 1039.0)]
 
     def test_bucketed_join_applies_existing_vectors(self, spark, engine):
         """A vector present on a bucketed table (from before the dv-mode
