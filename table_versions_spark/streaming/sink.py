@@ -637,7 +637,10 @@ class VersionedTableStreamWriter(DataSourceStreamArrowWriter):
                          else os.path.join(self.location, render,
                                            version.label))
                 self.storage.makedirs(final)
-                for d in dirs:
+                # a bucketed task reports one `written` entry PER BUCKET,
+                # all sharing its task dir — dedupe or the same file is
+                # moved twice (the second move finds it gone)
+                for d in dict.fromkeys(dirs):
                     moves.extend((os.path.join(d, f),
                                   os.path.join(final, f))
                                  for f in self.storage.list_dir(d))

@@ -685,6 +685,37 @@ class TestSinkCapabilities:
         assert (1000, "name-1000", 0) in set(map(tuple, got.collect()))
         assert engine.read("skb.s").count() == 201
 
+    def test_streaming_sink_bucketed_table(self, spark, engine, tmp_path):
+        """The streaming face shares the batch writer's bucket split, and
+        the epoch commit's stage→final MOVE must preserve the part-file
+        names (the bucket index rides them)."""
+        import re
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, name string"
+        engine.create_table("skb.src", schema_ddl=ddl)
+        engine.create_table("skb.dst", schema_ddl=ddl,
+                            bucket_columns=["id"], bucket_count=4)
+        src = engine.definition("skb.src").location
+        dst = engine.definition("skb.dst").location
+        engine.insert(spark.createDataFrame(
+            [(i, f"n{i}") for i in range(50)], ddl), "skb.src", "u", "v1")
+        q = (spark.readStream.format("tvx").option("location", src).load()
+             .writeStream.format("tvx").option("location", dst)
+             .option("txnApp", "bk-repl")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert engine.read("skb.dst").count() == 50
+        files = [os.path.basename(f)
+                 for f in engine.read("skb.dst").inputFiles()]
+        assert files and all(re.match(r"part-\d{5}-", f) for f in files)
+        got = engine.read("skb.dst", bucket_filter={"id": 42}) \
+            .where("id = 42").collect()
+        assert [(r.id, r.name) for r in got] == [(42, "n42")]
+
     def test_render_pvalue_pads_ancient_years(self):
         """glibc strftime renders year 1 as '1'; Spark pads to '0001' —
         the sentinel timestamp 0001-01-01 must not split a partition."""
