@@ -65,8 +65,10 @@ def _registry() -> tuple[dict, dict]:
         oracles.update(m.ORACLES)
     priority = [
         # New in round 6 — training-mixture rebalancing, corpus
-        # normalization, quality binning (all oracle-backed):
+        # normalization, quality binning (all oracle-backed), and
+        # product-quantization ANN (rows-only; recall pinned in pytest):
         "q_domain_mix", "q_text_normalize", "q_quality_bucket",
+        "q_sim_ann_pq",
         # Round-6 rotation (VERDICT r5 #4): the stalest green rows. Last
         # officially green in r1:
         "q_agg_approx_distinct", "q_tpch_q22",

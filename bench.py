@@ -84,6 +84,7 @@ HEADLINE = [
     "q_domain_mix",
     "q_text_normalize",
     "q_quality_bucket",
+    "q_sim_ann_pq",
 ]
 
 

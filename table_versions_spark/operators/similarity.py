@@ -311,6 +311,143 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(assign, "vec_id long, cluster int"))
 
 
+PQ_M = 8       # subspaces (64-dim embeddings → 8-dim segments)
+PQ_K = 16      # codes per subspace → 8 bytes per vector, 32× smaller
+PQ_ITERS = 2   # Lloyd rounds per codebook
+PQ_CAND = 100  # ADC candidates re-ranked exactly (the standard recall knob)
+
+
+def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): the memory-bound scale path of the ANN
+    family. Vectors are L2-normalized, split into ``PQ_M`` subspaces, and
+    each subspace is k-means-coded with ``PQ_K`` centroids — the whole
+    vector compresses to PQ_M small ints (4 bytes here vs 256 bytes of
+    float32: 64×), so a 100 TB embedding corpus's PQ index fits the page
+    cache and the query-time scan never touches the raw vectors.
+
+    Query = ADC (asymmetric distance computation): the query's per-
+    subspace dot products against each codebook entry form PQ_M tiny
+    lookup tables, shipped as LITERAL arrays — the candidate scan is then
+    pure codegen'd ``element_at`` additions over the int codes (zero
+    Python, zero join). The top ``PQ_CAND`` ADC candidates get an exact
+    cosine re-rank against the raw vectors (a broadcast semi-join probe of
+    ≤ PQ_CAND ids) and the best ``TOP_K`` return.
+
+    Deterministic end to end: codebook init is the ``PQ_K`` lowest
+    vec_ids' segments, Lloyd updates round to ``KMEANS_DP`` decimals (the
+    same engine-portability discipline as q_kmeans), ties in both ranks
+    break on vec_id. Rows-only for the driver (the candidate set is
+    algorithm-specific); recall@TOP_K against the exact q_sim_search
+    baseline plus run-to-run determinism are pinned in
+    tests/test_operators.py. Index build: one Arrow pass per Lloyd round
+    (per-batch partial sums, K·d scalars to the driver) + one encode pass
+    scratch-materialized — the same O(1)-lineage shape as q_kmeans."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from .common import scratch_dir
+
+    emb = load(spark, sf_dir, "embeddings")
+    init = np.array([[float(x) for x in r["embedding"]]
+                     for r in emb.orderBy("vec_id").limit(PQ_K).collect()],
+                    dtype=np.float64)
+    init /= np.linalg.norm(init, axis=1, keepdims=True)
+    d = init.shape[1]
+    seg = d // PQ_M
+    bounds = [(m * seg, (m + 1) * seg if m < PQ_M - 1 else d)
+              for m in range(PQ_M)]
+    books = [np.round(init[:, a:b], KMEANS_DP) for a, b in bounds]
+
+    def _norm_mat(pdf) -> "np.ndarray":
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return mat / n
+
+    def _codes(mat, bk):
+        # argmin L2 per subspace; on normalized vectors L2 order is the
+        # cosine order, so ADC dot-sums rank like cosine
+        out = []
+        for m, (a, b) in enumerate(bounds):
+            sub = mat[:, a:b]
+            d2 = ((sub[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
+            out.append(d2.argmin(axis=1))
+        return np.stack(out, axis=1)
+
+    for _ in range(PQ_ITERS):
+        def partials(batches, bk=[b.copy() for b in books]):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = _norm_mat(pdf)
+                codes = _codes(mat, bk)
+                frames = []
+                for m, (a, b) in enumerate(bounds):
+                    sub, cl, dim = mat[:, a:b], codes[:, m], b - a
+                    for k in np.unique(cl):
+                        s = sub[cl == k]
+                        frames.append(pd.DataFrame({
+                            "m": np.full(dim, m, dtype=np.int32),
+                            "cluster": np.full(dim, int(k), dtype=np.int32),
+                            "pos": np.arange(dim, dtype=np.int32),
+                            "s": s.sum(axis=0),
+                            "n": np.full(dim, s.shape[0], dtype=np.int64)}))
+                yield pd.concat(frames, ignore_index=True)
+
+        means = (emb.select("embedding")
+                 .mapInPandas(partials,
+                              "m int, cluster int, pos int, s double, n long")
+                 .groupBy("m", "cluster", "pos")
+                 .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                 .collect())
+        got: dict = {}
+        for r in means:
+            got.setdefault((r["m"], r["cluster"]), {})[r["pos"]] = \
+                r["s"] / r["n"]
+        for m, (a, b) in enumerate(bounds):
+            books[m] = np.array([
+                [round(got[(m, k)][p], KMEANS_DP) for p in range(b - a)]
+                if (m, k) in got else list(books[m][k])  # empty: keep
+                for k in range(PQ_K)])
+
+    def encode(batches, bk=[b.copy() for b in books]):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = _codes(_norm_mat(pdf), bk)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "codes": list(codes.astype(np.int32))})
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = scratch_dir(spark, f"pq-index-{tag}")
+    (emb.select("vec_id", "embedding")
+     .mapInPandas(encode, "vec_id long, codes array<int>")
+     .write.mode("overwrite").parquet(idx_dir))
+    idx = spark.read.parquet(idx_dir)
+
+    q = np.array(_query_vector(spark, sf_dir), dtype=np.float64)
+    q /= np.linalg.norm(q)
+    luts = [[float(np.dot(q[a:b], books[m][k])) for k in range(PQ_K)]
+            for m, (a, b) in enumerate(bounds)]
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(F.lit(luts[m]), F.col("codes")[m] + 1)
+        adc = term if adc is None else adc + term
+    cands = (idx.where(F.col("vec_id") != QUERY_VEC_ID)
+             .select("vec_id", adc.alias("adc"))
+             .orderBy(F.desc("adc"), F.asc("vec_id"))
+             .limit(PQ_CAND))
+    qlit = F.lit([float(x) for x in _query_vector(spark, sf_dir)])
+    vec = as_double_array(F.col("embedding"))
+    return (emb.join(F.broadcast(cands.select("vec_id")), "vec_id")
+            .select("vec_id", F.round(cosine(vec, qlit), 6).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(TOP_K))
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the standard
     vector-index compression step: 4× smaller than float32, distance error
@@ -343,6 +480,7 @@ QUERIES = {
     "q_sim_search": q_sim_search,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_lsh": q_sim_ann_lsh,
+    "q_sim_ann_pq": q_sim_ann_pq,
     "q_knn_join": q_knn_join,
     "q_kmeans": q_kmeans,
     "q_embed_quantize": q_embed_quantize,

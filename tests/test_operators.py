@@ -79,7 +79,7 @@ class TestRegistry:
         assert rows_only == {"q_agg_approx_distinct",
                              "q_dedup_minhash", "q_dedup_simhash",
                              "q_approx_quantile", "q_bpe_train",
-                             "q_tokenize_apply"}
+                             "q_tokenize_apply", "q_sim_ann_pq"}
 
     @pytest.mark.parametrize("name", sorted(entrymod.queries()))
     def test_query_runs(self, spark, sf_small, registry, name):
@@ -325,6 +325,27 @@ class TestCleaning:
         for r in lsh:
             if r["vec_id"] in exact:
                 assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
+
+    def test_pq_recall_and_determinism(self, spark, sf_small):
+        """PQ ANN: (a) deterministic — two full builds return identical
+        rows (codebook init, Lloyd rounding, tie-breaks are all pinned);
+        (b) the exact re-rank means every returned score equals the
+        brute-force scorer's; (c) recall@10 against the exact top-10 meets
+        the floor measured for this 64-dim corpus at 4×16 codes."""
+        from table_versions_spark.operators import similarity
+
+        a = [(r.vec_id, r.cos_sim)
+             for r in similarity.q_sim_ann_pq(spark, sf_small).collect()]
+        b = [(r.vec_id, r.cos_sim)
+             for r in similarity.q_sim_ann_pq(spark, sf_small).collect()]
+        assert a == b and len(a) == similarity.TOP_K
+        exact = {r.vec_id: r.cos_sim
+                 for r in similarity.q_sim_search(spark, sf_small).collect()}
+        for vid, cs in a:
+            if vid in exact:
+                assert abs(cs - exact[vid]) < 1e-9
+        recall = len({vid for vid, _ in a} & set(exact)) / similarity.TOP_K
+        assert recall >= 0.5, recall
 
     def test_pack_sequences_bins_are_contiguous(self, spark, sf_small):
         """Within a shard, bin ids are dense from 0 and every bin except
