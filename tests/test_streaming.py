@@ -685,6 +685,35 @@ class TestSinkCapabilities:
         assert (1000, "name-1000", 0) in set(map(tuple, got.collect()))
         assert engine.read("skb.s").count() == 201
 
+    def test_sink_partitioned_bucketed_write(self, spark, engine):
+        """Partition dirs AND bucket indices from one Arrow group_by:
+        each task file lands under its partition render with its bucket
+        id in the name, and partition-pruned + bucket-pruned reads
+        compose."""
+        import re
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        ddl = "id bigint, v double, d string"
+        rows = [(i, float(i), "a" if i % 2 else "b") for i in range(100)]
+        engine.create_table("skb.pb", schema_ddl=ddl,
+                            partition_columns=["d"],
+                            bucket_columns=["id"], bucket_count=4)
+        loc = engine.definition("skb.pb").location
+        spark.createDataFrame(rows, ddl).write.format("tvx").mode(
+            "overwrite").option("location", loc).save()
+        assert engine.read("skb.pb").count() == 100
+        # composed pruning: one partition, one bucket
+        got = engine.read("skb.pb", partition_filter={"d": "a"},
+                          bucket_filter={"id": 13}).where("id = 13")
+        assert [(r.id, r.v, r.d) for r in got.collect()] == [(13, 13.0, "a")]
+        # every file under every partition dir carries its bucket index
+        for base, _, files in os.walk(loc):
+            for f in files:
+                if f.startswith("part-") and "_staging" not in base:
+                    assert re.match(r"part-\d{5}-", f), (base, f)
+
     def test_streaming_sink_bucketed_table(self, spark, engine, tmp_path):
         """The streaming face shares the batch writer's bucket split, and
         the epoch commit's stage→final MOVE must preserve the part-file
