@@ -223,7 +223,11 @@ def bucket_ids_arrow(table, columns: list[str], spark_types: list[str],
     n = table.num_rows
     h = np.full(n, SEED, dtype=np.uint32)
     for col, t in zip(columns, spark_types):
-        t = t.lower()
+        # normalize parameterized forms (varchar(5) → varchar) exactly as
+        # the sink's construction-time check does — the two checks must
+        # accept the same set or a type passes the loud driver refusal
+        # and crashes every executor task instead
+        t = t.lower().split("(")[0]
         if t not in HASHABLE_BUCKET_TYPES:
             raise ValueError(
                 f"Unsupported bucket-column type for vectorized hashing: {t}")

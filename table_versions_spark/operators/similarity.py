@@ -433,11 +433,20 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
                                 "codes": list(codes.astype(np.int32))})
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # scratch name carries a digest of the FULL corpus path: two corpora
+    # sharing a basename must not overwrite each other's index files
+    # (the cache keys on the full path, so a collision would silently
+    # serve corpus B's codes under corpus A's codebooks)
+    import hashlib
+
+    tag = (hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+           + "-" + os.path.basename(os.path.normpath(sf_dir)))
     idx_dir = scratch_dir(spark, f"pq-index-{tag}")
     (emb.select("vec_id", "embedding")
      .mapInPandas(encode, "vec_id long, codes array<int>")
      .write.mode("overwrite").parquet(idx_dir))
+    while len(_PQ_CACHE) >= _PQ_CACHE_MAX:  # bounded: drop oldest entry
+        _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
     _PQ_CACHE[cache_key] = {"books": books, "bounds": bounds,
                             "idx_dir": idx_dir, "spark": spark}
     return _pq_query(spark, sf_dir, emb, books, bounds,
@@ -445,6 +454,8 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_CACHE: dict = {}
+_PQ_CACHE_MAX = 4  # (session, corpus) entries; oldest evicted — a capped
+# cache can't pin an unbounded set of stopped sessions in a long driver
 
 
 def _pq_query(spark: SparkSession, sf_dir: str, emb: DataFrame,
@@ -454,7 +465,8 @@ def _pq_query(spark: SparkSession, sf_dir: str, emb: DataFrame,
     then an exact cosine re-rank of the PQ_CAND survivors."""
     import numpy as np
 
-    q = np.array(_query_vector(spark, sf_dir), dtype=np.float64)
+    raw = _query_vector(spark, sf_dir)  # ONE collect: LUTs + re-rank literal
+    q = np.array(raw, dtype=np.float64)
     q /= np.linalg.norm(q)
     luts = [[float(np.dot(q[a:b], books[m][k])) for k in range(PQ_K)]
             for m, (a, b) in enumerate(bounds)]
@@ -466,7 +478,7 @@ def _pq_query(spark: SparkSession, sf_dir: str, emb: DataFrame,
              .select("vec_id", adc.alias("adc"))
              .orderBy(F.desc("adc"), F.asc("vec_id"))
              .limit(PQ_CAND))
-    qlit = F.lit([float(x) for x in _query_vector(spark, sf_dir)])
+    qlit = F.lit([float(x) for x in raw])
     vec = as_double_array(F.col("embedding"))
     return (emb.join(F.broadcast(cands.select("vec_id")), "vec_id")
             .select("vec_id", F.round(cosine(vec, qlit), 6).alias("cos_sim"))

@@ -303,8 +303,14 @@ def q_bpe_train(spark: SparkSession, sf_dir: str,
     def _footer_rows(d: str) -> int:
         import pyarrow.parquet as pq
 
-        return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
-                   for f in os.listdir(d) if f.endswith(".parquet"))
+        try:  # local scratch: read the footers directly
+            return sum(pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+                       for f in os.listdir(d) if f.endswith(".parquet"))
+        except (OSError, FileNotFoundError):
+            # remote scratch URI (s3://, hdfs:// — required on a real
+            # cluster, common.py:62): count-star reads only footers and
+            # runs wherever Spark can
+            return spark.read.parquet(d).count()
 
     learned = []
     for rnd in range(merges if merges is not None else BPE_MERGES):
