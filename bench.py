@@ -85,6 +85,7 @@ HEADLINE = [
     "q_text_normalize",
     "q_quality_bucket",
     "q_sim_ann_pq",
+    "q_multimodal_audio",
 ]
 
 

@@ -140,9 +140,63 @@ def resize_stub(binary_df: DataFrame, target: tuple[int, int] = (224, 224)) -> D
         run, schema="doc_id bigint, payload binary, width int, height int")
 
 
+AUDIO_WINDOW = 32  # samples per chunk (64 bytes of 16-bit PCM)
+
+
+def audio_chunk_features(binary_df: DataFrame,
+                         window: int = AUDIO_WINDOW) -> DataFrame:
+    """Audio-pipeline plumbing: treat each payload as a 16-bit little-
+    endian PCM waveform, split it into tumbling ``window``-sample chunks
+    and emit per-chunk energy features (the VAD / loudness-filter shape a
+    speech-data pipeline runs before transcription).
+
+    With a real codec the ``frombuffer`` becomes a torchaudio/pyav decode
+    of the container format named in ``meta.media_type`` — the engine's
+    responsibility is identical either way: binary columns through
+    ``mapInPandas``, 1→N chunk fan-out inside an Arrow batch, numeric
+    features out, no shuffle (embarrassingly parallel per partition). A
+    trailing odd byte is dropped (not a full sample); samples read
+    unsigned — a deterministic, SQL-expressible convention, so the whole
+    fan-out is hash-checked against a byte-arithmetic oracle."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_samples": [],
+                   "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                usable = len(payload) - (len(payload) % 2)
+                if usable <= 0:
+                    continue
+                smp = np.frombuffer(payload[:usable],
+                                    dtype="<u2").astype(np.int64)
+                for ci in range(0, len(smp), window):
+                    chunk = smp[ci:ci + window]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(ci // window)
+                    out["n_samples"].append(len(chunk))
+                    out["energy"].append(int((chunk * chunk).sum()))
+                    out["peak"].append(int(chunk.max()))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, chunk_idx bigint, n_samples int, "
+                    "energy bigint, peak int")
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return extract_features(to_binary_table(docs))
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM chunk energies over the binary payloads (oracle = the same
+    byte-pair arithmetic in SQL; the corpus is pure ASCII so char ==
+    byte, same premise q_multimodal_frames documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return audio_chunk_features(to_binary_table(docs))
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,7 +211,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"q_multimodal": q_multimodal,
-           "q_multimodal_frames": q_multimodal_frames}
+           "q_multimodal_frames": q_multimodal_frames,
+           "q_multimodal_audio": q_multimodal_audio}
 
 ORACLES = {
     "q_multimodal": (
@@ -176,4 +231,24 @@ ORACLES = {
         "sha256(substring(text, (i * n) // 4 + 1, 16)) AS frame_sha "
         "FROM (SELECT doc_id, text, GREATEST(length(text), 1) AS n "
         "FROM documents) CROSS JOIN range(4) t(i)"),
+    "q_multimodal_audio": (
+        # byte pairs → unsigned 16-bit LE samples, tumbling 32-sample
+        # chunks; same ASCII char==byte premise as q_multimodal_frames
+        "WITH d AS (SELECT doc_id, text, length(text) // 2 AS nsamp "
+        "FROM documents), "
+        "c AS (SELECT doc_id, text, nsamp, i AS chunk_idx, "
+        f"LEAST(nsamp - i * {AUDIO_WINDOW}, {AUDIO_WINDOW}) AS n_samples "
+        "FROM d, UNNEST(range(CAST(CEIL(nsamp / "
+        f"CAST({AUDIO_WINDOW} AS DOUBLE)) AS BIGINT))) AS t(i) "
+        "WHERE nsamp > 0), "
+        "s AS (SELECT doc_id, chunk_idx, n_samples, "
+        f"ord(substring(text, (chunk_idx * {AUDIO_WINDOW} + j) * 2 + 1, 1)) "
+        f"+ 256 * ord(substring(text, (chunk_idx * {AUDIO_WINDOW} + j) * 2 "
+        "+ 2, 1)) AS smp "
+        f"FROM c CROSS JOIN range({AUDIO_WINDOW}) t2(j) "
+        "WHERE j < n_samples) "
+        "SELECT doc_id, chunk_idx, CAST(n_samples AS INT) AS n_samples, "
+        "CAST(SUM(smp * smp) AS BIGINT) AS energy, "
+        "CAST(MAX(smp) AS INT) AS peak "
+        "FROM s GROUP BY doc_id, chunk_idx, n_samples"),
 }
