@@ -5,8 +5,9 @@ through the VersionedEngine, read back, TPC-H-Q1-shaped aggregation.
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2; oracles are DuckDB SQL over the pre-registered testdata views.
-Queries without an oracle entry (approx sketches, LSH/MinHash/SimHash/IVF
-candidates) get the driver's rows-only check by design.
+Queries without an oracle entry (approx sketches, MinHash/SimHash
+candidates, BPE's stateful merges, PQ's Lloyd codebooks) get the driver's
+rows-only check by design; each is pinned by a dedicated pytest instead.
 """
 
 from __future__ import annotations
