@@ -84,6 +84,56 @@ def test_sliced_chunked_arrays():
     assert list(got) == [bucket_id([v], ["string"], 8) for v in vals]
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(-2 ** 63, 2 ** 63 - 1),
+                          st.text(max_size=8),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=60))
+def test_sink_bucket_split_property(tmp_path_factory, rows):
+    """Executor-level property of the tvx sink's bucket split (no Spark):
+    _write_task_files must put every row into a file whose part index
+    equals pmod(hash(id), n) per the scalar reference hash, across
+    partition dirs."""
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from table_versions_spark.streaming.sink import (
+        WritePlan,
+        _write_task_files,
+    )
+
+    out = str(tmp_path_factory.mktemp("bucket-prop"))
+    n_buckets = 4
+    t = pa.table({
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "name": pa.array([r[1] for r in rows], pa.string()),
+        "d": pa.array([r[2] for r in rows], pa.string()),
+    })
+    plan = WritePlan(bucket=(n_buckets, (("id", "bigint"),)))
+    written = _write_task_files(iter(t.to_batches(max_chunksize=7)),
+                                ["d"], "parquet", out, subdir="v1",
+                                plan=plan)
+    assert written
+    import os as _os
+
+    seen = 0
+    for base, _, files in _os.walk(out):
+        for f in files:
+            if not f.startswith("part-"):
+                continue
+            bid = int(re.match(r"part-(\d{5})-", f).group(1))
+            got = pq_mod.read_table(_os.path.join(base, f))
+            assert "__tvx_bucket" not in got.column_names
+            d_render = [p for p in base.split(_os.sep) if p.startswith("d=")]
+            assert len(d_render) == 1  # partition dir present
+            for rid in got.column("id").to_pylist():
+                assert bucket_id([rid], ["bigint"], n_buckets) == bid
+            seen += got.num_rows
+    assert seen == len(rows)
+
+
 def test_signed_tail_bytes():
     """Non-ASCII tail bytes are >= 0x80: the JVM reads them SIGNED."""
     s = "abcdÿ"  # 4-byte block + 2-byte UTF-8 tail (0xC3 0xBF)
