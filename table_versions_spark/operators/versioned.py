@@ -773,6 +773,74 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events bigint, sum_value double").parquet(os.path.join(run, "out"))
 
 
+def q_stream_window_tvx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling windows driven BY THE TVX SOURCE —
+    the shape q_stream_window runs over Spark's native file source,
+    re-expressed over the versioned commit log with the availableNow
+    demotion worked around by TWO sequential runs sharing one checkpoint:
+
+    run 1 streams the "early" commit (all days before the corpus's last
+    day) into window state and checkpoints its watermark
+    (max(batch-1 ts) − 10 min); run 2 streams the last-day commit, and
+    Spark evicts+emits every window whose end ≤ that checkpointed
+    watermark. The emitted set is therefore EXACTLY the batch-1 windows
+    closed by the batch-1 watermark — batch-2 rows land in the last
+    day's windows, all still open — which is what the oracle computes.
+    The split is DAY-aligned on purpose: the trailing commit then only
+    ADDS partitions (the daily-ingest shape), so the source re-reads
+    nothing and the emission cannot depend on cross-restart late-row
+    filtering of replayed rows. A continuous production run emits the
+    trailing windows on later triggers — nothing here is availableNow-
+    specific except the pause between runs."""
+    import os
+
+    from ..streaming.ingest import windowed_counts
+    from ..streaming.source import register
+    from .common import scratch_dir
+
+    register(spark)
+    eng = _engine(spark)
+    table = f"vx.winsrc_{next(_SEQ)}"
+    eng.create_table(table,
+                     schema_ddl=("event_id bigint, ts timestamp, "
+                                 "event_type string, value double, "
+                                 "event_date date"),
+                     partition_columns=["event_date"])
+    loc = eng.definition(table).location
+    ev = (load_events(spark, sf_dir)
+          .select("event_id", "ts", "event_type", "value",
+                  F.to_date("ts").alias("event_date")))
+    cutoff = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("c")).first()["c"]
+    eng.insert(ev.where(F.col("ts") < F.lit(cutoff)), table,
+               "tester", "early days")
+
+    run = scratch_dir(spark, f"stream-wintvx-{_RUN}-{next(_SEQ)}")
+    out, ckpt = os.path.join(run, "out"), os.path.join(run, "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.format("tvx")
+                  .option("location", loc).load()
+                  .select("ts", "event_type", "value"))
+        agg = windowed_counts(stream, ts_col="ts",
+                              window_duration="1 hour",
+                              watermark_delay="10 minutes",
+                              key_col="event_type")
+        q = (agg.withColumn("sum_value", F.round("sum_value", 2))
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        _await(q)
+
+    run_once()  # batch 1 into state; nothing closed yet
+    eng.insert(ev.where(F.col("ts") >= F.lit(cutoff)), table,
+               "tester", "last day", mode="append")
+    run_once()  # watermark from run 1 closes the batch-1 windows
+    return spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n_events bigint, sum_value double").parquet(out)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch streaming deduplication: the full events set is landed
     TWICE (two identical files) and streamed one file per micro-batch;
@@ -1059,6 +1127,7 @@ QUERIES = {
     "q_stream_sink": q_stream_sink,
     "q_stream_cdf": q_stream_cdf,
     "q_stream_window": q_stream_window,
+    "q_stream_window_tvx": q_stream_window_tvx,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_join": q_stream_join,
@@ -1123,6 +1192,22 @@ ORACLES = {
         "event_type, COUNT(*) AS n_events, "
         "ROUND(SUM(value), 2) AS sum_value "
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
+        "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
+        "(SELECT w FROM wm)"),
+    "q_stream_window_tvx": (
+        # two-run availableNow drive: the emitted set is the batch-1
+        # (ts before the corpus's last day) windows whose end ≤ batch-1's
+        # final watermark; batch-2 windows are all still open
+        "WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value "
+        "FROM events), "
+        "cut AS (SELECT DATE_TRUNC('day', MAX(ts)) AS c FROM e), "
+        "b1 AS (SELECT * FROM e WHERE ts < (SELECT c FROM cut)), "
+        "wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM b1) "
+        "SELECT DATE_TRUNC('hour', ts) AS window_start, "
+        "DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM b1 GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
     "q_stream_dedup": (
