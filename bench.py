@@ -124,6 +124,15 @@ def main() -> None:
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        # inter-query hygiene: as the headline grew, later queries were
+        # paying the accumulated JVM state of earlier ones (~16% inflation
+        # on a 54-query tail, measured by replaying an older round's exact
+        # list — tools/AB_NOTES.md). An explicit collection between
+        # queries keeps each measurement closer to its isolated cost.
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — hygiene must never fail a run
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
