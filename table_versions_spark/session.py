@@ -33,6 +33,9 @@ def get_spark(app_name: str = "table-versions-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the tvx batch reader prunes partition dirs via pushFilters —
+        # gated by this flag (off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark 4
         # parquet reader rejects by default; read as long (ns since epoch)
         # and convert explicitly (see functions.timestamps.ts_from_nanos)

@@ -403,6 +403,48 @@ class VersionedTableBatchReader(DataSourceReader):
             self.dirs = [(p, os.path.join(defn.location, p.render(), v.label))
                          for p, v in state.partition_versions.items()]
 
+    def pushFilters(self, filters):
+        """Partition pruning for ``spark.read.format("tvx")``: equality/IN
+        filters on partition columns drop whole version dirs before a
+        single task is planned — the metadata-level prune
+        ``engine.read(partition_filter=...)`` gives the engine API, now
+        reachable from the plain DataFrame reader. At 10⁵+ partitions the
+        task-planning and Python-side file listing are the bottleneck a
+        ``.where()`` alone cannot remove (Spark can only filter rows the
+        source already read).
+
+        Every filter is returned as still-needing-evaluation ("partially
+        pushed"), so Spark re-applies the exact predicate post-scan: the
+        prune only ever drops dirs whose rendered partition value cannot
+        match, never takes ownership of the comparison semantics — a
+        rendering mismatch could at worst read too much, never too
+        little... and the renderer is the same ``escape_partition_value``
+        every write and read surface shares, so values always agree."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        from ..core.model import escape_partition_value as esc
+
+        constraints: list = []
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.ptypes:
+                constraints.append((f.attribute[0], {esc(f.value)}))
+            elif isinstance(f, In) and len(f.attribute) == 1 \
+                    and f.attribute[0] in self.ptypes:
+                constraints.append(
+                    (f.attribute[0], {esc(v) for v in f.value}))
+        if constraints:
+            def keep(p) -> bool:
+                if p is None:
+                    return True  # snapshot dir: nothing to prune on
+                vals = {cv.column: cv.value for cv in p.column_values}
+                return all(vals.get(col) in allowed
+                           for col, allowed in constraints
+                           if col in vals)
+
+            self.dirs = [(p, d) for p, d in self.dirs if keep(p)]
+        return filters  # Spark re-applies everything post scan
+
     def partitions(self) -> list[InputPartition]:
         return [VersionedDirPartition(d, p) for p, d in sorted(
             self.dirs, key=lambda x: x[1])] or [VersionedDirPartition("", None)]
@@ -730,3 +772,8 @@ def _cast_partition_value(value: str, typ: str):
 def register(spark) -> None:
     """Register the ``tvx`` format on this SparkSession."""
     spark.dataSource.register(VersionedTableDataSource)
+    # partition pruning via pushFilters is gated by this flag (default
+    # false in Spark 4.1); a reader that implements pushFilters FAILS
+    # outright when the flag is off, so enable it wherever tvx is used
+    # (runtime-settable; get_spark also sets it at build time)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

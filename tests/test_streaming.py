@@ -685,6 +685,46 @@ class TestSinkCapabilities:
         assert (1000, "name-1000", 0) in set(map(tuple, got.collect()))
         assert engine.read("skb.s").count() == 201
 
+    def test_batch_reader_pushes_partition_filters(self, spark, engine):
+        """spark.read.format('tvx').where(partition = x) prunes whole
+        version dirs at planning time (pushFilters), while Spark still
+        re-applies the predicate post scan (every filter is returned as
+        partially pushed — the prune can only over-read, never
+        under-read)."""
+        from pyspark.sql.datasource import EqualTo, In, GreaterThan
+
+        from table_versions_spark.streaming.source import (
+            VersionedTableBatchReader,
+            register,
+        )
+
+        register(spark)
+        ddl = "id bigint, v double, d string"
+        rows = [(i, float(i), ["a", "b", "c"][i % 3]) for i in range(30)]
+        engine.create_table("skp.t", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame(rows, ddl), "skp.t", "u", "v1")
+        loc = engine.definition("skp.t").location
+
+        # reader-level: EqualTo prunes to one dir; In to two; a filter on
+        # a non-partition column prunes nothing; all filters come back
+        r = VersionedTableBatchReader(loc)
+        assert len(r.dirs) == 3
+        back = r.pushFilters([EqualTo(("d",), "a"), GreaterThan(("id",), 5)])
+        assert len(list(back)) == 2
+        assert len(r.dirs) == 1 and r.dirs[0][0].render() == "d=a"
+        r2 = VersionedTableBatchReader(loc)
+        r2.pushFilters([In(("d",), ["a", "c"])])
+        assert sorted(p.render() for p, _ in r2.dirs) == ["d=a", "d=c"]
+        r3 = VersionedTableBatchReader(loc)
+        r3.pushFilters([GreaterThan(("d",), "a"), EqualTo(("id",), 1)])
+        assert len(r3.dirs) == 3  # range filters on partitions: no prune
+
+        # e2e: results unchanged, predicate still applied by Spark
+        got = (spark.read.format("tvx").option("location", loc).load()
+               .where("d = 'b' AND id >= 10"))
+        assert sorted((x.id, x.d) for x in got.collect()) == \
+            [(i, "b") for i in range(10, 30) if i % 3 == 1]
+
     def test_sink_partitioned_bucketed_write(self, spark, engine):
         """Partition dirs AND bucket indices from one Arrow group_by:
         each task file lands under its partition render with its bucket
