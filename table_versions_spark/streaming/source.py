@@ -247,9 +247,12 @@ def _changed_dirs(log, defn, start_seq: int, end_seq: int):
 
 
 class VersionedDirPartition(InputPartition):
-    def __init__(self, directory: str, partition):
+    def __init__(self, directory: str, partition, bucket: "int | None" = None):
         self.directory = directory
         self.partition = partition
+        # bucket-pruned point reads: only files whose part index == bucket
+        # are read (None = all files)
+        self.bucket = bucket
 
 
 class ChangeFeedPartition(InputPartition):
@@ -396,6 +399,10 @@ class VersionedTableBatchReader(DataSourceReader):
         self.format = defn.format
         self.pa_schema = _arrow_schema(defn.schema_ddl, schema)
         self.colmap = _phys_to_logical(defn)
+        self.bucket_columns = list(defn.bucket_columns)
+        self.bucket_count = defn.bucket_count
+        self.btypes = {n: t for n, t in fields if n in set(defn.bucket_columns)}
+        self.bucket_sel: "int | None" = None
         if isinstance(state, SnapshotTableVersion):
             self.dirs = ([] if state.version == UNVERSIONED
                          else [(None, path_for(defn.location, state.version))])
@@ -443,18 +450,40 @@ class VersionedTableBatchReader(DataSourceReader):
                            if col in vals)
 
             self.dirs = [(p, d) for p, d in self.dirs if keep(p)]
+        # bucket pruning: a point lookup equality-constraining EVERY
+        # bucket column reads 1/bucket_count of the files (the engine's
+        # read(bucket_filter=...), reachable from the DataFrame reader).
+        # Contradictory equalities match nothing anyway — any bucket
+        # choice is safe since Spark re-applies the full predicate.
+        if self.bucket_count and self.bucket_columns:
+            from pyspark.sql.datasource import EqualTo as _Eq
+
+            eq = {f.attribute[0]: f.value for f in filters
+                  if isinstance(f, _Eq) and len(f.attribute) == 1}
+            if all(c in eq for c in self.bucket_columns):
+                try:
+                    from ..core.sparkhash import bucket_id
+
+                    self.bucket_sel = bucket_id(
+                        [eq[c] for c in self.bucket_columns],
+                        [self.btypes[c] for c in self.bucket_columns],
+                        self.bucket_count)
+                except (ValueError, KeyError):
+                    self.bucket_sel = None  # unhashable type: no prune
         return filters  # Spark re-applies everything post scan
 
     def partitions(self) -> list[InputPartition]:
-        return [VersionedDirPartition(d, p) for p, d in sorted(
-            self.dirs, key=lambda x: x[1])] or [VersionedDirPartition("", None)]
+        return [VersionedDirPartition(d, p, self.bucket_sel)
+                for p, d in sorted(self.dirs, key=lambda x: x[1])] \
+            or [VersionedDirPartition("", None)]
 
     def read(self, part: VersionedDirPartition):
         if not part.directory:
             return
         yield from _dir_batches(part.directory, part.partition,
                                 self.pa_schema, self.ptypes, self.format,
-                                storage=self.storage, colmap=self.colmap)
+                                storage=self.storage, colmap=self.colmap,
+                                bucket=part.bucket)
 
 
 def _phys_to_logical(defn) -> dict[str, str]:
@@ -639,7 +668,8 @@ def _dir_batches(directory: str, partition, pa_schema,
                  ptypes: dict[str, str], fmt: str,
                  constants: dict | None = None,
                  storage=None,
-                 colmap: "dict[str, str] | None" = None):
+                 colmap: "dict[str, str] | None" = None,
+                 bucket: "int | None" = None):
     """Yield the rows of one version directory as column-pruned
     ``pyarrow.RecordBatch``es matching ``pa_schema``.
 
@@ -671,7 +701,17 @@ def _dir_batches(directory: str, partition, pa_schema,
     consts.update(constants or {})
     dv_by_file = _dv_positions(directory, storage)
     declared = set(pa_schema.names)
-    for fname in sorted(_data_files(directory, storage)):
+    fnames = sorted(_data_files(directory, storage))
+    if bucket is not None:
+        import re as _re
+
+        def _keep(name: str) -> bool:
+            m = _re.search(r"part-(\d+)", name)
+            # no parseable index: read it — pruning may only over-read
+            return m is None or int(m.group(1)) == bucket
+
+        fnames = [f for f in fnames if _keep(f)]
+    for fname in fnames:
         table = _read_file(os.path.join(directory, fname), fmt, declared,
                            storage, colmap=colmap)
         if fname in dv_by_file:

@@ -725,6 +725,47 @@ class TestSinkCapabilities:
         assert sorted((x.id, x.d) for x in got.collect()) == \
             [(i, "b") for i in range(10, 30) if i % 3 == 1]
 
+    def test_batch_reader_pushes_bucket_point_lookup(self, spark, engine):
+        """An equality on every bucket column computes the key's bucket id
+        driver-side and reads only that bucket's files — the engine's
+        read(bucket_filter=...) point lookup through the plain DataFrame
+        reader."""
+        from pyspark.sql.datasource import EqualTo
+
+        from table_versions_spark.core.sparkhash import bucket_id
+        from table_versions_spark.streaming.source import (
+            VersionedTableBatchReader,
+            register,
+        )
+
+        register(spark)
+        ddl = "id bigint, name string"
+        engine.create_table("skp.bk", schema_ddl=ddl,
+                            bucket_columns=["id"], bucket_count=8)
+        engine.insert(spark.createDataFrame(
+            [(i, f"n{i}") for i in range(200)], ddl), "skp.bk", "u", "v1")
+        loc = engine.definition("skp.bk").location
+
+        r = VersionedTableBatchReader(loc)
+        r.pushFilters([EqualTo(("id",), 42)])
+        assert r.bucket_sel == bucket_id([42], ["bigint"], 8)
+        # the pruned read yields only bucket-42's rows, 42 among them
+        got = [row for part in r.partitions()
+               for b in r.read(part) for row in b.to_pylist()]
+        assert 0 < len(got) < 200
+        assert any(row["id"] == 42 for row in got)
+        assert all(bucket_id([row["id"]], ["bigint"], 8) == r.bucket_sel
+                   for row in got)
+        # partial bucket-key equality must NOT prune
+        r2 = VersionedTableBatchReader(loc)
+        r2.pushFilters([EqualTo(("name",), "n42")])
+        assert r2.bucket_sel is None
+
+        # e2e through Spark: exact point lookup
+        got = (spark.read.format("tvx").option("location", loc).load()
+               .where("id = 42"))
+        assert [(x.id, x.name) for x in got.collect()] == [(42, "n42")]
+
     def test_sink_partitioned_bucketed_write(self, spark, engine):
         """Partition dirs AND bucket indices from one Arrow group_by:
         each task file lands under its partition render with its bucket
