@@ -69,7 +69,8 @@ def _registry() -> tuple[dict, dict]:
         # normalization, quality binning (all oracle-backed), and
         # product-quantization ANN (rows-only; recall pinned in pytest):
         "q_domain_mix", "q_text_normalize", "q_quality_bucket",
-        "q_sim_ann_pq", "q_multimodal_audio", "q_stream_window_tvx",
+        "q_sim_ann_pq", "q_multimodal_audio", "q_multimodal_resize",
+        "q_stream_window_tvx",
         # Round-6 rotation (VERDICT r5 #4): the stalest green rows. Last
         # officially green in r1:
         "q_agg_approx_distinct", "q_tpch_q22",

@@ -199,6 +199,20 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_features(to_binary_table(docs))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing as a driver-checked id: the mapInPandas
+    shape of a real PIL resize (decode → resize → re-encode per Arrow
+    batch), with the stub's deterministic byte semantics hash-checked —
+    payload truncated to 16×16 'pixels', dimensions attached. Emits a
+    sha of the resized payload (the harness canonicalizes scalars)."""
+    docs = load(spark, sf_dir, "documents")
+    resized = resize_stub(to_binary_table(docs), target=(16, 16))
+    return resized.select(
+        "doc_id", "width", "height",
+        F.length("payload").cast("bigint").alias("resized_len"),
+        F.sha2(F.col("payload"), 256).alias("resized_sha"))
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out + per-frame byte checksum (oracle = the same
     slicing arithmetic in SQL over the UTF-8 bytes)."""
@@ -212,7 +226,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"q_multimodal": q_multimodal,
            "q_multimodal_frames": q_multimodal_frames,
-           "q_multimodal_audio": q_multimodal_audio}
+           "q_multimodal_audio": q_multimodal_audio,
+           "q_multimodal_resize": q_multimodal_resize}
 
 ORACLES = {
     "q_multimodal": (
@@ -251,4 +266,9 @@ ORACLES = {
         "CAST(SUM(smp * smp) AS BIGINT) AS energy, "
         "CAST(MAX(smp) AS INT) AS peak "
         "FROM s GROUP BY doc_id, chunk_idx, n_samples"),
+    "q_multimodal_resize": (
+        # stub resize = byte truncation to 16*16; ASCII char==byte premise
+        "SELECT doc_id, 16 AS width, 16 AS height, "
+        "CAST(length(substring(text, 1, 256)) AS BIGINT) AS resized_len, "
+        "sha256(substring(text, 1, 256)) AS resized_sha FROM documents"),
 }
