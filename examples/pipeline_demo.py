@@ -207,6 +207,13 @@ def main(sf_dir: str, warehouse: str) -> None:
     print("[15] bucketed table written through df.write.format('tvx'), "
           "dv-updated in place, point read pruned to 1/8 of the files")
 
+    # 15b. plain-DataFrame point lookup with partition+bucket pruning ------
+    got = (spark.read.format("tvx").option("location", loc_bk).load()
+           .where("id = 777").collect())
+    assert [(r.id, r.name) for r in got] == [(777, "renamed")]
+    print("[15b] spark.read.format('tvx').where(id = 777): pushFilters "
+          "pruned the scan to one bucket's files before planning a task")
+
     # 16. product-quantization ANN over the embeddings ----------------------
     from table_versions_spark.operators.similarity import q_sim_ann_pq
 
