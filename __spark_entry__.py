@@ -66,8 +66,10 @@ def _registry() -> tuple[dict, dict]:
         oracles.update(m.ORACLES)
     priority = [
         # New in round 6 — training-mixture rebalancing, corpus
-        # normalization, quality binning (all oracle-backed), and
-        # product-quantization ANN (rows-only; recall pinned in pytest):
+        # normalization, quality binning, PCM audio chunking, resize
+        # plumbing, tvx-source watermarked windows (all oracle-backed)
+        # and product-quantization ANN (rows-only; recall pinned in
+        # pytest):
         "q_domain_mix", "q_text_normalize", "q_quality_bucket",
         "q_sim_ann_pq", "q_multimodal_audio", "q_multimodal_resize",
         "q_stream_window_tvx",

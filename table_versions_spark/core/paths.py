@@ -26,6 +26,19 @@ def resolved_versioned_path(table_location: str, partition: Partition,
     return path_for(partition.resolve(table_location), version)
 
 
+def parse_bucket_index(filename: str) -> "int | None":
+    """Bucket id from a data-file NAME per Hive's filename contract
+    (``part-00003-…`` = bucket 3; append-linked files keep the substring
+    inside their prefixed names). ``None`` = no parseable index. THE one
+    definition of the contract — the engine's bucket-join grouping and
+    point-read pruning and the tvx reader's pruning must all agree, or a
+    filename-convention change silently splits their semantics."""
+    import re
+
+    m = re.search(r"part-(\d+)", filename)
+    return int(m.group(1)) if m else None
+
+
 def parse_version(path: str) -> Version:
     """Recover the version from the last path segment; ``UNVERSIONED`` if the
     segment is not a version label (reference ``VersionPaths.scala:27-40``)."""

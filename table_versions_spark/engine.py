@@ -2478,8 +2478,11 @@ class VersionedEngine:
     def _bucket_files(self, defn: TableDefinition) -> dict[int, list[str]]:
         """Current state's data files grouped by bucket id parsed from the
         part-file name (Hive's filename contract; append-linked files keep
-        their original part index inside the prefixed name)."""
-        import re
+        their original part index inside the prefixed name). A data file
+        WITHOUT a parseable index in a bucketed table is contract
+        corruption — skipping it would silently drop its rows from every
+        bucketed_join branch, so fail loudly instead."""
+        from .core.paths import parse_bucket_index
 
         state = FileTableVersions(defn.location, self.storage) \
             .current_version(defn.name)
@@ -2494,19 +2497,26 @@ class VersionedEngine:
             for name in self.storage.list_dir(d):
                 if name.startswith((".", "_")):
                     continue
-                m = re.search(r"part-(\d+)", name)
-                if m:
-                    out.setdefault(int(m.group(1)), []).append(
-                        os.path.join(d, name))
+                b = parse_bucket_index(name)
+                if b is None:
+                    raise ValueError(
+                        f"data file {os.path.join(d, name)} in bucketed "
+                        f"table {defn.name.fully_qualified_name} has no "
+                        "parseable part index — the filename/bucket "
+                        "contract is broken (every engine/sink write "
+                        "stamps one); bucketed_join would silently drop "
+                        "these rows")
+                out.setdefault(b, []).append(os.path.join(d, name))
         return out
 
     def _bucket_filter_files(self, defn: TableDefinition, dirs: list[str],
                              bucket_filter: dict) -> list[str]:
         """Files of the single bucket the filtered key hashes to, across the
         given version dirs. Driver-side Murmur3 (core/sparkhash.py) — the
-        exact hash repartition(n, cols) used at write time."""
-        import re
-
+        exact hash repartition(n, cols) used at write time. A file with no
+        parseable index is INCLUDED: the filter selects a superset by
+        contract, so pruning may only ever over-read."""
+        from .core.paths import parse_bucket_index
         from .core.sparkhash import bucket_id
 
         types = {f.name: f.dataType.simpleString() for f in
@@ -2519,8 +2529,8 @@ class VersionedEngine:
             for name in self.storage.list_dir(d):
                 if name.startswith((".", "_")):
                     continue
-                m = re.search(r"part-(\d+)", name)
-                if m and int(m.group(1)) == b:
+                got = parse_bucket_index(name)
+                if got is None or got == b:
                     out.append(os.path.join(d, name))
         return out
 

@@ -456,10 +456,8 @@ class VersionedTableBatchReader(DataSourceReader):
         # Contradictory equalities match nothing anyway — any bucket
         # choice is safe since Spark re-applies the full predicate.
         if self.bucket_count and self.bucket_columns:
-            from pyspark.sql.datasource import EqualTo as _Eq
-
             eq = {f.attribute[0]: f.value for f in filters
-                  if isinstance(f, _Eq) and len(f.attribute) == 1}
+                  if isinstance(f, EqualTo) and len(f.attribute) == 1}
             if all(c in eq for c in self.bucket_columns):
                 try:
                     from ..core.sparkhash import bucket_id
@@ -468,8 +466,10 @@ class VersionedTableBatchReader(DataSourceReader):
                         [eq[c] for c in self.bucket_columns],
                         [self.btypes[c] for c in self.bucket_columns],
                         self.bucket_count)
-                except (ValueError, KeyError):
-                    self.bucket_sel = None  # unhashable type: no prune
+                except Exception:  # noqa: BLE001 — the prune is purely an
+                    # optimization: an unhashable type or unexpected pushed
+                    # value must fall back to a full read, never fail it
+                    self.bucket_sel = None
         return filters  # Spark re-applies everything post scan
 
     def partitions(self) -> list[InputPartition]:
@@ -703,14 +703,11 @@ def _dir_batches(directory: str, partition, pa_schema,
     declared = set(pa_schema.names)
     fnames = sorted(_data_files(directory, storage))
     if bucket is not None:
-        import re as _re
+        from ..core.paths import parse_bucket_index
 
-        def _keep(name: str) -> bool:
-            m = _re.search(r"part-(\d+)", name)
-            # no parseable index: read it — pruning may only over-read
-            return m is None or int(m.group(1)) == bucket
-
-        fnames = [f for f in fnames if _keep(f)]
+        # no parseable index: read it — pruning may only over-read
+        fnames = [f for f in fnames
+                  if parse_bucket_index(f) in (None, bucket)]
     for fname in fnames:
         table = _read_file(os.path.join(directory, fname), fmt, declared,
                            storage, colmap=colmap)
