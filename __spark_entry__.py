@@ -65,42 +65,37 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # New in round 6 — training-mixture rebalancing, corpus
-        # normalization, quality binning, PCM audio chunking, resize
-        # plumbing, tvx-source watermarked windows (all oracle-backed)
-        # and product-quantization ANN (rows-only; recall pinned in
-        # pytest):
-        "q_domain_mix", "q_text_normalize", "q_quality_bucket",
-        "q_sim_ann_pq", "q_multimodal_audio", "q_multimodal_resize",
-        "q_stream_window_tvx",
-        # Round-6 rotation (VERDICT r5 #4): the stalest green rows. Last
-        # officially green in r1:
-        "q_agg_approx_distinct", "q_tpch_q22",
-        # ...in r2 — versioned flows, dedup family, similarity, text:
-        "q_time_travel", "q_snapshot_replace", "q_bucketed_join",
-        "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-        "q_dedup_ngram", "q_dedup_embedding", "q_dedup_groups",
-        "q_sim_search", "q_sim_ann_ivf", "q_embed_quantize",
-        "q_lang_id", "q_quality_score", "q_token_count", "q_fingerprint",
-        "q_text_stats", "q_chunk_docs", "q_multimodal",
-        "q_multimodal_frames", "q_sample_stratified", "q_train_test_split",
-        "q_pivot", "q_explode", "q_window_lag", "q_range_join",
-        "q_approx_quantile", "q_quantiles", "q_corr",
-        # ...in r3 — time travel ts, restore, schema evolution, skipping
-        # indexes, streaming, cleaning:
-        "q_time_travel_ts", "q_restore", "q_schema_evolution",
-        "q_zorder_skipping", "q_bloom_skipping", "q_clustered_skipping",
-        "q_multi_partition_prune", "q_derived_partition",
-        "q_compact_invariant", "q_vacuum_invariant", "q_change_feed",
-        "q_table_stats", "q_stream_agg", "q_sim_ann_lsh", "q_kmeans",
-        "q_bm25", "q_tfidf", "q_pii_redact", "q_contamination",
-        "q_repetition", "q_histogram", "q_sample_per_group",
-        # r4 families rotate behind (refreshed in the r4 artifact), then
-        # the r5-green relational/TPC-H core comes last via registry order.
+        # Round-7 rotation (VERDICT r6 #2): the 60 ids whose latest green
+        # driver row is r4 or earlier, stalest first. First the 10 ids
+        # last checked in r3:
+        "q_stream_agg", "q_sim_ann_lsh", "q_kmeans", "q_bm25", "q_tfidf",
+        "q_pii_redact", "q_contamination", "q_repetition", "q_histogram",
+        "q_sample_per_group",
+        # ...then the r4 mutation family:
         "q_upsert", "q_merge", "q_delete", "q_update",
         "q_delete_dv", "q_update_dv", "q_change_feed_rows",
         "q_partition_prune", "q_insert_overwrite_partition",
+        "q_rename_column", "q_rollup_incremental",
+        # ...the r4 streaming family:
         "q_stream_sink", "q_stream_cdf", "q_stream_dedup",
+        "q_stream_window", "q_stream_session", "q_stream_join",
+        # ...the r4 TPC-H stragglers:
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
+        "q_tpch_q20", "q_tpch_q21",
+        # ...and the rest of the r4-stale ids (text/dedup/analytic/
+        # relational families):
+        "q_bpe_train", "q_tokenize_apply", "q_sample_temperature",
+        "q_dedup_paragraph", "q_pack_sequences", "q_sample_weighted",
+        "q_shuffle_shards", "q_knn_join", "q_dedup_prefix",
+        "q_dedup_incremental", "q_semdedup", "q_asof_join", "q_sessionize",
+        "q_session_window", "q_funnel", "q_anomaly", "q_scan_csv",
+        "q_scan_json", "q_json_funcs", "q_udaf_pandas", "q_udtf",
+        "q_window_range_frame", "q_date_from_ts", "q_unpivot",
+        "q_grouping_sets", "q_curation_pipeline", "q_lm_score",
+        # r5-green families rotate behind; the r6-green families come
+        # last via registry order.
+        "q_change_feed_rewrite", "q_change_feed_per_commit",
+        "q_ngram_topk", "q_scd2", "q_retention",
     ]
     pset = set(priority)
     ordered = priority + [n for n in queries if n not in pset]

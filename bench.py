@@ -102,38 +102,47 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
+    # Load-robustness: the whole headline list runs TWICE end-to-end (each
+    # visit itself best-of-2 reps, so 4 executions per query). Taking the
+    # per-query min ACROSS passes means a host-load spike has to hit the
+    # same query in both passes, ~1 min apart, to contaminate its number —
+    # single-pass artifacts were hostage to whatever the shared VM was
+    # doing that minute (BENCH_r06 read 1.59x vs r5 purely from load;
+    # three paired idle A/B replays measured ~1.0x — tools/AB_NOTES.md).
+    # loadavg at start/end + per-query rep spreads go into the JSON so a
+    # loaded-host artifact is self-identifying.
+    reps_seen: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    # best-of-2 per query: one pass is hostage to transient machine load and
-    # first-execution codegen; the min is the steady-state cost of the plan.
-    # Per-query isolation: one broken query must degrade the artifact, not
-    # vanish it — always print the JSON line.
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            errors[name] = "not registered"
-            continue
-        best = None
-        try:
-            for _ in range(2):
-                t0 = time.time()
-                df = fn(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — artifact must survive
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        # inter-query hygiene: as the headline grew, later queries were
-        # paying the accumulated JVM state of earlier ones (~16% inflation
-        # on a 54-query tail, measured by replaying an older round's exact
-        # list — tools/AB_NOTES.md). An explicit collection between
-        # queries keeps each measurement closer to its isolated cost.
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — hygiene must never fail a run
-            pass
+    load_start = _loadavg()
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                errors[name] = "not registered"
+                continue
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    df = fn(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    reps_seen.setdefault(name, []).append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001 — artifact must survive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # inter-query hygiene: as the headline grew, later queries were
+            # paying the accumulated JVM state of earlier ones (~16%
+            # inflation on a 54-query tail, measured by replaying an older
+            # round's exact list — tools/AB_NOTES.md). An explicit
+            # collection between queries keeps each measurement closer to
+            # its isolated cost.
+            try:
+                spark._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — hygiene must not fail a run
+                pass
+    load_end = _loadavg()
 
+    timings = {n: round(min(r), 3) for n, r in reps_seen.items() if r}
+    spread = {n: [round(min(r), 3), round(max(r), 3)]
+              for n, r in reps_seen.items() if r}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -141,10 +150,22 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "passes": 2,
+        "reps_per_pass": 2,
+        "spread": spread,
     }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+
+def _loadavg() -> list[float] | None:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return None
 
 
 if __name__ == "__main__":

@@ -32,10 +32,17 @@ def parse_bucket_index(filename: str) -> "int | None":
     inside their prefixed names). ``None`` = no parseable index. THE one
     definition of the contract — the engine's bucket-join grouping and
     point-read pruning and the tvx reader's pruning must all agree, or a
-    filename-convention change silently splits their semantics."""
+    filename-convention change silently splits their semantics.
+
+    The trailing ``-`` is required: every stamped name (Spark's
+    ``part-00003-<uuid>`` and the sink's ``part-00003-<hex>``) carries it,
+    while UNBUCKETED sink names (``part-<uuid4().hex>``) start with raw hex
+    whose leading digits would otherwise parse as a bogus bucket id —
+    those must return None so ``_bucket_files``'s loud contract-corruption
+    error fires instead of silently misassigning the file."""
     import re
 
-    m = re.search(r"part-(\d+)", filename)
+    m = re.search(r"part-(\d+)-", filename)
     return int(m.group(1)) if m else None
 
 

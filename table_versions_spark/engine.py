@@ -2445,8 +2445,9 @@ class VersionedEngine:
             if how == "inner" and not all(files):
                 continue  # inner join: a missing side yields no rows
             # apply any deletion vectors on the touched version dirs —
-            # dv modes are refused on bucketed tables going forward, but a
-            # vector from before that guard must not resurrect rows here
+            # delete/update(mode="dv") is supported on bucketed tables, so
+            # vectors must be applied after per-bucket file selection or
+            # dv-deleted rows would resurrect in every join branch
             # column mapping applies like every other read surface:
             # renamed columns surface their logical names, dropped columns
             # stay hidden (bucket columns are structural — never renamed —

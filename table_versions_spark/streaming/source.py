@@ -433,13 +433,20 @@ class VersionedTableBatchReader(DataSourceReader):
 
         constraints: list = []
         for f in filters:
-            if isinstance(f, EqualTo) and len(f.attribute) == 1 \
-                    and f.attribute[0] in self.ptypes:
-                constraints.append((f.attribute[0], {esc(f.value)}))
-            elif isinstance(f, In) and len(f.attribute) == 1 \
-                    and f.attribute[0] in self.ptypes:
-                constraints.append(
-                    (f.attribute[0], {esc(v) for v in f.value}))
+            # esc() raises for value types the partition renderer refuses
+            # (float/bytes/...); like the bucket-prune arm below, an
+            # unrenderable pushed value must fall back to a full read for
+            # that constraint, never fail the query.
+            try:
+                if isinstance(f, EqualTo) and len(f.attribute) == 1 \
+                        and f.attribute[0] in self.ptypes:
+                    constraints.append((f.attribute[0], {esc(f.value)}))
+                elif isinstance(f, In) and len(f.attribute) == 1 \
+                        and f.attribute[0] in self.ptypes:
+                    constraints.append(
+                        (f.attribute[0], {esc(v) for v in f.value}))
+            except Exception:  # noqa: BLE001 — prune is an optimization only
+                continue
         if constraints:
             def keep(p) -> bool:
                 if p is None:
