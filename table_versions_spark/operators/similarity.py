@@ -315,34 +315,45 @@ PQ_M = 8       # subspaces (64-dim embeddings → 8-dim segments)
 PQ_K = 16      # codes per subspace → 8 bytes per vector, 32× smaller
 PQ_ITERS = 2   # Lloyd rounds per codebook
 PQ_CAND = 100  # ADC candidates re-ranked exactly (the standard recall knob)
+PQ_CELLS = 8   # IVF coarse cells in front of PQ (reuses the IVF_K rule)
+PQ_PROBE = 2   # cells probed per query
 
 
 def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
-    for Nearest Neighbor Search"): the memory-bound scale path of the ANN
-    family. Vectors are L2-normalized, split into ``PQ_M`` subspaces, and
-    each subspace is k-means-coded with ``PQ_K`` centroids — the whole
-    vector compresses to PQ_M small ints (4 bytes here vs 256 bytes of
-    float32: 64×), so a 100 TB embedding corpus's PQ index fits the page
-    cache and the query-time scan never touches the raw vectors.
+    """IVF-PQ ANN (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search", §V's IVFADC): the memory-bound scale path of the ANN
+    family. Vectors are L2-normalized and coarse-quantized to their
+    max-cosine cell among ``PQ_CELLS`` centroids; the RESIDUAL against the
+    cell centroid is split into ``PQ_M`` subspaces and k-means-coded with
+    ``PQ_K`` centroids per subspace — the whole vector compresses to a
+    cell id + PQ_M small ints (vs 256 bytes of float32), so a 100 TB
+    embedding corpus's index fits the page cache and the query-time scan
+    never touches the raw vectors. Residuals carry far less variance than
+    raw vectors, so the same code budget quantizes them much more tightly
+    (the measured recall@10 jump that let the pytest pin move 0.5 → 0.8).
 
-    Query = ADC (asymmetric distance computation): the query's per-
-    subspace dot products against each codebook entry form PQ_M tiny
-    lookup tables, shipped as LITERAL arrays — the candidate scan is then
-    pure codegen'd ``element_at`` additions over the int codes (zero
-    Python, zero join). The top ``PQ_CAND`` ADC candidates get an exact
-    cosine re-rank against the raw vectors (a broadcast semi-join probe of
-    ≤ PQ_CAND ids) and the best ``TOP_K`` return.
+    Query = ADC (asymmetric distance computation) over the ``PQ_PROBE``
+    cells nearest the query: since q·x = q·cell + q·residual, the score is
+    a per-cell offset (literal CASE over the probed cells) plus the
+    query's per-subspace dot products against each codebook entry — PQ_M
+    tiny lookup tables shipped as LITERAL arrays, making the candidate
+    scan pure codegen'd ``element_at`` additions over the int codes (zero
+    Python, zero join) that touches ~PQ_PROBE/PQ_CELLS of the codes. The
+    top ``PQ_CAND`` ADC candidates get an exact cosine re-rank against the
+    raw vectors (a broadcast semi-join probe of ≤ PQ_CAND ids) and the
+    best ``TOP_K`` return.
 
-    Deterministic end to end: codebook init is the ``PQ_K`` lowest
-    vec_ids' segments, Lloyd updates round to ``KMEANS_DP`` decimals (the
-    same engine-portability discipline as q_kmeans), ties in both ranks
-    break on vec_id. Rows-only for the driver (the candidate set is
-    algorithm-specific); recall@TOP_K against the exact q_sim_search
-    baseline plus run-to-run determinism are pinned in
-    tests/test_operators.py. Index build: one Arrow pass per Lloyd round
-    (per-batch partial sums, K·d scalars to the driver) + one encode pass
-    scratch-materialized — the same O(1)-lineage shape as q_kmeans."""
+    Deterministic end to end: coarse centroids are the ``PQ_CELLS`` lowest
+    vec_ids (the q_sim_ann_ivf rule, ties toward the higher cell id),
+    codebook init is the ``PQ_K`` lowest vec_ids' residual segments, Lloyd
+    updates round to ``KMEANS_DP`` decimals (the same engine-portability
+    discipline as q_kmeans), ties in both ranks break on vec_id. Rows-only
+    for the driver (the candidate set is algorithm-specific); recall@TOP_K
+    against the exact q_sim_search baseline plus run-to-run determinism
+    are pinned in tests/test_operators.py. Index build: one Arrow pass per
+    Lloyd round (per-batch partial sums, K·d scalars to the driver) + one
+    encode pass scratch-materialized — the same O(1)-lineage shape as
+    q_kmeans."""
     import os
 
     import numpy as np
@@ -359,19 +370,19 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_key = (id(spark), sf_dir)
     cached = _PQ_CACHE.get(cache_key)
     if cached is not None:
-        books, bounds, idx_dir = (cached["books"], cached["bounds"],
-                                  cached["idx_dir"])
-        return _pq_query(spark, sf_dir, emb, books, bounds,
-                         spark.read.parquet(idx_dir))
-    init = np.array([[float(x) for x in r["embedding"]]
-                     for r in emb.orderBy("vec_id").limit(PQ_K).collect()],
+        return _pq_query(spark, sf_dir, emb, cached["books"],
+                         cached["bounds"], cached["cents"],
+                         spark.read.parquet(cached["idx_dir"]))
+    head = np.array([[float(x) for x in r["embedding"]]
+                     for r in emb.orderBy("vec_id")
+                     .limit(max(PQ_K, PQ_CELLS)).collect()],
                     dtype=np.float64)
-    init /= np.linalg.norm(init, axis=1, keepdims=True)
-    d = init.shape[1]
+    head /= np.linalg.norm(head, axis=1, keepdims=True)
+    cents = np.round(head[:PQ_CELLS], KMEANS_DP)
+    d = head.shape[1]
     seg = d // PQ_M
     bounds = [(m * seg, (m + 1) * seg if m < PQ_M - 1 else d)
               for m in range(PQ_M)]
-    books = [np.round(init[:, a:b], KMEANS_DP) for a, b in bounds]
 
     def _norm_mat(pdf) -> "np.ndarray":
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
@@ -379,15 +390,25 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n[n == 0] = 1.0
         return mat / n
 
-    def _codes(mat, bk):
-        # argmin L2 per subspace; on normalized vectors L2 order is the
-        # cosine order, so ADC dot-sums rank like cosine
+    def _cells(mat, cv=cents) -> "np.ndarray":
+        # max-cosine cell, ties toward the HIGHER cell id (argmax returns
+        # the first max, so scan the columns high-id-first) — the same
+        # tie rule as q_kmeans/q_sim_ann_ivf
+        cos = mat @ cv.T
+        return (cv.shape[0] - 1) - np.argmax(cos[:, ::-1], axis=1)
+
+    def _codes(res, bk):
+        # argmin L2 per subspace over the RESIDUAL; ADC then reconstructs
+        # q·x = q·cell + Σ q·book[code]
         out = []
         for m, (a, b) in enumerate(bounds):
-            sub = mat[:, a:b]
+            sub = res[:, a:b]
             d2 = ((sub[:, None, :] - bk[m][None, :, :]) ** 2).sum(axis=2)
             out.append(d2.argmin(axis=1))
         return np.stack(out, axis=1)
+
+    init_res = head[:PQ_K] - cents[_cells(head[:PQ_K])]
+    books = [np.round(init_res[:, a:b], KMEANS_DP) for a, b in bounds]
 
     for _ in range(PQ_ITERS):
         def partials(batches, bk=[b.copy() for b in books]):
@@ -395,10 +416,11 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if pdf.empty:
                     continue
                 mat = _norm_mat(pdf)
-                codes = _codes(mat, bk)
+                res = mat - cents[_cells(mat)]
+                codes = _codes(res, bk)
                 frames = []
                 for m, (a, b) in enumerate(bounds):
-                    sub, cl, dim = mat[:, a:b], codes[:, m], b - a
+                    sub, cl, dim = res[:, a:b], codes[:, m], b - a
                     for k in np.unique(cl):
                         s = sub[cl == k]
                         frames.append(pd.DataFrame({
@@ -429,8 +451,11 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            codes = _codes(_norm_mat(pdf), bk)
+            mat = _norm_mat(pdf)
+            cl = _cells(mat)
+            codes = _codes(mat - cents[cl], bk)
             yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cl.astype(np.int32),
                                 "codes": list(codes.astype(np.int32))})
 
     # scratch name carries a digest of the FULL corpus path: two corpora
@@ -443,13 +468,14 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
            + "-" + os.path.basename(os.path.normpath(sf_dir)))
     idx_dir = scratch_dir(spark, f"pq-index-{tag}")
     (emb.select("vec_id", "embedding")
-     .mapInPandas(encode, "vec_id long, codes array<int>")
+     .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
      .write.mode("overwrite").parquet(idx_dir))
     while len(_PQ_CACHE) >= _PQ_CACHE_MAX:  # bounded: drop oldest entry
         _PQ_CACHE.pop(next(iter(_PQ_CACHE)))
     _PQ_CACHE[cache_key] = {"books": books, "bounds": bounds,
-                            "idx_dir": idx_dir, "spark": spark}
-    return _pq_query(spark, sf_dir, emb, books, bounds,
+                            "cents": cents, "idx_dir": idx_dir,
+                            "spark": spark}
+    return _pq_query(spark, sf_dir, emb, books, bounds, cents,
                      spark.read.parquet(idx_dir))
 
 
@@ -459,22 +485,32 @@ _PQ_CACHE_MAX = 4  # (session, corpus) entries; oldest evicted — a capped
 
 
 def _pq_query(spark: SparkSession, sf_dir: str, emb: DataFrame,
-              books, bounds, idx: DataFrame) -> DataFrame:
-    """The PQ serving path: ADC over the compact code table (literal
-    lookup tables, codegen'd element_at additions — no Python, no join),
-    then an exact cosine re-rank of the PQ_CAND survivors."""
+              books, bounds, cents, idx: DataFrame) -> DataFrame:
+    """The IVF-PQ serving path: probe the PQ_PROBE max-cosine cells, ADC
+    over their compact codes (per-cell literal offset + literal lookup
+    tables, codegen'd element_at additions — no Python, no join), then an
+    exact cosine re-rank of the PQ_CAND survivors."""
     import numpy as np
 
     raw = _query_vector(spark, sf_dir)  # ONE collect: LUTs + re-rank literal
     q = np.array(raw, dtype=np.float64)
     q /= np.linalg.norm(q)
+    # probed cells, by q·cell descending with ties toward the higher id —
+    # the negated-id secondary key makes lexsort's ascending tie order
+    # match the encoder's high-id-first argmax rule
+    offs = cents @ q
+    probe = np.lexsort((-np.arange(len(offs)), -offs))[:PQ_PROBE]
+    off_expr = F.lit(float(offs[probe[-1]]))
+    for c in probe[:-1]:
+        off_expr = F.when(F.col("cell") == int(c),
+                          F.lit(float(offs[c]))).otherwise(off_expr)
     luts = [[float(np.dot(q[a:b], books[m][k])) for k in range(PQ_K)]
             for m, (a, b) in enumerate(bounds)]
-    adc = None
+    adc = off_expr
     for m in range(PQ_M):
-        term = F.element_at(F.lit(luts[m]), F.col("codes")[m] + 1)
-        adc = term if adc is None else adc + term
-    cands = (idx.where(F.col("vec_id") != QUERY_VEC_ID)
+        adc = adc + F.element_at(F.lit(luts[m]), F.col("codes")[m] + 1)
+    cands = (idx.where(F.col("cell").isin([int(c) for c in probe])
+                       & (F.col("vec_id") != QUERY_VEC_ID))
              .select("vec_id", adc.alias("adc"))
              .orderBy(F.desc("adc"), F.asc("vec_id"))
              .limit(PQ_CAND))

@@ -327,11 +327,14 @@ class TestCleaning:
                 assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
 
     def test_pq_recall_and_determinism(self, spark, sf_small):
-        """PQ ANN: (a) deterministic — two full builds return identical
-        rows (codebook init, Lloyd rounding, tie-breaks are all pinned);
-        (b) the exact re-rank means every returned score equals the
-        brute-force scorer's; (c) recall@10 against the exact top-10 meets
-        the floor measured for this 64-dim corpus at 4×16 codes."""
+        """IVF-PQ ANN: (a) deterministic — two full builds return identical
+        rows (coarse cells, codebook init, Lloyd rounding, tie-breaks are
+        all pinned); (b) the exact re-rank means every returned score
+        equals the brute-force scorer's; (c) recall@10 against the exact
+        top-10 meets the floor measured for this 64-dim corpus with
+        residual coding at 8 cells × probe-2 × 8×16 codes (numpy replay of
+        the same pipeline measures 1.0; 0.8 leaves room for batched-BLAS
+        summation-order jitter only)."""
         from table_versions_spark.operators import similarity
 
         a = [(r.vec_id, r.cos_sim)
@@ -345,7 +348,7 @@ class TestCleaning:
             if vid in exact:
                 assert abs(cs - exact[vid]) < 1e-9
         recall = len({vid for vid, _ in a} & set(exact)) / similarity.TOP_K
-        assert recall >= 0.5, recall
+        assert recall >= 0.8, recall
 
     def test_pack_sequences_bins_are_contiguous(self, spark, sf_small):
         """Within a shard, bin ids are dense from 0 and every bin except
