@@ -65,6 +65,10 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
+        # New in round 7 — alignment-robust exact duplicated-substring
+        # pairs via content-defined chunking (oracle-backed; never
+        # driver-checked, so worth the most):
+        "q_dedup_substring",
         # Round-7 rotation (VERDICT r6 #2): the 60 ids whose latest green
         # driver row is r4 or earlier, stalest first. First the 10 ids
         # last checked in r3:

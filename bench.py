@@ -86,6 +86,7 @@ HEADLINE = [
     "q_quality_bucket",
     "q_sim_ann_pq",
     "q_multimodal_audio",
+    "q_dedup_substring",
 ]
 
 

@@ -636,6 +636,75 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.length("ta") == F.length("tb")).alias("exact")))
 
 
+CDC_MOD = 4        # break after words whose length % CDC_MOD == 0
+CDC_MIN_WORDS = 4  # spans shorter than this don't count as duplication
+CDC_DF_CAP = 64    # boilerplate guard: chunks shared by more docs are
+                   # template text, not pairwise duplication — and the cap
+                   # bounds every join block (never quadratic in corpus)
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring pairs via content-defined chunking —
+    the alignment-robust exact-span dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr), re-expressed with the rsync/LBFS chunking trick instead
+    of a suffix array: split every document at breakpoints that depend
+    only on LOCAL content (after words whose length % CDC_MOD == 0), so
+    a span copied between documents at ANY offset produces the same
+    chunks in both — which fixed-boundary chunking (q_dedup_paragraph)
+    misses whenever the copy is not chunk-aligned.
+
+    Output: (doc_id_a, doc_id_b, n_shared, shared_chars) per document
+    pair sharing ≥1 content-defined chunk of ≥ CDC_MIN_WORDS words.
+
+    Scale shape: chunking is ONE codegen'd scan (split + filter +
+    transform higher-order functions, no Python, no shuffle); pair
+    generation is an equi-join on chunk text with document frequency
+    capped at [2, CDC_DF_CAP] — the same inverted-index discipline as
+    q_dedup_ngram, so no block can go quadratic and the join keys are
+    content-distributed. Fully deterministic string ops end to end —
+    exact DuckDB oracle."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    brks = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.length(F.element_at(w, i)) % CDC_MOD == F.lit(0))
+    bounds = F.concat(F.array(F.lit(0)), brks, F.array(n))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            (F.element_at(bounds, j) + 1).alias("lo"),
+            (F.element_at(bounds, j + 1)
+             - F.element_at(bounds, j)).alias("nw")))
+    chunks = F.transform(
+        F.filter(spans, lambda s: s["nw"] >= CDC_MIN_WORDS),
+        lambda s: F.array_join(F.slice(w, s["lo"], s["nw"]), " "))
+    # materialize the narrow (doc_id, chunk) postings once: three
+    # consumers (df table + both join sides) would otherwise each re-scan
+    # the corpus and re-run the chunking lambdas — the same scratch
+    # discipline as q_dedup_minhash's signature table
+    import os
+
+    postings_dir = scratch_dir(
+        spark, f"cdc-chunks-{os.path.basename(os.path.normpath(sf_dir))}")
+    (docs.select("doc_id", F.explode(chunks).alias("chunk"))
+     .distinct()
+     .write.mode("overwrite").parquet(postings_dir))
+    keep = spark.read.parquet(postings_dir)
+    df_ok = (keep.groupBy("chunk").agg(F.count("*").alias("df"))
+             .where((F.col("df") >= 2) & (F.col("df") <= CDC_DF_CAP))
+             .select("chunk"))
+    k = keep.join(df_ok, "chunk")
+    a = k.select(F.col("doc_id").alias("doc_id_a"), "chunk")
+    b = k.select(F.col("doc_id").alias("doc_id_b"), "chunk")
+    return (a.join(b, "chunk")
+            .where(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("n_shared"),
+                 F.sum(F.length("chunk")).alias("shared_chars")))
+
+
 QUERIES = {
     "q_dedup_prefix": q_dedup_prefix,
     "q_dedup_minhash": q_dedup_minhash,
@@ -644,6 +713,7 @@ QUERIES = {
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_dedup_substring": q_dedup_substring,
     "q_semdedup": q_semdedup,
 }
 
@@ -720,6 +790,34 @@ ORACLES = {
         "WHERE d.doc_id % 5 = 4 AND NOT EXISTS ("
         "SELECT 1 FROM documents b WHERE b.doc_id % 5 <> 4 "
         "AND md5(b.text) = md5(d.text))"),
+    "q_dedup_substring": (
+        # content-defined chunking mirror: cumulative break count BEFORE
+        # each word = chunk id (Spark's boundary-pair slices produce the
+        # same runs); same CDC_MIN_WORDS / df-cap gates
+        "WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "pos AS (SELECT doc_id, unnest(w) AS word, "
+        "generate_subscripts(w, 1) AS p FROM docs), "
+        # COALESCE inside marked: GROUP BY would otherwise bind to the raw
+        # (NULL-for-first-word) window column, splitting word 1 off its run
+        "marked AS (SELECT doc_id, word, p, COALESCE("
+        f"SUM(CASE WHEN length(word) % {CDC_MOD} = 0 THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY doc_id ORDER BY p "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid "
+        "FROM pos), "
+        "chunks AS (SELECT doc_id, cid, "
+        "string_agg(word, ' ' ORDER BY p) AS chunk, count(*) AS nw "
+        "FROM marked GROUP BY doc_id, cid), "
+        "keep AS (SELECT DISTINCT doc_id, chunk FROM chunks "
+        f"WHERE nw >= {CDC_MIN_WORDS}), "
+        "ok AS (SELECT chunk FROM keep GROUP BY chunk "
+        f"HAVING count(*) BETWEEN 2 AND {CDC_DF_CAP}) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared, "
+        "CAST(sum(length(a.chunk)) AS BIGINT) AS shared_chars "
+        "FROM keep a JOIN ok USING (chunk) "
+        "JOIN keep b ON a.chunk = b.chunk AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2"),
     "q_semdedup": (
         # same centroid rule + ARG_MAX assignment as the q_sim_ann_ivf
         # oracle; pairwise within-cluster pruning toward the lower vec_id

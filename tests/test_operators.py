@@ -242,6 +242,36 @@ class TestDedupScaleContracts:
         assert got == want
         assert all((i, i + 300) in got for i in range(20))
 
+    def test_substring_dedup_is_alignment_robust(self, spark, tmp_path):
+        """Content-defined chunking must find a copied span at ANY offset —
+        the property fixed-boundary chunking (q_dedup_paragraph) lacks.
+        The span's interior chunk ('duo tri tetra penta hexa', bounded by
+        the break words 'mono' and 'hexa' INSIDE the span) is identical in
+        both docs regardless of how many words precede it."""
+        from table_versions_spark.operators import dedup
+
+        span = "zero mono duo tri tetra penta hexa hepta"
+        rows = [
+            (1, "xx " * 3 + span + " yy zz", "en", "s", 0),
+            # different offset AND different word-length pattern before/after
+            (2, "p qq rrr ssss ttttt " + span + " end", "en", "s", 0),
+            (3, "completely unrelated words that never repeat here", "en",
+             "s", 0),
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {(r["doc_id_a"], r["doc_id_b"]): (r["n_shared"],
+                                                r["shared_chars"])
+               for r in dedup.q_dedup_substring(spark, sf_dir).collect()}
+        assert (1, 2) in got
+        n_shared, shared_chars = got[(1, 2)]
+        # the interior chunk is 5 words / 24 chars; at least it is shared
+        assert n_shared >= 1 and shared_chars >= 24
+        assert not any(3 in pair for pair in got)
+
     def test_dedup_groups_are_connected_components(self, spark, sf_small):
         """Label propagation must reach the true fixpoint: both endpoints of
         every near-dup edge share a group, every group id is the minimum
