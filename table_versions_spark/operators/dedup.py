@@ -657,39 +657,51 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id_a, doc_id_b, n_shared, shared_chars) per document
     pair sharing ≥1 content-defined chunk of ≥ CDC_MIN_WORDS words.
 
-    Scale shape: chunking is ONE codegen'd scan (split + filter +
-    transform higher-order functions, no Python, no shuffle); pair
-    generation is an equi-join on chunk text with document frequency
-    capped at [2, CDC_DF_CAP] — the same inverted-index discipline as
-    q_dedup_ngram, so no block can go quadratic and the join keys are
-    content-distributed. Fully deterministic string ops end to end —
-    exact DuckDB oracle."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n = F.size(w)
-    brks = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.length(F.element_at(w, i)) % CDC_MOD == F.lit(0))
-    bounds = F.concat(F.array(F.lit(0)), brks, F.array(n))
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda j: F.struct(
-            (F.element_at(bounds, j) + 1).alias("lo"),
-            (F.element_at(bounds, j + 1)
-             - F.element_at(bounds, j)).alias("nw")))
-    chunks = F.transform(
-        F.filter(spans, lambda s: s["nw"] >= CDC_MIN_WORDS),
-        lambda s: F.array_join(F.slice(w, s["lo"], s["nw"]), " "))
-    # materialize the narrow (doc_id, chunk) postings once: three
-    # consumers (df table + both join sides) would otherwise each re-scan
-    # the corpus and re-run the chunking lambdas — the same scratch
-    # discipline as q_dedup_minhash's signature table
+    Scale shape: chunking is ONE Arrow-batched ``mapInPandas`` scan (an
+    earlier pure-higher-order-function formulation — filter/transform
+    over boundary arrays with slice+array_join per span — was exact but
+    ~40× slower at sf0.1: Spark's array lambdas are interpreted, not
+    codegen'd, and pay per-element dispatch on every word; the Python
+    chunker is a linear string pass per doc, no shuffle either way).
+    Pair generation is an equi-join on chunk text with document
+    frequency capped at [2, CDC_DF_CAP] — the same inverted-index
+    discipline as q_dedup_ngram, so no block can go quadratic and the
+    join keys are content-distributed. Fully deterministic string ops
+    end to end — exact DuckDB oracle."""
     import os
 
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+
+    def cdc_chunks(batches):
+        for pdf in batches:
+            ids: list = []
+            chs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out: set = set()
+                cur: list = []
+                for word in text.split(" "):
+                    cur.append(word)
+                    if len(word) % CDC_MOD == 0:  # break AFTER this word
+                        if len(cur) >= CDC_MIN_WORDS:
+                            out.add(" ".join(cur))
+                        cur = []
+                if len(cur) >= CDC_MIN_WORDS:  # tail run to doc end
+                    out.add(" ".join(cur))
+                sorted_out = sorted(out)  # per-doc distinct, stable order
+                ids.extend([doc_id] * len(sorted_out))
+                chs.extend(sorted_out)
+            yield pd.DataFrame({"doc_id": ids, "chunk": chs})
+
+    # materialize the narrow (doc_id, chunk) postings once: three
+    # consumers (df table + both join sides) would otherwise each re-scan
+    # the corpus and re-run the chunking pass — the same scratch
+    # discipline as q_dedup_minhash's signature table
     postings_dir = scratch_dir(
         spark, f"cdc-chunks-{os.path.basename(os.path.normpath(sf_dir))}")
-    (docs.select("doc_id", F.explode(chunks).alias("chunk"))
-     .distinct()
+    (docs.select("doc_id", "text")
+     .mapInPandas(cdc_chunks, "doc_id long, chunk string")
      .write.mode("overwrite").parquet(postings_dir))
     keep = spark.read.parquet(postings_dir)
     df_ok = (keep.groupBy("chunk").agg(F.count("*").alias("df"))
