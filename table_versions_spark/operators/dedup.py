@@ -636,6 +636,37 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.length("ta") == F.length("tb")).alias("exact")))
 
 
+def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix/truncation duplicates: pairs where one document's text is a
+    SUFFIX of (or equal to) another's — the mirror of q_dedup_prefix,
+    produced by header/boilerplate stripping, paywall-intro removal, and
+    re-crawls that drop the lead paragraph. A Jaccard pass under-scores
+    these exactly like prefix dups when the longer doc is much longer.
+
+    Scale shape mirrors q_dedup_prefix: candidate generation is an
+    equi-join on the LAST ``PREFIX_BLOCK`` characters (a suffix relation
+    implies equal tail blocks once both docs are ≥ the block length), so
+    never an all-pairs product; the ``endswith`` verify runs only inside
+    blocks."""
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.length("text") >= PREFIX_BLOCK)
+            .select("doc_id", "text",
+                    F.expr(f"right(text, {PREFIX_BLOCK})").alias("blk")))
+    a = docs.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("text").alias("ta"), "blk")
+    b = docs.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("text").alias("tb"), "blk")
+    shorter = F.length("ta") < F.length("tb")
+    equal = ((F.length("ta") == F.length("tb"))
+             & (F.col("doc_id_a") < F.col("doc_id_b")))
+    return (a.join(b, "blk")
+            .where((shorter | equal) & F.col("tb").endswith(F.col("ta")))
+            .select("doc_id_a", "doc_id_b",
+                    F.length("ta").cast("int").alias("len_a"),
+                    F.length("tb").cast("int").alias("len_b"),
+                    (F.length("ta") == F.length("tb")).alias("exact")))
+
+
 CDC_MOD = 4        # break after words whose length % CDC_MOD == 0
 CDC_MIN_WORDS = 4  # spans shorter than this don't count as duplication
 CDC_DF_CAP = 64    # boilerplate guard: chunks shared by more docs are
@@ -726,6 +757,7 @@ QUERIES = {
     "q_dedup_embedding": q_dedup_embedding,
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_substring": q_dedup_substring,
+    "q_dedup_suffix": q_dedup_suffix,
     "q_semdedup": q_semdedup,
 }
 
@@ -774,6 +806,18 @@ ORACLES = {
         "WHERE (length(a.text) < length(b.text) "
         "OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id)) "
         "AND starts_with(b.text, a.text)"),
+    "q_dedup_suffix": (
+        "WITH d AS (SELECT doc_id, text, "
+        f"right(text, {PREFIX_BLOCK}) AS blk FROM documents "
+        f"WHERE length(text) >= {PREFIX_BLOCK}) "
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(length(a.text) AS INT) AS len_a, "
+        "CAST(length(b.text) AS INT) AS len_b, "
+        "length(a.text) = length(b.text) AS exact "
+        "FROM d a JOIN d b ON a.blk = b.blk "
+        "WHERE (length(a.text) < length(b.text) "
+        "OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id)) "
+        "AND ends_with(b.text, a.text)"),
     "q_dedup_ngram": (
         f"WITH {_NGRAM_PAIRS_CTES} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"),

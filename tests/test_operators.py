@@ -272,6 +272,34 @@ class TestDedupScaleContracts:
         assert n_shared >= 1 and shared_chars >= 24
         assert not any(3 in pair for pair in got)
 
+    def test_suffix_dedup_finds_planted_pairs(self, spark, tmp_path):
+        """The sf corpora contain no suffix dups (the oracle row count is
+        0 there), so pin the semantics on planted pairs: a doc that is a
+        strict suffix of another matches; an equal pair matches once with
+        exact=True; a same-tail-block non-suffix pair does not."""
+        from table_versions_spark.operators import dedup
+
+        tail = "x" * dedup.PREFIX_BLOCK  # shared 64-char tail block
+        rows = [
+            (1, "the stripped body " + tail, "en", "s", 0),
+            (2, "long header paragraph then the stripped body " + tail,
+             "en", "s", 0),
+            (3, "zzz " + tail, "en", "s", 0),          # same block, not
+            (4, "the stripped body " + tail, "en", "s", 0),  # == doc 1
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {(r["doc_id_a"], r["doc_id_b"]): r["exact"]
+               for r in dedup.q_dedup_suffix(spark, sf_dir).collect()}
+        assert got[(1, 2)] is False and got[(4, 2)] is False
+        assert got[(1, 4)] is True
+        assert (3, 2) not in got and (2, 3) not in got
+        # same tail block but different chars before it: not a suffix
+        assert (3, 1) not in got and (3, 4) not in got
+
     def test_dedup_groups_are_connected_components(self, spark, sf_small):
         """Label propagation must reach the true fixpoint: both endpoints of
         every near-dup edge share a group, every group id is the minimum
