@@ -66,9 +66,10 @@ def _registry() -> tuple[dict, dict]:
         oracles.update(m.ORACLES)
     priority = [
         # New in round 7 — alignment-robust exact duplicated-substring
-        # pairs via content-defined chunking, and suffix/truncation dups
-        # (both oracle-backed; never driver-checked, so worth the most):
-        "q_dedup_substring", "q_dedup_suffix",
+        # pairs via content-defined chunking, suffix/truncation dups, and
+        # the Gopher quality gate (all oracle-backed; never
+        # driver-checked, so worth the most):
+        "q_dedup_substring", "q_dedup_suffix", "q_gopher_rules",
         # Round-7 rotation (VERDICT r6 #2): the 60 ids whose latest green
         # driver row is r4 or earlier, stalest first. First the 10 ids
         # last checked in r3:

@@ -383,6 +383,53 @@ def _curation_oracle() -> str:
 
 # registry + DuckDB oracles
 
+# ---------------------------------------------------------------------------
+# q_gopher_rules
+
+GOPHER_MIN_WORDS = 20        # corpus-tuned (Gopher's 50 would fail every
+GOPHER_MAX_WORDS = 100_000   # 10-99-word synthetic doc); rule SHAPE is the
+GOPHER_MIN_MWL = 3           # published one: word-count bounds, mean-word-
+GOPHER_MAX_MWL = 10          # length bounds, alpha-word fraction, stop-word
+GOPHER_MIN_ALPHA = 0.8       # presence
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with", "a"]
+GOPHER_MIN_STOPS = 2         # distinct stop words required
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1's
+    repetition-free subset — the repetition signals live in
+    ``q_repetition``): per doc, word-count bounds, mean-word-length
+    bounds, the fraction of words containing an alphabetic character, and
+    the presence of ≥ ``GOPHER_MIN_STOPS`` distinct stop words; plus the
+    combined pass flag a curation pipeline filters on.
+
+    Engine-portable by construction — the flag contains NO float
+    comparisons: mean word length is exactly ``(length(text) − (n−1)) / n``
+    (split on single space), so ``3 ≤ mwl ≤ 10`` is the integer test
+    ``3n ≤ chars ≤ 10n``, and ``frac_alpha ≥ 0.8`` is ``5·alpha ≥ 4·n``.
+    The float columns are descriptive only (rounded). One codegen'd scan:
+    split + two flat array filters, no shuffle, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    word_chars = F.length("text") - (n - 1)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(
+        F.lit(GOPHER_STOPS), lambda s: F.array_contains(w, s)))
+    ok = ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+          & (word_chars >= GOPHER_MIN_MWL * n)
+          & (word_chars <= GOPHER_MAX_MWL * n)
+          & (F.lit(5) * n_alpha >= F.lit(4) * n)
+          & (n_stop >= GOPHER_MIN_STOPS))
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(word_chars.cast("double") / n, 6).alias("mean_word_len"),
+        F.round(n_alpha.cast("double") / n, 6).alias("frac_alpha"),
+        n_stop.alias("n_stop"),
+        ok.alias("pass_gopher"))
+
+
 QUERIES = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -391,6 +438,7 @@ QUERIES = {
     "q_repetition": q_repetition,
     "q_tfidf": q_tfidf,
     "q_bm25": q_bm25,
+    "q_gopher_rules": q_gopher_rules,
 }
 
 
@@ -428,8 +476,26 @@ _BM25_TERM_SCORE = (
     "(CAST(tf_{i} AS DOUBLE) + {k1} * ({omb} + {b} * "
     "CAST(dl AS DOUBLE) / avgdl)))")
 
+_GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
+
 ORACLES = {
     "q_curation_pipeline": _curation_oracle(),
+    "q_gopher_rules": (
+        "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "s AS (SELECT doc_id, len(w) AS n, "
+        "length(text) - (len(w) - 1) AS wc, "
+        "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS na, "
+        f"len(list_filter({_GOPHER_STOPS_SQL}, "
+        "sw -> list_contains(w, sw))) AS ns FROM d) "
+        "SELECT doc_id, CAST(n AS INT) AS n_words, "
+        "round(CAST(wc AS DOUBLE) / n, 6) AS mean_word_len, "
+        "round(CAST(na AS DOUBLE) / n, 6) AS frac_alpha, "
+        "CAST(ns AS INT) AS n_stop, "
+        f"(n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS} "
+        f"AND wc >= {GOPHER_MIN_MWL} * n AND wc <= {GOPHER_MAX_MWL} * n "
+        f"AND 5 * na >= 4 * n AND ns >= {GOPHER_MIN_STOPS}) AS pass_gopher "
+        "FROM s"),
     "q_lm_score": (
         "WITH postings AS (SELECT doc_id, "
         "unnest(string_split(text, ' ')) AS term FROM documents), "
