@@ -725,6 +725,17 @@ class TestSinkCapabilities:
         assert sorted((x.id, x.d) for x in got.collect()) == \
             [(i, "b") for i in range(10, 30) if i % 3 == 1]
 
+        # an unrenderable pushed value (float/bytes partition comparisons
+        # render_partition_value refuses) must fall back to a full read
+        # for that constraint, never fail the query — and other
+        # constraints in the same push still prune
+        r4 = VersionedTableBatchReader(loc)
+        r4.pushFilters([EqualTo(("d",), 1.5), In(("d",), [b"x", "a"])])
+        assert len(r4.dirs) == 3  # both constraints skipped, full read
+        r5 = VersionedTableBatchReader(loc)
+        r5.pushFilters([EqualTo(("d",), 1.5), EqualTo(("d",), "a")])
+        assert len(r5.dirs) == 1 and r5.dirs[0][0].render() == "d=a"
+
     def test_batch_reader_pushes_bucket_point_lookup(self, spark, engine):
         """An equality on every bucket column computes the key's bucket id
         driver-side and reads only that bucket's files — the engine's
