@@ -144,6 +144,13 @@ def main() -> None:
     timings = {n: round(min(r), 3) for n, r in reps_seen.items() if r}
     spread = {n: [round(min(r), 3), round(max(r), 3)]
               for n, r in reps_seen.items() if r}
+    # a query that errored in one pass but completed reps in another is
+    # PARTIAL: its min stands on fewer reps. Keep it in timings (a min
+    # over fewer reps is still a valid plan cost) but flag it, and keep
+    # `errors` reserved for queries with NO successful rep — the old
+    # artifacts' invariant that timings and errors never overlap.
+    partial = sorted(n for n in errors if n in timings)
+    errors = {n: e for n, e in errors.items() if n not in timings}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_sec",
@@ -157,6 +164,8 @@ def main() -> None:
         "reps_per_pass": 2,
         "spread": spread,
     }
+    if partial:
+        out["partial"] = partial
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -31,6 +31,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .common import load, scratch_dir
 
 
+def _corpus_tag(sf_dir: str) -> str:
+    """Scratch-dir suffix digesting the FULL corpus path: two corpora
+    sharing a basename must not overwrite each other's lazily-read
+    scratch tables (the hazard documented at q_sim_ann_pq's index dir)."""
+    import hashlib
+    import os
+
+    return (hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+            + "-" + os.path.basename(os.path.normpath(sf_dir)))
+
+
 def _spread(df, spark) -> "DataFrame":
     """Repartition a small-file table to cluster parallelism before
     compute-heavy per-row work. Test-scale artifact with a real-scale
@@ -141,8 +152,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whenever cache pressure evicts blocks; a disk materialization is
     # immune to eviction and is exactly what a production pipeline does
     # with a signature table.
-    sig_dir = scratch_dir(
-        spark, f"minhash-sig-{os.path.basename(os.path.normpath(sf_dir))}")
+    sig_dir = scratch_dir(spark, f"minhash-sig-{_corpus_tag(sf_dir)}")
     sig.write.mode("overwrite").parquet(sig_dir)
     sig = spark.read.parquet(sig_dir)
     # NARROW band join: only (doc_id, 64-bit band key) rides the band
@@ -192,8 +202,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # variant (skipping this write job) measured faster solo but bimodal
     # and ~1.3 s slower inside the full bench session — the parquet
     # roundtrip keeps the AQE-planned, cache-independent shape.
-    surv_dir = scratch_dir(
-        spark, f"minhash-surv-{os.path.basename(os.path.normpath(sf_dir))}")
+    surv_dir = scratch_dir(spark, f"minhash-surv-{_corpus_tag(sf_dir)}")
     survivors.write.mode("overwrite").parquet(surv_dir)
     survivors = spark.read.parquet(surv_dir)
     ids = (survivors.select(F.col("doc_id_a").alias("doc_id"))
@@ -710,6 +719,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids: list = []
             chs: list = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # NULL text ⇒ no chunks, like the
+                    continue      # oracle's string_split(NULL)
                 out: set = set()
                 cur: list = []
                 for word in text.split(" "):
@@ -728,9 +739,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the narrow (doc_id, chunk) postings once: three
     # consumers (df table + both join sides) would otherwise each re-scan
     # the corpus and re-run the chunking pass — the same scratch
-    # discipline as q_dedup_minhash's signature table
-    postings_dir = scratch_dir(
-        spark, f"cdc-chunks-{os.path.basename(os.path.normpath(sf_dir))}")
+    # discipline as q_dedup_minhash's signature table. The name digests
+    # the FULL corpus path (the q_sim_ann_pq rule): two corpora sharing a
+    # basename must not overwrite each other's lazily-read postings.
+    postings_dir = scratch_dir(spark, f"cdc-chunks-{_corpus_tag(sf_dir)}")
     (docs.select("doc_id", "text")
      .mapInPandas(cdc_chunks, "doc_id long, chunk string")
      .write.mode("overwrite").parquet(postings_dir))
