@@ -128,6 +128,64 @@ class TestBucketedDvLifecycle:
             want = [expected[k]] if k in expected else []
             assert got == want, f"tvx pushed read diverged for id={k}"
 
+    def test_multi_column_bucket_spec(self, spark, engine):
+        """Two-column bucket specs run the same contract: the running-hash
+        Murmur3 over (k1, k2) drives insert clustering, sink writes,
+        bucket_filter point reads (which must name EVERY bucket column),
+        co-bucketed joins, and tvx pushFilters pruning (which only fires
+        when the pushed equalities cover both columns)."""
+        import pytest
+        from pyspark.sql.datasource import EqualTo
+
+        from table_versions_spark.core.sparkhash import bucket_id
+        from table_versions_spark.streaming.source import (
+            VersionedTableBatchReader,
+            register,
+        )
+
+        register(spark)
+        ddl = "k1 bigint, k2 string, v double"
+        rows = [(i % 13, f"s{i % 7}", float(i)) for i in range(200)]
+        engine.create_table("blc.m2", schema_ddl=ddl,
+                            bucket_columns=["k1", "k2"], bucket_count=8)
+        engine.insert(spark.createDataFrame(rows, ddl), "blc.m2", "u", "v1")
+        loc = engine.definition("blc.m2").location
+
+        # sink append shares the two-column hash
+        spark.createDataFrame([(99, "sx", 1.0)], ddl).write.format(
+            "tvx").mode("append").option("location", loc).save()
+
+        # point read: both columns required, superset-by-contract rows
+        got = engine.read("blc.m2", bucket_filter={"k1": 3, "k2": "s3"})
+        want = [r for r in rows if r[0] == 3 and r[1] == "s3"]
+        assert set(map(tuple, got.where(
+            "k1 = 3 AND k2 = 's3'").collect())) == set(want)
+        with pytest.raises(ValueError, match="exactly the bucket columns"):
+            engine.read("blc.m2", bucket_filter={"k1": 3})
+
+        # co-bucketed join on the composite key
+        engine.create_table("blc.m2d", schema_ddl="k1 bigint, k2 string, "
+                            "name string",
+                            bucket_columns=["k1", "k2"], bucket_count=8)
+        dim = [(a, b, f"{a}-{b}") for a in range(13) for b in
+               [f"s{x}" for x in range(7)]] + [(99, "sx", "99-sx")]
+        engine.insert(spark.createDataFrame(
+            dim, "k1 bigint, k2 string, name string"), "blc.m2d", "u", "d")
+        j = engine.bucketed_join("blc.m2", "blc.m2d")
+        assert j.count() == 201
+
+        # tvx pushFilters: equality on ONE bucket column must not prune;
+        # on both, it selects the composite key's bucket
+        r1 = VersionedTableBatchReader(loc)
+        r1.pushFilters([EqualTo(("k1",), 3)])
+        assert r1.bucket_sel is None
+        r2 = VersionedTableBatchReader(loc)
+        r2.pushFilters([EqualTo(("k1",), 3), EqualTo(("k2",), "s3")])
+        assert r2.bucket_sel == bucket_id([3, "s3"], ["bigint", "string"], 8)
+        df = spark.read.format("tvx").option("location", loc).load()
+        assert set(map(tuple, df.where(
+            "k1 = 3 AND k2 = 's3'").collect())) == set(want)
+
     def test_contract_corruption_fails_loudly(self, spark, engine):
         """The guard this lifecycle relies on: a data file WITHOUT a
         parseable bucket index inside a bucketed layout makes
