@@ -242,6 +242,82 @@ class TestDedupScaleContracts:
         assert got == want
         assert all((i, i + 300) in got for i in range(20))
 
+    def test_minhash_verify_stage_is_exact_and_recalls_planted_dups(
+            self, spark, sf_small, tmp_path):
+        """Dedicated semantic pin for the rows-only q_dedup_minhash:
+        (a) every returned jaccard equals an independent pure-Python
+        char-5-gram Jaccard of the two documents (the exact-verify stage
+        gates the answer, so the minhash signatures never distort values),
+        and (b) planted near-duplicates are recalled — an identical copy
+        always collides (identical signatures), and a ~0.9-Jaccard pair's
+        detection probability under 32 bands x 4 rows is 1-(1-J^4)^32 ~ 1,
+        deterministic here because the hash family is fixed-seed."""
+        from table_versions_spark.operators import dedup
+
+        def shingles(text):
+            if len(text) <= 4:
+                return {text}
+            return {text[i:i + 5] for i in range(len(text) - 4)}
+
+        pairs = dedup.q_dedup_minhash(spark, sf_small).collect()
+        texts = {r["doc_id"]: r["text"] for r in
+                 spark.read.parquet(f"{sf_small}/documents.parquet")
+                 .select("doc_id", "text").collect()}
+        assert pairs, "sf corpus is known to contain near-dups"
+        for r in pairs:
+            a, b = shingles(texts[r["doc_id_a"]]), shingles(texts[r["doc_id_b"]])
+            want = len(a & b) / len(a | b)
+            assert abs(r["jaccard"] - want) < 5e-7, (r, want)
+            assert r["jaccard"] >= dedup.MINHASH_SIM_THRESHOLD
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                * 6).strip()
+        near = base.replace("gamma", "gamna")  # few shingles change
+        rows = [(1, base, "en", "s", 0), (2, base, "en", "s", 0),
+                (3, near, "en", "s", 0),
+                (4, "totally different vocabulary entirely here now", "en",
+                 "s", 0)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+               for r in dedup.q_dedup_minhash(spark, sf_dir).collect()}
+        assert got[(1, 2)] == 1.0          # identical copy always collides
+        assert got[(1, 3)] >= 0.8          # planted near-dup recalled
+        assert not any(4 in p for p in got)
+
+    def test_simhash_signature_properties(self, spark, tmp_path):
+        """Dedicated semantic pin for the rows-only q_dedup_simhash:
+        deterministic across runs; identical token sets give identical
+        signatures; a doc sharing most tokens sits at a strictly smaller
+        Hamming distance than an unrelated doc."""
+        from table_versions_spark.operators import dedup
+
+        base = " ".join(f"word{i:02d}" for i in range(60))
+        near = base.replace("word07", "altered").replace("word31", "other")
+        other = " ".join(f"unrel{i:02d}" for i in range(60))
+        rows = [(1, base, "en", "s", 0), (2, base + " word00", "en", "s", 0),
+                (3, near, "en", "s", 0), (4, other, "en", "s", 0)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        a = {r["doc_id"]: r["simhash"]
+             for r in dedup.q_dedup_simhash(spark, sf_dir).collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in dedup.q_dedup_simhash(spark, sf_dir).collect()}
+        assert a == b and len(a) == 4      # deterministic
+        # doc 2 repeats an existing word: the token SET is identical
+        assert a[1] == a[2]
+
+        def ham(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        assert ham(a[1], a[3]) < ham(a[1], a[4])
+
     def test_substring_dedup_is_alignment_robust(self, spark, tmp_path):
         """Content-defined chunking must find a copied span at ANY offset —
         the property fixed-boundary chunking (q_dedup_paragraph) lacks.
