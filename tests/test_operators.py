@@ -143,6 +143,26 @@ class TestAnalytic:
         for a, e in zip(approx, [exact["avg(p50)"], exact["avg(p90)"], exact["avg(p99)"]]):
             assert abs(a - e) / e < 0.2
 
+    def test_approx_distinct_close_to_exact(self, spark, sf_small):
+        """Dedicated pin for the rows-only q_agg_approx_distinct: the
+        HLL++ estimates must sit within 3x the default 5% rsd of the
+        exact distinct counts (and be deterministic across runs — the
+        sketch is seed-fixed)."""
+        from pyspark.sql import functions as F
+
+        from table_versions_spark.operators.common import load
+        from table_versions_spark.operators.relational import (
+            q_agg_approx_distinct)
+
+        a = q_agg_approx_distinct(spark, sf_small).first()
+        b = q_agg_approx_distinct(spark, sf_small).first()
+        assert tuple(a) == tuple(b)
+        exact = (load(spark, sf_small, "lineitem")
+                 .agg(F.countDistinct("l_orderkey").alias("o"),
+                      F.countDistinct("l_partkey").alias("p")).first())
+        assert abs(a["approx_orders"] - exact["o"]) / exact["o"] < 0.15
+        assert abs(a["approx_parts"] - exact["p"]) / exact["p"] < 0.15
+
     def test_range_join_covers_all_rows(self, spark, sf_small):
         from table_versions_spark.operators.analytic import q_range_join
         from table_versions_spark.operators.common import load
