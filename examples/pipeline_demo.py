@@ -214,13 +214,22 @@ def main(sf_dir: str, warehouse: str) -> None:
     print("[15b] spark.read.format('tvx').where(id = 777): pushFilters "
           "pruned the scan to one bucket's files before planning a task")
 
-    # 16. product-quantization ANN over the embeddings ----------------------
+    # 16. IVF-PQ ANN over the embeddings ------------------------------------
     from table_versions_spark.operators.similarity import q_sim_ann_pq
 
     top = q_sim_ann_pq(spark, sf_dir).collect()
-    print(f"[16] PQ ANN (32× smaller index, ADC scan + exact re-rank) "
-          f"top-3 of vec 0: "
+    print(f"[16] IVF-PQ ANN (residual-coded compact index, probe-2 cells, "
+          f"ADC scan + exact re-rank) top-3 of vec 0: "
           + ", ".join(f"{r.vec_id}({r.cos_sim})" for r in top[:3]))
+
+    # 17. exact duplicated-span pairs + Gopher quality gate ------------------
+    spans = dedup.q_dedup_substring(spark, sf_dir).count()
+    gate = {bool(r["pass_gopher"]): r["n"] for r in
+            cleaning.q_gopher_rules(spark, sf_dir)
+            .groupBy("pass_gopher").agg(F.count("*").alias("n")).collect()}
+    print(f"[17] content-defined-chunking found {spans} duplicated-span "
+          f"pair(s) at any alignment; Gopher gate keeps "
+          f"{gate.get(True, 0)}/{gate.get(True, 0) + gate.get(False, 0)} docs")
 
     print("demo complete.")
 
