@@ -41,6 +41,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import uuid as _uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -980,8 +981,12 @@ class VersionedEngine:
         if defn.merge_schema:
             reader = reader.option("mergeSchema", "true")
         paths = sorted(dirs.values())
-        scan = (reader.option("basePath", defn.location).load(paths)
-                if pcols else reader.load(paths))
+        with self._raw_partition_types():
+            scan = (reader.option("basePath", defn.location).load(paths)
+                    if pcols else reader.load(paths))
+        # declared types BEFORE the predicate evaluates: raw string
+        # partition values must compare under the declared schema
+        scan = self._declared_types(scan, defn)
         scan = self._with_dv_keys(scan)
         # apply existing vectors so already-deleted rows don't re-match,
         # and the logical-name mapping so the predicate resolves
@@ -1119,8 +1124,12 @@ class VersionedEngine:
         if defn.merge_schema:
             reader = reader.option("mergeSchema", "true")
         paths = sorted(dirs.values())
-        scan = (reader.option("basePath", defn.location).load(paths)
-                if pcols else reader.load(paths))
+        with self._raw_partition_types():
+            scan = (reader.option("basePath", defn.location).load(paths)
+                    if pcols else reader.load(paths))
+        # declared types BEFORE the predicate evaluates: raw string
+        # partition values must compare under the declared schema
+        scan = self._declared_types(scan, defn)
         scan = self._with_dv_keys(scan)
         old_dvs = self._dv_dirs(paths)
         if old_dvs:
@@ -1808,9 +1817,9 @@ class VersionedEngine:
             pruned = self._stats_prune_files(defn, rels, smap, stats_filter)
             if pruned is not None:
                 return self._read_files(defn, pruned, dv_dirs)
-        return self._declared_types(self._apply_dvs(
-            reader.option("basePath", defn.location).load(paths), dv_dirs),
-            defn)
+        with self._raw_partition_types():
+            scan = reader.option("basePath", defn.location).load(paths)
+        return self._declared_types(self._apply_dvs(scan, dv_dirs), defn)
 
     def _stats_prune_files(self, defn: TableDefinition,
                            rel_dirs: dict[str, str], smap: dict,
@@ -1948,9 +1957,10 @@ class VersionedEngine:
             if isinstance(op, (AddPartition, UpdatePartitionVersion))))
         if not touched:
             return self._empty(defn)
+        with self._raw_partition_types():
+            scan = reader.option("basePath", defn.location).load(touched)
         return self._apply_mapping(eff, self._declared_types(self._apply_dvs(
-            reader.option("basePath", defn.location).load(touched),
-            self._dv_dirs(touched)), defn))
+            scan, self._dv_dirs(touched)), defn))
 
     def _read_changes_rows(self, defn: TableDefinition,
                            eff: TableDefinition, before, after) -> DataFrame:
@@ -2055,7 +2065,8 @@ class VersionedEngine:
                 r = r.option("mergeSchema", "true")
             if defn.is_snapshot:
                 return r.load(dirs)
-            return r.option("basePath", loc).load(dirs)
+            with self._raw_partition_types():
+                return r.option("basePath", loc).load(dirs)
 
         def finalize(df: DataFrame, kind: str) -> DataFrame:
             if not defn.is_snapshot:
@@ -2071,8 +2082,9 @@ class VersionedEngine:
             r = self.spark.read.format("parquet")
             if defn.merge_schema:
                 r = r.option("mergeSchema", "true")
-            scan = (r.load(sorted(cdc_dirs)) if defn.is_snapshot
-                    else r.option("basePath", loc).load(sorted(cdc_dirs)))
+            with self._raw_partition_types():
+                scan = (r.load(sorted(cdc_dirs)) if defn.is_snapshot
+                        else r.option("basePath", loc).load(sorted(cdc_dirs)))
             if not defn.is_snapshot:
                 scan = self._declared_types(scan, defn)
             out.append(fill_missing(self._apply_mapping(eff, scan))
@@ -2553,9 +2565,10 @@ class VersionedEngine:
         reader = self.spark.read.format(defn.format)
         if defn.merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return self._declared_types(self._apply_dvs(
-            reader.option("basePath", defn.location).load(files),
-            dv_dirs or []), defn)
+        with self._raw_partition_types():
+            scan = reader.option("basePath", defn.location).load(files)
+        return self._declared_types(self._apply_dvs(scan, dv_dirs or []),
+                                    defn)
 
     def _write_cdc_sidecars(self, cdc: DataFrame, defn: TableDefinition,
                             version, ops, previous) -> None:
@@ -2901,11 +2914,37 @@ class VersionedEngine:
         walk(defn.location, 0)
         return out
 
+    @contextmanager
+    def _raw_partition_types(self):
+        """Disable Spark's partition-column TYPE INFERENCE for the duration
+        of an (eager) ``reader.load(...)`` call, so ``col=val`` path
+        segments surface as raw strings and :meth:`_declared_types` casts
+        them from the original value. Inference is LOSSY before the cast
+        ever runs: a declared string partition holding '01' infers as
+        int 1, and casting back yields '1' — a different value, which made
+        reads corrupt the value and made delete/update rewrite survivors
+        into a NEW 'month=1' partition while 'month=01' stayed current
+        (silent row duplication + undeleted rows). The conf is consumed at
+        file-index construction inside ``load()``, which is eager, so the
+        set/restore window never spans lazy execution."""
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        try:
+            prev = self.spark.conf.get(key)
+        except Exception:  # noqa: BLE001 — unset ⇒ Spark default "true"
+            prev = "true"
+        self.spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            self.spark.conf.set(key, prev)
+
     def _declared_types(self, df: DataFrame, defn: TableDefinition) -> DataFrame:
         """Cast partition columns back to their *declared* types. Spark
-        re-infers partition-column types from ``col=val`` path segments, so a
-        declared string column holding numeric-looking values ('d=2') would
-        silently come back as int — declared schema wins."""
+        surfaces partition values from ``col=val`` path segments; every
+        engine ``load()`` runs under :meth:`_raw_partition_types` so they
+        arrive as raw strings, and this cast gives declared schema the
+        final word (including on a DDL-less table, where they stay
+        string — the same value the dir name carries)."""
         if not defn.schema_ddl:
             return df
         declared = {f.name: f.dataType for f in

@@ -2728,3 +2728,74 @@ class TestReviewFixesR5:
         leftovers = [f for f in engine.storage.list_dir(defn.location)
                      if f.startswith("_match_staging")]
         assert leftovers == []
+
+
+class TestStringPartitionCanonicalization:
+    """Numeric-looking STRING partition values ('01') must survive every
+    read and mutation surface verbatim. Spark's partition-type inference
+    turns 'month=01' into int 1 at load; casting back yields '1' — a
+    DIFFERENT value, which made reads corrupt values and made rewrite
+    deletes duplicate survivors into a new 'month=1' dir while 'month=01'
+    stayed current. The engine now loads under
+    ``_raw_partition_types`` (inference off) and casts raw strings to the
+    declared schema."""
+
+    DDL = "id bigint, month string"
+
+    def _make(self, spark, engine, name):
+        engine.create_table(name, schema_ddl=self.DDL,
+                            partition_columns=["month"])
+        engine.insert(spark.createDataFrame(
+            [(1, "01"), (2, "01"), (3, "02"), (4, "12")], self.DDL),
+            name, "u", "load")
+
+    def test_read_and_mutations_preserve_leading_zero_values(
+            self, spark, engine):
+        self._make(spark, engine, "sp.t")
+        assert sorted(map(tuple, engine.read("sp.t").collect())) == \
+            [(1, "01"), (2, "01"), (3, "02"), (4, "12")]
+
+        # rewrite delete: survivors stay in month=01, nothing duplicates
+        engine.delete("sp.t", "id = 1", "u", "del")
+        assert sorted(map(tuple, engine.read("sp.t").collect())) == \
+            [(2, "01"), (3, "02"), (4, "12")]
+
+        # dv delete + dv update resolve the same partition dirs
+        engine.delete("sp.t", "id = 3", "u", "del dv", mode="dv")
+        engine.update("sp.t", {"id": "id + 100"}, "month = '12'", "u",
+                      "upd dv", mode="dv")
+        assert sorted(map(tuple, engine.read("sp.t").collect())) == \
+            [(2, "01"), (104, "12")]
+
+        # partition_filter and the physical layout agree on the raw value
+        assert [tuple(r) for r in engine.read(
+            "sp.t", partition_filter={"month": "01"}).collect()] == \
+            [(2, "01")]
+        import os
+        dirs = {d for d in engine.storage.list_dir(
+            engine.definition("sp.t").location) if d.startswith("month")}
+        assert dirs == {"month=01", "month=02", "month=12"}
+        assert os  # silence unused guard on storage-only backends
+
+    def test_change_feed_carries_raw_values(self, spark, engine):
+        self._make(spark, engine, "sp.cf")
+        # newest-first: row 0 is the insert commit (the load)
+        base = engine.history("sp.cf").first()["commit_id"]
+        engine.delete("sp.cf", "id = 2", "u", "del", mode="dv")
+        feed = engine.read_changes("sp.cf", since_commit=base,
+                                   row_level=True)
+        rows = {(r["id"], r["month"], r["_change_type"])
+                for r in feed.collect()}
+        assert (2, "01", "delete") in rows
+
+    def test_declared_int_partition_still_casts(self, spark, engine):
+        """Inference-off must not regress declared NON-string partitions:
+        the raw dir string casts to the declared int."""
+        ddl = "id bigint, bucket int"
+        engine.create_table("sp.i", schema_ddl=ddl,
+                            partition_columns=["bucket"])
+        engine.insert(spark.createDataFrame([(1, 7), (2, 12)], ddl),
+                      "sp.i", "u", "load")
+        got = engine.read("sp.i")
+        assert dict(got.dtypes)["bucket"] == "int"
+        assert sorted(map(tuple, got.collect())) == [(1, 7), (2, 12)]
