@@ -97,6 +97,12 @@ class Storage:
         """Size in bytes of a single file/object (0 if unknown)."""
         raise NotImplementedError
 
+    def file_mtime(self, path: str) -> "float | None":
+        """Last-modified epoch seconds of a file/object, or None when the
+        backend cannot tell (callers must treat None as 'unknown', never
+        as old or new)."""
+        return None
+
     def write_atomic(self, path: str, data: str) -> None:
         """Overwrite so that readers never observe partial content."""
         raise NotImplementedError
@@ -236,6 +242,12 @@ class LocalStorage(Storage):
             return os.path.getsize(_strip_scheme(path))
         except OSError:
             return 0
+
+    def file_mtime(self, path):
+        try:
+            return os.path.getmtime(_strip_scheme(path))
+        except OSError:
+            return None
 
     def write_atomic(self, path, data):
         path = _strip_scheme(path)
@@ -424,6 +436,12 @@ class ObjectStoreStorage(Storage):
             return os.path.getsize(_strip_scheme(path))
         except OSError:
             return 0
+
+    def file_mtime(self, path):
+        try:
+            return os.path.getmtime(_strip_scheme(path))
+        except OSError:
+            return None
 
     def write_atomic(self, path, data):
         self._put(path, data.encode("utf-8"))
@@ -881,6 +899,16 @@ class S3Storage(ObjectStoreStorage):
         except Exception as e:  # noqa: BLE001
             if self._is_404(e):
                 return 0
+            raise
+
+    def file_mtime(self, path):
+        bucket, key = self._parse(path)
+        try:
+            return self._s3.head_object(
+                Bucket=bucket, Key=key)["LastModified"].timestamp()
+        except Exception as e:  # noqa: BLE001
+            if self._is_404(e):
+                return None
             raise
 
     def makedirs(self, path):

@@ -198,6 +198,15 @@ class VersionedEngine:
             table = TableName.parse(table)
         if bool(bucket_columns) != bool(bucket_count):
             raise ValueError("bucket_columns and bucket_count go together")
+        if bucket_columns and not schema_ddl:
+            # every bucket read surface (bucket_filter point reads, the
+            # tvx reader's bucket prune, bucketed_join's empty-side frame)
+            # hashes with the DECLARED column types — without a schema the
+            # failures would be obscure crashes deep in the read path
+            raise ValueError(
+                "bucketed tables need schema_ddl: bucket hashing and "
+                "bucket-pruned reads resolve column types from the "
+                "declared schema")
         derivations = dict(partition_derivations or {})
         bad = set(derivations) - set(partition_columns or ())
         if bad:
@@ -449,24 +458,6 @@ class VersionedEngine:
                     "directory names with cross-engine parity — cast to "
                     "string/decimal/date/integral first")
         defn = self._check_or_evolve_schema(df, defn, evolve_schema)
-        if defn.check_constraints:
-            # one extra aggregation job, only on tables that declared
-            # constraints — the Delta CHECK trade; a violation rejects the
-            # commit before any file is written
-            from functools import reduce
-
-            # a row violates iff some constraint evaluates to FALSE —
-            # NULL passes (SQL CHECK semantics), and `expr == False` is
-            # NULL for NULL expr, which where() drops
-            violated = reduce(
-                lambda a, b: a | b,
-                [F_expr(c) == False  # noqa: E712
-                 for c in defn.check_constraints])
-            bad = df.where(violated).limit(1).collect()
-            if bad:
-                raise ConstraintViolationError(
-                    f"CHECK constraint {defn.check_constraints} rejected "
-                    f"row {bad[0].asDict()}")
         if defn.column_mapping:
             # logical→physical: data files always carry the ORIGINAL
             # (physical) names, so renames never fragment the on-disk
@@ -536,6 +527,48 @@ class VersionedEngine:
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
                 if p not in written]
+        if defn.check_constraints:
+            # CHECK validation reads the STAGED (immutable, still
+            # uncommitted) files rather than probing the input frame: a
+            # pre-write probe re-evaluates the df's lineage, so a
+            # non-deterministic input (rand(), at-least-once source)
+            # could pass the probe yet write violating rows — the same
+            # re-evaluation hazard _update_dv materializes away. Checking
+            # what was actually written is exact by construction, usually
+            # cheaper (a parquet read beats recomputing lineage), and a
+            # violation still rejects the COMMIT: the staged dirs are
+            # removed and nothing becomes visible.
+            from functools import reduce
+
+            new_dirs = [path_for(defn.location, op.version)
+                        if isinstance(op, AddTableVersion)
+                        else os.path.join(defn.location,
+                                          op.partition.render(),
+                                          version.label)
+                        for op in ops
+                        if isinstance(op, (AddTableVersion,
+                                           AddPartitionVersion))]
+            if new_dirs:
+                with self._raw_partition_types():
+                    staged = (self.spark.read.format(defn.format)
+                              .option("basePath", defn.location)
+                              .load(new_dirs))
+                staged = self._apply_mapping(
+                    defn, self._declared_types(staged, defn))
+                # a row violates iff some constraint evaluates to FALSE —
+                # NULL passes (SQL CHECK semantics), and `expr == False`
+                # is NULL for NULL expr, which where() drops
+                violated = reduce(
+                    lambda a, b: a | b,
+                    [F_expr(c) == False  # noqa: E712
+                     for c in defn.check_constraints])
+                bad = staged.where(violated).limit(1).collect()
+                if bad:
+                    for d in new_dirs:
+                        self.storage.remove_tree(d)
+                    raise ConstraintViolationError(
+                        f"CHECK constraint {defn.check_constraints} "
+                        f"rejected row {bad[0].asDict()}")
         if cdc is not None and defn.change_data_feed:
             # sidecars land INSIDE the uncommitted version dirs — like the
             # data files themselves, invisible until the commit record
@@ -1837,9 +1870,12 @@ class VersionedEngine:
             if not fstats:
                 kept.append(d)  # whole dir — no per-file stats recorded
                 continue
+            # no per-entry is_dir probe (one LIST per file on S3): the
+            # only subdirs a version dir ever holds are '_'-prefixed
+            # sidecars, which the name filter already excludes — the same
+            # discipline _read_changes_rows' data_files documents
             names = [n for n in self.storage.list_dir(d)
-                     if not n.startswith((".", "_"))
-                     and not self.storage.is_dir(os.path.join(d, n))]
+                     if not n.startswith((".", "_"))]
             if not names:
                 # listing came back empty for a dir the log says has files:
                 # keep the whole dir rather than silently losing its rows
@@ -2449,6 +2485,15 @@ class VersionedEngine:
         def _size(files: list[str]) -> int:
             return sum(self.storage.file_size(f) for f in files)
 
+        # dv-dir probes hoisted out of the branch loop: every bucket of a
+        # table shares the same version dirs, so probing per (branch,
+        # table) would re-exists() the same dirs bucket_count times —
+        # O(buckets × dirs) sequential driver round trips on an object
+        # store before any Spark job runs. One probe per table instead.
+        table_dvs = [self._dv_dirs(sorted(
+            {os.path.dirname(p) for fs in bk.values() for p in fs}))
+            for bk in buckets]
+
         branches = []
         for b in range(head.bucket_count):
             files = [bk.get(b, []) for bk in buckets]
@@ -2464,9 +2509,11 @@ class VersionedEngine:
             # renamed columns surface their logical names, dropped columns
             # stay hidden (bucket columns are structural — never renamed —
             # so the join keys are unaffected)
+            dirs_of = [{os.path.dirname(p) for p in f} for f in files]
             dfs = [self._apply_mapping(d, self._read_files(
-                d, f, self._dv_dirs(sorted({os.path.dirname(p) for p in f}))))
-                for d, f in zip(defns, files)]
+                d, f, [v for v in dvs if v in touched]))
+                for d, f, dvs, touched
+                in zip(defns, files, table_dvs, dirs_of)]
             sizes = [_size(f) for f in files]
             # stream the largest side through the others; for the 2-table
             # outer form the left table must stay the stream side
@@ -2805,14 +2852,20 @@ class VersionedEngine:
         so a burst of recent commits can't age data out of its time-travel
         window and a quiet table still retains its last ``keep_commits``.
 
-        ``grace_hours``: version directories YOUNGER than this are never
-        deleted even when unreferenced — an in-flight write publishes its
-        files into final (still-uncommitted, hence unreferenced) version
-        dirs before its commit record lands, and a vacuum racing that
-        window would delete the data out from under the commit. Version
-        labels embed their creation timestamp, so the guard needs no
-        extra I/O. Pass ``grace_hours=0`` only when no write can be in
-        flight (Delta's retention-duration check plays the same role).
+        ``grace_hours``: version directories with any ACTIVITY younger
+        than this are never deleted even when unreferenced — an in-flight
+        write publishes its files into final (still-uncommitted, hence
+        unreferenced) version dirs before its commit record lands, and a
+        vacuum racing that window would delete the data out from under
+        the commit. Age is the LATER of the version label's mint time
+        (embedded in the label, no I/O) and the newest file's mtime in
+        the dir — the mtime check is what protects a write whose data
+        phase itself runs longer than ``grace_hours`` (label minted at
+        T0, files still landing at T0+2h: label age alone would make the
+        dir vacuum-eligible mid-write). Backends that cannot report
+        mtimes fall back to the label-only guard. Pass ``grace_hours=0``
+        only when no write can be in flight (Delta's retention-duration
+        check plays the same role).
         """
         import datetime as _dt
         import time as _time
@@ -2843,13 +2896,25 @@ class VersionedEngine:
                 for p, v in tv.partition_versions.items():
                     referenced.add(os.path.join(defn.location, p.render(), v.label))
         grace_cutoff = _time.time() - grace_hours * 3600
+
+        def _recent_activity(vdir: str) -> bool:
+            if Version.parse(os.path.basename(vdir)).epoch_seconds \
+                    >= grace_cutoff:
+                return True  # label minted inside the grace window
+            if grace_hours <= 0:
+                return False  # caller asserted no write is in flight
+            for name in self.storage.list_dir(vdir):
+                m = self.storage.file_mtime(os.path.join(vdir, name))
+                if m is not None and m >= grace_cutoff:
+                    return True  # files still landing: write in flight
+            return False
+
         removed = []
         for vdir in self._all_version_dirs(defn):
             if vdir in referenced:
                 continue
-            if Version.parse(os.path.basename(vdir)).epoch_seconds \
-                    >= grace_cutoff:
-                continue  # young enough to be an in-flight write's dir
+            if _recent_activity(vdir):
+                continue
             self.storage.remove_tree(vdir)
             removed.append(vdir)
         return removed

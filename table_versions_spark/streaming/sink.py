@@ -144,8 +144,11 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
         # bucket, which _bucket_files/_bucket_filter_files already group by
         # the parsed part index (engine.py:2465,2490)
         from ..core.sparkhash import HASHABLE_BUCKET_TYPES
+        from .source import _schema_fields as _sf
 
         by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        declared_types = dict(_sf(defn.schema_ddl)) if defn.schema_ddl \
+            else {}
         spec = []
         for c in defn.bucket_columns:
             t = by_name.get(c)
@@ -158,6 +161,18 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
                     f"{refuse}: bucket column {c} has type {t}, which the "
                     "sink cannot hash with Spark HashPartitioning parity "
                     "(supported: int/bigint/boolean/string/date)")
+            # Murmur3 hashes int and bigint DIFFERENTLY (4- vs 8-byte
+            # input), so a type-drifted frame (int32 source against a
+            # declared bigint column) would place rows in buckets the
+            # read side's declared-type hash never probes — silent empty
+            # point lookups. Refuse the drift at declaration time.
+            want = declared_types.get(c)
+            if want is not None and want != t:
+                raise ValueError(
+                    f"{refuse}: bucket column {c} arrives as {t} but is "
+                    f"declared {want}; bucket hashing is type-sensitive, "
+                    "so the write frame must carry the declared type "
+                    f"(cast {c} before writing)")
             spec.append((c, t))
         bucket = (defn.bucket_count, tuple(spec))
     derivations = []
@@ -441,10 +456,18 @@ def _commit_versioned_write(location: str, version: Version,
     prev = log.current_version(defn.name)
 
     def _stats_payload(vdir: str):
+        # parquet-footer stats only — the engine's insert has the same
+        # guard (an ORC dir would yield a truthy rows=0 payload, making
+        # table_stats() report zero rows WITHOUT listing the dir as
+        # 'missing', breaking its exactness contract)
+        if defn.format != "parquet":
+            return None
         payload = _collect_version_stats(vdir, storage,
                                          bloom_columns=defn.bloom_columns)
         if payload:
-            dv = os.path.join(vdir, "_dv")
+            from ..core.paths import DV_DIR
+
+            dv = os.path.join(vdir, DV_DIR)
             if storage.exists(dv):
                 payload["rows"] = max(
                     payload["rows"] - _dv_row_count(dv, storage), 0)

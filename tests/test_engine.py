@@ -245,6 +245,41 @@ class TestMaintenance:
         hist = engine.history("db.pageview").collect()
         assert engine.read("db.pageview", at_commit=hist[1].commit_id).count() == 2
 
+    def test_vacuum_grace_protects_long_inflight_writes(self, spark, engine):
+        """The grace guard must key on file ACTIVITY, not just the version
+        label's mint time: a write whose data phase outruns grace_hours
+        has an old label but fresh files — vacuum must keep its dir until
+        the files go quiet too."""
+        import time as _time
+
+        from table_versions_spark.core.model import Version
+
+        engine.create_table("db.gr", schema_ddl=PAGEVIEW_SCHEMA,
+                            partition_columns=["date"])
+        engine.insert(pageviews(spark, "2019-03-13", DAY1), "db.gr", "u",
+                      "d1")
+        defn = engine.definition("db.gr")
+        pdir = os.path.join(defn.location, "date=2019-03-13")
+        # simulate an in-flight write that started 2h ago: an uncommitted
+        # version dir with a 2h-old label whose data file just landed
+        old = Version.generate()
+        old = type(old)(epoch_seconds=old.epoch_seconds - 7200,
+                        nanos=old.nanos, uuid=old.uuid)
+        inflight = os.path.join(pdir, old.label)
+        engine.storage.makedirs(inflight)
+        src = next(os.path.join(pdir, d, f)
+                   for d in os.listdir(pdir) if d != old.label
+                   for f in os.listdir(os.path.join(pdir, d))
+                   if f.startswith("part-"))
+        engine.storage.link_or_copy(src, os.path.join(inflight, "part-x-y"))
+        removed = engine.vacuum("db.gr", keep_commits=1, grace_hours=1.0)
+        assert inflight not in removed and os.path.isdir(inflight)
+        # once the files are old too (write abandoned), vacuum reclaims it
+        stale = _time.time() - 7200
+        os.utime(os.path.join(inflight, "part-x-y"), (stale, stale))
+        removed = engine.vacuum("db.gr", keep_commits=1, grace_hours=1.0)
+        assert inflight in removed and not os.path.isdir(inflight)
+
     def test_vacuum_snapshot(self, spark, engine):
         engine.create_table("db.users", schema_ddl=USERS_SCHEMA)
         for i in range(4):
@@ -685,6 +720,30 @@ class TestDataSkipping:
         # the rejected commit left no trace
         assert engine.read("db.ck").count() == 2
         assert engine.history("db.ck").count() == 2  # init + first insert
+
+    def test_check_constraints_exact_for_nondeterministic_input(
+            self, spark, engine):
+        """The CHECK gate validates the STAGED files, not a re-evaluation
+        of the input frame — a non-deterministic df (rand()) whose probe
+        pass could differ from its write pass must still be caught, and
+        the rejected staging dirs must be cleaned up."""
+        import pytest as _pytest
+        from pyspark.sql import functions as _F
+
+        from table_versions_spark import ConstraintViolationError
+
+        engine.create_table("db.cknd", schema_ddl="id bigint, v double",
+                            check_constraints=["v < 0.5"])
+        df = spark.range(200).select(
+            _F.col("id"), _F.rand(seed=None).alias("v"))
+        with _pytest.raises(ConstraintViolationError):
+            engine.insert(df, "db.cknd", "u", "nondet")
+        loc = engine.definition("db.cknd").location
+        from table_versions_spark.core.model import Version
+        stranded = [e for e in engine.storage.list_dir(loc)
+                    if Version.is_version_label(e)]
+        assert stranded == []  # rejected staging dirs were removed
+        assert engine.read("db.cknd").count() == 0
 
     def test_merge_not_matched_by_source_delete(self, spark, engine):
         """Full-sync merge: target rows absent from the source are dropped
@@ -2771,11 +2830,9 @@ class TestStringPartitionCanonicalization:
         assert [tuple(r) for r in engine.read(
             "sp.t", partition_filter={"month": "01"}).collect()] == \
             [(2, "01")]
-        import os
         dirs = {d for d in engine.storage.list_dir(
             engine.definition("sp.t").location) if d.startswith("month")}
         assert dirs == {"month=01", "month=02", "month=12"}
-        assert os  # silence unused guard on storage-only backends
 
     def test_change_feed_carries_raw_values(self, spark, engine):
         self._make(spark, engine, "sp.cf")
