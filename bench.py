@@ -152,7 +152,7 @@ def main() -> None:
     partial = sorted(n for n in errors if n in timings)
     errors = {n: e for n, e in errors.items() if n not in timings}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    full = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -165,10 +165,69 @@ def main() -> None:
         "spread": spread,
     }
     if partial:
-        out["partial"] = partial
+        full["partial"] = partial
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+
+    # The driver captures only the LAST ~2,000 chars of stdout; the r7
+    # artifact's spread/loadavg fields pushed the single line past that and
+    # left BENCH_r07.json with parsed:null. Ship the full artifact (spread,
+    # loadavg, partial, errors) to a sidecar file and print a COMPACT line
+    # — headline value + per-query mins at 2dp — as the LAST stdout line.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "BENCH_full.json"
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: sidecar write failed: {exc}", file=sys.stderr)
+
+    print(compact_line(full))
+
+
+def compact_line(full: dict, limit: int = 1900) -> str:
+    """Render the last-stdout-line summary, guaranteed <= `limit` chars.
+
+    Keeps metric/value/sf/queries always; sheds loadavg, partial and error
+    detail first, then falls back to 1dp per-query mins. The full-fidelity
+    artifact lives in tools/BENCH_full.json.
+    """
+    timings = full["queries"]
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": full["sf"],
+        "passes": full.get("passes", 1),
+        "loadavg": full.get("loadavg_start"),
+    }
+    if full.get("partial"):
+        compact["partial"] = full["partial"]
+    if full.get("errors"):
+        # names only on the compact line; messages live in the sidecar
+        compact["errors"] = sorted(full["errors"])
+    line = json.dumps(compact, separators=(",", ":"))
+    # Degrade gracefully if the headline list ever grows the line past the
+    # driver's tail capture: drop optional fields, never the value/queries.
+    for victim in ("loadavg", "partial", "errors"):
+        if len(line) <= limit:
+            break
+        compact.pop(victim, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > limit:  # 1dp mins
+        compact["queries"] = {n: round(v, 1) for n, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    # Absolute guarantee: keep only the slowest queries that fit, flagged.
+    # (The sidecar always carries the full map; value stays the true total.)
+    while len(line) > limit and compact["queries"]:
+        by_cost = sorted(timings, key=lambda n: -timings[n])
+        keep = max(1, len(compact["queries"]) - 8)
+        compact["queries"] = {n: round(timings[n], 1) for n in by_cost[:keep]}
+        compact["queries_truncated"] = len(timings) - keep
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def _loadavg() -> list[float] | None:
