@@ -65,42 +65,32 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # New in round 7 — alignment-robust exact duplicated-substring
-        # pairs via content-defined chunking, suffix/truncation dups, and
-        # the Gopher quality gate (all oracle-backed; never
-        # driver-checked, so worth the most):
-        "q_dedup_substring", "q_dedup_suffix", "q_gopher_rules",
-        # Round-7 rotation (VERDICT r6 #2): the 60 ids whose latest green
-        # driver row is r4 or earlier, stalest first. First the 10 ids
-        # last checked in r3:
-        "q_stream_agg", "q_sim_ann_lsh", "q_kmeans", "q_bm25", "q_tfidf",
-        "q_pii_redact", "q_contamination", "q_repetition", "q_histogram",
-        "q_sample_per_group",
-        # ...then the r4 mutation family:
-        "q_upsert", "q_merge", "q_delete", "q_update",
-        "q_delete_dv", "q_update_dv", "q_change_feed_rows",
-        "q_partition_prune", "q_insert_overwrite_partition",
-        "q_rename_column", "q_rollup_incremental",
-        # ...the r4 streaming family:
-        "q_stream_sink", "q_stream_cdf", "q_stream_dedup",
-        "q_stream_window", "q_stream_session", "q_stream_join",
-        # ...the r4 TPC-H stragglers:
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16",
-        "q_tpch_q20", "q_tpch_q21",
-        # ...and the rest of the r4-stale ids (text/dedup/analytic/
-        # relational families):
-        "q_bpe_train", "q_tokenize_apply", "q_sample_temperature",
-        "q_dedup_paragraph", "q_pack_sequences", "q_sample_weighted",
-        "q_shuffle_shards", "q_knn_join", "q_dedup_prefix",
-        "q_dedup_incremental", "q_semdedup", "q_asof_join", "q_sessionize",
-        "q_session_window", "q_funnel", "q_anomaly", "q_scan_csv",
-        "q_scan_json", "q_json_funcs", "q_udaf_pandas", "q_udtf",
-        "q_window_range_frame", "q_date_from_ts", "q_unpivot",
-        "q_grouping_sets", "q_curation_pipeline", "q_lm_score",
-        # r5-green families rotate behind; the r6-green families come
-        # last via registry order.
-        "q_change_feed_rewrite", "q_change_feed_per_commit",
-        "q_ngram_topk", "q_scd2", "q_retention",
+        # Round-8 rotation (VERDICT r7 #2). Latest-green round per id was
+        # computed from CORRECTNESS_r01..r07; the driver budget is ~50
+        # rows, so the list leads with the 13 ids whose latest green row
+        # is still r4 (the rotation's tail), then the 50 r5-green ids —
+        # after r8 no id's latest driver row is older than r5.
+        # New round-8 operators are prepended above this comment as they
+        # land (never-checked ids are worth the most).
+        # --- 13 r4-stale ids ---
+        "q_anomaly", "q_curation_pipeline", "q_date_from_ts", "q_funnel",
+        "q_grouping_sets", "q_json_funcs", "q_lm_score", "q_scan_csv",
+        "q_scan_json", "q_udaf_pandas", "q_udtf", "q_unpivot",
+        "q_window_range_frame",
+        # --- 50 ids last green in r5 (core relational + TPC-H bulk) ---
+        "q_agg_distinct", "q_agg_hash", "q_change_feed_per_commit",
+        "q_change_feed_rewrite", "q_collect", "q_create_ds", "q_cube",
+        "q_date_funcs", "q_distinct", "q_filter_eq", "q_join_anti",
+        "q_join_inner", "q_join_left", "q_join_semi", "q_join_skew_salted",
+        "q_limit", "q_math_funcs", "q_ngram_topk", "q_project",
+        "q_retention", "q_rollup", "q_scan_orc", "q_scan_parquet",
+        "q_scan_table", "q_scd2", "q_set_except", "q_set_intersect",
+        "q_sort", "q_str_funcs", "q_topk", "q_tpch_q1", "q_tpch_q10",
+        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
+        "q_tpch_q18", "q_tpch_q19", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+        "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_typed_cast",
+        "q_udf_pandas", "q_union_all", "q_window_rank", "q_window_running",
+        # r6/r7-green families come behind via registry order.
     ]
     pset = set(priority)
     ordered = priority + [n for n in queries if n not in pset]
