@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import uuid as _uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -135,6 +136,12 @@ def _txn_recheck_precondition(txn: tuple, inner=None):
 
 
 _PARTITION_DIR_MARKER = "="
+
+# Serializes _raw_partition_types() set/restore windows: the inference conf
+# is session-global and interleaved windows from concurrent threads would
+# re-expose the '01'→1 partition-value corruption. RLock because engine
+# loads can nest (e.g. rewrite paths loading the current version mid-write).
+_PARTITION_INFERENCE_LOCK = threading.RLock()
 
 
 @dataclass(frozen=True)
@@ -2991,17 +2998,32 @@ class VersionedEngine:
         into a NEW 'month=1' partition while 'month=01' stayed current
         (silent row duplication + undeleted rows). The conf is consumed at
         file-index construction inside ``load()``, which is eager, so the
-        set/restore window never spans lazy execution."""
+        set/restore window never spans lazy execution.
+
+        Thread-safety: the conf is SESSION-global, so two engine calls
+        racing on one SparkSession could interleave their set/restore
+        windows (B saves prev='false', A restores 'true', B's load runs
+        with inference ON — the exact corruption this guards against).
+        A process-wide re-entrant lock serializes the windows; loads here
+        are eager and short, so contention is negligible. Sessions built
+        by :func:`table_versions_spark.session.get_spark` additionally set
+        inference-off as a build-time invariant, making the window a
+        mutation-free no-op on the common path."""
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        try:
-            prev = self.spark.conf.get(key)
-        except Exception:  # noqa: BLE001 — unset ⇒ Spark default "true"
-            prev = "true"
-        self.spark.conf.set(key, "false")
-        try:
-            yield
-        finally:
-            self.spark.conf.set(key, prev)
+        with _PARTITION_INFERENCE_LOCK:
+            try:
+                prev = self.spark.conf.get(key)
+            except Exception:  # noqa: BLE001 — unset ⇒ Spark default "true"
+                prev = "true"
+            if str(prev).lower() == "false":
+                # invariant already holds — no mutation, nothing to restore
+                yield
+                return
+            self.spark.conf.set(key, "false")
+            try:
+                yield
+            finally:
+                self.spark.conf.set(key, prev)
 
     def _declared_types(self, df: DataFrame, defn: TableDefinition) -> DataFrame:
         """Cast partition columns back to their *declared* types. Spark

@@ -40,6 +40,16 @@ def get_spark(app_name: str = "table-versions-spark",
         # parquet reader rejects by default; read as long (ns since epoch)
         # and convert explicitly (see functions.timestamps.ts_from_nanos)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Engine invariant: partition-column TYPE INFERENCE stays OFF.
+        # Inference is lossy ('month=01' → int 1 → '1'), which corrupted
+        # string partition values and made rewrite deletes duplicate
+        # survivors into a phantom partition. The engine casts partition
+        # columns to their DECLARED types after every load
+        # (VersionedEngine._declared_types); with the invariant set here
+        # the per-load conf toggle is a no-op, so concurrent engine calls
+        # on one session can't interleave set/restore windows.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled",
+                "false")
         .config("spark.sql.orc.impl", "native")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")

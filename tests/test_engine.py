@@ -2856,3 +2856,45 @@ class TestStringPartitionCanonicalization:
         got = engine.read("sp.i")
         assert dict(got.dtypes)["bucket"] == "int"
         assert sorted(map(tuple, got.collect())) == [(1, 7), (2, 12)]
+
+    def test_session_invariant_inference_off(self, spark):
+        """get_spark() pins inference OFF at build time, so the common
+        path never mutates session conf at all."""
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        assert spark.conf.get(key) == "false"
+
+    def test_concurrent_reads_never_corrupt_string_partitions(
+            self, spark, engine):
+        """_raw_partition_types toggles SESSION-global conf; interleaved
+        set/restore windows from concurrent threads could run a load with
+        inference ON and resurface the '01'→'1' corruption. The window is
+        now lock-serialized — hammer it from 8 threads on a session whose
+        conf simulates a foreign (inference-ON) session."""
+        import threading
+
+        self._make(spark, engine, "sp.conc")
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(key)
+        expected = [(1, "01"), (2, "01"), (3, "02"), (4, "12")]
+        bad: list = []
+        barrier = threading.Barrier(8)
+
+        def reader():
+            barrier.wait()
+            for _ in range(5):
+                got = sorted(map(tuple, engine.read("sp.conc").collect()))
+                if got != expected:
+                    bad.append(got)
+
+        spark.conf.set(key, "true")  # foreign session: invariant absent
+        try:
+            threads = [threading.Thread(target=reader) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        finally:
+            spark.conf.set(key, prev)
+        assert bad == [], f"corrupted reads under concurrency: {bad[:3]}"
+        # restore path: the toggled value came back
+        assert spark.conf.get(key) == prev
