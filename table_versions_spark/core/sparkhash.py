@@ -129,6 +129,27 @@ HASHABLE_BUCKET_TYPES = frozenset(
     _INT_TYPES | _LONG_TYPES | {"boolean", "string", "varchar", "date"})
 
 
+def canonical_bucket_type(spark_type: str) -> str | None:
+    """Normalize any DDL / ``simpleString`` spelling to the Murmur3 hash
+    CLASS it belongs to: ``int`` (4-byte input: int/integer/smallint/
+    tinyint/short/byte), ``bigint`` (8-byte: bigint/long), ``string``
+    (string/varchar(n)/char(n) — hashed as UTF-8 bytes), ``boolean``,
+    ``date``. Returns None for types the driver/executor hashes don't
+    reproduce (float/decimal/complex). Two spellings with the same class
+    hash identically, so type-drift checks must compare CLASSES, not raw
+    tokens — 'id long' vs an arriving bigint frame is not drift."""
+    t = spark_type.lower().split("(")[0].strip()
+    if t in _INT_TYPES:
+        return "int"
+    if t in _LONG_TYPES:
+        return "bigint"
+    if t in ("string", "varchar", "char"):
+        return "string"
+    if t in ("boolean", "date"):
+        return t
+    return None
+
+
 def _np():
     import numpy as np
     return np

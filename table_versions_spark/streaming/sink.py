@@ -143,7 +143,7 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
         # and stamps the id into the part-file name — multiple files per
         # bucket, which _bucket_files/_bucket_filter_files already group by
         # the parsed part index (engine.py:2465,2490)
-        from ..core.sparkhash import HASHABLE_BUCKET_TYPES
+        from ..core.sparkhash import canonical_bucket_type
         from .source import _schema_fields as _sf
 
         by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
@@ -156,7 +156,8 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
                 raise ValueError(
                     f"{refuse}: bucket column {c} missing from the write "
                     f"schema {sorted(by_name)}")
-            if t.split("(")[0] not in HASHABLE_BUCKET_TYPES:
+            t_class = canonical_bucket_type(t)
+            if t_class is None:
                 raise ValueError(
                     f"{refuse}: bucket column {c} has type {t}, which the "
                     "sink cannot hash with Spark HashPartitioning parity "
@@ -166,8 +167,11 @@ def _write_plan(defn: TableDefinition, schema) -> WritePlan:
             # declared bigint column) would place rows in buckets the
             # read side's declared-type hash never probes — silent empty
             # point lookups. Refuse the drift at declaration time.
+            # Compare hash CLASSES, not raw spellings: a table declared
+            # 'id long' or 'c varchar(10)' must accept a frame arriving
+            # as bigint / string (aliases hash identically).
             want = declared_types.get(c)
-            if want is not None and want != t:
+            if want is not None and canonical_bucket_type(want) != t_class:
                 raise ValueError(
                     f"{refuse}: bucket column {c} arrives as {t} but is "
                     f"declared {want}; bucket hashing is type-sensitive, "

@@ -386,6 +386,32 @@ class TestTvxSink:
             ).write.format("tvx").mode("overwrite").option(
                 "location", engine.definition("sk.dvf").location).save()
 
+    def test_sink_accepts_declared_type_aliases(self, spark, engine):
+        """A table declared with alias spellings ('id long',
+        'c varchar(10)') must accept a frame carrying the canonical
+        simpleString types (bigint, string): aliases in the same Murmur3
+        hash class hash identically, so this is NOT type drift. Real drift
+        (declared bigint, frame int — different hash widths) stays
+        refused."""
+        import pytest as _pytest
+
+        from table_versions_spark.streaming.source import register
+
+        register(spark)
+        engine.create_table("sk.alias", schema_ddl="id long, c varchar(10)",
+                            bucket_columns=["id", "c"], bucket_count=4)
+        loc = engine.definition("sk.alias").location
+        spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, c string"
+                              ).write.format("tvx").mode("overwrite"
+                              ).option("location", loc).save()
+        assert sorted((r.id, r.c) for r in engine.read("sk.alias").collect()
+                      ) == [(1, "x"), (2, "y")]
+        # genuine drift is still loud: int frame against declared long
+        with _pytest.raises(Exception, match="type-sensitive"):
+            spark.createDataFrame([(3, "z")], "id int, c string"
+                                  ).write.format("tvx").mode("append"
+                                  ).option("location", loc).save()
+
     def test_stream_sink_exactly_once(self, spark, engine, tmp_path):
         """One commit per epoch; a replayed epoch (same txnApp+batchId,
         fresh checkpoint) is absorbed by the idempotence token."""
