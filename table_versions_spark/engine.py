@@ -503,6 +503,7 @@ class VersionedEngine:
             ops = self._write_snapshot(df, defn, version,
                                        cluster_by=cluster_by,
                                        drop_col=drop_col)
+            self._validate_staged_checks(defn, ops, version)
             if mode == "append" and isinstance(previous, SnapshotTableVersion) \
                     and previous.version != UNVERSIONED:
                 prev_dir = path_for(defn.location, previous.version)
@@ -516,6 +517,7 @@ class VersionedEngine:
                                           distribute=distribute,
                                           cluster_by=cluster_by,
                                           drop_col=drop_col)
+            self._validate_staged_checks(defn, ops, version)
             if mode == "append" and isinstance(previous, PartitionedTableVersion):
                 def link_prev(op):
                     old = previous.partition_versions[op.partition]
@@ -534,48 +536,6 @@ class VersionedEngine:
                    if isinstance(op, AddPartitionVersion)}
         ops += [RemovePartition(p) for p in drop_partitions
                 if p not in written]
-        if defn.check_constraints:
-            # CHECK validation reads the STAGED (immutable, still
-            # uncommitted) files rather than probing the input frame: a
-            # pre-write probe re-evaluates the df's lineage, so a
-            # non-deterministic input (rand(), at-least-once source)
-            # could pass the probe yet write violating rows — the same
-            # re-evaluation hazard _update_dv materializes away. Checking
-            # what was actually written is exact by construction, usually
-            # cheaper (a parquet read beats recomputing lineage), and a
-            # violation still rejects the COMMIT: the staged dirs are
-            # removed and nothing becomes visible.
-            from functools import reduce
-
-            new_dirs = [path_for(defn.location, op.version)
-                        if isinstance(op, AddTableVersion)
-                        else os.path.join(defn.location,
-                                          op.partition.render(),
-                                          version.label)
-                        for op in ops
-                        if isinstance(op, (AddTableVersion,
-                                           AddPartitionVersion))]
-            if new_dirs:
-                with self._raw_partition_types():
-                    staged = (self.spark.read.format(defn.format)
-                              .option("basePath", defn.location)
-                              .load(new_dirs))
-                staged = self._apply_mapping(
-                    defn, self._declared_types(staged, defn))
-                # a row violates iff some constraint evaluates to FALSE —
-                # NULL passes (SQL CHECK semantics), and `expr == False`
-                # is NULL for NULL expr, which where() drops
-                violated = reduce(
-                    lambda a, b: a | b,
-                    [F_expr(c) == False  # noqa: E712
-                     for c in defn.check_constraints])
-                bad = staged.where(violated).limit(1).collect()
-                if bad:
-                    for d in new_dirs:
-                        self.storage.remove_tree(d)
-                    raise ConstraintViolationError(
-                        f"CHECK constraint {defn.check_constraints} "
-                        f"rejected row {bad[0].asDict()}")
         if cdc is not None and defn.change_data_feed:
             # sidecars land INSIDE the uncommitted version dirs — like the
             # data files themselves, invisible until the commit record
@@ -2985,6 +2945,61 @@ class VersionedEngine:
 
         walk(defn.location, 0)
         return out
+
+    def _validate_staged_checks(self, defn: TableDefinition, ops,
+                                version: Version) -> None:
+        """CHECK-validate the freshly STAGED (immutable, still uncommitted)
+        files rather than probing the input frame: a pre-write probe
+        re-evaluates the df's lineage, so a non-deterministic input
+        (rand(), at-least-once source) could pass the probe yet write
+        violating rows — the same re-evaluation hazard _update_dv
+        materializes away. Checking what was actually written is exact by
+        construction, and a violation still rejects the COMMIT: the staged
+        dirs are removed and nothing becomes visible.
+
+        MUST run before any append-mode ``_link_data_files`` carry:
+        linked prior-version files keep their filenames, so once linked
+        they are indistinguishable from the new delta and every append to
+        a CHECK-constrained table would re-scan the ENTIRE prior table
+        (and re-validate dv-masked rows the vectors hide) — O(table) per
+        append instead of O(new data). CHECK semantics here are
+        batch-scoped, like Delta's ADD CONSTRAINT on writes: validate what
+        this write adds; prior versions were validated by their own
+        commits."""
+        if not defn.check_constraints:
+            return
+        from functools import reduce
+
+        new_dirs = [path_for(defn.location, op.version)
+                    if isinstance(op, AddTableVersion)
+                    else os.path.join(defn.location,
+                                      op.partition.render(),
+                                      version.label)
+                    for op in ops
+                    if isinstance(op, (AddTableVersion,
+                                       AddPartitionVersion))]
+        if not new_dirs:
+            return
+        with self._raw_partition_types():
+            staged = (self.spark.read.format(defn.format)
+                      .option("basePath", defn.location)
+                      .load(new_dirs))
+        staged = self._apply_mapping(
+            defn, self._declared_types(staged, defn))
+        # a row violates iff some constraint evaluates to FALSE —
+        # NULL passes (SQL CHECK semantics), and `expr == False`
+        # is NULL for NULL expr, which where() drops
+        violated = reduce(
+            lambda a, b: a | b,
+            [F_expr(c) == False  # noqa: E712
+             for c in defn.check_constraints])
+        bad = staged.where(violated).limit(1).collect()
+        if bad:
+            for d in new_dirs:
+                self.storage.remove_tree(d)
+            raise ConstraintViolationError(
+                f"CHECK constraint {defn.check_constraints} "
+                f"rejected row {bad[0].asDict()}")
 
     @contextmanager
     def _raw_partition_types(self):

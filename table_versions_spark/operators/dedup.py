@@ -622,27 +622,19 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``PREFIX_BLOCK`` characters (a prefix relation implies equal blocks
     once both docs are ≥ the block length — shorter docs are out of
     scope by contract), so there is never an all-pairs product; the
-    block key is content, distributed like any dedup hash. The
-    ``startswith`` verify runs only inside blocks."""
-    docs = (load(spark, sf_dir, "documents")
-            .where(F.length("text") >= PREFIX_BLOCK)
-            .select("doc_id", "text",
-                    F.substring("text", 1, PREFIX_BLOCK).alias("blk")))
-    a = docs.select(F.col("doc_id").alias("doc_id_a"),
-                    F.col("text").alias("ta"), "blk")
-    b = docs.select(F.col("doc_id").alias("doc_id_b"),
-                    F.col("text").alias("tb"), "blk")
-    # role-ordered pairs: a = the (strictly shorter) prefix side; equal-
-    # length exact dups tie-break on id so each pair appears exactly once
-    shorter = F.length("ta") < F.length("tb")
-    equal = ((F.length("ta") == F.length("tb"))
-             & (F.col("doc_id_a") < F.col("doc_id_b")))
-    return (a.join(b, "blk")
-            .where((shorter | equal) & F.col("tb").startswith(F.col("ta")))
-            .select("doc_id_a", "doc_id_b",
-                    F.length("ta").cast("int").alias("len_a"),
-                    F.length("tb").cast("int").alias("len_b"),
-                    (F.length("ta") == F.length("tb")).alias("exact")))
+    block key is content, distributed like any dedup hash. The block
+    join carries ONLY (doc_id, length) — never document text — so the
+    candidate exchange moves a few bytes per doc instead of 2× the
+    corpus; text is joined back by id just for the candidate pairs, and
+    the ``startswith`` verify runs on that thin slice (the texts-side
+    exchange is one corpus pass, reused across both id joins)."""
+    base = (load(spark, sf_dir, "documents")
+            .where(F.length("text") >= PREFIX_BLOCK))
+    keys = base.select("doc_id",
+                       F.substring("text", 1, PREFIX_BLOCK).alias("blk"),
+                       F.length("text").cast("int").alias("n"))
+    return _blocked_containment_pairs(
+        base, keys, lambda ta, tb: tb.startswith(ta))
 
 
 def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,25 +647,43 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape mirrors q_dedup_prefix: candidate generation is an
     equi-join on the LAST ``PREFIX_BLOCK`` characters (a suffix relation
     implies equal tail blocks once both docs are ≥ the block length), so
-    never an all-pairs product; the ``endswith`` verify runs only inside
-    blocks."""
-    docs = (load(spark, sf_dir, "documents")
-            .where(F.length("text") >= PREFIX_BLOCK)
-            .select("doc_id", "text",
-                    F.expr(f"right(text, {PREFIX_BLOCK})").alias("blk")))
-    a = docs.select(F.col("doc_id").alias("doc_id_a"),
-                    F.col("text").alias("ta"), "blk")
-    b = docs.select(F.col("doc_id").alias("doc_id_b"),
-                    F.col("text").alias("tb"), "blk")
-    shorter = F.length("ta") < F.length("tb")
-    equal = ((F.length("ta") == F.length("tb"))
-             & (F.col("doc_id_a") < F.col("doc_id_b")))
-    return (a.join(b, "blk")
-            .where((shorter | equal) & F.col("tb").endswith(F.col("ta")))
-            .select("doc_id_a", "doc_id_b",
-                    F.length("ta").cast("int").alias("len_a"),
-                    F.length("tb").cast("int").alias("len_b"),
-                    (F.length("ta") == F.length("tb")).alias("exact")))
+    never an all-pairs product; the block join exchanges (doc_id,
+    length) only, and the ``endswith`` verify runs on text joined back
+    by id for just the candidate pairs."""
+    base = (load(spark, sf_dir, "documents")
+            .where(F.length("text") >= PREFIX_BLOCK))
+    keys = base.select("doc_id",
+                       F.expr(f"right(text, {PREFIX_BLOCK})").alias("blk"),
+                       F.length("text").cast("int").alias("n"))
+    return _blocked_containment_pairs(
+        base, keys, lambda ta, tb: tb.endswith(ta))
+
+
+def _blocked_containment_pairs(base: DataFrame, keys: DataFrame,
+                               verify) -> DataFrame:
+    """Shared prefix/suffix shape: slim (blk, doc_id, n) candidate join,
+    role-ordering so each pair appears once (a = the strictly shorter
+    containee; equal lengths tie-break on id), then text joined back BY ID
+    for the verify predicate. ``keys`` must carry doc_id/blk/n; ``base``
+    carries doc_id/text."""
+    a = keys.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("n").alias("len_a"), "blk")
+    b = keys.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("n").alias("len_b"), "blk")
+    cand = (a.join(b, "blk")
+            .where((F.col("len_a") < F.col("len_b"))
+                   | ((F.col("len_a") == F.col("len_b"))
+                      & (F.col("doc_id_a") < F.col("doc_id_b"))))
+            .select("doc_id_a", "doc_id_b", "len_a", "len_b"))
+    texts = base.select("doc_id", "text")
+    return (cand
+            .join(texts.select(F.col("doc_id").alias("doc_id_a"),
+                               F.col("text").alias("ta")), "doc_id_a")
+            .join(texts.select(F.col("doc_id").alias("doc_id_b"),
+                               F.col("text").alias("tb")), "doc_id_b")
+            .where(verify(F.col("ta"), F.col("tb")))
+            .select("doc_id_a", "doc_id_b", "len_a", "len_b",
+                    (F.col("len_a") == F.col("len_b")).alias("exact")))
 
 
 CDC_MOD = 4        # break after words whose length % CDC_MOD == 0

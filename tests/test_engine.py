@@ -745,6 +745,39 @@ class TestDataSkipping:
         assert stranded == []  # rejected staging dirs were removed
         assert engine.read("db.cknd").count() == 0
 
+    def test_check_constraints_validate_delta_only_on_append(
+            self, spark, engine):
+        """Append-mode CHECK validation is O(new data), not O(table): it
+        runs BEFORE prior-version files are linked into the new dir, so
+        only the written batch is scanned. Pinned by doctoring a PRIOR
+        version's parquet on disk to violate the constraint — a whole-table
+        re-scan would reject the append; batch-scoped validation (prior
+        commits already validated their own batches) must not."""
+        engine.create_table("db.ckd", schema_ddl="id bigint, v double",
+                            check_constraints=["v >= 0"])
+        engine.insert(spark.createDataFrame(
+            [(1, 5.0)], "id bigint, v double"), "db.ckd", "u", "v1")
+        # corrupt the committed file in place (filename preserved so the
+        # append's _link_data_files carries exactly this file forward)
+        loc = engine.definition("db.ckd").location
+        from table_versions_spark.core.model import Version
+        vdir = [e for e in engine.storage.list_dir(loc)
+                if Version.is_version_label(e)][0]
+        import os as _os
+        part = [f for f in engine.storage.list_dir(_os.path.join(loc, vdir))
+                if f.endswith(".parquet")][0]
+        spark.createDataFrame([(9, -9.0)], "id bigint, v double") \
+            .toPandas().to_parquet(_os.path.join(loc, vdir, part))
+        # the append's own batch is clean: must commit (a whole-table
+        # re-validation would see the doctored -9.0 row and reject)
+        engine.insert(spark.createDataFrame(
+            [(2, 7.0)], "id bigint, v double"), "db.ckd", "u", "v2",
+            mode="append")
+        got = {(r.id, r.v) for r in engine.read("db.ckd").collect()}
+        # the new batch landed AND the violating prior-version row was
+        # carried by linking without being re-validated
+        assert {(2, 7.0), (9, -9.0)} <= got
+
     def test_merge_not_matched_by_source_delete(self, spark, engine):
         """Full-sync merge: target rows absent from the source are dropped
         (Delta WHEN NOT MATCHED BY SOURCE DELETE)."""
