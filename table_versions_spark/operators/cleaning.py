@@ -408,8 +408,13 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split on single space), so ``3 ≤ mwl ≤ 10`` is the integer test
     ``3n ≤ chars ≤ 10n``, and ``frac_alpha ≥ 0.8`` is ``5·alpha ≥ 4·n``.
     The float columns are descriptive only (rounded). One codegen'd scan:
-    split + two flat array filters, no shuffle, no Python."""
-    docs = load(spark, sf_dir, "documents")
+    split + two flat array filters, no shuffle, no Python.
+
+    NULL text is excluded explicitly (same discipline as
+    ``q_dedup_substring``): Spark's ``size(split(NULL))`` yields −1 and
+    would emit n_words=-1 / pass=false where the SQL oracle yields NULL —
+    out-of-scope rows must not reach the rule arithmetic at all."""
+    docs = load(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     w = F.split("text", " ")
     n = F.size(w)
     word_chars = F.length("text") - (n - 1)
@@ -482,7 +487,7 @@ ORACLES = {
     "q_curation_pipeline": _curation_oracle(),
     "q_gopher_rules": (
         "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w "
-        "FROM documents), "
+        "FROM documents WHERE text IS NOT NULL), "
         "s AS (SELECT doc_id, len(w) AS n, "
         "length(text) - (len(w) - 1) AS wc, "
         "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS na, "

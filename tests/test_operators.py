@@ -439,6 +439,27 @@ class TestCleaning:
         assert out[1]["red"] == f"call {PII_TOKEN} or ping {PII_TOKEN}"
         assert out[2]["red"] == f"the {PII_TOKEN} owns a {PII_TOKEN} of parts"
 
+    def test_gopher_rules_exclude_null_text(self, spark, tmp_path):
+        """The sf corpora carry no NULL text, so pin the guard on a planted
+        row: without the explicit ``isNotNull`` filter Spark would emit
+        n_words=-1 / pass_gopher=false for NULL text (``size(split(NULL))``
+        is -1) while the SQL oracle emits NULL — the row must instead be
+        excluded entirely, and non-NULL rows must be unaffected."""
+        from table_versions_spark.operators import cleaning
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "that was all of it for now") * 3
+        rows = [(1, good, "en", "s", 0), (2, None, "en", "s", 0)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r
+               for r in cleaning.q_gopher_rules(spark, sf_dir).collect()}
+        assert set(out) == {1}
+        assert out[1]["n_words"] > 0 and out[1]["pass_gopher"] is True
+
     def test_contamination_excludes_benchmark_docs(self, spark, sf_small):
         from table_versions_spark.operators import cleaning
 
