@@ -200,6 +200,73 @@ class TestMultiprocessCommitCAS:
         assert state.current_version == state.updates[-1].metadata.commit_id
 
 
+def _race_occ(location, worker, barrier, queue):
+    """Cross-process OCC writer (explicit Process, one per worker — a Pool
+    could hand one worker two tasks and deadlock the barrier). Captures the
+    head fold BEFORE the barrier, then races a same-partition commit
+    guarded by the engine's own conflict precondition."""
+    from table_versions_spark.core.log import ConcurrentWriteError
+    from table_versions_spark.core.model import (
+        PartitionSchema, TableDefinition)
+    from table_versions_spark.engine import VersionedEngine
+
+    log = FileTableVersions(location, LocalStorage())
+    defn = TableDefinition(T, location, PartitionSchema(("date",)))
+    part = Partition.parse("date=2024-01-01")
+    base_fold = log.head_fold(T)          # every worker sees the same head
+    precondition = VersionedEngine._conflict_precondition(
+        defn, base_fold, {part})
+    v = Version.generate()
+    barrier.wait()
+    try:
+        log.commit(T, TableUpdate(
+            TableUpdateMetadata.create(f"w{worker}", "race"),
+            (AddPartitionVersion(part, v),)), precondition=precondition)
+        queue.put(("won", worker, v.label))
+    except ConcurrentWriteError:
+        queue.put(("lost", worker, None))
+
+
+class TestCrossProcessOCC:
+    def test_same_partition_race_has_exactly_one_winner(self, tmp_path):
+        """The storage-CAS commit (core/log.py:144) is the engine's single
+        point of atomicity: when N separate OS processes race commits to
+        the SAME partition, each guarded by the engine's
+        ``_conflict_precondition`` against the same base fold, exactly one
+        must win — every loser must abort with ``ConcurrentWriteError``
+        (no silent retry-land that would drop the first-writer-wins
+        guarantee), no commit file may be lost or shared, and the head
+        partition version must be the winner's."""
+        location = str(tmp_path / "tbl")
+        log = FileTableVersions(location, LocalStorage())
+        log.init(T, is_snapshot=False, user_id="u", message="init")
+        log.commit(T, TableUpdate(
+            TableUpdateMetadata.create("u", "seed"),
+            (AddPartitionVersion(Partition.parse("date=2024-01-01"),
+                                 Version.generate()),)))
+        n = 8
+        ctx = multiprocessing.get_context("fork")
+        barrier, queue = ctx.Barrier(n), ctx.Queue()
+        procs = [ctx.Process(target=_race_occ,
+                             args=(location, w, barrier, queue))
+                 for w in range(n)]
+        for p in procs:
+            p.start()
+        results = [queue.get(timeout=60) for _ in range(n)]
+        for p in procs:
+            p.join(timeout=60)
+        outcomes = [r[0] for r in results]
+        assert outcomes.count("won") == 1, results
+        assert outcomes.count("lost") == n - 1
+        winner_label = next(r[2] for r in results if r[0] == "won")
+        state = log.table_state(T)
+        # init + seed + exactly the one winning commit; losers left nothing
+        assert len(state.updates) == 3
+        head = log.current_version(T)
+        assert head.partition_versions[
+            Partition.parse("date=2024-01-01")].label == winner_label
+
+
 class TestRangedReads:
     def test_open_input_is_ranged_and_seekable(self, tmp_path):
         """Object-store open_input must serve pyarrow footer reads via
