@@ -72,6 +72,8 @@ def _registry() -> tuple[dict, dict]:
         # after r8 no id's latest driver row is older than r5.
         # New round-8 operators are prepended above this comment as they
         # land (never-checked ids are worth the most).
+        # --- round-8 additions (never driver-checked) ---
+        "q_dedup_fuzzy", "q_entropy", "q_asof_tolerance", "q_window_ntile",
         # --- 13 r4-stale ids ---
         "q_anomaly", "q_curation_pipeline", "q_date_from_ts", "q_funnel",
         "q_grouping_sets", "q_json_funcs", "q_lm_score", "q_scan_csv",

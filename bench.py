@@ -87,6 +87,10 @@ HEADLINE = [
     "q_sim_ann_pq",
     "q_multimodal_audio",
     "q_dedup_substring",
+    "q_dedup_fuzzy",
+    "q_entropy",
+    "q_asof_tolerance",
+    "q_window_ntile",
 ]
 
 

@@ -57,6 +57,52 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("matched_prior").alias("prior_event_id")))
 
 
+ASOF_TOL_SEC = 21_600  # forward as-of tolerance: 6 hours
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness bound: for every purchase, the
+    EARLIEST same-user non-purchase event STRICTLY after it and within
+    ``ASOF_TOL_SEC`` — the "next action within the attribution window"
+    shape (pandas ``merge_asof(direction='forward', tolerance=...)``).
+    Purchases with no in-window follow-up surface with NULLs (left
+    semantics), so the tolerance is part of the answer, not a filter.
+
+    Scale shape: NO join — probes and references union into one stream
+    and a single ``rangeBetween(1, tol)`` window over epoch-micros per
+    user picks ``min(struct(ts, id))`` among reference rows in the
+    window (strictly-after falls out of the range start at +1 µs; the
+    struct min is the (earliest, lowest-id) tie-break). One shuffle on
+    user_id, whole-stage window evaluation. References are pre-deduped
+    per (user, ts) exactly like q_asof_join, keeping tie order
+    engine-independent."""
+    ev = load_events(spark, sf_dir)
+    probes = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts", "value",
+                      F.lit(1).alias("is_probe"),
+                      F.lit(None).cast("long").alias("ref_id")))
+    refs = (ev.where(F.col("event_type") != "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("ref_id"))
+            .select(F.lit(None).cast("long").alias("event_id"),
+                    "user_id", "ts",
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(0).alias("is_probe"), "ref_id"))
+    tagged = (probes.unionByName(refs)
+              .withColumn("ts_us", F.unix_micros("ts")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(1, ASOF_TOL_SEC * 1_000_000))
+    nxt = F.min(F.when(F.col("is_probe") == 0,
+                       F.struct(F.col("ts_us").alias("t"),
+                                F.col("ref_id").alias("id")))).over(w)
+    return (tagged
+            .withColumn("nxt", nxt)
+            .where(F.col("is_probe") == 1)
+            .select("event_id", "user_id", "value",
+                    F.col("nxt.id").alias("next_event_id"),
+                    (F.col("nxt.t") - F.col("ts_us")).alias("gap_us")))
+
+
 # ------------------------------------------------------------ range join
 
 BANDS = [(1, "low", 0.0, 10.0), (2, "mid", 10.0, 25.0),
@@ -319,6 +365,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_asof_join": q_asof_join,
+    "q_asof_tolerance": q_asof_tolerance,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -355,6 +402,20 @@ ORACLES = {
         "AS week_offset, COUNT(DISTINCT e.user_id) AS n_users "
         "FROM e JOIN f ON e.user_id = f.user_id "
         "GROUP BY cohort_date, week_offset"),
+    "q_asof_tolerance": (
+        "WITH probes AS (SELECT event_id, user_id, value, epoch_us(ts) "
+        "AS tu FROM events WHERE event_type = 'purchase'), "
+        "refs AS (SELECT user_id, epoch_us(ts) AS tu, MAX(event_id) "
+        "AS ref_id FROM events WHERE event_type <> 'purchase' "
+        "GROUP BY 1, 2) "
+        "SELECT event_id, user_id, value, next_event_id, gap_us FROM ("
+        "SELECT p.event_id, p.user_id, p.value, "
+        "r.ref_id AS next_event_id, r.tu - p.tu AS gap_us, "
+        "ROW_NUMBER() OVER (PARTITION BY p.event_id "
+        "ORDER BY r.tu, r.ref_id) AS rn "
+        "FROM probes p LEFT JOIN refs r ON p.user_id = r.user_id "
+        f"AND r.tu > p.tu AND r.tu <= p.tu + {ASOF_TOL_SEC * 1_000_000}) "
+        "WHERE rn = 1"),
     "q_asof_join": (
         "WITH prior AS (SELECT user_id, ts, MAX(event_id) AS prior_event_id "
         "FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts), "

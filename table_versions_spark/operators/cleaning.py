@@ -435,6 +435,39 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok.alias("pass_gopher"))
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-unigram Shannon entropy per document (bits/word), plus
+    type-token ratio — the information-density quality signals a curation
+    pipeline thresholds on: near-zero entropy flags generated/looping
+    junk, near-log2(n) entropy flags random token soup, and TTR is the
+    classic lexical-diversity measure alongside ``q_repetition``'s window
+    ratios.
+
+    Scale shape: the canonical word-count plan — explode → partial-agg'd
+    ``groupBy(doc_id, word)`` (map-side combine collapses each doc's
+    repeats BEFORE the exchange, so the shuffle carries one row per
+    distinct (doc, word)) → per-doc fold. Entropy uses the exact-count
+    identity H = log2(n) − Σ c·log2(c)/n so all accumulation is over
+    integer counts; the single float division/log happens once per doc,
+    and 6-dp rounding absorbs cross-engine summation-order ulps (same
+    discipline as the jaccard/cosine oracles). NULL/empty text excluded
+    explicitly (q_gopher_rules' NULL discipline)."""
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull() & (F.length("text") > 0)))
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    agg = (counts.groupBy("doc_id")
+           .agg(F.sum("c").alias("n"),
+                F.count("*").alias("nu"),
+                F.sum(F.col("c").cast("double") * F.log2("c")).alias("s")))
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.col("nu").cast("bigint").alias("n_unique"),
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 6).alias("entropy"),
+        F.round(F.col("nu").cast("double") / F.col("n"), 6).alias("ttr"))
+
+
 QUERIES = {
     "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
@@ -444,6 +477,7 @@ QUERIES = {
     "q_tfidf": q_tfidf,
     "q_bm25": q_bm25,
     "q_gopher_rules": q_gopher_rules,
+    "q_entropy": q_entropy,
 }
 
 
@@ -501,6 +535,16 @@ ORACLES = {
         f"AND wc >= {GOPHER_MIN_MWL} * n AND wc <= {GOPHER_MAX_MWL} * n "
         f"AND 5 * na >= 4 * n AND ns >= {GOPHER_MIN_STOPS}) AS pass_gopher "
         "FROM s"),
+    "q_entropy": (
+        "WITH pos AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents WHERE text IS NOT NULL AND length(text) > 0), "
+        "counts AS (SELECT doc_id, w, COUNT(*) AS c FROM pos GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nu, "
+        "SUM(c * log2(c)) AS s FROM counts GROUP BY 1) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_words, "
+        "CAST(nu AS BIGINT) AS n_unique, "
+        "ROUND(log2(n) - s / n, 6) AS entropy, "
+        "ROUND(CAST(nu AS DOUBLE) / n, 6) AS ttr FROM agg"),
     "q_lm_score": (
         "WITH postings AS (SELECT doc_id, "
         "unnest(string_split(text, ' ')) AS term FROM documents), "

@@ -686,6 +686,55 @@ def _blocked_containment_pairs(base: DataFrame, keys: DataFrame,
                     (F.col("len_a") == F.col("len_b")).alias("exact")))
 
 
+FUZZY_BLOCK = 32     # shared-prefix blocking key length
+FUZZY_MAX_DIST = 16  # max edit distance (and max length difference)
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicates: pairs within ``FUZZY_MAX_DIST``
+    Levenshtein edits — the dup class token-set methods (minhash/ngram
+    Jaccard) under-score when edits are single-character typos or small
+    in-place rewrites that leave most shingles intact but shift others,
+    and that prefix/suffix containment misses when the edit is interior.
+
+    Scale shape mirrors q_dedup_prefix: candidate generation is an
+    equi-join on the first ``FUZZY_BLOCK`` characters (an interior-edit
+    near-dup overwhelmingly shares its head; a head-edited pair is out of
+    scope by contract — blocking IS the documented recall bound, exactly
+    like banding in MinHash-LSH). The block join exchanges only
+    (doc_id, length) and pre-prunes on ``|len_a − len_b| ≤ max_dist``
+    (an edit-distance lower bound), so no text moves until the verify;
+    text joins back BY ID for just the candidate pairs and the
+    ``levenshtein(ta, tb, threshold)`` verify is the banded O(d·n)
+    JVM kernel (early-exit at threshold), not the full O(n²) DP."""
+    base = (load(spark, sf_dir, "documents")
+            .where(F.length("text") >= FUZZY_BLOCK))
+    keys = base.select(
+        "doc_id",
+        F.substring("text", 1, FUZZY_BLOCK).alias("blk"),
+        F.length("text").cast("int").alias("n"))
+    a = keys.select(F.col("doc_id").alias("doc_id_a"),
+                    F.col("n").alias("len_a"), "blk")
+    b = keys.select(F.col("doc_id").alias("doc_id_b"),
+                    F.col("n").alias("len_b"), "blk")
+    cand = (a.join(b, "blk")
+            .where((F.col("doc_id_a") < F.col("doc_id_b"))
+                   & (F.abs(F.col("len_a") - F.col("len_b"))
+                      <= FUZZY_MAX_DIST))
+            .select("doc_id_a", "doc_id_b", "len_a", "len_b"))
+    texts = base.select("doc_id", "text")
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), FUZZY_MAX_DIST)
+    return (cand
+            .join(texts.select(F.col("doc_id").alias("doc_id_a"),
+                               F.col("text").alias("ta")), "doc_id_a")
+            .join(texts.select(F.col("doc_id").alias("doc_id_b"),
+                               F.col("text").alias("tb")), "doc_id_b")
+            .withColumn("dist", dist)
+            .where(F.col("dist") >= 0)  # threshold form returns -1 above it
+            .select("doc_id_a", "doc_id_b", "len_a", "len_b", "dist",
+                    (F.col("dist") == 0).alias("exact")))
+
+
 CDC_MOD = 4        # break after words whose length % CDC_MOD == 0
 CDC_MIN_WORDS = 4  # spans shorter than this don't count as duplication
 CDC_DF_CAP = 64    # boilerplate guard: chunks shared by more docs are
@@ -780,6 +829,7 @@ QUERIES = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_dedup_substring": q_dedup_substring,
     "q_dedup_suffix": q_dedup_suffix,
+    "q_dedup_fuzzy": q_dedup_fuzzy,
     "q_semdedup": q_semdedup,
 }
 
@@ -840,6 +890,18 @@ ORACLES = {
         "WHERE (length(a.text) < length(b.text) "
         "OR (length(a.text) = length(b.text) AND a.doc_id < b.doc_id)) "
         "AND ends_with(b.text, a.text)"),
+    "q_dedup_fuzzy": (
+        "WITH d AS (SELECT doc_id, text, "
+        f"substring(text, 1, {FUZZY_BLOCK}) AS blk, "
+        "length(text) AS n FROM documents "
+        f"WHERE length(text) >= {FUZZY_BLOCK}) "
+        "SELECT doc_id_a, doc_id_b, len_a, len_b, dist, dist = 0 AS exact "
+        "FROM (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(a.n AS INT) AS len_a, CAST(b.n AS INT) AS len_b, "
+        "CAST(levenshtein(a.text, b.text) AS INT) AS dist "
+        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
+        f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST}) "
+        f"WHERE dist <= {FUZZY_MAX_DIST}"),
     "q_dedup_ngram": (
         f"WITH {_NGRAM_PAIRS_CTES} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"),

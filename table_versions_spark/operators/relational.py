@@ -192,6 +192,22 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_custkey", "o_orderkey", "running_total"))
 
 
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist
+    per order-priority over total price. Ordering carries the unique
+    o_orderkey tie-break so every rank family is deterministic
+    cross-engine; the float ranks are 6-dp rounded (exact small-integer
+    ratios, rounding is belt-and-braces). One shuffle on the partition
+    key; whole-stage window evaluation, no Python."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return (load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_totalprice",
+                    F.ntile(10).over(w).alias("decile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pr"),
+                    F.round(F.cume_dist().over(w), 6).alias("cd")))
+
+
 # ------------------------------------------------------- sort / set ops
 
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +507,7 @@ QUERIES = {
     "q_cube": q_cube,
     "q_window_rank": q_window_rank,
     "q_window_running": q_window_running,
+    "q_window_ntile": q_window_ntile,
     "q_sort": q_sort,
     "q_topk": q_topk,
     "q_set_intersect": q_set_intersect,
@@ -510,6 +527,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_window_ntile": (
+        "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+        "CAST(ntile(10) OVER w AS INT) AS decile, "
+        "ROUND(percent_rank() OVER w, 6) AS pr, "
+        "ROUND(cume_dist() OVER w, 6) AS cd "
+        "FROM orders WINDOW w AS "
+        "(PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)"),
     "q_unpivot": (
         "WITH agg AS (SELECT l_returnflag, "
         "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -132,6 +132,52 @@ class TestAnalytic:
                for r in q_asof_join(spark, d).collect()}
         assert out == {3: 2, 4: 2, 5: None}
 
+    def test_asof_tolerance_semantics(self, spark, tmp_path):
+        """Hand-checked forward as-of with a 6h staleness bound: same-ts
+        references are NOT 'after' (strict >), ties at one ts dedup to the
+        max event_id, out-of-window probes surface with NULLs."""
+        from table_versions_spark.operators.analytic import (
+            ASOF_TOL_SEC, q_asof_tolerance)
+
+        s = 1_000_000_000  # ns per second
+        rows = [
+            (1, 1000 * s, 7, "view", 0.0, ""),        # same ts as probe 10
+            (10, 1000 * s, 7, "purchase", 9.5, ""),
+            (2, 1010 * s, 7, "click", 0.0, ""),       # tied ts: 2 vs 3
+            (3, 1010 * s, 7, "view", 0.0, ""),        # → max event_id wins
+            (4, 1020 * s, 7, "click", 0.0, ""),
+            (11, 100_000 * s, 8, "purchase", 1.0, ""),
+            (5, (100_000 + ASOF_TOL_SEC + 1) * s, 8, "view", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, "
+                  "value double, props string")
+        d = str(tmp_path / "sf")
+        df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = {r["event_id"]: (r["next_event_id"], r["gap_us"])
+               for r in q_asof_tolerance(spark, d).collect()}
+        assert out == {10: (3, 10_000_000), 11: (None, None)}
+
+    def test_window_ntile_buckets_balanced(self, spark, sf_small):
+        """ntile(10) must split each priority into buckets whose sizes
+        differ by at most one; percent_rank/cume_dist stay in [0, 1]."""
+        from pyspark.sql import functions as F
+
+        from table_versions_spark.operators.relational import q_window_ntile
+
+        df = q_window_ntile(spark, sf_small)
+        sizes = (df.groupBy("o_orderpriority", "decile").count().collect())
+        by_prio: dict = {}
+        for r in sizes:
+            by_prio.setdefault(r["o_orderpriority"], []).append(r["count"])
+        for prio, counts in by_prio.items():
+            assert len(counts) == 10, prio
+            assert max(counts) - min(counts) <= 1, prio
+        bounds = df.agg(F.min("pr"), F.max("pr"), F.min("cd"),
+                        F.max("cd")).first()
+        assert bounds[0] == 0.0 and bounds[1] == 1.0
+        assert 0.0 < bounds[2] <= 1.0 and bounds[3] == 1.0
+
     def test_approx_quantile_close_to_exact(self, spark, sf_small):
         from table_versions_spark.operators.analytic import (
             q_approx_quantile, q_quantiles)
@@ -396,6 +442,33 @@ class TestDedupScaleContracts:
         # same tail block but different chars before it: not a suffix
         assert (3, 1) not in got and (3, 4) not in got
 
+    def test_fuzzy_dedup_planted_pairs(self, spark, tmp_path):
+        """Edit-distance near-dup semantics on planted docs: small interior
+        edits match with the exact distance, identical docs match with
+        dist=0/exact, a same-prefix doc beyond the edit budget does not,
+        and docs shorter than the blocking key are out of scope."""
+        from table_versions_spark.operators import dedup
+
+        pre = "p" * dedup.FUZZY_BLOCK
+        rows = [
+            (1, pre + " alpha beta gamma delta", "en", "s", 0),
+            (2, pre + " alpha bXta gamma dYlta", "en", "s", 0),  # dist 2
+            (3, pre + " " + "z" * 22, "en", "s", 0),  # same len, dist > 16
+            (4, pre + " alpha beta gamma delta", "en", "s", 0),  # == doc 1
+            (5, "tiny", "en", "s", 0),                # below block length
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {(r["doc_id_a"], r["doc_id_b"]): (r["dist"], r["exact"])
+               for r in dedup.q_dedup_fuzzy(spark, sf_dir).collect()}
+        assert got[(1, 2)] == (2, False)
+        assert got[(2, 4)] == (2, False)
+        assert got[(1, 4)] == (0, True)
+        assert not any(3 in pair or 5 in pair for pair in got)
+
     def test_dedup_groups_are_connected_components(self, spark, sf_small):
         """Label propagation must reach the true fixpoint: both endpoints of
         every near-dup edge share a group, every group id is the minimum
@@ -459,6 +532,32 @@ class TestCleaning:
                for r in cleaning.q_gopher_rules(spark, sf_dir).collect()}
         assert set(out) == {1}
         assert out[1]["n_words"] > 0 and out[1]["pass_gopher"] is True
+
+    def test_entropy_known_values(self, spark, tmp_path):
+        """Hand-computable entropies: a one-word loop has H=0, four
+        distinct words have H=2 bits, a 2+2 split has H=1; NULL and empty
+        text rows are excluded entirely."""
+        from table_versions_spark.operators import cleaning
+
+        rows = [
+            (1, "a a a a", "en", "s", 0),
+            (2, "a b c d", "en", "s", 0),
+            (3, "a a b b", "en", "s", 0),
+            (4, None, "en", "s", 0),
+            (5, "", "en", "s", 0),
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        out = {r["doc_id"]: r
+               for r in cleaning.q_entropy(spark, sf_dir).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1]["entropy"] == 0.0 and out[1]["ttr"] == 0.25
+        assert out[2]["entropy"] == 2.0 and out[2]["ttr"] == 1.0
+        assert out[3]["entropy"] == 1.0 and out[3]["ttr"] == 0.5
+        assert (out[1]["n_words"], out[1]["n_unique"]) == (4, 1)
 
     def test_contamination_excludes_benchmark_docs(self, spark, sf_small):
         from table_versions_spark.operators import cleaning
