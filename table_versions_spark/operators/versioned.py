@@ -773,6 +773,77 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events bigint, sum_value double").parquet(os.path.join(run, "out"))
 
 
+LATE_MOD = 7  # event_id % LATE_MOD == 0 ⇒ the row arrives in the LATE wave
+
+
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data DROP semantics under a watermark — the one streaming
+    contract ``q_stream_window`` can't witness from a single pass: rows
+    arriving AFTER the watermark passed their window's end must be
+    discarded (their window already emitted and its state was evicted),
+    while late-but-in-grace rows still aggregate.
+
+    Drive: two availableNow runs over one checkpoint (the deterministic
+    replay pattern of ``q_stream_cdf``). Run 1 streams wave 1 (6/7 of
+    events, one file ⇒ one data batch) and its no-data finalize batch
+    emits every window whose end ≤ wm1 = max(wave-1 ts) − 10 min and
+    evicts their state, persisting wm1 in the checkpoint. Run 2 appends
+    wave 2 (the ``event_id % LATE_MOD = 0`` rows — timestamps spread over
+    the whole range, so most are genuinely late): rows whose window end ≤
+    wm1 are dropped at the stateful operator, survivors join wave-1 state
+    in still-open windows, and the finalize batch closes ends ≤ wm2.
+    Watermark advance uses ALL observed rows (late ones included — Spark
+    collects event-time stats before the late filter), so wm2 =
+    max(all ts) − 10 min; the oracle states the full rule in SQL. At
+    scale this is the production backfill-collision shape: a replayed
+    partition must not corrupt windows the stream already sealed."""
+    import os
+
+    from ..streaming.ingest import windowed_counts
+    from .common import scratch_dir
+
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        run = scratch_dir(spark, f"stream-late-{tag}-{_RUN}-{next(_SEQ)}")
+        src, out, ckpt = (os.path.join(run, d) for d in
+                          ("src", "out", "ckpt"))
+        ev = load_events(spark, sf_dir).select(
+            "event_id", "ts", "event_type", "value")
+
+        def run_once():
+            stream = (spark.readStream
+                      .schema("event_id bigint, ts timestamp, "
+                              "event_type string, value double")
+                      .parquet(src))
+            agg = windowed_counts(stream, ts_col="ts",
+                                  window_duration="1 hour",
+                                  watermark_delay="10 minutes",
+                                  key_col="event_type")
+            q = (agg.withColumn("sum_value", F.round("sum_value", 2))
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            _await(q)
+
+        (ev.where(F.col("event_id") % LATE_MOD != 0)
+         .coalesce(1).write.mode("overwrite").parquet(src))
+        run_once()  # seals windows ≤ wm1, checkpoints the watermark
+        (ev.where(F.col("event_id") % LATE_MOD == 0)
+         .coalesce(1).write.mode("append").parquet(src))
+        run_once()  # late wave: drops vs wm1, closes the rest vs wm2
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return spark.read.schema(
+        "window_start timestamp, window_end timestamp, event_type string, "
+        "n_events bigint, sum_value double").parquet(out)
+
+
 def q_stream_window_tvx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode tumbling windows driven BY THE TVX SOURCE —
     the shape q_stream_window runs over Spark's native file source,
@@ -1127,6 +1198,7 @@ QUERIES = {
     "q_stream_sink": q_stream_sink,
     "q_stream_cdf": q_stream_cdf,
     "q_stream_window": q_stream_window,
+    "q_stream_late": q_stream_late,
     "q_stream_window_tvx": q_stream_window_tvx,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -1194,6 +1266,28 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_stream_late": (
+        # two-run late-data rule: wave-2 rows (event_id % LATE_MOD = 0)
+        # whose window end ≤ wm1 = max(wave-1 ts) − 10 min were dropped by
+        # the checkpointed watermark; everything else aggregates, and a
+        # window emits iff its end ≤ wm2 = max(ALL ts) − 10 min (late rows
+        # still advance event-time stats)
+        "WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "event_type, value FROM events), "
+        f"w1 AS (SELECT * FROM e WHERE event_id % {LATE_MOD} <> 0), "
+        "wm1 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM w1), "
+        "wm2 AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM e), "
+        "surv AS (SELECT * FROM w1 UNION ALL "
+        f"SELECT * FROM e WHERE event_id % {LATE_MOD} = 0 "
+        "AND DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR > "
+        "(SELECT w FROM wm1)) "
+        "SELECT DATE_TRUNC('hour', ts) AS window_start, "
+        "DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end, "
+        "event_type, COUNT(*) AS n_events, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM surv GROUP BY DATE_TRUNC('hour', ts), event_type "
+        "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
+        "(SELECT w FROM wm2)"),
     "q_stream_window_tvx": (
         # two-run availableNow drive: the emitted set is the batch-1
         # (ts before the corpus's last day) windows whose end ≤ batch-1's

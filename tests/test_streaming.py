@@ -85,6 +85,45 @@ class TestVersionedStreamIngest:
         assert out[("2024-01-02T09:00:00", "click")] == (1, 3.0)
         assert out[("2024-01-02T12:00:00", "view")] == (1, 4.0)
 
+    def test_stream_late_drop_and_grace(self, spark, tmp_path):
+        """Planted late-data pin for q_stream_late: a wave-2 row whose
+        window the wave-1 watermark already sealed is DROPPED (its 100.0
+        never appears), a late-but-in-grace wave-2 row still aggregates,
+        and wave-2 rows advance the watermark that closes further windows.
+        Wave membership is event_id % LATE_MOD == 0."""
+        import datetime
+
+        from table_versions_spark.operators.versioned import q_stream_late
+
+        def ns(h, m=0):
+            t = datetime.datetime(2024, 1, 1, h, m,
+                                  tzinfo=datetime.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        rows = [
+            # wave 1 (ids % 7 != 0): wm1 = 13:00 - 10min = 12:50
+            (1, ns(10), 1, "click", 1.0, ""),
+            (2, ns(13), 1, "click", 2.0, ""),
+            # wave 2 (ids % 7 == 0):
+            (7, ns(10, 30), 1, "click", 100.0, ""),   # end 11:00 ≤ wm1 → DROP
+            (14, ns(12, 55), 1, "click", 5.0, ""),    # end 13:00 > wm1 → keep
+            (21, ns(14), 1, "view", 9.0, ""),         # advances wm2 to 13:50
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+        d = str(tmp_path / "sf")
+        df.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+               for r in q_stream_late(spark, d).collect()}
+        # run 1 sealed [10:00,11:00) from wave-1 only; run 2 admitted the
+        # 12:55 row and wm2=13:50 closed [12:00,13:00); [13:00,14:00) and
+        # [14:00,15:00) stay open (end > wm2) and must not appear
+        assert out == {
+            (datetime.datetime(2024, 1, 1, 10), "click"): (1, 1.0),
+            (datetime.datetime(2024, 1, 1, 12), "click"): (1, 5.0),
+        }
+
     def test_sessionize_stateful(self, spark, tmp_path):
         src = str(tmp_path / "src")
         os.makedirs(src)
