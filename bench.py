@@ -88,6 +88,7 @@ HEADLINE = [
     "q_multimodal_audio",
     "q_dedup_substring",
     "q_dedup_fuzzy",
+    "q_dedup_containment",
     "q_entropy",
     "q_asof_tolerance",
     "q_window_ntile",

@@ -287,6 +287,33 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end. All shuffles are linear and skew-free (df groupBy combines
     map-side; the window partitions by unique doc_id).
     """
+    docs, cand = _rare_shingle_candidates(spark, sf_dir)
+    docs_sh = docs.select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
+    pa = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
+                        F.col("sh").alias("sh_a"))
+    pb = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
+                        F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.round(inter / union, 6)
+    # exact pre-prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set
+    # sizes differ by >1/τ can never qualify — cheap size compare before the
+    # O(|A|+|B|) intersect (cannot change the result set)
+    ratio_ok = ((F.size("sh_a") >= JACCARD_THRESHOLD * F.size("sh_b"))
+                & (F.size("sh_b") >= JACCARD_THRESHOLD * F.size("sh_a")))
+    return (cand.join(pa, "doc_id_a").join(pb, "doc_id_b")
+            .where(ratio_ok)
+            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+
+
+def _rare_shingle_candidates(spark: SparkSession, sf_dir: str):
+    """Shared rare-shingle candidate generator (the blocking stage of
+    ``q_dedup_ngram``, reused verbatim by ``q_dedup_containment``):
+    returns ``(docs, cand)`` where ``cand`` is the distinct
+    (doc_id_a < doc_id_b) candidate-pair set keyed by shared rare
+    shingles. See q_dedup_ngram's docstring for the two skew bounds
+    (df ≤ NGRAM_DF_CAP per key, ≤ NGRAM_BLOCK_KEYS keys per doc)."""
     import os
 
     from pyspark.sql import Window
@@ -334,23 +361,37 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (measured: 4.6 s single-task verify vs 0.7 s spread).
             # Explicit round-robin keeps the compute-bound stage wide.
             .repartition(spark.sparkContext.defaultParallelism))
+    return docs, cand
+
+
+CONTAIN_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) ≥ 0.8 —
+    Broder's containment coefficient, the asymmetric companion to
+    ``q_dedup_ngram``'s Jaccard. Jaccard under-scores subset relations
+    (a doc quoted inside a 10× larger one has J ≈ 0.1 but containment
+    ≈ 1.0); this is the detector for quote inclusion, boilerplate
+    wrapping, and doc-in-doc duplication that prefix/suffix containment
+    misses when the embedding has leading AND trailing novel text.
+
+    Scale shape: identical to q_dedup_ngram — the shared rare-shingle
+    candidate join (both skew bounds apply) — but the verify stage keeps
+    NO size-ratio pre-prune: a tiny-in-huge pair is exactly what must
+    survive. Per-pair cost stays O(|A|+|B|) JVM-side set math."""
+    docs, cand = _rare_shingle_candidates(spark, sf_dir)
     docs_sh = docs.select("doc_id", F.expr(_hashed_shingle_expr()).alias("sh"))
     pa = docs_sh.select(F.col("doc_id").alias("doc_id_a"),
                         F.col("sh").alias("sh_a"))
     pb = docs_sh.select(F.col("doc_id").alias("doc_id_b"),
                         F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.round(inter / union, 6)
-    # exact pre-prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set
-    # sizes differ by >1/τ can never qualify — cheap size compare before the
-    # O(|A|+|B|) intersect (cannot change the result set)
-    ratio_ok = ((F.size("sh_a") >= JACCARD_THRESHOLD * F.size("sh_b"))
-                & (F.size("sh_b") >= JACCARD_THRESHOLD * F.size("sh_a")))
+    cont = F.round(inter / F.least(F.size("sh_a"),
+                                   F.size("sh_b")).cast("double"), 6)
     return (cand.join(pa, "doc_id_a").join(pb, "doc_id_b")
-            .where(ratio_ok)
-            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-            .where(F.col("jaccard") >= JACCARD_THRESHOLD))
+            .select("doc_id_a", "doc_id_b", cont.alias("containment"))
+            .where(F.col("containment") >= CONTAIN_THRESHOLD))
 
 
 # Rows per GEMM block. 256 keeps the multi-block path exercised at the test
@@ -830,6 +871,7 @@ QUERIES = {
     "q_dedup_substring": q_dedup_substring,
     "q_dedup_suffix": q_dedup_suffix,
     "q_dedup_fuzzy": q_dedup_fuzzy,
+    "q_dedup_containment": q_dedup_containment,
     "q_semdedup": q_semdedup,
 }
 
@@ -843,9 +885,10 @@ _NGRAM_SH_H = ("list_distinct(list_transform("
                "range(1, greatest(length(text) - 4, 1) + 1), "
                "i -> hash(substring(text, i, 5))))")
 
-# Shared CTE chain ending in `pairs` = the exact ngram near-dup pair set;
-# reused by the q_dedup_ngram oracle and as the edge set of q_dedup_groups.
-_NGRAM_PAIRS_CTES = (
+# Shared CTE chain ending in `cand` = the rare-shingle candidate-pair set
+# (the SQL mirror of _rare_shingle_candidates); extended to `pairs` for the
+# Jaccard ids and reused directly by the q_dedup_containment oracle.
+_NGRAM_CAND_CTES = (
     "d AS (SELECT doc_id, "
     f"{_NGRAM_SH_H} AS sh, {_NGRAM_SH} AS sh_str FROM documents), "
     "postings AS (SELECT doc_id, unnest(sh_str) AS g FROM d), "
@@ -856,7 +899,10 @@ _NGRAM_PAIRS_CTES = (
     f"FROM counted WHERE df >= 2 AND df <= {NGRAM_DF_CAP}), "
     f"keys AS (SELECT doc_id, g FROM ranked WHERE rn <= {NGRAM_BLOCK_KEYS}), "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b "
-    "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id), "
+    "FROM keys a JOIN keys b ON a.g = b.g AND a.doc_id < b.doc_id)")
+
+_NGRAM_PAIRS_CTES = (
+    _NGRAM_CAND_CTES + ", "
     "pairs AS (SELECT doc_id_a, doc_id_b, jaccard FROM ("
     "SELECT c.doc_id_a, c.doc_id_b, "
     "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
@@ -905,6 +951,15 @@ ORACLES = {
     "q_dedup_ngram": (
         f"WITH {_NGRAM_PAIRS_CTES} "
         "SELECT doc_id_a, doc_id_b, jaccard FROM pairs"),
+    "q_dedup_containment": (
+        f"WITH {_NGRAM_CAND_CTES} "
+        "SELECT doc_id_a, doc_id_b, containment FROM ("
+        "SELECT c.doc_id_a, c.doc_id_b, "
+        "ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+        "least(len(x.sh), len(y.sh)), 6) AS containment "
+        "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
+        "JOIN d y ON c.doc_id_b = y.doc_id) "
+        f"WHERE containment >= {CONTAIN_THRESHOLD}"),
     "q_dedup_groups": (
         # min-reachable-id per vertex == min doc_id of the connected
         # component (edge set symmetrized; every document is its own base

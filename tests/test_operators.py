@@ -469,6 +469,35 @@ class TestDedupScaleContracts:
         assert got[(1, 4)] == (0, True)
         assert not any(3 in pair or 5 in pair for pair in got)
 
+    def test_containment_catches_doc_in_doc(self, spark, tmp_path):
+        """A short doc quoted verbatim inside a much larger one must score
+        containment ≈ 1.0 while its Jaccard stays below q_dedup_ngram's
+        threshold — the asymmetric case the containment operator exists
+        for. An unrelated doc must pair with neither."""
+        from table_versions_spark.operators import dedup
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        filler = " ".join(f"fill{i:03d} pad{i:03d}" for i in range(30))
+        rows = [
+            (1, quote, "en", "s", 0),
+            (2, "intro section " + filler + " " + quote + " closing notes",
+             "en", "s", 0),
+            (3, "totally different content with no overlap at all whatever",
+             "en", "s", 0),
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        cont = {(r["doc_id_a"], r["doc_id_b"]): r["containment"]
+                for r in dedup.q_dedup_containment(spark, sf_dir).collect()}
+        assert cont[(1, 2)] >= 0.99
+        assert not any(3 in p for p in cont)
+        jac = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+               for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+        assert (1, 2) not in jac  # Jaccard under-scores the subset pair
+
     def test_dedup_groups_are_connected_components(self, spark, sf_small):
         """Label propagation must reach the true fixpoint: both endpoints of
         every near-dup edge share a group, every group id is the minimum
