@@ -92,6 +92,7 @@ HEADLINE = [
     "q_entropy",
     "q_asof_tolerance",
     "q_window_ntile",
+    "q_top_p_quality",
 ]
 
 

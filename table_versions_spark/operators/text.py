@@ -621,6 +621,64 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+TOP_P_NUM, TOP_P_DEN = 1, 2  # nucleus mass p = NUM/DEN = 0.5
+
+
+def q_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p) quality selection per source: rank documents by a
+    quality score (distinct-word count — swap in an LM score without
+    changing the plan) and keep the head of each source's ranking until
+    the kept docs hold p = 0.5 of the source's total score mass — the
+    data-mixing move that keeps the best X% *by quality mass*, not by
+    doc count, so prolific-but-junky sources contribute fewer docs.
+
+    Engine-portable by construction: scores are integer counts, the
+    running and total masses are integer window sums, and the nucleus
+    test ``cum_before · DEN < total · NUM`` is integer arithmetic — the
+    float division never happens, so there is no rounding seam (same
+    discipline as q_gopher_rules' flag). One shuffle on source; the
+    running sum is a window over each source's ranking with a unique
+    (score DESC, doc_id) tie-break."""
+    docs = (load(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull()))
+    score = F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    w_rank = (Window.partitionBy("source")
+              .orderBy(F.desc("score"), "doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy("source")
+    return (scored
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("score").over(w_rank), F.lit(0)))
+            .withColumn("total", F.sum("score").over(w_all))
+            .where(F.col("cum_before") * TOP_P_DEN
+                   < F.col("total") * TOP_P_NUM)
+            .select("doc_id", "source", "score"))
+
+
+RESERVOIR_K = 100
+_RESERVOIR_MIX = 1103515245  # distinct hash stream from _SPLIT/_SHUFFLE_MIX
+
+
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform corpus sample (the distributed equivalent of
+    reservoir sampling): the K documents with the smallest seeded
+    multiplicative hash — a uniform-without-replacement draw that is
+    deterministic, rerun-stable, and engine-portable, unlike
+    ``ORDER BY rand() LIMIT k``.
+
+    Scale shape: ``TakeOrderedAndProject`` — each partition keeps a
+    K-row heap and the driver merges K rows per partition; no global
+    sort, no shuffle of the corpus. That per-partition-heap + merge IS
+    the classic distributed reservoir merge, keyed by hash instead of a
+    random tape so reruns and the oracle agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(_RESERVOIR_MIX), F.lit(1000000007))
+    return (docs.select("doc_id", "lang", "source", h.alias("hkey"))
+            .orderBy("hkey", "doc_id")
+            .limit(RESERVOIR_K))
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus normalization pass (every tokenizer's precondition):
     lowercase, collapse runs of whitespace to single spaces, trim. Pure
@@ -676,6 +734,8 @@ QUERIES = {
     "q_domain_mix": q_domain_mix,
     "q_text_normalize": q_text_normalize,
     "q_quality_bucket": q_quality_bucket,
+    "q_top_p_quality": q_top_p_quality,
+    "q_sample_reservoir": q_sample_reservoir,
     "q_sample_per_group": q_sample_per_group,
     "q_tokenize_apply": q_tokenize_apply,
     "q_sample_temperature": q_sample_temperature,
@@ -707,6 +767,23 @@ ORACLES = {
         "CAST(1 AS DOUBLE) / ns AS target_share, "
         "(CAST(1 AS DOUBLE) / ns) / (CAST(n_tokens AS DOUBLE) / t) "
         "AS weight FROM per_source, tot ORDER BY source"),
+    "q_top_p_quality": (
+        "WITH s AS (SELECT doc_id, source, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+        "AS score FROM documents WHERE text IS NOT NULL), "
+        "t AS (SELECT doc_id, source, score, "
+        "COALESCE(SUM(score) OVER (PARTITION BY source "
+        "ORDER BY score DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS cum_before, "
+        "SUM(score) OVER (PARTITION BY source) AS total FROM s) "
+        "SELECT doc_id, source, score FROM t "
+        f"WHERE cum_before * {TOP_P_DEN} < total * {TOP_P_NUM}"),
+    "q_sample_reservoir": (
+        "SELECT doc_id, lang, source, "
+        f"(doc_id * {_RESERVOIR_MIX}) % 1000000007 AS hkey "
+        "FROM documents "
+        f"ORDER BY hkey, doc_id LIMIT {RESERVOIR_K}"),
     "q_text_normalize": (
         "SELECT doc_id, "
         "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text, "

@@ -698,6 +698,45 @@ class TestCleaning:
         for shard, poss in by_shard.items():
             assert sorted(poss) == list(range(1, len(poss) + 1)), shard
 
+    def test_top_p_keeps_quality_mass_head(self, spark, tmp_path):
+        """Planted nucleus check: scores (distinct-word counts) 10/5/3/2
+        in one source, total 20 → p=0.5 keeps ONLY the score-10 doc
+        (cum_before 0 < 10; the score-5 doc sits at exactly half mass and
+        2·10 < 20 fails). A uniform 4×4 source keeps 3 of 5 docs (the
+        crossing element is included)."""
+        from table_versions_spark.operators import text as t
+
+        def words(n, tag):
+            return " ".join(f"{tag}{i}" for i in range(n))
+
+        rows = [(1, words(10, "a"), "en", "s1", 0),
+                (2, words(5, "b"), "en", "s1", 0),
+                (3, words(3, "c"), "en", "s1", 0),
+                (4, words(2, "d"), "en", "s1", 0)] + [
+               (10 + i, words(4, f"u{i}_"), "en", "s2", 0) for i in range(5)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        kept = {(r["source"], r["doc_id"]): r["score"]
+                for r in t.q_top_p_quality(spark, sf_dir).collect()}
+        assert {k for k in kept if k[0] == "s1"} == {("s1", 1)}
+        assert kept[("s1", 1)] == 10
+        # uniform source: cum_before 0,4,8 pass (2·8=16 < 20), 12 fails
+        assert {k[1] for k in kept if k[0] == "s2"} == {10, 11, 12}
+
+    def test_reservoir_sample_is_fixed_k_and_deterministic(self, spark,
+                                                           sf_small):
+        from table_versions_spark.operators import text as t
+
+        a = sorted(r["doc_id"]
+                   for r in t.q_sample_reservoir(spark, sf_small).collect())
+        b = sorted(r["doc_id"]
+                   for r in t.q_sample_reservoir(spark, sf_small).collect())
+        assert a == b and len(a) == t.RESERVOIR_K
+        assert len(set(a)) == t.RESERVOIR_K
+
     def test_lm_score_bounds(self, spark, sf_small):
         """Unigram log-probs are proper: every per-doc average lies between
         the rarest-possible token's log-prob (ln 1/N_total) and the most
