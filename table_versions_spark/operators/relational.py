@@ -252,6 +252,50 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.trim(F.lit("  x  ")).alias("trimmed")))
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-function surface: per-order sorted quantity array via
+    collect_list + array_sort, probed with element_at (both ends), an
+    ``aggregate`` fold (sum over the SORTED sequence, so the float fold
+    order is engine-independent; 2-dp round as belt), and
+    array_contains. One partial-agg shuffle on the group key; the array
+    ops are per-row JVM expressions on the grouped result."""
+    arr = F.array_sort(F.collect_list("l_quantity"))
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(arr.alias("arr"))
+            .select("l_orderkey",
+                    F.size("arr").cast("bigint").alias("n_items"),
+                    F.element_at("arr", 1).alias("qty_min"),
+                    F.element_at("arr", -1).alias("qty_max"),
+                    F.round(F.expr(
+                        "aggregate(arr, CAST(0 AS DOUBLE), "
+                        "(acc, x) -> acc + x)"), 2).alias("qty_sum"),
+                    F.array_contains("arr", 1.0).alias("has_single")))
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped MEDIAN (interpolated, percentile semantics both
+    engines share) plus a DETERMINISTIC MODE: Spark's builtin ``mode()``
+    picks an arbitrary value on frequency ties, so the mode here is
+    derived from the (flag, quantity) count table with a total
+    (count DESC, value ASC) ordering — reproducible on any engine. Two
+    tiny aggregations (the count table is |flags|·|distinct qty| rows)
+    joined broadcast-side."""
+    li = load(spark, sf_dir, "lineitem")
+    med = (li.groupBy("l_returnflag")
+           .agg(F.round(F.percentile("l_quantity", F.lit(0.5)), 6)
+                .alias("median_qty")))
+    counts = (li.groupBy("l_returnflag", "l_quantity")
+              .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity"))
+    mode = (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
+                    F.col("cnt").alias("mode_n")))
+    return med.join(mode, "l_returnflag")
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "lineitem")
             .where(F.col("l_linenumber") == 1)
@@ -502,6 +546,8 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_agg_hash": q_agg_hash,
     "q_agg_distinct": q_agg_distinct,
+    "q_agg_median": q_agg_median,
+    "q_array_funcs": q_array_funcs,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
@@ -527,6 +573,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_agg_median": (
+        "WITH med AS (SELECT l_returnflag, "
+        "ROUND(median(l_quantity), 6) AS median_qty "
+        "FROM lineitem GROUP BY 1), "
+        "counts AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt "
+        "FROM lineitem GROUP BY 1, 2), "
+        "m AS (SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY cnt DESC, l_quantity) AS rn FROM counts) WHERE rn = 1) "
+        "SELECT med.l_returnflag, median_qty, mode_qty, mode_n "
+        "FROM med JOIN m ON med.l_returnflag = m.l_returnflag"),
+    "q_array_funcs": (
+        "WITH g AS (SELECT l_orderkey, "
+        "list_sort(list(l_quantity)) AS arr FROM lineitem GROUP BY 1) "
+        "SELECT l_orderkey, CAST(len(arr) AS BIGINT) AS n_items, "
+        "arr[1] AS qty_min, arr[-1] AS qty_max, "
+        "ROUND(list_sum(arr), 2) AS qty_sum, "
+        "list_contains(arr, 1.0) AS has_single FROM g"),
     "q_window_ntile": (
         "SELECT o_orderkey, o_orderpriority, o_totalprice, "
         "CAST(ntile(10) OVER w AS INT) AS decile, "

@@ -35,6 +35,10 @@ PARITY_SUBSET = [
     "q_curation_pipeline", "q_rename_column", "q_update",
     "q_unpivot", "q_grouping_sets", "q_sample_temperature",
     "q_dedup_paragraph", "q_dedup_prefix",
+    # round-8 additions
+    "q_dedup_fuzzy", "q_entropy", "q_asof_tolerance", "q_window_ntile",
+    "q_dedup_containment", "q_top_p_quality", "q_sample_reservoir",
+    "q_agg_median", "q_array_funcs", "q_stream_late",
 ]
 
 
