@@ -231,6 +231,21 @@ def main(sf_dir: str, warehouse: str) -> None:
           f"pair(s) at any alignment; Gopher gate keeps "
           f"{gate.get(True, 0)}/{gate.get(True, 0) + gate.get(False, 0)} docs")
 
+    # 18. round-8 curation stages: fuzzy dedup, doc-in-doc containment, ----
+    # entropy signals, nucleus selection
+    from table_versions_spark.operators import text as textops
+
+    fuzzy = dedup.q_dedup_fuzzy(spark, sf_dir).count()
+    contain = dedup.q_dedup_containment(spark, sf_dir).count()
+    ent = (cleaning.q_entropy(spark, sf_dir)
+           .agg(F.round(F.avg("entropy"), 2).alias("h"),
+                F.round(F.avg("ttr"), 2).alias("ttr")).first())
+    kept = textops.q_top_p_quality(spark, sf_dir).count()
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    print(f"[18] fuzzy(edit-distance) dup pairs: {fuzzy}; doc-in-doc "
+          f"containment pairs: {contain}; mean entropy {ent['h']} bits/word "
+          f"(TTR {ent['ttr']}); top-p quality nucleus keeps {kept}/{total}")
+
     print("demo complete.")
 
 
