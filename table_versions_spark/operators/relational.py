@@ -241,6 +241,25 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ scalar functions
 
+def q_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations (``intersectAll`` / ``exceptAll`` —
+    SQL INTERSECT ALL / EXCEPT ALL): multiplicity-preserving overlap and
+    difference of two overlapping lineitem slices, tagged and unioned
+    into one result. Distinct from q_set_intersect/q_set_except, which
+    pin the DISTINCT variants; the bag forms keep min(n_a, n_b) /
+    max(n_a − n_b, 0) copies per value — a counting contract the
+    DISTINCT ops can't witness. Plans as a counted aggregate + generate
+    (no row-by-row anti semantics), shuffling each side once."""
+    li = load(spark, sf_dir, "lineitem")
+    a = (li.where(F.col("l_linenumber") <= 2)
+         .select("l_quantity", "l_returnflag"))
+    b = (li.where(F.col("l_linenumber") >= 2)
+         .select("l_quantity", "l_returnflag"))
+    return (a.intersectAll(b).withColumn("op", F.lit("intersect"))
+            .unionByName(
+                b.exceptAll(a).withColumn("op", F.lit("except"))))
+
+
 def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "part")
             .select("p_partkey",
@@ -558,6 +577,7 @@ QUERIES = {
     "q_topk": q_topk,
     "q_set_intersect": q_set_intersect,
     "q_set_except": q_set_except,
+    "q_set_bag_ops": q_set_bag_ops,
     "q_str_funcs": q_str_funcs,
     "q_math_funcs": q_math_funcs,
     "q_date_funcs": q_date_funcs,
@@ -573,6 +593,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_set_bag_ops": (
+        "WITH a AS (SELECT l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_linenumber <= 2), "
+        "b AS (SELECT l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_linenumber >= 2) "
+        "SELECT l_quantity, l_returnflag, 'intersect' AS op FROM "
+        "(SELECT * FROM a INTERSECT ALL SELECT * FROM b) "
+        "UNION ALL "
+        "SELECT l_quantity, l_returnflag, 'except' AS op FROM "
+        "(SELECT * FROM b EXCEPT ALL SELECT * FROM a)"),
     "q_agg_median": (
         "WITH med AS (SELECT l_returnflag, "
         "ROUND(median(l_quantity), 6) AS median_qty "

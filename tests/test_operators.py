@@ -38,7 +38,7 @@ PARITY_SUBSET = [
     # round-8 additions
     "q_dedup_fuzzy", "q_entropy", "q_asof_tolerance", "q_window_ntile",
     "q_dedup_containment", "q_top_p_quality", "q_sample_reservoir",
-    "q_agg_median", "q_array_funcs", "q_stream_late",
+    "q_agg_median", "q_array_funcs", "q_stream_late", "q_set_bag_ops",
 ]
 
 
