@@ -592,6 +592,84 @@ class TestCleaning:
         assert out[3]["entropy"] == 1.0 and out[3]["ttr"] == 0.5
         assert (out[1]["n_words"], out[1]["n_unique"]) == (4, 1)
 
+    def test_entropy_matches_pure_python_on_random_corpus(self, spark,
+                                                          tmp_path):
+        """Row-for-row agreement with an independent pure-Python
+        entropy/TTR on a seed-fixed random corpus (200 docs, zipf-ish
+        token draws) — the randomized pin behind the hand-checked cases."""
+        import math
+        import random
+        from collections import Counter
+
+        from table_versions_spark.operators import cleaning
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = [(i, " ".join(rng.choice(vocab[:rng.randint(1, 50)])
+                             for _ in range(rng.randint(1, 120))))
+                for i in range(200)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [(i, t, "en", "s", 0) for i, t in docs],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {r["doc_id"]: r
+               for r in cleaning.q_entropy(spark, sf_dir).collect()}
+        assert set(got) == {i for i, _ in docs}
+        for i, t in docs:
+            c = Counter(t.split(" "))
+            n = sum(c.values())
+            h = round(math.log2(n) - sum(v * math.log2(v)
+                                         for v in c.values()) / n, 6)
+            r = got[i]
+            assert (r["n_words"], r["n_unique"]) == (n, len(c)), i
+            assert abs(r["entropy"] - h) <= 1e-6, (i, r["entropy"], h)
+            assert r["ttr"] == round(len(c) / n, 6), i
+
+    def test_top_p_matches_pure_python_nucleus(self, spark, tmp_path):
+        """q_top_p_quality against an independent pure-Python nucleus
+        selection on a seed-fixed random corpus: identical kept sets per
+        source, kept mass ≥ p·total, and minimality (dropping the last
+        kept doc falls below p)."""
+        import random
+
+        from table_versions_spark.operators import text as t
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(150):
+            n_distinct = rng.randint(1, 40)
+            rows.append((i, " ".join(f"s{i}_{j}" for j in range(n_distinct)),
+                         "en", f"src{i % 4}", 0))
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        kept = {}
+        for r in t.q_top_p_quality(spark, sf_dir).collect():
+            kept.setdefault(r["source"], set()).add(r["doc_id"])
+        # pure-python nucleus per source
+        by_src: dict = {}
+        for i, text, _, src, _ in rows:
+            by_src.setdefault(src, []).append(
+                (len(set(text.split(" "))), i))
+        for src, scored in by_src.items():
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            total = sum(s for s, _ in scored)
+            cum, expect = 0, set()
+            for s, i in scored:
+                if cum * t.TOP_P_DEN < total * t.TOP_P_NUM:
+                    expect.add(i)
+                cum += s
+            assert kept.get(src, set()) == expect, src
+            mass = sum(s for s, i in scored if i in expect)
+            assert mass * t.TOP_P_DEN >= total * t.TOP_P_NUM
+            # minimality: dropping the lowest-ranked kept doc dips below p
+            s_last = [s for s, i in scored if i in expect][-1]
+            assert (mass - s_last) * t.TOP_P_DEN < total * t.TOP_P_NUM
+
     def test_contamination_excludes_benchmark_docs(self, spark, sf_small):
         from table_versions_spark.operators import cleaning
 
