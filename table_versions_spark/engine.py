@@ -2753,12 +2753,19 @@ class VersionedEngine:
 
     def history(self, table: TableName | str) -> DataFrame:
         """Commit history, most recent first, as a DataFrame
-        (reference ``updates``, ``TableVersions.scala:44-45``)."""
+        (reference ``updates``, ``TableVersions.scala:44-45``), with the
+        commit ``seq`` ordinal (Delta DESCRIBE HISTORY's ``version``):
+        the log is append-only with contiguous seqs, so position in the
+        full update list IS the seq — a deterministic ordering handle,
+        unlike the run-random commit_id/timestamp."""
         defn, log = self._log(table)
         metas = log.updates(defn.name)
+        n = len(metas)
         return self.spark.createDataFrame(
-            [(m.commit_id, m.user_id, m.message, m.timestamp) for m in metas],
-            "commit_id string, user_id string, message string, timestamp string")
+            [(n - 1 - i, m.commit_id, m.user_id, m.message, m.timestamp)
+             for i, m in enumerate(metas)],
+            "seq bigint, commit_id string, user_id string, message string, "
+            "timestamp string")
 
     def current_version(self, table: TableName | str) -> TableVersion:
         defn, log = self._log(table)

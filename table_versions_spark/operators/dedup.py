@@ -746,31 +746,36 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-place rewrites that leave most shingles intact but shift others,
     and that prefix/suffix containment misses when the edit is interior.
 
-    Scale shape mirrors q_dedup_prefix: candidate generation is an
-    equi-join on the first ``FUZZY_BLOCK`` characters (an interior-edit
-    near-dup overwhelmingly shares its head; a head-edited pair is out of
-    scope by contract — blocking IS the documented recall bound, exactly
-    like banding in MinHash-LSH). The block join exchanges only
-    (doc_id, length) and pre-prunes on ``|len_a − len_b| ≤ max_dist``
-    (an edit-distance lower bound), so no text moves until the verify;
-    text joins back BY ID for just the candidate pairs and the
+    Scale shape mirrors q_dedup_prefix, with TWO blocking keys: an
+    equi-join on the first ``FUZZY_BLOCK`` characters and one on the
+    last — a pair is a candidate if it shares EITHER end, so only a doc
+    edited in both its head and its tail escapes (the two-band analogue
+    of MinHash-LSH banding; blocking IS the documented recall bound).
+    Each block join exchanges only (doc_id, length) and pre-prunes on
+    ``|len_a − len_b| ≤ max_dist`` (an edit-distance lower bound), the
+    two candidate sets union-distinct, and no text moves until the
+    verify: text joins back BY ID for just the candidate pairs and the
     ``levenshtein(ta, tb, threshold)`` verify is the banded O(d·n)
     JVM kernel (early-exit at threshold), not the full O(n²) DP."""
     base = (load(spark, sf_dir, "documents")
             .where(F.length("text") >= FUZZY_BLOCK))
-    keys = base.select(
-        "doc_id",
-        F.substring("text", 1, FUZZY_BLOCK).alias("blk"),
-        F.length("text").cast("int").alias("n"))
-    a = keys.select(F.col("doc_id").alias("doc_id_a"),
-                    F.col("n").alias("len_a"), "blk")
-    b = keys.select(F.col("doc_id").alias("doc_id_b"),
-                    F.col("n").alias("len_b"), "blk")
-    cand = (a.join(b, "blk")
-            .where((F.col("doc_id_a") < F.col("doc_id_b"))
-                   & (F.abs(F.col("len_a") - F.col("len_b"))
-                      <= FUZZY_MAX_DIST))
-            .select("doc_id_a", "doc_id_b", "len_a", "len_b"))
+
+    def cand_for(blk_col):
+        keys = base.select("doc_id", blk_col.alias("blk"),
+                           F.length("text").cast("int").alias("n"))
+        a = keys.select(F.col("doc_id").alias("doc_id_a"),
+                        F.col("n").alias("len_a"), "blk")
+        b = keys.select(F.col("doc_id").alias("doc_id_b"),
+                        F.col("n").alias("len_b"), "blk")
+        return (a.join(b, "blk")
+                .where((F.col("doc_id_a") < F.col("doc_id_b"))
+                       & (F.abs(F.col("len_a") - F.col("len_b"))
+                          <= FUZZY_MAX_DIST))
+                .select("doc_id_a", "doc_id_b", "len_a", "len_b"))
+
+    cand = (cand_for(F.substring("text", 1, FUZZY_BLOCK))
+            .unionByName(cand_for(F.expr(f"right(text, {FUZZY_BLOCK})")))
+            .distinct())
     texts = base.select("doc_id", "text")
     dist = F.levenshtein(F.col("ta"), F.col("tb"), FUZZY_MAX_DIST)
     return (cand
@@ -946,15 +951,24 @@ ORACLES = {
         "AND ends_with(b.text, a.text)"),
     "q_dedup_fuzzy": (
         "WITH d AS (SELECT doc_id, text, "
-        f"substring(text, 1, {FUZZY_BLOCK}) AS blk, "
+        f"substring(text, 1, {FUZZY_BLOCK}) AS blk_p, "
+        f"right(text, {FUZZY_BLOCK}) AS blk_s, "
         "length(text) AS n FROM documents "
-        f"WHERE length(text) >= {FUZZY_BLOCK}) "
+        f"WHERE length(text) >= {FUZZY_BLOCK}), "
+        "cand AS (SELECT DISTINCT doc_id_a, doc_id_b, len_a, len_b FROM ("
+        "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
+        "CAST(a.n AS INT) AS len_a, CAST(b.n AS INT) AS len_b "
+        "FROM d a JOIN d b ON a.blk_p = b.blk_p AND a.doc_id < b.doc_id "
+        f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST} "
+        "UNION ALL "
+        "SELECT a.doc_id, b.doc_id, CAST(a.n AS INT), CAST(b.n AS INT) "
+        "FROM d a JOIN d b ON a.blk_s = b.blk_s AND a.doc_id < b.doc_id "
+        f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST})) "
         "SELECT doc_id_a, doc_id_b, len_a, len_b, dist, dist = 0 AS exact "
-        "FROM (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
-        "CAST(a.n AS INT) AS len_a, CAST(b.n AS INT) AS len_b, "
-        "CAST(levenshtein(a.text, b.text) AS INT) AS dist "
-        "FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id "
-        f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST}) "
+        "FROM (SELECT c.doc_id_a, c.doc_id_b, c.len_a, c.len_b, "
+        "CAST(levenshtein(x.text, y.text) AS INT) AS dist "
+        "FROM cand c JOIN d x ON c.doc_id_a = x.doc_id "
+        "JOIN d y ON c.doc_id_b = y.doc_id) "
         f"WHERE dist <= {FUZZY_MAX_DIST}"),
     "q_dedup_ngram": (
         f"WITH {_NGRAM_PAIRS_CTES} "

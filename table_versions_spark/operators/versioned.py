@@ -773,6 +773,32 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events bigint, sum_value double").parquet(os.path.join(run, "out"))
 
 
+def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-history surface as a driver-checkable id (engine.history =
+    reference ``updates``, ``TableVersions.scala:44-45``; Delta DESCRIBE
+    HISTORY shape): a fresh table takes a create → insert → dv-delete →
+    rewrite-update commit chain and the history must replay it EXACTLY —
+    seq ordinals descending from the head, each commit's author and
+    message intact. commit_id/timestamp are run-random and excluded; the
+    ``seq`` column (added for this contract) is the deterministic
+    ordering handle, position-derived from the append-only contiguous
+    log. Driver-side metadata only — no table data is read."""
+    st = _shared(spark, sf_dir)
+    eng = st["eng"]
+    table = f"vx.hist_{next(_SEQ)}"
+    eng.create_table(table, schema_ddl=EVENTS_DDL,
+                     partition_columns=["event_date"],
+                     user_id="creator", message="create events table")
+    eng.insert(_events_for_insert(spark, sf_dir), table,
+               "loader", "load all days")
+    eng.delete(table, "event_type = 'error'", "auditor", "purge errors",
+               mode="dv")
+    eng.update(table, set={"value": "value * 2"},
+               predicate="event_type = 'click'",
+               user_id="ops", message="reprice clicks")
+    return eng.history(table).select("seq", "user_id", "message")
+
+
 LATE_MOD = 7  # event_id % LATE_MOD == 0 ⇒ the row arrives in the LATE wave
 
 
@@ -1199,6 +1225,7 @@ QUERIES = {
     "q_stream_cdf": q_stream_cdf,
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
+    "q_history": q_history,
     "q_stream_window_tvx": q_stream_window_tvx,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -1266,6 +1293,13 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_history": (
+        "SELECT * FROM (VALUES "
+        "(CAST(3 AS BIGINT), 'ops', 'reprice clicks'), "
+        "(2, 'auditor', 'purge errors'), "
+        "(1, 'loader', 'load all days'), "
+        "(0, 'creator', 'create events table')) "
+        "AS t(seq, user_id, message)"),
     "q_stream_late": (
         # two-run late-data rule: wave-2 rows (event_id % LATE_MOD = 0)
         # whose window end ≤ wm1 = max(wave-1 ts) − 10 min were dropped by

@@ -39,6 +39,7 @@ PARITY_SUBSET = [
     "q_dedup_fuzzy", "q_entropy", "q_asof_tolerance", "q_window_ntile",
     "q_dedup_containment", "q_top_p_quality", "q_sample_reservoir",
     "q_agg_median", "q_array_funcs", "q_stream_late", "q_set_bag_ops",
+    "q_history",
 ]
 
 
@@ -454,12 +455,17 @@ class TestDedupScaleContracts:
         from table_versions_spark.operators import dedup
 
         pre = "p" * dedup.FUZZY_BLOCK
+        tail = "t" * dedup.FUZZY_BLOCK
         rows = [
             (1, pre + " alpha beta gamma delta", "en", "s", 0),
             (2, pre + " alpha bXta gamma dYlta", "en", "s", 0),  # dist 2
             (3, pre + " " + "z" * 22, "en", "s", 0),  # same len, dist > 16
             (4, pre + " alpha beta gamma delta", "en", "s", 0),  # == doc 1
             (5, "tiny", "en", "s", 0),                # below block length
+            # head-edited pair sharing only the TAIL block: the second
+            # band must recall it (dist 2, lengths equal)
+            (6, "aaaa middle words " + tail, "en", "s", 0),
+            (7, "bbbb middle words " + tail, "en", "s", 0),
         ]
         sf_dir = str(tmp_path / "sf")
         spark.createDataFrame(
@@ -471,6 +477,7 @@ class TestDedupScaleContracts:
         assert got[(1, 2)] == (2, False)
         assert got[(2, 4)] == (2, False)
         assert got[(1, 4)] == (0, True)
+        assert got[(6, 7)] == (4, False)  # head edit caught by tail band
         assert not any(3 in pair or 5 in pair for pair in got)
 
     def test_containment_catches_doc_in_doc(self, spark, tmp_path):
