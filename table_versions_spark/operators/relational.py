@@ -292,6 +292,30 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.array_contains("arr", 1.0).alias("has_single")))
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: per-order linenumber→quantity map via
+    map_from_entries over a sorted entry list, probed with element_at
+    (NULL on absent key), map_values/map_keys + array_max. Linenumbers
+    are NOT unique per order in this corpus, so entries pre-aggregate to
+    (order, line)→max(quantity) — map_from_entries on duplicate keys is
+    an error in both engines, and the dedup IS the semantic point. Only
+    scalars are projected out (no map column reaches the hash compare)."""
+    li = load(spark, sf_dir, "lineitem")
+    d = (li.groupBy("l_orderkey", "l_linenumber")
+         .agg(F.max("l_quantity").alias("q")))
+    entries = F.array_sort(F.collect_list(
+        F.struct(F.col("l_linenumber").alias("key"),
+                 F.col("q").alias("value"))))
+    g = (d.groupBy("l_orderkey")
+         .agg(F.map_from_entries(entries).alias("m")))
+    return g.select(
+        "l_orderkey",
+        F.size("m").alias("n_keys"),
+        F.element_at("m", F.lit(1)).alias("q1"),
+        F.array_max(F.map_values("m")).alias("q_max"),
+        F.array_max(F.map_keys("m")).alias("k_max"))
+
+
 def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped MEDIAN (interpolated, percentile semantics both
     engines share) plus a DETERMINISTIC MODE: Spark's builtin ``mode()``
@@ -567,6 +591,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_median": q_agg_median,
     "q_array_funcs": q_array_funcs,
+    "q_map_funcs": q_map_funcs,
     "q_agg_approx_distinct": q_agg_approx_distinct,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
@@ -593,6 +618,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_map_funcs": (
+        "WITH d AS (SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS q "
+        "FROM lineitem GROUP BY 1, 2), "
+        "g AS (SELECT l_orderkey, map_from_entries(list_sort(list("
+        "{'key': l_linenumber, 'value': q}))) AS m FROM d GROUP BY 1) "
+        "SELECT l_orderkey, CAST(cardinality(m) AS INT) AS n_keys, "
+        "map_extract(m, 1)[1] AS q1, "
+        "list_max(map_values(m)) AS q_max, "
+        "list_max(map_keys(m)) AS k_max FROM g"),
     "q_set_bag_ops": (
         "WITH a AS (SELECT l_quantity, l_returnflag FROM lineitem "
         "WHERE l_linenumber <= 2), "
