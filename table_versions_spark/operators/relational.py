@@ -129,6 +129,62 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_custkey", "c_name"))
 
 
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the join type the inner/left/semi/anti ids can't
+    witness: per-nation order totals (via customer) full-outer-joined
+    against per-nation supplier counts, so nations missing from either
+    side surface with NULLs on that side and the coalesced key survives.
+    Both inputs pre-aggregate to |nations| rows before the join — the
+    aggregate-then-outer-join shape that keeps the nullable side tiny."""
+    cust_orders = (load(spark, sf_dir, "orders")
+                   .join(load(spark, sf_dir, "customer"),
+                         F.col("o_custkey") == F.col("c_custkey"))
+                   .groupBy("c_nationkey")
+                   .agg(F.count("*").alias("n_orders"),
+                        F.round(F.sum("o_totalprice"), 2)
+                        .alias("sum_price")))
+    supp = (load(spark, sf_dir, "supplier")
+            .groupBy("s_nationkey")
+            .agg(F.count("*").alias("n_suppliers")))
+    return (cust_orders.join(
+                supp, cust_orders.c_nationkey == supp.s_nationkey, "outer")
+            .select(F.coalesce("c_nationkey", "s_nationkey")
+                    .alias("nationkey"),
+                    "n_orders", "sum_price", "n_suppliers"))
+
+
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cogroup().applyInPandas`` — the two-sided Arrow-grouped API
+    (next to q_udf/udaf/udtf's one-sided forms): each customer key's
+    orders AND customer rows arrive as two pandas frames in one task;
+    the function joins them imperatively (order count + total vs the
+    account balance, flagging over-spenders). Keys present on only one
+    side still fire with an empty peer frame — semantics a SQL FULL
+    JOIN + GROUP BY states exactly, which is the oracle. One co-shuffle
+    on the key, Arrow both ways, group state never leaves the task."""
+    import pandas as pd
+
+    orders = (load(spark, sf_dir, "orders")
+              .select("o_custkey", "o_totalprice"))
+    cust = (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_acctbal"))
+
+    def merge(key, od: pd.DataFrame, cd: pd.DataFrame) -> pd.DataFrame:
+        bal = float(cd["c_acctbal"].iloc[0]) if len(cd) else None
+        total = round(float(od["o_totalprice"].sum()), 2) if len(od) else 0.0
+        return pd.DataFrame(
+            [{"custkey": key[0], "n_orders": len(od), "sum_price": total,
+              "acctbal": bal,
+              "overspent": bal is not None and total > 100.0 * bal}])
+
+    return (orders.groupBy("o_custkey")
+            .cogroup(cust.groupBy("c_custkey"))
+            .applyInPandas(merge,
+                           "custkey bigint, n_orders bigint, "
+                           "sum_price double, acctbal double, "
+                           "overspent boolean"))
+
+
 # ----------------------------------------------------------- aggregates
 
 def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +643,8 @@ QUERIES = {
     "q_join_left": q_join_left,
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
+    "q_join_outer": q_join_outer,
+    "q_cogroup": q_cogroup,
     "q_agg_hash": q_agg_hash,
     "q_agg_distinct": q_agg_distinct,
     "q_agg_median": q_agg_median,
@@ -618,6 +676,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_join_outer": (
+        "WITH co AS (SELECT c_nationkey, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY 1), "
+        "s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers "
+        "FROM supplier GROUP BY 1) "
+        "SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, "
+        "n_orders, sum_price, n_suppliers "
+        "FROM co FULL OUTER JOIN s ON c_nationkey = s_nationkey"),
+    "q_cogroup": (
+        "WITH og AS (SELECT o_custkey AS k, COUNT(*) AS n_orders, "
+        "ROUND(SUM(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1), "
+        "cg AS (SELECT c_custkey AS k, c_acctbal FROM customer) "
+        "SELECT COALESCE(og.k, cg.k) AS custkey, "
+        "COALESCE(n_orders, 0) AS n_orders, "
+        "COALESCE(sum_price, 0.0) AS sum_price, "
+        "c_acctbal AS acctbal, "
+        "(c_acctbal IS NOT NULL AND COALESCE(sum_price, 0.0) > "
+        "100.0 * c_acctbal) AS overspent "
+        "FROM og FULL OUTER JOIN cg ON og.k = cg.k"),
     "q_map_funcs": (
         "WITH d AS (SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS q "
         "FROM lineitem GROUP BY 1, 2), "

@@ -81,6 +81,11 @@ def audit_plan(name: str, jplan, plan: str) -> list[str]:
     for node in _iter_nodes(jplan):
         nn = node.nodeName()
         if nn in ("SortMergeJoin", "ShuffledHashJoin"):
+            # FULL OUTER cannot broadcast either side (BroadcastHashJoin
+            # supports no FullOuter build side), so a sort-merge full
+            # outer over a dimension IS the correct large-cluster plan.
+            if "FullOuter" in node.toString().splitlines()[0]:
+                continue
             children = node.children()
             for i in range(children.size()):
                 scans = [s for s in _leaf_scans(children.apply(i))
