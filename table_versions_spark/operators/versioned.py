@@ -773,6 +773,46 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events bigint, sum_value double").parquet(os.path.join(run, "out"))
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the third streaming-join shape
+    next to q_stream_join's stream-stream and q_stream_dedup's keyed
+    state: the event stream joins a static customer dimension
+    (c_custkey = user_id + 1) per micro-batch, no watermark needed on
+    the static side, then aggregates per market segment in complete
+    mode. Spark plans the static side as an ordinary broadcast per
+    batch — at scale the dimension re-resolves each trigger (picking up
+    dim updates), while the stream side fans out like any file batch.
+    Inner join per batch ≡ the batch join, which is the oracle; sums
+    are integer event_ids plus one 2-dp-rounded value sum."""
+    import os
+
+    from .common import fs_exists, scratch_dir
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = scratch_dir(spark, f"stream-ssj-src-{tag}")
+    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
+        (load_events(spark, sf_dir)
+         .select("event_id", "ts", "user_id", "value")
+         .write.mode("overwrite").parquet(src))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "value double")
+              .parquet(src))
+    joined = stream.join(
+        cust, cust.c_custkey == stream.user_id + 1)
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("event_id").alias("sum_eid"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    name = f"tvx_ssj_{next(_SEQ)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    _await(q)
+    return spark.table(name)
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-history surface as a driver-checkable id (engine.history =
     reference ``updates``, ``TableVersions.scala:44-45``; Delta DESCRIBE
@@ -1226,6 +1266,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
     "q_history": q_history,
+    "q_stream_static_join": q_stream_static_join,
     "q_stream_window_tvx": q_stream_window_tvx,
     "q_stream_session": q_stream_session,
     "q_stream_dedup": q_stream_dedup,
@@ -1293,6 +1334,12 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_stream_static_join": (
+        "SELECT c_mktsegment, COUNT(*) AS n_events, "
+        "CAST(SUM(event_id) AS BIGINT) AS sum_eid, "
+        "ROUND(SUM(value), 2) AS sum_value "
+        "FROM events JOIN customer ON c_custkey = user_id + 1 "
+        "GROUP BY c_mktsegment"),
     "q_history": (
         "SELECT * FROM (VALUES "
         "(CAST(3 AS BIGINT), 'ops', 'reprice clicks'), "
