@@ -477,6 +477,28 @@ def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "amount", "event_date")
 
 
+def q_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DROP COLUMN (engine ``drop_column``, the sibling of
+    ``rename_column``): ``user_id`` disappears from reads with ZERO data
+    rewrite — every committed file keeps its bytes, the physical name
+    stays reserved against resurrection by schema evolution, and the
+    change is itself a logged commit. A post-drop append then writes
+    files WITHOUT the column, so the read path must serve mixed-era
+    files through one schema — the oracle is the same union stated over
+    the raw events (dropped column simply projected away)."""
+    st = _shared(spark, sf_dir)
+    eng, min_date = st["eng"], st["min_date"]
+    table = _clone_base(st)
+    eng.drop_column(table, "user_id")
+    ev = _events_for_insert(spark, sf_dir)
+    extra = (ev.where(F.col("event_date") == F.lit(min_date))
+             .drop("user_id")
+             .withColumn("event_id", F.col("event_id") + 1_000_000))
+    eng.insert(extra, table, "tester", "post-drop append", mode="append")
+    return eng.read(table).select(
+        "event_id", "event_type", "value", "event_date")
+
+
 def q_derived_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated partition column (engine ``partition_derivations``, Delta
     GENERATED-column shape): the table declares
@@ -1280,6 +1302,7 @@ QUERIES = {
     "q_zorder_skipping": q_zorder_skipping,
     "q_derived_partition": q_derived_partition,
     "q_rename_column": q_rename_column,
+    "q_drop_column": q_drop_column,
     "q_bloom_skipping": q_bloom_skipping,
     "q_vacuum_invariant": q_vacuum_invariant,
     "q_compact_invariant": q_compact_invariant,
@@ -1446,6 +1469,12 @@ ORACLES = {
     "q_rename_column": (
         "SELECT event_id, user_id, event_type, value AS amount, "
         "CAST(ts AS DATE) AS event_date FROM events"),
+    "q_drop_column": (
+        "SELECT event_id, event_type, value, "
+        "CAST(ts AS DATE) AS event_date FROM events "
+        "UNION ALL SELECT event_id + 1000000, event_type, value, "
+        "CAST(ts AS DATE) FROM events "
+        f"WHERE CAST(ts AS DATE) = {_MIN_DATE_SQL}"),
     "q_derived_partition": (
         "SELECT event_id, user_id, event_type, value, "
         "CAST(ts AS DATE) AS event_date FROM events "
