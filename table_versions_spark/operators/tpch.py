@@ -380,9 +380,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "l_partkey", "left_semi")
           .join(F.broadcast(sn.select(F.col("s_suppkey").alias("l_suppkey"))),
                 "l_suppkey", "left_semi"))
+    # the unit-price quotient is pinned through DECIMAL(18,6) BEFORE the
+    # round: rounding the raw double hits multiply-vs-BigDecimal scaling
+    # seams at .5 boundaries (found at sf0.1: 478.40075 rounded .4007 by
+    # Spark and .4008 by DuckDB). A binary double can never sit exactly ON
+    # a 6th-decimal tie, so both engines cast to the SAME decimal and the
+    # final ROUND(…, 4) is exact decimal arithmetic on both sides.
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "decimal(18,6)")
     ps = (li.groupBy("l_partkey", "l_suppkey")
-          .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4)
-               .alias("cost")))
+          .agg(F.round(F.min(unit), 4).cast("double").alias("cost")))
     cand = (ps.join(F.broadcast(sn), ps.l_suppkey == sn.s_suppkey)
             .join(F.broadcast(part), ps.l_partkey == part.p_partkey))
     mn = F.min("cost").over(Window.partitionBy("l_partkey"))
@@ -539,7 +546,8 @@ _REV = "l_extendedprice * (1 - l_discount)"
 ORACLES = {
     "q_tpch_q2": (
         "WITH ps AS (SELECT l_partkey, l_suppkey, "
-        "ROUND(MIN(l_extendedprice / l_quantity), 4) AS cost "
+        "CAST(ROUND(MIN(CAST(l_extendedprice / l_quantity "
+        "AS DECIMAL(18,6))), 4) AS DOUBLE) AS cost "
         "FROM lineitem GROUP BY l_partkey, l_suppkey), "
         "cand AS (SELECT s_acctbal, s_name, n_name, "
         "l_partkey AS p_partkey, cost, "
