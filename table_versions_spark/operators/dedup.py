@@ -621,11 +621,14 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    edges = (q_dedup_ngram(spark, sf_dir)
-             .select("doc_id_a", "doc_id_b"))
+    from .common import fs_exists
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    edge_dir = scratch_dir(spark, f"dedup-edges-{tag}")
-    edges.write.mode("overwrite").parquet(edge_dir)
+    edge_dir = scratch_dir(spark, f"dedup-edges-{_corpus_tag(sf_dir)}")
+    if not fs_exists(spark, os.path.join(edge_dir, "_SUCCESS")):
+        (q_dedup_ngram(spark, sf_dir)
+         .select("doc_id_a", "doc_id_b")
+         .write.mode("overwrite").parquet(edge_dir))
     edges = spark.read.parquet(edge_dir)
     sym = (edges.select(F.col("doc_id_a").alias("src"),
                         F.col("doc_id_b").alias("dst"))
