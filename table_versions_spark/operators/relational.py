@@ -395,6 +395,26 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(mode, "l_returnflag")
 
 
+def q_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-function surface over part names: first-word extraction via a
+    capture group, vowel stripping via global replace, and an rlike/
+    regexp_matches flag. Patterns deliberately stay inside the
+    Java-regex ∩ RE2 dialect intersection (character classes, anchors,
+    capture groups — no lookaround, no backrefs), the same discipline
+    ``q_pii_redact``'s pattern documents; that intersection is what makes
+    a cross-engine regex oracle sound. One codegen'd scan, no shuffle."""
+    return (load(spark, sf_dir, "part")
+            .select("p_partkey",
+                    F.regexp_extract("p_name", r"^([a-z]+)", 1)
+                    .alias("first_word"),
+                    F.regexp_replace("p_name", r"[aeiou]", "")
+                    .alias("devoweled"),
+                    F.col("p_name").rlike(r"^[a-z]+ [a-z]+$")
+                    .alias("two_words"),
+                    F.regexp_extract("p_type", r"([A-Z]+)$", 1)
+                    .alias("type_tail")))
+
+
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (load(spark, sf_dir, "lineitem")
             .where(F.col("l_linenumber") == 1)
@@ -662,6 +682,7 @@ QUERIES = {
     "q_set_except": q_set_except,
     "q_set_bag_ops": q_set_bag_ops,
     "q_str_funcs": q_str_funcs,
+    "q_regexp_funcs": q_regexp_funcs,
     "q_math_funcs": q_math_funcs,
     "q_date_funcs": q_date_funcs,
     "q_json_funcs": q_json_funcs,
@@ -676,6 +697,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_regexp_funcs": (
+        "SELECT p_partkey, "
+        "COALESCE(regexp_extract(p_name, '^([a-z]+)', 1), '') "
+        "AS first_word, "
+        "regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled, "
+        "regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words, "
+        "COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') "
+        "AS type_tail FROM part"),
     "q_join_outer": (
         "WITH co AS (SELECT c_nationkey, COUNT(*) AS n_orders, "
         "ROUND(SUM(o_totalprice), 2) AS sum_price FROM orders "

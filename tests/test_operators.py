@@ -40,7 +40,7 @@ PARITY_SUBSET = [
     "q_dedup_containment", "q_top_p_quality", "q_sample_reservoir",
     "q_agg_median", "q_array_funcs", "q_stream_late", "q_set_bag_ops",
     "q_history", "q_map_funcs", "q_join_outer", "q_cogroup",
-    "q_stream_static_join", "q_drop_column",
+    "q_stream_static_join", "q_drop_column", "q_regexp_funcs",
 ]
 
 
