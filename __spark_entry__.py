@@ -78,7 +78,7 @@ def _registry() -> tuple[dict, dict]:
         "q_sample_reservoir", "q_agg_median", "q_array_funcs",
         "q_set_bag_ops", "q_history", "q_map_funcs", "q_join_outer",
         "q_cogroup", "q_stream_static_join", "q_drop_column",
-        "q_regexp_funcs",
+        "q_regexp_funcs", "q_resample_locf",
         # --- 13 r4-stale ids ---
         "q_anomaly", "q_curation_pipeline", "q_date_from_ts", "q_funnel",
         "q_grouping_sets", "q_json_funcs", "q_lm_score", "q_scan_csv",

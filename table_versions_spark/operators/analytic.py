@@ -103,6 +103,54 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("nxt.t") - F.col("ts_us")).alias("gap_us")))
 
 
+RESAMPLE_HOURS = 6   # fixed resample grid step
+RESAMPLE_USERS = 10  # user_id < this bound rides the resample
+
+
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with last-observation-carried-forward: each
+    tracked user's event value sampled onto a fixed 6-hour grid spanning
+    the corpus (day-aligned start), each grid point carrying the most
+    recent at-or-before value — pandas ``resample().ffill()`` /
+    TimescaleDB ``locf(time_bucket_gapfill(...))`` semantics, including
+    NULL before a user's first event.
+
+    Scale shape: the grid is GENERATED declaratively (``sequence`` over
+    the corpus min/max — no driver collect) and cross-joined with the
+    tiny tracked-user set (both broadcast-sized by construction — the
+    BNLJ is whitelisted in the plan audit for exactly this reason); then
+    the q_asof_join union+window trick fills values in ONE shuffle on
+    user_id — refs sort before probes at equal ts, making the carry
+    at-or-before inclusive. Per-(user, ts) duplicates collapse to the
+    lexicographic-max (event_id, value) so the fill is deterministic on
+    replayed corpora."""
+    ev = load_events(spark, sf_dir)
+    refs = (ev.where(F.col("user_id") < RESAMPLE_USERS)
+            .groupBy("user_id", "ts")
+            .agg(F.max(F.struct("event_id", "value"))["value"]
+                 .alias("value")))
+    grid = (ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"),
+                   F.max("ts").alias("t1"))
+            .select(F.explode(F.expr(
+                f"sequence(t0, t1, interval {RESAMPLE_HOURS} hours)"))
+                .alias("grid_ts")))
+    users = refs.select("user_id").distinct()
+    probes = (users.crossJoin(F.broadcast(grid))
+              .select("user_id", F.col("grid_ts").alias("ts"),
+                      F.lit(None).cast("double").alias("value"),
+                      F.lit(1).alias("is_probe")))
+    tagged = (refs.withColumn("is_probe", F.lit(0))
+              .unionByName(probes))
+    w = (Window.partitionBy("user_id").orderBy("ts", "is_probe")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = F.last(F.when(F.col("is_probe") == 0, F.col("value")),
+                    ignorenulls=True).over(w)
+    return (tagged.withColumn("locf_value", filled)
+            .where(F.col("is_probe") == 1)
+            .select("user_id", F.col("ts").alias("grid_ts"),
+                    "locf_value"))
+
+
 # ------------------------------------------------------------ range join
 
 BANDS = [(1, "low", 0.0, 10.0), (2, "mid", 10.0, 25.0),
@@ -366,6 +414,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_resample_locf": q_resample_locf,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -402,6 +451,22 @@ ORACLES = {
         "AS week_offset, COUNT(DISTINCT e.user_id) AS n_users "
         "FROM e JOIN f ON e.user_id = f.user_id "
         "GROUP BY cohort_date, week_offset"),
+    "q_resample_locf": (
+        "WITH b AS (SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1 "
+        "FROM events), "
+        "grid AS (SELECT unnest(generate_series("
+        "(SELECT t0 FROM b), (SELECT t1 FROM b), "
+        f"INTERVAL {RESAMPLE_HOURS} HOUR)) AS grid_ts), "
+        "refs AS (SELECT user_id, ts, value FROM ("
+        "SELECT user_id, ts, value, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id, ts "
+        "ORDER BY event_id DESC, value DESC) AS rn FROM events "
+        f"WHERE user_id < {RESAMPLE_USERS}) WHERE rn = 1), "
+        "users AS (SELECT DISTINCT user_id FROM refs) "
+        "SELECT u.user_id, g.grid_ts, "
+        "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
+        "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
+        "FROM users u CROSS JOIN grid g"),
     "q_asof_tolerance": (
         "WITH probes AS (SELECT event_id, user_id, value, epoch_us(ts) "
         "AS tu FROM events WHERE event_type = 'purchase'), "

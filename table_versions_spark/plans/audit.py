@@ -41,6 +41,9 @@ EXPECTED: dict[str, set[str]] = {
     # single-row broadcast scalar (Σ sqrt(count) normalizer) crossed into
     # the per-group quota table — 1-row build, optimal plan
     "q_sample_temperature": {"bnlj"},
+    # generated 6h grid (≤ O(days·4) rows, broadcast) crossed with the
+    # tiny tracked-user set — both sides bounded by construction
+    "q_resample_locf": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},

@@ -41,6 +41,7 @@ PARITY_SUBSET = [
     "q_agg_median", "q_array_funcs", "q_stream_late", "q_set_bag_ops",
     "q_history", "q_map_funcs", "q_join_outer", "q_cogroup",
     "q_stream_static_join", "q_drop_column", "q_regexp_funcs",
+    "q_resample_locf",
 ]
 
 
@@ -163,6 +164,40 @@ class TestAnalytic:
         out = {r["event_id"]: (r["next_event_id"], r["gap_us"])
                for r in q_asof_tolerance(spark, d).collect()}
         assert out == {10: (3, 10_000_000), 11: (None, None)}
+
+    def test_resample_locf_semantics(self, spark, tmp_path):
+        """Planted LOCF pins: NULL before a user's first event, carry
+        across empty grid intervals, at-grid-time events included
+        (at-or-before), and the day-aligned grid spans the corpus."""
+        import datetime
+
+        from table_versions_spark.operators.analytic import q_resample_locf
+
+        def ns(d, h):
+            t = datetime.datetime(2024, 1, d, h,
+                                  tzinfo=datetime.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        rows = [
+            (1, ns(1, 3), 1, "view", 1.0, ""),
+            (2, ns(1, 12), 1, "view", 2.0, ""),   # exactly ON a grid point
+            (3, ns(2, 1), 2, "view", 9.0, ""),    # extends the grid span
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+        d = str(tmp_path / "sf")
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        out = {(r.user_id, r.grid_ts.day, r.grid_ts.hour): r.locf_value
+               for r in q_resample_locf(spark, d).collect()}
+        # grid: Jan 1 00/06/12/18 + Jan 2 00 (t1 = Jan 2 01:00)
+        assert out[(1, 1, 0)] is None          # before first event
+        assert out[(1, 1, 6)] == 1.0           # carried from 03:00
+        assert out[(1, 1, 12)] == 2.0          # at-grid-time inclusive
+        assert out[(1, 1, 18)] == 2.0          # carried across the gap
+        assert out[(1, 2, 0)] == 2.0
+        assert all(v is None for (u, _, _), v in out.items() if u == 2)
+        assert len(out) == 10
 
     def test_window_ntile_buckets_balanced(self, spark, sf_small):
         """ntile(10) must split each priority into buckets whose sizes
