@@ -93,6 +93,8 @@ HEADLINE = [
     "q_asof_tolerance",
     "q_window_ntile",
     "q_top_p_quality",
+    "q_resample_locf",
+    "q_regexp_funcs",
 ]
 
 
