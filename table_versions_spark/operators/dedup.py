@@ -30,6 +30,31 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .common import load, scratch_dir
 
+# Serializes first-time scratch-index builds (rare, seconds-long): two
+# threads probing a missing _SUCCESS concurrently would otherwise race
+# mode="overwrite" writes into the SAME process-namespaced dir — the
+# in-thread analogue of the cross-process hazard scratch_dir documents.
+# Double-checked: the probe re-runs under the lock, so the loser of the
+# race reads the winner's build instead of rebuilding. RLock, because
+# builds NEST: the dedup-groups edge build runs q_dedup_ngram, whose
+# keys build re-enters from the same thread.
+_INDEX_BUILD_LOCK = __import__("threading").RLock()
+
+
+def _build_once(spark: SparkSession, out_dir: str, build) -> None:
+    """Build a content-pure scratch index exactly once per process:
+    fast-path probe outside the lock, re-probe + build inside it."""
+    import os
+
+    from .common import fs_exists
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if fs_exists(spark, marker):
+        return
+    with _INDEX_BUILD_LOCK:
+        if not fs_exists(spark, marker):
+            build()
+
 
 def _corpus_tag(sf_dir: str) -> str:
     """Scratch-dir suffix digesting the FULL corpus path: two corpora
@@ -156,11 +181,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the ngram-keys index): the signature table is content-pure per
     # corpus digest, and recomputing the Python signature stage per call
     # is exactly the recompute a production pipeline persists to avoid.
-    from .common import fs_exists
-
     sig_dir = scratch_dir(spark, f"minhash-sig-{_corpus_tag(sf_dir)}")
-    if not fs_exists(spark, os.path.join(sig_dir, "_SUCCESS")):
-        sig.write.mode("overwrite").parquet(sig_dir)
+    _build_once(spark, sig_dir,
+                lambda: sig.write.mode("overwrite").parquet(sig_dir))
     sig = spark.read.parquet(sig_dir)
     # NARROW band join: only (doc_id, 64-bit band key) rides the band
     # shuffle — 16-byte rows instead of rows carrying the 1 KB signature
@@ -210,8 +233,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and ~1.3 s slower inside the full bench session — the parquet
     # roundtrip keeps the AQE-planned, cache-independent shape.
     surv_dir = scratch_dir(spark, f"minhash-surv-{_corpus_tag(sf_dir)}")
-    if not fs_exists(spark, os.path.join(surv_dir, "_SUCCESS")):
-        survivors.write.mode("overwrite").parquet(surv_dir)
+    _build_once(spark, surv_dir,
+                lambda: survivors.write.mode("overwrite").parquet(surv_dir))
     survivors = spark.read.parquet(surv_dir)
     ids = (survivors.select(F.col("doc_id_a").alias("doc_id"))
            .unionByName(survivors.select(F.col("doc_id_b").alias("doc_id")))
@@ -348,23 +371,21 @@ def _rare_shingle_candidates(spark: SparkSession, sf_dir: str):
     # 5.1 s cold → 1.3 s reusing ngram's index). The candidate self-join also consumes the
     # table twice, which is why it is materialized even on first compute
     # (scratch_dir = shared storage on a real cluster).
-    from .common import fs_exists
-
     keys_dir = scratch_dir(spark, f"ngram-keys-{_corpus_tag(sf_dir)}")
-    if not fs_exists(spark, os.path.join(keys_dir, "_SUCCESS")):
-        rare = (postings.groupBy("g").agg(F.count("*").alias("df"))
-                .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
-        # The broadcast hint assumes the rare-shingle table fits the
-        # driver; on a web-scale corpus (where MOST distinct shingles are
-        # rare) drop the hint and let AQE choose — the fallback shuffle
-        # join on g is still skew-free by construction (every surviving
-        # key has df ≤ NGRAM_DF_CAP).
-        ranked = (postings.join(F.broadcast(rare), "g")
-                  .withColumn("rn", F.row_number().over(
-                      Window.partitionBy("doc_id").orderBy("df", "g")))
-                  .where(F.col("rn") <= NGRAM_BLOCK_KEYS)
-                  .select("doc_id", "g"))
-        ranked.write.mode("overwrite").parquet(keys_dir)
+    rare = (postings.groupBy("g").agg(F.count("*").alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= NGRAM_DF_CAP)))
+    # The broadcast hint assumes the rare-shingle table fits the
+    # driver; on a web-scale corpus (where MOST distinct shingles are
+    # rare) drop the hint and let AQE choose — the fallback shuffle
+    # join on g is still skew-free by construction (every surviving
+    # key has df ≤ NGRAM_DF_CAP).
+    ranked = (postings.join(F.broadcast(rare), "g")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "g")))
+              .where(F.col("rn") <= NGRAM_BLOCK_KEYS)
+              .select("doc_id", "g"))
+    _build_once(spark, keys_dir,
+                lambda: ranked.write.mode("overwrite").parquet(keys_dir))
     ranked = spark.read.parquet(keys_dir)
     cand = (ranked.alias("a").join(ranked.alias("b"), "g")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -621,14 +642,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from .common import fs_exists
-
     tag = os.path.basename(os.path.normpath(sf_dir))
     edge_dir = scratch_dir(spark, f"dedup-edges-{_corpus_tag(sf_dir)}")
-    if not fs_exists(spark, os.path.join(edge_dir, "_SUCCESS")):
-        (q_dedup_ngram(spark, sf_dir)
-         .select("doc_id_a", "doc_id_b")
-         .write.mode("overwrite").parquet(edge_dir))
+    _build_once(spark, edge_dir,
+                lambda: (q_dedup_ngram(spark, sf_dir)
+                         .select("doc_id_a", "doc_id_b")
+                         .write.mode("overwrite").parquet(edge_dir)))
     edges = spark.read.parquet(edge_dir)
     sym = (edges.select(F.col("doc_id_a").alias("src"),
                         F.col("doc_id_b").alias("dst"))
@@ -867,12 +886,10 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FULL corpus path (the q_sim_ann_pq rule): two corpora sharing a
     # basename must not overwrite each other's lazily-read postings.
     postings_dir = scratch_dir(spark, f"cdc-chunks-{_corpus_tag(sf_dir)}")
-    from .common import fs_exists
-
-    if not fs_exists(spark, os.path.join(postings_dir, "_SUCCESS")):
-        (docs.select("doc_id", "text")
-         .mapInPandas(cdc_chunks, "doc_id long, chunk string")
-         .write.mode("overwrite").parquet(postings_dir))
+    _build_once(spark, postings_dir,
+                lambda: (docs.select("doc_id", "text")
+                         .mapInPandas(cdc_chunks, "doc_id long, chunk string")
+                         .write.mode("overwrite").parquet(postings_dir)))
     keep = spark.read.parquet(postings_dir)
     df_ok = (keep.groupBy("chunk").agg(F.count("*").alias("df"))
              .where((F.col("df") >= 2) & (F.col("df") <= CDC_DF_CAP))

@@ -516,6 +516,51 @@ class TestDedupScaleContracts:
         assert got[(6, 7)] == (4, False)  # head edit caught by tail band
         assert not any(3 in pair or 5 in pair for pair in got)
 
+    def test_concurrent_first_build_of_shared_index(self, spark, tmp_path):
+        """Two threads racing the FIRST build of the shared rare-shingle
+        index on the same fresh corpus must not corrupt it: the build
+        lock serializes the overwrite, the loser reads the winner's
+        files, and both operators return their single-thread answers."""
+        import threading
+
+        from table_versions_spark.operators import dedup
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        filler = " ".join(f"fill{i:03d} pad{i:03d}" for i in range(30))
+        rows = [(1, quote, "en", "s", 0),
+                (2, "intro " + filler + " " + quote + " end", "en", "s", 0),
+                (3, quote + " slightly different tail words", "en", "s", 0)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        results: dict = {}
+
+        def run(name, fn):
+            try:
+                results[name] = {(r["doc_id_a"], r["doc_id_b"])
+                                 for r in fn(spark, sf_dir).collect()}
+            except Exception as exc:  # noqa: BLE001 — surface in assert
+                results[name] = exc
+        ts = [threading.Thread(target=run, args=("ngram", dedup.q_dedup_ngram)),
+              threading.Thread(target=run,
+                               args=("cont", dedup.q_dedup_containment))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+        assert not isinstance(results.get("ngram"), Exception), results
+        assert not isinstance(results.get("cont"), Exception), results
+        # single-thread reference on the (now-built) shared index
+        ref_n = {(r["doc_id_a"], r["doc_id_b"])
+                 for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+        ref_c = {(r["doc_id_a"], r["doc_id_b"])
+                 for r in dedup.q_dedup_containment(spark, sf_dir).collect()}
+        assert results["ngram"] == ref_n
+        assert results["cont"] == ref_c
+        assert (1, 2) in results["cont"]  # the planted doc-in-doc pair
+
     def test_containment_catches_doc_in_doc(self, spark, tmp_path):
         """A short doc quoted verbatim inside a much larger one must score
         containment ≈ 1.0 while its Jaccard stays below q_dedup_ngram's
