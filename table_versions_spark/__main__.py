@@ -60,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
                        ("restore", ["commit_id"]),
                        ("rename-column", ["old", "new"]),
                        ("drop-column", ["column"]),
-                       ("vacuum", []), ("show", []), ("compact", [])]:
+                       ("vacuum", []), ("show", []), ("compact", []),
+                       ("stats", [])]:
         sp = sub.add_parser(cmd)
         sp.add_argument("table", help="schema.table")
         for a in extra:
@@ -154,6 +155,17 @@ def main(argv: list[str] | None = None) -> int:
         for r in removed:
             print(f"removed {r}")
         print(f"{len(removed)} version dir(s) removed")
+        return 0
+
+    if args.cmd == "stats":
+        import json
+
+        from .engine import VersionedEngine
+
+        # ANALYZE from the commit log's per-version stats payloads —
+        # zero data I/O, no Spark session needed
+        stats = VersionedEngine(None, args.warehouse).table_stats(args.table)
+        print(json.dumps(stats, indent=1, default=str, sort_keys=True))
         return 0
 
     if args.cmd in ("show", "compact"):

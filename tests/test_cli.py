@@ -35,6 +35,21 @@ def test_history_and_current(warehouse, capsys):
     assert "d=a" in out and "d=b" in out
 
 
+def test_stats_metadata_only(warehouse, capsys):
+    """`stats` folds row counts / min-max from the commit log without a
+    Spark session (engine constructed with spark=None) and must agree
+    with the table's actual contents."""
+    import json
+
+    wh, eng = warehouse
+    assert main(["-w", wh, "stats", "db.cli"]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows"] == 2  # v2 overwrote d=b: ids {1, 3}
+    assert stats["missing"] == []
+    assert stats["columns"]["id"]["min"] == 1
+    assert stats["columns"]["id"]["max"] == 3
+
+
 def test_checkout_moves_pointer(warehouse, capsys):
     wh, eng = warehouse
     first = eng.history("db.cli").collect()[1]["commit_id"]
