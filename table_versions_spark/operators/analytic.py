@@ -123,7 +123,12 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id — refs sort before probes at equal ts, making the carry
     at-or-before inclusive. Per-(user, ts) duplicates collapse to the
     lexicographic-max (event_id, value) so the fill is deterministic on
-    replayed corpora."""
+    replayed corpora. Observations are carried through a single-field
+    STRUCT marker, not the raw value: the struct is non-null for every
+    observation row even when its ``value`` is NULL, so a NULL
+    observation is carried AS NULL (pandas/TimescaleDB LOCF semantics,
+    and what the SQL oracle's "most recent row" computes) instead of
+    being skipped over for an older non-null value."""
     ev = load_events(spark, sf_dir)
     refs = (ev.where(F.col("user_id") < RESAMPLE_USERS)
             .groupBy("user_id", "ts")
@@ -143,8 +148,9 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(probes))
     w = (Window.partitionBy("user_id").orderBy("ts", "is_probe")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = F.last(F.when(F.col("is_probe") == 0, F.col("value")),
-                    ignorenulls=True).over(w)
+    filled = F.last(F.when(F.col("is_probe") == 0,
+                           F.struct(F.col("value").alias("v"))),
+                    ignorenulls=True).over(w)["v"]
     return (tagged.withColumn("locf_value", filled)
             .where(F.col("is_probe") == 1)
             .select("user_id", F.col("ts").alias("grid_ts"),

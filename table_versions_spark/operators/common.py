@@ -52,6 +52,80 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("event_date", F.to_date("ts")))
 
 
+# One lock for all first-time scratch-index builds in this process.
+# Coarse on purpose: builds are rare (first touch of a corpus by a family),
+# and one lock removes any chance of two threads racing the same dir while
+# keeping lock-ordering trivial. RLock because a build closure may invoke
+# another operator whose own index build re-enters from the same thread.
+_INDEX_BUILD_LOCK = __import__("threading").RLock()
+
+
+def build_once(spark: SparkSession, out_dir: str, build,
+               marker: str = "_SUCCESS") -> None:
+    """Build a content-pure scratch artifact exactly once per process:
+    fast-path probe outside the lock, re-probe + build inside it.
+
+    ``marker`` is the existence probe relative to ``out_dir`` — by default
+    parquet's ``_SUCCESS``, but a build that lands multiple artifacts
+    passes its LAST-written file so a crash mid-setup re-runs the whole
+    build instead of leaving a half-built dir.
+
+    PRECONDITION: ``out_dir`` must be content-pure — derived solely from
+    the build's inputs. Derive it from :func:`corpus_tag` (which
+    fingerprints the corpus listing), never from a bare path/basename, or
+    an in-place rewrite of the inputs would silently serve a stale build.
+    """
+    import os
+
+    marker_path = os.path.join(out_dir, marker)
+    if fs_exists(spark, marker_path):
+        return
+    with _INDEX_BUILD_LOCK:
+        if not fs_exists(spark, marker_path):
+            build()
+
+
+def corpus_tag(sf_dir: str) -> str:
+    """Scratch-dir suffix identifying a corpus by PATH and CONTENT.
+
+    Digests (a) the full corpus path — two corpora sharing a basename
+    must not overwrite each other's lazily-read scratch tables — and
+    (b) one local metadata listing of the corpus files (relative path,
+    size, mtime_ns), so an in-place rewrite of the same path changes the
+    tag and :func:`build_once` rebuilds instead of serving a stale index.
+    The listing is one os.walk of file metadata (no data reads) per
+    operator call — O(#files) stat calls, microseconds on any corpus
+    layout that fits a driver.
+
+    Non-local corpus URIs (s3a://, hdfs://) fall back to the path-only
+    digest: there the immutability of a published corpus prefix is the
+    documented precondition (rewrites land under a NEW prefix — the
+    layout object stores force anyway, since their "directories" are key
+    prefixes and in-place rewrites are multi-object races).
+    """
+    import hashlib
+    import os
+
+    h = hashlib.sha256(sf_dir.encode())
+    root = os.path.normpath(sf_dir)
+    if os.path.isdir(root):
+        entries = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                fp = os.path.join(dirpath, fn)
+                try:
+                    st = os.stat(fp)
+                except OSError:  # racing writer; treat as content change
+                    entries.append((os.path.relpath(fp, root), -1, -1))
+                    continue
+                entries.append((os.path.relpath(fp, root),
+                                st.st_size, st.st_mtime_ns))
+        for e in sorted(entries):
+            h.update(repr(e).encode())
+    return (h.hexdigest()[:12]
+            + "-" + os.path.basename(root))
+
+
 _SCRATCH_NS = __import__("uuid").uuid4().hex[:8]
 
 

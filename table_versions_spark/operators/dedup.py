@@ -28,43 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# Index builds are serialized (one per process) and the scratch dirs are
+# keyed by corpus path + content fingerprint — see common.build_once /
+# common.corpus_tag (hoisted there in r9 so the streaming sources share
+# the exact same contract; these were the r8-local definitions).
+from .common import build_once as _build_once
+from .common import corpus_tag as _corpus_tag
 from .common import load, scratch_dir
-
-# Serializes first-time scratch-index builds (rare, seconds-long): two
-# threads probing a missing _SUCCESS concurrently would otherwise race
-# mode="overwrite" writes into the SAME process-namespaced dir — the
-# in-thread analogue of the cross-process hazard scratch_dir documents.
-# Double-checked: the probe re-runs under the lock, so the loser of the
-# race reads the winner's build instead of rebuilding. RLock, because
-# builds NEST: the dedup-groups edge build runs q_dedup_ngram, whose
-# keys build re-enters from the same thread.
-_INDEX_BUILD_LOCK = __import__("threading").RLock()
-
-
-def _build_once(spark: SparkSession, out_dir: str, build) -> None:
-    """Build a content-pure scratch index exactly once per process:
-    fast-path probe outside the lock, re-probe + build inside it."""
-    import os
-
-    from .common import fs_exists
-
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if fs_exists(spark, marker):
-        return
-    with _INDEX_BUILD_LOCK:
-        if not fs_exists(spark, marker):
-            build()
-
-
-def _corpus_tag(sf_dir: str) -> str:
-    """Scratch-dir suffix digesting the FULL corpus path: two corpora
-    sharing a basename must not overwrite each other's lazily-read
-    scratch tables (the hazard documented at q_sim_ann_pq's index dir)."""
-    import hashlib
-    import os
-
-    return (hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-            + "-" + os.path.basename(os.path.normpath(sf_dir)))
 
 
 def _spread(df, spark) -> "DataFrame":
@@ -640,10 +610,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive CTE computing min reachable id over the same
     edge set — exact hash-match including singleton documents.
     """
-    import os
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    edge_dir = scratch_dir(spark, f"dedup-edges-{_corpus_tag(sf_dir)}")
+    tag = _corpus_tag(sf_dir)
+    edge_dir = scratch_dir(spark, f"dedup-edges-{tag}")
     _build_once(spark, edge_dir,
                 lambda: (q_dedup_ngram(spark, sf_dir)
                          .select("doc_id_a", "doc_id_b")

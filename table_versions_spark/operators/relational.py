@@ -468,16 +468,14 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     refuses to infer). Exact: Spark writes doubles in shortest-round-trip
     form, so text→double reproduces the bits, and the oracle is the
     original parquet table."""
-    import os
-
     from ..sources.readers import read
-    from .common import fs_exists, scratch_dir
+    from .common import build_once, corpus_tag, scratch_dir
 
-    src = scratch_dir(spark, "csv-customer-"
-                      + os.path.basename(os.path.normpath(sf_dir)))
-    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
-        (load(spark, sf_dir, "customer")
-         .write.mode("overwrite").option("header", "true").csv(src))
+    src = scratch_dir(spark, "csv-customer-" + corpus_tag(sf_dir))
+    build_once(spark, src,
+               lambda: (load(spark, sf_dir, "customer")
+                        .write.mode("overwrite")
+                        .option("header", "true").csv(src)))
     return read(spark, src, format="csv", header="true",
                 schema=("c_custkey bigint, c_name string, c_nationkey int, "
                         "c_acctbal double, c_mktsegment string"))
@@ -487,15 +485,13 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source round-trip (sources.read dispatch): orders
     exported once, read back with an explicit schema — timestamps
     round-trip at µs through ISO-8601 in the UTC session zone."""
-    import os
-
     from ..sources.readers import read
-    from .common import fs_exists, scratch_dir
+    from .common import build_once, corpus_tag, scratch_dir
 
-    src = scratch_dir(spark, "json-orders-"
-                      + os.path.basename(os.path.normpath(sf_dir)))
-    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
-        load(spark, sf_dir, "orders").write.mode("overwrite").json(src)
+    src = scratch_dir(spark, "json-orders-" + corpus_tag(sf_dir))
+    build_once(spark, src,
+               lambda: (load(spark, sf_dir, "orders")
+                        .write.mode("overwrite").json(src)))
     return read(spark, src, format="json",
                 schema=("o_orderkey bigint, o_custkey bigint, "
                         "o_orderstatus string, o_totalprice double, "

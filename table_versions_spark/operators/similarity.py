@@ -366,8 +366,12 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query from the scratch-materialized codes — the production PQ
     # lifecycle (build offline, query forever). The spark ref in the
     # value keeps the session alive while its entry exists, so a GC'd
-    # session id can't alias a fresh one.
-    cache_key = (id(spark), sf_dir)
+    # session id can't alias a fresh one. Keyed by common.corpus_tag
+    # (content fingerprint), not the bare path, so an in-place corpus
+    # rewrite rebuilds instead of serving stale codebooks.
+    from .common import corpus_tag
+
+    cache_key = (id(spark), corpus_tag(sf_dir))
     cached = _PQ_CACHE.get(cache_key)
     if cached is not None:
         return _pq_query(spark, sf_dir, emb, cached["books"],
@@ -458,15 +462,13 @@ def q_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "cell": cl.astype(np.int32),
                                 "codes": list(codes.astype(np.int32))})
 
-    # scratch name carries a digest of the FULL corpus path: two corpora
-    # sharing a basename must not overwrite each other's index files
-    # (the cache keys on the full path, so a collision would silently
-    # serve corpus B's codes under corpus A's codebooks)
-    import hashlib
+    # scratch name carries the corpus tag (path digest + content
+    # fingerprint, common.corpus_tag): two corpora sharing a basename
+    # must not overwrite each other's index files, and an in-place
+    # rewrite of the corpus must key a NEW index dir
+    from .common import corpus_tag
 
-    tag = (hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-           + "-" + os.path.basename(os.path.normpath(sf_dir)))
-    idx_dir = scratch_dir(spark, f"pq-index-{tag}")
+    idx_dir = scratch_dir(spark, f"pq-index-{corpus_tag(sf_dir)}")
     (emb.select("vec_id", "embedding")
      .mapInPandas(encode, "vec_id long, cell int, codes array<int>")
      .write.mode("overwrite").parquet(idx_dir))

@@ -269,8 +269,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str,
 
     from .common import scratch_dir
 
+    from .common import corpus_tag
+
     docs = load(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = corpus_tag(sf_dir)
 
     def pair_zip(col="s"):
         n = F.size(col)
@@ -671,9 +673,15 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     K-row heap and the driver merges K rows per partition; no global
     sort, no shuffle of the corpus. That per-partition-heap + merge IS
     the classic distributed reservoir merge, keyed by hash instead of a
-    random tape so reruns and the oracle agree exactly."""
+    random tape so reruns and the oracle agree exactly.
+
+    The id is reduced mod 1000000007 BEFORE the multiply so the product
+    stays under 2^63 for any doc_id (max ~1e9 · 1.1e9 ≈ 1.2e18): Spark
+    would wrap silently on int64 overflow while DuckDB raises, so the
+    unreduced form diverges from the oracle for ids above ~8.4e9."""
     docs = load(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(_RESERVOIR_MIX), F.lit(1000000007))
+    h = F.pmod(F.pmod(F.col("doc_id"), F.lit(1000000007))
+               * F.lit(_RESERVOIR_MIX), F.lit(1000000007))
     return (docs.select("doc_id", "lang", "source", h.alias("hkey"))
             .orderBy("hkey", "doc_id")
             .limit(RESERVOIR_K))
@@ -781,7 +789,7 @@ ORACLES = {
         f"WHERE cum_before * {TOP_P_DEN} < total * {TOP_P_NUM}"),
     "q_sample_reservoir": (
         "SELECT doc_id, lang, source, "
-        f"(doc_id * {_RESERVOIR_MIX}) % 1000000007 AS hkey "
+        f"((doc_id % 1000000007) * {_RESERVOIR_MIX}) % 1000000007 AS hkey "
         "FROM documents "
         f"ORDER BY hkey, doc_id LIMIT {RESERVOIR_K}"),
     "q_text_normalize": (

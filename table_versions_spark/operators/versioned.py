@@ -760,14 +760,14 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "true")
     try:
-        tag = os.path.basename(os.path.normpath(sf_dir))
-        src = scratch_dir(spark, f"stream-win-src-{tag}")
-        from .common import fs_exists
+        from .common import build_once, corpus_tag
 
-        if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
-            (load_events(spark, sf_dir)
-             .select("event_id", "ts", "event_type", "value")
-             .write.mode("overwrite").parquet(src))
+        tag = corpus_tag(sf_dir)
+        src = scratch_dir(spark, f"stream-win-src-{tag}")
+        build_once(spark, src,
+                   lambda: (load_events(spark, sf_dir)
+                            .select("event_id", "ts", "event_type", "value")
+                            .write.mode("overwrite").parquet(src)))
         run = scratch_dir(spark, f"stream-win-run-{tag}-{_RUN}-{next(_SEQ)}")
         stream = (spark.readStream
                   .schema("event_id bigint, ts timestamp, event_type string, "
@@ -806,16 +806,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim updates), while the stream side fans out like any file batch.
     Inner join per batch ≡ the batch join, which is the oracle; sums
     are integer event_ids plus one 2-dp-rounded value sum."""
-    import os
+    from .common import build_once, corpus_tag, scratch_dir
 
-    from .common import fs_exists, scratch_dir
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = scratch_dir(spark, f"stream-ssj-src-{tag}")
-    if not fs_exists(spark, os.path.join(src, "_SUCCESS")):
-        (load_events(spark, sf_dir)
-         .select("event_id", "ts", "user_id", "value")
-         .write.mode("overwrite").parquet(src))
+    # corpus_tag (path digest + content fingerprint) + build_once: two
+    # corpora sharing a basename get distinct cached sources, and two
+    # threads can't race the first export (same contract as the dedup
+    # scratch indexes)
+    src = scratch_dir(spark, f"stream-ssj-src-{corpus_tag(sf_dir)}")
+    build_once(spark, src,
+               lambda: (load_events(spark, sf_dir)
+                        .select("event_id", "ts", "user_id", "value")
+                        .write.mode("overwrite").parquet(src)))
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
     stream = (spark.readStream
@@ -1015,13 +1016,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lateness horizon."""
     import os
 
-    from .common import fs_copy_file, fs_exists, fs_list_files, scratch_dir
+    from .common import (build_once, corpus_tag, fs_copy_file,
+                         fs_list_files, scratch_dir)
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = corpus_tag(sf_dir)
     src = scratch_dir(spark, f"stream-dedup-src2-{tag}")
+
     # scratch may be a shared-storage URI on a cluster — every touch goes
     # through Hadoop's FileSystem, never os.*/shutil
-    if not fs_exists(spark, os.path.join(src, "f2.parquet")):
+    def _export():
         tmp = scratch_dir(spark, f"stream-dedup-tmp-{tag}")
         # land ONE deterministic representative per event_id (min of each
         # payload column): dropDuplicates picks an arbitrary row when ids
@@ -1040,6 +1043,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      os.path.join(src, "f1.parquet"))
         fs_copy_file(spark, os.path.join(tmp, part),
                      os.path.join(src, "f2.parquet"))
+
+    # marker = LAST-written file, so a crash mid-setup re-runs the export
+    build_once(spark, src, _export, marker="f2.parquet")
     run = scratch_dir(spark, f"stream-dedup-run-{tag}-{_RUN}-{next(_SEQ)}")
     stream = (spark.readStream
               .schema("event_id bigint, user_id bigint, "
@@ -1073,19 +1079,23 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .common import scratch_dir
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    src = scratch_dir(spark, f"stream-join-src-{tag}")
-    # the marker is the LAST-written export, so a crash mid-setup re-runs
-    # the whole export instead of leaving a half-built source
-    from .common import fs_exists
+    from .common import build_once, corpus_tag
 
-    if not fs_exists(spark, os.path.join(src, "purchases", "_SUCCESS")):
+    tag = corpus_tag(sf_dir)
+    src = scratch_dir(spark, f"stream-join-src-{tag}")
+
+    def _export():
         ev = load_events(spark, sf_dir).select(
             "event_id", "ts", "user_id", "event_type", "value")
         (ev.where(F.col("event_type") == "view")
          .write.mode("overwrite").parquet(os.path.join(src, "views")))
         (ev.where(F.col("event_type") == "purchase")
          .write.mode("overwrite").parquet(os.path.join(src, "purchases")))
+
+    # the marker is the LAST-written export, so a crash mid-setup re-runs
+    # the whole export instead of leaving a half-built source
+    build_once(spark, src, _export,
+               marker=os.path.join("purchases", "_SUCCESS"))
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string, value double")
     views = (spark.readStream.schema(schema)

@@ -126,7 +126,6 @@ def main(only: list[str]) -> int:
                 if a != b:
                     problems.append(f"first diff:\n    spark : {a}\n    duckdb: {b}")
                     break
-                    break
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             failures += 1
