@@ -656,6 +656,66 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PREFIX_BLOCK = 64  # blocking-key length; docs shorter than this are out
                    # of scope (full-equality dups are q_dedup_exact's job)
+BLOCK_DF_CAP = 100  # a prefix/suffix/fuzzy blocking key joins at most this
+                    # many documents — the NGRAM_DF_CAP analogue for the
+                    # char-block families. A boilerplate block shared by B
+                    # docs ("Terms of Service …" headers) would otherwise
+                    # yield O(B²) candidate pairs; dropping keys above the
+                    # cap bounds every block at cap²/2 pairs and is the
+                    # documented recall bound: pairs whose ONLY shared
+                    # block is corpus-hot are template text, not pairwise
+                    # duplication. Testdata max block df is 4 at sf0.1, so
+                    # the cap never fires there (oracles stay in lockstep
+                    # by applying the same QUALIFY bound).
+
+_LOG = __import__("logging").getLogger(__name__)
+
+
+def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
+    """Drop rows whose ``blk`` document frequency exceeds ``BLOCK_DF_CAP``
+    (read at call time so tests can plant a tiny cap), and log how many
+    rows the cap removed.
+
+    Applied to the BUILD side of the candidate self-join only: a pair
+    needs both roles, so removing hot-block rows from one side already
+    suppresses every pair of a hot block while the probe side's hot rows
+    hash against an empty build bucket — O(B) instead of O(B²), no
+    second filter needed. (It also must be one-sided mechanically: the
+    metrics node below may appear only once in the final plan, and the
+    probe side is a second reference to the same subtree.)
+
+    Logging is free at query time: an ``Observation`` rides the existing
+    scan (no extra job), and a daemon thread reports once the first
+    action over the returned plan completes. If the plan is never
+    executed the thread just parks until process exit."""
+    import threading
+
+    from pyspark.sql import Observation, Window
+
+    cap = BLOCK_DF_CAP
+    w = Window.partitionBy("blk")
+    keyed = keys.withColumn("_blk_df", F.count(F.lit(1)).over(w))
+    obs = Observation()
+    keyed = keyed.observe(
+        obs,
+        F.coalesce(F.sum((F.col("_blk_df") > cap).cast("long")),
+                   F.lit(0)).alias("hot_rows"),
+        F.coalesce(F.max("_blk_df"), F.lit(0)).alias("max_df"))
+
+    def _report():
+        try:
+            m = obs.get  # blocks until the first action on the plan
+        except Exception:  # noqa: BLE001 — query failed/cancelled: nothing to report
+            return
+        if m.get("hot_rows"):
+            _LOG.warning(
+                "%s: block-df cap %d dropped %d rows (hottest block df=%d)"
+                " — pairs inside those blocks are excluded (recall bound)",
+                op, cap, m["hot_rows"], m["max_df"])
+
+    threading.Thread(target=_report, daemon=True,
+                     name=f"tvx-blockcap-{op}").start()
+    return keyed.where(F.col("_blk_df") <= cap).drop("_blk_df")
 
 
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,14 +734,17 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate exchange moves a few bytes per doc instead of 2× the
     corpus; text is joined back by id just for the candidate pairs, and
     the ``startswith`` verify runs on that thin slice (the texts-side
-    exchange is one corpus pass, reused across both id joins)."""
+    exchange is one corpus pass, reused across both id joins). Blocks
+    hotter than ``BLOCK_DF_CAP`` are dropped-and-logged (recall bound:
+    boilerplate headers shared corpus-wide are template text, and an
+    uncapped hot block is the one O(B²) step left in the family)."""
     base = (load(spark, sf_dir, "documents")
             .where(F.length("text") >= PREFIX_BLOCK))
     keys = base.select("doc_id",
                        F.substring("text", 1, PREFIX_BLOCK).alias("blk"),
                        F.length("text").cast("int").alias("n"))
     return _blocked_containment_pairs(
-        base, keys, lambda ta, tb: tb.startswith(ta))
+        base, keys, lambda ta, tb: tb.startswith(ta), "q_dedup_prefix")
 
 
 def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -696,25 +759,29 @@ def q_dedup_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
     implies equal tail blocks once both docs are ≥ the block length), so
     never an all-pairs product; the block join exchanges (doc_id,
     length) only, and the ``endswith`` verify runs on text joined back
-    by id for just the candidate pairs."""
+    by id for just the candidate pairs. Hot tail blocks (boilerplate
+    footers) are capped at ``BLOCK_DF_CAP`` exactly like the prefix
+    side."""
     base = (load(spark, sf_dir, "documents")
             .where(F.length("text") >= PREFIX_BLOCK))
     keys = base.select("doc_id",
                        F.expr(f"right(text, {PREFIX_BLOCK})").alias("blk"),
                        F.length("text").cast("int").alias("n"))
     return _blocked_containment_pairs(
-        base, keys, lambda ta, tb: tb.endswith(ta))
+        base, keys, lambda ta, tb: tb.endswith(ta), "q_dedup_suffix")
 
 
 def _blocked_containment_pairs(base: DataFrame, keys: DataFrame,
-                               verify) -> DataFrame:
+                               verify, op: str) -> DataFrame:
     """Shared prefix/suffix shape: slim (blk, doc_id, n) candidate join,
     role-ordering so each pair appears once (a = the strictly shorter
     containee; equal lengths tie-break on id), then text joined back BY ID
     for the verify predicate. ``keys`` must carry doc_id/blk/n; ``base``
-    carries doc_id/text."""
-    a = keys.select(F.col("doc_id").alias("doc_id_a"),
-                    F.col("n").alias("len_a"), "blk")
+    carries doc_id/text. The build side drops blocks hotter than
+    ``BLOCK_DF_CAP`` (see :func:`_cap_hot_blocks` — one side suffices)."""
+    a = _cap_hot_blocks(keys, op).select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n").alias("len_a"), "blk")
     b = keys.select(F.col("doc_id").alias("doc_id_b"),
                     F.col("n").alias("len_b"), "blk")
     cand = (a.join(b, "blk")
@@ -754,15 +821,18 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     two candidate sets union-distinct, and no text moves until the
     verify: text joins back BY ID for just the candidate pairs and the
     ``levenshtein(ta, tb, threshold)`` verify is the banded O(d·n)
-    JVM kernel (early-exit at threshold), not the full O(n²) DP."""
+    JVM kernel (early-exit at threshold), not the full O(n²) DP. Each
+    band drops blocks hotter than ``BLOCK_DF_CAP`` (dropped-and-logged
+    recall bound — the same guard the prefix/suffix family carries)."""
     base = (load(spark, sf_dir, "documents")
             .where(F.length("text") >= FUZZY_BLOCK))
 
-    def cand_for(blk_col):
+    def cand_for(blk_col, band):
         keys = base.select("doc_id", blk_col.alias("blk"),
                            F.length("text").cast("int").alias("n"))
-        a = keys.select(F.col("doc_id").alias("doc_id_a"),
-                        F.col("n").alias("len_a"), "blk")
+        a = _cap_hot_blocks(keys, f"q_dedup_fuzzy[{band}]").select(
+            F.col("doc_id").alias("doc_id_a"),
+            F.col("n").alias("len_a"), "blk")
         b = keys.select(F.col("doc_id").alias("doc_id_b"),
                         F.col("n").alias("len_b"), "blk")
         return (a.join(b, "blk")
@@ -771,8 +841,9 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                           <= FUZZY_MAX_DIST))
                 .select("doc_id_a", "doc_id_b", "len_a", "len_b"))
 
-    cand = (cand_for(F.substring("text", 1, FUZZY_BLOCK))
-            .unionByName(cand_for(F.expr(f"right(text, {FUZZY_BLOCK})")))
+    cand = (cand_for(F.substring("text", 1, FUZZY_BLOCK), "head")
+            .unionByName(cand_for(F.expr(f"right(text, {FUZZY_BLOCK})"),
+                                  "tail"))
             .distinct())
     texts = base.select("doc_id", "text")
     dist = F.levenshtein(F.col("ta"), F.col("tb"), FUZZY_MAX_DIST)
@@ -927,7 +998,8 @@ ORACLES = {
     "q_dedup_prefix": (
         "WITH d AS (SELECT doc_id, text, "
         f"substring(text, 1, {PREFIX_BLOCK}) AS blk FROM documents "
-        f"WHERE length(text) >= {PREFIX_BLOCK}) "
+        f"WHERE length(text) >= {PREFIX_BLOCK} "
+        f"QUALIFY count(*) OVER (PARTITION BY blk) <= {BLOCK_DF_CAP}) "
         "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
         "CAST(length(a.text) AS INT) AS len_a, "
         "CAST(length(b.text) AS INT) AS len_b, "
@@ -939,7 +1011,8 @@ ORACLES = {
     "q_dedup_suffix": (
         "WITH d AS (SELECT doc_id, text, "
         f"right(text, {PREFIX_BLOCK}) AS blk FROM documents "
-        f"WHERE length(text) >= {PREFIX_BLOCK}) "
+        f"WHERE length(text) >= {PREFIX_BLOCK} "
+        f"QUALIFY count(*) OVER (PARTITION BY blk) <= {BLOCK_DF_CAP}) "
         "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
         "CAST(length(a.text) AS INT) AS len_a, "
         "CAST(length(b.text) AS INT) AS len_b, "
@@ -954,14 +1027,19 @@ ORACLES = {
         f"right(text, {FUZZY_BLOCK}) AS blk_s, "
         "length(text) AS n FROM documents "
         f"WHERE length(text) >= {FUZZY_BLOCK}), "
+        # per-band hot-block cap, mirroring _cap_hot_blocks on each band
+        "dp AS (SELECT * FROM d "
+        f"QUALIFY count(*) OVER (PARTITION BY blk_p) <= {BLOCK_DF_CAP}), "
+        "ds AS (SELECT * FROM d "
+        f"QUALIFY count(*) OVER (PARTITION BY blk_s) <= {BLOCK_DF_CAP}), "
         "cand AS (SELECT DISTINCT doc_id_a, doc_id_b, len_a, len_b FROM ("
         "SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, "
         "CAST(a.n AS INT) AS len_a, CAST(b.n AS INT) AS len_b "
-        "FROM d a JOIN d b ON a.blk_p = b.blk_p AND a.doc_id < b.doc_id "
+        "FROM dp a JOIN dp b ON a.blk_p = b.blk_p AND a.doc_id < b.doc_id "
         f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST} "
         "UNION ALL "
         "SELECT a.doc_id, b.doc_id, CAST(a.n AS INT), CAST(b.n AS INT) "
-        "FROM d a JOIN d b ON a.blk_s = b.blk_s AND a.doc_id < b.doc_id "
+        "FROM ds a JOIN ds b ON a.blk_s = b.blk_s AND a.doc_id < b.doc_id "
         f"WHERE abs(a.n - b.n) <= {FUZZY_MAX_DIST})) "
         "SELECT doc_id_a, doc_id_b, len_a, len_b, dist, dist = 0 AS exact "
         "FROM (SELECT c.doc_id_a, c.doc_id_b, c.len_a, c.len_b, "

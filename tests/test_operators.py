@@ -516,6 +516,45 @@ class TestDedupScaleContracts:
         assert got[(6, 7)] == (4, False)  # head edit caught by tail band
         assert not any(3 in pair or 5 in pair for pair in got)
 
+    def test_block_df_cap_fires_and_is_logged(self, spark, tmp_path,
+                                              monkeypatch, caplog):
+        """Planted hot block: with BLOCK_DF_CAP lowered to 3, a prefix
+        block shared by 5 docs must produce NO pairs (the boilerplate
+        recall bound), a cold prefix pair must still match, and the cap
+        must log what it dropped. The log rides an Observation on the
+        candidate scan and is emitted by a watcher thread after the
+        action, so the assertion polls briefly."""
+        import logging
+        import time
+
+        from table_versions_spark.operators import dedup
+
+        monkeypatch.setattr(dedup, "BLOCK_DF_CAP", 3)
+        hot = "H" * dedup.PREFIX_BLOCK
+        cold = "C" * dedup.PREFIX_BLOCK
+        rows = ([(i, hot + f" filler {i} " + "w" * i, "en", "s", 0)
+                 for i in range(1, 6)]
+                + [(10, cold + " short", "en", "s", 0),
+                   (11, cold + " short and then some", "en", "s", 0)])
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+        with caplog.at_level(logging.WARNING,
+                             logger="table_versions_spark.operators.dedup"):
+            got = {(r["doc_id_a"], r["doc_id_b"])
+                   for r in dedup.q_dedup_prefix(spark, sf_dir).collect()}
+            assert got == {(10, 11)}  # hot-block pairs excluded
+            for _ in range(100):  # async report: poll up to 10 s
+                if any("block-df cap" in r.message for r in caplog.records):
+                    break
+                time.sleep(0.1)
+        msgs = [r.message for r in caplog.records
+                if "block-df cap" in r.message]
+        assert msgs and "q_dedup_prefix" in msgs[0]
+        assert "dropped 5 rows" in msgs[0] and "df=5" in msgs[0]
+
     def test_concurrent_first_build_of_shared_index(self, spark, tmp_path):
         """Two threads racing the FIRST build of the shared rare-shingle
         index on the same fresh corpus must not corrupt it: the build
