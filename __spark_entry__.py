@@ -65,39 +65,25 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # Round-8 rotation (VERDICT r7 #2). Latest-green round per id was
-        # computed from CORRECTNESS_r01..r07; the driver budget is ~50
-        # rows, so the list leads with the 13 ids whose latest green row
-        # is still r4 (the rotation's tail), then the 50 r5-green ids —
-        # after r8 no id's latest driver row is older than r5.
-        # New round-8 operators are prepended above this comment as they
-        # land (never-checked ids are worth the most).
-        # --- round-8 additions (never driver-checked) ---
-        "q_dedup_fuzzy", "q_entropy", "q_asof_tolerance", "q_window_ntile",
-        "q_stream_late", "q_dedup_containment", "q_top_p_quality",
-        "q_sample_reservoir", "q_agg_median", "q_array_funcs",
-        "q_set_bag_ops", "q_history", "q_map_funcs", "q_join_outer",
-        "q_cogroup", "q_stream_static_join", "q_drop_column",
-        "q_regexp_funcs", "q_resample_locf",
-        # --- 13 r4-stale ids ---
-        "q_anomaly", "q_curation_pipeline", "q_date_from_ts", "q_funnel",
-        "q_grouping_sets", "q_json_funcs", "q_lm_score", "q_scan_csv",
-        "q_scan_json", "q_udaf_pandas", "q_udtf", "q_unpivot",
-        "q_window_range_frame",
-        # --- 50 ids last green in r5 (core relational + TPC-H bulk) ---
-        "q_agg_distinct", "q_agg_hash", "q_change_feed_per_commit",
-        "q_change_feed_rewrite", "q_collect", "q_create_ds", "q_cube",
-        "q_date_funcs", "q_distinct", "q_filter_eq", "q_join_anti",
-        "q_join_inner", "q_join_left", "q_join_semi", "q_join_skew_salted",
-        "q_limit", "q_math_funcs", "q_ngram_topk", "q_project",
-        "q_retention", "q_rollup", "q_scan_orc", "q_scan_parquet",
-        "q_scan_table", "q_scd2", "q_set_except", "q_set_intersect",
-        "q_sort", "q_str_funcs", "q_topk", "q_tpch_q1", "q_tpch_q10",
+        # Round-9 rotation (VERDICT r8 #1). The driver budget is ~50 rows;
+        # lead with this round's new ids (never driver-checked — worth
+        # the most), then the 32 ids whose latest driver row is still r5
+        # (the rotation's tail after CORRECTNESS_r08 refreshed the rest)
+        # — after r9 no registry id's latest driver row is older than r6.
+        # --- round-9 additions (never driver-checked) ---
+        "q_exists_subquery", "q_scalar_subquery", "q_lateral_join",
+        "q_null_safe_join", "q_pmi_bigrams", "q_winsorize",
+        "q_interval_join",
+        # --- 32 ids last green in r5 (core relational + TPC-H bulk) ---
+        "q_project", "q_retention", "q_rollup", "q_scan_orc",
+        "q_scan_parquet", "q_scan_table", "q_scd2", "q_set_except",
+        "q_set_intersect", "q_sort", "q_str_funcs", "q_topk",
+        "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
         "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-        "q_tpch_q18", "q_tpch_q19", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
-        "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_typed_cast",
-        "q_udf_pandas", "q_union_all", "q_window_rank", "q_window_running",
-        # r6/r7-green families come behind via registry order.
+        "q_tpch_q18", "q_tpch_q19", "q_typed_cast", "q_udf_pandas",
+        "q_union_all", "q_window_rank", "q_window_running",
+        # r6/r7/r8-green families come behind via registry order.
     ]
     pset = set(priority)
     ordered = priority + [n for n in queries if n not in pset]

@@ -95,6 +95,11 @@ HEADLINE = [
     "q_top_p_quality",
     "q_resample_locf",
     "q_regexp_funcs",
+    "q_interval_join",
+    "q_pmi_bigrams",
+    "q_winsorize",
+    "q_exists_subquery",
+    "q_lateral_join",
 ]
 
 

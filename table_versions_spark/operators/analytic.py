@@ -177,6 +177,53 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("band_id"))
 
 
+IVL_MIN = 30                       # both interval sets are [ts, ts+30 min)
+_IVL_BUCKET_US = IVL_MIN * 60 * 1_000_000  # bucket width = interval length
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equality key — the shape Spark
+    has no native operator for (a bare range predicate plans as a
+    broadcast nested loop, O(n·m)): error activity windows [ts, ts+30m)
+    joined to purchase windows they overlap, aggregated per error event.
+
+    Scale shape: the classic bucketized band join. Each interval
+    explodes to the 30-min epoch buckets it covers (≤ 2, since bucket
+    width = interval length — integer ``DIV`` on epoch-µs, no float
+    precision loss at 2e18), candidates come from an EQUI-join on the
+    bucket (hash-partitioned, never all-pairs), the exact overlap
+    predicate filters, and pair-level ``distinct`` collapses the
+    both-buckets double-match. Fan-out is ≤ 2× each side; a hot bucket
+    is time-localized load, exactly how TsFile/DuckDB's IEJoin-free
+    fallback buckets band joins.
+
+    Output: per error interval, how many purchase windows overlap it
+    and their id-sum (integer-exact)."""
+    ev = load_events(spark, sf_dir)
+
+    def intervals(etype: str, p: str) -> DataFrame:
+        return (ev.where(F.col("event_type") == etype)
+                .select(F.col("event_id").alias(f"{p}_id"),
+                        F.col("ts").alias(f"{p}_start"),
+                        (F.col("ts")
+                         + F.expr(f"INTERVAL {IVL_MIN} MINUTES"))
+                        .alias(f"{p}_end")))
+
+    def bucketed(df: DataFrame, p: str) -> DataFrame:
+        bs = F.expr(f"unix_micros({p}_start) DIV {_IVL_BUCKET_US}")
+        be = F.expr(f"(unix_micros({p}_end) - 1) DIV {_IVL_BUCKET_US}")
+        return df.withColumn("bk", F.explode(F.sequence(bs, be)))
+
+    cand = (bucketed(intervals("error", "e"), "e")
+            .join(bucketed(intervals("purchase", "p"), "p"), "bk")
+            .where((F.col("e_start") < F.col("p_end"))
+                   & (F.col("p_start") < F.col("e_end")))
+            .select("e_id", "p_id").distinct())
+    return (cand.groupBy(F.col("e_id").alias("event_id"))
+            .agg(F.count("*").alias("n_overlap"),
+                 F.sum("p_id").alias("sum_pid")))
+
+
 # ------------------------------------------------- window nav / pivot / explode
 
 def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,6 +467,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_interval_join": q_interval_join,
     "q_resample_locf": q_resample_locf,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
@@ -473,6 +521,16 @@ ORACLES = {
         "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
         "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
         "FROM users u CROSS JOIN grid g"),
+    "q_interval_join": (
+        "WITH e AS (SELECT event_id AS e_id, CAST(ts AS TIMESTAMP) AS s, "
+        f"CAST(ts AS TIMESTAMP) + INTERVAL {IVL_MIN} MINUTE AS t "
+        "FROM events WHERE event_type = 'error'), "
+        "p AS (SELECT event_id AS p_id, CAST(ts AS TIMESTAMP) AS s, "
+        f"CAST(ts AS TIMESTAMP) + INTERVAL {IVL_MIN} MINUTE AS t "
+        "FROM events WHERE event_type = 'purchase') "
+        "SELECT e_id AS event_id, count(*) AS n_overlap, "
+        "CAST(sum(p_id) AS BIGINT) AS sum_pid "
+        "FROM e JOIN p ON e.s < p.t AND p.s < e.t GROUP BY e_id"),
     "q_asof_tolerance": (
         "WITH probes AS (SELECT event_id, user_id, value, epoch_us(ts) "
         "AS tu FROM events WHERE event_type = 'purchase'), "

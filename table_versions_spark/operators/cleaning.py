@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load
+from .common import load, load_events
 
 # ---------------------------------------------------------------------------
 # q_pii_redact
@@ -468,7 +468,45 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nu").cast("double") / F.col("n"), 6).alias("ttr"))
 
 
+WINSOR_LO = 0.05  # clamp bounds: the conventional p05/p95 winsorization
+WINSOR_HI = 0.95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — outlier clamping at exact interpolated
+    p05/p95, the robust-statistics step metric pipelines run before
+    averaging quality scores (clipping beats dropping when every row
+    must survive). Output per event type: the bounds, how many rows each
+    side clamped, and the clamped sum.
+
+    Scale shape: ONE pass computes both percentiles per group (Spark's
+    ``percentile`` is a single partial-aggregable sketchless aggregate —
+    exact, mergeable state = sorted count map per group, bounded by
+    distinct values per group), broadcast back onto the fact scan for
+    the clamp — no second shuffle of the fact table. Exactness note:
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, and interpolating between two doubles is
+    the same IEEE arithmetic on both engines, so the bounds (and every
+    clamp decision) match bit-for-bit."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    bounds = (ev.groupBy("event_type")
+              .agg(F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+                   F.percentile("value", F.lit(WINSOR_HI)).alias("hi")))
+    clamped = (ev.join(F.broadcast(bounds), "event_type")
+               .withColumn("cv", F.least(F.greatest("value", F.col("lo")),
+                                         F.col("hi"))))
+    return (clamped.groupBy("event_type")
+            .agg(F.round(F.min("lo"), 6).alias("p05"),
+                 F.round(F.min("hi"), 6).alias("p95"),
+                 F.sum((F.col("value") < F.col("lo")).cast("long"))
+                 .alias("n_clamped_lo"),
+                 F.sum((F.col("value") > F.col("hi")).cast("long"))
+                 .alias("n_clamped_hi"),
+                 F.round(F.sum("cv"), 2).alias("winsorized_sum")))
+
+
 QUERIES = {
+    "q_winsorize": q_winsorize,
     "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
     "q_lm_score": q_lm_score,
@@ -518,6 +556,23 @@ _BM25_TERM_SCORE = (
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
 ORACLES = {
+    "q_winsorize": (
+        "WITH ev AS (SELECT event_type, value "
+        "FROM (SELECT event_type, value FROM events)), "
+        "b AS (SELECT event_type, "
+        f"quantile_cont(value, {WINSOR_LO}) AS lo, "
+        f"quantile_cont(value, {WINSOR_HI}) AS hi "
+        "FROM ev GROUP BY event_type) "
+        "SELECT ev.event_type, "
+        "round(min(lo), 6) AS p05, round(min(hi), 6) AS p95, "
+        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clamped_lo, "
+        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_clamped_hi, "
+        "round(sum(least(greatest(value, lo), hi)), 2) "
+        "AS winsorized_sum "
+        "FROM ev JOIN b ON ev.event_type = b.event_type "
+        "GROUP BY ev.event_type"),
     "q_curation_pipeline": _curation_oracle(),
     "q_gopher_rules": (
         "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w "

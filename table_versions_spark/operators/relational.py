@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from .common import ensure_compat, load
+from .common import ensure_compat, load, load_events
 
 LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -641,7 +641,96 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((l_returnflag, l_linestatus), (l_returnflag), ())")
 
 
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (the declarative semi/anti-join
+    surface): per market segment, customers having at least one
+    high-value order and no order stuck in status 'F'. Catalyst rewrites
+    the two subqueries into a LeftSemi and a LeftAnti join — both
+    broadcast- or shuffle-planned like any join, never a per-row
+    re-execution — so the SQL shape a warehouse user writes gets the
+    same physical plan as q_join_semi/q_join_anti."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("tvx_cust_ex")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tvx_ord_ex")
+    return spark.sql(
+        "SELECT c.c_mktsegment, count(*) AS n_active "
+        "FROM tvx_cust_ex c "
+        "WHERE EXISTS (SELECT 1 FROM tvx_ord_ex o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) "
+        "AND NOT EXISTS (SELECT 1 FROM tvx_ord_ex o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') "
+        "GROUP BY c.c_mktsegment")
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subqueries, uncorrelated and correlated: orders within 10%
+    of the corpus-max total (the uncorrelated scalar plans as one
+    broadcast value computed once), each carrying its distance from the
+    max and its correlated lineitem count (Catalyst de-correlates into
+    an aggregate + left join — no per-row re-execution). Max/count only:
+    order-independent aggregates, so both engines agree bit-for-bit
+    where an avg's summation order could differ in the last ulp."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tvx_ord_sc")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("tvx_li_sc")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice, "
+        "ROUND((SELECT max(o_totalprice) FROM tvx_ord_sc) - o_totalprice,"
+        " 2) AS below_max, "
+        "(SELECT count(*) FROM tvx_li_sc l "
+        " WHERE l.l_orderkey = o.o_orderkey) AS n_items "
+        "FROM tvx_ord_sc o "
+        "WHERE o_totalprice >= "
+        "(SELECT max(o_totalprice) FROM tvx_ord_sc) * 0.9")
+
+
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL table subquery with ORDER BY … LIMIT 1 — the
+    SQL spelling of "top-1 row per key" (each customer's most expensive
+    order). Spark 4 plans the correlated lateral as a de-correlated
+    window/aggregate join, NOT a per-customer re-scan, so it costs one
+    shuffle on the join key like the q_topk window formulation; the
+    deterministic (price DESC, orderkey) ordering makes the pick
+    engine-portable. Customers with no orders drop out (inner lateral);
+    q_window_rank covers the keep-empty-groups shape."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("tvx_cust_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tvx_ord_lat")
+    return spark.sql(
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price "
+        "FROM tvx_cust_lat c, "
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM tvx_ord_lat o "
+        "         WHERE o.o_custkey = c.c_custkey "
+        "         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t")
+
+
+# the null-safe dim: weekday buckets with slot 3 removed, plus one NULL
+# catch-all row — the classic "unknown bucket" lookup shape
+NULLSAFE_DIM = [(0, "b0"), (1, "b1"), (2, "b2"), (4, "b4"),
+                (5, "b5"), (6, "b6"), (None, "unknown")]
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): events
+    bucketed by a DERIVED NULLABLE key (user_id % 7, with slot 3 mapped
+    to NULL = "unknown") look up a dimension that carries an explicit
+    NULL catch-all row. A plain equi-join silently drops every unknown
+    row; the null-safe operator routes them all to the one NULL dim row.
+    Scale shape: the dim broadcasts, and because the NULL key exists
+    ONCE on the build side the unknown rows stay a linear probe — the
+    null-match blow-up only exists when both sides carry many NULLs."""
+    dim = spark.createDataFrame(NULLSAFE_DIM, "k int, bucket string")
+    ev = load_events(spark, sf_dir).withColumn(
+        "fk", F.nullif(F.pmod("user_id", F.lit(7)).cast("int"), F.lit(3)))
+    return (ev.join(F.broadcast(dim), F.expr("fk <=> k"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("event_id").alias("sum_eid")))
+
+
 QUERIES = {
+    "q_exists_subquery": q_exists_subquery,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_lateral_join": q_lateral_join,
+    "q_null_safe_join": q_null_safe_join,
     "q_scan_parquet": q_scan_parquet,
     "q_scan_orc": q_scan_orc,
     "q_scan_table": q_scan_table,
@@ -692,7 +781,40 @@ QUERIES = {
     "q_grouping_sets": q_grouping_sets,
 }
 
+_NULLSAFE_DIM_SQL = ("(VALUES " + ", ".join(
+    f"({'NULL' if k is None else k}, '{b}')" for k, b in NULLSAFE_DIM)
+    + ") AS dim(k, bucket)")
+
 ORACLES = {
+    "q_exists_subquery": (
+        "SELECT c.c_mktsegment, count(*) AS n_active FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F') "
+        "GROUP BY c.c_mktsegment"),
+    "q_scalar_subquery": (
+        "SELECT o_orderkey, o_totalprice, "
+        "ROUND((SELECT max(o_totalprice) FROM orders) - o_totalprice, 2) "
+        "AS below_max, "
+        "(SELECT count(*) FROM lineitem l "
+        " WHERE l.l_orderkey = o.o_orderkey) AS n_items "
+        "FROM orders o WHERE o_totalprice >= "
+        "(SELECT max(o_totalprice) FROM orders) * 0.9"),
+    "q_lateral_join": (
+        "SELECT c.c_custkey, c.c_mktsegment, "
+        "t.o_orderkey AS top_orderkey, t.o_totalprice AS top_price "
+        "FROM customer c, "
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o "
+        "         WHERE o.o_custkey = c.c_custkey "
+        "         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t"),
+    "q_null_safe_join": (
+        "SELECT bucket, count(*) AS n_events, "
+        "CAST(sum(event_id) AS BIGINT) AS sum_eid "
+        "FROM (SELECT event_id, "
+        "nullif(CAST(user_id % 7 AS INT), 3) AS fk FROM events) e "
+        f"JOIN {_NULLSAFE_DIM_SQL} ON e.fk IS NOT DISTINCT FROM dim.k "
+        "GROUP BY bucket"),
     "q_regexp_funcs": (
         "SELECT p_partkey, "
         "COALESCE(regexp_extract(p_name, '^([a-z]+)', 1), '') "

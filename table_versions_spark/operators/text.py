@@ -736,8 +736,56 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), "gram").limit(50))
 
 
+PMI_MIN_PAIR = 5  # bigrams rarer than this are noise (and the df bound
+                  # that keeps the output table collocation-sized)
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent word pairs — the
+    classic collocation detector (Church & Hanks 1990): PMI =
+    ln(c_ab·N / (c_a·c_b)) scores how much more often two words
+    co-occur than independence predicts, the signal phrase-mining and
+    tokenizer-vocab pipelines rank multi-word units by.
+
+    Scale shape: bigram expansion is the same codegen'd transform+
+    explode fan-out as q_ngram_topk (no Python); unigram and bigram
+    counts are partial-agg groupBys (map-side combine bounds state);
+    the scalar N rides a broadcast cross-join; and the two unigram
+    joins broadcast the count table when it is dim-sized (AQE decides
+    at runtime — vocabulary is corpus-dependent). All inputs to the
+    float log are exact int64 counts, so both engines feed ln()
+    identical doubles; PMI rounds to 6 dp."""
+    words = (load(spark, sf_dir, "documents")
+             .select(F.filter(F.split("text", " "),
+                              lambda x: x != "").alias("w")))
+    uni = (words.select(F.explode("w").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c_tok")))
+    bi = (words.where(F.size("w") >= 2)
+          .select(F.explode(F.expr(
+              "transform(sequence(0, size(w) - 2), "
+              "i -> struct(w[i] AS a, w[i+1] AS b))")).alias("p"))
+          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+          .agg(F.count("*").alias("c_ab"))
+          .where(F.col("c_ab") >= PMI_MIN_PAIR))
+    # N = ALL bigram positions (pre-filter), computed as a per-doc
+    # arithmetic aggregate on the same scan shape — no second explode
+    total = words.agg(
+        F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
+        .cast("long").alias("n_total"))
+    return (bi.crossJoin(F.broadcast(total))
+            .join(uni.select(F.col("tok").alias("a"),
+                             F.col("c_tok").alias("c_a")), "a")
+            .join(uni.select(F.col("tok").alias("b"),
+                             F.col("c_tok").alias("c_b")), "b")
+            .select("a", "b", "c_ab",
+                    F.round(F.log((F.col("c_ab") * F.col("n_total"))
+                                  / (F.col("c_a") * F.col("c_b"))), 6)
+                    .alias("pmi")))
+
+
 QUERIES = {
     "q_bpe_train": q_bpe_train,
+    "q_pmi_bigrams": q_pmi_bigrams,
     "q_ngram_topk": q_ngram_topk,
     "q_domain_mix": q_domain_mix,
     "q_text_normalize": q_text_normalize,
@@ -802,6 +850,22 @@ ORACLES = {
         "SELECT doc_id, source, n_chars, "
         "CAST(ntile(10) OVER (PARTITION BY source "
         "ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents"),
+    "q_pmi_bigrams": (
+        "WITH d AS (SELECT list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "uc AS (SELECT tok, count(*) AS c_tok FROM "
+        "(SELECT UNNEST(w) AS tok FROM d) GROUP BY tok), "
+        "bi AS (SELECT a, b, count(*) AS c_ab FROM ("
+        "SELECT UNNEST(list_transform(range(1, len(w)), i -> w[i])) AS a, "
+        "UNNEST(list_transform(range(1, len(w)), i -> w[i+1])) AS b "
+        "FROM d WHERE len(w) >= 2) "
+        f"GROUP BY a, b HAVING count(*) >= {PMI_MIN_PAIR}), "
+        "tot AS (SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT) "
+        "AS n_total FROM d) "
+        "SELECT a, b, c_ab, "
+        "ROUND(ln((c_ab * n_total) / (ua.c_tok * ub.c_tok)), 6) AS pmi "
+        "FROM bi CROSS JOIN tot "
+        "JOIN uc ua ON bi.a = ua.tok JOIN uc ub ON bi.b = ub.tok"),
     "q_ngram_topk": (
         "WITH d AS (SELECT list_filter(string_split(text, ' '), "
         "x -> x <> '') AS w FROM documents), "

@@ -44,6 +44,9 @@ EXPECTED: dict[str, set[str]] = {
     # generated 6h grid (≤ O(days·4) rows, broadcast) crossed with the
     # tiny tracked-user set — both sides bounded by construction
     "q_resample_locf": {"bnlj"},
+    # single-row broadcast scalar (corpus bigram total N) crossed into
+    # the bigram count table — 1-row build, optimal plan
+    "q_pmi_bigrams": {"bnlj"},
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},

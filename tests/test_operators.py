@@ -139,6 +139,33 @@ class TestAnalytic:
                for r in q_asof_join(spark, d).collect()}
         assert out == {3: 2, 4: 2, 5: None}
 
+    def test_interval_join_semantics(self, spark, tmp_path):
+        """Hand-checked interval-overlap join incl. the bucket-boundary
+        cases: a purchase window reaching in from the previous 30-min
+        bucket overlaps, one touching end-to-start (half-open intervals)
+        does not, and the two-bucket explode never double-counts."""
+        from table_versions_spark.operators.analytic import q_interval_join
+
+        m = 60_000_000_000  # one minute in nanos
+        base = 4 * 1800 * 1_000_000_000  # exactly on a bucket boundary
+        rows = [
+            (1, base, 1, "error", 0.0, ""),            # [0, 30) min
+            (2, base + 15 * m, 1, "error", 0.0, ""),   # [15, 45): 2 buckets
+            (101, base - 29 * m, 2, "purchase", 0.0, ""),  # overlaps E1
+            (102, base + 29 * m, 2, "purchase", 0.0, ""),  # overlaps E1+E2
+            (103, base + 31 * m, 2, "purchase", 0.0, ""),  # overlaps E2 only
+            (104, base - 30 * m, 2, "purchase", 0.0, ""),  # touches E1: no
+            (105, base + 120 * m, 2, "purchase", 0.0, ""),  # far away
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string")
+        sf_dir = str(tmp_path / "sf")
+        df.write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["event_id"]: (r["n_overlap"], r["sum_pid"])
+               for r in q_interval_join(spark, sf_dir).collect()}
+        assert got == {1: (2, 101 + 102), 2: (2, 102 + 103)}
+
     def test_asof_tolerance_semantics(self, spark, tmp_path):
         """Hand-checked forward as-of with a 6h staleness bound: same-ts
         references are NOT 'after' (strict >), ties at one ts dedup to the
@@ -647,6 +674,69 @@ class TestDedupScaleContracts:
         for doc, (g, size) in groups.items():
             assert g <= doc
             assert sizes[g] == size
+
+
+class TestR9Ops:
+    def test_pmi_bigrams_exact_value(self, spark, tmp_path):
+        """PMI on a corpus with hand-countable bigrams: 'x y' occurs 6
+        times in 11 bigram positions with c_x = c_y = 6, so
+        PMI = ln(6·11/36); the reverse pair 'y x' (5 occurrences) also
+        survives the min-count filter, rarer pairs do not."""
+        import math
+
+        from table_versions_spark.operators.text import q_pmi_bigrams
+
+        rows = [(1, "x y " * 6, "en", "s", 0),   # x y x y ... (6 pairs)
+                (2, "p q r s t u v w", "en", "s", 0)]  # all bigrams rare
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {(r["a"], r["b"]): (r["c_ab"], r["pmi"])
+               for r in q_pmi_bigrams(spark, sf_dir).collect()}
+        n_total = 11 + 7  # doc1: 12 tokens → 11; doc2: 8 tokens → 7
+        assert got[("x", "y")] == (6, round(math.log(6 * n_total / 36), 6))
+        assert got[("y", "x")] == (5, round(math.log(5 * n_total / 36), 6))
+        assert len(got) == 2  # every doc-2 bigram is below PMI_MIN_PAIR
+
+    def test_null_safe_join_routes_unknowns(self, spark, tmp_path):
+        """user_id % 7 == 3 derives a NULL key, which must match ONLY the
+        dim's NULL catch-all row; a plain equi-join would drop those."""
+        from table_versions_spark.operators.relational import (
+            q_null_safe_join,
+        )
+
+        rows = [(i, 1_000_000_000_000 + i, uid, "view", 0.0, "")
+                for i, uid in enumerate([0, 1, 3, 10, 17, 24, 5])]
+        # uid%7: 0,1,3,3,3,3,5 → three buckets: b0=1, b1=1, b5=1, unknown=4
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["bucket"]: r["n_events"]
+               for r in q_null_safe_join(spark, sf_dir).collect()}
+        assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
+
+    def test_winsorize_exact_bounds(self, spark, tmp_path):
+        """p05/p95 on 1..20 are 1.95/19.05 under linear interpolation
+        (the definition Spark percentile and DuckDB quantile_cont
+        share); exactly one value clamps on each side and the clamped
+        sum is 189 + 1.95 + 19.05 = 210."""
+        from table_versions_spark.operators.cleaning import q_winsorize
+
+        rows = [(i, 1_000_000_000_000 + i, 1, "view", float(i), "")
+                for i in range(1, 21)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        r = q_winsorize(spark, sf_dir).collect()[0]
+        assert (r["p05"], r["p95"]) == (1.95, 19.05)
+        assert (r["n_clamped_lo"], r["n_clamped_hi"]) == (1, 1)
+        assert r["winsorized_sum"] == 210.0
 
 
 class TestCleaning:
