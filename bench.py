@@ -100,6 +100,8 @@ HEADLINE = [
     "q_winsorize",
     "q_exists_subquery",
     "q_lateral_join",
+    "q_hard_negatives",
+    "q_mad_outliers",
 ]
 
 

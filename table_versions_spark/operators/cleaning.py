@@ -505,8 +505,41 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("cv"), 2).alias("winsorized_sum")))
 
 
+MAD_K = 3.0  # |value − median| > K·MAD flags an outlier (Hampel rule)
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    Hampel identifier (|x − med| > K·MAD), which unlike q_anomaly's
+    z-score does not let the outliers themselves inflate the spread
+    estimate. Two exact interpolated medians per group (value, then
+    absolute deviation), each a single partial-aggregable percentile
+    pass with the tiny bounds table broadcast back onto the fact scan —
+    the q_winsorize shape twice, no fact-side re-shuffle. Both medians
+    and every comparison are the same IEEE doubles on both engines
+    (percentile ≡ quantile_cont), so the flag counts are exact."""
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .withColumn("adev", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.min("med").alias("med"),
+                F.percentile("adev", F.lit(0.5)).alias("mad")))
+    flagged = (ev.join(F.broadcast(mad), "event_type")
+               .withColumn("is_out",
+                           (F.abs(F.col("value") - F.col("med"))
+                            > MAD_K * F.col("mad")).cast("long")))
+    return (flagged.groupBy("event_type")
+            .agg(F.round(F.min("med"), 6).alias("median_value"),
+                 F.round(F.min("mad"), 6).alias("mad"),
+                 F.sum("is_out").alias("n_outliers"),
+                 F.count("*").alias("n")))
+
+
 QUERIES = {
     "q_winsorize": q_winsorize,
+    "q_mad_outliers": q_mad_outliers,
     "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
     "q_lm_score": q_lm_score,
@@ -556,6 +589,20 @@ _BM25_TERM_SCORE = (
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
 ORACLES = {
+    "q_mad_outliers": (
+        "WITH ev AS (SELECT event_type, value FROM events), "
+        "m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "
+        "FROM ev GROUP BY event_type), "
+        "d AS (SELECT ev.event_type, value, med, abs(value - med) AS adev "
+        "FROM ev JOIN m USING (event_type)), "
+        "md AS (SELECT event_type, min(med) AS med, "
+        "quantile_cont(adev, 0.5) AS mad FROM d GROUP BY event_type) "
+        "SELECT ev.event_type, round(min(md.med), 6) AS median_value, "
+        "round(min(md.mad), 6) AS mad, "
+        "CAST(sum(CASE WHEN abs(value - md.med) > "
+        f"{MAD_K} * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+        "count(*) AS n "
+        "FROM ev JOIN md USING (event_type) GROUP BY ev.event_type"),
     "q_winsorize": (
         "WITH ev AS (SELECT event_type, value "
         "FROM (SELECT event_type, value FROM events)), "

@@ -641,6 +641,23 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((l_returnflag, l_linestatus), (l_returnflag), ())")
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG / string_agg — the report-building aggregate SQL
+    warehouses expose as LISTAGG(... WITHIN GROUP (ORDER BY ...)). Spark
+    has no ordered string aggregate, so the portable spelling is
+    collect_list → array_sort → concat_ws: the collect is per-group
+    bounded (nations per region ≤ 25 by schema), the sort runs inside
+    the aggregation buffer, and the join side broadcasts. Deterministic
+    by construction — the ORDER BY is total (names are unique)."""
+    nations = (load(spark, sf_dir, "nation")
+               .join(F.broadcast(load(spark, sf_dir, "region")),
+                     F.col("n_regionkey") == F.col("r_regionkey")))
+    return (nations.groupBy("r_name")
+            .agg(F.count("*").alias("n_nations"),
+                 F.concat_ws(",", F.array_sort(F.collect_list("n_name")))
+                 .alias("nation_csv")))
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (the declarative semi/anti-join
     surface): per market segment, customers having at least one
@@ -727,6 +744,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_string_agg": q_string_agg,
     "q_exists_subquery": q_exists_subquery,
     "q_scalar_subquery": q_scalar_subquery,
     "q_lateral_join": q_lateral_join,
@@ -786,6 +804,11 @@ _NULLSAFE_DIM_SQL = ("(VALUES " + ", ".join(
     + ") AS dim(k, bucket)")
 
 ORACLES = {
+    "q_string_agg": (
+        "SELECT r_name, count(*) AS n_nations, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS nation_csv "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"),
     "q_exists_subquery": (
         "SELECT c.c_mktsegment, count(*) AS n_active FROM customer c "
         "WHERE EXISTS (SELECT 1 FROM orders o "

@@ -552,8 +552,47 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("q8"))
 
 
+HN_PROBES = 20  # probe set = the 20 lowest vec_ids (deterministic)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — for each probe vector, the most similar
+    vector carrying a DIFFERENT label: the pair-selection step of every
+    contrastive/embedding-training recipe (the negatives that are hard
+    because they look like positives).
+
+    Scale shape: the probe block is driver-bounded (HN_PROBES rows) and
+    broadcasts into the corpus scan, the label-mismatch filter and the
+    cosine are codegen'd per (row, probe), and the top-1 is an
+    AGGREGATE of an ordering struct — max(struct(cos, -vec_id)) — so
+    the shuffle after the fan-out is ONE row per probe (map-side
+    partial combine), not a window over the fan-out. Ties rank on the
+    6-dp-rounded cosine then lowest vec_id, making the pick
+    engine-portable; the brute scan is the exact baseline, with the ANN
+    family (IVF/LSH/PQ) as the documented scale path for probe sets
+    beyond broadcast size."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (emb.where(F.col("vec_id") < HN_PROBES)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("label").alias("probe_label"),
+                      as_double_array(F.col("embedding")).alias("pv")))
+    vec = as_double_array(F.col("embedding"))
+    cand = (emb.crossJoin(F.broadcast(probes))
+            .where(F.col("label") != F.col("probe_label"))
+            .select("probe_id", F.struct(
+                F.round(cosine(vec, F.col("pv")), 6).alias("cos_sim"),
+                (-F.col("vec_id")).alias("neg_negid"),
+                F.col("label").alias("neg_label")).alias("s")))
+    return (cand.groupBy("probe_id").agg(F.max("s").alias("s"))
+            .select("probe_id",
+                    (-F.col("s.neg_negid")).alias("neg_id"),
+                    F.col("s.neg_label").alias("neg_label"),
+                    F.col("s.cos_sim").alias("cos_sim")))
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
+    "q_hard_negatives": q_hard_negatives,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_lsh": q_sim_ann_lsh,
     "q_sim_ann_pq": q_sim_ann_pq,
@@ -601,6 +640,17 @@ def _kmeans_oracle() -> str:
               "FROM fin WHERE rn = 1")
 
 ORACLES = {
+    "q_hard_negatives": (
+        "WITH p AS (SELECT vec_id AS probe_id, label AS plabel, "
+        "CAST(embedding AS DOUBLE[]) AS pv FROM embeddings "
+        f"WHERE vec_id < {HN_PROBES}), "
+        "s AS (SELECT p.probe_id, e.vec_id, e.label, "
+        "ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "p.pv), 6) AS cos_sim "
+        "FROM embeddings e JOIN p ON e.label <> p.plabel) "
+        "SELECT probe_id, vec_id AS neg_id, label AS neg_label, cos_sim "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id "
+        "ORDER BY cos_sim DESC, vec_id) AS rn FROM s) WHERE rn = 1"),
     "q_knn_join": (
         f"WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv "
         f"FROM embeddings WHERE vec_id < {KNN_QUERIES}), "

@@ -50,6 +50,10 @@ EXPECTED: dict[str, set[str]] = {
     # brute-force exact baselines are documented as such (LSH/IVF variants
     # are the scale path)
     "q_sim_search": {"cartesian", "bnlj"},
+    # driver-bounded probe block (HN_PROBES rows) broadcast into the
+    # corpus scan with a residual label-mismatch predicate; the post-
+    # fan-out exchange is one aggregated row per probe
+    "q_hard_negatives": {"cartesian", "bnlj"},
     "q_dedup_embedding": {"cartesian", "bnlj"},
     "q_dedup_ngram": {"cartesian", "bnlj"},
 }

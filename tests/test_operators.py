@@ -719,6 +719,48 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_hard_negatives_picks_cross_label_top1(self, spark, tmp_path):
+        """Planted 2-D embeddings: the nearest SAME-label vector must be
+        skipped; the winner is the most-cosine-similar different-label
+        vector, ties broken by lowest vec_id."""
+        from table_versions_spark.operators.similarity import (
+            q_hard_negatives,
+        )
+
+        rows = [
+            (0, [1.0, 0.0], 1),     # probe, label 1
+            (21, [1.0, 0.01], 1),   # nearest overall — same label: skip
+            (22, [1.0, 0.1], 2),    # best cross-label
+            (23, [0.0, 1.0], 2),    # far
+            (24, [1.0, 0.1], 3),    # identical cosine to 22, higher id
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{sf_dir}/embeddings.parquet")
+        out = {r["probe_id"]: (r["neg_id"], r["neg_label"])
+               for r in q_hard_negatives(spark, sf_dir).collect()}
+        assert out[0] == (22, 2)  # tie with 24 broken by lower vec_id
+
+    def test_mad_outliers_hampel_rule(self, spark, tmp_path):
+        """Hand-checked MAD: values 1..9 plus an outlier 100 → median
+        5.5; absolute deviations sort to (.5 .5 1.5 1.5 2.5 | 2.5 3.5
+        3.5 4.5 94.5) so MAD = 2.5, and only 100 exceeds the
+        median ± 3·MAD = 7.5 band (4.5 for value 1 stays inside)."""
+        from table_versions_spark.operators.cleaning import q_mad_outliers
+
+        vals = list(range(1, 10)) + [100]
+        rows = [(i, 1_000_000_000_000 + i, 1, "view", float(v), "")
+                for i, v in enumerate(vals)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        r = q_mad_outliers(spark, sf_dir).collect()[0]
+        assert (r["median_value"], r["mad"]) == (5.5, 2.5)
+        assert (r["n_outliers"], r["n"]) == (1, 10)
+
     def test_winsorize_exact_bounds(self, spark, tmp_path):
         """p05/p95 on 1..20 are 1.95/19.05 under linear interpolation
         (the definition Spark percentile and DuckDB quantile_cont
