@@ -102,6 +102,7 @@ HEADLINE = [
     "q_lateral_join",
     "q_hard_negatives",
     "q_mad_outliers",
+    "q_resample_interp",
 ]
 
 

@@ -177,6 +177,65 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("band_id"))
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE with LINEAR INTERPOLATION — TimescaleDB
+    ``interpolate(time_bucket_gapfill(...))`` / pandas
+    ``resample().interpolate()`` semantics, the companion to
+    q_resample_locf's step-fill: each grid point gets the line between
+    its nearest at-or-before and at-or-after observations (NULL outside
+    the observed range, the observation itself when one lands exactly
+    on the grid).
+
+    Scale shape: same ONE union+window shuffle on user_id as LOCF, run
+    in both directions — ascending (ts, refs-first) for the backward
+    carry and descending for the forward carry, both as non-null STRUCT
+    markers so NULL observations carry faithfully. The interpolation
+    weight is built from exact epoch-µs integers ((g−t₀)/(t₁−t₀) as one
+    int/int→double division), so both engines evaluate identical IEEE
+    expressions; the result rounds at 6 dp."""
+    ev = load_events(spark, sf_dir)
+    refs = (ev.where(F.col("user_id") < RESAMPLE_USERS)
+            .groupBy("user_id", "ts")
+            .agg(F.max(F.struct("event_id", "value"))["value"]
+                 .alias("value")))
+    grid = (ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"),
+                   F.max("ts").alias("t1"))
+            .select(F.explode(F.expr(
+                f"sequence(t0, t1, interval {RESAMPLE_HOURS} hours)"))
+                .alias("grid_ts")))
+    users = refs.select("user_id").distinct()
+    probes = (users.crossJoin(F.broadcast(grid))
+              .select("user_id", F.col("grid_ts").alias("ts"),
+                      F.lit(None).cast("double").alias("value"),
+                      F.lit(1).alias("is_probe")))
+    tagged = (refs.withColumn("is_probe", F.lit(0))
+              .unionByName(probes))
+    obs = F.when(F.col("is_probe") == 0,
+                 F.struct(F.col("ts").alias("t"),
+                          F.col("value").alias("v")))
+    w_prev = (Window.partitionBy("user_id").orderBy("ts", "is_probe")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # descending pass: refs still sort BEFORE probes at equal ts, so an
+    # observation exactly on the grid is its own "next"
+    w_next = (Window.partitionBy("user_id")
+              .orderBy(F.desc("ts"), F.asc("is_probe"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.last(obs, ignorenulls=True).over(w_next)
+    gu, pu, nu = (F.unix_micros("ts"), F.unix_micros(prev["t"]),
+                  F.unix_micros(nxt["t"]))
+    interp = (F.when(prev.isNull() | nxt.isNull(),
+                     F.lit(None).cast("double"))
+              .when(nu == pu, prev["v"])
+              .otherwise(prev["v"] + (nxt["v"] - prev["v"])
+                         * ((gu - pu) / (nu - pu))))
+    return (tagged
+            .withColumn("interp_value", F.round(interp, 6))
+            .where(F.col("is_probe") == 1)
+            .select("user_id", F.col("ts").alias("grid_ts"),
+                    "interp_value"))
+
+
 IVL_MIN = 30                       # both interval sets are [ts, ts+30 min)
 _IVL_BUCKET_US = IVL_MIN * 60 * 1_000_000  # bucket width = interval length
 
@@ -469,6 +528,7 @@ QUERIES = {
     "q_asof_tolerance": q_asof_tolerance,
     "q_interval_join": q_interval_join,
     "q_resample_locf": q_resample_locf,
+    "q_resample_interp": q_resample_interp,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -521,6 +581,31 @@ ORACLES = {
         "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
         "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
         "FROM users u CROSS JOIN grid g"),
+    "q_resample_interp": (
+        "WITH b AS (SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1 "
+        "FROM events), "
+        "grid AS (SELECT unnest(generate_series("
+        "(SELECT t0 FROM b), (SELECT t1 FROM b), "
+        f"INTERVAL {RESAMPLE_HOURS} HOUR)) AS grid_ts), "
+        "refs AS (SELECT user_id, ts, value FROM ("
+        "SELECT user_id, ts, value, ROW_NUMBER() OVER ("
+        "PARTITION BY user_id, ts "
+        "ORDER BY event_id DESC, value DESC) AS rn FROM events "
+        f"WHERE user_id < {RESAMPLE_USERS}) WHERE rn = 1), "
+        "users AS (SELECT DISTINCT user_id FROM refs) "
+        "SELECT u.user_id, g.grid_ts, "
+        "ROUND(CASE WHEN pv.ts IS NULL OR nv.ts IS NULL THEN NULL "
+        "WHEN epoch_us(nv.ts) = epoch_us(pv.ts) THEN pv.value "
+        "ELSE pv.value + (nv.value - pv.value) * "
+        "((epoch_us(g.grid_ts) - epoch_us(pv.ts)) / "
+        "(epoch_us(nv.ts) - epoch_us(pv.ts))) END, 6) AS interp_value "
+        "FROM users u CROSS JOIN grid g "
+        "LEFT JOIN LATERAL (SELECT ts, value FROM refs r "
+        "WHERE r.user_id = u.user_id AND r.ts <= g.grid_ts "
+        "ORDER BY r.ts DESC LIMIT 1) pv ON TRUE "
+        "LEFT JOIN LATERAL (SELECT ts, value FROM refs r "
+        "WHERE r.user_id = u.user_id AND r.ts >= g.grid_ts "
+        "ORDER BY r.ts ASC LIMIT 1) nv ON TRUE"),
     "q_interval_join": (
         "WITH e AS (SELECT event_id AS e_id, CAST(ts AS TIMESTAMP) AS s, "
         f"CAST(ts AS TIMESTAMP) + INTERVAL {IVL_MIN} MINUTE AS t "

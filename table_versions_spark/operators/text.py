@@ -267,9 +267,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str,
 
     import pandas as pd
 
-    from .common import scratch_dir
-
-    from .common import corpus_tag
+    from .common import corpus_tag, scratch_dir
 
     docs = load(spark, sf_dir, "documents")
     tag = corpus_tag(sf_dir)

@@ -44,6 +44,7 @@ EXPECTED: dict[str, set[str]] = {
     # generated 6h grid (≤ O(days·4) rows, broadcast) crossed with the
     # tiny tracked-user set — both sides bounded by construction
     "q_resample_locf": {"bnlj"},
+    "q_resample_interp": {"bnlj"},
     # single-row broadcast scalar (corpus bigram total N) crossed into
     # the bigram count table — 1-row build, optimal plan
     "q_pmi_bigrams": {"bnlj"},

@@ -719,6 +719,39 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_resample_interp_semantics(self, spark, tmp_path):
+        """Linear gap-fill pins: midpoint interpolation between two
+        observations, the exact-on-grid observation returned as-is, and
+        NULL before the first / after the last observation."""
+        from table_versions_spark.operators.analytic import (
+            RESAMPLE_HOURS,
+            q_resample_interp,
+        )
+
+        h = RESAMPLE_HOURS * 3600 * 1_000_000_000  # one grid step, nanos
+        day = 86_400 * 1_000_000_000
+        rows = [
+            # user 1: obs at grid point 1 (value 10) and grid point 3
+            # (value 30) → grid 2 interpolates to 20; grid 0 and 4 NULL
+            (1, day + 1 * h, 1, "view", 10.0, ""),
+            (2, day + 3 * h, 1, "view", 30.0, ""),
+            # a late event pins the corpus max ts so the grid reaches 4h
+            (3, day + 4 * h, 99, "view", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string")
+        sf_dir = str(tmp_path / "sf")
+        df.write.parquet(f"{sf_dir}/events.parquet")
+        out = {(r["user_id"], r["grid_ts"].hour): r["interp_value"]
+               for r in q_resample_interp(spark, sf_dir).collect()}
+        g = RESAMPLE_HOURS
+        assert out[(1, 0)] is None          # before first observation
+        assert out[(1, g)] == 10.0          # observation ON the grid
+        assert out[(1, 2 * g)] == 20.0      # midpoint
+        assert out[(1, 3 * g)] == 30.0
+        assert out[(1, (4 * g) % 24)] is None  # after last observation
+
     def test_hard_negatives_picks_cross_label_top1(self, spark, tmp_path):
         """Planted 2-D embeddings: the nearest SAME-label vector must be
         skipped; the winner is the most-cosine-similar different-label
