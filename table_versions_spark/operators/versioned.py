@@ -836,6 +836,76 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+SMERGE_UPD_MOD = 5  # event_id % 5 == 0 rows arrive reprocessed (value·3)
+SMERGE_NEW_MOD = 7  # event_id % 7 == 0 rows spawn a NEW id (+10_000_000)
+
+
+def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-APPLY: a change stream lands in a versioned table
+    through ``foreachBatch`` + ``engine.merge`` — the production pattern
+    for upserting a CDC feed where an append-only sink is not enough
+    (Delta's ``foreachBatch`` + ``MERGE INTO`` recipe).
+
+    Drive: TWO availableNow runs over one checkpoint (the deterministic
+    replay pattern of q_stream_late — file-source batch order is mtime-
+    dependent, so ordered phases must be separate runs, exactly how a
+    daily CDC feed arrives). Run 1 streams the base snapshot (one row
+    per distinct event_id, deterministic min-representative) and the
+    merge inserts it all. Run 2 appends the change file — every
+    ``event_id % SMERGE_UPD_MOD == 0`` row reprocessed with value·3
+    (matched ⇒ whole-row update) plus a brand-new id (+10M offset,
+    value+1) per ``% SMERGE_NEW_MOD == 0`` row (not-matched ⇒ insert) —
+    and one merge commit applies it. Final table state is the oracle:
+    base with the %5 slice re-valued plus the synthetic inserts.
+
+    Scale shape: each micro-batch is one distributed MERGE (broadcast
+    or shuffle join on the key, only touched files rewritten, one
+    commit per epoch); state lives in the TABLE, not the stream — the
+    restartable, replay-safe alternative to a giant dropDuplicates
+    buffer. A replayed epoch would re-run the merge; updates are
+    idempotent, and exactly-once inserts come from the checkpoint (the
+    tvx sink's txn-token variant is q_stream_sink's contract)."""
+    import os
+
+    from .common import scratch_dir
+
+    eng = _engine(spark)
+    table = f"vx.smerge_{next(_SEQ)}"
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    eng.create_table(table, schema_ddl=ddl,
+                     user_id="creator", message="cdc-apply target")
+    run = scratch_dir(spark, f"stream-merge-{_RUN}-{next(_SEQ)}")
+    src, ckpt = os.path.join(run, "src"), os.path.join(run, "ckpt")
+    base = (load_events(spark, sf_dir)
+            .groupBy("event_id")
+            .agg(F.min("user_id").alias("user_id"),
+                 F.min("event_type").alias("event_type"),
+                 F.min("value").alias("value")))
+
+    def run_once():
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (stream.writeStream
+             .foreachBatch(lambda batch, epoch: eng.merge(
+                 batch, table, keys=["event_id"],
+                 user_id="cdc", message=f"apply epoch {epoch}"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _await(q)
+
+    base.write.mode("overwrite").parquet(src)
+    run_once()  # epoch 0: initial snapshot inserts
+    upd = (base.where(F.col("event_id") % SMERGE_UPD_MOD == 0)
+           .withColumn("value", F.col("value") * 3))
+    new = (base.where(F.col("event_id") % SMERGE_NEW_MOD == 0)
+           .select((F.col("event_id") + 10_000_000).alias("event_id"),
+                   "user_id", "event_type",
+                   (F.col("value") + 1).alias("value")))
+    upd.unionByName(new).write.mode("append").parquet(src)
+    run_once()  # epoch 1: the change file merges in
+    return eng.read(table).select("event_id", "user_id",
+                                  "event_type", "value")
+
+
 def q_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit-history surface as a driver-checkable id (engine.history =
     reference ``updates``, ``TableVersions.scala:44-45``; Delta DESCRIBE
@@ -1298,6 +1368,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
     "q_history": q_history,
+    "q_stream_merge": q_stream_merge,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_window_tvx": q_stream_window_tvx,
     "q_stream_session": q_stream_session,
@@ -1367,6 +1438,18 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_stream_merge": (
+        "WITH base AS (SELECT event_id, min(user_id) AS user_id, "
+        "min(event_type) AS event_type, min(value) AS value "
+        "FROM events GROUP BY event_id) "
+        "SELECT event_id, user_id, event_type, value FROM base "
+        f"WHERE event_id % {SMERGE_UPD_MOD} <> 0 "
+        "UNION ALL "
+        "SELECT event_id, user_id, event_type, value * 3 FROM base "
+        f"WHERE event_id % {SMERGE_UPD_MOD} = 0 "
+        "UNION ALL "
+        "SELECT event_id + 10000000, user_id, event_type, value + 1 "
+        f"FROM base WHERE event_id % {SMERGE_NEW_MOD} = 0"),
     "q_stream_static_join": (
         "SELECT c_mktsegment, COUNT(*) AS n_events, "
         "CAST(SUM(event_id) AS BIGINT) AS sum_eid, "

@@ -719,6 +719,23 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_stream_merge_applies_cdc_epochs(self, spark, tmp_path):
+        """Two-epoch CDC apply on a planted feed: epoch 0 inserts the
+        snapshot, epoch 1's merge updates the %5 row to value*3 and
+        inserts the %7 row's +10M twin — final table state is exact."""
+        from table_versions_spark.operators.versioned import q_stream_merge
+
+        rows = [(i, 1_000_000_000_000 + i, 1, "view", float(i), "")
+                for i in (1, 5, 7)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["event_id"]: r["value"]
+               for r in q_stream_merge(spark, sf_dir).collect()}
+        assert got == {1: 1.0, 5: 15.0, 7: 7.0, 10_000_007: 8.0}
+
     def test_resample_interp_semantics(self, spark, tmp_path):
         """Linear gap-fill pins: midpoint interpolation between two
         observations, the exact-on-grid observation returned as-is, and
