@@ -110,6 +110,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from table_versions_spark.session import get_spark
 
+    # ambient host load, sampled BEFORE the session spins up 32 executor
+    # threads — reading it after init/warmup charged the bench its own
+    # startup burn and made every artifact look contaminated
+    load_ambient = _loadavg()
     spark = get_spark(app_name="tvx-bench")
     # Warm-up covers every engine path the headline queries touch (JIT +
     # class-loading for codegen, parquet reader, noop committer), so the
@@ -130,7 +134,7 @@ def main() -> None:
     # loaded-host artifact is self-identifying.
     reps_seen: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    load_start = _loadavg()
+    load_start = load_ambient
     for _pass in range(2):
         for name in HEADLINE:
             fn = qs.get(name)
