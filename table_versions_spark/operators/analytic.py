@@ -236,6 +236,37 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "interp_value"))
 
 
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): the parts not dominated on
+    (maximize p_size, minimize p_retailprice) — the "best tradeoffs"
+    query behind price-performance dashboards and data-selection
+    curricula. A part is dominated if some part has ≥ size and ≤ price
+    with at least one strict.
+
+    Scale shape: the naive skyline is an O(n²) NOT-EXISTS self-join
+    (that IS the oracle); this plan is the sort-based O(n log n)
+    classic — one window ordered by size DESC where
+    ``min(price) RANGE UNBOUNDED PRECEDING .. -1`` sees exactly the
+    strictly-larger-size prefix, plus a per-size min for the equal-size
+    rule. One shuffle (the window sort), no join at all; at 100 TB the
+    window runs per size-range partition after a range repartition."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("int").alias("p_size"),
+        "p_retailprice")
+    w_larger = (Window.orderBy(F.desc("p_size"))
+                .rangeBetween(Window.unboundedPreceding, -1))
+    w_size = Window.partitionBy("p_size")
+    best_larger = F.min("p_retailprice").over(w_larger)
+    best_same = F.min("p_retailprice").over(w_size)
+    return (part
+            .withColumn("m1", best_larger)
+            .withColumn("m2", best_same)
+            .where((F.col("m1").isNull()
+                    | (F.col("p_retailprice") < F.col("m1")))
+                   & (F.col("p_retailprice") == F.col("m2")))
+            .select("p_partkey", "p_size", "p_retailprice"))
+
+
 IVL_MIN = 30                       # both interval sets are [ts, ts+30 min)
 _IVL_BUCKET_US = IVL_MIN * 60 * 1_000_000  # bucket width = interval length
 
@@ -529,6 +560,7 @@ QUERIES = {
     "q_interval_join": q_interval_join,
     "q_resample_locf": q_resample_locf,
     "q_resample_interp": q_resample_interp,
+    "q_pareto_frontier": q_pareto_frontier,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -581,6 +613,15 @@ ORACLES = {
         "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
         "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
         "FROM users u CROSS JOIN grid g"),
+    "q_pareto_frontier": (
+        # the O(n²) NOT-EXISTS definition — deliberately naive: it IS the
+        # skyline's semantics, and the window plan must reproduce it
+        "SELECT p_partkey, CAST(p_size AS INT) AS p_size, p_retailprice "
+        "FROM part a WHERE NOT EXISTS ("
+        "SELECT 1 FROM part b WHERE b.p_size >= a.p_size "
+        "AND b.p_retailprice <= a.p_retailprice "
+        "AND (b.p_size > a.p_size "
+        "OR b.p_retailprice < a.p_retailprice))"),
     "q_resample_interp": (
         "WITH b AS (SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1 "
         "FROM events), "

@@ -719,6 +719,30 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_pareto_frontier_dominance(self, spark, tmp_path):
+        """Skyline pins: a point beaten on both dims drops, equal-size
+        cheaper wins, ties on BOTH dims both survive (neither strictly
+        dominates), and the overall-max-size point always survives."""
+        from table_versions_spark.operators.analytic import (
+            q_pareto_frontier,
+        )
+
+        rows = [
+            (1, 10, 100.0),   # frontier: biggest size
+            (2, 10, 120.0),   # same size, pricier → dominated by 1
+            (3, 5, 50.0),     # frontier: cheaper tradeoff
+            (4, 5, 50.0),     # exact tie with 3 → both survive
+            (5, 4, 60.0),     # dominated by 3 (smaller AND pricier)
+            (6, 1, 10.0),     # frontier: cheapest
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "p_partkey long, p_size int, p_retailprice double"
+        ).write.parquet(f"{sf_dir}/part.parquet")
+        got = {r["p_partkey"]
+               for r in q_pareto_frontier(spark, sf_dir).collect()}
+        assert got == {1, 3, 4, 6}
+
     def test_stream_merge_applies_cdc_epochs(self, spark, tmp_path):
         """Two-epoch CDC apply on a planted feed: epoch 0 inserts the
         snapshot, epoch 1's merge updates the %5 row to value*3 and
