@@ -658,6 +658,27 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("nation_csv")))
 
 
+def q_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``NOT IN (subquery)`` over a NULLABLE subquery column — the SQL
+    trap with three-valued logic (one NULL in the subquery empties the
+    whole result, because ``x <> NULL`` is UNKNOWN) and the surface
+    Spark plans as a null-aware anti join (``BroadcastHashJoin …
+    LeftAnti, BuildRight, true`` — the trailing flag; a plain anti join
+    would silently return the wrong rows). The subquery key is wrapped
+    in ``nullif`` so its TYPE is nullable and the null-aware plan is
+    mandatory; the planted-NULL empty-result semantics are pinned in
+    pytest (the corpus keys are never −1, so here the result is the
+    meaningful segment rollup both engines agree on)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("tvx_cust_ni")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("tvx_ord_ni")
+    return spark.sql(
+        "SELECT c_mktsegment, count(*) AS n_quiet "
+        "FROM tvx_cust_ni WHERE c_custkey NOT IN "
+        "(SELECT nullif(o_custkey, -1) FROM tvx_ord_ni "
+        " WHERE o_totalprice > 300000) "
+        "GROUP BY c_mktsegment")
+
+
 def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (the declarative semi/anti-join
     surface): per market segment, customers having at least one
@@ -745,6 +766,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_string_agg": q_string_agg,
+    "q_not_in_null": q_not_in_null,
     "q_exists_subquery": q_exists_subquery,
     "q_scalar_subquery": q_scalar_subquery,
     "q_lateral_join": q_lateral_join,
@@ -809,6 +831,12 @@ ORACLES = {
         "string_agg(n_name, ',' ORDER BY n_name) AS nation_csv "
         "FROM nation JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name"),
+    "q_not_in_null": (
+        "SELECT c_mktsegment, count(*) AS n_quiet "
+        "FROM customer WHERE c_custkey NOT IN "
+        "(SELECT nullif(o_custkey, -1) FROM orders "
+        " WHERE o_totalprice > 300000) "
+        "GROUP BY c_mktsegment"),
     "q_exists_subquery": (
         "SELECT c.c_mktsegment, count(*) AS n_active FROM customer c "
         "WHERE EXISTS (SELECT 1 FROM orders o "

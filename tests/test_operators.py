@@ -719,6 +719,35 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_not_in_null_three_valued_logic(self, spark, tmp_path):
+        """One NULL in the NOT IN subquery must empty the result (x <>
+        NULL is UNKNOWN for every x) — the semantics a plain anti join
+        gets wrong; without the NULL the complement comes back."""
+        from table_versions_spark.operators.relational import q_not_in_null
+
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            [(1, "A", 1), (2, "A", 2), (3, "B", 3)],
+            "c_custkey long, c_mktsegment string, c_nationkey int"
+        ).write.parquet(f"{sf_dir}/customer.parquet")
+        # -1 custkey → nullif(-1, -1) = NULL in the subquery column
+        spark.createDataFrame(
+            [(10, 1, 400000.0), (11, -1, 400000.0)],
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(f"{sf_dir}/orders.parquet")
+        assert q_not_in_null(spark, sf_dir).count() == 0  # NULL poisons
+
+        sf2 = str(tmp_path / "sf2")
+        spark.read.parquet(f"{sf_dir}/customer.parquet") \
+            .write.parquet(f"{sf2}/customer.parquet")
+        spark.createDataFrame(
+            [(10, 1, 400000.0)],
+            "o_orderkey long, o_custkey long, o_totalprice double"
+        ).write.parquet(f"{sf2}/orders.parquet")
+        got = {r["c_mktsegment"]: r["n_quiet"]
+               for r in q_not_in_null(spark, sf2).collect()}
+        assert got == {"A": 1, "B": 1}  # customers 2 and 3
+
     def test_pareto_frontier_dominance(self, spark, tmp_path):
         """Skyline pins: a point beaten on both dims drops, equal-size
         cheaper wins, ties on BOTH dims both survive (neither strictly
