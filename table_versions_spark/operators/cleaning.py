@@ -537,9 +537,56 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n")))
 
 
+ENSEMBLE_KEEP = 100  # documents surviving the fused-quality gate
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality fusion by RANK aggregation (Borda count):
+    three cheap signals — document length, type-token ratio, alphabetic
+    fraction — each rank documents independently, and the fused score
+    is the rank sum. Rank fusion is the robust alternative to z-score
+    averaging for heterogeneous signals (no scale normalization, no
+    outlier leverage) — and on two engines it is EXACT, because ranks
+    are integers from a total order (signal DESC, doc_id) while a
+    z-score's stddev inherits float summation order.
+
+    Scale shape: one codegen'd scan computes all three signals, three
+    global row_number windows rank them (at 100 TB these become range-
+    partitioned sorts — same cost class as any global ORDER BY; the
+    per-partition-presort trick of q_shuffle_shards applies), and the
+    final keep is TakeOrderedAndProject on (borda, doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"))
+    sig = w.select(
+        "doc_id", "n_chars",
+        (F.size(F.array_distinct("w")) / F.size("w")).alias("ttr"),
+        (F.size(F.filter("w", lambda x: x.rlike("^[A-Za-z]+$")))
+         / F.size("w")).alias("alpha_frac"))
+    from pyspark.sql import Window
+
+    def rank_by(col):
+        return F.row_number().over(
+            Window.orderBy(F.desc(col), F.asc("doc_id"))).cast("long")
+
+    ranked = sig.select(
+        "doc_id",
+        rank_by("n_chars").alias("r_len"),
+        rank_by("ttr").alias("r_ttr"),
+        rank_by("alpha_frac").alias("r_alpha"))
+    return (ranked
+            .withColumn("borda",
+                        F.col("r_len") + F.col("r_ttr") + F.col("r_alpha"))
+            .orderBy("borda", "doc_id")
+            .limit(ENSEMBLE_KEEP))
+
+
 QUERIES = {
     "q_winsorize": q_winsorize,
     "q_mad_outliers": q_mad_outliers,
+    "q_quality_ensemble": q_quality_ensemble,
     "q_curation_pipeline": q_curation_pipeline,
     "q_pii_redact": q_pii_redact,
     "q_lm_score": q_lm_score,
@@ -589,6 +636,24 @@ _BM25_TERM_SCORE = (
 _GOPHER_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + "]"
 
 ORACLES = {
+    "q_quality_ensemble": (
+        "WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) "
+        "AS n_chars, list_filter(string_split(text, ' '), "
+        "x -> x <> '') AS w FROM documents), "
+        "sig AS (SELECT doc_id, n_chars, "
+        "len(list_distinct(w)) / len(w) AS ttr, "
+        "len(list_filter(w, x -> regexp_matches(x, '^[A-Za-z]+$'))) "
+        "/ len(w) AS alpha_frac FROM w), "
+        "ranked AS (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) "
+        "AS BIGINT) AS r_len, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ttr DESC, doc_id) "
+        "AS BIGINT) AS r_ttr, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY alpha_frac DESC, doc_id) "
+        "AS BIGINT) AS r_alpha FROM sig) "
+        "SELECT doc_id, r_len, r_ttr, r_alpha, "
+        "r_len + r_ttr + r_alpha AS borda FROM ranked "
+        f"ORDER BY borda, doc_id LIMIT {ENSEMBLE_KEEP}"),
     "q_mad_outliers": (
         "WITH ev AS (SELECT event_type, value FROM events), "
         "m AS (SELECT event_type, quantile_cont(value, 0.5) AS med "

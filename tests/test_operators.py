@@ -719,6 +719,29 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_quality_ensemble_borda_ranks(self, spark, tmp_path):
+        """Rank-fusion pins on three hand-ranked docs: best-on-all wins
+        with borda 3, an equal-alpha tie breaks on doc_id, and the
+        fused ordering is strict (3 < 6 < 9)."""
+        from table_versions_spark.operators.cleaning import (
+            q_quality_ensemble,
+        )
+
+        rows = [(1, "alpha beta gamma delta epsilon", "en", "s", 0),
+                (2, "aa aa bb bb", "en", "s", 0),
+                (3, "x1 x1 x1", "en", "s", 0)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {r["doc_id"]: (r["r_len"], r["r_ttr"], r["r_alpha"],
+                             r["borda"])
+               for r in q_quality_ensemble(spark, sf_dir).collect()}
+        assert got[1] == (1, 1, 1, 3)
+        assert got[2] == (2, 2, 2, 6)   # alpha tie with doc 1 → doc_id
+        assert got[3] == (3, 3, 3, 9)
+
     def test_not_in_null_three_valued_logic(self, spark, tmp_path):
         """One NULL in the NOT IN subquery must empty the result (x <>
         NULL is UNKNOWN for every x) — the semantics a plain anti join
