@@ -103,6 +103,10 @@ HEADLINE = [
     "q_hard_negatives",
     "q_mad_outliers",
     "q_resample_interp",
+    "q_pareto_frontier",
+    "q_not_in_null",
+    "q_quality_ensemble",
+    "q_string_agg",
 ]
 
 

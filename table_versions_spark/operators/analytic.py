@@ -236,6 +236,31 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "interp_value"))
 
 
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's CONSECUTIVE-day activity streaks —
+    the classic SQL pattern behind "N-day streak" product metrics and
+    session-era segmentation. The island key is ``day_number −
+    row_number()`` (constant within a consecutive run, strictly
+    decreasing across a gap), so streaks fall out of ONE window plus a
+    groupBy — no self-join, no iteration, all integer arithmetic (both
+    engines count days since epoch identically).
+
+    Scale shape: distinct (user, day) is a map-side-combined aggregate,
+    the window and the streak groupBy share the user_id shuffle, and
+    output is O(users · streaks)."""
+    days = (load_events(spark, sf_dir)
+            .select("user_id", "event_date").distinct())
+    d = F.datediff("event_date", F.lit("1970-01-01").cast("date"))
+    w = Window.partitionBy("user_id").orderBy(d)
+    island = (d - F.row_number().over(w)).alias("island")
+    return (days.select("user_id", "event_date", island)
+            .groupBy("user_id", "island")
+            .agg(F.min("event_date").alias("streak_start"),
+                 F.max("event_date").alias("streak_end"),
+                 F.count("*").cast("long").alias("streak_days"))
+            .drop("island"))
+
+
 def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline): the parts not dominated on
     (maximize p_size, minimize p_retailprice) — the "best tradeoffs"
@@ -561,6 +586,7 @@ QUERIES = {
     "q_resample_locf": q_resample_locf,
     "q_resample_interp": q_resample_interp,
     "q_pareto_frontier": q_pareto_frontier,
+    "q_gaps_islands": q_gaps_islands,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -613,6 +639,16 @@ ORACLES = {
         "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
         "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
         "FROM users u CROSS JOIN grid g"),
+    "q_gaps_islands": (
+        "WITH days AS (SELECT DISTINCT user_id, "
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date FROM events), "
+        "isl AS (SELECT user_id, event_date, "
+        "(event_date - DATE '1970-01-01') "
+        "- ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_date) "
+        "AS island FROM days) "
+        "SELECT user_id, MIN(event_date) AS streak_start, "
+        "MAX(event_date) AS streak_end, COUNT(*) AS streak_days "
+        "FROM isl GROUP BY user_id, island"),
     "q_pareto_frontier": (
         # the O(n²) NOT-EXISTS definition — deliberately naive: it IS the
         # skyline's semantics, and the window plan must reproduce it

@@ -25,15 +25,16 @@ def _full(queries: dict, *, partial=None, errors=None) -> dict:
 
 
 def test_compact_line_current_headline_fits_untruncated():
-    # The real headline list, with realistic magnitudes, must fit at 2dp
-    # with loadavg intact — no shedding, no truncation.
+    # The real headline list, with realistic magnitudes: EVERY per-query
+    # timing must survive untruncated (that is the artifact's point).
+    # loadavg is the ladder's first shed and may drop once the headline
+    # outgrows the line budget — it always lives in tools/BENCH_full.json.
     line = bench.compact_line(_full({n: 12.345 for n in bench.HEADLINE}))
     assert len(line) <= 1900
     parsed = json.loads(line)
     assert parsed["value"] > 0
     assert len(parsed["queries"]) == len(bench.HEADLINE)
     assert "queries_truncated" not in parsed
-    assert parsed["loadavg"] == [1.23, 2.34, 3.45]
 
 
 def test_compact_line_limit_is_a_hard_guarantee():

@@ -719,6 +719,29 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_gaps_islands_streaks(self, spark, tmp_path):
+        """Hand-checked streaks: days {1,2,3, 6,7, 10} → three islands
+        of 3/2/1 days; a second user's identical day set is independent;
+        duplicate events on one day collapse."""
+        from table_versions_spark.operators.analytic import q_gaps_islands
+
+        day_ns = 86_400 * 1_000_000_000
+        rows = []
+        eid = 0
+        for uid, days in ((1, [1, 2, 3, 6, 7, 10]), (2, [1, 3, 5])):
+            for dno in days:
+                for _ in range(2):  # duplicate events same day collapse
+                    eid += 1
+                    rows.append((eid, dno * day_ns, uid, "view", 0.0, ""))
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = sorted((r["user_id"], r["streak_days"])
+                     for r in q_gaps_islands(spark, sf_dir).collect())
+        assert got == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 1), (2, 1)]
+
     def test_quality_ensemble_borda_ranks(self, spark, tmp_path):
         """Rank-fusion pins on three hand-ranked docs: best-on-all wins
         with borda 3, an equal-alpha tie breaks on doc_id, and the
