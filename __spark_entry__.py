@@ -76,7 +76,7 @@ def _registry() -> tuple[dict, dict]:
         "q_interval_join", "q_hard_negatives", "q_mad_outliers",
         "q_string_agg", "q_resample_interp", "q_stream_merge",
         "q_pareto_frontier", "q_not_in_null", "q_quality_ensemble",
-        "q_gaps_islands",
+        "q_gaps_islands", "q_maxsim", "q_table_diff",
         # --- 32 ids last green in r5 (core relational + TPC-H bulk) ---
         "q_project", "q_retention", "q_rollup", "q_scan_orc",
         "q_scan_parquet", "q_scan_table", "q_scd2", "q_set_except",

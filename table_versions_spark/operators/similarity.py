@@ -590,8 +590,45 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s.cos_sim").alias("cos_sim")))
 
 
+MAXSIM_QTOKENS = 5  # the query's token multivector = vec_ids 0..4
+
+
+def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring (MaxSim, Khattab &
+    Zaharia 2020): treat each label group as a document's token
+    multivector and vec_ids 0..4 as the query's tokens; a document's
+    score is Σ over query tokens of the max cosine against any of its
+    tokens — the retrieval scorer that beats single-vector similarity
+    when queries are multi-aspect.
+
+    Scale shape: the query block is driver-bounded (MAXSIM_QTOKENS
+    rows) and broadcasts into one corpus scan; per-(doc, qtoken) maxes
+    are a map-side-combined aggregate pivoted into FIXED columns, so
+    (a) only #labels rows shuffle and (b) the final score is a
+    fixed-order column sum — deterministic across engines, where a
+    floating SUM() over an unordered group would inherit partial-agg
+    order. Maxes round at 6 dp before the sum (cosine parity with the
+    oracle is pinned by q_sim_search)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qt = (emb.where(F.col("vec_id") < MAXSIM_QTOKENS)
+          .select(F.col("vec_id").alias("q_id"),
+                  as_double_array(F.col("embedding")).alias("qv")))
+    dv = as_double_array(F.col("embedding"))
+    scored = (emb.crossJoin(F.broadcast(qt))
+              .select("label", "q_id", cosine(dv, F.col("qv")).alias("c")))
+    maxes = [F.round(F.max(F.when(F.col("q_id") == i, F.col("c"))), 6)
+             .alias(f"m{i}") for i in range(MAXSIM_QTOKENS)]
+    per_q = scored.groupBy("label").agg(*maxes)
+    total = sum((F.col(f"m{i}") for i in range(1, MAXSIM_QTOKENS)),
+                F.col("m0"))
+    return per_q.select("label",
+                        *[f"m{i}" for i in range(MAXSIM_QTOKENS)],
+                        F.round(total, 6).alias("maxsim"))
+
+
 QUERIES = {
     "q_sim_search": q_sim_search,
+    "q_maxsim": q_maxsim,
     "q_hard_negatives": q_hard_negatives,
     "q_sim_ann_ivf": q_sim_ann_ivf,
     "q_sim_ann_lsh": q_sim_ann_lsh,
@@ -639,7 +676,21 @@ def _kmeans_oracle() -> str:
             + " SELECT vec_id, CAST(cent_id AS INT) AS cluster "
               "FROM fin WHERE rn = 1")
 
+_MAXSIM_M_COLS = ", ".join(
+    f"round(max(CASE WHEN q_id = {i} THEN c END), 6) AS m{i}"
+    for i in range(5))
+
 ORACLES = {
+    "q_maxsim": (
+        "WITH q AS (SELECT vec_id AS q_id, "
+        "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id < 5), "
+        "s AS (SELECT e.label, q.q_id, "
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c "
+        "FROM embeddings e CROSS JOIN q), "
+        f"m AS (SELECT label, {_MAXSIM_M_COLS} FROM s GROUP BY label) "
+        "SELECT label, m0, m1, m2, m3, m4, "
+        "round(m0 + m1 + m2 + m3 + m4, 6) AS maxsim FROM m"),
     "q_hard_negatives": (
         "WITH p AS (SELECT vec_id AS probe_id, label AS plabel, "
         "CAST(embedding AS DOUBLE[]) AS pv FROM embeddings "

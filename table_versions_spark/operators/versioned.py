@@ -836,6 +836,64 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — row-level diff of a table between two
+    commits (the data-ops "what changed since yesterday" audit, and the
+    validation step behind any migration sign-off): a FULL OUTER join
+    of the time-travel read at the pre-mutation commit against the
+    current read, on the row key, classifying each key as
+    added / removed / changed.
+
+    Drive: a fresh snapshot table takes the deduped event
+    representatives, then a dv DELETE of error rows, an UPDATE
+    repricing clicks (``value·2 + 1`` — always differs, so 0-valued
+    clicks still classify as changed), and one synthetic INSERT; the
+    diff of (insert commit → head) must be exactly those three commit
+    footprints, which is the oracle. Unchanged rows drop out.
+
+    Scale shape: two versioned reads (the old one metadata-resolved by
+    time travel — no log replay cost beyond the fold), one shuffle on
+    the key for the full-outer join, column-equality classification in
+    codegen. At 100 TB this is the CDF-less diff; with CDF enabled,
+    q_change_feed reads the same answer without the join."""
+    eng = _engine(spark)
+    table = f"vx.tdiff_{next(_SEQ)}"
+    ddl = "event_id bigint, user_id bigint, event_type string, value double"
+    eng.create_table(table, schema_ddl=ddl,
+                     user_id="creator", message="diff base")
+    base = (load_events(spark, sf_dir)
+            .groupBy("event_id")
+            .agg(F.min("user_id").alias("user_id"),
+                 F.min("event_type").alias("event_type"),
+                 F.min("value").alias("value")))
+    r0 = eng.insert(base, table, "loader", "initial snapshot")
+    eng.delete(table, "event_type = 'error'", "auditor", "purge errors",
+               mode="dv")
+    eng.update(table, set={"value": "value * 2 + 1"},
+               predicate="event_type = 'click'",
+               user_id="ops", message="reprice clicks")
+    eng.insert(spark.createDataFrame([(-777, 0, "synthetic", 1.0)], ddl),
+               table, "ops", "backfill row", mode="append")
+    old = eng.read(table, at_commit=r0.commit_id).alias("o")
+    new = eng.read(table).alias("n")
+    j = old.join(new, F.col("o.event_id") == F.col("n.event_id"),
+                 "full_outer")
+    # null-safe inequality (<=>) so a NULL-vs-value cell classifies as
+    # changed instead of silently dropping out of the diff
+    diff_cols = ["value", "event_type", "user_id"]
+    any_diff = None
+    for c in diff_cols:
+        ne = ~F.expr(f"o.{c} <=> n.{c}")
+        any_diff = ne if any_diff is None else (any_diff | ne)
+    status = (F.when(F.col("o.event_id").isNull(), "added")
+              .when(F.col("n.event_id").isNull(), "removed")
+              .when(any_diff, "changed"))
+    return (j.withColumn("status", status)
+            .where(F.col("status").isNotNull())
+            .select(F.coalesce("o.event_id", "n.event_id")
+                    .alias("event_id"), "status"))
+
+
 SMERGE_UPD_MOD = 5  # event_id % 5 == 0 rows arrive reprocessed (value·3)
 SMERGE_NEW_MOD = 7  # event_id % 7 == 0 rows spawn a NEW id (+10_000_000)
 
@@ -1368,6 +1426,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
     "q_history": q_history,
+    "q_table_diff": q_table_diff,
     "q_stream_merge": q_stream_merge,
     "q_stream_static_join": q_stream_static_join,
     "q_stream_window_tvx": q_stream_window_tvx,
@@ -1438,6 +1497,14 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_table_diff": (
+        "WITH base AS (SELECT event_id, min(event_type) AS event_type "
+        "FROM events GROUP BY event_id) "
+        "SELECT event_id, 'removed' AS status FROM base "
+        "WHERE event_type = 'error' "
+        "UNION ALL SELECT event_id, 'changed' FROM base "
+        "WHERE event_type = 'click' "
+        "UNION ALL SELECT -777, 'added'"),
     "q_stream_merge": (
         "WITH base AS (SELECT event_id, min(user_id) AS user_id, "
         "min(event_type) AS event_type, min(value) AS value "

@@ -55,6 +55,9 @@ EXPECTED: dict[str, set[str]] = {
     # corpus scan with a residual label-mismatch predicate; the post-
     # fan-out exchange is one aggregated row per probe
     "q_hard_negatives": {"cartesian", "bnlj"},
+    # query token multivector (MAXSIM_QTOKENS rows) broadcast-crossed
+    # into one corpus scan; only #labels pivoted rows shuffle
+    "q_maxsim": {"cartesian", "bnlj"},
     "q_dedup_embedding": {"cartesian", "bnlj"},
     "q_dedup_ngram": {"cartesian", "bnlj"},
 }

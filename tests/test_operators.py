@@ -719,6 +719,52 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_maxsim_late_interaction(self, spark, tmp_path):
+        """MaxSim pins on 2-D planted vectors: each query token takes
+        the max cosine over a label's member vectors independently, and
+        the doc whose tokens cover BOTH query directions outscores a
+        doc that only matches one, even though the latter has the
+        single best match."""
+        from table_versions_spark.operators.similarity import q_maxsim
+
+        rows = [
+            # query tokens 0..4 (only 0 and 1 point anywhere distinct)
+            (0, [1.0, 0.0], 99), (1, [0.0, 1.0], 99),
+            (2, [1.0, 0.0], 99), (3, [1.0, 0.0], 99), (4, [1.0, 0.0], 99),
+            # label 7: covers both axes
+            (10, [1.0, 0.0], 7), (11, [0.0, 1.0], 7),
+            # label 8: only the x axis (perfect match there)
+            (20, [1.0, 0.0], 8), (21, [1.0, 0.0], 8),
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{sf_dir}/embeddings.parquet")
+        got = {r["label"]: r["maxsim"]
+               for r in q_maxsim(spark, sf_dir).collect()}
+        assert got[7] == 5.0   # 1 per query token (4 on x, 1 on y)
+        assert got[8] == 4.0   # y-token contributes 0
+        assert got[7] > got[8]
+
+    def test_table_diff_classifies_three_commits(self, spark, tmp_path):
+        """Reconciliation pins on a planted feed: dv-deleted errors →
+        removed, repriced clicks → changed (incl. a value-0 click, which
+        the +1 in the reprice keeps distinguishable), synthetic insert →
+        added, untouched views absent."""
+        from table_versions_spark.operators.versioned import q_table_diff
+
+        rows = [(1, 10, 1, "error", 2.0, ""),
+                (2, 11, 1, "click", 0.0, ""),
+                (3, 12, 1, "view", 3.0, "")]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["event_id"]: r["status"]
+               for r in q_table_diff(spark, sf_dir).collect()}
+        assert got == {1: "removed", 2: "changed", -777: "added"}
+
     def test_gaps_islands_streaks(self, spark, tmp_path):
         """Hand-checked streaks: days {1,2,3, 6,7, 10} → three islands
         of 3/2/1 days; a second user's identical day set is independent;
