@@ -719,6 +719,76 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_pareto_frontier_matches_bruteforce_random(self, spark,
+                                                       tmp_path):
+        """Seeded random cross-check: the window-plan skyline must equal
+        the O(n²) brute-force non-dominated set on 300 random points
+        with deliberate duplicate sizes and prices (the tie surface)."""
+        import random
+
+        from table_versions_spark.operators.analytic import (
+            q_pareto_frontier,
+        )
+
+        rng = random.Random(42)
+        pts = [(i, rng.randint(1, 20), float(rng.randint(1, 30)))
+               for i in range(1, 301)]
+
+        def dominated(a):
+            return any(b[1] >= a[1] and b[2] <= a[2]
+                       and (b[1] > a[1] or b[2] < a[2]) for b in pts)
+
+        expect = {p[0] for p in pts if not dominated(p)}
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            pts, "p_partkey long, p_size int, p_retailprice double"
+        ).write.parquet(f"{sf_dir}/part.parquet")
+        got = {r["p_partkey"]
+               for r in q_pareto_frontier(spark, sf_dir).collect()}
+        assert got == expect
+
+    def test_gaps_islands_matches_bruteforce_random(self, spark,
+                                                    tmp_path):
+        """Seeded random cross-check: streaks from the island-key window
+        must equal a pure-Python consecutive-run scan over random day
+        sets for 20 users."""
+        import random
+
+        from table_versions_spark.operators.analytic import q_gaps_islands
+
+        rng = random.Random(7)
+        day_ns = 86_400 * 1_000_000_000
+        rows, expect = [], set()
+        eid = 0
+        for uid in range(1, 21):
+            days = sorted(rng.sample(range(1, 40), rng.randint(1, 15)))
+            for dno in days:
+                eid += 1
+                rows.append((eid, dno * day_ns, uid, "view", 0.0, ""))
+            run = [days[0]]
+            for dno in days[1:]:
+                if dno == run[-1] + 1:
+                    run.append(dno)
+                else:
+                    expect.add((uid, run[0], run[-1], len(run)))
+                    run = [dno]
+            expect.add((uid, run[0], run[-1], len(run)))
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        # map dates back to day numbers (epoch day N = 1970-01-01 + N)
+        import datetime
+
+        def to_dno(d):
+            return (d - datetime.date(1970, 1, 1)).days
+
+        got = {(r["user_id"], to_dno(r["streak_start"]),
+                to_dno(r["streak_end"]), r["streak_days"])
+               for r in q_gaps_islands(spark, sf_dir).collect()}
+        assert got == expect
+
     def test_maxsim_late_interaction(self, spark, tmp_path):
         """MaxSim pins on 2-D planted vectors: each query token takes
         the max cosine over a label's member vectors independently, and
