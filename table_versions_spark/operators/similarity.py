@@ -678,19 +678,21 @@ def _kmeans_oracle() -> str:
 
 _MAXSIM_M_COLS = ", ".join(
     f"round(max(CASE WHEN q_id = {i} THEN c END), 6) AS m{i}"
-    for i in range(5))
+    for i in range(MAXSIM_QTOKENS))
+_MAXSIM_M_LIST = ", ".join(f"m{i}" for i in range(MAXSIM_QTOKENS))
+_MAXSIM_M_SUM = " + ".join(f"m{i}" for i in range(MAXSIM_QTOKENS))
 
 ORACLES = {
     "q_maxsim": (
         "WITH q AS (SELECT vec_id AS q_id, "
         "CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
-        "WHERE vec_id < 5), "
+        f"WHERE vec_id < {MAXSIM_QTOKENS}), "
         "s AS (SELECT e.label, q.q_id, "
         "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c "
         "FROM embeddings e CROSS JOIN q), "
         f"m AS (SELECT label, {_MAXSIM_M_COLS} FROM s GROUP BY label) "
-        "SELECT label, m0, m1, m2, m3, m4, "
-        "round(m0 + m1 + m2 + m3 + m4, 6) AS maxsim FROM m"),
+        f"SELECT label, {_MAXSIM_M_LIST}, "
+        f"round({_MAXSIM_M_SUM}, 6) AS maxsim FROM m"),
     "q_hard_negatives": (
         "WITH p AS (SELECT vec_id AS probe_id, label AS plabel, "
         "CAST(embedding AS DOUBLE[]) AS pv FROM embeddings "
