@@ -236,6 +236,36 @@ def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "interp_value"))
 
 
+WAU_WINDOW = 7  # trailing window, in days, ending at each reported day
+
+
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users — COUNT(DISTINCT) over a SLIDING
+    window, the engagement metric (WAU per day) that defeats ordinary
+    window aggregation because distinct-counts don't compose across
+    frame slides.
+
+    Scale shape: the cover-explode trick — each distinct (user, day)
+    activity fans out to the ≤ WAU_WINDOW window-END days it is visible
+    in (a slim ints-only explode, bounded 7×), then one
+    two-phase-exact countDistinct per window end. That turns the
+    quadratic "re-scan the window per day" into one shuffle keyed by
+    window end; reported days are the corpus's active days (joined
+    back, broadcast-sized calendar)."""
+    days = (load_events(spark, sf_dir)
+            .select("user_id", "event_date").distinct())
+    d = F.datediff("event_date", F.lit("1970-01-01").cast("date"))
+    covered = days.select(
+        "user_id", F.explode(F.sequence(d, d + WAU_WINDOW - 1)).alias("e"))
+    cal = days.select(d.alias("e")).distinct()
+    return (covered.join(F.broadcast(cal), "e")
+            .groupBy("e")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .select(F.date_add(F.lit("1970-01-01").cast("date"),
+                               F.col("e").cast("int")).alias("day"),
+                    "wau"))
+
+
 def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each user's CONSECUTIVE-day activity streaks —
     the classic SQL pattern behind "N-day streak" product metrics and
@@ -587,6 +617,7 @@ QUERIES = {
     "q_resample_interp": q_resample_interp,
     "q_pareto_frontier": q_pareto_frontier,
     "q_gaps_islands": q_gaps_islands,
+    "q_rolling_wau": q_rolling_wau,
     "q_scd2": q_scd2,
     "q_retention": q_retention,
     "q_range_join": q_range_join,
@@ -639,6 +670,14 @@ ORACLES = {
         "(SELECT r.value FROM refs r WHERE r.user_id = u.user_id "
         "AND r.ts <= g.grid_ts ORDER BY r.ts DESC LIMIT 1) AS locf_value "
         "FROM users u CROSS JOIN grid g"),
+    "q_rolling_wau": (
+        "WITH days AS (SELECT DISTINCT user_id, "
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events), "
+        "cal AS (SELECT DISTINCT d FROM days) "
+        "SELECT cal.d AS day, count(DISTINCT days.user_id) AS wau "
+        "FROM cal JOIN days ON days.d "
+        f"BETWEEN cal.d - INTERVAL {WAU_WINDOW - 1} DAY AND cal.d "
+        "GROUP BY cal.d"),
     "q_gaps_islands": (
         "WITH days AS (SELECT DISTINCT user_id, "
         "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date FROM events), "

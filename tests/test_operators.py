@@ -719,6 +719,27 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_rolling_wau_sliding_distinct(self, spark, tmp_path):
+        """Hand-checked 7-day WAU: user 1 active days 1 and 9 (never in
+        one window together), user 2 active day 8 only — windows ending
+        day 1 → {1}, day 8 → {2}, day 9 → {1,2}; duplicate same-day
+        events collapse; only active days are reported."""
+        from table_versions_spark.operators.analytic import q_rolling_wau
+
+        day_ns = 86_400 * 1_000_000_000
+        rows = [(1, 1 * day_ns, 1, "view", 0.0, ""),
+                (2, 1 * day_ns, 1, "click", 0.0, ""),  # same user+day
+                (3, 9 * day_ns, 1, "view", 0.0, ""),
+                (4, 8 * day_ns, 2, "view", 0.0, "")]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["day"].day: r["wau"]
+               for r in q_rolling_wau(spark, sf_dir).collect()}
+        assert got == {2: 1, 9: 1, 10: 2}  # epoch day N = Jan (N+1), 1970
+
     def test_pareto_frontier_matches_bruteforce_random(self, spark,
                                                        tmp_path):
         """Seeded random cross-check: the window-plan skyline must equal
