@@ -641,6 +641,56 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((l_returnflag, l_linestatus), (l_returnflag), ())")
 
 
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (``PERCENTILE_DISC`` — the value actually
+    present in the data, vs q_agg_median/q_quantiles' interpolated
+    ``PERCENTILE_CONT``): per returnflag, the smallest l_extendedprice
+    whose cumulative rank reaches p, for p ∈ {0.5, 0.9}. Spark has no
+    discrete-percentile builtin, so this is the portable window
+    formulation — rank every row once, pick the first row at or past
+    each threshold via one ordered aggregate per p (min over a
+    conditional), all on integer row counts: no interpolation, no
+    float aggregation, bit-exact on any engine."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag",
+                                                "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+    rn = F.row_number().over(w)
+    ranked = li.select("l_returnflag", "l_extendedprice",
+                       rn.alias("rn"), n.alias("n"))
+    picks = [F.min(F.when(F.col("rn") * 100 >= F.col("n") * int(p * 100),
+                          F.col("l_extendedprice")))
+             .alias(f"p{int(p * 100)}_disc") for p in (0.5, 0.9)]
+    return ranked.groupBy("l_returnflag").agg(*picks)
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the smallest value whose cumulative weight
+    reaches half the group's total (here: l_extendedprice weighted by
+    l_quantity per returnflag), the statistic behind "the price level
+    where half the VOLUME sits" questions that an unweighted median
+    answers wrongly.
+
+    Determinism note: the cumulative weight is an ORDERED prefix sum
+    (window over (value, weight) ascending, total order) — both engines
+    add the same doubles in the same sequence, so the threshold
+    comparison is bit-identical, unlike a groupBy SUM whose partial-agg
+    order floats. One shuffle on the group key serves both windows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity")
+    wg = Window.partitionBy("l_returnflag")
+    w = (wg.orderBy("l_extendedprice", "l_quantity")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("l_quantity").over(w)
+    tot = F.sum("l_quantity").over(wg)
+    ranked = li.select("l_returnflag", "l_extendedprice",
+                       cum.alias("cw"), tot.alias("tw"))
+    return (ranked
+            .where(F.col("cw") * 2 >= F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("weighted_median")))
+
+
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered LISTAGG / string_agg — the report-building aggregate SQL
     warehouses expose as LISTAGG(... WITHIN GROUP (ORDER BY ...)). Spark
@@ -766,6 +816,8 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_string_agg": q_string_agg,
+    "q_percentile_disc": q_percentile_disc,
+    "q_weighted_median": q_weighted_median,
     "q_not_in_null": q_not_in_null,
     "q_exists_subquery": q_exists_subquery,
     "q_scalar_subquery": q_scalar_subquery,
@@ -826,6 +878,28 @@ _NULLSAFE_DIM_SQL = ("(VALUES " + ", ".join(
     + ") AS dim(k, bucket)")
 
 ORACLES = {
+    "q_percentile_disc": (
+        # same window formulation as the operator (NOT quantile_disc —
+        # engines differ on its index convention; integer rank compare
+        # is definition-free)
+        "WITH r AS (SELECT l_returnflag, l_extendedprice, "
+        "ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem) "
+        "SELECT l_returnflag, "
+        "MIN(CASE WHEN rn * 100 >= n * 50 THEN l_extendedprice END) "
+        "AS p50_disc, "
+        "MIN(CASE WHEN rn * 100 >= n * 90 THEN l_extendedprice END) "
+        "AS p90_disc FROM r GROUP BY l_returnflag"),
+    "q_weighted_median": (
+        "WITH r AS (SELECT l_returnflag, l_extendedprice, "
+        "SUM(l_quantity) OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice, l_quantity "
+        "ROWS UNBOUNDED PRECEDING) AS cw, "
+        "SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw "
+        "FROM lineitem) "
+        "SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median "
+        "FROM r WHERE cw * 2 >= tw GROUP BY l_returnflag"),
     "q_string_agg": (
         "SELECT r_name, count(*) AS n_nations, "
         "string_agg(n_name, ',' ORDER BY n_name) AS nation_csv "

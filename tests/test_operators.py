@@ -719,6 +719,31 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_percentile_disc_and_weighted_median(self, spark, tmp_path):
+        """Hand-checked discrete stats on one group: values 10..100 by
+        10s → p50_disc = 50 (smallest rank ≥ half), p90_disc = 90;
+        with weights concentrated on 100 (weight 10 vs 1 elsewhere,
+        total 19, half 9.5 — strictly past the nine unit weights), the
+        weighted median jumps to 100 while the unweighted p50 stays at
+        50. (At cw exactly half, the LOWER value qualifies — cw·2 ≥ tw
+        is the standard lower weighted median.)"""
+        from table_versions_spark.operators.relational import (
+            q_percentile_disc,
+            q_weighted_median,
+        )
+
+        rows = [(i, "A", float(v), 10.0 if v == 100 else 1.0)
+                for i, v in enumerate(range(10, 101, 10))]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_returnflag string, "
+                  "l_extendedprice double, l_quantity double"
+        ).write.parquet(f"{sf_dir}/lineitem.parquet")
+        pd_ = q_percentile_disc(spark, sf_dir).collect()[0]
+        assert (pd_["p50_disc"], pd_["p90_disc"]) == (50.0, 90.0)
+        wm = q_weighted_median(spark, sf_dir).collect()[0]
+        assert wm["weighted_median"] == 100.0
+
     def test_rolling_wau_sliding_distinct(self, spark, tmp_path):
         """Hand-checked 7-day WAU: user 1 active days 1 and 9 (never in
         one window together), user 2 active day 8 only — windows ending
