@@ -246,6 +246,23 @@ def main(sf_dir: str, warehouse: str) -> None:
           f"containment pairs: {contain}; mean entropy {ent['h']} bits/word "
           f"(TTR {ent['ttr']}); top-p quality nucleus keeps {kept}/{total}")
 
+    # 19. round-9 additions: interval join, MaxSim retrieval, rank-fusion --
+    # quality, snapshot reconciliation
+    from table_versions_spark.operators import analytic, versioned
+    from table_versions_spark.operators.similarity import q_maxsim
+
+    overlaps = analytic.q_interval_join(spark, sf_dir).count()
+    best = (q_maxsim(spark, sf_dir)
+            .orderBy(F.desc("maxsim")).first())
+    kept_ens = cleaning.q_quality_ensemble(spark, sf_dir).count()
+    diff = {r["status"]: r["n"] for r in
+            versioned.q_table_diff(spark, sf_dir)
+            .groupBy("status").agg(F.count("*").alias("n")).collect()}
+    print(f"[19] interval join: {overlaps} error-windows overlap a "
+          f"purchase window; MaxSim retrieval top doc: label {best.label} "
+          f"(score {best.maxsim}); Borda quality fusion keeps {kept_ens} "
+          f"docs; snapshot diff vs pre-mutation commit: {diff}")
+
     print("demo complete.")
 
 
