@@ -641,6 +641,25 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((l_returnflag, l_linestatus), (l_returnflag), ())")
 
 
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift UNION — combining two extracts whose schemas have
+    diverged (an old export without a column, a new one with an extra
+    one), NULL-filling the gaps by NAME instead of by position:
+    ``unionByName(allowMissingColumns=True)``, the DuckDB/modern-SQL
+    ``UNION ALL BY NAME``. Positional UNION would silently misalign
+    the shared columns; this is the append-log-of-heterogeneous-batches
+    shape every long-lived ingestion hits. Zero shuffle — the union is
+    a plan concatenation; each side NULL-pads map-side."""
+    orders = load(spark, sf_dir, "orders")
+    old = (orders.where(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderkey", "o_custkey", "o_totalprice"))
+    new = (orders.where(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    return (old.unionByName(new, allowMissingColumns=True)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "o_orderstatus"))
+
+
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISCRETE percentiles (``PERCENTILE_DISC`` — the value actually
     present in the data, vs q_agg_median/q_quantiles' interpolated
@@ -816,6 +835,7 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_string_agg": q_string_agg,
+    "q_union_by_name": q_union_by_name,
     "q_percentile_disc": q_percentile_disc,
     "q_weighted_median": q_weighted_median,
     "q_not_in_null": q_not_in_null,
@@ -878,6 +898,13 @@ _NULLSAFE_DIM_SQL = ("(VALUES " + ", ".join(
     + ") AS dim(k, bucket)")
 
 ORACLES = {
+    "q_union_by_name": (
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM ("
+        "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        " WHERE o_orderkey % 2 = 0) "
+        "UNION ALL BY NAME "
+        "(SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        " WHERE o_orderkey % 2 = 1))"),
     "q_percentile_disc": (
         # same window formulation as the operator (NOT quantile_disc —
         # engines differ on its index convention; integer rank compare

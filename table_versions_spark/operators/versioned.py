@@ -836,6 +836,57 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third emission contract next to
+    q_stream_agg's complete and q_stream_window's append: each trigger
+    re-emits ONLY the aggregate keys that batch changed, the mode
+    dashboards and upsert sinks consume (emit deltas, not the world).
+
+    Drive: two availableNow runs over one checkpoint (deterministic
+    batch order, as in q_stream_late). Run 1 streams every event except
+    the held-back click slice and its update batch emits every
+    event_type's running totals; run 2 appends ONLY that click slice —
+    its emission must contain EXACTLY ONE row (the 'click' key, with
+    totals now covering ALL clicks) even though state holds every key.
+    The returned frame is run 2's emission; the oracle computes the
+    full-corpus click totals. foreachBatch records each epoch's emitted
+    rows to parquet — at scale that batch IS the delta an upsert sink
+    merges, state stays executor-side."""
+    import os
+
+    from .common import scratch_dir
+
+    run = scratch_dir(spark, f"stream-upd-{_RUN}-{next(_SEQ)}")
+    src, out, ckpt = (os.path.join(run, d) for d in ("src", "out", "ckpt"))
+    ev = load_events(spark, sf_dir).select("event_id", "event_type")
+    held = (F.col("event_type") == "click") & (F.col("event_id") % 3 == 0)
+
+    def run_once(tag: str) -> None:
+        stream = (spark.readStream
+                  .schema("event_id bigint, event_type string")
+                  .parquet(src))
+        agg = (stream.groupBy("event_type")
+               .agg(F.count("*").alias("n_events"),
+                    F.sum("event_id").alias("sum_eid")))
+
+        def sink(batch, _epoch):
+            (batch.withColumn("run", F.lit(tag))
+             .write.mode("append").parquet(out))
+
+        q = (agg.writeStream.outputMode("update").foreachBatch(sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        _await(q)
+
+    ev.where(~held).coalesce(1).write.mode("overwrite").parquet(src)
+    run_once("r1")  # every key emits its first totals
+    ev.where(held).coalesce(1).write.mode("append").parquet(src)
+    run_once("r2")  # ONLY the touched key re-emits
+    return (spark.read.parquet(out)
+            .where(F.col("run") == "r2")
+            .select("event_type", "n_events", "sum_eid"))
+
+
 def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation — row-level diff of a table between two
     commits (the data-ops "what changed since yesterday" audit, and the
@@ -1426,6 +1477,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
     "q_history": q_history,
+    "q_stream_update_mode": q_stream_update_mode,
     "q_table_diff": q_table_diff,
     "q_stream_merge": q_stream_merge,
     "q_stream_static_join": q_stream_static_join,
@@ -1497,6 +1549,10 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_stream_update_mode": (
+        "SELECT 'click' AS event_type, count(*) AS n_events, "
+        "CAST(sum(event_id) AS BIGINT) AS sum_eid "
+        "FROM events WHERE event_type = 'click'"),
     "q_table_diff": (
         "WITH base AS (SELECT event_id, min(event_type) AS event_type "
         "FROM events GROUP BY event_id) "

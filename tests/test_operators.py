@@ -719,6 +719,29 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_stream_update_mode_emits_only_touched_keys(self, spark,
+                                                        tmp_path):
+        """Update-mode pin on a planted feed: wave 2 holds back one
+        click (id 3); run 2's emission is exactly the click key with
+        totals covering ALL clicks — the untouched view key must NOT
+        re-emit."""
+        from table_versions_spark.operators.versioned import (
+            q_stream_update_mode,
+        )
+
+        rows = [(1, 10, 1, "view", 0.0, ""),
+                (2, 11, 1, "click", 0.0, ""),   # id 2 % 3 != 0 → wave 1
+                (3, 12, 1, "click", 0.0, "")]   # id 3 % 3 == 0 → wave 2
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        out = q_stream_update_mode(spark, sf_dir).collect()
+        assert len(out) == 1
+        assert (out[0]["event_type"], out[0]["n_events"],
+                out[0]["sum_eid"]) == ("click", 2, 5)
+
     def test_percentile_disc_and_weighted_median(self, spark, tmp_path):
         """Hand-checked discrete stats on one group: values 10..100 by
         10s → p50_disc = 50 (smallest rank ≥ half), p90_disc = 90;
