@@ -103,6 +103,58 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("nxt.t") - F.col("ts_us")).alias("gap_us")))
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join — pandas
+    ``merge_asof(direction='nearest')``, completing the family next to
+    q_asof_join (backward) and q_asof_tolerance (forward+tolerance):
+    each purchase pairs with the same-user reference event closest in
+    ABSOLUTE time, either side; equal distances break BACKWARD (the
+    earlier reference), and probes with no same-user reference surface
+    with NULLs.
+
+    Scale shape: still NO join — the union+window trick run in both
+    directions (the q_resample_interp machinery): one ascending pass
+    carries the latest at-or-before reference, one descending pass the
+    earliest at-or-after, both as non-null struct markers, then a
+    codegen'd distance compare picks the winner. One shuffle on
+    user_id total; references pre-deduped per (user, ts) keeps tie
+    order engine-independent. ``gap_us`` is SIGNED (ref − probe), so
+    the chosen direction is part of the checked answer."""
+    ev = load_events(spark, sf_dir)
+    probes = (ev.where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts",
+                      F.lit(1).alias("is_probe"),
+                      F.lit(None).cast("long").alias("ref_id")))
+    refs = (ev.where(F.col("event_type") != "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("ref_id"))
+            .select(F.lit(None).cast("long").alias("event_id"),
+                    "user_id", "ts", F.lit(0).alias("is_probe"),
+                    "ref_id"))
+    tagged = (probes.unionByName(refs)
+              .withColumn("ts_us", F.unix_micros("ts")))
+    obs = F.when(F.col("is_probe") == 0,
+                 F.struct(F.col("ts_us").alias("t"),
+                          F.col("ref_id").alias("id")))
+    w_prev = (Window.partitionBy("user_id").orderBy("ts_us", "is_probe")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_next = (Window.partitionBy("user_id")
+              .orderBy(F.desc("ts_us"), F.asc("is_probe"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.last(obs, ignorenulls=True).over(w_next)
+    gap_prev = F.col("ts_us") - prev["t"]
+    gap_next = nxt["t"] - F.col("ts_us")
+    take_prev = prev.isNotNull() & (nxt.isNull() | (gap_prev <= gap_next))
+    best = F.when(take_prev, prev).otherwise(nxt)
+    return (tagged
+            .withColumn("best", best)
+            .where(F.col("is_probe") == 1)
+            .select("event_id", "user_id",
+                    F.col("best.id").alias("nearest_ref_id"),
+                    (F.col("best.t") - F.col("ts_us")).alias("gap_us")))
+
+
 RESAMPLE_HOURS = 6   # fixed resample grid step
 RESAMPLE_USERS = 10  # user_id < this bound rides the resample
 
@@ -612,6 +664,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_asof_join": q_asof_join,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_asof_nearest": q_asof_nearest,
     "q_interval_join": q_interval_join,
     "q_resample_locf": q_resample_locf,
     "q_resample_interp": q_resample_interp,
@@ -697,6 +750,17 @@ ORACLES = {
         "AND b.p_retailprice <= a.p_retailprice "
         "AND (b.p_size > a.p_size "
         "OR b.p_retailprice < a.p_retailprice))"),
+    "q_asof_nearest": (
+        "WITH probes AS (SELECT event_id, user_id, epoch_us(ts) AS tu "
+        "FROM events WHERE event_type = 'purchase'), "
+        "refs AS (SELECT user_id, epoch_us(ts) AS tu, MAX(event_id) "
+        "AS ref_id FROM events WHERE event_type <> 'purchase' "
+        "GROUP BY 1, 2) "
+        "SELECT p.event_id, p.user_id, r.ref_id AS nearest_ref_id, "
+        "r.tu - p.tu AS gap_us "
+        "FROM probes p LEFT JOIN LATERAL ("
+        "SELECT tu, ref_id FROM refs WHERE refs.user_id = p.user_id "
+        "ORDER BY abs(tu - p.tu), tu, ref_id LIMIT 1) r ON TRUE"),
     "q_resample_interp": (
         "WITH b AS (SELECT date_trunc('day', MIN(ts)) AS t0, MAX(ts) AS t1 "
         "FROM events), "

@@ -719,6 +719,36 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_asof_nearest_direction_and_ties(self, spark, tmp_path):
+        """Nearest as-of pins: a probe between two refs picks the closer
+        side with a SIGNED gap, an exact-distance tie breaks BACKWARD,
+        an equal-ts ref wins with gap 0, and a ref-less user yields
+        NULLs."""
+        from table_versions_spark.operators.analytic import q_asof_nearest
+
+        s = 1_000_000_000  # one second in nanos
+        rows = [
+            (101, 100 * s, 1, "view", 0.0, ""),    # ref at t=100
+            (102, 200 * s, 1, "view", 0.0, ""),    # ref at t=200
+            (1, 130 * s, 1, "purchase", 0.0, ""),  # closer to 100 (−30 s)
+            (2, 180 * s, 1, "purchase", 0.0, ""),  # closer to 200 (+20 s)
+            (3, 150 * s, 1, "purchase", 0.0, ""),  # tie → backward (−50 s)
+            (4, 100 * s, 1, "purchase", 0.0, ""),  # equal ts → gap 0
+            (5, 50 * s, 2, "purchase", 0.0, ""),   # user 2 has no refs
+        ]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string,"
+                  " value double, props string"
+        ).write.parquet(f"{sf_dir}/events.parquet")
+        got = {r["event_id"]: (r["nearest_ref_id"], r["gap_us"])
+               for r in q_asof_nearest(spark, sf_dir).collect()}
+        assert got[1] == (101, -30 * 1_000_000)
+        assert got[2] == (102, 20 * 1_000_000)
+        assert got[3] == (101, -50 * 1_000_000)  # tie → earlier ref
+        assert got[4] == (101, 0)
+        assert got[5] == (None, None)
+
     def test_stream_update_mode_emits_only_touched_keys(self, spark,
                                                         tmp_path):
         """Update-mode pin on a planted feed: wave 2 holds back one
