@@ -836,6 +836,45 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+RF_KEY_OFFSET = 1_000_000_000  # refresh-insert order keys land above base
+
+
+def q_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H refresh functions RF1/RF2 through the versioned engine —
+    the benchmark's write side, which the query-only q_tpch_q1–q22
+    family never exercises: RF1 appends a batch of new orders (the
+    %10==7 slice cloned above RF_KEY_OFFSET, so the clones keep their
+    key class and survive RF2), RF2 deletes the %10==3 slice via a
+    deletion vector, and the ACID check is the final per-status rollup
+    — base minus deletes plus inserts, which the oracle reconstructs
+    from the raw table. Three commits, linear history; the dv delete
+    rewrites nothing (the RF cadence a daily warehouse actually runs)."""
+    eng = _engine(spark)
+    table = f"vx.rf_{next(_SEQ)}"
+    ddl = ("o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, "
+           "o_orderpriority string")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        "o_orderpriority")
+    eng.create_table(table, schema_ddl=ddl,
+                     user_id="creator", message="rf base")
+    eng.insert(orders, table, "loader", "base load")
+    rf1 = (orders.where(F.col("o_orderkey") % 10 == 7)
+           .withColumn("o_orderkey",
+                       F.col("o_orderkey") + RF_KEY_OFFSET))
+    eng.insert(rf1, table, "rf1", "refresh insert", mode="append")
+    eng.delete(table, "o_orderkey % 10 = 3", "rf2", "refresh delete",
+               mode="dv")
+    return (eng.read(table)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
 def q_stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UPDATE output mode — the third emission contract next to
     q_stream_agg's complete and q_stream_window's append: each trigger
@@ -1477,6 +1516,7 @@ QUERIES = {
     "q_stream_window": q_stream_window,
     "q_stream_late": q_stream_late,
     "q_history": q_history,
+    "q_tpch_refresh": q_tpch_refresh,
     "q_stream_update_mode": q_stream_update_mode,
     "q_table_diff": q_table_diff,
     "q_stream_merge": q_stream_merge,
@@ -1549,6 +1589,17 @@ ORACLES = {
         "FROM e GROUP BY DATE_TRUNC('hour', ts), event_type "
         "HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= "
         "(SELECT w FROM wm)"),
+    "q_tpch_refresh": (
+        "WITH final AS ("
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey % 10 <> 3 "
+        "UNION ALL "
+        f"SELECT o_orderkey + {RF_KEY_OFFSET}, o_orderstatus, "
+        "o_totalprice FROM orders WHERE o_orderkey % 10 = 7) "
+        "SELECT o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS sum_price, "
+        "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+        "FROM final GROUP BY o_orderstatus"),
     "q_stream_update_mode": (
         "SELECT 'click' AS event_type, count(*) AS n_events, "
         "CAST(sum(event_id) AS BIGINT) AS sum_eid "
