@@ -718,6 +718,31 @@ def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
     return keyed.where(F.col("_blk_df") <= cap).drop("_blk_df")
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection — the step a dedup pass
+    actually SHIPS: per connected near-dup component (q_dedup_groups'
+    labels), keep exactly one document, chosen by a quality rule
+    (longest text, doc_id tie-break) instead of "whichever row the
+    shuffle saw first". Singletons survive as themselves, so the output
+    is the deduplicated corpus membership.
+
+    Scale shape: the component labels come from the shared cached edge
+    index (one build per corpus), the quality join is by doc_id, and
+    the pick is one row_number window per group — all shuffles keyed by
+    doc_id/group_id, nothing quadratic. Oracle: the same recursive-CTE
+    component labels extended with the identical ranked pick."""
+    from pyspark.sql import Window
+
+    groups = q_dedup_groups(spark, sf_dir)
+    quality = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (groups.join(quality, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "group_id", "group_size"))
+
+
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix/truncation duplicates: pairs where one document's text is a
     prefix of (or equal to) another's — the dup class produced by
@@ -947,6 +972,7 @@ QUERIES = {
     "q_dedup_prefix": q_dedup_prefix,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_groups": q_dedup_groups,
+    "q_dedup_survivors": q_dedup_survivors,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
     "q_dedup_embedding": q_dedup_embedding,
@@ -1072,6 +1098,21 @@ ORACLES = {
         "FROM reach GROUP BY id) "
         "SELECT doc_id, group_id, CAST(COUNT(*) OVER "
         "(PARTITION BY group_id) AS BIGINT) AS group_size FROM grp"),
+    "q_dedup_survivors": (
+        f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+        "e AS (SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_id_b, doc_id_a FROM pairs), "
+        "reach(id, lab) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.id), "
+        "grp AS (SELECT id AS doc_id, MIN(lab) AS group_id "
+        "FROM reach GROUP BY id), "
+        "g2 AS (SELECT doc_id, group_id, CAST(COUNT(*) OVER "
+        "(PARTITION BY group_id) AS BIGINT) AS group_size FROM grp), "
+        "j AS (SELECT g2.doc_id, g2.group_id, g2.group_size, "
+        "ROW_NUMBER() OVER (PARTITION BY g2.group_id "
+        "ORDER BY d.n_chars DESC, g2.doc_id) AS rn "
+        "FROM g2 JOIN documents d ON g2.doc_id = d.doc_id) "
+        "SELECT doc_id, group_id, group_size FROM j WHERE rn = 1"),
     "q_dedup_embedding": (
         "SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, "
         "ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "

@@ -719,6 +719,29 @@ class TestR9Ops:
                for r in q_null_safe_join(spark, sf_dir).collect()}
         assert got == {"b0": 1, "b1": 1, "b5": 1, "unknown": 4}
 
+    def test_dedup_survivors_pick_longest(self, spark, tmp_path):
+        """Survivor pins: in a near-dup pair the LONGER doc survives
+        (not the lower id), singletons survive as themselves, and every
+        group yields exactly one survivor."""
+        from table_versions_spark.operators import dedup
+
+        base = ("the quick brown fox jumps over the lazy dog while "
+                "seventeen purple elephants recite untranslatable poetry "
+                "about distributed shuffle boundaries and parquet footers")
+        texts = [base, base + " with one extra clause",
+                 "a completely unrelated singleton document about the "
+                 "weather on a small red island, naturally standalone"]
+        rows = [(i + 1, t, "en", "s", len(t))
+                for i, t in enumerate(texts)]
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long"
+        ).write.parquet(f"{sf_dir}/documents.parquet")
+        got = {r["doc_id"]: (r["group_id"], r["group_size"])
+               for r in dedup.q_dedup_survivors(spark, sf_dir).collect()}
+        assert got == {2: (1, 2), 3: (3, 1)}  # longer doc 2 survives
+
     def test_asof_nearest_direction_and_ties(self, spark, tmp_path):
         """Nearest as-of pins: a probe between two refs picks the closer
         side with a SIGNED gap, an exact-distance tie breaks BACKWARD,
