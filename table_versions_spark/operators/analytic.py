@@ -21,7 +21,7 @@
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .common import load, load_events
+from .common import distributed_prefix, load, load_events
 
 
 # ------------------------------------------------------------ as-of join
@@ -352,22 +352,25 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the naive skyline is an O(n²) NOT-EXISTS self-join
     (that IS the oracle); this plan is the sort-based O(n log n)
-    classic — one window ordered by size DESC where
-    ``min(price) RANGE UNBOUNDED PRECEDING .. -1`` sees exactly the
-    strictly-larger-size prefix, plus a per-size min for the equal-size
-    rule. One shuffle (the window sort), no join at all; at 100 TB the
-    window runs per size-range partition after a range repartition."""
+    classic, decomposed for a cluster. The only per-size facts the
+    dominance test needs are per-size MINIMUM prices, so the fact table
+    first reduces by a map-side-combined ``groupBy(p_size)`` (output
+    cardinality = |distinct sizes|); the strictly-larger-size running
+    minimum over that reduced table runs as
+    :func:`distributed_prefix`'s two-phase range-partitioned scan (no
+    single-task global window even if the size domain is huge); and the
+    per-size (m1, m2) verdict table broadcast-joins back onto the fact
+    scan. One aggregation shuffle over parts + the prefix scan over
+    per-size rows — nothing sorts the fact table in one task."""
     part = load(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_size").cast("int").alias("p_size"),
         "p_retailprice")
-    w_larger = (Window.orderBy(F.desc("p_size"))
-                .rangeBetween(Window.unboundedPreceding, -1))
-    w_size = Window.partitionBy("p_size")
-    best_larger = F.min("p_retailprice").over(w_larger)
-    best_same = F.min("p_retailprice").over(w_size)
-    return (part
-            .withColumn("m1", best_larger)
-            .withColumn("m2", best_same)
+    per_size = (part.groupBy("p_size")
+                .agg(F.min("p_retailprice").alias("m2")))
+    verdicts = distributed_prefix(per_size, [("p_size", "desc")], "m1",
+                                  value=F.col("m2"), kind="min",
+                                  inclusive=False)
+    return (part.join(F.broadcast(verdicts), "p_size")
             .where((F.col("m1").isNull()
                     | (F.col("p_retailprice") < F.col("m1")))
                    & (F.col("p_retailprice") == F.col("m2")))

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import load, load_events
+from .common import distributed_prefix, load, load_events
 
 # ---------------------------------------------------------------------------
 # q_pii_redact
@@ -550,11 +550,14 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integers from a total order (signal DESC, doc_id) while a
     z-score's stddev inherits float summation order.
 
-    Scale shape: one codegen'd scan computes all three signals, three
-    global row_number windows rank them (at 100 TB these become range-
-    partitioned sorts — same cost class as any global ORDER BY; the
-    per-partition-presort trick of q_shuffle_shards applies), and the
-    final keep is TakeOrderedAndProject on (borda, doc_id)."""
+    Scale shape: one codegen'd scan computes all three signals, which
+    STACK into (doc_id, signal, value) long format — ranking all three
+    in ONE :func:`distributed_prefix` pass grouped by signal name (a
+    global ``row_number`` window would sort the whole corpus in one
+    task; the two-phase range-partitioned rank never does). The fused
+    score folds back with a per-doc groupBy, and the final keep is
+    TakeOrderedAndProject on (borda, doc_id). Signals cast to double
+    for the shared rank column — exact for any count below 2^53."""
     docs = load(spark, sf_dir, "documents")
     w = docs.select(
         "doc_id",
@@ -565,18 +568,23 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct("w")) / F.size("w")).alias("ttr"),
         (F.size(F.filter("w", lambda x: x.rlike("^[A-Za-z]+$")))
          / F.size("w")).alias("alpha_frac"))
-    from pyspark.sql import Window
+    stacked = (sig.select("doc_id", F.explode(F.array(
+        F.struct(F.lit("len").alias("s"),
+                 F.col("n_chars").cast("double").alias("v")),
+        F.struct(F.lit("ttr").alias("s"), F.col("ttr").alias("v")),
+        F.struct(F.lit("alpha").alias("s"),
+                 F.col("alpha_frac").alias("v")))).alias("x"))
+        .select("doc_id", "x.s", "x.v"))
+    ranked = distributed_prefix(
+        stacked, [("v", "desc"), "doc_id"], "r", group_cols=["s"])
 
-    def rank_by(col):
-        return F.row_number().over(
-            Window.orderBy(F.desc(col), F.asc("doc_id"))).cast("long")
+    def pick(name):
+        return F.max(F.when(F.col("s") == name, F.col("r")))
 
-    ranked = sig.select(
-        "doc_id",
-        rank_by("n_chars").alias("r_len"),
-        rank_by("ttr").alias("r_ttr"),
-        rank_by("alpha_frac").alias("r_alpha"))
-    return (ranked
+    return (ranked.groupBy("doc_id")
+            .agg(pick("len").alias("r_len"),
+                 pick("ttr").alias("r_ttr"),
+                 pick("alpha").alias("r_alpha"))
             .withColumn("borda",
                         F.col("r_len") + F.col("r_ttr") + F.col("r_alpha"))
             .orderBy("borda", "doc_id")

@@ -190,3 +190,146 @@ def fs_copy_file(spark: SparkSession, src: str, dst: str) -> None:
     dfs.mkdirs(dp.getParent())
     jvm.org.apache.hadoop.fs.FileUtil.copy(
         sfs, sp, dfs, dp, False, spark._jsc.hadoopConfiguration())
+
+
+def _as_cols(cols) -> list:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def _order_specs(order_cols) -> list[tuple]:
+    """Normalize order entries to (Column, direction) pairs.
+
+    Entries are a column name (ascending) or a ``(name, "desc"|"asc")``
+    tuple — NOT bare ``F.desc(...)`` Columns, because the helper must
+    know the direction to build the deterministic bucket expression.
+    """
+    specs = []
+    for c in order_cols:
+        if isinstance(c, tuple):
+            name, d = c
+            specs.append((F.col(name) if isinstance(name, str) else name,
+                          d))
+        else:
+            specs.append((F.col(c) if isinstance(c, str) else c, "asc"))
+    return specs
+
+
+def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
+                       group_cols: tuple | list = (),
+                       value=None, kind: str = "count",
+                       inclusive: bool = True,
+                       num_buckets: int | None = None) -> DataFrame:
+    """Exact grouped running aggregate (ROW_NUMBER / prefix SUM / prefix
+    MIN) that scales — the two-phase replacement for a global or
+    tiny-key ``Window``.
+
+    Spark executes a Window whose partitionSpec is empty (or keyed on a
+    handful of values) on ONE task per key: the whole input sorts on a
+    single executor core — the scale-killer class a 100 TB plan cannot
+    carry ("WindowExec: Moving all data to a single partition").  This
+    helper is the classic local+carry decomposition instead:
+
+    1. one bounded pre-pass computes ``num_buckets-1`` approximate
+       quantile boundaries of the FIRST order column; they embed in the
+       plan as an array LITERAL, so the derived ``_b`` bucket id is a
+       deterministic column — every branch and every re-execution
+       assigns identical buckets.  (``repartitionByRange`` +
+       ``spark_partition_id`` does NOT have that property: range
+       sampling is documented as run-varying and AQE may coalesce the
+       two recomputed exchanges differently, silently misaligning the
+       carry join — observed, hence the literal-boundary design.
+       Boundary SKEW only affects load balance, never correctness.);
+    2. a LOCAL window per (bucket, group) — each task sorts only its
+       own slice; parallelism = #buckets × #groups;
+    3. per-(bucket, group) totals — an aggregate bounded by
+       construction at #buckets rows per group — collect into ONE array
+       per group (``sort_array(collect_list(...))``) and scan it with
+       the ``aggregate``/``slice`` higher-order functions to produce
+       each bucket's carry-in.  An array scan instead of a window keeps
+       the whole helper free of empty-partitionSpec WindowExecs, and
+       the O(#buckets²) HOF cost is over per-group scalars, not rows;
+    4. the carry broadcast-joins back and combines with the local value.
+
+    Exactness needs (group_cols + order_cols) to be a TOTAL order for
+    ``kind="count"`` (row_number semantics); SUM/MIN carries are
+    order-insensitive within ties.  ``inclusive=False`` gives the
+    strict-preceding frame (``ROWS UNBOUNDED PRECEDING .. -1``); the
+    first global row yields NULL for min, 0 for count, NULL for sum.
+
+    ``order_cols`` entries are column names (ascending) or
+    ``(name, "desc")`` tuples; the FIRST one must be numeric (it feeds
+    ``percentile_approx``). ``group_cols`` are plain names (join keys).
+    The boundary pre-pass executes the input subtree once eagerly —
+    bounded output (#buckets-1 scalars), same class as the centroid /
+    probe-block collects elsewhere in this package.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    specs = _order_specs(order_cols)
+    ocols = [c.desc() if d == "desc" else c.asc() for c, d in specs]
+    sess = df.sparkSession
+    n = num_buckets or int(
+        sess.conf.get("spark.sql.shuffle.partitions", "200"))
+    bcol, bdir = specs[0]
+    probs = [i / n for i in range(1, n)]
+    bounds = (df.select(F.percentile_approx(bcol, probs).alias("q"))
+              .first()["q"]) if n > 1 else None
+    if not bounds:
+        bucket = F.lit(0)
+    else:
+        bset = sorted({b for b in bounds if b is not None})
+        barr = F.array(*[F.lit(b) for b in bset])
+        if bdir == "desc":
+            # bucket ordinal increases ALONG the sort direction; NULLs
+            # sort last under DESC, so they take the final bucket
+            bucket = (F.when(bcol.isNull(), F.lit(len(bset)))
+                      .otherwise(F.size(F.filter(barr,
+                                                 lambda b: b > bcol))))
+        else:
+            # NULLs sort first under ASC -> filter yields 0 == smallest
+            bucket = F.size(F.filter(barr, lambda b: b < bcol))
+    rp = df.withColumn("_b", bucket)
+    end = Window.currentRow if inclusive else -1
+    w_loc = (Window.partitionBy("_b", *group_cols).orderBy(*ocols)
+             .rowsBetween(Window.unboundedPreceding, end))
+    if kind == "count":
+        loc = F.count(F.lit(1)).over(w_loc).cast("long")
+        tot = F.count(F.lit(1)).cast("long").alias("_t")
+        # count totals are never NULL, but the empty prefix (first
+        # bucket) aggregates to the NULL init, so merge stays null-safe
+        merge = "coalesce(acc + y._t, y._t, acc)"
+        combine = F.coalesce(F.col("_carry"), F.lit(0)) + F.col("_loc")
+    elif kind == "sum":
+        loc = F.sum(value).over(w_loc)
+        tot = F.sum(value).alias("_t")
+        merge = "coalesce(acc + y._t, y._t, acc)"
+        combine = (F.when(F.col("_carry").isNull(), F.col("_loc"))
+                   .when(F.col("_loc").isNull(), F.col("_carry"))
+                   .otherwise(F.col("_carry") + F.col("_loc")))
+    elif kind == "min":
+        loc = F.min(value).over(w_loc)
+        tot = F.min(value).alias("_t")
+        merge = "least(acc, y._t)"
+        combine = F.least(F.col("_carry"), F.col("_loc"))
+    else:
+        raise ValueError(f"unsupported prefix kind: {kind}")
+    local = rp.withColumn("_loc", loc)
+    sizes = rp.groupBy("_b", *group_cols).agg(tot)
+    # carry-in per bucket = aggregate over the strictly-earlier buckets'
+    # totals, computed by scanning one sorted per-group array of
+    # (bucket, total) — ≤ #buckets elements by construction
+    t = sizes.schema["_t"].dataType.simpleString()
+    scan = F.expr(
+        "transform(_a, (x, i) -> struct(x._b AS _b, "
+        f"aggregate(slice(_a, 1, i), CAST(NULL AS {t}), "
+        f"(acc, y) -> {merge}) AS _carry))")
+    carries = (sizes
+               .groupBy(*group_cols)
+               .agg(F.sort_array(F.collect_list(F.struct("_b", "_t")))
+                    .alias("_a"))
+               .select(*group_cols, F.explode(scan).alias("_s"))
+               .select(*group_cols, "_s._b", "_s._carry"))
+    return (local.join(F.broadcast(carries), ["_b", *group_cols])
+            .withColumn(out_name, combine)
+            .drop("_b", "_loc", "_carry"))

@@ -24,7 +24,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql import types as T
 
-from .common import ensure_compat, load, load_events
+from .common import distributed_prefix, ensure_compat, load, load_events
 
 LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -665,22 +665,33 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     present in the data, vs q_agg_median/q_quantiles' interpolated
     ``PERCENTILE_CONT``): per returnflag, the smallest l_extendedprice
     whose cumulative rank reaches p, for p ∈ {0.5, 0.9}. Spark has no
-    discrete-percentile builtin, so this is the portable window
-    formulation — rank every row once, pick the first row at or past
-    each threshold via one ordered aggregate per p (min over a
-    conditional), all on integer row counts: no interpolation, no
-    float aggregation, bit-exact on any engine."""
+    discrete-percentile builtin, so this is the portable rank
+    formulation — pick the first value whose cumulative row count
+    reaches each threshold, all on integer counts: no interpolation,
+    no float aggregation, bit-exact on any engine.
+
+    Scale shape: a l_returnflag-partitioned window would sort a third
+    of the fact table in ONE task (the tiny-partitionSpec scale-killer),
+    so the plan first reduces to per-(group, value) counts — a map-side-
+    combined groupBy that shrinks the prefix domain to DISTINCT values —
+    and runs the cumulative count as :func:`distributed_prefix`'s
+    two-phase range-partitioned scan. Value v's cumulative count equals
+    the max row rank over v's rows, so "first value whose cum reaches
+    the threshold" is exactly the window-rank answer (the oracle keeps
+    the per-row window spelling)."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag",
                                                 "l_extendedprice")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    n = F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
-    rn = F.row_number().over(w)
-    ranked = li.select("l_returnflag", "l_extendedprice",
-                       rn.alias("rn"), n.alias("n"))
-    picks = [F.min(F.when(F.col("rn") * 100 >= F.col("n") * int(p * 100),
+    vals = (li.groupBy("l_returnflag", "l_extendedprice")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    cum = distributed_prefix(vals, ["l_extendedprice"], "cum",
+                             group_cols=["l_returnflag"],
+                             value=F.col("cnt"), kind="sum")
+    totals = vals.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    picks = [F.min(F.when(F.col("cum") * 100 >= F.col("n") * p100,
                           F.col("l_extendedprice")))
-             .alias(f"p{int(p * 100)}_disc") for p in (0.5, 0.9)]
-    return ranked.groupBy("l_returnflag").agg(*picks)
+             .alias(f"p{p100}_disc") for p100 in (50, 90)]
+    return (cum.join(F.broadcast(totals), "l_returnflag")
+            .groupBy("l_returnflag").agg(*picks))
 
 
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,21 +701,28 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     where half the VOLUME sits" questions that an unweighted median
     answers wrongly.
 
-    Determinism note: the cumulative weight is an ORDERED prefix sum
-    (window over (value, weight) ascending, total order) — both engines
-    add the same doubles in the same sequence, so the threshold
-    comparison is bit-identical, unlike a groupBy SUM whose partial-agg
-    order floats. One shuffle on the group key serves both windows."""
+    Scale shape: the per-row prefix sum would sort a third of the fact
+    table in one task (tiny-partitionSpec window), so the plan reduces
+    to per-(group, value) weight sums first — the median test only ever
+    needs the cumulative weight AT a value boundary, which equals the
+    max per-row running weight over that value's rows — and runs the
+    prefix as :func:`distributed_prefix`'s two-phase scan over distinct
+    values.
+
+    Determinism note: l_quantity is integer-valued, so every per-value
+    sum and prefix partial is an integer exactly representable in a
+    double — both engines compare identical values at the threshold no
+    matter the addition order (the oracle keeps the per-row ordered-
+    window spelling)."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_quantity")
-    wg = Window.partitionBy("l_returnflag")
-    w = (wg.orderBy("l_extendedprice", "l_quantity")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = F.sum("l_quantity").over(w)
-    tot = F.sum("l_quantity").over(wg)
-    ranked = li.select("l_returnflag", "l_extendedprice",
-                       cum.alias("cw"), tot.alias("tw"))
-    return (ranked
+    vals = (li.groupBy("l_returnflag", "l_extendedprice")
+            .agg(F.sum("l_quantity").alias("wt")))
+    cum = distributed_prefix(vals, ["l_extendedprice"], "cw",
+                             group_cols=["l_returnflag"],
+                             value=F.col("wt"), kind="sum")
+    totals = vals.groupBy("l_returnflag").agg(F.sum("wt").alias("tw"))
+    return (cum.join(F.broadcast(totals), "l_returnflag")
             .where(F.col("cw") * 2 >= F.col("tw"))
             .groupBy("l_returnflag")
             .agg(F.min("l_extendedprice").alias("weighted_median")))

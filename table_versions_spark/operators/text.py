@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .common import load
+from .common import distributed_prefix, load
 
 # Shared stopword list for the language-ID heuristic and quality scoring.
 EN_STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
@@ -134,9 +134,12 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic: rank each group's docs by a multiplicative hash (an
     engine-portable stand-in for rand(); same rationale as
     q_train_test_split) and keep the first ``SAMPLE_PER_GROUP``. One
-    shuffle on the group key; at scale a skew-prone group key would use
-    the same two-level rank trick as any top-k, but source counts are
-    bounded here."""
+    shuffle on the group key — and scale-safe against a mega-source:
+    the constant rank bound lets Spark insert Partial+Final
+    ``WindowGroupLimit``, so every map task pre-prunes each group to
+    its top ``SAMPLE_PER_GROUP`` BEFORE the shuffle and a group's final
+    window partition receives at most K·#map-tasks rows, never the
+    group's full corpus share (verified in the plan audit)."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -160,10 +163,17 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the quota table is one tiny aggregate broadcast back
     onto the rank window's output; the only fact shuffle is the window's
-    partition-by-lang (bounded group count ⇒ bounded skew; a heavy group
-    would use the two-level rank trick). sqrt/divide/floor are IEEE
-    correctly-rounded, so the quota arithmetic is engine-portable and the
-    oracle reproduces it bit-exactly."""
+    partition-by-lang. A per-language quota can never exceed
+    ``TEMP_TARGET`` (it is a floor of a fraction of TARGET), so a
+    CONSTANT ``rn <= TEMP_TARGET`` pre-filter sits directly above the
+    window — that bound is what lets Spark insert Partial+Final
+    ``WindowGroupLimit``, pruning every map task's groups to the top
+    TARGET rows before the shuffle; a mega-language's window partition
+    is bounded at TARGET·#map-tasks rows instead of its corpus share.
+    The exact per-language quota then filters after the broadcast join.
+    sqrt/divide/floor are IEEE correctly-rounded, so the quota
+    arithmetic is engine-portable and the oracle reproduces it
+    bit-exactly."""
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
@@ -175,7 +185,8 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("quota")))
     h = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
-    ranked = docs.withColumn("rn", F.row_number().over(w))
+    ranked = (docs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= TEMP_TARGET))
     return (ranked.join(F.broadcast(quotas), "lang")
             .where(F.col("rn") <= F.col("quota"))
             .select("doc_id", "lang"))
@@ -599,7 +610,11 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token counting is a codegen'd split+size, counts combine map-side);
     the mixture table itself is #sources rows — broadcast-sized by
     construction, so downstream weighted sampling joins it for free at
-    any corpus scale."""
+    any corpus scale. The corpus totals ride a 1-row broadcast cross
+    join onto the mixture table (the q_tfidf/q_lm_score pattern) —
+    keeping even this bounded step free of empty-partitionSpec
+    windows, so "moving all data to a single partition" never appears
+    anywhere in a bench run."""
     docs = load(spark, sf_dir, "documents")
     per_source = (docs
                   .select("source",
@@ -608,13 +623,12 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .groupBy("source")
                   .agg(F.count("*").alias("n_docs"),
                        F.sum("toks").alias("n_tokens")))
-    w = Window.partitionBy()
-    return (per_source
+    totals = per_source.agg(F.sum("n_tokens").alias("_t"),
+                            F.count(F.lit(1)).alias("_ns"))
+    return (per_source.crossJoin(F.broadcast(totals))
             .withColumn("share",
-                        F.col("n_tokens").cast("double")
-                        / F.sum("n_tokens").over(w))
-            .withColumn("target_share",
-                        F.lit(1.0) / F.count("*").over(w))
+                        F.col("n_tokens").cast("double") / F.col("_t"))
+            .withColumn("target_share", F.lit(1.0) / F.col("_ns"))
             .withColumn("weight", F.col("target_share") / F.col("share"))
             .select("source", "n_docs", "n_tokens", "share",
                     "target_share", "weight")
@@ -633,25 +647,29 @@ def q_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count, so prolific-but-junky sources contribute fewer docs.
 
     Engine-portable by construction: scores are integer counts, the
-    running and total masses are integer window sums, and the nucleus
-    test ``cum_before · DEN < total · NUM`` is integer arithmetic — the
+    running and total masses are integer sums, and the nucleus test
+    ``cum_before · DEN < total · NUM`` is integer arithmetic — the
     float division never happens, so there is no rounding seam (same
-    discipline as q_gopher_rules' flag). One shuffle on source; the
-    running sum is a window over each source's ranking with a unique
-    (score DESC, doc_id) tie-break."""
+    discipline as q_gopher_rules' flag).
+
+    Scale shape: unlike the constant-K samplers there is no rank bound
+    for ``WindowGroupLimit`` to prune on — a per-source running sum
+    window would sort a mega-source in ONE task — so the running mass
+    runs as :func:`distributed_prefix`'s two-phase range-bucketed scan
+    (strict-preceding frame, unique (score DESC, doc_id) tie-break) and
+    the per-source totals are a map-side-combined aggregate broadcast
+    back (#sources rows)."""
     docs = (load(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull()))
     score = F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
     scored = docs.select("doc_id", "source", score.alias("score"))
-    w_rank = (Window.partitionBy("source")
-              .orderBy(F.desc("score"), "doc_id")
-              .rowsBetween(Window.unboundedPreceding, -1))
-    w_all = Window.partitionBy("source")
-    return (scored
-            .withColumn("cum_before",
-                        F.coalesce(F.sum("score").over(w_rank), F.lit(0)))
-            .withColumn("total", F.sum("score").over(w_all))
-            .where(F.col("cum_before") * TOP_P_DEN
+    cum = distributed_prefix(
+        scored, [("score", "desc"), "doc_id"], "cum_before",
+        group_cols=["source"], value=F.col("score"), kind="sum",
+        inclusive=False)
+    totals = scored.groupBy("source").agg(F.sum("score").alias("total"))
+    return (cum.join(F.broadcast(totals), "source")
+            .where(F.coalesce(F.col("cum_before"), F.lit(0)) * TOP_P_DEN
                    < F.col("total") * TOP_P_NUM)
             .select("doc_id", "source", "score"))
 

@@ -12,7 +12,15 @@ whether it survives a 1000-executor, 100 TB scale-up:
   supplier/part at TPC-H ratios) are BroadcastHashJoin/BNLJ, not
   SortMergeJoin (a shuffled dim join is a wasted fact-side shuffle);
 - **codegen**: the hot path sits inside WholeStageCodegen spans;
-- **no cartesian**: no accidental ``CartesianProduct`` anywhere.
+- **no cartesian**: no accidental ``CartesianProduct`` anywhere;
+- **no global window**: no WindowExec with an EMPTY partitionSpec —
+  Spark executes those on ONE task ("Moving all data to a single
+  partition"), the scale-killer that is invisible at test SF and fatal
+  at 100 TB. The scalable spelling is the two-phase local+carry
+  decomposition (``operators.common.distributed_prefix``); an op whose
+  empty-spec window input is bounded by construction may whitelist
+  ``"global-window"`` with a reason (none currently needs to — the
+  bounded cases use 1-row broadcast cross joins instead).
 
 Use :func:`audit_dataframe` on any DataFrame, or run the CLI wrapper
 ``tools/explain_audit.py`` to sweep every registered query id. Queries may
@@ -60,6 +68,9 @@ EXPECTED: dict[str, set[str]] = {
     "q_maxsim": {"cartesian", "bnlj"},
     "q_dedup_embedding": {"cartesian", "bnlj"},
     "q_dedup_ngram": {"cartesian", "bnlj"},
+    # 1-row broadcast corpus totals (token sum / #sources) crossed into
+    # the per-source mixture table — 1-row build, optimal plan
+    "q_domain_mix": {"bnlj"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
@@ -87,6 +98,18 @@ def audit_plan(name: str, jplan, plan: str) -> list[str]:
         problems.append("CartesianProduct in plan")
     if "BroadcastNestedLoopJoin" in plan and "bnlj" not in allowed:
         problems.append("BroadcastNestedLoopJoin in plan")
+    # Empty-partitionSpec WindowExec = single-task global sort of its
+    # whole input. WindowGroupLimit is exempt (it pre-prunes per
+    # partition to the limit, the TakeOrdered-style shape), and
+    # whitelisted ids document why their window input is bounded.
+    if "global-window" not in allowed:
+        for node in _iter_nodes(jplan):
+            if (node.nodeName() == "Window"
+                    and node.partitionSpec().isEmpty()):
+                problems.append(
+                    "WindowExec with empty partitionSpec — single-task "
+                    "global sort (use the two-phase distributed_prefix)")
+                break
     # Walk the tree: any shuffled join whose one side bottoms out purely in
     # dimension-table scans is a missed broadcast (at TPC-H ratios the dims
     # stay broadcastable at any SF). Only file-scan leaves count — a

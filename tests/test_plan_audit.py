@@ -1,0 +1,119 @@
+"""Plan-audit rules + the two-phase distributed_prefix helper.
+
+The global-window rule (round-10): a WindowExec with an EMPTY
+partitionSpec executes on ONE task — correct and invisible at test SF,
+fatal at 100 TB. The audit must flag a planted one, pass the
+whitelisted bounded uses, and the re-planned ranking/percentile family
+must be clean (they carry the two-phase decomposition instead).
+"""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from table_versions_spark.operators.common import distributed_prefix, load
+from table_versions_spark.plans.audit import audit_dataframe
+
+
+@pytest.fixture()
+def static_plans(spark):
+    """The audit judges the STATIC plan — AQE wraps/defers otherwise."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+class TestGlobalWindowRule:
+    def test_planted_global_window_flagged(self, static_plans, sf_small):
+        li = load(static_plans, sf_small, "lineitem")
+        planted = li.withColumn(
+            "rn", F.row_number().over(Window.orderBy("l_extendedprice")))
+        problems = audit_dataframe(planted, "planted")
+        assert any("empty partitionSpec" in p for p in problems), problems
+
+    def test_partitioned_window_passes(self, static_plans, sf_small):
+        li = load(static_plans, sf_small, "lineitem")
+        ok = li.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+        problems = audit_dataframe(ok, "partitioned")
+        assert not any("partitionSpec" in p for p in problems), problems
+
+    def test_domain_mix_passes(self, static_plans, sf_small):
+        """The mixture totals ride a whitelisted 1-row broadcast cross
+        join — no empty-spec window left anywhere in the plan."""
+        from table_versions_spark.operators.text import q_domain_mix
+
+        df = q_domain_mix(static_plans, sf_small)
+        problems = audit_dataframe(df, "q_domain_mix")
+        assert not problems, problems
+
+    @pytest.mark.parametrize("qid", [
+        "q_pareto_frontier", "q_quality_ensemble",
+        "q_percentile_disc", "q_weighted_median",
+    ])
+    def test_replanned_family_clean(self, static_plans, sf_small, qid):
+        """The four ids the r9 verdict marked perf-weak now carry the
+        two-phase plan: no empty-partitionSpec window anywhere."""
+        from table_versions_spark.operators import (analytic, cleaning,
+                                                    relational)
+
+        fn = {**analytic.QUERIES, **cleaning.QUERIES,
+              **relational.QUERIES}[qid]
+        problems = audit_dataframe(fn(static_plans, sf_small), qid)
+        assert not any("partitionSpec" in p for p in problems), problems
+
+
+class TestDistributedPrefix:
+    """Exactness vs the single-task window it replaces, all kinds."""
+
+    def _li(self, spark, sf_small):
+        return load(spark, sf_small, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber",
+            "l_returnflag", "l_extendedprice", "l_quantity")
+
+    def test_global_row_number(self, spark, sf_small):
+        li = self._li(spark, sf_small)
+        order = ["l_extendedprice", "l_orderkey", "l_partkey",
+                 "l_linenumber"]
+        ref = li.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("long"))
+        got = distributed_prefix(li, order, "rn")
+        cols = ["l_orderkey", "l_partkey", "l_linenumber", "rn"]
+        assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
+        assert got.select(cols).exceptAll(ref.select(cols)).count() == 0
+
+    def test_grouped_prefix_sum(self, spark, sf_small):
+        li = self._li(spark, sf_small)
+        w = (Window.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = li.withColumn("cw", F.sum("l_quantity").over(w))
+        got = distributed_prefix(
+            li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "cw",
+            group_cols=["l_returnflag"], value=F.col("l_quantity"),
+            kind="sum")
+        cols = ["l_orderkey", "l_partkey", "l_linenumber", "cw"]
+        assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    def test_strict_prefix_min_desc(self, spark, sf_small):
+        li = self._li(spark, sf_small)
+        w = (Window.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"),
+                            F.asc("l_linenumber"))
+             .rowsBetween(Window.unboundedPreceding, -1))
+        ref = li.withColumn("m", F.min("l_quantity").over(w))
+        got = distributed_prefix(
+            li, [("l_extendedprice", "desc"), "l_orderkey",
+                 "l_linenumber"], "m",
+            value=F.col("l_quantity"), kind="min", inclusive=False)
+        cols = ["l_orderkey", "l_partkey", "l_linenumber", "m"]
+        assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
+        # the global first row has an empty strict prefix -> NULL
+        assert got.where(F.col("m").isNull()).count() == 1
+
+    def test_plan_has_no_empty_spec_window(self, static_plans, sf_small):
+        li = self._li(static_plans, sf_small)
+        got = distributed_prefix(li, ["l_extendedprice", "l_orderkey",
+                                      "l_partkey", "l_linenumber"], "rn")
+        problems = audit_dataframe(got, "helper")
+        assert not any("partitionSpec" in p for p in problems), problems
