@@ -65,31 +65,38 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # Round-9 rotation (VERDICT r8 #1). The driver budget is ~50 rows;
-        # lead with this round's new ids (never driver-checked — worth
-        # the most), then the 32 ids whose latest driver row is still r5
-        # (the rotation's tail after CORRECTNESS_r08 refreshed the rest)
-        # — after r9 no registry id's latest driver row is older than r6.
-        # --- round-9 additions (never driver-checked) ---
-        "q_exists_subquery", "q_scalar_subquery", "q_lateral_join",
-        "q_null_safe_join", "q_pmi_bigrams", "q_winsorize",
-        "q_interval_join", "q_hard_negatives", "q_mad_outliers",
-        "q_string_agg", "q_resample_interp", "q_stream_merge",
-        "q_pareto_frontier", "q_not_in_null", "q_quality_ensemble",
-        "q_gaps_islands", "q_maxsim", "q_table_diff",
-        # --- 32 ids last green in r5 (core relational + TPC-H bulk) ---
-        "q_project", "q_retention", "q_rollup", "q_scan_orc",
-        "q_scan_parquet", "q_scan_table", "q_scd2", "q_set_except",
-        "q_set_intersect", "q_sort", "q_str_funcs", "q_topk",
-        "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-        "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q17",
-        "q_tpch_q18", "q_tpch_q19", "q_typed_cast", "q_udf_pandas",
-        "q_union_all", "q_window_rank", "q_window_running",
-        # r6/r7/r8-green families come behind via registry order.
+        # Round-10 rotation (VERDICT r9 #3). The driver budget is ~50
+        # rows; lead with the 8 ids that landed after the r9 priority
+        # list froze and have NEVER had a driver row (oracle-green in
+        # the independent sweeps, but the driver record is the gate),
+        # then this round's new ids, then the oldest (r6) tail so every
+        # registry id's latest driver record becomes r7 or newer.
+        # --- landed late in r9: never driver-checked ---
+        "q_asof_nearest", "q_dedup_survivors", "q_percentile_disc",
+        "q_rolling_wau", "q_stream_update_mode", "q_tpch_refresh",
+        "q_union_by_name", "q_weighted_median",
+        # --- round-10 additions (never driver-checked) ---
+        "q_abc_analysis", "q_gini", "q_market_basket", "q_rfm",
+        "q_mode", "q_arg_extremes", "q_benford", "q_cond_aggs",
+        "q_moving_zscore", "q_null_profile", "q_decile_stats",
+        "q_hour_entropy",
+        # --- re-planned this round: fresh rows prove the new plans ---
+        "q_pareto_frontier", "q_quality_ensemble", "q_top_p_quality",
+        "q_sample_temperature", "q_domain_mix", "q_pmi_bigrams",
+        "q_table_diff", "q_stream_merge",
+        # --- oldest driver rows (r6) ---
+        "q_bloom_skipping", "q_clustered_skipping", "q_zorder_skipping",
+        "q_bucketed_join", "q_change_feed", "q_compact_invariant",
+        "q_corr", "q_time_travel", "q_time_travel_ts", "q_multimodal",
+        "q_multimodal_frames", "q_multimodal_audio",
+        "q_multimodal_resize", "q_pivot", "q_explode", "q_window_lag",
+        "q_quantiles", "q_restore", "q_schema_evolution",
+        "q_vacuum_invariant",
+        # r7/r8/r9-green families come behind via registry order.
     ]
     pset = set(priority)
-    ordered = priority + [n for n in queries if n not in pset]
+    ordered = ([n for n in priority if n in queries]
+               + [n for n in queries if n not in pset])
     queries = {n: queries[n] for n in ordered}
     oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles

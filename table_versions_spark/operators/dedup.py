@@ -670,6 +670,8 @@ BLOCK_DF_CAP = 100  # a prefix/suffix/fuzzy blocking key joins at most this
 
 _LOG = __import__("logging").getLogger(__name__)
 
+_BLOCKCAP_REPORT_DEADLINE_S = 600  # reporter-thread lifetime bound
+
 
 def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
     """Drop rows whose ``blk`` document frequency exceeds ``BLOCK_DF_CAP``
@@ -685,10 +687,15 @@ def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
     probe side is a second reference to the same subtree.)
 
     Logging is free at query time: an ``Observation`` rides the existing
-    scan (no extra job), and a daemon thread reports once the first
-    action over the returned plan completes. If the plan is never
-    executed the thread just parks until process exit."""
+    scan (no extra job), and a daemon thread polls for the metrics with
+    a BOUNDED lifetime (``_BLOCKCAP_REPORT_DEADLINE_S``) — a plan that
+    is only built, never executed (explain-only audits), costs one
+    thread for minutes, not forever; a blocking ``Observation.get``
+    would park until process exit and accumulate in long-lived drivers.
+    Only the FIRST execution of the plan is observed (Spark registers
+    an Observation once) — re-executions reuse the cap silently."""
     import threading
+    import time
 
     from pyspark.sql import Observation, Window
 
@@ -703,10 +710,19 @@ def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
         F.coalesce(F.max("_blk_df"), F.lit(0)).alias("max_df"))
 
     def _report():
-        try:
-            m = obs.get  # blocks until the first action on the plan
-        except Exception:  # noqa: BLE001 — query failed/cancelled: nothing to report
-            return
+        deadline = time.monotonic() + _BLOCKCAP_REPORT_DEADLINE_S
+        while time.monotonic() < deadline:
+            try:
+                # non-parking probe: waits <=100 ms JVM-side, then
+                # returns an empty Option until the metrics land
+                if not obs._jo.getRowOrEmpty().isEmpty():
+                    m = obs.get
+                    break
+            except Exception:  # noqa: BLE001 — query failed / session gone
+                return
+            time.sleep(1.0)
+        else:
+            return  # never executed within the deadline: nothing to report
         if m.get("hot_rows"):
             _LOG.warning(
                 "%s: block-df cap %d dropped %d rows (hottest block df=%d)"

@@ -768,9 +768,12 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are partial-agg groupBys (map-side combine bounds state);
     the scalar N rides a broadcast cross-join; and the two unigram
     joins broadcast the count table when it is dim-sized (AQE decides
-    at runtime — vocabulary is corpus-dependent). All inputs to the
-    float log are exact int64 counts, so both engines feed ln()
-    identical doubles; PMI rounds to 6 dp."""
+    at runtime — vocabulary is corpus-dependent). The count products
+    are computed in DOUBLE on both engines — at web-corpus scale
+    c_ab·N exceeds int64 (~1e10 bigram positions squares past 2^63),
+    where Spark would wrap silently while DuckDB raises; the double
+    products round identically under IEEE 754 on both engines, so the
+    6-dp PMI stays bit-stable."""
     words = (load(spark, sf_dir, "documents")
              .select(F.filter(F.split("text", " "),
                               lambda x: x != "").alias("w")))
@@ -794,8 +797,10 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(uni.select(F.col("tok").alias("b"),
                              F.col("c_tok").alias("c_b")), "b")
             .select("a", "b", "c_ab",
-                    F.round(F.log((F.col("c_ab") * F.col("n_total"))
-                                  / (F.col("c_a") * F.col("c_b"))), 6)
+                    F.round(F.log((F.col("c_ab").cast("double")
+                                   * F.col("n_total"))
+                                  / (F.col("c_a").cast("double")
+                                     * F.col("c_b"))), 6)
                     .alias("pmi")))
 
 
@@ -879,7 +884,8 @@ ORACLES = {
         "tot AS (SELECT CAST(SUM(greatest(len(w) - 1, 0)) AS BIGINT) "
         "AS n_total FROM d) "
         "SELECT a, b, c_ab, "
-        "ROUND(ln((c_ab * n_total) / (ua.c_tok * ub.c_tok)), 6) AS pmi "
+        "ROUND(ln((CAST(c_ab AS DOUBLE) * n_total) / "
+        "(CAST(ua.c_tok AS DOUBLE) * ub.c_tok)), 6) AS pmi "
         "FROM bi CROSS JOIN tot "
         "JOIN uc ua ON bi.a = ua.tok JOIN uc ub ON bi.b = ub.tok"),
     "q_ngram_topk": (

@@ -936,8 +936,11 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Drive: a fresh snapshot table takes the deduped event
     representatives, then a dv DELETE of error rows, an UPDATE
-    repricing clicks (``value·2 + 1`` — always differs, so 0-valued
-    clicks still classify as changed), and one synthetic INSERT; the
+    repricing clicks (``coalesce(value, 0) + 1`` — no fixed point for
+    any finite value INCLUDING NULL and −1, so every click classifies
+    as changed; ``value·2 + 1`` would silently keep a −1-valued or
+    NULL click "unchanged" while the oracle marks it changed), and one
+    synthetic INSERT; the
     diff of (insert commit → head) must be exactly those three commit
     footprints, which is the oracle. Unchanged rows drop out.
 
@@ -959,7 +962,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = eng.insert(base, table, "loader", "initial snapshot")
     eng.delete(table, "event_type = 'error'", "auditor", "purge errors",
                mode="dv")
-    eng.update(table, set={"value": "value * 2 + 1"},
+    eng.update(table, set={"value": "coalesce(value, 0) + 1"},
                predicate="event_type = 'click'",
                user_id="ops", message="reprice clicks")
     eng.insert(spark.createDataFrame([(-777, 0, "synthetic", 1.0)], ddl),
@@ -985,7 +988,11 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SMERGE_UPD_MOD = 5  # event_id % 5 == 0 rows arrive reprocessed (value·3)
-SMERGE_NEW_MOD = 7  # event_id % 7 == 0 rows spawn a NEW id (+10_000_000)
+SMERGE_NEW_MOD = 7  # event_id % 7 == 0 rows spawn a NEW id (offset by
+                    # max(event_id)+1, snapshot from the corpus — a fixed
+                    # +10M constant would collide with real ids >= 10M at
+                    # larger corpora: the merge would UPDATE the colliding
+                    # base row while the oracle unions a duplicate-id row)
 
 
 def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1001,8 +1008,9 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     per distinct event_id, deterministic min-representative) and the
     merge inserts it all. Run 2 appends the change file — every
     ``event_id % SMERGE_UPD_MOD == 0`` row reprocessed with value·3
-    (matched ⇒ whole-row update) plus a brand-new id (+10M offset,
-    value+1) per ``% SMERGE_NEW_MOD == 0`` row (not-matched ⇒ insert) —
+    (matched ⇒ whole-row update) plus a brand-new id (offset past the
+    corpus max, value+1) per ``% SMERGE_NEW_MOD == 0`` row
+    (not-matched ⇒ insert) —
     and one merge commit applies it. Final table state is the oracle:
     base with the %5 slice re-valued plus the synthetic inserts.
 
@@ -1044,8 +1052,9 @@ def q_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # epoch 0: initial snapshot inserts
     upd = (base.where(F.col("event_id") % SMERGE_UPD_MOD == 0)
            .withColumn("value", F.col("value") * 3))
+    offset = base.agg(F.max("event_id")).first()[0] + 1  # 1-scalar collect
     new = (base.where(F.col("event_id") % SMERGE_NEW_MOD == 0)
-           .select((F.col("event_id") + 10_000_000).alias("event_id"),
+           .select((F.col("event_id") + offset).alias("event_id"),
                    "user_id", "event_type",
                    (F.col("value") + 1).alias("value")))
     upd.unionByName(new).write.mode("append").parquet(src)
@@ -1622,7 +1631,8 @@ ORACLES = {
         "SELECT event_id, user_id, event_type, value * 3 FROM base "
         f"WHERE event_id % {SMERGE_UPD_MOD} = 0 "
         "UNION ALL "
-        "SELECT event_id + 10000000, user_id, event_type, value + 1 "
+        "SELECT event_id + (SELECT MAX(event_id) + 1 FROM base), "
+        "user_id, event_type, value + 1 "
         f"FROM base WHERE event_id % {SMERGE_NEW_MOD} = 0"),
     "q_stream_static_join": (
         "SELECT c_mktsegment, COUNT(*) AS n_events, "
