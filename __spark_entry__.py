@@ -45,6 +45,7 @@ def _registry() -> tuple[dict, dict]:
         analytic,
         cleaning,
         dedup,
+        insights,
         multimodal,
         relational,
         similarity,
@@ -58,7 +59,7 @@ def _registry() -> tuple[dict, dict]:
     # worth: ids that have never appeared in any driver artifact first,
     # then this round's additions, then previously-green families.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
-               relational, tpch, cleaning]
+               relational, tpch, cleaning, insights]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:

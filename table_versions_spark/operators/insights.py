@@ -1,0 +1,599 @@
+"""Business-analytics / data-profiling operators (SURVEY §2.D extension
+family, round 10) — the classic warehouse analyses a reference user runs
+daily, each expressed as a scale-first Spark plan with an exact DuckDB
+oracle.
+
+Exactness discipline (the package-wide rules):
+
+- ranks/prefix sums over unbounded inputs go through
+  :func:`..common.distributed_prefix` (two-phase range-bucketed scan) —
+  never a global or tiny-key window;
+- money is aggregated in integer CENTS (``CAST(ROUND(x*100) AS BIGINT)``
+  — both engines apply the identical IEEE multiply+round to the same
+  stored double, then sum exactly);
+- quartile/decile assignment uses the explicit
+  ``floor((rank-1)·K / n) + 1`` formula on integers instead of NTILE
+  (engines disagree on NTILE's remainder convention);
+- float divisions happen once, on exact integer inputs, rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .common import distributed_prefix, load, load_events
+
+# ------------------------------------------------------------------ ABC
+
+ABC_A_PCT = 80  # cumulative-volume share boundaries of the A/B/C classes
+ABC_B_PCT = 95
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) inventory classification: parts ranked by total
+    shipped volume; the head covering 80 % of cumulative volume is class
+    A, up to 95 % class B, the tail C — the warehouse slice behind
+    "which 20 % of SKUs move 80 % of units".
+
+    Scale shape: per-part volumes are one map-side-combined groupBy
+    (quantities are integer-valued ⇒ the BIGINT cast is exact); the
+    cumulative volume over (volume DESC, partkey) runs as
+    :func:`distributed_prefix`'s two-phase scan over the aggregated
+    table; the grand total rides a 1-row broadcast; class boundaries
+    compare in pure int64 (``cum·100 <= T·pct``, no float seam)."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    vol = (li.groupBy("l_partkey")
+           .agg(F.sum("l_quantity").cast("long").alias("v")))
+    cum = distributed_prefix(vol, [("v", "desc"), "l_partkey"], "cum",
+                             value=F.col("v"), kind="sum")
+    total = vol.agg(F.sum("v").alias("t"))
+    cls = (F.when(F.col("cum") * 100 <= F.col("t") * ABC_A_PCT, "A")
+           .when(F.col("cum") * 100 <= F.col("t") * ABC_B_PCT, "B")
+           .otherwise("C"))
+    return (cum.crossJoin(F.broadcast(total))
+            .withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum("v").alias("volume"),
+                 F.round(F.sum("v") / F.max("t"), 6).alias("share"))
+            .orderBy("abc_class"))
+
+
+# ----------------------------------------------------------------- Gini
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of per-customer order activity,
+    by market segment — the inequality statistic behind "how
+    concentrated is demand" dashboards. Uses ORDER COUNTS (exact
+    integers) as the wealth variable, computed with the rank formula
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over values sorted ascending.
+
+    Scale shape: per-customer counts are one groupBy; the rank i within
+    each segment comes from :func:`distributed_prefix` (two-phase, no
+    tiny-key window even though segments are few — each segment's
+    customer list can be arbitrarily large); Σ i·x, Σ x and n are one
+    map-side-combined aggregate. Every sum is int64-exact; the two
+    divisions happen once at the end in double (identical IEEE on both
+    engines), rounded to 6 dp."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey",
+                                                  "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    x = (orders.groupBy("o_custkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+         .join(F.broadcast(cust),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .select("c_mktsegment", "c_custkey", "x"))
+    ranked = distributed_prefix(x, ["x", "c_custkey"], "i",
+                                group_cols=["c_mktsegment"])
+    g = (ranked.groupBy("c_mktsegment")
+         .agg(F.sum(F.col("i") * F.col("x")).alias("a"),
+              F.sum("x").alias("t"),
+              F.count(F.lit(1)).cast("long").alias("n")))
+    gini = F.round(
+        (2 * F.col("a")) / (F.col("n").cast("double") * F.col("t"))
+        - (F.col("n") + 1).cast("double") / F.col("n"), 6)
+    return g.select("c_mktsegment", "n", F.col("t").alias("n_orders"),
+                    gini.alias("gini"))
+
+
+# -------------------------------------------------------- market basket
+
+BASKET_TOP = 50  # co-occurrence pairs reported
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the part PAIRS most often ordered
+    together (support counts over orders) — the candidate-generation
+    step of association-rule mining (Apriori's pair pass).
+
+    Scale shape: the self-join is an EQUI-join on l_orderkey (hash
+    partitioned, never all-pairs) and TPC-H-shaped orders hold ≤ 7
+    items, so the pair fan-out per order is bounded at 21; items are
+    deduped per order first so a twice-ordered part never double
+    counts. The final top-K is TakeOrderedAndProject on
+    (support DESC, pair) — a per-partition heap, no global sort."""
+    items = (load(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (a.join(b, "l_orderkey")
+            .where(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .orderBy(F.desc("support"), "part_a", "part_b")
+            .limit(BASKET_TOP))
+
+
+# ------------------------------------------------------------------ RFM
+
+RFM_K = 4  # quartile scores
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary): every customer
+    scored 1..4 on each axis by quartile, reported as segment counts —
+    the classic CRM grid.
+
+    Scale shape: per-customer (r_days, n_orders, cents) is one groupBy
+    over orders (money summed as exact integer cents); "now" is the
+    corpus max order date on a 1-row broadcast; the three quartile
+    ranks run as ONE :func:`distributed_prefix` pass over the metrics
+    stacked to long format (the q_quality_ensemble trick — no global
+    NTILE window), and scores use the explicit
+    ``floor((rank−1)·4/n)+1`` integer formula, so both engines bucket
+    identically on ties (rank is total-ordered by (value, custkey)).
+    Scores are value-ASCENDING quartiles: r_score 1 = most recent,
+    f_score 4 = most orders, m_score 4 = highest spend."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    now = orders.agg(F.max("o_orderdate").alias("now"))
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).cast("long").alias("f"),
+                     F.sum("cents").alias("m"))
+                .crossJoin(F.broadcast(now))
+                .select("o_custkey",
+                        F.datediff("now", "last_order").cast("long")
+                        .alias("r"), "f", "m"))
+    stacked = per_cust.select(
+        "o_custkey", F.explode(F.array(
+            F.struct(F.lit("r").alias("metric"), F.col("r").alias("v")),
+            F.struct(F.lit("f").alias("metric"), F.col("f").alias("v")),
+            F.struct(F.lit("m").alias("metric"), F.col("m").alias("v"))))
+        .alias("x")).select("o_custkey", "x.metric", "x.v")
+    ranked = distributed_prefix(stacked, ["v", "o_custkey"], "rn",
+                                group_cols=["metric"])
+    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    score = (F.floor((F.col("rn") - 1) * RFM_K / F.col("n")) + 1)
+
+    def pick(metric):
+        return F.max(F.when(F.col("metric") == metric, F.col("score")))
+
+    scores = (ranked.crossJoin(F.broadcast(n))
+              .withColumn("score", score)
+              .groupBy("o_custkey")
+              .agg(pick("r").alias("r_score"), pick("f").alias("f_score"),
+                   pick("m").alias("m_score")))
+    return (scores.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+# ----------------------------------------------------------------- mode
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type (most frequent; ties break to the
+    lexicographically smallest type) — the "dominant behavior" feature
+    column of any user-level model.
+
+    Scale shape: two aggregates, both keyed on high-cardinality
+    user-side keys — groupBy (user, type) count, then one
+    ``min(struct(-cnt, type))`` per user: the struct min IS the
+    deterministic argmax (largest count, then smallest type) computed
+    map-side, with no per-user window or sort anywhere."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type")
+    counts = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    best = (counts.groupBy("user_id")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                F.col("event_type").alias("t")))
+                 .alias("b")))
+    return best.select("user_id",
+                       F.col("b.t").alias("mode_event_type"),
+                       (-F.col("b.neg")).alias("mode_cnt"))
+
+
+# -------------------------------------------------------- arg extremes
+
+def q_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN_BY / MAX_BY with pinned tie semantics: per event type, the
+    event carrying the highest and the lowest value. Bare
+    ``max_by``/``arg_max`` is nondeterministic on value ties on BOTH
+    engines, so the plan aggregates ``max(struct(value, event_id))`` —
+    ties resolve to the larger id on the max side and the smaller id on
+    the min side, the same total order in any engine.
+
+    Scale shape: one map-side-combined aggregate over the fact scan; no
+    window, no join."""
+    ev = (load_events(spark, sf_dir)
+          .where(F.col("value").isNotNull())
+          .select("event_type", "value", "event_id"))
+    mx = F.max(F.struct(F.col("value"), F.col("event_id")))
+    mn = F.min(F.struct(F.col("value"), F.col("event_id")))
+    return (ev.groupBy("event_type")
+            .agg(mx.alias("mx"), mn.alias("mn"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("event_type",
+                    F.col("mx.value").alias("max_value"),
+                    F.col("mx.event_id").alias("max_event_id"),
+                    F.col("mn.value").alias("min_value"),
+                    F.col("mn.event_id").alias("min_event_id"), "n"))
+
+
+# -------------------------------------------------------------- Benford
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed share of each
+    leading digit vs the Benford expectation log10(1 + 1/d) — the
+    classic fraud/synthetic-data screen.
+
+    Exactness: the digit comes from the INTEGER part's string —
+    ``CAST(FLOOR(x) AS BIGINT)`` then first character — because float
+    log/pow digit extraction drifts at decade boundaries and
+    double→string formatting differs across engines, while
+    floor+int64+int-to-string is identical everywhere. One
+    map-side-combined aggregate + a 1-row broadcast total."""
+    orders = load(spark, sf_dir, "orders").select("o_totalprice")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+    counts = (orders.where(F.col("o_totalprice") > 0)
+              .groupBy(digit.alias("digit"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    F.round(F.col("n") / F.col("t"), 6).alias("share"),
+                    F.round(F.log10(1 + 1 / F.col("digit").cast("double")),
+                            6).alias("benford_expected"))
+            .orderBy("digit"))
+
+
+# ---------------------------------------------------- conditional aggs
+
+DISC_HI = 0.05  # discount threshold for the conditional count
+TAX_HI = 0.07   # tax threshold for the any-flag
+
+
+def q_cond_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean aggregate surface — ``count_if``,
+    ``bool_and`` (EVERY), ``bool_or`` (ANY) and a guarded conditional
+    sum, per returnflag: the SQL:2023 filter-aggregate family a
+    warehouse user expects as one-liners.
+
+    Scale shape: one map-side-combined aggregate over the scan; every
+    output is integer/boolean-exact (the conditional sum counts integer
+    quantity units), no float seam anywhere."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_if(F.col("l_discount") > DISC_HI)
+                 .alias("n_discounted"),
+                 F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+                 F.bool_or(F.col("l_tax") > TAX_HI).alias("any_high_tax"),
+                 F.sum(F.when(F.col("l_discount") > DISC_HI,
+                              F.col("l_quantity")).otherwise(0))
+                 .cast("long").alias("discounted_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag"))
+
+
+# ------------------------------------------------------- moving z-score
+
+ZSCORE_WIN = 7   # trailing window length in days
+ZSCORE_FLAG = 2.0
+
+
+def q_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day z-score anomaly screen over the daily event-count
+    series per event type: each full-window day is scored against its
+    own trailing week (sample std), |z| > 2 flags.
+
+    Scale shape: the fact table first reduces to the per-(type, day)
+    count series — bounded by calendar horizon × #types by
+    construction, the same series contract as q_resample_locf — then a
+    BOUNDED-frame window (ROWS 6 PRECEDING) computes trailing integer
+    sums (Σc, Σc²) per type. Mean/variance derive from those exact
+    integers in one double expression each (n is the constant 7 after
+    the full-window filter), so both engines evaluate identical IEEE
+    arithmetic; 6-dp rounding pins the report."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", "event_date")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w = (Window.partitionBy("event_type").orderBy("event_date")
+         .rowsBetween(-(ZSCORE_WIN - 1), 0))
+    scored = (daily
+              .withColumn("nw", F.count(F.lit(1)).over(w))
+              .withColumn("s1", F.sum("c").over(w))
+              .withColumn("s2", F.sum(F.col("c") * F.col("c")).over(w))
+              .where(F.col("nw") == ZSCORE_WIN))
+    mean = F.col("s1") / F.lit(float(ZSCORE_WIN))
+    var = ((F.col("s2") - F.col("s1").cast("double") * F.col("s1")
+            / F.lit(float(ZSCORE_WIN))) / F.lit(float(ZSCORE_WIN - 1)))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("c") - mean) / std)
+    return (scored
+            .select("event_type", "event_date", "c",
+                    F.round(mean, 6).alias("mean7"),
+                    F.round(std, 6).alias("std7"),
+                    F.round(z, 6).alias("z"),
+                    (F.abs(F.coalesce(z, F.lit(0.0))) > ZSCORE_FLAG)
+                    .alias("is_anomaly")))
+
+
+# --------------------------------------------------------- null profile
+
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality profile of the orders table: per
+    column, null count and distinct count — the first screen of any
+    ingestion QA gate.
+
+    Scale shape: one aggregate computes every column's stats in a
+    single pass (distinct counts expand map-side via Spark's Expand —
+    #cols × the scan, embarrassingly parallel, no per-column jobs);
+    the 1-row wide result melts to (column, stats) rows through a
+    literal array, so the long format costs nothing."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = orders.agg(*aggs)
+    melted = F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"{c}__nulls").alias("n_null"),
+                 F.col(f"{c}__distinct").alias("n_distinct"))
+        for c in PROFILE_COLS])).alias("s")
+    return (wide.select(melted)
+            .select("s.column", "s.n_null", "s.n_distinct"))
+
+
+# --------------------------------------------------------- decile stats
+
+DECILES = 10
+
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance decile table: rank every customer by
+    (balance, custkey), split into 10 equal-rank buckets with the
+    explicit ``floor((rank−1)·10/n)+1`` formula, and report per-decile
+    population, balance range and total (exact integer cents).
+
+    Scale shape: the global rank is :func:`distributed_prefix`'s
+    two-phase scan (a global NTILE window would single-task the whole
+    table); n rides a 1-row broadcast; the decile rollup is one 10-key
+    aggregate."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    ranked = distributed_prefix(cust, ["c_acctbal", "c_custkey"], "rn")
+    n = cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    decile = (F.floor((F.col("rn") - 1) * DECILES / F.col("n")) + 1)
+    return (ranked.crossJoin(F.broadcast(n))
+            .withColumn("decile", decile)
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min("c_acctbal").alias("min_bal"),
+                 F.max("c_acctbal").alias("max_bal"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("decile"))
+
+
+# --------------------------------------------------------- hour entropy
+
+def q_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day profile — how
+    spread across the clock a behavior is (bots are flat ≈ ln 24,
+    humans peak). Reported with the peak hour (deterministic argmax).
+
+    Exactness: per-(type, hour) counts are exact integers; the ≤ 24
+    (hour, count) pairs per type collect into ONE sorted array and the
+    entropy folds over it with the ``aggregate`` higher-order function
+    — a left fold in hour order, so BOTH engines (the oracle mirrors
+    the ordered fold) add the identical IEEE terms in the identical
+    sequence; 6-dp rounding pins the report. Scale shape: one
+    map-side-combined groupBy, then a 24-element-bounded per-type
+    collect — never a window, never a corpus-sized state."""
+    hours = (load_events(spark, sf_dir)
+             .groupBy("event_type", F.hour("ts").alias("h"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    packed = (hours.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("h", "c")))
+                   .alias("a")))
+    t = F.expr("aggregate(a, 0L, (acc, x) -> acc + x.c)")
+    ent = F.expr(
+        "aggregate(a, 0.0D, (acc, x) -> "
+        "acc - (x.c / CAST(t AS DOUBLE)) * ln(x.c / CAST(t AS DOUBLE)))")
+    peak = F.expr("array_min(transform(a, x -> struct(-x.c AS nc, "
+                  "x.h AS h))).h")
+    return (packed
+            .withColumn("t", t)
+            .select("event_type",
+                    F.col("t").alias("n_events"),
+                    F.round(ent, 6).alias("hour_entropy"),
+                    peak.cast("long").alias("peak_hour")))
+
+
+QUERIES = {
+    "q_abc_analysis": q_abc_analysis,
+    "q_gini": q_gini,
+    "q_market_basket": q_market_basket,
+    "q_rfm": q_rfm,
+    "q_mode": q_mode,
+    "q_arg_extremes": q_arg_extremes,
+    "q_benford": q_benford,
+    "q_cond_aggs": q_cond_aggs,
+    "q_moving_zscore": q_moving_zscore,
+    "q_null_profile": q_null_profile,
+    "q_decile_stats": q_decile_stats,
+    "q_hour_entropy": q_hour_entropy,
+}
+
+ORACLES = {
+    "q_abc_analysis": (
+        "WITH pv AS (SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) "
+        "AS v FROM lineitem GROUP BY l_partkey), "
+        "c AS (SELECT l_partkey, v, SUM(v) OVER "
+        "(ORDER BY v DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS cum "
+        "FROM pv), t AS (SELECT SUM(v) AS t FROM pv) "
+        f"SELECT CASE WHEN cum * 100 <= t * {ABC_A_PCT} THEN 'A' "
+        f"WHEN cum * 100 <= t * {ABC_B_PCT} THEN 'B' ELSE 'C' END "
+        "AS abc_class, COUNT(*) AS n_parts, CAST(SUM(v) AS BIGINT) AS volume, "
+        "ROUND(CAST(SUM(v) AS DOUBLE) / MAX(t), 6) AS share "
+        "FROM c CROSS JOIN t GROUP BY 1 ORDER BY abc_class"),
+    "q_gini": (
+        "WITH x AS (SELECT c_mktsegment, c_custkey, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment, c_custkey), "
+        "r AS (SELECT c_mktsegment, x, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY c_mktsegment ORDER BY x, c_custkey) AS BIGINT) "
+        "AS i FROM x) "
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS n_orders, "
+        "ROUND((2 * SUM(i * x)) / (CAST(COUNT(*) AS DOUBLE) * SUM(x)) "
+        "- CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini "
+        "FROM r GROUP BY c_mktsegment"),
+    "q_market_basket": (
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey "
+        "FROM lineitem) "
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "COUNT(*) AS support FROM items a "
+        "JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY part_a, part_b "
+        f"ORDER BY support DESC, part_a, part_b LIMIT {BASKET_TOP}"),
+    "q_rfm": (
+        "WITH o AS (SELECT o_custkey, o_orderdate, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        "now AS (SELECT MAX(o_orderdate) AS now FROM o), "
+        "pc AS (SELECT o_custkey, "
+        "CAST(DATEDIFF('day', MAX(o_orderdate), (SELECT now FROM now)) "
+        "AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS f, "
+        "SUM(cents) AS m FROM o GROUP BY o_custkey), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pc), "
+        "st AS (SELECT o_custkey, 'r' AS metric, r AS v FROM pc "
+        "UNION ALL SELECT o_custkey, 'f', f FROM pc "
+        "UNION ALL SELECT o_custkey, 'm', m FROM pc), "
+        "rk AS (SELECT o_custkey, metric, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY metric ORDER BY v, o_custkey) AS BIGINT) AS rn "
+        "FROM st), "
+        f"sc AS (SELECT o_custkey, metric, CAST(FLOOR((rn - 1) * {RFM_K}"
+        " / (SELECT n FROM n)) + 1 AS BIGINT) AS score FROM rk), "
+        "g AS (SELECT o_custkey, "
+        "MAX(CASE WHEN metric = 'r' THEN score END) AS r_score, "
+        "MAX(CASE WHEN metric = 'f' THEN score END) AS f_score, "
+        "MAX(CASE WHEN metric = 'm' THEN score END) AS m_score "
+        "FROM sc GROUP BY o_custkey) "
+        "SELECT r_score, f_score, m_score, COUNT(*) AS n_customers "
+        "FROM g GROUP BY r_score, f_score, m_score"),
+    "q_mode": (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events "
+        "GROUP BY user_id, event_type), "
+        "r AS (SELECT user_id, event_type, cnt, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn "
+        "FROM c) "
+        "SELECT user_id, event_type AS mode_event_type, "
+        "cnt AS mode_cnt FROM r WHERE rn = 1"),
+    "q_arg_extremes": (
+        "WITH e AS (SELECT event_type, value, event_id FROM events "
+        "WHERE value IS NOT NULL), "
+        "mx AS (SELECT event_type, value, event_id FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), "
+        "mn AS (SELECT event_type, value, event_id FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value ASC, event_id ASC) AS rn FROM e) WHERE rn = 1), "
+        "n AS (SELECT event_type, COUNT(*) AS n FROM e GROUP BY 1) "
+        "SELECT n.event_type, mx.value AS max_value, "
+        "mx.event_id AS max_event_id, mn.value AS min_value, "
+        "mn.event_id AS min_event_id, n.n FROM n "
+        "JOIN mx ON n.event_type = mx.event_type "
+        "JOIN mn ON n.event_type = mn.event_type"),
+    "q_benford": (
+        "WITH d AS (SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders "
+        "WHERE o_totalprice > 0), "
+        "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d "
+        "GROUP BY digit), t AS (SELECT SUM(n) AS t FROM c) "
+        "SELECT digit, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS share, "
+        "ROUND(LOG10(1 + 1 / CAST(digit AS DOUBLE)), 6) "
+        "AS benford_expected FROM c CROSS JOIN t ORDER BY digit"),
+    "q_cond_aggs": (
+        "SELECT l_returnflag, "
+        f"CAST(COUNT(*) FILTER (WHERE l_discount > {DISC_HI}) AS BIGINT) "
+        "AS n_discounted, "
+        "BOOL_AND(l_quantity > 0) AS all_qty_pos, "
+        f"BOOL_OR(l_tax > {TAX_HI}) AS any_high_tax, "
+        f"CAST(SUM(CASE WHEN l_discount > {DISC_HI} THEN l_quantity "
+        "ELSE 0 END) AS BIGINT) AS discounted_qty, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag "
+        "ORDER BY l_returnflag"),
+    "q_moving_zscore": (
+        "WITH daily AS (SELECT event_type, "
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "w AS (SELECT event_type, event_date, c, "
+        "COUNT(*) OVER tw AS nw, SUM(c) OVER tw AS s1, "
+        "SUM(c * c) OVER tw AS s2 FROM daily "
+        "WINDOW tw AS (PARTITION BY event_type ORDER BY event_date "
+        "ROWS 6 PRECEDING)) "
+        "SELECT event_type, event_date, c, "
+        "ROUND(s1 / 7.0, 6) AS mean7, "
+        "ROUND(SQRT(GREATEST((s2 - CAST(s1 AS DOUBLE) * s1 / 7.0) "
+        "/ 6.0, 0.0)), 6) AS std7, "
+        "ROUND(CASE WHEN (s2 - CAST(s1 AS DOUBLE) * s1 / 7.0) / 6.0 > 0 "
+        "THEN (c - s1 / 7.0) / SQRT((s2 - CAST(s1 AS DOUBLE) * s1 "
+        "/ 7.0) / 6.0) END, 6) AS z, "
+        "COALESCE(ABS(CASE WHEN (s2 - CAST(s1 AS DOUBLE) * s1 / 7.0) "
+        "/ 6.0 > 0 THEN (c - s1 / 7.0) / SQRT((s2 - CAST(s1 AS DOUBLE) "
+        "* s1 / 7.0) / 6.0) END) > 2.0, FALSE) AS is_anomaly "
+        "FROM w WHERE nw = 7"),
+    "q_null_profile": " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", "
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in PROFILE_COLS),
+    "q_decile_stats": (
+        "WITH c AS (SELECT c_custkey, c_acctbal, "
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer), "
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn FROM c), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c) "
+        f"SELECT CAST(FLOOR((rn - 1) * {DECILES} / (SELECT n FROM n)) "
+        "+ 1 AS BIGINT) AS decile, COUNT(*) AS n_customers, "
+        "MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal, "
+        "CAST(SUM(cents) AS BIGINT) AS total_cents FROM r GROUP BY 1 ORDER BY decile"),
+    "q_hour_entropy": (
+        # the entropy fold mirrors Spark's aggregate() HOF: terms in
+        # hour order, left fold from 0.0 — identical IEEE sequence
+        "WITH hc AS (SELECT event_type, "
+        "CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "p AS (SELECT event_type, "
+        "LIST(struct_pack(h := h, c := c) ORDER BY h) AS a, "
+        "CAST(SUM(c) AS BIGINT) AS t FROM hc GROUP BY event_type), "
+        "pk AS (SELECT event_type, h AS peak_hour FROM "
+        "(SELECT event_type, h, ROW_NUMBER() OVER "
+        "(PARTITION BY event_type ORDER BY c DESC, h) AS rn FROM hc) "
+        "WHERE rn = 1) "
+        "SELECT p.event_type, t AS n_events, "
+        "ROUND(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(a, x -> "
+        "-(x.c / CAST(t AS DOUBLE)) * LN(x.c / CAST(t AS DOUBLE)))), "
+        "(acc, e) -> acc + e), 6) AS hour_entropy, pk.peak_hour "
+        "FROM p JOIN pk ON p.event_type = pk.event_type"),
+}

@@ -71,6 +71,13 @@ EXPECTED: dict[str, set[str]] = {
     # 1-row broadcast corpus totals (token sum / #sources) crossed into
     # the per-source mixture table — 1-row build, optimal plan
     "q_domain_mix": {"bnlj"},
+    # 1-row broadcast grand total / row count / max-date scalars crossed
+    # into aggregated (ABC class, decile, RFM, digit-histogram) tables —
+    # 1-row build each, optimal plan for a scalar denominator
+    "q_abc_analysis": {"bnlj"},
+    "q_decile_stats": {"bnlj"},
+    "q_rfm": {"bnlj"},
+    "q_benford": {"bnlj"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")

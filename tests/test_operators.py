@@ -1674,3 +1674,130 @@ class TestBpeTrain:
         got = {r.doc_id: (r.n_words, r.n_tokens)
                for r in q_tokenize_apply(spark, sf_small).collect()}
         assert got == expected
+
+
+class TestR10Insights:
+    """Semantic invariants of the round-10 business-analytics family —
+    properties the value-hash oracle can't express (bounds, conservation
+    laws, tie determinism)."""
+
+    def test_abc_partition_and_shares(self, spark, sf_small):
+        from table_versions_spark.operators.insights import q_abc_analysis
+
+        rows = {r["abc_class"]: r for r in
+                q_abc_analysis(spark, sf_small).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-5
+        # A holds the most volume per part by construction
+        assert (rows["A"]["volume"] / rows["A"]["n_parts"]
+                > rows["C"]["volume"] / rows["C"]["n_parts"])
+
+    def test_gini_bounds(self, spark, sf_small):
+        from table_versions_spark.operators.insights import q_gini
+
+        for r in q_gini(spark, sf_small).collect():
+            assert 0.0 <= r["gini"] < 1.0, r
+
+    def test_rfm_scores_conserve_customers(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.insights import RFM_K, q_rfm
+
+        rows = q_rfm(spark, sf_small).collect()
+        for r in rows:
+            for c in ("r_score", "f_score", "m_score"):
+                assert 1 <= r[c] <= RFM_K, r
+        active = duckdb.sql(
+            f"SELECT COUNT(DISTINCT o_custkey) FROM "
+            f"read_parquet('{sf_small}/orders.parquet')").fetchone()[0]
+        assert sum(r["n_customers"] for r in rows) == active
+
+    def test_decile_partition(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.insights import q_decile_stats
+
+        rows = q_decile_stats(spark, sf_small).collect()
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM "
+            f"read_parquet('{sf_small}/customer.parquet')").fetchone()[0]
+        assert sum(r["n_customers"] for r in rows) == n
+        # deciles are range-disjoint in balance order
+        for lo, hi in zip(rows, rows[1:]):
+            assert lo["max_bal"] <= hi["min_bal"]
+
+    def test_benford_digits_and_mass(self, spark, sf_small):
+        from table_versions_spark.operators.insights import q_benford
+
+        rows = q_benford(spark, sf_small).collect()
+        assert set(r["digit"] for r in rows) <= set("123456789")
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-5
+
+    def test_mode_tie_breaks_to_smallest_type(self, spark, tmp_path):
+        from table_versions_spark.operators.insights import q_mode
+
+        rows = [(1, "2024-01-01 00:00:00", 7, "b", 1.0, ""),
+                (2, "2024-01-01 00:01:00", 7, "a", 1.0, ""),
+                (3, "2024-01-01 00:02:00", 7, "a", 1.0, ""),
+                (4, "2024-01-01 00:03:00", 7, "b", 1.0, "")]
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string"
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props"
+        ).write.parquet(f"{sf}/events.parquet")
+        got = q_mode(spark, sf).collect()
+        assert len(got) == 1
+        assert got[0]["mode_event_type"] == "a"  # 2-2 tie -> smallest
+        assert got[0]["mode_cnt"] == 2
+
+    def test_hour_entropy_bounds(self, spark, sf_small):
+        import math
+
+        from table_versions_spark.operators.insights import q_hour_entropy
+
+        for r in q_hour_entropy(spark, sf_small).collect():
+            assert 0.0 <= r["hour_entropy"] <= math.log(24) + 1e-9, r
+            assert 0 <= r["peak_hour"] <= 23
+
+    def test_moving_zscore_flags_planted_spike(self, spark, tmp_path):
+        from table_versions_spark.operators.insights import q_moving_zscore
+
+        rows = []
+        eid = 0
+        for day in range(1, 15):
+            n = 100 if day == 14 else 10  # 10/day baseline, 10x spike
+            for i in range(n):
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} 06:00:00", 1,
+                             "click", 1.0, ""))
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string"
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props"
+        ).write.parquet(f"{sf}/events.parquet")
+        got = {str(r["event_date"]): r
+               for r in q_moving_zscore(spark, sf).collect()}
+        assert got["2024-01-14"]["is_anomaly"]
+        assert not got["2024-01-13"]["is_anomaly"]
+
+    def test_market_basket_support_is_order_count(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.insights import q_market_basket
+
+        top = q_market_basket(spark, sf_small).collect()
+        assert top, "no pairs at sf0.001"
+        supports = [r["support"] for r in top]
+        assert supports == sorted(supports, reverse=True)
+        a, b, s = top[0]["part_a"], top[0]["part_b"], top[0]["support"]
+        n = duckdb.sql(f"""
+            WITH i AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM read_parquet('{sf_small}/lineitem.parquet'))
+            SELECT COUNT(*) FROM i a JOIN i b USING (l_orderkey)
+            WHERE a.l_partkey = {a} AND b.l_partkey = {b}""").fetchone()[0]
+        assert n == s
