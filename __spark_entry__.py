@@ -80,11 +80,14 @@ def _registry() -> tuple[dict, dict]:
         "q_abc_analysis", "q_gini", "q_market_basket", "q_rfm",
         "q_mode", "q_arg_extremes", "q_benford", "q_cond_aggs",
         "q_moving_zscore", "q_null_profile", "q_decile_stats",
-        "q_hour_entropy",
-        # --- re-planned this round: fresh rows prove the new plans ---
+        "q_hour_entropy", "q_markov_transitions", "q_first_touch",
+        "q_name_match", "q_embedding_norms", "q_dow_chisq",
+        "q_order_backlog",
+        # --- re-planned this round (the rest of the re-planned family
+        # has r9 driver rows and rides registry order; head stays at
+        # the driver's ~50-row budget) ---
         "q_pareto_frontier", "q_quality_ensemble", "q_top_p_quality",
-        "q_sample_temperature", "q_domain_mix", "q_pmi_bigrams",
-        "q_table_diff", "q_stream_merge",
+        "q_domain_mix",
         # --- oldest driver rows (r6) ---
         "q_bloom_skipping", "q_clustered_skipping", "q_zorder_skipping",
         "q_bucketed_join", "q_change_feed", "q_compact_invariant",

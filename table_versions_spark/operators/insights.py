@@ -427,7 +427,202 @@ def q_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     peak.cast("long").alias("peak_hour")))
 
 
+# ------------------------------------------------------ markov chains
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    (previous event type → next event type) pair, the transition count
+    and conditional probability — the sequence model behind "what do
+    users do after an error".
+
+    Scale shape: the only window partitions by user_id — a
+    HIGH-cardinality key (millions of partitions at scale, each a
+    user's own short history; ties pinned by event_id so both engines
+    see the same sequence); transition counts are one map-side-combined
+    groupBy, and the per-source totals for the conditional probability
+    are #event-types rows on a broadcast."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("prev_type", F.lag("event_type").over(w))
+             .where(F.col("prev_type").isNotNull())
+             .groupBy("prev_type", F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (pairs.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "next_type", "n",
+                    F.round(F.col("n") / F.col("t"), 6).alias("p")))
+
+
+# -------------------------------------------- first-touch attribution
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every user attributed to the channel
+    (event type) of their FIRST event; per channel, user count,
+    purchasing-user count, purchase count and conversion rate — the
+    marketing-analytics rollup.
+
+    Scale shape: the first touch is ``min(struct(ts, event_id, type))``
+    — a deterministic argmin computed map-side (no per-user window or
+    sort); purchase stats aggregate on the same user_id key so AQE
+    reuses the exchange; the channel rollup is #event-types rows."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                           "event_type")
+    first = (ev.groupBy("user_id")
+             .agg(F.min(F.struct("ts", "event_id", "event_type"))
+                  .alias("ft")))
+    buys = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_purch")))
+    return (first.join(buys, "user_id", "left")
+            .groupBy(F.col("ft.event_type").alias("first_touch"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.count("n_purch").cast("long").alias("n_buyers"),
+                 F.coalesce(F.sum("n_purch"), F.lit(0)).cast("long")
+                 .alias("n_purchases"))
+            .withColumn("cvr", F.round(F.col("n_buyers")
+                                       / F.col("n_users"), 6)))
+
+
+# ---------------------------------------------------- name match (ER)
+
+NAME_MAX_EDIT = 4  # Levenshtein threshold for a candidate name match
+
+
+def q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking join — the record-linkage counterpart
+    of the dedup families: candidate part pairs whose NAMES are within
+    ``NAME_MAX_EDIT`` Levenshtein edits, blocked on (brand, size) so
+    comparison never goes all-pairs.
+
+    Scale shape: the self-join is an EQUI-join on the blocking key
+    (hash-partitioned); block population is bounded by the key's
+    cardinality design (TPC-H-shaped: ≤ ~30 parts per (brand, size)),
+    so per-block comparisons are O(block²) over small blocks — the
+    classic ER blocking contract, same family as PREFIX_BLOCK /
+    BLOCK_DF_CAP. Levenshtein is an exact integer metric with identical
+    semantics on both engines."""
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                              "p_size", "p_name")
+    a = part.select("p_brand", "p_size",
+                    F.col("p_partkey").alias("key_a"),
+                    F.col("p_name").alias("name_a"))
+    b = part.select("p_brand", "p_size",
+                    F.col("p_partkey").alias("key_b"),
+                    F.col("p_name").alias("name_b"))
+    return (a.join(b, ["p_brand", "p_size"])
+            .where(F.col("key_a") < F.col("key_b"))
+            .withColumn("edit_dist",
+                        F.levenshtein("name_a", "name_b").cast("long"))
+            .where(F.col("edit_dist") <= NAME_MAX_EDIT)
+            .select("p_brand", "p_size", "key_a", "key_b",
+                    "name_a", "name_b", "edit_dist"))
+
+
+# ----------------------------------------------------- embedding norms
+
+NORM_BUCKETS_PER_UNIT = 4  # histogram granularity: buckets of width 0.25
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm histogram per label — the first QA screen of
+    any vector corpus (collapsed or exploding norms flag a broken
+    encoder or an unnormalized mix).
+
+    Exactness: each norm folds over the vector with the ``aggregate``
+    higher-order function in INDEX order — float→double promotion is
+    exact and both engines add identical IEEE terms in identical
+    sequence (the oracle mirrors the ordered fold), so sqrt and the
+    bucket floor see bit-identical doubles. Scale shape: one codegen'd
+    scan + a map-side-combined groupBy on (label, bucket); no shuffle
+    of vectors anywhere."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.expr(
+        "aggregate(embedding, 0.0D, "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    bucket = F.floor(F.col("norm") * NORM_BUCKETS_PER_UNIT).cast("long")
+    return (emb.select("label", norm.alias("norm"))
+            .groupBy("label", bucket.alias("norm_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.min("norm"), 6).alias("min_norm"),
+                 F.round(F.max("norm"), 6).alias("max_norm")))
+
+
+# --------------------------------------------------- day-of-week chi²
+
+def q_dow_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity test of each event type's day-of-week
+    profile — "is this behavior weekday-shaped?" as a single statistic
+    (χ² against the uniform 1/7 expectation, 6 degrees of freedom).
+
+    Exactness: observed counts are exact integers; the χ² terms fold
+    over ONE sorted ≤ 7-element array per type (identical IEEE term
+    order on both engines — the q_hour_entropy discipline), and
+    day-of-week slots with zero observations contribute their
+    (0−e)²/e = e in closed form via the missing-slot count. Scale
+    shape: one map-side-combined groupBy, then a 7-element-bounded
+    per-type collect."""
+    dow = (F.dayofweek("ts") - 1).cast("long")  # 0 = Sunday, both engines
+    counts = (load_events(spark, sf_dir)
+              .groupBy("event_type", dow.alias("d"))
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    packed = (counts.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("d", "c")))
+                   .alias("a")))
+    t = F.expr("aggregate(a, 0L, (acc, x) -> acc + x.c)")
+    e = F.col("t") / F.lit(7.0)
+    # 7.0D: a bare 7.0 literal inside expr() parses as DECIMAL and
+    # silently switches the whole term to decimal division semantics
+    chi = F.expr(
+        "aggregate(a, 0.0D, (acc, x) -> acc "
+        "+ (x.c - t / 7.0D) * (x.c - t / 7.0D) / (t / 7.0D))")
+    return (packed
+            .withColumn("t", t)
+            .select("event_type", F.col("t").alias("n_events"),
+                    F.round(chi + (7 - F.size("a")) * e, 6)
+                    .alias("chi2_dow")))
+
+
+# ------------------------------------------------------- order backlog
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order backlog — orders placed but not yet fully shipped,
+    per day: the event-sourced running-balance shape (ledgers,
+    inventory, WIP) computed as a cumulative sum of daily +placed
+    −completed nets. An order completes on its LAST line's ship date.
+
+    Scale shape: completion dates are one groupBy on l_orderkey (fact
+    shuffle on a high-cardinality key); both event streams reduce to
+    per-DAY nets (bounded by calendar horizon) before the cumulative
+    sum, which runs as :func:`distributed_prefix`'s two-phase scan —
+    no global window even on the bounded series, so the same plan
+    holds if the "day" grain became milliseconds."""
+    placed = (load(spark, sf_dir, "orders")
+              .groupBy(F.to_date("o_orderdate").alias("day"))
+              .agg(F.count(F.lit(1)).cast("long").alias("placed")))
+    done = (load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.max(F.to_date("l_shipdate")).alias("day"))
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("completed")))
+    daily = (placed.join(done, "day", "full_outer")
+             .select(F.col("day"),
+                     F.coalesce("placed", F.lit(0)).alias("placed"),
+                     F.coalesce("completed", F.lit(0)).alias("completed"))
+             .withColumn("day_n", F.datediff(
+                 "day", F.lit("1970-01-01").cast("date")).cast("long")))
+    cum = distributed_prefix(daily, ["day_n"], "backlog",
+                             value=F.col("placed") - F.col("completed"),
+                             kind="sum")
+    return cum.select("day", "placed", "completed", "backlog")
+
 QUERIES = {
+    "q_markov_transitions": q_markov_transitions,
+    "q_first_touch": q_first_touch,
+    "q_name_match": q_name_match,
+    "q_embedding_norms": q_embedding_norms,
+    "q_dow_chisq": q_dow_chisq,
+    "q_order_backlog": q_order_backlog,
     "q_abc_analysis": q_abc_analysis,
     "q_gini": q_gini,
     "q_market_basket": q_market_basket,
@@ -443,6 +638,76 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_markov_transitions": (
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "event_id, event_type FROM events), "
+        "p AS (SELECT LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS prev_type, event_type AS next_type "
+        "FROM e), "
+        "c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) "
+        "AS n FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2), "
+        "t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM c "
+        "GROUP BY prev_type) "
+        "SELECT c.prev_type, next_type, n, "
+        "ROUND(CAST(n AS DOUBLE) / t, 6) AS p "
+        "FROM c JOIN t ON c.prev_type = t.prev_type"),
+    "q_first_touch": (
+        "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "event_id, event_type FROM events), "
+        "ft AS (SELECT user_id, event_type AS first_touch FROM "
+        "(SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id, event_type) AS rn FROM e) WHERE rn = 1), "
+        "b AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch "
+        "FROM e WHERE event_type = 'purchase' GROUP BY user_id) "
+        "SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_users, "
+        "CAST(COUNT(n_purch) AS BIGINT) AS n_buyers, "
+        "CAST(COALESCE(SUM(n_purch), 0) AS BIGINT) AS n_purchases, "
+        "ROUND(CAST(COUNT(n_purch) AS DOUBLE) / COUNT(*), 6) AS cvr "
+        "FROM ft LEFT JOIN b USING (user_id) GROUP BY first_touch"),
+    "q_name_match": (
+        "SELECT a.p_brand, a.p_size, a.p_partkey AS key_a, "
+        "b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b, "
+        "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist "
+        "FROM part a JOIN part b "
+        "ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
+        "AND a.p_partkey < b.p_partkey "
+        f"WHERE levenshtein(a.p_name, b.p_name) <= 4"),
+    "q_embedding_norms": (
+        # the norm fold mirrors Spark's aggregate() HOF: index order,
+        # left fold from 0.0, float->double promoted terms
+        "WITH n AS (SELECT label, SQRT(LIST_REDUCE(LIST_PREPEND(0.0, "
+        "LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE))), (acc, e) -> acc + e)) AS norm "
+        "FROM embeddings) "
+        f"SELECT label, CAST(FLOOR(norm * 4) AS BIGINT) "
+        "AS norm_bucket, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(MIN(norm), 6) AS min_norm, ROUND(MAX(norm), 6) "
+        "AS max_norm FROM n GROUP BY label, norm_bucket"),
+    "q_dow_chisq": (
+        "WITH dc AS (SELECT event_type, CAST(EXTRACT(dow FROM "
+        "CAST(ts AS TIMESTAMP)) AS BIGINT) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "p AS (SELECT event_type, LIST(struct_pack(d := d, c := c) "
+        "ORDER BY d) AS a, CAST(SUM(c) AS BIGINT) AS t FROM dc "
+        "GROUP BY event_type) "
+        "SELECT event_type, t AS n_events, "
+        "ROUND(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(a, x -> "
+        "(x.c - t / 7.0) * (x.c - t / 7.0) / (t / 7.0))), "
+        "(acc, e) -> acc + e) + (7 - LEN(a)) * (t / 7.0), 6) "
+        "AS chi2_dow FROM p"),
+    "q_order_backlog": (
+        "WITH placed AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS placed FROM orders GROUP BY 1), "
+        "done AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS completed "
+        "FROM (SELECT l_orderkey, CAST(MAX(l_shipdate) AS DATE) AS day "
+        "FROM lineitem GROUP BY l_orderkey) GROUP BY day), "
+        "daily AS (SELECT COALESCE(placed.day, done.day) AS day, "
+        "COALESCE(placed, 0) AS placed, COALESCE(completed, 0) "
+        "AS completed FROM placed FULL OUTER JOIN done "
+        "ON placed.day = done.day) "
+        "SELECT day, placed, completed, "
+        "CAST(SUM(placed - completed) OVER (ORDER BY day "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog FROM daily"),
     "q_abc_analysis": (
         "WITH pv AS (SELECT l_partkey, CAST(SUM(l_quantity) AS BIGINT) "
         "AS v FROM lineitem GROUP BY l_partkey), "

@@ -1801,3 +1801,99 @@ class TestR10Insights:
             SELECT COUNT(*) FROM i a JOIN i b USING (l_orderkey)
             WHERE a.l_partkey = {a} AND b.l_partkey = {b}""").fetchone()[0]
         assert n == s
+
+    # ---- batch 2 -------------------------------------------------------
+
+    def test_markov_rows_are_probability_rows(self, spark, sf_small):
+        from collections import defaultdict
+
+        from table_versions_spark.operators.insights import (
+            q_markov_transitions)
+
+        rows = q_markov_transitions(spark, sf_small).collect()
+        by_prev = defaultdict(float)
+        for r in rows:
+            assert 0.0 < r["p"] <= 1.0
+            by_prev[r["prev_type"]] += r["p"]
+        for prev, total in by_prev.items():
+            assert abs(total - 1.0) < 1e-4, (prev, total)
+
+    def test_first_touch_conserves_users(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.insights import q_first_touch
+
+        rows = q_first_touch(spark, sf_small).collect()
+        n = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM "
+            f"read_parquet('{sf_small}/events.parquet')").fetchone()[0]
+        assert sum(r["n_users"] for r in rows) == n
+        for r in rows:
+            assert r["n_buyers"] <= r["n_users"]
+            assert r["n_purchases"] >= r["n_buyers"]
+
+    def test_name_match_is_symmetric_candidate_set(self, spark, sf_small):
+        from table_versions_spark.operators.insights import (
+            NAME_MAX_EDIT, q_name_match)
+
+        rows = q_name_match(spark, sf_small).collect()
+        for r in rows:
+            assert r["key_a"] < r["key_b"]
+            assert 0 <= r["edit_dist"] <= NAME_MAX_EDIT
+
+    def test_embedding_norm_bucket_consistency(self, spark, sf_small):
+        import duckdb
+
+        from table_versions_spark.operators.insights import (
+            NORM_BUCKETS_PER_UNIT, q_embedding_norms)
+
+        rows = q_embedding_norms(spark, sf_small).collect()
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM "
+            f"read_parquet('{sf_small}/embeddings.parquet')").fetchone()[0]
+        assert sum(r["n"] for r in rows) == n
+        for r in rows:
+            lo = r["norm_bucket"] / NORM_BUCKETS_PER_UNIT
+            assert lo <= r["min_norm"] <= r["max_norm"] < lo + 0.25 + 1e-6
+
+    def test_dow_chisq_uniform_is_zero(self, spark, tmp_path):
+        """A hand-built corpus with identical counts on all 7 days must
+        score chi2 = 0 exactly."""
+        from table_versions_spark.operators.insights import q_dow_chisq
+
+        rows = []
+        eid = 0
+        for day in range(7, 14):  # 2024-01-07 is a Sunday
+            for i in range(3):
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} 12:00:00", 1,
+                             "click", 1.0, ""))
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string"
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props"
+        ).write.parquet(f"{sf}/events.parquet")
+        got = q_dow_chisq(spark, sf).collect()
+        assert len(got) == 1 and got[0]["chi2_dow"] == 0.0
+
+    def test_order_backlog_never_negative_and_drains(self, spark,
+                                                     sf_small):
+        from table_versions_spark.operators.insights import q_order_backlog
+
+        import duckdb
+
+        rows = sorted(q_order_backlog(spark, sf_small).collect(),
+                      key=lambda r: r["day"])
+        assert all(r["backlog"] >= 0 for r in rows)
+        # conservation: the final backlog is exactly the orders that
+        # never shipped a line (the testdata has a few such orders)
+        open_forever = duckdb.sql(f"""
+            SELECT COUNT(*) FROM read_parquet('{sf_small}/orders.parquet')
+            WHERE o_orderkey NOT IN (SELECT l_orderkey FROM
+                read_parquet('{sf_small}/lineitem.parquet'))
+            """).fetchone()[0]
+        assert rows[-1]["backlog"] == open_forever
+        assert (sum(r["placed"] for r in rows)
+                == sum(r["completed"] for r in rows) + open_forever)
