@@ -1059,7 +1059,8 @@ class TestR9Ops:
     def test_stream_merge_applies_cdc_epochs(self, spark, tmp_path):
         """Two-epoch CDC apply on a planted feed: epoch 0 inserts the
         snapshot, epoch 1's merge updates the %5 row to value*3 and
-        inserts the %7 row's +10M twin — final table state is exact."""
+        inserts the %7 row's corpus-offset twin (max(event_id)+1 = 8,
+        so id 7 spawns 7+8 = 15) — final table state is exact."""
         from table_versions_spark.operators.versioned import q_stream_merge
 
         rows = [(i, 1_000_000_000_000 + i, 1, "view", float(i), "")
@@ -1071,7 +1072,7 @@ class TestR9Ops:
         ).write.parquet(f"{sf_dir}/events.parquet")
         got = {r["event_id"]: r["value"]
                for r in q_stream_merge(spark, sf_dir).collect()}
-        assert got == {1: 1.0, 5: 15.0, 7: 7.0, 10_000_007: 8.0}
+        assert got == {1: 1.0, 5: 15.0, 7: 7.0, 15: 8.0}
 
     def test_resample_interp_semantics(self, spark, tmp_path):
         """Linear gap-fill pins: midpoint interpolation between two

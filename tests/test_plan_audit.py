@@ -117,3 +117,36 @@ class TestDistributedPrefix:
                                       "l_partkey", "l_linenumber"], "rn")
         problems = audit_dataframe(got, "helper")
         assert not any("partitionSpec" in p for p in problems), problems
+
+    def test_edge_cases_ties_degenerate_nulls(self, spark):
+        """Boundary ties (3 distinct primary values across 8 buckets),
+        a single-value primary column (degenerate one-bucket case), and
+        NULLs under both directions all reproduce the window rank."""
+        df = spark.range(10000).select(
+            (F.col("id") % 3).alias("v"), F.col("id").alias("k"),
+            (F.col("id") % 7).alias("g"))
+        ref = df.withColumn("rn", F.row_number().over(
+            Window.partitionBy("g").orderBy("v", "k")).cast("long"))
+        got = distributed_prefix(df, ["v", "k"], "rn", group_cols=["g"])
+        assert (ref.select("g", "k", "rn")
+                .exceptAll(got.select("g", "k", "rn")).count()) == 0
+
+        one = spark.range(5000).select(F.lit(1).alias("v"),
+                                       F.col("id").alias("k"))
+        ref1 = one.withColumn("rn", F.row_number().over(
+            Window.orderBy("v", "k")).cast("long"))
+        got1 = distributed_prefix(one, ["v", "k"], "rn")
+        assert (ref1.select("k", "rn")
+                .exceptAll(got1.select("k", "rn")).count()) == 0
+
+        nl = spark.range(1000).select(
+            F.when(F.col("id") % 10 == 0, None)
+            .otherwise(F.col("id") % 5).alias("v"), F.col("id").alias("k"))
+        for order, spec in ((["v", "k"], Window.orderBy("v", "k")),
+                            ([("v", "desc"), "k"],
+                             Window.orderBy(F.desc("v"), "k"))):
+            refn = nl.withColumn(
+                "rn", F.row_number().over(spec).cast("long"))
+            gotn = distributed_prefix(nl, order, "rn")
+            assert (refn.select("k", "rn")
+                    .exceptAll(gotn.select("k", "rn")).count()) == 0
