@@ -73,7 +73,10 @@ def _registry() -> tuple[dict, dict]:
         # then this round's new ids, then the oldest (r6) tail so every
         # registry id's latest driver record becomes r7 or newer.
         # --- landed late in r9: never driver-checked ---
-        "q_asof_nearest", "q_dedup_survivors", "q_percentile_disc",
+        # (q_dedup_survivors closes the head: its recursive-CTE oracle
+        # costs ~57 s at sf0.01, so it must not starve the rows behind
+        # it if the driver budget is time-bound)
+        "q_asof_nearest", "q_percentile_disc",
         "q_rolling_wau", "q_stream_update_mode", "q_tpch_refresh",
         "q_union_by_name", "q_weighted_median",
         # --- round-10 additions (never driver-checked) ---
@@ -95,7 +98,7 @@ def _registry() -> tuple[dict, dict]:
         "q_multimodal_frames", "q_multimodal_audio",
         "q_multimodal_resize", "q_pivot", "q_explode", "q_window_lag",
         "q_quantiles", "q_restore", "q_schema_evolution",
-        "q_vacuum_invariant",
+        "q_vacuum_invariant", "q_dedup_survivors",
         # r7/r8/r9-green families come behind via registry order.
     ]
     pset = set(priority)
