@@ -616,7 +616,168 @@ def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
                              kind="sum")
     return cum.select("day", "placed", "completed", "backlog")
 
+# --------------------------------------------------- log-odds terms
+
+LOGODDS_ALPHA = 0.5   # Dirichlet smoothing pseudo-count
+LOGODDS_TOP = 10      # distinctive terms reported per source
+LOGODDS_MIN_C = 5     # noise floor: a term needs this many in-source uses
+
+
+def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source — smoothed log-odds of each
+    term's in-source vs rest-of-corpus rate (the "Fightin' Words"
+    statistic, Monroe/Colaresi/Quinn 2008): the corpus-analysis answer
+    to "which words characterize source X", more robust than raw
+    TF-IDF contrast because the Dirichlet prior damps rare-term noise.
+
+    Exactness: every score derives from four exact int64 counts of its
+    own row plus broadcast totals — ln() of exact-rational doubles, no
+    float accumulation anywhere; 6-dp rounding pins the report. Scale
+    shape: token counting is the explode+map-side-combine shape of
+    q_tfidf; the (source, token) ↔ token-total join shuffles on the
+    content key; per-source totals broadcast (#sources rows); the
+    top-K per source is a CONSTANT rank bound directly above its
+    window, so Spark inserts Partial+Final WindowGroupLimit — never a
+    full per-source sort."""
+    toks = (load(spark, sf_dir, "documents")
+            .select("source", F.explode(F.filter(
+                F.split("text", " "), lambda x: x != "")).alias("tok")))
+    cw_i = (toks.groupBy("source", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_iw")))
+    cw = (cw_i.groupBy("tok").agg(F.sum("c_iw").alias("c_w")))
+    n_i = (cw_i.groupBy("source").agg(F.sum("c_iw").alias("n_i")))
+    tot = cw.agg(F.sum("c_w").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("v"))
+    a = float(LOGODDS_ALPHA)
+    scored = (cw_i.join(cw, "tok")
+              .join(F.broadcast(n_i), "source")
+              .crossJoin(F.broadcast(tot))
+              .where(F.col("c_iw") >= LOGODDS_MIN_C)
+              .withColumn("rest_c", F.col("c_w") - F.col("c_iw"))
+              .withColumn("rest_n", F.col("n") - F.col("n_i"))
+              .withColumn("score", F.round(
+                  F.log((F.col("c_iw") + a)
+                        / (F.col("n_i") + a * F.col("v")
+                           - F.col("c_iw") - a))
+                  - F.log((F.col("rest_c") + a)
+                          / (F.col("rest_n") + a * F.col("v")
+                             - F.col("rest_c") - a)), 6)))
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "tok")
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= LOGODDS_TOP)
+            .select("source", "tok", "c_iw", "score",
+                    F.col("rn").cast("long").alias("rank")))
+
+
+# ------------------------------------------------------- burstiness
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio) of each event type's daily
+    count series — the burstiness statistic separating steady
+    machine-like traffic (F ≈ 1, Poisson) from bursty human/incident
+    traffic (F ≫ 1).
+
+    Exactness: daily counts are exact integers, the sample variance
+    comes from the closed form (n·Σx² − (Σx)²)/(n(n−1)) on int64 sums,
+    and the two divisions happen once in double — identical IEEE on
+    both engines, 6-dp rounded. Scale shape: two map-side-combined
+    aggregates; the per-type series is bounded by calendar horizon."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", "event_date")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    g = (daily.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("c").alias("s1"),
+              F.sum(F.col("c") * F.col("c")).alias("s2")))
+    var = ((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+           / (F.col("n").cast("double") * (F.col("n") - 1)))
+    mean = F.col("s1") / F.col("n").cast("double")
+    return g.select("event_type", "n", F.col("s1").alias("n_events"),
+                    F.round(mean, 6).alias("mean_daily"),
+                    F.round(var, 6).alias("var_daily"),
+                    F.round(var / mean, 6).alias("fano"))
+
+
+# ---------------------------------------------------- keyword trend
+
+TREND_MIN_C = 3   # a token needs this many uses in the latest week
+TREND_TOP = 20    # risers reported
+
+
+def q_keyword_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week trending terms: tokens whose latest-week count
+    grew most against the prior week — the "what's new in the corpus"
+    monitor of any ingestion pipeline. Documents are assigned to weeks
+    by doc_id modulo (the synthetic corpus carries no timestamps; the
+    plan is the real one — swap the week expression for a date_trunc
+    on a dated corpus).
+
+    Exactness: counts are exact integers; the growth ratio divides two
+    smoothed ints once (6-dp rounded); top-K is a total order on
+    (ratio DESC, token). Scale shape: one explode+groupBy on (token,
+    week); the week-over-week pairing is a self-join on the token
+    content key (never a window over the vocabulary); the final top-K
+    is TakeOrderedAndProject."""
+    docs = load(spark, sf_dir, "documents")
+    week = (F.col("doc_id") % 2).cast("long")  # 0 = prior, 1 = latest
+    counts = (docs.select(week.alias("wk"), F.explode(F.filter(
+                  F.split("text", " "), lambda x: x != "")).alias("tok"))
+              .groupBy("tok", "wk")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    latest = (counts.where(F.col("wk") == 1)
+              .select("tok", F.col("c").alias("c_now")))
+    prior = (counts.where(F.col("wk") == 0)
+             .select("tok", F.col("c").alias("c_prev")))
+    return (latest.join(prior, "tok", "left")
+            .where(F.col("c_now") >= TREND_MIN_C)
+            .withColumn("c_prev", F.coalesce("c_prev", F.lit(0)))
+            .withColumn("growth", F.round(
+                (F.col("c_now") + 1) / (F.col("c_prev") + 1), 6))
+            .orderBy(F.desc("growth"), "tok")
+            .limit(TREND_TOP)
+            .select("tok", "c_now", "c_prev", "growth"))
+
+
+# ----------------------------------------------------- type overlap
+
+def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: Jaccard similarity of the
+    USER sets of every type pair — "do clickers also purchase?" as a
+    matrix, the segmentation-sanity screen.
+
+    Exactness: all three terms are exact distinct-user counts. Scale
+    shape: the corpus reduces to DISTINCT (user, type) first; the pair
+    expansion is a self-join on user_id (fan-out bounded at
+    C(#types, 2) per user); per-type set sizes ride a broadcast.
+    Never an all-pairs product, never a collected set."""
+    ut = (load_events(spark, sf_dir)
+          .select("user_id", "event_type").distinct())
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (a.join(b, "user_id")
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    sizes = (ut.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (both
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"))), "type_a")
+            .join(F.broadcast(sizes.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"))), "type_b")
+            .select("type_a", "type_b", "n_a", "n_b", "n_both",
+                    F.round(F.col("n_both")
+                            / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_both")), 6).alias("jaccard")))
+
 QUERIES = {
+    "q_log_odds_terms": q_log_odds_terms,
+    "q_burstiness": q_burstiness,
+    "q_keyword_trend": q_keyword_trend,
+    "q_type_overlap": q_type_overlap,
     "q_markov_transitions": q_markov_transitions,
     "q_first_touch": q_first_touch,
     "q_name_match": q_name_match,
@@ -638,6 +799,63 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_log_odds_terms": (
+        "WITH t AS (SELECT source, UNNEST(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        "ci AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_iw "
+        "FROM t GROUP BY 1, 2), "
+        "cw AS (SELECT tok, CAST(SUM(c_iw) AS BIGINT) AS c_w FROM ci "
+        "GROUP BY tok), "
+        "ni AS (SELECT source, CAST(SUM(c_iw) AS BIGINT) AS n_i FROM ci "
+        "GROUP BY source), "
+        "tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS v FROM cw), "
+        "sc AS (SELECT ci.source, ci.tok, c_iw, "
+        "ROUND(LN((c_iw + 0.5) / (n_i + 0.5 * v - c_iw - 0.5)) "
+        "- LN((c_w - c_iw + 0.5) / "
+        "((n - n_i) + 0.5 * v - (c_w - c_iw) - 0.5)), 6) AS score "
+        "FROM ci JOIN cw USING (tok) JOIN ni ON ci.source = ni.source "
+        "CROSS JOIN tot WHERE c_iw >= 5), "
+        "r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY score DESC, tok) AS BIGINT) AS rank FROM sc) "
+        "SELECT source, tok, c_iw, score, rank FROM r WHERE rank <= 10"),
+    "q_burstiness": (
+        "WITH daily AS (SELECT event_type, "
+        "CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        "g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2 "
+        "FROM daily GROUP BY event_type) "
+        "SELECT event_type, n, s1 AS n_events, "
+        "ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_daily, "
+        "ROUND((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1)), 6) "
+        "AS var_daily, "
+        "ROUND(((n * s2 - s1 * s1) / (CAST(n AS DOUBLE) * (n - 1))) "
+        "/ (s1 / CAST(n AS DOUBLE)), 6) AS fano FROM g"),
+    "q_keyword_trend": (
+        "WITH c AS (SELECT doc_id % 2 AS wk, UNNEST(list_filter("
+        "string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        "cnt AS (SELECT tok, wk, CAST(COUNT(*) AS BIGINT) AS c FROM c "
+        "GROUP BY 1, 2), "
+        "l AS (SELECT tok, c AS c_now FROM cnt WHERE wk = 1), "
+        "p AS (SELECT tok, c AS c_prev FROM cnt WHERE wk = 0) "
+        "SELECT l.tok, c_now, COALESCE(c_prev, 0) AS c_prev, "
+        "ROUND((c_now + 1) / (CAST(COALESCE(c_prev, 0) AS DOUBLE) + 1), "
+        "6) AS growth FROM l LEFT JOIN p ON l.tok = p.tok "
+        "WHERE c_now >= 3 "
+        "ORDER BY growth DESC, l.tok LIMIT 20"),
+    "q_type_overlap": (
+        "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+        "b AS (SELECT a.event_type AS type_a, c.event_type AS type_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_both FROM ut a "
+        "JOIN ut c ON a.user_id = c.user_id "
+        "AND a.event_type < c.event_type GROUP BY 1, 2), "
+        "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM ut GROUP BY event_type) "
+        "SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both, "
+        "ROUND(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6) "
+        "AS jaccard FROM b JOIN s sa ON b.type_a = sa.event_type "
+        "JOIN s sb ON b.type_b = sb.event_type"),
     "q_markov_transitions": (
         "WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, "
         "event_id, event_type FROM events), "

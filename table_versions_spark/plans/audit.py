@@ -78,6 +78,9 @@ EXPECTED: dict[str, set[str]] = {
     "q_decile_stats": {"bnlj"},
     "q_rfm": {"bnlj"},
     "q_benford": {"bnlj"},
+    # 1-row broadcast corpus totals (token total N / vocab size V)
+    # crossed into the (source, token) score table — 1-row build
+    "q_log_odds_terms": {"bnlj"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")

@@ -1898,3 +1898,63 @@ class TestR10Insights:
         assert rows[-1]["backlog"] == open_forever
         assert (sum(r["placed"] for r in rows)
                 == sum(r["completed"] for r in rows) + open_forever)
+
+    # ---- batch 3 -------------------------------------------------------
+
+    def test_log_odds_planted_distinctive_token(self, spark, tmp_path):
+        """A token that only source A uses (heavily) must rank #1 for A
+        with a positive score."""
+        from table_versions_spark.operators.insights import (
+            q_log_odds_terms)
+
+        rows = ([(i, "zebra " * 8 + "common text here", "en", "A", 0)
+                 for i in range(5)]
+                + [(100 + i, "common text here plain words", "en", "B", 0)
+                   for i in range(5)])
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, "
+                  "n_chars long").write.parquet(f"{sf}/documents.parquet")
+        top = {(r["source"], r["rank"]): r
+               for r in q_log_odds_terms(spark, sf).collect()}
+        assert top[("A", 1)]["tok"] == "zebra"
+        assert top[("A", 1)]["score"] > 0
+
+    def test_burstiness_constant_series_is_zero(self, spark, tmp_path):
+        from table_versions_spark.operators.insights import q_burstiness
+
+        rows = []
+        eid = 0
+        for day in range(1, 11):
+            for i in range(5):  # exactly 5 events every day
+                eid += 1
+                rows.append((eid, f"2024-01-{day:02d} 08:00:00", 1,
+                             "click", 1.0, ""))
+        sf = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, "
+                  "event_type string, value double, props string"
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value", "props"
+        ).write.parquet(f"{sf}/events.parquet")
+        got = q_burstiness(spark, sf).collect()
+        assert len(got) == 1
+        assert got[0]["var_daily"] == 0.0 and got[0]["fano"] == 0.0
+        assert got[0]["mean_daily"] == 5.0
+
+    def test_keyword_trend_ordering_and_floor(self, spark, sf_small):
+        from table_versions_spark.operators.insights import (
+            TREND_MIN_C, q_keyword_trend)
+
+        rows = q_keyword_trend(spark, sf_small).collect()
+        growths = [r["growth"] for r in rows]
+        assert growths == sorted(growths, reverse=True)
+        assert all(r["c_now"] >= TREND_MIN_C for r in rows)
+
+    def test_type_overlap_bounds(self, spark, sf_small):
+        from table_versions_spark.operators.insights import q_type_overlap
+
+        for r in q_type_overlap(spark, sf_small).collect():
+            assert r["type_a"] < r["type_b"]
+            assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+            assert 0.0 < r["jaccard"] <= 1.0
