@@ -51,6 +51,7 @@ def _registry() -> tuple[dict, dict]:
         similarity,
         text,
         tpch,
+        trends,
         versioned,
     )
 
@@ -59,51 +60,50 @@ def _registry() -> tuple[dict, dict]:
     # worth: ids that have never appeared in any driver artifact first,
     # then this round's additions, then previously-green families.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
-               relational, tpch, cleaning, insights]
+               relational, tpch, cleaning, insights, trends]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # Round-10 rotation (VERDICT r9 #3). The driver budget is ~50
-        # rows; lead with the 8 ids that landed after the r9 priority
-        # list froze and have NEVER had a driver row (oracle-green in
-        # the independent sweeps, but the driver record is the gate),
-        # then this round's new ids, then the oldest (r6) tail so every
-        # registry id's latest driver record becomes r7 or newer.
-        # --- landed late in r9: never driver-checked ---
-        # (q_dedup_survivors closes the head: its recursive-CTE oracle
-        # costs ~57 s at sf0.01, so it must not starve the rows behind
-        # it if the driver budget is time-bound)
-        "q_asof_nearest", "q_percentile_disc",
-        "q_rolling_wau", "q_stream_update_mode", "q_tpch_refresh",
-        "q_union_by_name", "q_weighted_median",
-        # --- round-10 additions (never driver-checked) ---
-        "q_abc_analysis", "q_gini", "q_market_basket", "q_rfm",
-        "q_mode", "q_arg_extremes", "q_benford", "q_cond_aggs",
-        "q_moving_zscore", "q_null_profile", "q_decile_stats",
-        "q_hour_entropy", "q_markov_transitions", "q_first_touch",
-        "q_name_match", "q_embedding_norms", "q_dow_chisq",
-        "q_order_backlog",
-        # --- re-planned this round (the rest of the re-planned family
-        # has r9 driver rows and rides registry order; head stays at
-        # the driver's ~50-row budget) ---
-        "q_pareto_frontier", "q_quality_ensemble", "q_top_p_quality",
-        "q_domain_mix",
-        # --- oldest driver rows (r6) ---
-        "q_bloom_skipping", "q_clustered_skipping", "q_zorder_skipping",
-        "q_bucketed_join", "q_change_feed", "q_compact_invariant",
-        "q_corr", "q_time_travel", "q_time_travel_ts", "q_multimodal",
-        "q_multimodal_frames", "q_multimodal_audio",
-        "q_multimodal_resize", "q_pivot", "q_explode", "q_window_lag",
-        "q_quantiles", "q_restore", "q_schema_evolution",
-        "q_vacuum_invariant", "q_dedup_survivors",
-        # r7/r8/r9-green families come behind via registry order.
+        # Round-11 rotation (VERDICT r10 #1). The driver budget is ~50
+        # rows; order by how much a fresh green row is worth: ids that
+        # have NEVER appeared in any driver artifact first (the 4
+        # corpus-analysis ids that landed after the r10 priority list
+        # froze, then this round's additions), then the 29 ids whose
+        # latest driver row is still r6, so after this round every
+        # registry id's latest driver record is r7 or newer.
+        # --- landed late in r10: never driver-checked ---
+        "q_log_odds_terms", "q_burstiness", "q_keyword_trend",
+        "q_type_overlap",
+        # --- round-11 additions (never driver-checked) ---
+        "q_cohort_retention", "q_event_paths", "q_ewma", "q_autocorr",
+        "q_moments", "q_yoy_growth", "q_psi_drift", "q_ks_test",
+        "q_target_encoding", "q_seasonality", "q_readability",
+        "q_zipf_fit", "q_hapax_ratio", "q_vocab_growth",
+        # --- oldest driver rows (r6) — the VERDICT r10 stale list.
+        # Slow-oracle ids (q_dedup_groups' recursive CTE; the dedup
+        # pair families) close the tail so they can't starve the rows
+        # behind them if the driver budget is time-bound. ---
+        "q_agg_approx_distinct", "q_approx_quantile", "q_chunk_docs",
+        "q_derived_partition", "q_embed_quantize", "q_fingerprint",
+        "q_lang_id", "q_multi_partition_prune", "q_quality_bucket",
+        "q_quality_score", "q_range_join", "q_sample_stratified",
+        "q_sim_search", "q_sim_ann_ivf", "q_sim_ann_pq",
+        "q_snapshot_replace", "q_stream_window_tvx", "q_table_stats",
+        "q_text_normalize", "q_text_stats", "q_token_count",
+        "q_tpch_q22", "q_train_test_split", "q_dedup_exact",
+        "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_ngram", "q_dedup_groups",
+        # r7+-green families come behind via registry order.
     ]
     pset = set(priority)
-    ordered = ([n for n in priority if n in queries]
-               + [n for n in queries if n not in pset])
+    # A typo'd or renamed priority id must fail LOUDLY, not silently
+    # lose its driver slot (driver ADVICE r10 #4).
+    unknown = pset - set(queries)
+    assert not unknown, f"priority ids not in registry: {sorted(unknown)}"
+    ordered = (priority + [n for n in queries if n not in pset])
     queries = {n: queries[n] for n in ordered}
     oracles = {n: oracles[n] for n in ordered if n in oracles}
     return queries, oracles

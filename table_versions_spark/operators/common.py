@@ -218,7 +218,8 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
                        group_cols: tuple | list = (),
                        value=None, kind: str = "count",
                        inclusive: bool = True,
-                       num_buckets: int | None = None) -> DataFrame:
+                       num_buckets: int | None = None,
+                       extra_sums: dict | None = None) -> DataFrame:
     """Exact grouped running aggregate (ROW_NUMBER / prefix SUM / prefix
     MIN) that scales — the two-phase replacement for a global or
     tiny-key ``Window``.
@@ -230,15 +231,23 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     helper is the classic local+carry decomposition instead:
 
     1. one bounded pre-pass computes ``num_buckets-1`` approximate
-       quantile boundaries of the FIRST order column; they embed in the
-       plan as an array LITERAL, so the derived ``_b`` bucket id is a
-       deterministic column — every branch and every re-execution
-       assigns identical buckets.  (``repartitionByRange`` +
-       ``spark_partition_id`` does NOT have that property: range
-       sampling is documented as run-varying and AQE may coalesce the
-       two recomputed exchanges differently, silently misaligning the
-       carry join — observed, hence the literal-boundary design.
-       Boundary SKEW only affects load balance, never correctness.);
+       quantile boundaries of the FIRST order column over a SAMPLE of
+       the input (``spark.tvx.prefix.boundarySampleFraction``, default
+       5 %); they embed in the plan as an array LITERAL, so the
+       derived ``_b`` bucket id is a deterministic column — every
+       branch and every re-execution assigns identical buckets.
+       (``repartitionByRange`` + ``spark_partition_id`` does NOT have
+       that property: range sampling is documented as run-varying and
+       AQE may coalesce the two recomputed exchanges differently,
+       silently misaligning the carry join — observed, hence the
+       literal-boundary design.  Boundaries only affect load balance,
+       never correctness, which is what makes the sampled estimate
+       free: the pre-pass executes the input subtree eagerly, and
+       because SampleExec's codegen defers the projection variables it
+       does not use, rows the sampler drops never evaluate the
+       (possibly text-heavy) order expression — the r10 pre-pass that
+       re-ran the full expression tree cost the two-phase family ~2×,
+       an entire duplicated corpus scan at 100 TB.);
     2. a LOCAL window per (bucket, group) — each task sorts only its
        own slice; parallelism = #buckets × #groups;
     3. per-(bucket, group) totals — an aggregate bounded by
@@ -262,6 +271,13 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     The boundary pre-pass executes the input subtree once eagerly —
     bounded output (#buckets-1 scalars), same class as the centroid /
     probe-block collects elsewhere in this package.
+
+    ``extra_sums`` (``{out_name: value_column}``) piggybacks additional
+    prefix SUMS on the same pass — same buckets, same local window,
+    same carry array — so N running sums over one ordering cost ONE
+    boundary pass and ONE shuffle instead of N chained helper calls
+    (each of whose boundary pre-pass would re-execute its predecessor's
+    whole plan).  Only meaningful with ``kind="sum"``.
     """
     from pyspark.sql import Window
 
@@ -273,7 +289,13 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
         sess.conf.get("spark.sql.shuffle.partitions", "200"))
     bcol, bdir = specs[0]
     probs = [i / n for i in range(1, n)]
-    bounds = (df.select(F.percentile_approx(bcol, probs).alias("q"))
+    # fixed seed: bounds are collected once and embedded as literals,
+    # so run-to-run sample variation cannot misalign anything — the
+    # seed only makes the chosen load split reproducible for debugging
+    frac = float(sess.conf.get(
+        "spark.tvx.prefix.boundarySampleFraction", "0.05"))
+    sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=7)
+    bounds = (sampled.select(F.percentile_approx(bcol, probs).alias("q"))
               .first()["q"]) if n > 1 else None
     if not bounds:
         bucket = F.lit(0)
@@ -293,49 +315,67 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     end = Window.currentRow if inclusive else -1
     w_loc = (Window.partitionBy("_b", *group_cols).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding, end))
-    if kind == "count":
-        loc = F.count(F.lit(1)).over(w_loc).cast("long")
-        tot = F.count(F.lit(1)).cast("long").alias("_t")
-        # count totals are never NULL, but the empty prefix (first
-        # bucket) aggregates to the NULL init, so merge stays null-safe
-        merge = "coalesce(acc + y._t, y._t, acc)"
-        combine = F.coalesce(F.col("_carry"), F.lit(0)) + F.col("_loc")
-    elif kind == "sum":
-        loc = F.sum(value).over(w_loc)
-        tot = F.sum(value).alias("_t")
-        merge = "coalesce(acc + y._t, y._t, acc)"
-        combine = (F.when(F.col("_carry").isNull(), F.col("_loc"))
-                   .when(F.col("_loc").isNull(), F.col("_carry"))
-                   .otherwise(F.col("_carry") + F.col("_loc")))
-    elif kind == "min":
-        loc = F.min(value).over(w_loc)
-        tot = F.min(value).alias("_t")
-        merge = "least(acc, y._t)"
-        combine = F.least(F.col("_carry"), F.col("_loc"))
-    else:
-        raise ValueError(f"unsupported prefix kind: {kind}")
-    local = rp.withColumn("_loc", loc)
+    if extra_sums and kind != "sum":
+        raise ValueError("extra_sums requires kind='sum'")
+    tasks = [(out_name, value, kind)]
+    tasks += [(en, ev, "sum") for en, ev in (extra_sums or {}).items()]
+
+    def parts(k: int, kd: str, val):
+        lc, cr = F.col(f"_loc{k}"), F.col(f"_carry{k}")
+        if kd == "count":
+            # count totals are never NULL, but the empty prefix (first
+            # bucket) aggregates to the NULL init, so merge stays
+            # null-safe
+            return (F.count(F.lit(1)).over(w_loc).cast("long"),
+                    F.count(F.lit(1)).cast("long").alias(f"_t{k}"),
+                    f"coalesce(acc + y._t{k}, y._t{k}, acc)",
+                    F.coalesce(cr, F.lit(0)) + lc)
+        if kd == "sum":
+            return (F.sum(val).over(w_loc),
+                    F.sum(val).alias(f"_t{k}"),
+                    f"coalesce(acc + y._t{k}, y._t{k}, acc)",
+                    (F.when(cr.isNull(), lc)
+                     .when(lc.isNull(), cr).otherwise(cr + lc)))
+        if kd == "min":
+            return (F.min(val).over(w_loc),
+                    F.min(val).alias(f"_t{k}"),
+                    f"least(acc, y._t{k})",
+                    F.least(cr, lc))
+        raise ValueError(f"unsupported prefix kind: {kd}")
+
+    built = [parts(k, kd, val) for k, (_, val, kd) in enumerate(tasks)]
+    local = rp
+    for k, (loc, _, _, _) in enumerate(built):
+        local = local.withColumn(f"_loc{k}", loc)
     # totals derive from the WINDOW OUTPUT, not from rp: both consumers
     # then share the identical scan→project→Exchange(_b, group) prefix,
     # which ReuseExchange dedupes — the input subtree executes once for
     # the main plan instead of once per branch (measured 2× on
     # text-heavy inputs), and the groupBy's partial agg runs map-side
     # on the already-partitioned window output with no new shuffle
-    sizes = local.groupBy("_b", *group_cols).agg(tot)
+    sizes = local.groupBy("_b", *group_cols).agg(
+        *[tot for _, tot, _, _ in built])
     # carry-in per bucket = aggregate over the strictly-earlier buckets'
     # totals, computed by scanning one sorted per-group array of
-    # (bucket, total) — ≤ #buckets elements by construction
-    t = sizes.schema["_t"].dataType.simpleString()
-    scan = F.expr(
-        "transform(_a, (x, i) -> struct(x._b AS _b, "
-        f"aggregate(slice(_a, 1, i), CAST(NULL AS {t}), "
-        f"(acc, y) -> {merge}) AS _carry))")
+    # (bucket, totals...) — ≤ #buckets elements by construction
+    carry_fields = ", ".join(
+        f"aggregate(slice(_a, 1, i), CAST(NULL AS "
+        f"{sizes.schema[f'_t{k}'].dataType.simpleString()}), "
+        f"(acc, y) -> {merge}) AS _carry{k}"
+        for k, (_, _, merge, _) in enumerate(built))
+    scan = F.expr("transform(_a, (x, i) -> struct(x._b AS _b, "
+                  + carry_fields + "))")
+    tcols = [f"_t{k}" for k in range(len(built))]
     carries = (sizes
                .groupBy(*group_cols)
-               .agg(F.sort_array(F.collect_list(F.struct("_b", "_t")))
+               .agg(F.sort_array(F.collect_list(F.struct("_b", *tcols)))
                     .alias("_a"))
                .select(*group_cols, F.explode(scan).alias("_s"))
-               .select(*group_cols, "_s._b", "_s._carry"))
-    return (local.join(F.broadcast(carries), ["_b", *group_cols])
-            .withColumn(out_name, combine)
-            .drop("_b", "_loc", "_carry"))
+               .select(*group_cols, "_s._b",
+                       *[f"_s._carry{k}" for k in range(len(built))]))
+    out = local.join(F.broadcast(carries), ["_b", *group_cols])
+    for k, ((name, _, _), (_, _, _, combine)) in enumerate(
+            zip(tasks, built)):
+        out = out.withColumn(name, combine)
+    return out.drop("_b", *[f"_loc{k}" for k in range(len(built))],
+                    *[f"_carry{k}" for k in range(len(built))])

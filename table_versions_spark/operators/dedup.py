@@ -710,12 +710,31 @@ def _cap_hot_blocks(keys: DataFrame, op: str) -> DataFrame:
         F.coalesce(F.max("_blk_df"), F.lit(0)).alias("max_df"))
 
     def _report():
+        # The non-parking probe rides pyspark's private _jo attribute
+        # plus a private[sql] JVM method. Probe capability ONCE, on the
+        # first iteration: under Spark Connect (no _jo) or after an API
+        # change it logs that reporting is unavailable instead of
+        # silently swallowing the AttributeError on every poll — the
+        # drop warning is the only signal that recall was bounded
+        # (driver ADVICE r10 #1). The probe runs in this daemon thread,
+        # not at plan-build time, because a successful empty probe
+        # parks <=100 ms JVM-side — a per-call build tax otherwise.
+        try:
+            probe = obs._jo.getRowOrEmpty
+            probe()
+        except Exception:  # noqa: BLE001 — Connect / API drift
+            _LOG.warning(
+                "%s: block-cap drop reporting unavailable on this "
+                "pyspark (no Observation._jo non-parking probe) — the "
+                "cap still applies, but dropped-row counts will not be "
+                "logged", op)
+            return
         deadline = time.monotonic() + _BLOCKCAP_REPORT_DEADLINE_S
         while time.monotonic() < deadline:
             try:
                 # non-parking probe: waits <=100 ms JVM-side, then
                 # returns an empty Option until the metrics land
-                if not obs._jo.getRowOrEmpty().isEmpty():
+                if not probe().isEmpty():
                     m = obs.get
                     break
             except Exception:  # noqa: BLE001 — query failed / session gone

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .common import distributed_prefix, load, load_events
+from .dedup import BLOCK_DF_CAP
 
 # ------------------------------------------------------------------ ABC
 
@@ -241,12 +242,17 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CAST(FLOOR(x) AS BIGINT)`` then first character — because float
     log/pow digit extraction drifts at decade boundaries and
     double→string formatting differs across engines, while
-    floor+int64+int-to-string is identical everywhere. One
-    map-side-combined aggregate + a 1-row broadcast total."""
+    floor+int64+int-to-string is identical everywhere. Totals below 1
+    are excluded (>= 1, not > 0): a (0, 1) total would floor to digit
+    '0', where the expectation term 1/digit diverges between engines
+    (Spark Divide yields NULL on a zero divisor, DuckDB IEEE yields
+    Infinity) — Benford's law is only defined for leading digits 1-9
+    anyway. One map-side-combined aggregate + a 1-row broadcast
+    total."""
     orders = load(spark, sf_dir, "orders").select("o_totalprice")
     digit = F.substring(
         F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
-    counts = (orders.where(F.col("o_totalprice") > 0)
+    counts = (orders.where(F.col("o_totalprice") >= 1)
               .groupBy(digit.alias("digit"))
               .agg(F.count(F.lit(1)).cast("long").alias("n")))
     total = counts.agg(F.sum("n").alias("t"))
@@ -496,17 +502,30 @@ def q_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison never goes all-pairs.
 
     Scale shape: the self-join is an EQUI-join on the blocking key
-    (hash-partitioned); block population is bounded by the key's
-    cardinality design (TPC-H-shaped: ≤ ~30 parts per (brand, size)),
-    so per-block comparisons are O(block²) over small blocks — the
-    classic ER blocking contract, same family as PREFIX_BLOCK /
-    BLOCK_DF_CAP. Levenshtein is an exact integer metric with identical
-    semantics on both engines."""
+    (hash-partitioned) — but (brand, size) has FIXED cardinality
+    (TPC-H: 25×50 blocks), so block population grows LINEARLY with
+    data and the per-block O(block²) Levenshtein cost would grow
+    quadratically with scale. The build side therefore runs through
+    :func:`~..dedup._cap_hot_blocks` (``BLOCK_DF_CAP``): blocks hotter
+    than the cap are dropped entirely (a pair needs both members in
+    the same block, so the one-sided drop suppresses every pair of a
+    hot block) and logged as the documented recall bound — at the cap,
+    total comparisons are bounded at #blocks × cap²/2 regardless of
+    data size. Levenshtein is an exact integer metric with identical
+    semantics on both engines; the oracle applies the same QUALIFY
+    block-df bound."""
+    from .dedup import _cap_hot_blocks
+
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand",
                                               "p_size", "p_name")
-    a = part.select("p_brand", "p_size",
+    # concat_ws with a separator: a bare concat would collide
+    # ("Brand#1"+"15" == "Brand#11"+"5") and merge distinct blocks
+    a = _cap_hot_blocks(
+        part.select(F.concat_ws("|", "p_brand", "p_size").alias("blk"),
+                    "p_brand", "p_size",
                     F.col("p_partkey").alias("key_a"),
-                    F.col("p_name").alias("name_a"))
+                    F.col("p_name").alias("name_a")),
+        "q_name_match").drop("blk")
     b = part.select("p_brand", "p_size",
                     F.col("p_partkey").alias("key_b"),
                     F.col("p_name").alias("name_b"))
@@ -883,10 +902,15 @@ ORACLES = {
         "ROUND(CAST(COUNT(n_purch) AS DOUBLE) / COUNT(*), 6) AS cvr "
         "FROM ft LEFT JOIN b USING (user_id) GROUP BY first_touch"),
     "q_name_match": (
+        # the capped CTE mirrors _cap_hot_blocks on the build side; a
+        # pair needs both members in one block, so capping one relation
+        # of the self-join == excluding hot blocks entirely
+        "WITH p AS (SELECT * FROM part QUALIFY count(*) OVER "
+        f"(PARTITION BY p_brand, p_size) <= {BLOCK_DF_CAP}) "
         "SELECT a.p_brand, a.p_size, a.p_partkey AS key_a, "
         "b.p_partkey AS key_b, a.p_name AS name_a, b.p_name AS name_b, "
         "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist "
-        "FROM part a JOIN part b "
+        "FROM p a JOIN p b "
         "ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
         "AND a.p_partkey < b.p_partkey "
         f"WHERE levenshtein(a.p_name, b.p_name) <= 4"),
@@ -1010,7 +1034,7 @@ ORACLES = {
     "q_benford": (
         "WITH d AS (SELECT SUBSTRING(CAST(CAST(FLOOR(o_totalprice) "
         "AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders "
-        "WHERE o_totalprice > 0), "
+        "WHERE o_totalprice >= 1), "
         "c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d "
         "GROUP BY digit), t AS (SELECT SUM(n) AS t FROM c) "
         "SELECT digit, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS share, "

@@ -20,7 +20,18 @@ whether it survives a 1000-executor, 100 TB scale-up:
   decomposition (``operators.common.distributed_prefix``); an op whose
   empty-spec window input is bounded by construction may whitelist
   ``"global-window"`` with a reason (none currently needs to — the
-  bounded cases use 1-row broadcast cross joins instead).
+  bounded cases use 1-row broadcast cross joins instead);
+- **no tiny-key window over raw input**: a WindowExec keyed SOLELY on
+  known-tiny columns (returnflag: 3 values, event_type: 5, …) over a
+  non-aggregated input is the same single-task sort wearing a
+  partitionBy — parallelism equals the key's fixed cardinality while
+  each task's slice grows linearly with data (the shape
+  q_percentile_disc had before its r10 re-plan, which the
+  empty-spec rule alone cannot see). A window whose input subtree is
+  bounded (every scan-reaching path passes an Aggregate) or pre-pruned
+  by WindowGroupLimit (a constant rank bound) is fine; anything else
+  must either re-plan through ``distributed_prefix`` or whitelist
+  ``"tiny-window"`` with a reason.
 
 Use :func:`audit_dataframe` on any DataFrame, or run the CLI wrapper
 ``tools/explain_audit.py`` to sweep every registered query id. Queries may
@@ -81,9 +92,26 @@ EXPECTED: dict[str, set[str]] = {
     # 1-row broadcast corpus totals (token total N / vocab size V)
     # crossed into the (source, token) score table — 1-row build
     "q_log_odds_terms": {"bnlj"},
+    # 1-row broadcast midpoint date crossed into the events scan —
+    # 1-row build, optimal plan for a scalar split point
+    "q_psi_drift": {"bnlj"},
+    # 1-row broadcast sample sizes (n1, n2) crossed into the bounded
+    # distinct-value ECDF table — 1-row build
+    "q_ks_test": {"bnlj"},
+    # 1-row broadcast global prior crossed into the 25-row brand table
+    "q_target_encoding": {"bnlj"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
+
+# Columns whose value domain is FIXED by the data model (flags, enums,
+# languages, sources) — a window partitioned solely on these caps
+# parallelism at the domain size while per-task input grows with data.
+TINY_KEY_COLUMNS = {
+    "l_returnflag", "l_linestatus", "event_type", "lang", "source",
+    "label", "quality_bucket", "l_shipmode", "o_orderstatus",
+    "o_orderpriority", "metric",
+}
 
 
 def _iter_nodes(jnode):
@@ -97,6 +125,39 @@ def _leaf_scans(jnode) -> list[str]:
     leaves = jnode.collectLeaves()
     return [leaves.apply(i).toString().splitlines()[0]
             for i in range(leaves.size())]
+
+
+def _partition_key_names(pspec) -> list[str] | None:
+    """Base column names of a partitionSpec, or None if any entry is a
+    computed expression (conservative: only plain attribute references
+    are matched against the tiny-column list)."""
+    import re
+
+    names = []
+    for i in range(pspec.size()):
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)#\d+",
+                     pspec.apply(i).toString())
+        if not m:
+            return None
+        names.append(m.group(1))
+    return names
+
+
+def _bounded_below(jnode) -> bool:
+    """True when every scan-reaching path below this node passes an
+    Aggregate or a WindowGroupLimit — i.e. the subtree's output size is
+    keyed-domain-bounded (or constant-rank-pruned), not raw-data-sized.
+    Leaves that hide their subtree (ReusedExchange, InMemoryTableScan)
+    count as UNBOUNDED — a false flag there is a whitelist entry with a
+    reason, which beats a silent pass on a raw-sized window."""
+    nn = jnode.nodeName()
+    if "Aggregate" in nn or "WindowGroupLimit" in nn:
+        return True
+    children = jnode.children()
+    if children.size() == 0:
+        return False
+    return all(_bounded_below(children.apply(i))
+               for i in range(children.size()))
 
 
 def audit_plan(name: str, jplan, plan: str) -> list[str]:
@@ -119,6 +180,24 @@ def audit_plan(name: str, jplan, plan: str) -> list[str]:
                 problems.append(
                     "WindowExec with empty partitionSpec — single-task "
                     "global sort (use the two-phase distributed_prefix)")
+                break
+    # A window keyed solely on fixed-domain columns over raw-sized input
+    # is the same bottleneck at #keys tasks (VERDICT r10 #3) — catches
+    # the q_percentile_disc-before-re-plan shape the empty-spec rule
+    # misses. Aggregated / WindowGroupLimit-pruned inputs are bounded.
+    if "tiny-window" not in allowed:
+        for node in _iter_nodes(jplan):
+            if node.nodeName() != "Window":
+                continue
+            names = _partition_key_names(node.partitionSpec())
+            if (names and all(n in TINY_KEY_COLUMNS for n in names)
+                    and not all(_bounded_below(node.children().apply(i))
+                                for i in range(node.children().size()))):
+                problems.append(
+                    f"WindowExec keyed only on tiny columns {names} over "
+                    "non-aggregated input — parallelism capped at the "
+                    "key domain while task input grows with data (use "
+                    "distributed_prefix or a constant rank bound)")
                 break
     # Walk the tree: any shuffled join whose one side bottoms out purely in
     # dimension-table scans is a missed broadcast (at TPC-H ratios the dims

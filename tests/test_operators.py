@@ -1842,6 +1842,45 @@ class TestR10Insights:
             assert r["key_a"] < r["key_b"]
             assert 0 <= r["edit_dist"] <= NAME_MAX_EDIT
 
+    def test_name_match_mega_block_capped(self, spark, tmp_path,
+                                          monkeypatch, caplog):
+        """VERDICT r10 #2: (brand, size) has FIXED cardinality, so block
+        population grows linearly with data — a planted mega-block
+        (10× the cap) must be dropped ENTIRELY by the hot-block cap
+        (no pairs, logged), while cold blocks still yield their pairs."""
+        import logging
+        import time
+
+        from table_versions_spark.operators import dedup
+        from table_versions_spark.operators.insights import q_name_match
+
+        monkeypatch.setattr(dedup, "BLOCK_DF_CAP", 3)
+        # hot block: 30 near-identical names in ONE (brand, size) cell;
+        # cold block: two names 1 edit apart, plus one unrelated name
+        rows = ([(i, "Brand#11", 5, f"hot name number {i % 9}")
+                 for i in range(1, 31)]
+                + [(101, "Brand#22", 7, "cold steel azure"),
+                   (102, "Brand#22", 7, "cold steel azure x"),
+                   (103, "Brand#33", 9, "completely unrelated words")])
+        sf_dir = str(tmp_path / "sf")
+        spark.createDataFrame(
+            rows, "p_partkey long, p_brand string, p_size int, "
+                  "p_name string"
+        ).coalesce(1).write.parquet(f"{sf_dir}/part.parquet")
+        with caplog.at_level(logging.WARNING,
+                             logger="table_versions_spark.operators.dedup"):
+            got = {(r["key_a"], r["key_b"])
+                   for r in q_name_match(spark, sf_dir).collect()}
+            assert got == {(101, 102)}  # hot-block pairs excluded
+            for _ in range(100):  # async report: poll up to 10 s
+                if any("q_name_match" in r.message
+                       for r in caplog.records):
+                    break
+                time.sleep(0.1)
+        msgs = [r.message for r in caplog.records
+                if "block-df cap" in r.message and "q_name_match" in r.message]
+        assert msgs and "dropped 30 rows" in msgs[0] and "df=30" in msgs[0]
+
     def test_embedding_norm_bucket_consistency(self, spark, sf_small):
         import duckdb
 

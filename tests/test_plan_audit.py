@@ -64,6 +64,73 @@ class TestGlobalWindowRule:
         assert not any("partitionSpec" in p for p in problems), problems
 
 
+class TestTinyKeyWindowRule:
+    """Round-11 rule (VERDICT r10 #3): a window keyed SOLELY on
+    fixed-domain columns over raw-sized input is the single-task sort
+    wearing a partitionBy — the shape q_percentile_disc had before its
+    re-plan, which the empty-spec rule alone cannot see."""
+
+    def test_planted_tiny_key_window_flagged(self, static_plans, sf_small):
+        li = load(static_plans, sf_small, "lineitem")
+        planted = li.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("l_returnflag")
+                .orderBy("l_extendedprice", "l_orderkey")))
+        problems = audit_dataframe(planted, "planted")
+        assert any("tiny columns" in p for p in problems), problems
+
+    def test_aggregated_input_passes(self, static_plans, sf_small):
+        """A tiny-key window over an AGGREGATE (domain-bounded series,
+        the q_moving_zscore shape) is legitimate."""
+        li = load(static_plans, sf_small, "lineitem")
+        daily = (li.groupBy("l_returnflag", "l_shipdate")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        ok = daily.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("l_shipdate")))
+        problems = audit_dataframe(ok, "agg-input")
+        assert not any("tiny columns" in p for p in problems), problems
+
+    def test_constant_rank_bound_passes(self, static_plans, sf_small):
+        """A tiny-key window whose consumer filters on a CONSTANT rank
+        plans as WindowGroupLimit — per-task pruning, scale-safe."""
+        li = load(static_plans, sf_small, "lineitem")
+        topk = (li.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("l_returnflag")
+                .orderBy(F.desc("l_extendedprice"), "l_orderkey")))
+            .where(F.col("rn") <= 5))
+        problems = audit_dataframe(topk, "topk")
+        assert not any("tiny columns" in p for p in problems), problems
+
+    def test_mixed_key_passes(self, static_plans, sf_small):
+        """Any data-growing key in the partitionSpec restores
+        parallelism — not flagged."""
+        li = load(static_plans, sf_small, "lineitem")
+        ok = li.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("l_orderkey", "l_returnflag")
+                .orderBy("l_linenumber")))
+        problems = audit_dataframe(ok, "mixed")
+        assert not any("tiny columns" in p for p in problems), problems
+
+    @pytest.mark.parametrize("qid,module", [
+        ("q_moving_zscore", "insights"),
+        ("q_log_odds_terms", "insights"),
+        ("q_zipf_fit", "trends"),
+        ("q_event_paths", "trends"),
+    ])
+    def test_legitimate_ids_pass_unmodified(self, static_plans, sf_small,
+                                            qid, module):
+        import importlib
+
+        mod = importlib.import_module(
+            f"table_versions_spark.operators.{module}")
+        problems = audit_dataframe(mod.QUERIES[qid](static_plans,
+                                                    sf_small), qid)
+        assert not any("tiny columns" in p for p in problems), problems
+
+
 class TestDistributedPrefix:
     """Exactness vs the single-task window it replaces, all kinds."""
 
@@ -110,6 +177,23 @@ class TestDistributedPrefix:
         assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
         # the global first row has an empty strict prefix -> NULL
         assert got.where(F.col("m").isNull()).count() == 1
+
+    def test_extra_sums_piggyback(self, spark, sf_small):
+        """N running sums over one ordering in ONE pass must equal N
+        windows (the q_ks_test shape: cum1+cum2 share buckets/shuffle)."""
+        li = self._li(spark, sf_small)
+        w = (Window.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = (li.withColumn("cq", F.sum("l_quantity").over(w))
+               .withColumn("cp", F.sum("l_partkey").over(w)))
+        got = distributed_prefix(
+            li, ["l_extendedprice", "l_orderkey", "l_linenumber"], "cq",
+            group_cols=["l_returnflag"], value=F.col("l_quantity"),
+            kind="sum", extra_sums={"cp": F.col("l_partkey")})
+        cols = ["l_orderkey", "l_partkey", "l_linenumber", "cq", "cp"]
+        assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
+        assert got.select(cols).exceptAll(ref.select(cols)).count() == 0
 
     def test_plan_has_no_empty_spec_window(self, static_plans, sf_small):
         li = self._li(static_plans, sf_small)
