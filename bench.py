@@ -127,30 +127,37 @@ def main() -> None:
     warm.write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
-    # Load-robustness: the whole headline list runs TWICE end-to-end (each
-    # visit itself best-of-2 reps, so 4 executions per query). Taking the
-    # per-query min ACROSS passes means a host-load spike has to hit the
-    # same query in both passes, ~1 min apart, to contaminate its number —
-    # single-pass artifacts were hostage to whatever the shared VM was
-    # doing that minute (BENCH_r06 read 1.59x vs r5 purely from load;
-    # three paired idle A/B replays measured ~1.0x — tools/AB_NOTES.md).
-    # loadavg at start/end + per-query rep spreads go into the JSON so a
-    # loaded-host artifact is self-identifying.
+    # Load-robustness + reproducibility: the whole headline list runs
+    # THREE times end-to-end. Taking the per-query min ACROSS passes
+    # means a host-load spike has to hit the same query in all passes,
+    # minutes apart, to contaminate its number — single-pass artifacts
+    # were hostage to whatever the shared VM was doing that minute
+    # (BENCH_r06 read 1.59x vs r5 purely from load; three paired idle
+    # A/B replays measured ~1.0x — tools/AB_NOTES.md). The artifact is
+    # SELF-CERTIFYING (r10 verdict #5): per-pass loadavg and per-pass
+    # totals ship in the sidecar, so a reader can see the same-tree
+    # spread (±12% observed on this shared VM) without rerunning.
     reps_seen: dict[str, list[float]] = {}
+    pass_times: list[dict[str, float]] = []
+    per_pass_loadavg: list[list[float] | None] = []
     errors: dict[str, str] = {}
     load_start = load_ambient
-    for _pass in range(2):
+    for _pass in range(3):
+        per_pass_loadavg.append(_loadavg())
+        this_pass: dict[str, float] = {}
+        pass_times.append(this_pass)
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
                 errors[name] = "not registered"
                 continue
             try:
-                for _ in range(2):
-                    t0 = time.time()
-                    df = fn(spark, SF_DIR)
-                    df.write.format("noop").mode("overwrite").save()
-                    reps_seen.setdefault(name, []).append(time.time() - t0)
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                took = time.time() - t0
+                this_pass[name] = took
+                reps_seen.setdefault(name, []).append(took)
             except Exception as exc:  # noqa: BLE001 — artifact must survive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             # inter-query hygiene: as the headline grew, later queries were
@@ -165,9 +172,14 @@ def main() -> None:
                 pass
     load_end = _loadavg()
 
+    import statistics
+
     timings = {n: round(min(r), 3) for n, r in reps_seen.items() if r}
+    medians = {n: round(statistics.median(r), 3)
+               for n, r in reps_seen.items() if r}
     spread = {n: [round(min(r), 3), round(max(r), 3)]
               for n, r in reps_seen.items() if r}
+    pass_totals = [round(sum(p.values()), 3) for p in pass_times]
     # a query that errored in one pass but completed reps in another is
     # PARTIAL: its min stands on fewer reps. Keep it in timings (a min
     # over fewer reps is still a valid plan cost) but flag it, and keep
@@ -184,9 +196,15 @@ def main() -> None:
         "sf": float(sf),
         "loadavg_start": load_start,
         "loadavg_end": load_end,
-        "passes": 2,
-        "reps_per_pass": 2,
+        "passes": 3,
+        "reps_per_pass": 1,
         "spread": spread,
+        # self-certification: median-of-3 per query, the three raw
+        # pass totals, and ambient loadavg sampled before EACH pass —
+        # a loaded or drifting host is visible in the artifact itself
+        "value_median": round(sum(medians.values()), 3),
+        "pass_totals": pass_totals,
+        "per_pass_loadavg": per_pass_loadavg,
     }
     if partial:
         full["partial"] = partial
