@@ -6,11 +6,20 @@ session, interleaved A/B/A/B so machine-load drift hits both trees
 equally; reports per-rep timings plus min/median.
 
 Usage: python tools/ab_bench.py TREE_A TREE_B q_update_dv q_delete_dv
+
+``--warm`` switches each cell to bench.py semantics: execute the query
+once untimed (codegen/JIT/page-cache warm-up), then report the min of 3
+timed in-session executions.  Cold cells (the default) time the FIRST
+execution, which bundles whole-stage-codegen compilation into whichever
+query runs first — right for comparing plan+compile cost, wrong for
+adjudicating a drift in the per-round bench artifact, whose numbers are
+mins across warm passes.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -27,20 +36,33 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
 warm.write.format("noop").mode("overwrite").save()
 qs = entrymod.queries()
+warm_mode = os.environ.get("TVX_AB_WARM") == "1"
 out = {}
 for name in sys.argv[2:]:
-    t0 = time.time()
-    df = qs[name](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    out[name] = round(time.time() - t0, 3)
+    if warm_mode:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        out[name] = round(min(reps), 3)
+    else:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
 print("ABRESULT " + json.dumps(out))
 '''
 
 
-def run_cell(tree: str, queries: list[str]) -> dict[str, float]:
+def run_cell(tree: str, queries: list[str], *,
+             warm: bool = False) -> dict[str, float]:
+    env = dict(os.environ, TVX_AB_WARM="1" if warm else "0")
     proc = subprocess.run(
         [sys.executable, "-c", RUNNER, tree, *queries],
-        capture_output=True, text=True, timeout=900)
+        capture_output=True, text=True, timeout=1800, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("ABRESULT "):
             return json.loads(line[len("ABRESULT "):])
@@ -49,13 +71,17 @@ def run_cell(tree: str, queries: list[str]) -> dict[str, float]:
 
 
 def main() -> None:
-    tree_a, tree_b, *queries = sys.argv[1:]
+    argv = sys.argv[1:]
+    warm = "--warm" in argv
+    if warm:
+        argv = [a for a in argv if a != "--warm"]
+    tree_a, tree_b, *queries = argv
     reps = 3
     results: dict[str, dict[str, list[float]]] = {
         tree_a: {q: [] for q in queries}, tree_b: {q: [] for q in queries}}
     for i in range(reps):
         for tree in (tree_a, tree_b):
-            cell = run_cell(tree, queries)
+            cell = run_cell(tree, queries, warm=warm)
             for q, sec in cell.items():
                 results[tree][q].append(sec)
             print(f"rep {i} {tree}: {cell}", file=sys.stderr)
@@ -70,7 +96,7 @@ def main() -> None:
             "ratio_median_a_over_b": round(
                 statistics.median(a) / statistics.median(b), 3),
         }
-    print(json.dumps({"tree_a": tree_a, "tree_b": tree_b,
+    print(json.dumps({"tree_a": tree_a, "tree_b": tree_b, "warm": warm,
                       "queries": summary}, indent=2))
 
 
