@@ -47,6 +47,7 @@ def _registry() -> tuple[dict, dict]:
         dedup,
         insights,
         multimodal,
+        profiling,
         relational,
         similarity,
         text,
@@ -60,7 +61,7 @@ def _registry() -> tuple[dict, dict]:
     # worth: ids that have never appeared in any driver artifact first,
     # then this round's additions, then previously-green families.
     modules = [versioned, text, similarity, multimodal, dedup, analytic,
-               relational, tpch, cleaning, insights, trends]
+               relational, tpch, cleaning, insights, trends, profiling]
     queries: dict[str, Callable] = {}
     oracles: dict[str, str] = {}
     for m in modules:
@@ -82,6 +83,10 @@ def _registry() -> tuple[dict, dict]:
         "q_moments", "q_yoy_growth", "q_psi_drift", "q_ks_test",
         "q_target_encoding", "q_seasonality", "q_readability",
         "q_zipf_fit", "q_hapax_ratio", "q_vocab_growth",
+        # --- round-11 profiling trio (fills the head to exactly 50;
+        # the OTHER r11 profiling/series ids are held for the r12 head
+        # per VERDICT r10 #6 — they ride registry order this round) ---
+        "q_key_candidates", "q_func_dependencies", "q_col_entropy",
         # --- oldest driver rows (r6) — the VERDICT r10 stale list.
         # Slow-oracle ids (q_dedup_groups' recursive CTE; the dedup
         # pair families) close the tail so they can't starve the rows

@@ -100,6 +100,9 @@ EXPECTED: dict[str, set[str]] = {
     "q_ks_test": {"bnlj"},
     # 1-row broadcast global prior crossed into the 25-row brand table
     "q_target_encoding": {"bnlj"},
+    # 1-row broadcast corpus token total crossed into the (source,
+    # token) term table — 1-row build, optimal plan
+    "q_kl_divergence": {"bnlj"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
