@@ -530,6 +530,242 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "AS heaps_exponent"))
 
 
+# -------------------------------------------------- CUSUM changepoint
+
+# mean over the packed calendar-bounded series — exact int sum / size
+_CUSUM_MEAN = ("(CAST(aggregate(a, CAST(0 AS BIGINT), "
+               "(acc, x) -> acc + x.c) AS DOUBLE) / size(a))")
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen per event type: the day where the
+    cumulative sum of deviations from the series mean peaks in
+    magnitude — the standard "when did the level shift" detector for a
+    daily metric.
+
+    Exactness: daily counts and their sum are exact integers; every
+    prefix sum folds the SAME sorted calendar-bounded array
+    left-to-right on both engines, so each CUSUM double matches
+    bit-for-bit; the argmax day resolves by (|CUSUM| desc, day) — a
+    deterministic total order given identical doubles. Scale shape:
+    one map-side-combined aggregate, then O(days²) folds on per-type
+    scalars, never data rows."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    packed = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("d", "c")))
+                   .alias("a")))
+    cus = ("transform(a, (x, i) -> struct(x.d AS d, "
+           "aggregate(slice(a, 1, i + 1), CAST(0 AS DOUBLE), "
+           f"(acc, y) -> acc + (CAST(y.c AS DOUBLE) - {_CUSUM_MEAN})) "
+           "AS s))")
+    pick = (f"array_min(transform({cus}, "
+            "x -> struct(-abs(x.s) AS na, x.d AS d, x.s AS s)))")
+    return (packed
+            .withColumn("p", F.expr(pick))
+            .select("event_type",
+                    F.expr("size(a)").cast("long").alias("n_days"),
+                    F.col("p.d").alias("change_day"),
+                    F.round(F.col("p.s"), 6).alias("cusum_at_change"),
+                    F.round(F.expr("abs(p.s)"), 6).alias("max_abs_cusum")))
+
+
+# ------------------------------------------------ 7-day rolling correlation
+
+ROLL_X = "click"        # the two daily series whose co-movement the
+ROLL_Y = "purchase"     # rolling window tracks
+ROLL_W = 7
+
+
+def _roll_sums() -> str:
+    """Five exact-integer folds over the 7-element window slice W."""
+    w = f"slice(a, i - {ROLL_W - 2}, {ROLL_W})"
+    folds = {
+        "sx": "acc + e.x", "sy": "acc + e.y", "sxy": "acc + e.x * e.y",
+        "sxx": "acc + e.x * e.x", "syy": "acc + e.y * e.y",
+    }
+    return ", ".join(
+        f"aggregate({w}, CAST(0 AS BIGINT), (acc, e) -> {body}) AS {n}"
+        for n, body in folds.items())
+
+
+def _pearson(n: str, p: str = "") -> str:
+    """Pearson from exact integer power sums — the SAME fragment text
+    (modulo the column prefix) runs on both engines; the zero-variance
+    guard tests an exact integer product, so NULL rows agree (Spark /0
+    yields NULL, DuckDB yields ±inf — the guard keeps that seam
+    unreachable)."""
+    sx, sy = f"{p}sx", f"{p}sy"
+    sxy, sxx, syy = f"{p}sxy", f"{p}sxx", f"{p}syy"
+    vx = f"({n} * {sxx} - {sx} * {sx})"
+    vy = f"({n} * {syy} - {sy} * {sy})"
+    return (f"CASE WHEN {vx} * {vy} = 0 THEN NULL "
+            f"ELSE round(CAST({n} * {sxy} - {sx} * {sy} AS DOUBLE) / "
+            f"(sqrt(CAST({vx} AS DOUBLE)) * "
+            f"sqrt(CAST({vy} AS DOUBLE))), 6) END")
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between the click and purchase
+    daily-count series — the co-movement monitor behind "are these two
+    metrics still coupled this week".
+
+    Exactness: within each 7-day window all five power sums are EXACT
+    int64 folds of integer counts, so the Pearson formula evaluates on
+    identical inputs with an identical IEEE expression tree on both
+    engines — no float accumulation at all; constant windows yield
+    NULL via an integer-exact guard. Scale shape: the two series join
+    on day AFTER aggregation (calendar-bounded), then O(days·W) folds
+    on per-day scalars."""
+    daily = (load_events(spark, sf_dir)
+             .where(F.col("event_type").isin([ROLL_X, ROLL_Y]))
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    x = daily.where(F.col("event_type") == ROLL_X).select(
+        "d", F.col("c").alias("x"))
+    y = daily.where(F.col("event_type") == ROLL_Y).select(
+        "d", F.col("c").alias("y"))
+    packed = (x.join(y, "d")
+              .select(F.struct("d", "x", "y").alias("e"))
+              .agg(F.sort_array(F.collect_list("e")).alias("a")))
+    win = ("filter(transform(a, (x, i) -> "
+           f"CASE WHEN i >= {ROLL_W - 1} THEN "
+           "struct(x.d AS d, x.x AS x, x.y AS y, "
+           f"{_roll_sums()}) END), w -> w IS NOT NULL)")
+    return (packed.select(F.explode(F.expr(win)).alias("w"))
+            .select(F.col("w.d").alias("day"),
+                    F.col("w.x").alias("x"), F.col("w.y").alias("y"),
+                    F.expr(_pearson(str(ROLL_W), "w."))
+                    .alias(f"corr{ROLL_W}d")))
+
+
+# ------------------------------------------------ lead/lag cross-correlation
+
+LAG_X = "signup"       # candidate leading series
+LAG_Y = "purchase"     # candidate lagging series
+LAG_MAX = 7
+
+
+def q_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation: Pearson of (signup_t, purchase_{t+L})
+    for L = 0..7 days — "does today's signup volume predict purchases
+    L days out", the screen behind attribution-lag and forecasting
+    feature choices.
+
+    Exactness: per-lag power sums are exact int64 aggregates over
+    integer daily counts (map-side-combined, 8 output rows); the
+    Pearson fragment and its integer-exact zero-variance guard are
+    shared verbatim with :func:`q_rolling_corr`. Scale shape: the lag
+    fan-out explodes a literal 8-element sequence on the
+    calendar-bounded x series — no join fan-out on fact rows, and the
+    shifted join is an equi-join on day."""
+    daily = (load_events(spark, sf_dir)
+             .where(F.col("event_type").isin([LAG_X, LAG_Y]))
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    x = (daily.where(F.col("event_type") == LAG_X)
+         .select("d", F.col("c").alias("xv"))
+         .withColumn("lag", F.explode(F.sequence(F.lit(0),
+                                                 F.lit(LAG_MAX))))
+         .withColumn("yd", F.expr("date_add(d, lag)")))
+    y = daily.where(F.col("event_type") == LAG_Y).select(
+        F.col("d").alias("yd"), F.col("c").alias("yv"))
+    sums = (x.join(y, "yd")
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("xv").alias("sx"), F.sum("yv").alias("sy"),
+                 F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+                 F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+                 F.sum(F.col("yv") * F.col("yv")).alias("syy")))
+    return (sums.select(F.col("lag").cast("long").alias("lag_days"),
+                        F.col("n").alias("n_days"),
+                        F.expr(_pearson("n")).alias("corr")))
+
+
+# ----------------------------------------------------- Theil–Sen slope
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type: the median of all
+    pairwise (count difference / day difference) slopes of the daily
+    series — immune to the outlier days that wreck least-squares.
+
+    Exactness: each pairwise slope is one division of exact integers
+    (identical IEEE doubles), and the median is ``percentile`` ≡
+    DuckDB ``quantile_cont`` (bit-identical interpolation). Scale
+    shape: the self-join runs on the AGGREGATED calendar-bounded
+    series — O(days²) pairs per type on per-day scalars, not data
+    rows; the fact scan aggregates once with map-side combine."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("c").alias("c2"))
+    pairs = (a.join(b, "event_type")
+             .where(F.col("d1") < F.col("d2"))
+             .select("event_type",
+                     (F.col("c2") - F.col("c1")).cast("double")
+                     .alias("dy"),
+                     F.datediff("d2", "d1").cast("double").alias("dx")))
+    return (pairs.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.percentile(F.col("dy") / F.col("dx"),
+                                      F.lit(0.5)), 6)
+                 .alias("slope_per_day")))
+
+
+# ------------------------------------------------- Mann–Kendall trend test
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type: the S
+    statistic (concordant minus discordant day pairs) with the
+    tie-corrected normal approximation z — the nonparametric "is this
+    metric actually trending" answer that pairs with
+    :func:`q_theil_sen`'s slope.
+
+    Exactness: S, the tie term, and the variance numerator are ALL
+    exact int64 arithmetic; only the final z division touches floats,
+    on identical exact inputs via a shared fragment, with an
+    integer-exact zero-variance guard. Scale shape: same bounded
+    self-join as Theil–Sen plus one value-ties aggregate — everything
+    after the daily rollup is per-day scalars."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    a = daily.select("event_type", F.col("d").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = daily.select("event_type", F.col("d").alias("d2"),
+                     F.col("c").alias("c2"))
+    s = (a.join(b, "event_type")
+         .where(F.col("d1") < F.col("d2"))
+         .groupBy("event_type")
+         .agg(F.sum(F.when(F.col("c2") > F.col("c1"), 1)
+                    .when(F.col("c2") < F.col("c1"), -1)
+                    .otherwise(0).cast("long")).alias("s"),
+              ))
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (daily.groupBy("event_type", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+                 .alias("tt")))
+    z = ("CASE WHEN n * (n - 1) * (2 * n + 5) - tt = 0 THEN NULL "
+         "WHEN s > 0 THEN round(CAST(s - 1 AS DOUBLE) / "
+         "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18), 6) "
+         "WHEN s < 0 THEN round(CAST(s + 1 AS DOUBLE) / "
+         "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18), 6) "
+         "ELSE CAST(0 AS DOUBLE) END")
+    return (s.join(nd, "event_type").join(ties, "event_type")
+            .select("event_type", F.col("n").alias("n_days"),
+                    F.col("s").alias("s_stat"),
+                    F.expr(z).alias("z_score")))
+
+
 QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_event_paths": q_event_paths,
@@ -545,6 +781,11 @@ QUERIES = {
     "q_zipf_fit": q_zipf_fit,
     "q_hapax_ratio": q_hapax_ratio,
     "q_vocab_growth": q_vocab_growth,
+    "q_cusum_changepoint": q_cusum_changepoint,
+    "q_rolling_corr": q_rolling_corr,
+    "q_lead_lag_corr": q_lead_lag_corr,
+    "q_theil_sen": q_theil_sen,
+    "q_mann_kendall": q_mann_kendall,
 }
 
 _EVENTS = ("SELECT event_id, user_id, event_type, value, "
@@ -764,4 +1005,102 @@ ORACLES = {
         "round(LN(CAST(COUNT(*) AS DOUBLE)) / "
         "LN(CAST(SUM(c) AS DOUBLE)), 6) AS heaps_exponent "
         "FROM c GROUP BY source"),
+    "q_cusum_changepoint": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), "
+        "p AS (SELECT event_type, LIST(struct_pack(d := d, c := c) "
+        "ORDER BY d) AS a FROM daily GROUP BY event_type), "
+        "m AS (SELECT event_type, a, CAST(LEN(a) AS BIGINT) AS n_days, "
+        "(CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        "LIST_TRANSFORM(a, x -> x.c)), (acc, y) -> acc + y) AS DOUBLE) "
+        "/ LEN(a)) AS mean FROM p), "
+        "i AS (SELECT event_type, a, n_days, mean, "
+        "UNNEST(generate_series(1, CAST(n_days AS INTEGER))) AS i "
+        "FROM m), "
+        "cus AS (SELECT event_type, n_days, a[i].d AS d, "
+        "LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        "LIST_TRANSFORM(a[1:i], y -> CAST(y.c AS DOUBLE) - mean)), "
+        "(acc, y) -> acc + y) AS s FROM i) "
+        "SELECT event_type, n_days, d AS change_day, "
+        "round(s, 6) AS cusum_at_change, "
+        "round(abs(s), 6) AS max_abs_cusum FROM cus "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY abs(s) DESC, d) = 1"),
+    "q_rolling_corr": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e "
+        f"WHERE event_type IN ('{ROLL_X}', '{ROLL_Y}') GROUP BY 1, 2), "
+        f"x AS (SELECT d, c AS x FROM daily WHERE event_type = "
+        f"'{ROLL_X}'), "
+        f"y AS (SELECT d, c AS y FROM daily WHERE event_type = "
+        f"'{ROLL_Y}'), "
+        "p AS (SELECT LIST(struct_pack(d := d, x := x, y := y) "
+        "ORDER BY d, x, y) AS a FROM x JOIN y USING (d)), "
+        "i AS (SELECT a, UNNEST(generate_series("
+        f"{ROLL_W}, LEN(a))) AS i FROM p), "
+        "w AS (SELECT a[i].d AS day, a[i].x AS x, a[i].y AS y, "
+        + ", ".join(
+            "CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+            f"LIST_TRANSFORM(a[i - {ROLL_W - 1}:i], e -> {body})), "
+            f"(acc, y) -> acc + y) AS BIGINT) AS {nm}"
+            for nm, body in [("sx", "e.x"), ("sy", "e.y"),
+                             ("sxy", "e.x * e.y"), ("sxx", "e.x * e.x"),
+                             ("syy", "e.y * e.y")])
+        + " FROM i) "
+        f"SELECT day, x, y, {_pearson(str(ROLL_W))} AS corr{ROLL_W}d "
+        "FROM w"),
+    "q_lead_lag_corr": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e "
+        f"WHERE event_type IN ('{LAG_X}', '{LAG_Y}') GROUP BY 1, 2), "
+        f"x AS (SELECT d, c AS xv FROM daily WHERE event_type = "
+        f"'{LAG_X}'), "
+        f"y AS (SELECT d, c AS yv FROM daily WHERE event_type = "
+        f"'{LAG_Y}'), "
+        "xl AS (SELECT d, xv, UNNEST(generate_series(0, "
+        f"{LAG_MAX})) AS lag FROM x), "
+        "j AS (SELECT xl.lag, xl.xv, y.yv FROM xl "
+        "JOIN y ON y.d = xl.d + CAST(xl.lag AS INTEGER)), "
+        "s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(xv) AS BIGINT) AS sx, "
+        "CAST(SUM(yv) AS BIGINT) AS sy, "
+        "CAST(SUM(xv * yv) AS BIGINT) AS sxy, "
+        "CAST(SUM(xv * xv) AS BIGINT) AS sxx, "
+        "CAST(SUM(yv * yv) AS BIGINT) AS syy FROM j GROUP BY lag) "
+        "SELECT CAST(lag AS BIGINT) AS lag_days, n AS n_days, "
+        f"{_pearson('n')} AS corr FROM s"),
+    "q_theil_sen": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2) "
+        "SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "round(QUANTILE_CONT(CAST(b.c - a.c AS DOUBLE) / "
+        "CAST(b.d - a.d AS DOUBLE), 0.5), 6) AS slope_per_day "
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+        "AND a.d < b.d GROUP BY a.event_type"),
+    "q_mann_kendall": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), "
+        "s AS (SELECT a.event_type, CAST(SUM(CASE WHEN b.c > a.c "
+        "THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s "
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+        "AND a.d < b.d GROUP BY a.event_type), "
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM daily GROUP BY event_type), "
+        "ties AS (SELECT event_type, CAST(SUM(t * (t - 1) * "
+        "(2 * t + 5)) AS BIGINT) AS tt FROM (SELECT event_type, c, "
+        "CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2) "
+        "GROUP BY event_type) "
+        "SELECT s.event_type, n AS n_days, s AS s_stat, "
+        "CASE WHEN n * (n - 1) * (2 * n + 5) - tt = 0 THEN NULL "
+        "WHEN s > 0 THEN round(CAST(s - 1 AS DOUBLE) / "
+        "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18), 6) "
+        "WHEN s < 0 THEN round(CAST(s + 1 AS DOUBLE) / "
+        "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18), 6) "
+        "ELSE CAST(0 AS DOUBLE) END AS z_score "
+        "FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)"),
 }

@@ -234,3 +234,110 @@ class TestCorpusScreens:
             assert voc.loc[src, "n_tokens"] == n_tokens
             assert voc.loc[src, "heaps_exponent"] == pytest.approx(
                 math.log(n_vocab) / math.log(n_tokens), abs=1e-6)
+
+
+def _daily_counts(events_pd):
+    df = events_pd.copy()
+    df["d"] = df.event_date
+    return (df.groupby(["event_type", "d"]).size()
+            .rename("c").reset_index())
+
+
+class TestCusumChangepoint:
+    def test_matches_pure_python(self, spark, sf_small, events_pd):
+        got = (trends.q_cusum_changepoint(spark, sf_small).toPandas()
+               .set_index("event_type"))
+        daily = _daily_counts(events_pd)
+        for et, g in daily.groupby("event_type"):
+            g = g.sort_values("d")
+            mean = g.c.sum() / len(g)
+            cus, best = 0.0, None
+            for _, r in g.iterrows():
+                cus += r.c - mean
+                key = (-abs(cus), r.d)
+                if best is None or key < best[0]:
+                    best = (key, r.d, cus)
+            row = got.loc[et]
+            assert row.n_days == len(g)
+            assert row.change_day == best[1]
+            assert row.cusum_at_change == pytest.approx(best[2], abs=1e-6)
+            assert row.max_abs_cusum == pytest.approx(abs(best[2]),
+                                                      abs=1e-6)
+
+
+class TestRollingCorr:
+    def test_matches_pandas_rolling(self, spark, sf_small, events_pd):
+        got = trends.q_rolling_corr(spark, sf_small).toPandas()
+        daily = _daily_counts(events_pd)
+        x = daily[daily.event_type == trends.ROLL_X].set_index("d").c
+        y = daily[daily.event_type == trends.ROLL_Y].set_index("d").c
+        days = sorted(set(x.index) & set(y.index))
+        j = pd.DataFrame({"x": x[days], "y": y[days]})
+        roll = j.x.rolling(trends.ROLL_W).corr(j.y)
+        assert len(got) == max(0, len(days) - trends.ROLL_W + 1)
+        for _, r in got.iterrows():
+            expect = roll[r.day]
+            if pd.isna(expect):
+                assert pd.isna(r[f"corr{trends.ROLL_W}d"])
+            else:
+                assert r[f"corr{trends.ROLL_W}d"] == pytest.approx(
+                    expect, abs=1e-6)
+
+
+class TestLeadLagCorr:
+    def test_matches_pandas_shift(self, spark, sf_small, events_pd):
+        got = (trends.q_lead_lag_corr(spark, sf_small).toPandas()
+               .set_index("lag_days"))
+        daily = _daily_counts(events_pd)
+        x = daily[daily.event_type == trends.LAG_X].set_index("d").c
+        y = daily[daily.event_type == trends.LAG_Y].set_index("d").c
+        import datetime as dt
+        for lag in range(trends.LAG_MAX + 1):
+            pairs = [(x[d], y[d + dt.timedelta(days=lag)])
+                     for d in x.index
+                     if d + dt.timedelta(days=lag) in y.index]
+            xs = pd.Series([p[0] for p in pairs], dtype="float64")
+            ys = pd.Series([p[1] for p in pairs], dtype="float64")
+            row = got.loc[lag]
+            assert row.n_days == len(pairs)
+            expect = xs.corr(ys)
+            if pd.isna(expect):
+                assert pd.isna(row["corr"])
+            else:
+                assert row["corr"] == pytest.approx(expect, abs=1e-6)
+
+
+class TestTheilSenMannKendall:
+    def test_matches_brute_force(self, spark, sf_small, events_pd):
+        import numpy as np
+        ts = (trends.q_theil_sen(spark, sf_small).toPandas()
+              .set_index("event_type"))
+        mk = (trends.q_mann_kendall(spark, sf_small).toPandas()
+              .set_index("event_type"))
+        daily = _daily_counts(events_pd)
+        for et, g in daily.groupby("event_type"):
+            g = g.sort_values("d").reset_index(drop=True)
+            slopes, s = [], 0
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    dx = (g.d[j] - g.d[i]).days
+                    slopes.append((g.c[j] - g.c[i]) / dx)
+                    s += int(g.c[j] > g.c[i]) - int(g.c[j] < g.c[i])
+            row = ts.loc[et]
+            assert row.n_pairs == len(slopes)
+            assert row.slope_per_day == pytest.approx(
+                np.median(slopes), abs=1e-6)
+            n = len(g)
+            ties = g.c.value_counts()
+            tt = sum(t * (t - 1) * (2 * t + 5) for t in ties)
+            var = (n * (n - 1) * (2 * n + 5) - tt) / 18
+            mrow = mk.loc[et]
+            assert mrow.n_days == n
+            assert mrow.s_stat == s
+            if var == 0:
+                assert pd.isna(mrow.z_score)
+            else:
+                expect = 0.0 if s == 0 else (
+                    (s - 1) / math.sqrt(var) if s > 0
+                    else (s + 1) / math.sqrt(var))
+                assert mrow.z_score == pytest.approx(expect, abs=1e-6)
