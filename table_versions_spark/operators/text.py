@@ -490,22 +490,24 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     language stratum, chosen by multiplicative hash order (engine-portable,
     rerun-stable — see q_train_test_split for why not ``rand(seed)``).
 
-    Shape at scale: one hash-partitioned window per stratum — a single
-    shuffle on ``lang``; skewed strata parallelize poorly only if one
-    language dominates, in which case the hash-threshold variant (keep
-    hash < p, no window) is the fallback; the window variant is used here
-    because it gives *exact* per-stratum counts, which training-data recipes
-    usually demand."""
-    from pyspark.sql import Window
-
+    Shape at scale: ``lang`` has a FIXED domain, so a per-stratum window
+    would sort each stratum's whole (data-sized) slice on one task — the
+    tiny-key shape the plan audit flags. The per-stratum rank instead
+    runs as :func:`..common.distributed_prefix`'s two-phase
+    range-bucketed scan (parallelism = #buckets × #strata), and the
+    stratum sizes come from a broadcast #langs-row aggregate rather
+    than a second window. Exact per-stratum counts are kept — the
+    integer threshold is what training-data recipes demand; the
+    hash-threshold variant (keep hash < p, no rank) is the documented
+    fallback when approximate counts are acceptable."""
     docs = load(spark, sf_dir, "documents")
     hkey = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
-    ranked = (docs.select("doc_id", "lang", hkey.alias("hkey"))
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("lang").orderBy("hkey", "doc_id")))
-              .withColumn("n", F.count("*").over(Window.partitionBy("lang"))))
+    base = docs.select("doc_id", "lang", hkey.alias("hkey"))
+    ranked = distributed_prefix(base, ["hkey", "doc_id"], "rn",
+                                group_cols=["lang"])
+    n = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     # rn <= ceil(n * PCT/100)  ⇔  rn*100 <= n*PCT + (100-PCT)   (integer-only)
-    return (ranked
+    return (ranked.join(F.broadcast(n), "lang")
             .where(F.col("rn") * 100 <= F.col("n") * SAMPLE_PCT + (100 - SAMPLE_PCT))
             .select("doc_id", "lang"))
 
@@ -722,13 +724,26 @@ def q_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality binning for curriculum ordering / threshold filtering:
     per-source deciles of document length (the cheap quality proxy every
     pipeline starts with; swap the ORDER BY for an LM score without
-    changing the plan shape). One shuffle on source — ntile is a
-    window over the per-source sort, and sources are few and fat, which
-    is exactly the shape range-partitioned window execution handles."""
-    docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    return docs.select("doc_id", "source", "n_chars",
-                       F.ntile(10).over(w).alias("decile"))
+    changing the plan shape).
+
+    Shape at scale: ``source`` has a FIXED domain, so ``ntile`` over a
+    per-source window would sort each source's whole (data-sized) slice
+    on one task — the tiny-key shape the plan audit flags (and r10's
+    q_percentile_disc re-plan removed). The per-source rank instead
+    runs as :func:`..common.distributed_prefix`'s two-phase scan, and
+    the decile is the package's explicit integer formula
+    ``(rank−1)·10 div n + 1`` (the q_rfm / q_decile_stats convention —
+    exact on both engines, where NTILE's uneven-bucket placement is an
+    engine-convention seam the formula sidesteps)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    ranked = distributed_prefix(docs, ["n_chars", "doc_id"], "rn",
+                                group_cols=["source"])
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (ranked.join(F.broadcast(n), "source")
+            .select("doc_id", "source", "n_chars",
+                    F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)")
+                    .alias("decile")))
 
 
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,8 +884,11 @@ ORACLES = {
         "AS BIGINT) AS norm_len FROM documents"),
     "q_quality_bucket": (
         "SELECT doc_id, source, n_chars, "
-        "CAST(ntile(10) OVER (PARTITION BY source "
-        "ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents"),
+        "CAST(((rn - 1) * 10) // n + 1 AS INT) AS decile FROM "
+        "(SELECT doc_id, source, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY source) AS n FROM documents)"),
     "q_pmi_bigrams": (
         "WITH d AS (SELECT list_filter(string_split(text, ' '), "
         "x -> x <> '') AS w FROM documents), "

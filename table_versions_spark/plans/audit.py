@@ -103,6 +103,12 @@ EXPECTED: dict[str, set[str]] = {
     # 1-row broadcast corpus token total crossed into the (source,
     # token) term table — 1-row build, optimal plan
     "q_kl_divergence": {"bnlj"},
+    # API-surface demonstration of ntile/percent_rank/cume_dist — the
+    # distribution window functions THEMSELVES are the operator under
+    # test, so the plan is whatever Spark gives them. The scale path
+    # for distribution ranks is the explicit-formula two-phase plan
+    # (q_decile_stats / q_rfm / q_quality_bucket show it).
+    "q_window_ntile": {"tiny-window"},
 }
 
 DIM_TABLES = ("region", "nation", "supplier", "part")
