@@ -128,15 +128,21 @@ def main() -> None:
 
     qs = entrymod.queries()
     # Load-robustness + reproducibility: the whole headline list runs
-    # THREE times end-to-end. Taking the per-query min ACROSS passes
-    # means a host-load spike has to hit the same query in all passes,
-    # minutes apart, to contaminate its number — single-pass artifacts
-    # were hostage to whatever the shared VM was doing that minute
-    # (BENCH_r06 read 1.59x vs r5 purely from load; three paired idle
-    # A/B replays measured ~1.0x — tools/AB_NOTES.md). The artifact is
-    # SELF-CERTIFYING (r10 verdict #5): per-pass loadavg and per-pass
-    # totals ship in the sidecar, so a reader can see the same-tree
-    # spread (±12% observed on this shared VM) without rerunning.
+    # THREE times end-to-end, each visit itself best-of-2 back-to-back
+    # reps. Taking the per-query min ACROSS passes means a host-load
+    # spike has to hit the same query in all passes, minutes apart, to
+    # contaminate its number — single-pass artifacts were hostage to
+    # whatever the shared VM was doing that minute (BENCH_r06 read
+    # 1.59x vs r5 purely from load; three paired idle A/B replays
+    # measured ~1.0x — tools/AB_NOTES.md). The back-to-back second rep
+    # is NOT optional: it is what every r01–r10 artifact measured (the
+    # first visit bears whole-stage-codegen compile + cold cross-query
+    # caches; a 3×1-rep trial read ~1.6× across the board for exactly
+    # that reason), so dropping it would break round-over-round
+    # comparability. The artifact is SELF-CERTIFYING (r10 verdict #5):
+    # per-pass loadavg and per-pass best-of-2 totals ship in the
+    # sidecar, so a reader sees the same-tree spread (±12% observed on
+    # this shared VM) without rerunning.
     reps_seen: dict[str, list[float]] = {}
     pass_times: list[dict[str, float]] = []
     per_pass_loadavg: list[list[float] | None] = []
@@ -152,12 +158,15 @@ def main() -> None:
                 errors[name] = "not registered"
                 continue
             try:
-                t0 = time.time()
-                df = fn(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                took = time.time() - t0
-                this_pass[name] = took
-                reps_seen.setdefault(name, []).append(took)
+                best = None
+                for _rep in range(2):
+                    t0 = time.time()
+                    df = fn(spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    took = time.time() - t0
+                    reps_seen.setdefault(name, []).append(took)
+                    best = took if best is None else min(best, took)
+                this_pass[name] = best
             except Exception as exc:  # noqa: BLE001 — artifact must survive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             # inter-query hygiene: as the headline grew, later queries were
@@ -175,8 +184,11 @@ def main() -> None:
     import statistics
 
     timings = {n: round(min(r), 3) for n, r in reps_seen.items() if r}
-    medians = {n: round(statistics.median(r), 3)
-               for n, r in reps_seen.items() if r}
+    # median of the three per-pass best-of-2 values — the robust
+    # "typical visit" number the min can be sanity-checked against
+    medians = {n: round(statistics.median(
+        [p[n] for p in pass_times if n in p]), 3)
+        for n in timings if any(n in p for p in pass_times)}
     spread = {n: [round(min(r), 3), round(max(r), 3)]
               for n, r in reps_seen.items() if r}
     pass_totals = [round(sum(p.values()), 3) for p in pass_times]
@@ -197,11 +209,12 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "passes": 3,
-        "reps_per_pass": 1,
+        "reps_per_pass": 2,
         "spread": spread,
-        # self-certification: median-of-3 per query, the three raw
-        # pass totals, and ambient loadavg sampled before EACH pass —
-        # a loaded or drifting host is visible in the artifact itself
+        # self-certification: median of the three per-pass best-of-2
+        # values per query, the three raw pass totals, and ambient
+        # loadavg sampled before EACH pass — a loaded or drifting host
+        # is visible in the artifact itself
         "value_median": round(sum(medians.values()), 3),
         "pass_totals": pass_totals,
         "per_pass_loadavg": per_pass_loadavg,
