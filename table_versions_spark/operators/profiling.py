@@ -296,6 +296,178 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.src_a", "p.src_b", "p.js_nats"))
 
 
+# ------------------------------------------------------- k-anonymity
+
+K_ANON_K = 5  # groups smaller than this re-identify their members
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of two quasi-identifier sets: group sizes
+    under each QI combination, the minimum (the table's k), and how
+    many rows sit in groups below ``K_ANON_K`` — the data-governance
+    screen run before a table is shared or joined externally.
+
+    Scale shape: each QI set is ONE map-side-combined groupBy whose
+    output is bounded by the QI domain, then a 1-row rollup; counts
+    and the at-risk threshold are exact int64, the single pct is one
+    exact-int division."""
+    specs = [
+        ("customer:nationkey+mktsegment",
+         load(spark, sf_dir, "customer")
+         .groupBy("c_nationkey", "c_mktsegment")),
+        ("orders:status+priority+year",
+         load(spark, sf_dir, "orders")
+         .groupBy("o_orderstatus", "o_orderpriority",
+                  F.year("o_orderdate").alias("y"))),
+    ]
+    parts = []
+    for name, grouped in specs:
+        sizes = grouped.agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        parts.append(
+            sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.min("sz").alias("min_group_size"),
+                F.sum("sz").alias("n_rows"),
+                F.sum(F.when(F.col("sz") < K_ANON_K, F.col("sz"))
+                      .otherwise(0)).alias("rows_at_risk"))
+            .select(F.lit(name).alias("qi_set"), "n_groups",
+                    "min_group_size", "n_rows", "rows_at_risk",
+                    F.round(F.col("rows_at_risk").cast("double")
+                            / F.col("n_rows"), 6).alias("pct_at_risk")))
+    return parts[0].unionAll(parts[1])
+
+
+# ------------------------------------------------------- l-diversity
+
+LDIV_BAND = 1000  # account-balance band width (the sensitive attribute)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: within each (nationkey, mktsegment)
+    quasi-identifier group, how many DISTINCT sensitive values
+    (balance bands) appear — a group with l = 1 discloses its members'
+    attribute outright even when k-anonymous. Reports the worst l, the
+    homogeneous-group count, and the mean l.
+
+    Scale shape: one two-key aggregate (QI × band, domain-bounded) and
+    one QI rollup — exact integers throughout; the mean is one
+    exact-int division."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / LDIV_BAND).cast("long").alias("band"))
+    per_group = (cust.groupBy("c_nationkey", "c_mktsegment")
+                 .agg(F.count_distinct("band").cast("long").alias("l"),
+                      F.count(F.lit(1)).cast("long").alias("sz")))
+    return (per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").alias("min_l"),
+        F.sum((F.col("l") == 1).cast("long")).alias("n_homogeneous"),
+        F.sum("l").alias("_sl"),
+        F.sum("sz").alias("n_rows"))
+        .select("n_groups", "min_l", "n_homogeneous", "n_rows",
+                F.round(F.col("_sl").cast("double") / F.col("n_groups"),
+                        6).alias("avg_l")))
+
+
+# -------------------------------------------------- data-quality rules
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule report — the dbt-test / Deequ
+    shape: referential integrity, accepted values, range, positivity,
+    and non-emptiness checks, one row per rule with checked/violation
+    counts and a pass flag.
+
+    Scale shape: each FK rule is ONE left join + aggregate (the dim
+    side broadcasts while it fits; violations are NULL-probe counts —
+    no anti-join second pass); value rules are single codegen'd scans
+    with conditional counts. Branches union; all counts exact int64."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    docs = load(spark, sf_dir, "documents")
+
+    def report(name, df, bad):
+        return (df.agg(F.count(F.lit(1)).cast("long").alias("n_checked"),
+                       F.sum(bad.cast("long")).alias("n_violations"))
+                .select(F.lit(name).alias("rule"), "n_checked",
+                        "n_violations",
+                        (F.col("n_violations") == 0).alias("passed")))
+
+    fk1 = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+    ok = orders.select("o_orderkey", "o_custkey")
+    fk2 = li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
+    parts = [
+        report("fk:orders.o_custkey->customer", fk1,
+               F.col("c_custkey").isNull()),
+        report("fk:lineitem.l_orderkey->orders", fk2,
+               F.col("o_custkey").isNull()),
+        report("range:customer.c_acctbal[-1000,10000]",
+               load(spark, sf_dir, "customer"),
+               (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)),
+        report("accepted:orders.o_orderstatus{O,F,P}", orders,
+               ~F.col("o_orderstatus").isin(["O", "F", "P"])),
+        report("positive:lineitem.l_quantity", li,
+               F.col("l_quantity") <= 0),
+        report("nonempty:documents.text", docs,
+               F.col("text").isNull() | (F.length("text") == 0)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------- embedding drift
+
+EMB_FP = 10000000  # e7 fixed point: float32 components quantize exactly
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label MEAN embedding
+    vectors — the centroid-drift screen behind "did the encoder (or
+    the data mix) move between these cohorts". Low off-diagonal cosine
+    means separated label clusters; a drop between snapshots means
+    drift.
+
+    Exactness: cross-row float sums are order-nondeterministic, so the
+    per-(label, dim) mean aggregates e7 FIXED-POINT int64 (float32
+    components round exactly at e7), and the cosine folds the two
+    64-double mean vectors in dim order — both engines see identical
+    IEEE terms in identical order. Scale shape: posexplode fans 64×
+    rows into a map-side-combined (label, dim) aggregate bounded at
+    #labels × dims; the pair join runs on the #labels-row centroid
+    table."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select("label", F.posexplode("embedding")
+                      .alias("dim", "v"))
+    means = (dims.groupBy("label", "dim")
+             .agg(F.sum(F.expr(
+                 f"CAST(ROUND(CAST(v AS DOUBLE) * {EMB_FP}) AS BIGINT)"))
+                 .alias("s"),
+                 F.count(F.lit(1)).cast("long").alias("n"))
+             .select("label", "dim",
+                     F.expr(f"CAST(s AS DOUBLE) / ({EMB_FP} * n)")
+                     .alias("m")))
+    vecs = (means.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                 .alias("a")))
+    va = vecs.select(F.col("label").alias("label_a"),
+                     F.col("a").alias("aa"))
+    vb = vecs.select(F.col("label").alias("label_b"),
+                     F.col("a").alias("ab"))
+    dot = ("aggregate(zip_with(aa, ab, (x, y) -> x.m * y.m), "
+           "CAST(0 AS DOUBLE), (acc, t) -> acc + t)")
+    nsq = ("aggregate(transform({v}, x -> x.m * x.m), "
+           "CAST(0 AS DOUBLE), (acc, t) -> acc + t)")
+    return (va.join(vb, va.label_a < vb.label_b)
+            .select("label_a", "label_b",
+                    F.round(F.expr(
+                        f"({dot}) / (sqrt({nsq.format(v='aa')}) * "
+                        f"sqrt({nsq.format(v='ab')}))"), 6)
+                    .alias("cosine")))
+
+
 QUERIES = {
     "q_key_candidates": q_key_candidates,
     "q_func_dependencies": q_func_dependencies,
@@ -303,6 +475,10 @@ QUERIES = {
     "q_hhi_concentration": q_hhi_concentration,
     "q_kl_divergence": q_kl_divergence,
     "q_js_divergence": q_js_divergence,
+    "q_k_anonymity": q_k_anonymity,
+    "q_l_diversity": q_l_diversity,
+    "q_dq_checks": q_dq_checks,
+    "q_embedding_drift": q_embedding_drift,
 }
 
 
@@ -433,4 +609,98 @@ ORACLES = {
         "LIST_TRANSFORM(a, x -> x.kt)), (acc, y) -> acc + y), 6) "
         "AS kl_nats FROM pk"),
     "q_js_divergence": _js_oracle(),
+    "q_k_anonymity": (
+        "WITH s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz "
+        "FROM customer GROUP BY c_nationkey, c_mktsegment), "
+        "s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS sz FROM orders "
+        "GROUP BY o_orderstatus, o_orderpriority, "
+        "EXTRACT(YEAR FROM o_orderdate)) "
+        "SELECT 'customer:nationkey+mktsegment' AS qi_set, "
+        "CAST(COUNT(*) AS BIGINT) AS n_groups, MIN(sz) AS "
+        "min_group_size, CAST(SUM(sz) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) "
+        "AS BIGINT) AS rows_at_risk, "
+        f"ROUND(CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END)"
+        " AS DOUBLE) / SUM(sz), 6) AS pct_at_risk FROM s1 "
+        "UNION ALL "
+        "SELECT 'orders:status+priority+year', "
+        "CAST(COUNT(*) AS BIGINT), MIN(sz), "
+        "CAST(SUM(sz) AS BIGINT), "
+        f"CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) "
+        "AS BIGINT), "
+        f"ROUND(CAST(SUM(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END)"
+        " AS DOUBLE) / SUM(sz), 6) FROM s2"),
+    "q_l_diversity": (
+        "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+        "CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / "
+        f"{LDIV_BAND}) AS BIGINT)) AS BIGINT) AS l, "
+        "CAST(COUNT(*) AS BIGINT) AS sz FROM customer "
+        "GROUP BY 1, 2) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, MIN(l) AS min_l, "
+        "CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "
+        "n_homogeneous, CAST(SUM(sz) AS BIGINT) AS n_rows, "
+        "ROUND(CAST(SUM(l) AS DOUBLE) / COUNT(*), 6) AS avg_l FROM g"),
+    "q_dq_checks": (
+        "SELECT 'fk:orders.o_custkey->customer' AS rule, "
+        "CAST(COUNT(*) AS BIGINT) AS n_checked, "
+        "CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_violations, "
+        "SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) = 0 "
+        "AS passed FROM orders LEFT JOIN customer "
+        "ON o_custkey = c_custkey "
+        "UNION ALL "
+        "SELECT 'fk:lineitem.l_orderkey->orders', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT), "
+        "SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 "
+        "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+        "UNION ALL "
+        "SELECT 'range:customer.c_acctbal[-1000,10000]', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 "
+        "THEN 1 ELSE 0 END) AS BIGINT), "
+        "SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 "
+        "THEN 1 ELSE 0 END) = 0 FROM customer "
+        "UNION ALL "
+        "SELECT 'accepted:orders.o_orderstatus{O,F,P}', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') "
+        "THEN 1 ELSE 0 END) AS BIGINT), "
+        "SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') "
+        "THEN 1 ELSE 0 END) = 0 FROM orders "
+        "UNION ALL "
+        "SELECT 'positive:lineitem.l_quantity', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT), "
+        "SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0 "
+        "FROM lineitem "
+        "UNION ALL "
+        "SELECT 'nonempty:documents.text', "
+        "CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT), "
+        "SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 "
+        "THEN 1 ELSE 0 END) = 0 FROM documents"),
+    "q_embedding_drift": (
+        "WITH d AS (SELECT label, "
+        "UNNEST(generate_series(1, LEN(embedding))) AS dim1, "
+        "embedding AS e FROM embeddings), "
+        "x AS (SELECT label, dim1 - 1 AS dim, "
+        f"CAST(ROUND(CAST(e[dim1] AS DOUBLE) * {EMB_FP}) AS BIGINT) "
+        "AS q FROM d), "
+        "m AS (SELECT label, dim, CAST(SUM(q) AS DOUBLE) / "
+        f"({EMB_FP} * COUNT(*)) AS m FROM x GROUP BY 1, 2), "
+        "v AS (SELECT label, LIST(m ORDER BY dim) AS a FROM m "
+        "GROUP BY label) "
+        "SELECT va.label AS label_a, vb.label AS label_b, "
+        "ROUND(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        "LIST_TRANSFORM(generate_series(1, LEN(va.a)), "
+        "i -> va.a[i] * vb.a[i])), (acc, t) -> acc + t) / "
+        "(SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        "LIST_TRANSFORM(va.a, x -> x * x)), (acc, t) -> acc + t)) * "
+        "SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), "
+        "LIST_TRANSFORM(vb.a, x -> x * x)), (acc, t) -> acc + t))), 6) "
+        "AS cosine FROM v va JOIN v vb ON va.label < vb.label"),
 }

@@ -766,6 +766,96 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr(z).alias("z_score")))
 
 
+# ------------------------------------------------- conversion lag
+
+CONV_FROM = "signup"     # funnel edge whose latency distribution
+CONV_TO = "purchase"     # the report describes
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-lag distribution: for each user who
+    purchased at or after their first signup, the time from first
+    signup to first subsequent purchase — conversion rate plus p50/p90
+    lag in hours, the funnel-latency report behind attribution-window
+    and nurture-campaign choices.
+
+    Exactness: lags are exact integer MICROSECONDS (unix_micros ≡
+    DuckDB epoch_us); the percentiles interpolate over those exact
+    ints (``percentile`` ≡ ``quantile_cont``) and divide by the exact
+    3.6e9 µs/hour only at the end. Scale shape: two keyed aggregates
+    and one equi-join on user_id (data-sized key) — no windows."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s = (ev.where(F.col("event_type") == CONV_FROM)
+         .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    p = (ev.where(F.col("event_type") == CONV_TO)
+         .join(s, "user_id")
+         .where(F.col("ts") >= F.col("s_ts"))
+         .groupBy("user_id")
+         .agg(F.min(F.expr("unix_micros(ts)")).alias("p_us"),
+              F.min(F.expr("unix_micros(s_ts)")).alias("s_us")))
+    lag = (F.col("p_us") - F.col("s_us")).alias("lag_us")
+    n_s = s.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    return (p.select(lag)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_converted"),
+                 F.percentile("lag_us", F.lit(0.5)).alias("_p50"),
+                 F.percentile("lag_us", F.lit(0.9)).alias("_p90"))
+            .crossJoin(F.broadcast(n_s))
+            .select("n_signup", "n_converted",
+                    F.round(F.col("n_converted").cast("double")
+                            / F.col("n_signup"), 6).alias("conv_rate"),
+                    F.round(F.col("_p50") / 3600000000, 6)
+                    .alias("p50_hours"),
+                    F.round(F.col("_p90") / 3600000000, 6)
+                    .alias("p90_hours")))
+
+
+# ------------------------------------------- naive-forecast baseline
+
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the two standard no-model forecasts on each event
+    type's daily counts — naive (ŷ_t = y_{t−1}) vs seasonal-naive
+    (ŷ_t = y_{t−7}) mean absolute error, and their ratio (< 1 means
+    the series has real weekly seasonality worth modeling; the MASE
+    denominator convention).
+
+    Exactness: both error sums are folds of |integer − integer| over
+    the same sorted calendar-bounded array — pure int64 until the two
+    final divisions, which run on exact inputs via shared fragments
+    with an integer-exact zero guard. Scale shape: one map-side
+    aggregate then per-type scalar folds."""
+    daily = (load_events(spark, sf_dir)
+             .groupBy("event_type", F.col("event_date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    packed = (daily.groupBy("event_type")
+              .agg(F.sort_array(F.collect_list(F.struct("d", "c")))
+                   .alias("a")))
+
+    def errs(off: int) -> str:
+        # 0-based transform index i, 0-based a[i] subscripts: element
+        # i's forecast is element i-off; evaluate only for i >= 7 so
+        # both baselines score the SAME evaluation window
+        return ("aggregate(filter(transform(a, (x, i) -> "
+                f"CASE WHEN i >= 7 THEN abs(x.c - a[i - {off}].c) END), "
+                "e -> e IS NOT NULL), CAST(0 AS BIGINT), "
+                "(acc, e) -> acc + e)")
+
+    return (packed
+            .withColumn("n_eval",
+                        F.expr("size(a) - 7").cast("long"))
+            .where(F.col("n_eval") > 0)
+            .withColumn("_sn", F.expr(errs(1)))
+            .withColumn("_ss", F.expr(errs(7)))
+            .select("event_type", "n_eval",
+                    F.round(F.col("_sn").cast("double") / F.col("n_eval"),
+                            6).alias("mae_naive"),
+                    F.round(F.col("_ss").cast("double") / F.col("n_eval"),
+                            6).alias("mae_seasonal"),
+                    F.expr("CASE WHEN _sn = 0 THEN NULL ELSE "
+                           "round(CAST(_ss AS DOUBLE) / _sn, 6) END")
+                    .alias("ratio_seasonal_naive")))
+
+
 QUERIES = {
     "q_cohort_retention": q_cohort_retention,
     "q_event_paths": q_event_paths,
@@ -786,6 +876,8 @@ QUERIES = {
     "q_lead_lag_corr": q_lead_lag_corr,
     "q_theil_sen": q_theil_sen,
     "q_mann_kendall": q_mann_kendall,
+    "q_conversion_lag": q_conversion_lag,
+    "q_forecast_baseline": q_forecast_baseline,
 }
 
 _EVENTS = ("SELECT event_id, user_id, event_type, value, "
@@ -1103,4 +1195,44 @@ ORACLES = {
         "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18), 6) "
         "ELSE CAST(0 AS DOUBLE) END AS z_score "
         "FROM s JOIN nd USING (event_type) JOIN ties USING (event_type)"),
+    "q_conversion_lag": (
+        f"WITH e AS ({_EVENTS}), "
+        f"s AS (SELECT user_id, MIN(ts) AS s_ts FROM e "
+        f"WHERE event_type = '{CONV_FROM}' GROUP BY user_id), "
+        "p AS (SELECT e.user_id, "
+        "MIN(epoch_us(e.ts)) AS p_us, MIN(epoch_us(s.s_ts)) AS s_us "
+        f"FROM e JOIN s USING (user_id) WHERE e.event_type = "
+        f"'{CONV_TO}' AND e.ts >= s.s_ts GROUP BY e.user_id), "
+        "lag AS (SELECT p_us - s_us AS lag_us FROM p), "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, "
+        "QUANTILE_CONT(lag_us, 0.5) AS _p50, "
+        "QUANTILE_CONT(lag_us, 0.9) AS _p90 FROM lag), "
+        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM s) "
+        "SELECT n_signup, n_converted, "
+        "ROUND(CAST(n_converted AS DOUBLE) / n_signup, 6) AS conv_rate, "
+        "ROUND(_p50 / 3600000000, 6) AS p50_hours, "
+        "ROUND(_p90 / 3600000000, 6) AS p90_hours "
+        "FROM agg CROSS JOIN ns"),
+    "q_forecast_baseline": (
+        f"WITH e AS ({_EVENTS}), "
+        "daily AS (SELECT event_type, event_date AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2), "
+        "p AS (SELECT event_type, LIST(struct_pack(d := d, c := c) "
+        "ORDER BY d) AS a FROM daily GROUP BY event_type), "
+        # DuckDB 1-based: evaluate elements 8..n for both baselines
+        "m AS (SELECT event_type, CAST(LEN(a) - 7 AS BIGINT) AS n_eval, "
+        "CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        "LIST_TRANSFORM(generate_series(8, LEN(a)), "
+        "i -> abs(a[i].c - a[i - 1].c))), (acc, e) -> acc + e) "
+        "AS BIGINT) AS sn, "
+        "CAST(LIST_REDUCE(LIST_PREPEND(CAST(0 AS BIGINT), "
+        "LIST_TRANSFORM(generate_series(8, LEN(a)), "
+        "i -> abs(a[i].c - a[i - 7].c))), (acc, e) -> acc + e) "
+        "AS BIGINT) AS ss FROM p WHERE LEN(a) > 7) "
+        "SELECT event_type, n_eval, "
+        "ROUND(CAST(sn AS DOUBLE) / n_eval, 6) AS mae_naive, "
+        "ROUND(CAST(ss AS DOUBLE) / n_eval, 6) AS mae_seasonal, "
+        "CASE WHEN sn = 0 THEN NULL ELSE "
+        "ROUND(CAST(ss AS DOUBLE) / sn, 6) END AS ratio_seasonal_naive "
+        "FROM m"),
 }

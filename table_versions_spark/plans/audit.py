@@ -103,6 +103,13 @@ EXPECTED: dict[str, set[str]] = {
     # 1-row broadcast corpus token total crossed into the (source,
     # token) term table — 1-row build, optimal plan
     "q_kl_divergence": {"bnlj"},
+    # 1-row broadcast signup-count scalar crossed into the 1-row lag
+    # percentile aggregate — 1-row build, optimal plan
+    "q_conversion_lag": {"bnlj"},
+    # #labels-row centroid table non-equi self-joined (label_a <
+    # label_b) — both sides bounded at the label domain by
+    # construction, the classic bounded pair block
+    "q_embedding_drift": {"bnlj"},
     # API-surface demonstration of ntile/percent_rank/cume_dist — the
     # distribution window functions THEMSELVES are the operator under
     # test, so the plan is whatever Spark gives them. The scale path

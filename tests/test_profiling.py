@@ -167,3 +167,100 @@ class TestJSDivergence:
             # JS is symmetric, non-negative, bounded by ln 2
             assert -1e-9 <= r.js_nats <= math.log(2) + 1e-9
             assert abs(js(r.src_b, r.src_a) - expect) < 1e-12
+
+
+class TestKAnonymity:
+    def test_matches_pandas(self, spark, sf_small, orders_pd):
+        got = (profiling.q_k_anonymity(spark, sf_small)
+               .toPandas().set_index("qi_set"))
+        cust = load(spark, sf_small, "customer").toPandas()
+        sizes = cust.groupby(["c_nationkey", "c_mktsegment"]).size()
+        row = got.loc["customer:nationkey+mktsegment"]
+        assert row.n_groups == len(sizes)
+        assert row.min_group_size == int(sizes.min())
+        at_risk = int(sizes[sizes < profiling.K_ANON_K].sum())
+        assert row.rows_at_risk == at_risk
+        assert row.n_rows == len(cust)
+        assert row.pct_at_risk == round(at_risk / len(cust), 6)
+        o = orders_pd.copy()
+        o["y"] = o.o_orderdate.map(lambda d: d.year)
+        sizes2 = o.groupby(["o_orderstatus", "o_orderpriority", "y"]).size()
+        row2 = got.loc["orders:status+priority+year"]
+        assert row2.n_groups == len(sizes2)
+        assert row2.min_group_size == int(sizes2.min())
+
+
+class TestLDiversity:
+    def test_matches_pandas(self, spark, sf_small):
+        got = profiling.q_l_diversity(spark, sf_small).toPandas().iloc[0]
+        cust = load(spark, sf_small, "customer").toPandas()
+        cust["band"] = (cust.c_acctbal / profiling.LDIV_BAND).map(
+            math.floor)
+        ls = cust.groupby(["c_nationkey", "c_mktsegment"])["band"].nunique()
+        assert got.n_groups == len(ls)
+        assert got.min_l == int(ls.min())
+        assert got.n_homogeneous == int((ls == 1).sum())
+        assert got.avg_l == round(float(ls.sum()) / len(ls), 6)
+
+
+class TestDQChecks:
+    def test_clean_testdata_passes_and_planted_violation_fails(
+            self, spark, sf_small, tmp_path):
+        got = (profiling.q_dq_checks(spark, sf_small)
+               .toPandas().set_index("rule"))
+        # the generated testdata satisfies every rule
+        assert bool(got.passed.all()), got
+        assert (got.n_violations == 0).all()
+        assert (got.n_checked > 0).all()
+        # planted violations: an orphan order and an out-of-range balance
+        sf_dir = str(tmp_path / "sf")
+        for t in ["orders", "customer", "lineitem", "documents"]:
+            df = load(spark, sf_small, t)
+            if t == "orders":
+                extra = df.limit(1).selectExpr(
+                    "o_orderkey + 1000000 AS o_orderkey",
+                    "CAST(-1 AS BIGINT) AS o_custkey",  # orphan FK
+                    "'X' AS o_orderstatus",             # bad enum
+                    "o_totalprice", "o_orderdate", "o_orderpriority")
+                df = df.unionByName(extra)
+            if t == "customer":
+                extra = df.limit(1).selectExpr(
+                    "c_custkey + 1000000 AS c_custkey", "c_name",
+                    "c_nationkey",
+                    "CAST(99999.0 AS DOUBLE) AS c_acctbal",  # range
+                    "c_mktsegment")
+                df = df.unionByName(extra)
+            df.write.mode("overwrite").parquet(f"{sf_dir}/{t}.parquet")
+        got2 = (profiling.q_dq_checks(spark, sf_dir)
+                .toPandas().set_index("rule"))
+        assert not bool(
+            got2.loc["fk:orders.o_custkey->customer"].passed)
+        assert got2.loc["fk:orders.o_custkey->customer"].n_violations == 1
+        assert not bool(
+            got2.loc["accepted:orders.o_orderstatus{O,F,P}"].passed)
+        assert not bool(
+            got2.loc["range:customer.c_acctbal[-1000,10000]"].passed)
+        assert bool(got2.loc["positive:lineitem.l_quantity"].passed)
+
+
+class TestEmbeddingDrift:
+    def test_matches_numpy(self, spark, sf_small):
+        import numpy as np
+        got = profiling.q_embedding_drift(spark, sf_small).toPandas()
+        emb = load(spark, sf_small, "embeddings").toPandas()
+        emb["q"] = emb.embedding.map(
+            lambda v: np.round(np.asarray(v, dtype="float64")
+                               * profiling.EMB_FP).astype("int64"))
+        means = {}
+        for lab, g in emb.groupby("label"):
+            s = np.sum(np.stack(g.q.values), axis=0)
+            means[lab] = s / (profiling.EMB_FP * len(g))
+        labs = sorted(means)
+        assert len(got) == len(labs) * (len(labs) - 1) // 2
+        for _, r in got.iterrows():
+            a, b = means[r.label_a], means[r.label_b]
+            expect = float(np.dot(a, b)
+                           / (np.sqrt(np.dot(a, a))
+                              * np.sqrt(np.dot(b, b))))
+            assert r.cosine == pytest.approx(expect, abs=1e-6)
+            assert -1 - 1e-9 <= r.cosine <= 1 + 1e-9

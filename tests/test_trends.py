@@ -341,3 +341,49 @@ class TestTheilSenMannKendall:
                     (s - 1) / math.sqrt(var) if s > 0
                     else (s + 1) / math.sqrt(var))
                 assert mrow.z_score == pytest.approx(expect, abs=1e-6)
+
+
+class TestConversionLag:
+    def test_matches_pandas(self, spark, sf_small, events_pd):
+        got = trends.q_conversion_lag(spark, sf_small).toPandas().iloc[0]
+        ev = events_pd
+        s = (ev[ev.event_type == trends.CONV_FROM]
+             .groupby("user_id").ts.min())
+        lags = []
+        for u, s_ts in s.items():
+            purch = ev[(ev.event_type == trends.CONV_TO)
+                       & (ev.user_id == u) & (ev.ts >= s_ts)]
+            if len(purch):
+                lags.append((purch.ts.min() - s_ts).total_seconds()
+                            * 1e6)
+        import numpy as np
+        assert got.n_signup == len(s)
+        assert got.n_converted == len(lags)
+        assert got.conv_rate == round(len(lags) / len(s), 6)
+        assert got.p50_hours == pytest.approx(
+            np.percentile(lags, 50, method="linear") / 3.6e9, abs=2e-6)
+        assert got.p90_hours == pytest.approx(
+            np.percentile(lags, 90, method="linear") / 3.6e9, abs=2e-6)
+
+
+class TestForecastBaseline:
+    def test_matches_pure_python(self, spark, sf_small, events_pd):
+        got = (trends.q_forecast_baseline(spark, sf_small).toPandas()
+               .set_index("event_type"))
+        daily = _daily_counts(events_pd)
+        for et, g in daily.groupby("event_type"):
+            c = list(g.sort_values("d").c)
+            if len(c) <= 7:
+                assert et not in got.index
+                continue
+            sn = sum(abs(c[i] - c[i - 1]) for i in range(7, len(c)))
+            ss = sum(abs(c[i] - c[i - 7]) for i in range(7, len(c)))
+            row = got.loc[et]
+            n = len(c) - 7
+            assert row.n_eval == n
+            assert row.mae_naive == round(sn / n, 6)
+            assert row.mae_seasonal == round(ss / n, 6)
+            if sn == 0:
+                assert pd.isna(row.ratio_seasonal_naive)
+            else:
+                assert row.ratio_seasonal_naive == round(ss / sn, 6)
