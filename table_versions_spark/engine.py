@@ -1151,8 +1151,9 @@ class VersionedEngine:
         # job reads this one scratch set
         match_staging = os.path.join(defn.location,
                                      f"_match_staging-{version.label}")
-        (scan.where(cond).select(*data_cols, "__dv_file", "__dv_idx")
-         .write.mode("overwrite").parquet(match_staging))
+        match_df = scan.where(cond).select(*data_cols, "__dv_file",
+                                           "__dv_idx")
+        match_df.write.mode("overwrite").parquet(match_staging)
         if _dv_row_count(match_staging, self.storage) == 0:
             self.storage.remove_tree(match_staging)
             return self._commit(defn, log, TableUpdate(
@@ -1163,7 +1164,10 @@ class VersionedEngine:
         # materialized match set — it can be GBs, and vacuum never
         # collects root-level scratch dirs
         try:
-            matched = self.spark.read.parquet(match_staging)
+            # read back under the schema just written — skips the
+            # footer-inference pass over a scratch set that can be GBs
+            matched = (self.spark.read.schema(match_df.schema)
+                       .parquet(match_staging))
             # updated payload: every assignment against the OLD row, each
             # SET expression cast to the column's DECLARED type — the
             # rewrite path gets both for free via insert()'s schema check;
@@ -1219,15 +1223,6 @@ class VersionedEngine:
             upd_staging = os.path.join(defn.location,
                                        f"_upd_staging-{version.label}")
             try:
-                # the positions write IS the match pass; emptiness reads
-                # from staged footers, not a second count() scan
-                (positions.select("file", "idx")
-                 .write.mode("overwrite").parquet(dv_staging))
-                if _dv_row_count(dv_staging, self.storage) == 0:
-                    return self._commit(defn, log, TableUpdate(
-                        TableUpdateMetadata.create(user_id, message), ()))
-                new_dir = path_for(defn.location, version)
-                _link_data_files(dirs[None], new_dir, self.storage)
                 upd_out = updated
                 if defn.bucket_count:
                     # bucket contract: task index == bucket id rides the
@@ -1235,7 +1230,22 @@ class VersionedEngine:
                     upd_out = updated.repartition(
                         defn.bucket_count,
                         *[F.col(c) for c in defn.bucket_columns])
-                upd_out.write.mode("overwrite").parquet(upd_staging)
+                # positions and updated payload both read only the
+                # materialized match set and write disjoint staging dirs
+                # — independent jobs, overlapped from two driver threads
+                _parallel_publish(lambda job: job(), [
+                    lambda: (positions.select("file", "idx")
+                             .write.mode("overwrite").parquet(dv_staging)),
+                    lambda: (upd_out.write.mode("overwrite")
+                             .parquet(upd_staging)),
+                ])
+                # emptiness reads from staged footers, not a second
+                # count() scan
+                if _dv_row_count(dv_staging, self.storage) == 0:
+                    return self._commit(defn, log, TableUpdate(
+                        TableUpdateMetadata.create(user_id, message), ()))
+                new_dir = path_for(defn.location, version)
+                _link_data_files(dirs[None], new_dir, self.storage)
                 _move_data_files(upd_staging, new_dir)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(dv_staging, dv_dst)
@@ -1267,8 +1277,31 @@ class VersionedEngine:
                                    f"_upd_staging-{version.label}")
         ops, stats = [], {}
         try:
-            (positions.repartition(*[F.col(c) for c in pcols])
-             .write.partitionBy(*pcols).mode("overwrite").parquet(dv_staging))
+            upd_out = (updated.repartition(
+                           defn.bucket_count,
+                           *[F.col(c) for c in defn.bucket_columns])
+                       # bucket contract: every task holds exactly one
+                       # bucket's rows, so each partition dir it writes
+                       # gets files named with that bucket's index
+                       if defn.bucket_count
+                       else updated.repartition(*[F.col(c) for c in pcols]))
+
+            # the positions and updated-payload writes both read only the
+            # materialized match set and write disjoint staging dirs —
+            # independent jobs, so submit them from two driver threads
+            # and let the scheduler overlap them (one job's task tail
+            # back-fills the executors the other frees)
+            def _write_positions():
+                (positions.repartition(*[F.col(c) for c in pcols])
+                 .write.partitionBy(*pcols).mode("overwrite")
+                 .parquet(dv_staging))
+
+            def _write_updated():
+                (upd_out.write.partitionBy(*pcols).mode("overwrite")
+                 .parquet(upd_staging))
+
+            _parallel_publish(lambda job: job(),
+                              [_write_positions, _write_updated])
             rels = _discover_partitions(dv_staging, len(pcols), self.storage)
             if not rels:
                 return self._commit(defn, log, TableUpdate(
@@ -1279,16 +1312,6 @@ class VersionedEngine:
                  os.path.join(dv_staging, rel))
                 for rel, part in affected.items()
                 if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
-            upd_out = (updated.repartition(
-                           defn.bucket_count,
-                           *[F.col(c) for c in defn.bucket_columns])
-                       # bucket contract: every task holds exactly one
-                       # bucket's rows, so each partition dir it writes
-                       # gets files named with that bucket's index
-                       if defn.bucket_count
-                       else updated.repartition(*[F.col(c) for c in pcols]))
-            (upd_out.write.partitionBy(*pcols).mode("overwrite")
-             .parquet(upd_staging))
 
             def publish(item):
                 render, part = item
@@ -2690,8 +2713,12 @@ class VersionedEngine:
         names in every partition it writes)."""
         from pyspark.sql import functions as F
 
-        dv = self.spark.read.parquet(
-            *[os.path.join(d, _DV_DIR) for d in dv_dirs])
+        # vectors have a FIXED schema (written by the delete/update
+        # paths as exactly these two columns); declaring it skips the
+        # footer-inference job a bare read.parquet schedules — one
+        # fewer driver round trip on every DV-table read
+        dv = (self.spark.read.schema("file string, idx bigint")
+              .parquet(*[os.path.join(d, _DV_DIR) for d in dv_dirs]))
         return (dv.select(
             F.regexp_replace(F.col("_metadata.file_path"),
                              f"/{_DV_DIR}/[^/]+$", "").alias("__dv_dir"),

@@ -219,7 +219,8 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
                        value=None, kind: str = "count",
                        inclusive: bool = True,
                        num_buckets: int | None = None,
-                       extra_sums: dict | None = None) -> DataFrame:
+                       extra_sums: dict | None = None,
+                       total_name: str | None = None) -> DataFrame:
     """Exact grouped running aggregate (ROW_NUMBER / prefix SUM / prefix
     MIN) that scales — the two-phase replacement for a global or
     tiny-key ``Window``.
@@ -278,6 +279,14 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     boundary pass and ONE shuffle instead of N chained helper calls
     (each of whose boundary pre-pass would re-execute its predecessor's
     whole plan).  Only meaningful with ``kind="sum"``.
+
+    ``total_name`` additionally attaches each GROUP's whole-group
+    aggregate (count / sum / min of the primary task) as a column — it
+    folds the same per-bucket totals array the carries scan, so a
+    caller that needs both the running value and the group total (a
+    decile formula's ``n``, a nucleus filter's mass denominator) pays
+    ZERO extra passes, where a separate ``groupBy(group)`` branch
+    re-executes the whole input subtree.
     """
     from pyspark.sql import Window
 
@@ -311,7 +320,20 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
         else:
             # NULLs sort first under ASC -> filter yields 0 == smallest
             bucket = F.size(F.filter(barr, lambda b: b < bcol))
-    rp = df.withColumn("_b", bucket)
+    # ONE explicit exchange on (_b, group) that BOTH consumers read.
+    # Left to EnsureRequirements, the window branch gets a row exchange
+    # while the totals groupBy plans its partial aggregate BELOW its own
+    # exchange — two non-identical exchanges, so ReuseExchange cannot
+    # fire and the (possibly text-heavy) input subtree executes twice,
+    # an entire duplicated corpus scan at 100 TB. A user repartition is
+    # an optimizer barrier the partial aggregate cannot sink below: the
+    # window reads it (hash clustering on (_b, group) satisfies its
+    # required distribution, no second exchange) and the totals branch
+    # becomes ReusedExchange -> partial agg -> final agg with no sort —
+    # the input scan, bucket projection and shuffle write all happen
+    # once (guide: share one exchange between same-keyed operations).
+    rp = (df.withColumn("_b", bucket)
+          .repartition(F.col("_b"), *[F.col(c) for c in group_cols]))
     end = Window.currentRow if inclusive else -1
     w_loc = (Window.partitionBy("_b", *group_cols).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding, end))
@@ -347,14 +369,29 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     local = rp
     for k, (loc, _, _, _) in enumerate(built):
         local = local.withColumn(f"_loc{k}", loc)
-    # totals derive from the WINDOW OUTPUT, not from rp: both consumers
-    # then share the identical scan→project→Exchange(_b, group) prefix,
-    # which ReuseExchange dedupes — the input subtree executes once for
-    # the main plan instead of once per branch (measured 2× on
-    # text-heavy inputs), and the groupBy's partial agg runs map-side
-    # on the already-partitioned window output with no new shuffle
-    sizes = local.groupBy("_b", *group_cols).agg(
-        *[tot for _, tot, _, _ in built])
+    # totals aggregate the explicit (_b, group) exchange above — the
+    # same exchange the window consumes, so ReuseExchange dedupes the
+    # two branches and the input subtree executes once. Reuse needs the
+    # two branches to stay CANONICALLY IDENTICAL below the exchange,
+    # but column pruning runs per branch: this aggregate only needs
+    # (_b, group), so pruning would narrow its copy of the subtree and
+    # the exchanges would no longer match — the input scan (and any
+    # text-heavy derivation feeding it) would execute once per branch.
+    # The `_pg` grouping key pins the width: it references every input
+    # column but always evaluates to 0 (`CASE WHEN hash(cols) >=
+    # Int.MinValue THEN 0` — a tautology Catalyst has no range
+    # analysis to fold, unlike `hash * 0` which it folds outright),
+    # and pruning can never remove a GROUPING key, so both branches
+    # carry the full column set and the exchange dedupes. Map-typed
+    # columns are unhashable and stay out; a frame carrying one falls
+    # back to the per-branch plan.
+    hashable = [c for c in df.columns
+                if "map<" not in df.schema[c].dataType.simpleString()]
+    pg = (F.when(F.hash(*[F.col(c) for c in hashable]) >=
+                 F.lit(-2147483648), F.lit(0)).alias("_pg")
+          if hashable else F.lit(0).alias("_pg"))
+    sizes = rp.groupBy(F.col("_b"), *[F.col(c) for c in group_cols],
+                       pg).agg(*[tot for _, tot, _, _ in built])
     # carry-in per bucket = aggregate over the strictly-earlier buckets'
     # totals, computed by scanning one sorted per-group array of
     # (bucket, totals...) — ≤ #buckets elements by construction
@@ -366,13 +403,24 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     scan = F.expr("transform(_a, (x, i) -> struct(x._b AS _b, "
                   + carry_fields + "))")
     tcols = [f"_t{k}" for k in range(len(built))]
+    exploded = [*group_cols, F.explode(scan).alias("_s")]
+    carry_cols = [*group_cols, "_s._b",
+                  *[f"_s._carry{k}" for k in range(len(built))]]
+    if total_name:
+        # whole-group total = the same merge folded over the FULL
+        # per-bucket totals array (the carries only fold prefixes) —
+        # free relative to a separate groupBy branch over the input
+        t0 = sizes.schema["_t0"].dataType.simpleString()
+        exploded.append(F.expr(
+            f"aggregate(_a, CAST(NULL AS {t0}), "
+            f"(acc, y) -> {built[0][2]})").alias(total_name))
+        carry_cols.append(total_name)
     carries = (sizes
                .groupBy(*group_cols)
                .agg(F.sort_array(F.collect_list(F.struct("_b", *tcols)))
                     .alias("_a"))
-               .select(*group_cols, F.explode(scan).alias("_s"))
-               .select(*group_cols, "_s._b",
-                       *[f"_s._carry{k}" for k in range(len(built))]))
+               .select(*exploded)
+               .select(*carry_cols))
     out = local.join(F.broadcast(carries), ["_b", *group_cols])
     for k, ((name, _, _), (_, _, _, combine)) in enumerate(
             zip(tasks, built)):

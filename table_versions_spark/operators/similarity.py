@@ -73,27 +73,61 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a full DuckDB oracle — the approximation is in the *algorithm* (probing
     1/K of the data), not in any randomness."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = (emb.orderBy("vec_id").limit(IVF_K)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_vec"))
-             .collect())
+    # ONE bounded collect feeds everything driver-side. The old shape
+    # paid three eager passes over the table before the main plan —
+    # centroid collect, query-vector collect, query-assignment collect
+    # — each a full scan at 100 TB; the query vector (vec_id 0) is by
+    # construction the lowest centroid row, and its assignment is an
+    # argmax over K collected centroids, so both derive in Python from
+    # the same K rows with the exact left-fold float arithmetic the
+    # in-plan expressions use (same IEEE op order ⇒ same bucket)
+    rows = (emb.orderBy("vec_id").limit(IVF_K)
+            .select("vec_id", "embedding").collect())
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    cents = [(int(r.vec_id), [float(x) for x in r.embedding])
+             for r in rows]
+    cnorm = {cid: math.sqrt(_fold_dot(cv, cv)) for cid, cv in cents}
+    q_hits = [cv for cid, cv in cents if cid == QUERY_VEC_ID]
+    q_vec = q_hits[0] if q_hits else _query_vector(spark, sf_dir)
+    qnorm = math.sqrt(_fold_dot(q_vec, q_vec))
+    # the query's own centroid, via the same (cosine, cent_id) argmax
+    # the in-plan assignment computes
+    q_cent = max((_fold_dot(q_vec, cv) / (qnorm * cnorm[cid]), cid)
+                 for cid, cv in cents)[1]
     cent_arr = F.array(*[
-        F.struct(F.lit(int(r.cent_id)).alias("cent_id"),
-                 F.lit([float(x) for x in r.cent_vec]).alias("cent_vec"))
-        for r in cents])
+        F.struct(F.lit(cid).alias("cent_id"),
+                 F.lit(cv).alias("cent_vec"),
+                 F.lit(cnorm[cid]).alias("cent_norm"))
+        for cid, cv in cents])
     vec = as_double_array(F.col("embedding"))
-    # nearest centroid per vector: argmax of cosine over the centroid array
-    scored = F.transform(cent_arr,
-                         lambda c: F.struct(cosine(vec, c["cent_vec"]).alias("s"),
-                                            c["cent_id"].alias("cent_id")))
-    assigned = emb.withColumn("cent_id", F.array_max(scored)["cent_id"])
-    q_vec = _query_vector(spark, sf_dir)
+    # nearest centroid per vector: argmax of cosine over the centroid
+    # array — the row's norm folds ONCE per row (not once per centroid)
+    # and centroid norms ride in as literals; the dot is the only
+    # per-(row, centroid) fold left
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct((dot(F.col("_v"), c["cent_vec"])
+                            / (F.col("_vnorm") * c["cent_norm"]))
+                           .alias("s"),
+                           c["cent_id"].alias("cent_id")))
+    assigned = (emb.withColumn("_v", vec)
+                .withColumn("_vnorm", norm(F.col("_v")))
+                .withColumn("cent_id", F.array_max(scored)["cent_id"]))
     q = F.lit(q_vec)
-    q_cent = (assigned.where(F.col("vec_id") == QUERY_VEC_ID)
-              .select("cent_id").collect())[0][0]
     return (assigned.where((F.col("cent_id") == int(q_cent))
                            & (F.col("vec_id") != QUERY_VEC_ID))
-            .select("vec_id", F.round(cosine(vec, q), 6).alias("cos_sim"))
+            .select("vec_id",
+                    F.round(dot(F.col("_v"), q)
+                            / (F.col("_vnorm") * F.lit(qnorm)), 6)
+                    .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
             .limit(TOP_K))
 
@@ -121,18 +155,41 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(LSH_PLANES+1)/2^LSH_PLANES`` of the data.
     """
     emb = load(spark, sf_dir, "embeddings")
-    planes = (emb.where(F.col("vec_id") > 0).orderBy("vec_id")
-              .limit(LSH_PLANES).select("embedding").collect())
+    # ONE bounded collect (the LSH_PLANES+1 lowest rows) supplies the
+    # planes AND the query vector; the query's bucket then derives in
+    # Python with the exact left-fold float arithmetic the in-plan
+    # signature uses. The old shape paid three eager passes — plane
+    # collect, query-vector collect, query-signature collect — each a
+    # full scan at 100 TB.
+    rows = (emb.orderBy("vec_id").limit(LSH_PLANES + 1)
+            .select("vec_id", "embedding").collect())
+    plane_rows = [r for r in rows
+                  if int(r.vec_id) > 0][:LSH_PLANES]
+    if len(plane_rows) < LSH_PLANES:  # non-contiguous tail — old path
+        plane_rows = (emb.where(F.col("vec_id") > 0).orderBy("vec_id")
+                      .limit(LSH_PLANES).select("vec_id", "embedding")
+                      .collect())
+    planes = [[float(x) for x in r.embedding] for r in plane_rows]
+    q_hits = [r for r in rows if int(r.vec_id) == QUERY_VEC_ID]
+    q_vec = ([float(x) for x in q_hits[0].embedding] if q_hits
+             else _query_vector(spark, sf_dir))
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
     vec = as_double_array(F.col("embedding"))
     bucket = None
-    for i, r in enumerate(planes):
-        bit = (dot(vec, F.lit([float(x) for x in r[0]])) > 0).cast("int") * (1 << i)
+    for i, p in enumerate(planes):
+        bit = (dot(vec, F.lit(p)) > 0).cast("int") * (1 << i)
         bucket = bit if bucket is None else bucket + bit
     signed = emb.withColumn("bucket", bucket)
-    q_bucket = int(signed.where(F.col("vec_id") == QUERY_VEC_ID)
-                   .select("bucket").collect()[0][0])
+    q_bucket = sum((1 << i) for i, p in enumerate(planes)
+                   if _fold_dot(q_vec, p) > 0)
     probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(LSH_PLANES)]
-    q = F.lit(_query_vector(spark, sf_dir))
+    q = F.lit(q_vec)
     return (signed.where(F.col("bucket").isin(probes)
                          & (F.col("vec_id") != QUERY_VEC_ID))
             .select("vec_id", F.round(cosine(vec, q), 6).alias("cos_sim"))
@@ -572,15 +629,25 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (IVF/LSH/PQ) as the documented scale path for probe sets
     beyond broadcast size."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR quantities: evaluate them once per probe and
+    # once per corpus row BEFORE the fan-out instead of re-running the
+    # interpreted higher-order fold once per (row, probe) pair — the
+    # expressions (and so the floats) are identical, only the
+    # evaluation count drops from 3 folds per pair to 1 (the dot)
     probes = (emb.where(F.col("vec_id") < HN_PROBES)
               .select(F.col("vec_id").alias("probe_id"),
                       F.col("label").alias("probe_label"),
-                      as_double_array(F.col("embedding")).alias("pv")))
-    vec = as_double_array(F.col("embedding"))
-    cand = (emb.crossJoin(F.broadcast(probes))
+                      as_double_array(F.col("embedding")).alias("pv"))
+              .withColumn("pnorm", norm(F.col("pv"))))
+    corpus = (emb.select("vec_id", "label",
+                         as_double_array(F.col("embedding")).alias("v"))
+              .withColumn("vnorm", norm(F.col("v"))))
+    cand = (corpus.crossJoin(F.broadcast(probes))
             .where(F.col("label") != F.col("probe_label"))
             .select("probe_id", F.struct(
-                F.round(cosine(vec, F.col("pv")), 6).alias("cos_sim"),
+                F.round(dot(F.col("v"), F.col("pv"))
+                        / (F.col("vnorm") * F.col("pnorm")), 6)
+                 .alias("cos_sim"),
                 (-F.col("vec_id")).alias("neg_negid"),
                 F.col("label").alias("neg_label")).alias("s")))
     return (cand.groupBy("probe_id").agg(F.max("s").alias("s"))
@@ -610,12 +677,20 @@ def q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     order. Maxes round at 6 dp before the sum (cosine parity with the
     oracle is pinned by q_sim_search)."""
     emb = load(spark, sf_dir, "embeddings")
+    # norms hoisted out of the fan-out: one fold per vector/qtoken
+    # instead of three interpreted folds per (row, qtoken) pair — same
+    # expressions, same floats, fewer evaluations (see q_hard_negatives)
     qt = (emb.where(F.col("vec_id") < MAXSIM_QTOKENS)
           .select(F.col("vec_id").alias("q_id"),
-                  as_double_array(F.col("embedding")).alias("qv")))
-    dv = as_double_array(F.col("embedding"))
-    scored = (emb.crossJoin(F.broadcast(qt))
-              .select("label", "q_id", cosine(dv, F.col("qv")).alias("c")))
+                  as_double_array(F.col("embedding")).alias("qv"))
+          .withColumn("qnorm", norm(F.col("qv"))))
+    docs = (emb.select("label",
+                       as_double_array(F.col("embedding")).alias("dv"))
+            .withColumn("dnorm", norm(F.col("dv"))))
+    scored = (docs.crossJoin(F.broadcast(qt))
+              .select("label", "q_id",
+                      (dot(F.col("dv"), F.col("qv"))
+                       / (F.col("dnorm") * F.col("qnorm"))).alias("c")))
     maxes = [F.round(F.max(F.when(F.col("q_id") == i, F.col("c"))), 6)
              .alias(f"m{i}") for i in range(MAXSIM_QTOKENS)]
     per_q = scored.groupBy("label").agg(*maxes)

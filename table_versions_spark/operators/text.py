@@ -495,19 +495,20 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny-key shape the plan audit flags. The per-stratum rank instead
     runs as :func:`..common.distributed_prefix`'s two-phase
     range-bucketed scan (parallelism = #buckets × #strata), and the
-    stratum sizes come from a broadcast #langs-row aggregate rather
-    than a second window. Exact per-stratum counts are kept — the
+    stratum sizes ride the helper's own totals array (``total_name``)
+    rather than a second scan. Exact per-stratum counts are kept — the
     integer threshold is what training-data recipes demand; the
     hash-threshold variant (keep hash < p, no rank) is the documented
     fallback when approximate counts are acceptable."""
     docs = load(spark, sf_dir, "documents")
     hkey = F.pmod(F.col("doc_id") * F.lit(_SPLIT_MIX), F.lit(1000000007))
     base = docs.select("doc_id", "lang", hkey.alias("hkey"))
+    # stratum sizes ride the prefix helper's totals array (total_name)
+    # — the old separate groupBy branch was a second full scan
     ranked = distributed_prefix(base, ["hkey", "doc_id"], "rn",
-                                group_cols=["lang"])
-    n = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                                group_cols=["lang"], total_name="n")
     # rn <= ceil(n * PCT/100)  ⇔  rn*100 <= n*PCT + (100-PCT)   (integer-only)
-    return (ranked.join(F.broadcast(n), "lang")
+    return (ranked
             .where(F.col("rn") * 100 <= F.col("n") * SAMPLE_PCT + (100 - SAMPLE_PCT))
             .select("doc_id", "lang"))
 
@@ -659,18 +660,20 @@ def q_top_p_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     window would sort a mega-source in ONE task — so the running mass
     runs as :func:`distributed_prefix`'s two-phase range-bucketed scan
     (strict-preceding frame, unique (score DESC, doc_id) tie-break) and
-    the per-source totals are a map-side-combined aggregate broadcast
-    back (#sources rows)."""
+    the per-source mass denominators ride the helper's own totals
+    array (``total_name`` — no second scoring pass)."""
     docs = (load(spark, sf_dir, "documents")
             .where(F.col("text").isNotNull()))
     score = F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
     scored = docs.select("doc_id", "source", score.alias("score"))
+    # the per-source mass denominator rides the prefix helper's totals
+    # array (total_name) — the old separate groupBy branch re-ran the
+    # text-heavy score computation over the whole corpus a second time
     cum = distributed_prefix(
         scored, [("score", "desc"), "doc_id"], "cum_before",
         group_cols=["source"], value=F.col("score"), kind="sum",
-        inclusive=False)
-    totals = scored.groupBy("source").agg(F.sum("score").alias("total"))
-    return (cum.join(F.broadcast(totals), "source")
+        inclusive=False, total_name="total")
+    return (cum
             .where(F.coalesce(F.col("cum_before"), F.lit(0)) * TOP_P_DEN
                    < F.col("total") * TOP_P_NUM)
             .select("doc_id", "source", "score"))
@@ -737,13 +740,14 @@ def q_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-convention seam the formula sidesteps)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars")
+    # the per-source size rides the prefix helper's own totals array
+    # (total_name) — the old separate groupBy branch was a second full
+    # scan of the table
     ranked = distributed_prefix(docs, ["n_chars", "doc_id"], "rn",
-                                group_cols=["source"])
-    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    return (ranked.join(F.broadcast(n), "source")
-            .select("doc_id", "source", "n_chars",
-                    F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)")
-                    .alias("decile")))
+                                group_cols=["source"], total_name="n")
+    return ranked.select("doc_id", "source", "n_chars",
+                         F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)")
+                         .alias("decile"))
 
 
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
