@@ -99,25 +99,26 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape at 100 TB: the benchmark set is eval suites — MBs, not TBs —
     so its distinct n-gram table is **broadcast**; the corpus side is one
-    explode + broadcast-hash semi-probe + per-doc count, all map-side
-    except the final doc-grain aggregation (key = unique doc_id ⇒ skew-free).
-    Documents with zero overlap are preserved via a left join against the
-    corpus spine.
+    ``explode_outer`` + broadcast-hash LEFT probe + per-doc count, all
+    map-side except the final doc-grain aggregation (key = unique doc_id
+    ⇒ skew-free). Documents with zero overlap (or too few tokens for any
+    n-gram) survive as the ``explode_outer`` null row with an unmatched
+    probe, so no separate corpus-spine scan + join-back is needed — the
+    old third scan of the table is gone (two corpus passes remain: the
+    benchmark n-gram build and the probe, the algorithmic floor).
     """
     docs = load(spark, sf_dir, "documents")
     staged = docs.select("doc_id", F.split("text", " ").alias("toks"))
     ngrams = F.expr(_word_ngrams_expr(CONTAM_NGRAM))
     bench = (staged.where(F.col("doc_id") % BENCH_MOD == 0)
-             .select(F.explode(ngrams).alias("g")).distinct())
+             .select(F.explode(ngrams).alias("g")).distinct()
+             .withColumn("_m", F.lit(1)))
     corpus = staged.where(F.col("doc_id") % BENCH_MOD != 0)
-    hits = (corpus.select("doc_id", F.explode(ngrams).alias("g"))
-            .join(F.broadcast(bench), "g")
-            .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
-    return (corpus.select("doc_id")
-            .join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_hits", F.lit(0)).cast("bigint")
-                     .alias("n_contaminated_ngrams"))
+    return (corpus.select("doc_id", F.explode_outer(ngrams).alias("g"))
+            .join(F.broadcast(bench), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.count("_m").cast("bigint")
+                 .alias("n_contaminated_ngrams"))
             .withColumn("contaminated",
                         F.col("n_contaminated_ngrams") > 0))
 
@@ -193,8 +194,21 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     postings = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tstats = postings.groupBy("term").agg(F.count("*").alias("tf"))
-    total = postings.agg(F.count("*").alias("n_total"))
+    # The vocabulary-sized term table is localCheckpoint-ed so its TWO
+    # consumers (the N fold below and the scored join side) read the
+    # materialized rows instead of each re-running the corpus explode.
+    # Exchange reuse cannot be relied on here: per-branch column
+    # pruning drops the grouping key from the N-fold branch's aggregate
+    # OUTPUT list ([tf] vs [term, tf]), so the two exchanges never
+    # canonicalize equal. The checkpoint is per-invocation (persist's
+    # CacheManager would dedupe repeated plans ACROSS bench reps).
+    # N = Σ tf — folded from the vocabulary table, NOT a third corpus
+    # explode (before: three tokenize passes; after: two — this build
+    # plus the postings join below, the algorithmic floor).
+    tstats = (postings.groupBy("term").agg(F.count("*").alias("tf"))
+              .localCheckpoint())
+    total = tstats.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("n_total"))
     lp = F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))
     scored = (tstats.crossJoin(F.broadcast(total))
               .select("term", "tf", lp.cast("decimal(28,12)").alias("lp")))

@@ -619,13 +619,22 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, so "moving all data to a single partition" never appears
     anywhere in a bench run."""
     docs = load(spark, sf_dir, "documents")
+    # localCheckpoint the #sources-row mixture base: its two consumers
+    # (the grand-total fold and the output join) would otherwise EACH
+    # re-run the corpus tokenize pass — per-branch column pruning
+    # narrows the totals branch's aggregate output ([n_tokens] vs
+    # [source, n_docs, n_tokens]), so the branch exchanges never
+    # canonicalize equal and exchange reuse cannot fire. Checkpointing
+    # is per-invocation (persist's CacheManager would dedupe repeated
+    # canonical plans ACROSS bench reps — cross-run caching).
     per_source = (docs
                   .select("source",
                           F.size(F.filter(F.split("text", r"\s+"),
                                           lambda x: x != "")).alias("toks"))
                   .groupBy("source")
                   .agg(F.count("*").alias("n_docs"),
-                       F.sum("toks").alias("n_tokens")))
+                       F.sum("toks").alias("n_tokens"))
+                  .localCheckpoint())
     totals = per_source.agg(F.sum("n_tokens").alias("_t"),
                             F.count(F.lit(1)).alias("_ns"))
     return (per_source.crossJoin(F.broadcast(totals))
@@ -792,23 +801,50 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_ab·N exceeds int64 (~1e10 bigram positions squares past 2^63),
     where Spark would wrap silently while DuckDB raises; the double
     products round identically under IEEE 754 on both engines, so the
-    6-dp PMI stays bit-stable."""
+    6-dp PMI stays bit-stable.
+
+    ONE corpus pass: the old plan tokenized the corpus in four branches
+    (bigram counts, two unigram-join sides, the N total), because each
+    DataFrame reference re-executes its subtree and per-branch filter
+    pushdown (a ``b IS NULL`` split pushes below the partial aggregate)
+    keeps the branch exchanges from canonicalizing equal, so
+    ReuseExchange cannot dedupe them. Instead unigram and bigram
+    entries ride a single ``explode(concat(...))`` into one (a, b)
+    count aggregate — grouping keys are prune-proof — which is
+    ``localCheckpoint``-ed at vocabulary size: every consumer (bigram
+    filter, both unigram join sides, the pre-filter N fold) reads the
+    materialized counts instead of re-tokenizing text. The checkpoint
+    is per-invocation (no cross-run reuse — unlike ``persist``, whose
+    CacheManager recognizes repeated canonical plans and would carry
+    the counts across bench reps); on clusters with executor churn
+    swap it for a scratch-table write (lineage-free blocks do not
+    survive executor loss).
+    """
     words = (load(spark, sf_dir, "documents")
              .select(F.filter(F.split("text", " "),
                               lambda x: x != "").alias("w")))
-    uni = (words.select(F.explode("w").alias("tok"))
-           .groupBy("tok").agg(F.count("*").alias("c_tok")))
-    bi = (words.where(F.size("w") >= 2)
-          .select(F.explode(F.expr(
-              "transform(sequence(0, size(w) - 2), "
-              "i -> struct(w[i] AS a, w[i+1] AS b))")).alias("p"))
-          .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-          .agg(F.count("*").alias("c_ab"))
-          .where(F.col("c_ab") >= PMI_MIN_PAIR))
-    # N = ALL bigram positions (pre-filter), computed as a per-doc
-    # arithmetic aggregate on the same scan shape — no second explode
-    total = words.agg(
-        F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
+    entries = words.select(F.explode(F.expr(
+        "concat("
+        "  transform(w, t -> struct(t AS a, CAST(NULL AS STRING) AS b)),"
+        "  CASE WHEN size(w) >= 2 THEN"
+        "    transform(sequence(0, size(w) - 2),"
+        "              i -> struct(w[i] AS a, w[i+1] AS b))"
+        "  ELSE CAST(array() AS array<struct<a:string,b:string>>) END)"
+        )).alias("p")).select("p.a", "p.b")
+    counts = (entries.groupBy("a", "b").agg(F.count("*").alias("c"))
+              .localCheckpoint())
+    uni = counts.where(F.col("b").isNull()).select(
+        F.col("a").alias("tok"), F.col("c").alias("c_tok"))
+    bi = (counts.where(F.col("b").isNotNull()
+                       & (F.col("c") >= PMI_MIN_PAIR))
+          .select("a", "b", F.col("c").alias("c_ab")))
+    # N = ALL bigram positions (pre-filter): the sum of bigram counts
+    # folded from the checkpointed vocabulary table — identical to the
+    # old per-doc greatest(size(w) - 1, 0) sum (docs with fewer than
+    # two tokens contribute zero either way); coalesce covers the
+    # no-bigrams corpus, where the join output is empty regardless
+    total = counts.where(F.col("b").isNotNull()).agg(
+        F.coalesce(F.sum("c"), F.lit(0))
         .cast("long").alias("n_total"))
     return (bi.crossJoin(F.broadcast(total))
             .join(uni.select(F.col("tok").alias("a"),
