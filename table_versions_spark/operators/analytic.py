@@ -490,26 +490,40 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: per step, how many
     users reached it in order (each step's first occurrence after the
-    previous step's). Conditional min-timestamp aggregation per user — one
-    shuffle, no self-joins."""
+    previous step's).
+
+    ONE events scan and ONE shuffle: three whole-partition windows over
+    the same user_id partitioning chain the conditional mins (t_view =
+    min view ts; t_click = min click ts strictly after t_view; t_buy =
+    min purchase ts strictly after t_click) — each window may reference
+    the previous one's output because they share the partition spec, so
+    no re-exchange. The old shape re-scanned events three times
+    (per-user aggregate + click branch + purchase branch) and paid two
+    join shuffles to chain the steps; NULL propagation is identical
+    (a missing previous step makes the strict > comparison NULL, which
+    the conditional min ignores — exactly what the old left joins +
+    ok-flag filters computed). The per-user reduce rides the windows'
+    partitioning (no new exchange), and the final count is a 1-row
+    fold."""
     ev = load_events(spark, sf_dir)
-    per_user = (ev.groupBy("user_id")
-                .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
-                      .alias("t_view")))
-    clicks = (ev.where(F.col("event_type") == "click")
-              .select("user_id", F.col("ts").alias("t_click")))
-    purchases = (ev.where(F.col("event_type") == "purchase")
-                 .select("user_id", F.col("ts").alias("t_buy")))
-    j = (per_user
-         .join(clicks, "user_id", "left")
-         .withColumn("ok_click", (F.col("t_click") > F.col("t_view")))
-         .groupBy("user_id", "t_view")
-         .agg(F.min(F.when(F.col("ok_click"), F.col("t_click"))).alias("t_click"))
-         .join(purchases, "user_id", "left")
-         .groupBy("user_id", "t_view", "t_click")
-         .agg(F.min(F.when(F.col("t_buy") > F.col("t_click"), F.col("t_buy")))
-               .alias("t_buy")))
-    return (j.agg(
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view",
+                          F.col("ts"))).over(w)
+    staged = ev.select("user_id", "event_type", "ts",
+                       t_view.alias("t_view"))
+    t_click = F.min(F.when((F.col("event_type") == "click")
+                           & (F.col("ts") > F.col("t_view")),
+                           F.col("ts"))).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_buy = F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("t_click")),
+                         F.col("ts"))).over(w)
+    per_user = (staged.withColumn("t_buy", t_buy)
+                .groupBy("user_id")
+                .agg(F.min("t_view").alias("t_view"),
+                     F.min("t_click").alias("t_click"),
+                     F.min("t_buy").alias("t_buy")))
+    return (per_user.agg(
         F.count(F.col("t_view")).alias("n_view"),
         F.count(F.col("t_click")).alias("n_view_click"),
         F.count(F.col("t_buy")).alias("n_view_click_buy")))

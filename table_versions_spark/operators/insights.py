@@ -163,15 +163,19 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit("f").alias("metric"), F.col("f").alias("v")),
             F.struct(F.lit("m").alias("metric"), F.col("m").alias("v"))))
         .alias("x")).select("o_custkey", "x.metric", "x.v")
+    # n (#customers) rides the prefix helper's own totals array
+    # (total_name): every customer contributes exactly one stacked row
+    # per metric, so each metric group's total IS the customer count —
+    # the old separate per_cust.agg(count) branch re-executed the whole
+    # orders scan + groupBy for one scalar
     ranked = distributed_prefix(stacked, ["v", "o_custkey"], "rn",
-                                group_cols=["metric"])
-    n = per_cust.agg(F.count(F.lit(1)).cast("long").alias("n"))
+                                group_cols=["metric"], total_name="n")
     score = (F.floor((F.col("rn") - 1) * RFM_K / F.col("n")) + 1)
 
     def pick(metric):
         return F.max(F.when(F.col("metric") == metric, F.col("score")))
 
-    scores = (ranked.crossJoin(F.broadcast(n))
+    scores = (ranked
               .withColumn("score", score)
               .groupBy("o_custkey")
               .agg(pick("r").alias("r_score"), pick("f").alias("f_score"),
@@ -661,8 +665,16 @@ def q_log_odds_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (load(spark, sf_dir, "documents")
             .select("source", F.explode(F.filter(
                 F.split("text", " "), lambda x: x != "")).alias("tok")))
+    # localCheckpoint the (source, token) count table: its THREE
+    # consumers (token totals, per-source totals, the scored join)
+    # would otherwise each re-run the corpus explode — per-branch
+    # column pruning narrows each branch's aggregate output, so the
+    # branch exchanges never canonicalize equal and exchange reuse
+    # cannot fire. Per-invocation (persist's CacheManager would carry
+    # the table across bench reps). Corpus tokenize passes: 3 → 1.
     cw_i = (toks.groupBy("source", "tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("c_iw")))
+            .agg(F.count(F.lit(1)).cast("long").alias("c_iw"))
+            .localCheckpoint())
     cw = (cw_i.groupBy("tok").agg(F.sum("c_iw").alias("c_w")))
     n_i = (cw_i.groupBy("source").agg(F.sum("c_iw").alias("n_i")))
     tot = cw.agg(F.sum("c_w").alias("n"),
@@ -770,8 +782,15 @@ def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is a self-join on user_id (fan-out bounded at
     C(#types, 2) per user); per-type set sizes ride a broadcast.
     Never an all-pairs product, never a collected set."""
+    # localCheckpoint the bounded DISTINCT (user, type) spine (≤ #users
+    # × #types rows): its three consumers (both self-join sides and
+    # the per-type size aggregate) would otherwise each re-run the
+    # events scan + distinct — the sizes branch's pruned aggregate
+    # output keeps the exchanges from canonicalizing equal, so reuse
+    # cannot fire. Per-invocation. Events scans: 3 → 1.
     ut = (load_events(spark, sf_dir)
-          .select("user_id", "event_type").distinct())
+          .select("user_id", "event_type").distinct()
+          .localCheckpoint())
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))
     both = (a.join(b, "user_id")

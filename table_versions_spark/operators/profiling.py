@@ -213,8 +213,15 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (load(spark, sf_dir, "documents")
             .select("source", F.explode(F.filter(
                 F.split("text", " "), lambda x: x != "")).alias("tok")))
+    # localCheckpoint the (source, token) count table: its three
+    # consumers (token totals, per-source totals, the terms join) would
+    # otherwise each re-run the corpus explode — per-branch column
+    # pruning keeps the branch exchanges from canonicalizing equal, so
+    # exchange reuse cannot fire (the q_log_odds_terms fix, same
+    # shape). Per-invocation. Corpus tokenize passes: 3 → 1.
     cw_i = (toks.groupBy("source", "tok")
-            .agg(F.count(F.lit(1)).cast("long").alias("c_iw")))
+            .agg(F.count(F.lit(1)).cast("long").alias("c_iw"))
+            .localCheckpoint())
     cw = cw_i.groupBy("tok").agg(F.sum("c_iw").alias("c_w"))
     n_i = cw_i.groupBy("source").agg(F.sum("c_iw").alias("n_i"))
     tot = cw.agg(F.sum("c_w").alias("nn"))
@@ -380,8 +387,13 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each FK rule is ONE left join + aggregate (the dim
     side broadcasts while it fits; violations are NULL-probe counts —
-    no anti-join second pass); value rules are single codegen'd scans
-    with conditional counts. Branches union; all counts exact int64."""
+    no anti-join second pass); value rules on the SAME fact table ride
+    the FK rule's scan as extra conditional counts in the same
+    aggregate, unpivoted to rule rows afterwards (a left join on a
+    unique dim key preserves the fact row count, so n_checked is
+    identical to a standalone pass) — orders and lineitem are each
+    scanned ONCE, not once per rule. Branches union; all counts exact
+    int64."""
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     li = load(spark, sf_dir, "lineitem")
@@ -394,21 +406,37 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_violations",
                         (F.col("n_violations") == 0).alias("passed")))
 
+    def report2(df, rules):
+        # one scan, one aggregate, N rule rows: shared n_checked plus
+        # one conditional violation count per rule, exploded to the
+        # exact rows the per-rule aggregates produced
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            *[F.sum(bad.cast("long")).alias(f"_v{i}")
+              for i, (_, bad) in enumerate(rules)])
+        entries = F.array(*[
+            F.struct(F.lit(name).alias("rule"),
+                     F.col("n_checked"),
+                     F.col(f"_v{i}").alias("n_violations"))
+            for i, (name, _) in enumerate(rules)])
+        return (agg.select(F.explode(entries).alias("x"))
+                .select("x.rule", "x.n_checked", "x.n_violations",
+                        (F.col("x.n_violations") == 0).alias("passed")))
+
     fk1 = orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
     ok = orders.select("o_orderkey", "o_custkey")
     fk2 = li.join(ok, li.l_orderkey == ok.o_orderkey, "left")
     parts = [
-        report("fk:orders.o_custkey->customer", fk1,
-               F.col("c_custkey").isNull()),
-        report("fk:lineitem.l_orderkey->orders", fk2,
-               F.col("o_custkey").isNull()),
+        report2(fk1, [
+            ("fk:orders.o_custkey->customer", F.col("c_custkey").isNull()),
+            ("accepted:orders.o_orderstatus{O,F,P}",
+             ~F.col("o_orderstatus").isin(["O", "F", "P"]))]),
+        report2(fk2, [
+            ("fk:lineitem.l_orderkey->orders", F.col("o_custkey").isNull()),
+            ("positive:lineitem.l_quantity", F.col("l_quantity") <= 0)]),
         report("range:customer.c_acctbal[-1000,10000]",
                load(spark, sf_dir, "customer"),
                (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)),
-        report("accepted:orders.o_orderstatus{O,F,P}", orders,
-               ~F.col("o_orderstatus").isin(["O", "F", "P"])),
-        report("positive:lineitem.l_quantity", li,
-               F.col("l_quantity") <= 0),
         report("nonempty:documents.text", docs,
                F.col("text").isNull() | (F.length("text") == 0)),
     ]

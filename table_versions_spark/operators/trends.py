@@ -261,12 +261,20 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")).alias("mid"))
     bucket = F.least(F.lit(PSI_BINS - 1), F.greatest(F.lit(0), F.floor(
         F.col("value") / PSI_BIN_WIDTH))).cast("long")
+    # localCheckpoint the ≤ #types × #bins count table: its two
+    # consumers (per-type totals and the bin-grid join) would otherwise
+    # each re-run the corpus scan + aggregate below its exchange —
+    # per-branch pruning (the totals branch drops b from its copy's
+    # aggregate output) keeps the exchanges from canonicalizing equal,
+    # so reuse cannot fire. Per-invocation. Corpus passes: 2 → 1
+    # (plus the min/max midpoint probe, a narrow date-column scan).
     counts = (e.crossJoin(F.broadcast(mid))
               .groupBy("event_type", bucket.alias("b"))
               .agg(F.sum((F.col("event_date") <= F.col("mid"))
                          .cast("long")).alias("ca"),
                    F.sum((F.col("event_date") > F.col("mid"))
-                         .cast("long")).alias("cb")))
+                         .cast("long")).alias("cb"))
+              .localCheckpoint())
     totals = (counts.groupBy("event_type")
               .agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
                    F.collect_list(F.struct("b", "ca", "cb")).alias("pre")))
@@ -353,11 +361,17 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 * 10000).cast("long").alias("rev_e4"))
+    # localCheckpoint the #brands-row table: its two consumers (the
+    # global-prior fold and the output projection) would otherwise each
+    # re-run the lineitem scan + join + aggregate (per-branch pruning
+    # de-canonicalizes the exchanges, so reuse cannot fire).
+    # Per-invocation. Fact passes: 2 → 1.
     per_brand = (li.join(F.broadcast(part),
                          li["l_partkey"] == part["p_partkey"])
                  .groupBy("p_brand")
                  .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                      F.sum("rev_e4").alias("s")))
+                      F.sum("rev_e4").alias("s"))
+                 .localCheckpoint())
     tot = per_brand.agg(F.sum("n").alias("nt"), F.sum("s").alias("st"))
     prior = "((CAST(st AS DOUBLE) / 10000) / nt)"
     enc = (f"round(((CAST(s AS DOUBLE) / 10000) + ({TE_SMOOTHING} * "
@@ -385,12 +399,20 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).select(
         "event_type", "event_date",
         (F.dayofweek("ts") - 1).cast("long").alias("dow"))
+    # ONE corpus pass: the per-type totals fold EXACTLY from the
+    # per-(type, dow) table — every date has exactly one weekday, so
+    # the per-dow distinct-day counts partition the per-type distinct
+    # days and Σ days ≡ count_distinct(event_date), and Σ c ≡ count(*).
+    # The #types × 7 table is localCheckpoint-ed so its two consumers
+    # (this fold and the output join) read materialized rows instead of
+    # each re-running the corpus aggregate (per-branch pruning keeps
+    # the exchanges from canonicalizing equal — reuse cannot fire).
     by_dow = (e.groupBy("event_type", "dow")
               .agg(F.count(F.lit(1)).cast("long").alias("c"),
-                   F.count_distinct("event_date").alias("days")))
-    by_type = (e.groupBy("event_type")
-               .agg(F.count(F.lit(1)).cast("long").alias("ct"),
-                    F.count_distinct("event_date").alias("dt")))
+                   F.count_distinct("event_date").alias("days"))
+              .localCheckpoint())
+    by_type = (by_dow.groupBy("event_type")
+               .agg(F.sum("c").alias("ct"), F.sum("days").alias("dt")))
     idx = ("round((CAST(c AS DOUBLE) / days) / "
            "(CAST(ct AS DOUBLE) / dt), 6)")
     return (by_dow.join(F.broadcast(by_type), "event_type")
