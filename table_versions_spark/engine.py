@@ -499,47 +499,78 @@ class VersionedEngine:
             read_fold = log.head_fold(defn.name)
         previous = log.current_version(defn.name)
         version = Version.generate()
-        if defn.is_snapshot:
-            ops = self._write_snapshot(df, defn, version,
-                                       cluster_by=cluster_by,
-                                       drop_col=drop_col)
-            self._validate_staged_checks(defn, ops, version)
-            if mode == "append" and isinstance(previous, SnapshotTableVersion) \
-                    and previous.version != UNVERSIONED:
-                prev_dir = path_for(defn.location, previous.version)
-                new_dir = path_for(defn.location, version)
-                _link_data_files(prev_dir, new_dir, self.storage)
-                # linked files still hold any dv-masked rows: the vector
-                # must ride along or the deleted rows resurrect
-                _carry_dv_sidecar(prev_dir, new_dir, self.storage)
-        else:
-            ops = self._write_partitioned(df, defn, version,
-                                          distribute=distribute,
-                                          cluster_by=cluster_by,
-                                          drop_col=drop_col)
-            self._validate_staged_checks(defn, ops, version)
-            if mode == "append" and isinstance(previous, PartitionedTableVersion):
-                def link_prev(op):
-                    old = previous.partition_versions[op.partition]
-                    prev_dir = os.path.join(
-                        defn.location, op.partition.render(), old.label)
-                    new_dir = os.path.join(
-                        defn.location, op.partition.render(), version.label)
+        # §2.6 overlap: a partitioned CDF commit's sidecar STAGING write
+        # depends only on the cdc frame and the just-generated version
+        # label, so it runs as a second Spark job concurrent with the
+        # main data write; the links/markers publish still waits for
+        # `ops`. (Snapshot sidecars land inside the version dir the main
+        # write produces, so they keep the sequential path.)
+        cdc_stage = None
+        if (cdc is not None and defn.change_data_feed
+                and not defn.is_snapshot):
+            cdc_stage = self._start_cdc_staging(cdc, defn, version)
+        try:
+            if defn.is_snapshot:
+                ops = self._write_snapshot(df, defn, version,
+                                           cluster_by=cluster_by,
+                                           drop_col=drop_col)
+                self._validate_staged_checks(defn, ops, version)
+                if mode == "append" \
+                        and isinstance(previous, SnapshotTableVersion) \
+                        and previous.version != UNVERSIONED:
+                    prev_dir = path_for(defn.location, previous.version)
+                    new_dir = path_for(defn.location, version)
                     _link_data_files(prev_dir, new_dir, self.storage)
+                    # linked files still hold any dv-masked rows: the
+                    # vector must ride along or the deleted rows resurrect
                     _carry_dv_sidecar(prev_dir, new_dir, self.storage)
+            else:
+                ops = self._write_partitioned(df, defn, version,
+                                              distribute=distribute,
+                                              cluster_by=cluster_by,
+                                              drop_col=drop_col)
+                self._validate_staged_checks(defn, ops, version)
+                if mode == "append" and isinstance(previous,
+                                                   PartitionedTableVersion):
+                    def link_prev(op):
+                        old = previous.partition_versions[op.partition]
+                        prev_dir = os.path.join(
+                            defn.location, op.partition.render(), old.label)
+                        new_dir = os.path.join(
+                            defn.location, op.partition.render(),
+                            version.label)
+                        _link_data_files(prev_dir, new_dir, self.storage)
+                        _carry_dv_sidecar(prev_dir, new_dir, self.storage)
 
-                _parallel_publish(link_prev, [
-                    op for op in ops
-                    if previous.partition_versions.get(op.partition)
-                    is not None])
-        written = {op.partition for op in ops
-                   if isinstance(op, AddPartitionVersion)}
-        ops += [RemovePartition(p) for p in drop_partitions
-                if p not in written]
-        if cdc is not None and defn.change_data_feed:
-            # sidecars land INSIDE the uncommitted version dirs — like the
-            # data files themselves, invisible until the commit record
-            self._write_cdc_sidecars(cdc, defn, version, ops, previous)
+                    _parallel_publish(link_prev, [
+                        op for op in ops
+                        if previous.partition_versions.get(op.partition)
+                        is not None])
+            written = {op.partition for op in ops
+                       if isinstance(op, AddPartitionVersion)}
+            ops += [RemovePartition(p) for p in drop_partitions
+                    if p not in written]
+            if cdc is not None and defn.change_data_feed:
+                # sidecars land INSIDE the uncommitted version dirs — like
+                # the data files themselves, invisible until the commit
+                # record
+                if cdc_stage is None:
+                    self._write_cdc_sidecars(cdc, defn, version, ops,
+                                             previous)
+                else:
+                    thread, errbox = cdc_stage
+                    thread.join()
+                    if errbox:
+                        raise errbox[0]
+                    self._publish_cdc_staging(defn, version, ops, previous)
+        finally:
+            if cdc_stage is not None:
+                # main-write failure included: wait for the staging job,
+                # then clear the staging dir — same net state as the old
+                # sequential path's finally
+                cdc_stage[0].join()
+                self.storage.remove_tree(
+                    self._cdc_staging_path(defn, version))
         # footer stats AFTER any append-mode linking, so linked-in files are
         # included (stale stats would let the skipper wrongly drop rows).
         # Stats ride the commit record (Delta-style): plan-time skipping
@@ -2615,62 +2646,125 @@ class VersionedEngine:
         was diffed against, so readers use it ONLY for the exact
         before/after pair it describes (a multi-commit span falls back to
         the vector-delta / coarse paths). One distributed ``partitionBy``
-        job over the changed rows; driver work is links + markers."""
+        job over the changed rows; driver work is links + markers.
+
+        Partitioned tables normally take the OVERLAPPED path instead:
+        ``_insert`` runs :meth:`_stage_cdc_sidecars` on a second driver
+        thread concurrent with the main data write and then calls
+        :meth:`_publish_cdc_staging` — this method is the sequential
+        composition of the same two halves (kept for the snapshot path,
+        whose sidecar lands inside the version dir the main write is
+        still producing and so must wait for it)."""
+        if defn.is_snapshot:
+            if not any(isinstance(op, AddTableVersion) for op in ops):
+                return
+            dst = os.path.join(path_for(defn.location, version), _CDC_DIR)
+            self._cdc_physical_frame(cdc, defn).write.mode(
+                "overwrite").parquet(dst)
+            before = (previous.version.label
+                      if isinstance(previous, SnapshotTableVersion)
+                      and previous.version != UNVERSIONED else "")
+            self.storage.write_atomic(os.path.join(dst, _CDC_BEFORE), before)
+            return
+        try:
+            self._stage_cdc_sidecars(cdc, defn, version)
+            self._publish_cdc_staging(defn, version, ops, previous)
+        finally:
+            self.storage.remove_tree(self._cdc_staging_path(defn, version))
+
+    def _cdc_physical_frame(self, cdc: DataFrame,
+                            defn: TableDefinition) -> DataFrame:
+        """CDC rows in on-disk shape: pin every column to its DECLARED
+        type before the write (same guarantee the dv-update path gives
+        its updated-row files — the sidecar unions against other commits'
+        sidecars and the main scans, so a drifted type would poison those
+        unions), then logical→physical renames, same as the data path."""
         from pyspark.sql import functions as F
 
-        pcols = list(defn.partition_schema.columns)
-        # pin every column to its DECLARED type before the write (same
-        # guarantee the dv-update path gives its updated-row files): the
-        # sidecar unions against other commits' sidecars and the main
-        # scans, so a drifted type would poison those unions
         declared = ({f.name: f.dataType for f in self.spark.createDataFrame(
             [], defn.schema_ddl).schema.fields} if defn.schema_ddl else {})
         if declared:
             cdc = cdc.select(*[
                 (F.col(c).cast(declared[c]).alias(c) if c in declared
                  else F.col(c)) for c in cdc.columns])
-        # logical→physical names for the file write, same as the data path
         for logical, physical in defn.column_mapping:
             if logical in cdc.columns:
                 cdc = cdc.withColumnRenamed(logical, physical)
-        if defn.is_snapshot:
-            if not any(isinstance(op, AddTableVersion) for op in ops):
-                return
-            dst = os.path.join(path_for(defn.location, version), _CDC_DIR)
-            cdc.write.mode("overwrite").parquet(dst)
-            before = (previous.version.label
-                      if isinstance(previous, SnapshotTableVersion)
-                      and previous.version != UNVERSIONED else "")
-            self.storage.write_atomic(os.path.join(dst, _CDC_BEFORE), before)
-            return
-        staging = os.path.join(defn.location,
-                               f"_cdc_staging-{version.label}")
-        try:
-            (cdc.repartition(*[F.col(c) for c in pcols])
-             .write.partitionBy(*pcols).mode("overwrite").parquet(staging))
-            prev_pv = getattr(previous, "partition_versions", {})
+        return cdc
 
-            def publish(op):
-                render = op.partition.render()
-                staged = os.path.join(staging, render)
-                dst = os.path.join(defn.location, render, version.label,
-                                   _CDC_DIR)
-                if self.storage.is_dir(staged):
-                    self.storage.publish_dir(staged, dst)
-                # marker is written even when the rewrite changed ZERO
-                # rows in this partition (staged dir absent): a matching
-                # marker over an empty sidecar means "exactly no changes"
-                # — without it the readers would fall back to a spurious
-                # coarse delete-all+insert-all for the rewritten pair
-                old = prev_pv.get(op.partition)
-                self.storage.write_atomic(
-                    os.path.join(dst, _CDC_BEFORE),
-                    old.label if old is not None else "")
+    @staticmethod
+    def _cdc_staging_path(defn: TableDefinition, version) -> str:
+        return os.path.join(defn.location, f"_cdc_staging-{version.label}")
 
-            _parallel_publish(publish, [
-                op for op in ops if isinstance(op, AddPartitionVersion)])
-        finally:
-            self.storage.remove_tree(staging)
+    def _start_cdc_staging(self, cdc: DataFrame, defn: TableDefinition,
+                           version) -> tuple:
+        """Submit :meth:`_stage_cdc_sidecars` from a daemon driver thread
+        so the sidecar staging job overlaps the main data write (Spark
+        job submission is thread-safe; the same pattern the dv-update
+        path uses for its two staging writes). Returns ``(thread,
+        errbox)`` — the caller joins and re-raises any captured error
+        before publishing."""
+        import threading
+
+        errbox: list = []
+
+        def run():
+            try:
+                self._stage_cdc_sidecars(cdc, defn, version)
+            except BaseException as exc:  # noqa: BLE001 — re-raised at join
+                errbox.append(exc)
+
+        thread = threading.Thread(target=run, name="tvx-cdc-staging",
+                                  daemon=True)
+        thread.start()
+        return thread, errbox
+
+    def _stage_cdc_sidecars(self, cdc: DataFrame, defn: TableDefinition,
+                            version) -> None:
+        """The distributed half of the partitioned-table CDC sidecar
+        write: one ``partitionBy`` job over the changed rows into a
+        ``_cdc_staging-<label>`` dir. Depends only on the cdc frame and
+        the pre-generated version label — NOT on the main data write —
+        so ``_insert`` submits it from a second driver thread concurrent
+        with the data write (guide §2.6 overlap of independent jobs);
+        the caller owns staging-dir cleanup via ``_cdc_staging_path``."""
+        from pyspark.sql import functions as F
+
+        pcols = list(defn.partition_schema.columns)
+        (self._cdc_physical_frame(cdc, defn)
+         .repartition(*[F.col(c) for c in pcols])
+         .write.partitionBy(*pcols).mode("overwrite")
+         .parquet(self._cdc_staging_path(defn, version)))
+
+    def _publish_cdc_staging(self, defn: TableDefinition, version, ops,
+                             previous) -> None:
+        """Links + markers half of the partitioned CDC sidecar write:
+        move each staged per-partition dir into its committed version
+        dir. Needs the main write's ``ops`` (which partitions got a new
+        version), so it runs AFTER both the data write and the staging
+        job. Pure storage metadata work."""
+        staging = self._cdc_staging_path(defn, version)
+        prev_pv = getattr(previous, "partition_versions", {})
+
+        def publish(op):
+            render = op.partition.render()
+            staged = os.path.join(staging, render)
+            dst = os.path.join(defn.location, render, version.label,
+                               _CDC_DIR)
+            if self.storage.is_dir(staged):
+                self.storage.publish_dir(staged, dst)
+            # marker is written even when the rewrite changed ZERO
+            # rows in this partition (staged dir absent): a matching
+            # marker over an empty sidecar means "exactly no changes"
+            # — without it the readers would fall back to a spurious
+            # coarse delete-all+insert-all for the rewritten pair
+            old = prev_pv.get(op.partition)
+            self.storage.write_atomic(
+                os.path.join(dst, _CDC_BEFORE),
+                old.label if old is not None else "")
+
+        _parallel_publish(publish, [
+            op for op in ops if isinstance(op, AddPartitionVersion)])
 
     def _cdc_before(self, cdc_dir: str) -> str | None:
         """See :func:`core.paths.cdc_before_label` (shared with the
@@ -2778,6 +2872,18 @@ class VersionedEngine:
         self.read(table, at_commit=at_commit).createOrReplaceTempView(name)
         return name
 
+    def updates(self, table: TableName | str) -> list:
+        """Driver-side commit history, most recent first — the reference's
+        own ``updates`` shape (``TableVersions.scala:44-45`` returns a
+        List, not a dataset). The log lives in the driver, so callers that
+        only need a commit id or timestamp (CDF anchors, restore targets,
+        timestamp time-travel) read this list directly with ZERO Spark
+        jobs; ``history()`` wraps the same list in a DataFrame for
+        SQL-facing consumers (guide §5 driver discipline: no Spark job to
+        round-trip metadata the driver already holds)."""
+        defn, log = self._log(table)
+        return log.updates(defn.name)
+
     def history(self, table: TableName | str) -> DataFrame:
         """Commit history, most recent first, as a DataFrame
         (reference ``updates``, ``TableVersions.scala:44-45``), with the
@@ -2785,8 +2891,7 @@ class VersionedEngine:
         the log is append-only with contiguous seqs, so position in the
         full update list IS the seq — a deterministic ordering handle,
         unlike the run-random commit_id/timestamp."""
-        defn, log = self._log(table)
-        metas = log.updates(defn.name)
+        metas = self.updates(table)
         n = len(metas)
         return self.spark.createDataFrame(
             [(n - 1 - i, m.commit_id, m.user_id, m.message, m.timestamp)

@@ -141,8 +141,8 @@ def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _shared(spark, sf_dir)
     q_snapshot_replace(spark, sf_dir)  # ensure the two commits exist
     eng = st["eng"]
-    v1_ts = next(r.timestamp for r in eng.history("vx.customers").collect()
-                 if r.commit_id == st["customers_v1_commit"])
+    v1_ts = next(m.timestamp for m in eng.updates("vx.customers")
+                 if m.commit_id == st["customers_v1_commit"])
     return eng.read("vx.customers", at_timestamp=v1_ts)
 
 
@@ -245,7 +245,7 @@ def q_change_feed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _shared(spark, sf_dir)
     eng = st["eng"]
     table = _clone_base(st)
-    pre = eng.history(table).first()["commit_id"]
+    pre = eng.updates(table)[0].commit_id
     eng.delete(table, "event_type = 'error'", "tester", "purge errors",
                mode="dv")
     return (eng.read_changes(table, since_commit=pre, row_level=True)
@@ -279,7 +279,7 @@ def q_change_feed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cdf_base(st, spark, sf_dir)
     table = f"vx.cdcrw_{next(_SEQ)}"
     eng.clone_table(st["cdf_base"], table, user_id="tester")
-    pre = eng.history(table).first()["commit_id"]
+    pre = eng.updates(table)[0].commit_id
     # scope to ONE day-partition: only it is rewritten (and sidecar'd) —
     # the partition-scoped rewrite shape a production UPDATE has
     eng.update(table, set={"value": "value * 2"},
@@ -304,7 +304,7 @@ def q_change_feed_per_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cdf_base(st, spark, sf_dir)
     table = f"vx.cdcpc_{next(_SEQ)}"
     eng.clone_table(st["cdf_base"], table, user_id="tester")
-    pre = eng.history(table).first()["commit_id"]
+    pre = eng.updates(table)[0].commit_id
     eng.delete(table, "event_type = 'error'", "tester", "purge errors",
                mode="dv")
     eng.update(table, set={"value": "value * 2"},
@@ -422,7 +422,7 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _shared(spark, sf_dir)
     eng, min_date = st["eng"], st["min_date"]
     table = _clone_base(st)
-    since = eng.history(table).collect()[0].commit_id  # the clone commit
+    since = eng.updates(table)[0].commit_id  # the clone commit
     ev = _events_for_insert(spark, sf_dir)
     eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
                  .withColumn("value", F.col("value") * 2),
@@ -1508,7 +1508,7 @@ def q_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _shared(spark, sf_dir)
     eng, min_date = st["eng"], st["min_date"]
     table = _clone_base(st)
-    good = eng.history(table).collect()[0].commit_id  # the clone commit
+    good = eng.updates(table)[0].commit_id  # the clone commit
     ev = _events_for_insert(spark, sf_dir)
     eng.insert(ev.where(F.col("event_date") == F.lit(min_date))
                  .withColumn("value", F.col("value") * 2),

@@ -2233,6 +2233,67 @@ class TestRowLevelCDF:
                                  row_level=True, per_commit=True)
         assert ch.count() == 0 and "_commit_id" in ch.columns
 
+    def test_updates_is_driver_side_history(self, spark, engine):
+        """engine.updates() (r11: the reference's List-shaped ``updates``,
+        added so CDF anchors stop paying a Spark job for driver-held
+        metadata) returns exactly history()'s rows, most recent first."""
+        ddl = "id bigint, d string"
+        engine.create_table("up.t", schema_ddl=ddl, partition_columns=["d"])
+        engine.insert(spark.createDataFrame([(1, "a")], ddl),
+                      "up.t", "u1", "first")
+        engine.insert(spark.createDataFrame([(2, "b")], ddl),
+                      "up.t", "u2", "second", mode="append")
+        metas = engine.updates("up.t")
+        hist = engine.history("up.t").orderBy("seq", ascending=False) \
+                                     .collect()
+        assert [(m.commit_id, m.user_id, m.message, m.timestamp)
+                for m in metas] \
+            == [(r.commit_id, r.user_id, r.message, r.timestamp)
+                for r in hist]
+        assert metas[0].message == "second"  # most recent first
+
+    def test_cdc_staging_failure_aborts_commit_and_cleans(
+            self, spark, engine, monkeypatch, tmp_path):
+        """r11 overlap invariants: the CDC staging job runs concurrent
+        with the main data write, so (1) a staging failure must surface
+        from the commit call with the table state unchanged, and (2) the
+        ``_cdc_staging-*`` scratch dir must be gone afterwards — the same
+        net state the old sequential path's ``finally`` guaranteed."""
+        from table_versions_spark.engine import VersionedEngine
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("cdc.fail", schema_ddl=ddl,
+                            partition_columns=["d"], change_data_feed=True)
+        engine.insert(spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "b")], ddl), "cdc.fail", "u", "v1")
+        pre = engine.updates("cdc.fail")[0].commit_id
+
+        def boom(self, cdc, defn, version):
+            raise RuntimeError("staging blew up")
+
+        monkeypatch.setattr(VersionedEngine, "_stage_cdc_sidecars", boom)
+        with pytest.raises(RuntimeError, match="staging blew up"):
+            engine.update("cdc.fail", set={"v": "v * 10"},
+                          predicate="id = 2", user_id="u", message="upd")
+        monkeypatch.undo()
+        # commit never happened; reads serve the pre-failure state
+        assert engine.updates("cdc.fail")[0].commit_id == pre
+        got = sorted((r.id, r.v) for r in
+                     engine.read("cdc.fail").collect())
+        assert got == [(1, 1.0), (2, 2.0)]
+        # no staging scratch left under the table location
+        defn, _ = engine._log("cdc.fail")
+        leftovers = [d for d in os.listdir(defn.location)
+                     if d.startswith("_cdc_staging-")]
+        assert leftovers == []
+        # and the path works again once staging behaves
+        engine.update("cdc.fail", set={"v": "v * 10"},
+                      predicate="id = 2", user_id="u", message="upd2")
+        ch = engine.read_changes("cdc.fail", since_commit=pre,
+                                 row_level=True)
+        assert sorted((r.id, r.v, r._change_type) for r in ch.collect()) \
+            == [(2, 2.0, "delete"), (2, 20.0, "insert")]
+
     def test_per_commit_span_across_schema_evolution(self, spark, engine):
         """A per-commit span crossing an evolve_schema commit unions
         frames with different column sets — pre-evolution events surface

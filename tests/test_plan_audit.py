@@ -195,6 +195,48 @@ class TestDistributedPrefix:
         assert ref.select(cols).exceptAll(got.select(cols)).count() == 0
         assert got.select(cols).exceptAll(ref.select(cols)).count() == 0
 
+    def test_total_name_matches_group_aggregate(self, spark, sf_small):
+        """``total_name`` (r11: folded from the same per-bucket totals
+        array the carries scan) must equal the separate groupBy branch
+        it replaced — per kind, grouped and global, including NULL
+        values in a sum."""
+        li = self._li(spark, sf_small)
+        order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+
+        # kind="count", grouped: total == group row count
+        got = distributed_prefix(li, order, "rn",
+                                 group_cols=["l_returnflag"],
+                                 total_name="n")
+        ref = li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_ref"))
+        bad = (got.join(ref, "l_returnflag")
+               .where(F.col("n") != F.col("n_ref")))
+        assert bad.count() == 0
+        # and the running value still tops out at the total
+        assert got.where(F.col("rn") > F.col("n")).count() == 0
+
+        # kind="sum", strict prefix, grouped, with NULLs in the value:
+        # total must match the null-skipping group SUM exactly
+        nl = li.withColumn(
+            "q", F.when(F.col("l_linenumber") == 1, None)
+                  .otherwise(F.col("l_quantity")))
+        got = distributed_prefix(
+            nl, order, "cw", group_cols=["l_returnflag"],
+            value=F.col("q"), kind="sum", inclusive=False,
+            total_name="tq")
+        ref = nl.groupBy("l_returnflag").agg(F.sum("q").alias("tq_ref"))
+        bad = (got.join(ref, "l_returnflag")
+               .where(F.col("tq") != F.col("tq_ref")))
+        assert bad.count() == 0
+
+        # global (no group), kind="min": total == global MIN
+        got = distributed_prefix(li, order, "m",
+                                 value=F.col("l_quantity"), kind="min",
+                                 total_name="tm")
+        tm = got.select("tm").distinct().collect()
+        ref_min = li.agg(F.min("l_quantity")).first()[0]
+        assert len(tm) == 1 and tm[0]["tm"] == ref_min
+
     def test_plan_has_no_empty_spec_window(self, static_plans, sf_small):
         li = self._li(static_plans, sf_small)
         got = distributed_prefix(li, ["l_extendedprice", "l_orderkey",
