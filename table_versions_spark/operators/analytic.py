@@ -663,15 +663,24 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     active. The canonical product-analytics rollup.
 
     Scale shape: activity is first reduced to DISTINCT (user, day) —
-    collapsing the fact table before any join — then the per-user cohort
-    (a groupBy on the same user_id key, so AQE reuses the exchange) joins
-    back on user_id and a single agg produces the matrix. No window
-    functions, no driver collection; both shuffles are on user_id."""
+    collapsing the fact table with a map-side-combined aggregate before
+    anything else — then each user's cohort is the whole-partition MIN
+    over a user_id window on that distinct frame, and a single agg
+    produces the matrix. The earlier join-based plan computed the cohort
+    as a separate ``groupBy(user_id).min(d)`` branch: the optimizer's
+    redundant-aggregate collapse rewrote min-over-distinct into
+    min-over-raw, so the fact was scanned twice (r11 executed-plan
+    capture), and the cohort table rode a broadcast whose size is
+    O(#users) — a relation that grows with data and would blow the 8 GB
+    broadcast cap long before 100 TB. The window form scans the fact
+    once and replaces the broadcast with a distinct-row shuffle keyed on
+    user_id (data-growing key, no skewed giant partitions: each window
+    group is one user's active days)."""
     ev = (load_events(spark, sf_dir)
           .select("user_id", F.col("event_date").alias("d"))
           .distinct())
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
-    return (ev.join(first, "user_id")
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
+    return (ev.withColumn("cohort_date", cohort)
             .groupBy("cohort_date",
                      F.floor(F.datediff("d", "cohort_date") / 7)
                       .alias("week_offset"))

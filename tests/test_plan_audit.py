@@ -276,3 +276,26 @@ class TestDistributedPrefix:
             gotn = distributed_prefix(nl, order, "rn")
             assert (refn.select("k", "rn")
                     .exceptAll(gotn.select("k", "rn")).count()) == 0
+
+
+class TestRetentionSingleScan:
+    """Round-11 re-plan: q_retention's cohort is a per-user window MIN
+    over the distinct (user, day) frame. The earlier join-based form
+    computed the cohort as a separate groupBy(user_id).min(d) branch —
+    the optimizer's redundant-aggregate collapse rewrote min-over-
+    distinct into min-over-raw, so the fact table was scanned TWICE and
+    the cohort relation rode a broadcast whose size grows with #users.
+    Pin the fixed shape: one fact scan, a user_id-keyed window, and no
+    broadcast join anywhere in the plan."""
+
+    def test_single_fact_scan_and_no_broadcast(self, static_plans, sf_small):
+        from table_versions_spark.operators.analytic import q_retention
+
+        df = q_retention(static_plans, sf_small)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert plan.count("Scan parquet") <= 2, plan  # tree + detail entry
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "Window" in plan, plan
+        problems = audit_dataframe(df, "q_retention")
+        assert not problems, problems
