@@ -2028,7 +2028,11 @@ class VersionedEngine:
         is a superset (the deletion-vector commit shape: hardlinks +
         possibly new files) diffs EXACTLY via the vector delta, anything
         else falls back to delete-all + insert-all of that pair. All
-        refined pairs share ONE before-scan and ONE after-scan."""
+        refined pairs share ONE before-scan (serving both deletes and
+        resurrections via a tagged position join); inserted rows load
+        ONLY the files new in the after dirs — which files are new is
+        decided driver-side from the listings, so a pure dv-delete span
+        never scans the after state at all."""
         from pyspark.sql import functions as F
 
         loc = defn.location
@@ -2097,7 +2101,7 @@ class VersionedEngine:
                 require_dir(b), require_dir(a)
                 bf, af = data_files(b), data_files(a)
                 if bf <= af:
-                    refined.append((b, a, bf))
+                    refined.append((b, a, bf, af))
                 else:
                     coarse_del.append(b)
                     coarse_ins.append(a)
@@ -2125,11 +2129,15 @@ class VersionedEngine:
             with self._raw_partition_types():
                 return r.option("basePath", loc).load(dirs)
 
-        def finalize(df: DataFrame, kind: str) -> DataFrame:
+        def finalize(df: DataFrame, kind: str | None) -> DataFrame:
+            # kind=None: the frame already carries _change_type (the
+            # refined branch tags rows at the position join)
             if not defn.is_snapshot:
                 df = self._declared_types(df, defn)
-            return (fill_missing(self._apply_mapping(eff, df))
-                    .select(*cols).withColumn(ct, F.lit(kind)))
+            df = fill_missing(self._apply_mapping(eff, df))
+            if kind is None:
+                return df.select(*cols, ct)
+            return df.select(*cols).withColumn(ct, F.lit(kind))
 
         out: list[DataFrame] = []
         if cdc_dirs:
@@ -2155,8 +2163,10 @@ class VersionedEngine:
         if refined:
             strip = _norm_path_expr(_uri_decode_expr(F.col("__dv_dir")))
             slots = self.spark.createDataFrame(
-                [(_norm_path(b), i) for i, (b, _, _) in enumerate(refined)]
-                + [(_norm_path(a), i) for i, (_, a, _) in enumerate(refined)],
+                [(_norm_path(b), i)
+                 for i, (b, _, _, _) in enumerate(refined)]
+                + [(_norm_path(a), i)
+                   for i, (_, a, _, _) in enumerate(refined)],
                 "mdir string, __slot int")
 
             def with_slot(df: DataFrame) -> DataFrame:
@@ -2174,33 +2184,43 @@ class VersionedEngine:
                 return with_slot(self._dv_frame(dv))
 
             key = ["__slot", "__dv_file", "__dv_idx"]
-            a_pos = positions([a for _, a, _ in refined]).select(*key)
-            b_pos = positions([b for b, _, _ in refined]).select(*key)
+            a_pos = positions([a for _, a, _, _ in refined]).select(*key)
+            b_pos = positions([b for b, _, _, _ in refined]).select(*key)
             delta = a_pos.join(b_pos, key, "left_anti")
             drop_keys = ["__dv_dir", "__dv_file", "__dv_idx", "__slot"]
+            # ONE before-scan serves BOTH row-recovery branches: deletes
+            # (positions newly vectored: a−b) and resurrections (positions
+            # un-vectored by a restore: b−a; their files exist in both
+            # dirs — refined requires a name superset — and version files
+            # are immutable, so the before copy is byte-identical). The
+            # two position sets are disjoint by construction and each is
+            # distinct, so an inner join against their tagged union emits
+            # every matching row exactly once, with the tag AS the change
+            # type. The previous shape paid three full scans here (before
+            # for deletes, after for inserts, after again for
+            # resurrections); this pays one.
+            tagged = (delta.withColumn(ct, F.lit("delete"))
+                      .unionByName(b_pos.join(a_pos, key, "left_anti")
+                                   .withColumn(ct, F.lit("insert"))))
             bscan = with_slot(self._with_dv_keys(
-                load([b for b, _, _ in refined])))
+                load([b for b, _, _, _ in refined])))
             out.append(finalize(
-                bscan.join(delta, key, "left_semi").drop(*drop_keys),
-                "delete"))
-            known = self.spark.createDataFrame(
-                [(i, f) for i, (_, _, bf) in enumerate(refined)
-                 for f in sorted(bf)], "__slot int, __dv_file string")
-            ascan = with_slot(self._with_dv_keys(
-                load([a for _, a, _ in refined])))
-            out.append(finalize(
-                ascan.join(F.broadcast(known), ["__slot", "__dv_file"],
-                           "left_anti")
-                     .join(a_pos, key, "left_anti").drop(*drop_keys),
-                "insert"))
-            # resurrections: positions vectored BEFORE but not AFTER (a
-            # restore of a dv-delete commit shrinks the vector) come back
-            # to life — emit them as inserts from the after scan (the file
-            # exists in both dirs; refined requires a file superset)
-            resurrect = b_pos.join(a_pos, key, "left_anti")
-            out.append(finalize(
-                ascan.join(resurrect, key, "left_semi").drop(*drop_keys),
-                "insert"))
+                bscan.join(tagged, key, "inner").drop(*drop_keys), None))
+            # inserts: rows of files NEW in the after dirs. Which files
+            # are new is path metadata the driver already listed for the
+            # superset check (af − bf), so resolve the old file-name
+            # anti-join driver-side and scan ONLY the new files — a pure
+            # dv-delete span scans nothing at all here. Rows of new files
+            # that are themselves vectored in the after state (a later
+            # delete in the same span) still anti-join out via a_pos.
+            new_files = [os.path.join(a, f)
+                         for _, a, bf, af in refined
+                         for f in sorted(af - bf)]
+            if new_files:
+                ascan = with_slot(self._with_dv_keys(load(new_files)))
+                out.append(finalize(
+                    ascan.join(a_pos, key, "left_anti").drop(*drop_keys),
+                    "insert"))
         if not out:
             return (self._apply_mapping(eff, self._empty(eff))
                     .withColumn(ct, F.lit("")).limit(0))

@@ -2622,6 +2622,46 @@ def test_vacuum_grace_window_protects_inflight_dirs(spark, engine):
     assert sorted(r.id for r in engine.read("db.vg").collect()) == [3]
 
 
+class TestCdfRefinedScanShape:
+    def test_pure_vector_delete_span_skips_after_state(self, spark,
+                                                       engine):
+        """Round-11 optimization pin: the refined row-level diff serves
+        deletes AND resurrections from ONE before-scan (tagged position
+        join), and loads only files NEW in the after dirs — decided
+        driver-side from the listings. A pure dv-delete span adds no
+        files, so the plan must contain exactly one DATA scan (the
+        before dir); the after dir may appear only under its _dv
+        sidecar. The pre-optimization shape paid three full data scans
+        here (before for deletes, after for the file-name anti-join
+        inserts, after again for resurrections)."""
+        import re
+
+        ddl = "id bigint, v double"
+        engine.create_table("cdf.shape", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], ddl),
+            "cdf.shape", "u", "v1")
+        pre = engine.updates("cdf.shape")[0].commit_id
+        engine.delete("cdf.shape", "id < 3", "u", "dv del", mode="dv")
+        ch = engine.read_changes("cdf.shape", since_commit=pre,
+                                 row_level=True)
+        got = sorted((r.id, r._change_type) for r in ch.collect())
+        assert got == [(0, "delete"), (1, "delete"), (2, "delete")]
+        # plan shape on a FRESH frame: a post-execution explain renders
+        # Final + Initial AQE sections, double-counting every scan
+        ch = engine.read_changes("cdf.shape", since_commit=pre,
+                                 row_level=True)
+        plan = ch._sc._jvm.PythonSQLUtils.explainString(
+            ch._jdf.queryExecution(), "formatted")
+        # detail sections of every parquet scan, up to their ReadSchema:
+        # data scans are the ones whose Location is not a /_dv sidecar
+        # dir (suffix match — a test tmp dir may contain "_dv" itself)
+        scans = re.split(r"\n\(\d+\) Scan parquet", plan)[1:]
+        data_scans = [s for s in scans
+                      if "/_dv]" not in s.split("ReadSchema")[0]]
+        assert len(data_scans) == 1, plan
+
+
 class TestCdfResurrection:
     def test_restore_of_dv_delete_resurrects_rows(self, spark, engine):
         """A restore of a dv-delete commit SHRINKS the deletion vector
