@@ -978,9 +978,13 @@ class VersionedEngine:
         partition KEYS and per-partition counts come to the driver. The
         new vector = old vector ∪ new positions, written distributed
         (one ``partitionBy`` job), then each affected partition's new
-        version dir is hardlinked and committed with footer stats whose
-        row counts are adjusted by the vector size — ``table_stats``
-        stays exact without scanning."""
+        version dir is hardlinked and committed with stats CARRIED from
+        the previous version's recorded payload (the data files are
+        links, so footer-derived ranges/blooms are byte-identical; only
+        the dv-adjusted row count moves, by exactly the newly staged
+        position count) — ``table_stats`` stays exact with ZERO data
+        footer reads; dirs without a recorded payload fall back to the
+        footer pass."""
         from pyspark.sql import functions as F
 
         if defn.format != "parquet":
@@ -1041,7 +1045,8 @@ class VersionedEngine:
                 # metadata), never a second groupBy().count() scan
                 (matched.select("file", "idx")
                  .write.mode("overwrite").parquet(staging))
-                if _dv_row_count(staging, self.storage) == 0:
+                staged_new = _dv_row_count(staging, self.storage)
+                if staged_new == 0:
                     return self._commit(defn, log, TableUpdate(
                         TableUpdateMetadata.create(user_id, message), ()))
                 new_dir = path_for(defn.location, version)
@@ -1052,12 +1057,17 @@ class VersionedEngine:
                                      for d in old_dvs])
             finally:
                 self.storage.remove_tree(staging)
-            dv_total = _dv_row_count(dv_dst, self.storage)
-            payload = _collect_version_stats(
-                new_dir, self.storage, bloom_columns=defn.bloom_columns)
+            payload = _carried_dv_stats(
+                log.stats_map(defn.name).get(state.version.label),
+                staged_new, defn.bloom_columns)
+            if payload is None:
+                dv_total = _dv_row_count(dv_dst, self.storage)
+                payload = _collect_version_stats(
+                    new_dir, self.storage, bloom_columns=defn.bloom_columns)
+                if payload:
+                    payload["rows"] = max(payload["rows"] - dv_total, 0)
             stats = {}
             if payload:
-                payload["rows"] = max(payload["rows"] - dv_total, 0)
                 stats[version.label] = payload
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message),
@@ -1077,12 +1087,21 @@ class VersionedEngine:
                 return self._commit(defn, log, TableUpdate(
                     TableUpdateMetadata.create(user_id, message), ()))
             affected = {rel: Partition.parse(rel) for rel in rels}
+            # NEW position count per partition, read BEFORE the old
+            # vectors are carried into the staging dirs: it is the exact
+            # row delta for the carried stats payloads below
+            new_pos = dict(_parallel_publish(
+                lambda rel: (rel, _dv_row_count(
+                    os.path.join(staging, rel), self.storage)),
+                sorted(rels)))
             # existing vectors ride along as file-level links — no job
             self._carry_old_dvs([
                 (os.path.join(dirs[part], _DV_DIR),
                  os.path.join(staging, rel))
                 for rel, part in affected.items()
                 if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
+
+            smap = log.stats_map(defn.name)
 
             # per-partition publish is independent metadata work (links +
             # sidecar publish + footer reads) — parallel threads keep a
@@ -1095,11 +1114,19 @@ class VersionedEngine:
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(os.path.join(staging, render),
                                          dv_dst)
-                dv_total = _dv_row_count(dv_dst, self.storage)
-                payload = _collect_version_stats(
-                    new_dir, self.storage, bloom_columns=defn.bloom_columns)
-                if payload:
-                    payload["rows"] = max(payload["rows"] - dv_total, 0)
+                prev_rel = os.path.join(
+                    render, state.partition_versions[part].label)
+                payload = _carried_dv_stats(
+                    smap.get(prev_rel), new_pos[render],
+                    defn.bloom_columns)
+                if payload is None:
+                    dv_total = _dv_row_count(dv_dst, self.storage)
+                    payload = _collect_version_stats(
+                        new_dir, self.storage,
+                        bloom_columns=defn.bloom_columns)
+                    if payload:
+                        payload["rows"] = max(
+                            payload["rows"] - dv_total, 0)
                 return part, render, payload
 
             for part, render, payload in _parallel_publish(
@@ -3319,6 +3346,30 @@ def _dv_row_count(dv_dir: str, storage: Storage | None = None) -> int:
         with storage.open_input(os.path.join(dv_dir, name)) as f:
             total += pq.ParquetFile(f).metadata.num_rows
     return total
+
+
+def _carried_dv_stats(prev_payload: dict | None, staged_new: int,
+                      bloom_columns: tuple[str, ...] = ()) -> dict | None:
+    """Stats payload for a deletion-vector DELETE's new version dir,
+    carried from the previous version's recorded payload instead of
+    re-reading data footers: the dir's data files are LINKS of the
+    previous dir's, so footer-derived column ranges, blooms and
+    per-file entries are byte-identical — only the dv-adjusted live-row
+    count moves, by exactly the newly staged position count (new
+    positions are computed with the existing vectors anti-joined, so
+    old and new vector entries are disjoint). Returns None — caller
+    falls back to the footer pass — when no payload was recorded for
+    the previous dir, or when bloom columns are declared but the
+    previous payload carries none (the fallback builds them)."""
+    import copy
+
+    if not prev_payload or "rows" not in prev_payload:
+        return None
+    if bloom_columns and not prev_payload.get("bloom"):
+        return None
+    payload = copy.deepcopy(prev_payload)
+    payload["rows"] = max(payload["rows"] - staged_new, 0)
+    return payload
 
 
 def _collect_version_stats(version_dir: str,

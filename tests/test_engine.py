@@ -2662,6 +2662,47 @@ class TestCdfRefinedScanShape:
         assert len(data_scans) == 1, plan
 
 
+class TestDvDeleteStatsCarry:
+    def test_carried_payload_matches_footer_recompute(self, spark, engine):
+        """Round-11 optimization pin: a dv delete's committed stats are
+        CARRIED from the previous version's payload (files are links —
+        footer stats identical; rows move by the staged position count)
+        instead of re-reading every data footer. The carried payload
+        must equal what the footer pass would have produced."""
+        import os as _os
+
+        from table_versions_spark.engine import (_DV_DIR,
+                                                 _collect_version_stats,
+                                                 _dv_row_count)
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("dvs.carry", schema_ddl=ddl,
+                            partition_columns=["d"])
+        rows = [(i, float(i * 10), "a" if i < 6 else "b")
+                for i in range(10)]
+        engine.insert(spark.createDataFrame(rows, ddl), "dvs.carry",
+                      "u", "v1")
+        engine.delete("dvs.carry", "id in (1, 3)", "u", "purge",
+                      mode="dv")
+        defn, log = engine._log("dvs.carry")
+        state = log.current_version(defn.name)
+        smap = log.stats_map(defn.name)
+        for p, v in state.partition_versions.items():
+            if p.render() != "d=a":
+                continue  # only the affected partition got a new dir
+            rel = _os.path.join(p.render(), v.label)
+            new_dir = _os.path.join(defn.location, rel)
+            carried = smap[rel]
+            recomputed = _collect_version_stats(new_dir, engine.storage)
+            recomputed["rows"] = max(
+                recomputed["rows"] - _dv_row_count(
+                    _os.path.join(new_dir, _DV_DIR), engine.storage), 0)
+            assert carried == recomputed, (carried, recomputed)
+            assert carried["rows"] == 4  # 6 'a' rows − 2 deleted
+        # live reads agree end-to-end
+        assert engine.read("dvs.carry").count() == 8
+
+
 class TestCdfResurrection:
     def test_restore_of_dv_delete_resurrects_rows(self, spark, engine):
         """A restore of a dv-delete commit SHRINKS the deletion vector
