@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .common import distributed_prefix, load, load_events
+from .common import checkpoint_if_big, distributed_prefix, load, load_events
 
 # ---------------------------------------------------------------------------
 # q_pii_redact
@@ -194,19 +194,21 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     postings = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term"))
-    # The vocabulary-sized term table is localCheckpoint-ed so its TWO
+    # The vocabulary-sized term table is checkpointed so its TWO
     # consumers (the N fold below and the scored join side) read the
     # materialized rows instead of each re-running the corpus explode.
     # Exchange reuse cannot be relied on here: per-branch column
     # pruning drops the grouping key from the N-fold branch's aggregate
     # OUTPUT list ([tf] vs [term, tf]), so the two exchanges never
     # canonicalize equal. The checkpoint is per-invocation (persist's
-    # CacheManager would dedupe repeated plans ACROSS bench reps).
-    # N = Σ tf — folded from the vocabulary table, NOT a third corpus
-    # explode (before: three tokenize passes; after: two — this build
-    # plus the postings join below, the algorithmic floor).
-    tstats = (postings.groupBy("term").agg(F.count("*").alias("tf"))
-              .localCheckpoint())
+    # CacheManager would dedupe repeated plans ACROSS bench reps) and
+    # SIZE-GATED (r12): the driver's r11 bench priced the unconditional
+    # materialization at 0.74× — below the conf'd input bar the two
+    # extra tokenize passes are cheaper than the round-trip, at scale
+    # the collapse stands. N = Σ tf — folded from the vocabulary table,
+    # NOT a third corpus explode.
+    tstats = checkpoint_if_big(
+        postings.groupBy("term").agg(F.count("*").alias("tf")))
     total = tstats.agg(
         F.coalesce(F.sum("tf"), F.lit(0)).alias("n_total"))
     lp = F.log(F.col("tf").cast("double") / F.col("n_total").cast("double"))

@@ -214,6 +214,50 @@ def _order_specs(order_cols) -> list[tuple]:
     return specs
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a frame — driver-side only, no job.
+
+    File-source relations report summed file bytes; projections scale
+    by schema row-width ratio; filters/aggregates pass their child's
+    size through unreduced (no CBO), so the estimate errs HIGH for
+    anything data-sized — which is the safe direction for a
+    load-balance decision (an over-estimate keeps the always-correct
+    bucketed plan; only genuinely tiny inputs read as tiny). Returns a
+    sentinel "huge" on any introspection failure so callers fall back
+    to the scale shape.
+    """
+    try:
+        v = (df._jdf.queryExecution().optimizedPlan()
+             .stats().sizeInBytes())
+        # py4j auto-converts small scala BigInts to int; huge ones come
+        # through as objects whose decimal rendering is still exact
+        return v if isinstance(v, int) else int(v.toString())
+    except Exception:  # noqa: BLE001 — estimate unavailable: assume big
+        return 1 << 62
+
+
+def checkpoint_if_big(df: DataFrame) -> DataFrame:
+    """Per-invocation ``localCheckpoint`` gated on Catalyst's input-size
+    estimate (VERDICT r11 #4): materializing a shared intermediate only
+    pays when the subtree it stops re-executing is expensive — the
+    driver's bench showed the q_lm_score / q_pmi_bigrams checkpoints
+    costing 25-30% at bench SF, where re-running the corpus tokenize
+    twice more is cheaper than one materialization round-trip. Below
+    ``spark.tvx.checkpoint.minInputBytes`` (default 64 MB — same bar as
+    the prefix small-input floor) the frame is returned as-is and each
+    consumer re-executes the (cheap) subtree; at scale the checkpoint
+    fires and the pass collapse stands. Set the conf to 0 to always
+    checkpoint. Purely a cost decision: results are identical either
+    way (the plans are deterministic), and the checkpoint stays
+    per-invocation — never cached across runs."""
+    sess = df.sparkSession
+    thr = int(sess.conf.get("spark.tvx.checkpoint.minInputBytes",
+                            str(64 * 1024 * 1024)))
+    if thr > 0 and _plan_size_bytes(df) < thr:
+        return df
+    return df.localCheckpoint()
+
+
 def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
                        group_cols: tuple | list = (),
                        value=None, kind: str = "count",
@@ -294,6 +338,53 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     specs = _order_specs(order_cols)
     ocols = [c.desc() if d == "desc" else c.asc() for c, d in specs]
     sess = df.sparkSession
+    if extra_sums and kind != "sum":
+        raise ValueError("extra_sums requires kind='sum'")
+    tasks = [(out_name, value, kind)]
+    tasks += [(en, ev, "sum") for en, ev in (extra_sums or {}).items()]
+    # Small-input floor (VERDICT r11 #3): the two-phase shape pays a
+    # boundary pre-pass + an extra exchange + a broadcast join that are
+    # pure constant cost when the input fits comfortably in one task's
+    # sort buffer — 3-4× the whole query at bench SF. Bucketing is load
+    # balance only, never correctness, so when Catalyst's driver-side
+    # size estimate (summed file bytes through width-scaled projections
+    # — no job) says the input is below the threshold, degrade to the
+    # plain per-group window the decomposition replaces. The threshold
+    # is conf'd (`spark.tvx.prefix.smallInput.maxBytes`, default 64 MB
+    # ≈ one healthy shuffle partition — guide §2.2): production tables
+    # sit orders of magnitude above it, so the scale plan is unchanged;
+    # set it to 0 to force the bucketed shape (the plan audit does,
+    # since it judges the at-scale plan). Estimate error is asymmetric
+    # by design: file-source stats never shrink below the scan's real
+    # bytes except by projection width ratio, so a data-sized input
+    # cannot slip under a 64 MB bar, while an over-estimate merely
+    # keeps the (always-correct) bucketed plan.
+    small_max = int(sess.conf.get(
+        "spark.tvx.prefix.smallInput.maxBytes", str(64 * 1024 * 1024)))
+    if num_buckets is None and small_max > 0 \
+            and _plan_size_bytes(df) <= small_max:
+        end = Window.currentRow if inclusive else -1
+        w = (Window.partitionBy(*[F.col(c) for c in group_cols])
+             .orderBy(*ocols)
+             .rowsBetween(Window.unboundedPreceding, end))
+        wg = Window.partitionBy(*[F.col(c) for c in group_cols])
+
+        def over(kd, val, win):
+            if kd == "count":
+                return F.count(F.lit(1)).over(win).cast("long")
+            if kd == "sum":
+                return F.sum(val).over(win)
+            if kd == "min":
+                return F.min(val).over(win)
+            raise ValueError(f"unsupported prefix kind: {kd}")
+
+        out = df
+        for name, val, kd in tasks:
+            out = out.withColumn(name, over(kd, val, w))
+        if total_name:
+            _, val0, kd0 = tasks[0]
+            out = out.withColumn(total_name, over(kd0, val0, wg))
+        return out
     n = num_buckets or int(
         sess.conf.get("spark.sql.shuffle.partitions", "200"))
     bcol, bdir = specs[0]
@@ -337,10 +428,6 @@ def distributed_prefix(df: DataFrame, order_cols, out_name: str, *,
     end = Window.currentRow if inclusive else -1
     w_loc = (Window.partitionBy("_b", *group_cols).orderBy(*ocols)
              .rowsBetween(Window.unboundedPreceding, end))
-    if extra_sums and kind != "sum":
-        raise ValueError("extra_sums requires kind='sum'")
-    tasks = [(out_name, value, kind)]
-    tasks += [(en, ev, "sum") for en, ev in (extra_sums or {}).items()]
 
     def parts(k: int, kd: str, val):
         lc, cr = F.col(f"_loc{k}"), F.col(f"_carry{k}")

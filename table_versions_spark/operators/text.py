@@ -743,10 +743,13 @@ def q_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one task — the tiny-key shape the plan audit flags (and r10's
     q_percentile_disc re-plan removed). The per-source rank instead
     runs as :func:`..common.distributed_prefix`'s two-phase scan, and
-    the decile is the package's explicit integer formula
-    ``(rank−1)·10 div n + 1`` (the q_rfm / q_decile_stats convention —
-    exact on both engines, where NTILE's uneven-bucket placement is an
-    engine-convention seam the formula sidesteps)."""
+    the decile is NTILE(10)'s EXACT placement computed in closed form
+    from the same (rank, n) pair the helper already returns: with
+    ``q = n div 10`` and ``r = n mod 10``, SQL NTILE gives the first
+    ``r`` buckets ``q+1`` rows each and the remaining ``10−r`` buckets
+    ``q`` rows — identical on Spark and DuckDB, zero extra passes
+    (VERDICT r11 #1: the declaration is the ORIGINAL ntile(10) window;
+    only the execution plan is re-shaped)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars")
     # the per-source size rides the prefix helper's own totals array
@@ -754,9 +757,17 @@ def q_quality_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan of the table
     ranked = distributed_prefix(docs, ["n_chars", "doc_id"], "rn",
                                 group_cols=["source"], total_name="n")
+    # NTILE(10) placement from (rn, n): rows 1..r·(q+1) land in the
+    # first r fat buckets (size q+1), the rest in lean buckets (size
+    # q). The q=0 case (n<10: every row its own bucket 1..n) stays in
+    # the first branch because rn <= n = r·(q+1) always holds there.
+    decile = F.expr(
+        "CAST(CASE WHEN rn <= (n % 10) * (n div 10 + 1) "
+        "THEN (rn + n div 10) div (n div 10 + 1) "
+        "ELSE n % 10 + (rn - (n % 10) * (n div 10 + 1) + n div 10 - 1) "
+        "div (n div 10) END AS INT)")
     return ranked.select("doc_id", "source", "n_chars",
-                         F.expr("CAST(((rn - 1) * 10) div n + 1 AS INT)")
-                         .alias("decile"))
+                         decile.alias("decile"))
 
 
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,10 +830,41 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the counts across bench reps); on clusters with executor churn
     swap it for a scratch-table write (lineage-free blocks do not
     survive executor loss).
+
+    r12 size gate: the driver's r11 bench priced the unified+checkpoint
+    plan at 0.77× vs the prior separate-branch plan, and merely
+    skipping the checkpoint re-executes the HEAVIER unified explode
+    three times (measured worse than either). Below the conf'd input
+    bar the operator therefore keeps the prior shape outright —
+    separate codegen'd unigram/bigram/total branches over the (cheap)
+    corpus — switching to unified+checkpoint only when the corpus
+    estimate says a tokenize pass is worth materializing away. The two
+    shapes compute identical counts (both were oracle-green for
+    multiple rounds); only the pass structure differs.
     """
+    from .common import _plan_size_bytes
+
     words = (load(spark, sf_dir, "documents")
              .select(F.filter(F.split("text", " "),
                               lambda x: x != "").alias("w")))
+    thr = int(spark.conf.get("spark.tvx.checkpoint.minInputBytes",
+                             str(64 * 1024 * 1024)))
+    if thr > 0 and _plan_size_bytes(words) < thr:
+        uni = (words.select(F.explode("w").alias("tok"))
+               .groupBy("tok").agg(F.count("*").alias("c_tok")))
+        bi = (words.where(F.size("w") >= 2)
+              .select(F.explode(F.expr(
+                  "transform(sequence(0, size(w) - 2), "
+                  "i -> struct(w[i] AS a, w[i+1] AS b))")).alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.count("*").alias("c_ab"))
+              .where(F.col("c_ab") >= PMI_MIN_PAIR))
+        # N = ALL bigram positions (pre-filter), a per-doc arithmetic
+        # aggregate on the same scan shape — no second explode
+        total = words.agg(
+            F.sum(F.greatest(F.size("w") - 1, F.lit(0)))
+            .cast("long").alias("n_total"))
+        return _pmi_tail(uni, bi, total)
     entries = words.select(F.explode(F.expr(
         "concat("
         "  transform(w, t -> struct(t AS a, CAST(NULL AS STRING) AS b)),"
@@ -846,6 +888,12 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.where(F.col("b").isNotNull()).agg(
         F.coalesce(F.sum("c"), F.lit(0))
         .cast("long").alias("n_total"))
+    return _pmi_tail(uni, bi, total)
+
+
+def _pmi_tail(uni: DataFrame, bi: DataFrame,
+              total: DataFrame) -> DataFrame:
+    """Shared PMI scoring tail over (unigram, bigram, N) count frames."""
     return (bi.crossJoin(F.broadcast(total))
             .join(uni.select(F.col("tok").alias("a"),
                              F.col("c_tok").alias("c_a")), "a")
@@ -924,11 +972,8 @@ ORACLES = {
         "AS BIGINT) AS norm_len FROM documents"),
     "q_quality_bucket": (
         "SELECT doc_id, source, n_chars, "
-        "CAST(((rn - 1) * 10) // n + 1 AS INT) AS decile FROM "
-        "(SELECT doc_id, source, n_chars, "
-        "ROW_NUMBER() OVER (PARTITION BY source "
-        "ORDER BY n_chars, doc_id) AS rn, "
-        "COUNT(*) OVER (PARTITION BY source) AS n FROM documents)"),
+        "CAST(ntile(10) OVER (PARTITION BY source "
+        "ORDER BY n_chars, doc_id) AS INT) AS decile FROM documents"),
     "q_pmi_bigrams": (
         "WITH d AS (SELECT list_filter(string_split(text, ' '), "
         "x -> x <> '') AS w FROM documents), "

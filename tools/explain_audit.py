@@ -28,6 +28,10 @@ def main(only: list[str]) -> int:
     # 1000-executor cluster must already get right (explicit broadcasts, not
     # runtime rescue conversions).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The prefix small-input floor degrades tiny inputs to a plain
+    # window; the audit judges the plan a 100 TB input would get, where
+    # the floor never fires — pin it off so the bucketed shape renders.
+    spark.conf.set("spark.tvx.prefix.smallInput.maxBytes", "0")
     qs = entrymod.queries()
     bad = 0
     for name, fn in qs.items():
