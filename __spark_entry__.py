@@ -68,40 +68,47 @@ def _registry() -> tuple[dict, dict]:
         queries.update(m.QUERIES)
         oracles.update(m.ORACLES)
     priority = [
-        # Round-11 rotation (VERDICT r10 #1). The driver budget is ~50
-        # rows; order by how much a fresh green row is worth: ids that
-        # have NEVER appeared in any driver artifact first (the 4
-        # corpus-analysis ids that landed after the r10 priority list
-        # froze, then this round's additions), then the 29 ids whose
-        # latest driver row is still r6, so after this round every
-        # registry id's latest driver record is r7 or newer.
-        # --- landed late in r10: never driver-checked ---
-        "q_log_odds_terms", "q_burstiness", "q_keyword_trend",
-        "q_type_overlap",
-        # --- round-11 additions (never driver-checked) ---
-        "q_cohort_retention", "q_event_paths", "q_ewma", "q_autocorr",
-        "q_moments", "q_yoy_growth", "q_psi_drift", "q_ks_test",
-        "q_target_encoding", "q_seasonality", "q_readability",
-        "q_zipf_fit", "q_hapax_ratio", "q_vocab_growth",
-        # --- round-11 profiling trio (fills the head to exactly 50;
-        # the OTHER r11 profiling/series ids are held for the r12 head
-        # per VERDICT r10 #6 — they ride registry order this round) ---
-        "q_key_candidates", "q_func_dependencies", "q_col_entropy",
-        # --- oldest driver rows (r6) — the VERDICT r10 stale list.
-        # Slow-oracle ids (q_dedup_groups' recursive CTE; the dedup
-        # pair families) close the tail so they can't starve the rows
-        # behind them if the driver budget is time-bound. ---
-        "q_agg_approx_distinct", "q_approx_quantile", "q_chunk_docs",
-        "q_derived_partition", "q_embed_quantize", "q_fingerprint",
-        "q_lang_id", "q_multi_partition_prune", "q_quality_bucket",
-        "q_quality_score", "q_range_join", "q_sample_stratified",
-        "q_sim_search", "q_sim_ann_ivf", "q_sim_ann_pq",
-        "q_snapshot_replace", "q_stream_window_tvx", "q_table_stats",
-        "q_text_normalize", "q_text_stats", "q_token_count",
-        "q_tpch_q22", "q_train_test_split", "q_dedup_exact",
-        "q_dedup_embedding", "q_dedup_minhash", "q_dedup_simhash",
-        "q_dedup_ngram", "q_dedup_groups",
-        # r7+-green families come behind via registry order.
+        # Round-12 rotation (VERDICT r11 #9). Computed from the actual
+        # CORRECTNESS_r01..r11 artifacts: 14 ids have NEVER carried a
+        # driver row (the r11-build analytics/governance/trends
+        # additions that landed after the r11 priority head froze) —
+        # they lead; then every id whose latest driver row is r7, then
+        # r8, oldest-first, so whatever the driver's ~50-row budget is,
+        # it always eats the stalest rows first. Within each block the
+        # known-slow ids (streaming queries, BPE's stateful merges, the
+        # dedup pair families, q_quality_bucket's 5000-row ntile
+        # oracle) close the tail so a time-bound budget cannot starve
+        # the cheap rows behind them.
+        # --- never driver-checked (landed in the r11 build) ---
+        "q_hhi_concentration", "q_kl_divergence", "q_js_divergence",
+        "q_k_anonymity", "q_l_diversity", "q_embedding_drift",
+        "q_cusum_changepoint", "q_rolling_corr", "q_lead_lag_corr",
+        "q_theil_sen", "q_mann_kendall", "q_conversion_lag",
+        "q_forecast_baseline", "q_dq_checks",
+        # --- latest driver row r7 (fast oracles first) ---
+        "q_asof_join", "q_bm25", "q_contamination",
+        "q_dedup_incremental", "q_dedup_paragraph", "q_delete",
+        "q_delete_dv", "q_gopher_rules", "q_histogram",
+        "q_insert_overwrite_partition", "q_kmeans", "q_knn_join",
+        "q_merge", "q_pack_sequences", "q_partition_prune",
+        "q_pii_redact", "q_rename_column", "q_repetition",
+        "q_rollup_incremental", "q_sample_per_group",
+        "q_sample_temperature", "q_sample_weighted", "q_semdedup",
+        "q_session_window", "q_sessionize", "q_shuffle_shards",
+        "q_sim_ann_lsh", "q_tfidf", "q_tokenize_apply", "q_tpch_q11",
+        "q_tpch_q12", "q_tpch_q16", "q_tpch_q2", "q_tpch_q20",
+        "q_tpch_q21", "q_update", "q_update_dv", "q_upsert",
+        "q_change_feed_rows",
+        # r7 slow tail: streaming + stateful/pair families
+        "q_stream_agg", "q_stream_cdf", "q_stream_dedup",
+        "q_stream_join", "q_stream_session", "q_stream_sink",
+        "q_stream_window", "q_bpe_train", "q_dedup_prefix",
+        "q_dedup_substring", "q_dedup_suffix",
+        # --- latest driver row r8 (next-stalest; ride behind) ---
+        "q_agg_distinct", "q_agg_hash", "q_agg_median", "q_anomaly",
+        "q_array_funcs", "q_asof_tolerance", "q_change_feed_per_commit",
+        "q_change_feed_rewrite", "q_cogroup", "q_collect",
+        # r8 remainder follows via registry order.
     ]
     pset = set(priority)
     # A typo'd or renamed priority id must fail LOUDLY, not silently
