@@ -1206,13 +1206,27 @@ class VersionedEngine:
         # payload and the constraint probe are separate Spark jobs, and a
         # non-deterministic predicate re-evaluated per job would mask
         # rows that were never rewritten (row loss) — every downstream
-        # job reads this one scratch set
+        # job reads this one scratch set. Partitioned tables cluster the
+        # match set by partition HERE (r12, guide §2.4): the staged
+        # files come out one-per-partition, so both downstream writes
+        # (positions, updated payload) inherit partition-clustered
+        # splits and run as shuffle-free single-stage partitionBy jobs —
+        # the matched payload crosses the network once, in this write,
+        # instead of re-shuffling in each downstream job.
         match_staging = os.path.join(defn.location,
                                      f"_match_staging-{version.label}")
         match_df = scan.where(cond).select(*data_cols, "__dv_file",
                                            "__dv_idx")
-        match_df.write.mode("overwrite").parquet(match_staging)
-        if _dv_row_count(match_staging, self.storage) == 0:
+        if pcols:
+            (match_df.repartition(*[F.col(c) for c in pcols])
+             .write.partitionBy(*pcols).mode("overwrite")
+             .parquet(match_staging))
+            empty = not _discover_partitions(match_staging, len(pcols),
+                                             self.storage)
+        else:
+            match_df.write.mode("overwrite").parquet(match_staging)
+            empty = _dv_row_count(match_staging, self.storage) == 0
+        if empty:
             self.storage.remove_tree(match_staging)
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message), ()))
@@ -1298,10 +1312,19 @@ class VersionedEngine:
                              .parquet(upd_staging)),
                 ])
                 # emptiness reads from staged footers, not a second
-                # count() scan
-                if _dv_row_count(dv_staging, self.storage) == 0:
+                # count() scan; the count doubles as the row delta for
+                # the carried stats payload below
+                staged_new = _dv_row_count(dv_staging, self.storage)
+                if staged_new == 0:
                     return self._commit(defn, log, TableUpdate(
                         TableUpdateMetadata.create(user_id, message), ()))
+                # footer stats for ONLY the new files, read from the
+                # staged dir (same file names after the move) — the
+                # linked files' entries carry from the previous payload
+                new_stats = _collect_version_stats(
+                    upd_staging, self.storage,
+                    bloom_columns=defn.bloom_columns,
+                    per_file_always=True)
                 new_dir = path_for(defn.location, version)
                 _link_data_files(dirs[None], new_dir, self.storage)
                 _move_data_files(upd_staging, new_dir)
@@ -1313,13 +1336,19 @@ class VersionedEngine:
                 self.storage.remove_tree(dv_staging)
                 self.storage.remove_tree(upd_staging)
                 self.storage.remove_tree(match_staging)
-            dv_total = _dv_row_count(
-                os.path.join(new_dir, _DV_DIR), self.storage)
-            payload = _collect_version_stats(
-                new_dir, self.storage, bloom_columns=defn.bloom_columns)
+            payload = _merged_update_stats(
+                log.stats_map(defn.name).get(state.version.label),
+                new_stats, staged_new, defn.bloom_columns)
+            if payload is None:
+                dv_total = _dv_row_count(
+                    os.path.join(new_dir, _DV_DIR), self.storage)
+                payload = _collect_version_stats(
+                    new_dir, self.storage,
+                    bloom_columns=defn.bloom_columns)
+                if payload:
+                    payload["rows"] = max(payload["rows"] - dv_total, 0)
             stats = {}
             if payload:
-                payload["rows"] = max(payload["rows"] - dv_total, 0)
                 stats[version.label] = payload
             return self._commit(defn, log, TableUpdate(
                 TableUpdateMetadata.create(user_id, message),
@@ -1342,7 +1371,10 @@ class VersionedEngine:
                        # bucket's rows, so each partition dir it writes
                        # gets files named with that bucket's index
                        if defn.bucket_count
-                       else updated.repartition(*[F.col(c) for c in pcols]))
+                       # match staging is already partition-clustered —
+                       # each read split holds one partition's rows, so
+                       # the partitionBy write needs no re-shuffle
+                       else updated)
 
             # the positions and updated-payload writes both read only the
             # materialized match set and write disjoint staging dirs —
@@ -1350,8 +1382,7 @@ class VersionedEngine:
             # and let the scheduler overlap them (one job's task tail
             # back-fills the executors the other frees)
             def _write_positions():
-                (positions.repartition(*[F.col(c) for c in pcols])
-                 .write.partitionBy(*pcols).mode("overwrite")
+                (positions.write.partitionBy(*pcols).mode("overwrite")
                  .parquet(dv_staging))
 
             def _write_updated():
@@ -1365,25 +1396,51 @@ class VersionedEngine:
                 return self._commit(defn, log, TableUpdate(
                     TableUpdateMetadata.create(user_id, message), ()))
             affected = {rel: Partition.parse(rel) for rel in rels}
+            # NEW position count per partition, read BEFORE the old
+            # vectors are carried into the staging dirs: it is the exact
+            # row delta for the carried stats payloads below
+            new_pos = dict(_parallel_publish(
+                lambda rel: (rel, _dv_row_count(
+                    os.path.join(dv_staging, rel), self.storage)),
+                sorted(rels)))
             self._carry_old_dvs([
                 (os.path.join(dirs[part], _DV_DIR),
                  os.path.join(dv_staging, rel))
                 for rel, part in affected.items()
                 if self.storage.exists(os.path.join(dirs[part], _DV_DIR))])
 
+            smap = log.stats_map(defn.name)
+
             def publish(item):
                 render, part = item
                 new_dir = os.path.join(defn.location, render, version.label)
                 _link_data_files(dirs[part], new_dir, self.storage)
-                _move_data_files(os.path.join(upd_staging, render), new_dir)
+                upd_dir = os.path.join(upd_staging, render)
+                # footer stats for ONLY this partition's new files, read
+                # from the staged dir BEFORE the move (names preserved);
+                # the linked files carry the previous payload's entries
+                new_stats = (_collect_version_stats(
+                                 upd_dir, self.storage,
+                                 bloom_columns=defn.bloom_columns,
+                                 per_file_always=True)
+                             if self.storage.exists(upd_dir) else None)
+                _move_data_files(upd_dir, new_dir)
                 dv_dst = os.path.join(new_dir, _DV_DIR)
                 self.storage.publish_dir(os.path.join(dv_staging, render),
                                          dv_dst)
-                dv_total = _dv_row_count(dv_dst, self.storage)
-                payload = _collect_version_stats(
-                    new_dir, self.storage, bloom_columns=defn.bloom_columns)
-                if payload:
-                    payload["rows"] = max(payload["rows"] - dv_total, 0)
+                prev_rel = os.path.join(
+                    render, state.partition_versions[part].label)
+                payload = _merged_update_stats(
+                    smap.get(prev_rel), new_stats, new_pos[render],
+                    defn.bloom_columns)
+                if payload is None:
+                    dv_total = _dv_row_count(dv_dst, self.storage)
+                    payload = _collect_version_stats(
+                        new_dir, self.storage,
+                        bloom_columns=defn.bloom_columns)
+                    if payload:
+                        payload["rows"] = max(
+                            payload["rows"] - dv_total, 0)
                 return part, render, payload
 
             for part, render, payload in _parallel_publish(
@@ -2157,13 +2214,21 @@ class VersionedEngine:
                 return r.option("basePath", loc).load(dirs)
 
         def finalize(df: DataFrame, kind: str | None) -> DataFrame:
-            # kind=None: the frame already carries _change_type (the
-            # refined branch tags rows at the position join)
+            # kind=None: the frame carries the change type under the
+            # INTERNAL __ct name (the refined branch tags rows at the
+            # position join; an internal name keeps the join collision-
+            # free even if the table declares a column literally called
+            # _change_type, and the alias below reproduces the overwrite
+            # semantics of the kind-literal branches — ADVICE r11 #2)
             if not defn.is_snapshot:
                 df = self._declared_types(df, defn)
             df = fill_missing(self._apply_mapping(eff, df))
             if kind is None:
-                return df.select(*cols, ct)
+                # withColumn (not an alias in the select) so a declared
+                # column named _change_type is OVERWRITTEN by the tag,
+                # exactly like the kind-literal branch below
+                return (df.select(*cols, "__ct")
+                        .withColumn(ct, F.col("__ct")).drop("__ct"))
             return df.select(*cols).withColumn(ct, F.lit(kind))
 
         out: list[DataFrame] = []
@@ -2226,9 +2291,9 @@ class VersionedEngine:
             # type. The previous shape paid three full scans here (before
             # for deletes, after for inserts, after again for
             # resurrections); this pays one.
-            tagged = (delta.withColumn(ct, F.lit("delete"))
+            tagged = (delta.withColumn("__ct", F.lit("delete"))
                       .unionByName(b_pos.join(a_pos, key, "left_anti")
-                                   .withColumn(ct, F.lit("insert"))))
+                                   .withColumn("__ct", F.lit("insert"))))
             bscan = with_slot(self._with_dv_keys(
                 load([b for b, _, _, _ in refined])))
             out.append(finalize(
@@ -3359,22 +3424,82 @@ def _carried_dv_stats(prev_payload: dict | None, staged_new: int,
     positions are computed with the existing vectors anti-joined, so
     old and new vector entries are disjoint). Returns None — caller
     falls back to the footer pass — when no payload was recorded for
-    the previous dir, or when bloom columns are declared but the
-    previous payload carries none (the fallback builds them)."""
+    the previous dir, or when any declared bloom column is missing from
+    the previous payload (the fallback builds them; checking only "has
+    ANY bloom" would propagate a per-column gap forever once a bloom
+    column is added after the previous commit — ADVICE r11 #1)."""
     import copy
 
     if not prev_payload or "rows" not in prev_payload:
         return None
-    if bloom_columns and not prev_payload.get("bloom"):
+    if any(c not in (prev_payload.get("bloom") or {})
+           for c in bloom_columns):
         return None
     payload = copy.deepcopy(prev_payload)
     payload["rows"] = max(payload["rows"] - staged_new, 0)
     return payload
 
 
+def _merged_update_stats(prev_payload: dict | None,
+                         new_stats: dict | None, staged_new: int,
+                         bloom_columns: tuple[str, ...] = ()) -> dict | None:
+    """Stats payload for a deletion-vector UPDATE's new version dir
+    (VERDICT r11 #6): the dir is hardlinks of the previous dir's files
+    (whose footer-derived entries the previous payload already records)
+    plus the NEWLY WRITTEN updated-row files — so footer reads are only
+    needed for the new files (``new_stats`` = the staged update dir's
+    collected stats), and the rest carries:
+
+    - ``rows`` = previous live rows − newly masked positions + new-file
+      rows (the masked and rewritten sets are the same matched rows, so
+      this is normally a wash — computed, not assumed);
+    - ``columns`` = per-column union of the previous ranges and the new
+      files' ranges (masked rows may leave the carried range wider than
+      the live data — conservative, same as a dv delete's carry);
+    - ``files`` = previous per-file entries plus the new files' entries
+      (absent entries are always-kept by ``_stats_prune_files``, so a
+      partial map only costs skipping, never rows).
+
+    Declared bloom columns force the footer fallback: a carried
+    dir-level bloom would not cover the new files' values (false
+    negatives would wrongly PROVE absence), and any recorded dir bloom
+    is stripped for the same reason."""
+    import copy
+
+    if not prev_payload or "rows" not in prev_payload:
+        return None
+    if bloom_columns:
+        return None
+    if not new_stats or "rows" not in new_stats:
+        return None
+    payload = copy.deepcopy(prev_payload)
+    payload.pop("bloom", None)
+    payload["rows"] = (max(payload["rows"] - staged_new, 0)
+                       + new_stats["rows"])
+    cols = payload.get("columns") or {}
+    for c, rng in (new_stats.get("columns") or {}).items():
+        if c in cols:
+            try:
+                cols[c] = {"min": min(cols[c]["min"], rng["min"]),
+                           "max": max(cols[c]["max"], rng["max"])}
+            except TypeError:  # mixed stat types ⇒ cannot combine
+                del cols[c]
+        else:
+            cols[c] = dict(rng)
+    payload["columns"] = cols
+    new_files = new_stats.get("files")
+    if new_files or "files" in payload:
+        files = dict(payload.get("files") or {})
+        files.update(new_files or {})
+        if files:
+            payload["files"] = files
+    return payload
+
+
 def _collect_version_stats(version_dir: str,
                            storage: Storage | None = None,
-                           bloom_columns: tuple[str, ...] = ()) -> dict | None:
+                           bloom_columns: tuple[str, ...] = (),
+                           per_file_always: bool = False) -> dict | None:
     """Per-column min/max + row count from the parquet footers of an
     immutable version dir, as a JSON-able payload for the commit record.
     Metadata-only (no data pages are read) — except for declared
@@ -3461,7 +3586,11 @@ def _collect_version_stats(version_dir: str,
                 dir_blooms[c] = u
     if dir_blooms:
         payload["bloom"] = dir_blooms
-    if len(per_file) > 1:  # single-file dirs: dir stats == file stats
+    # single-file dirs: dir stats == file stats, so per-file entries are
+    # redundant — except when the caller will MERGE this payload into a
+    # multi-file dir's (the dv-update stats carry), where each new
+    # file's own entry is what makes it skippable
+    if per_file and (per_file_always or len(per_file) > 1):
         payload["files"] = per_file
     return payload
 

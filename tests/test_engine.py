@@ -2702,6 +2702,152 @@ class TestDvDeleteStatsCarry:
         # live reads agree end-to-end
         assert engine.read("dvs.carry").count() == 8
 
+    def test_delete_carry_path_actually_ran(self, spark, engine,
+                                            monkeypatch):
+        """ADVICE r11 #3: carried == recomputed also holds if the carry
+        silently regresses to the footer fallback, so pin that the
+        fallback did NOT run: with ``_collect_version_stats`` rigged to
+        raise, a dv delete over a stats-bearing previous version must
+        still commit a stats payload."""
+        from table_versions_spark import engine as engmod
+
+        ddl = "id bigint, v double"
+        engine.create_table("dvs.ran", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], ddl), "dvs.ran", "u", "v1")
+
+        def boom(*a, **k):
+            raise AssertionError("footer fallback ran during dv delete")
+
+        monkeypatch.setattr(engmod, "_collect_version_stats", boom)
+        engine.delete("dvs.ran", "id < 2", "u", "purge", mode="dv")
+        defn, log = engine._log("dvs.ran")
+        state = log.current_version(defn.name)
+        payload = log.stats_map(defn.name)[state.version.label]
+        assert payload["rows"] == 6
+
+    def test_bloom_column_gap_forces_footer_fallback(self, spark,
+                                                     engine):
+        """ADVICE r11 #1: when a bloom column is declared AFTER the
+        previous version committed, the carry must decline (its payload
+        lacks that column's bloom) so the footer pass builds it —
+        otherwise the gap propagates through every later dv delete."""
+        from table_versions_spark.engine import _carried_dv_stats
+
+        prev = {"rows": 10, "columns": {"id": {"min": 0, "max": 9}},
+                "bloom": {"v": {"m": 8, "k": 1, "bits": "AA=="}}}
+        # every declared column covered -> carry fires
+        assert _carried_dv_stats(prev, 2, ("v",))["rows"] == 8
+        # a later-declared column missing from the payload -> fall back
+        assert _carried_dv_stats(prev, 2, ("v", "id")) is None
+        assert _carried_dv_stats({"rows": 10}, 2, ("v",)) is None
+
+
+class TestDvUpdateStatsCarry:
+    """Round-12 (VERDICT r11 #6): a dv UPDATE's committed stats merge
+    the previous payload (covering the hardlinked files) with footer
+    reads of ONLY the newly written updated-row files."""
+
+    def _recompute(self, engine, new_dir):
+        import os as _os
+
+        from table_versions_spark.engine import (_DV_DIR,
+                                                 _collect_version_stats,
+                                                 _dv_row_count)
+
+        rec = _collect_version_stats(new_dir, engine.storage)
+        rec["rows"] = max(
+            rec["rows"] - _dv_row_count(
+                _os.path.join(new_dir, _DV_DIR), engine.storage), 0)
+        return rec
+
+    def test_update_carried_payload_matches_footer_recompute(
+            self, spark, engine):
+        import os as _os
+
+        ddl = "id bigint, v double, d string"
+        engine.create_table("dvu.carry", schema_ddl=ddl,
+                            partition_columns=["d"])
+        rows = [(i, float(i * 10), "a" if i < 6 else "b")
+                for i in range(10)]
+        # two files per partition (append links the first insert's file
+        # next to the second's) so the previous payload records
+        # per-file entries — the carry merges them, never re-reads them
+        half = [r for r in rows if r[0] % 2 == 0]
+        rest = [r for r in rows if r[0] % 2 == 1]
+        engine.insert(spark.createDataFrame(half, ddl),
+                      "dvu.carry", "u", "v1")
+        engine.insert(spark.createDataFrame(rest, ddl),
+                      "dvu.carry", "u", "v2", mode="append")
+        engine.update("dvu.carry", {"v": "v + 1"}, "id in (1, 3)", "u",
+                      "bump", mode="dv")
+        defn, log = engine._log("dvu.carry")
+        state = log.current_version(defn.name)
+        smap = log.stats_map(defn.name)
+        checked = 0
+        for p, v in state.partition_versions.items():
+            if p.render() != "d=a":
+                continue
+            rel = _os.path.join(p.render(), v.label)
+            carried = smap[rel]
+            recomputed = self._recompute(
+                engine, _os.path.join(defn.location, rel))
+            assert carried == recomputed, (carried, recomputed)
+            assert carried["rows"] == 6  # update never changes liveness
+            checked += 1
+        assert checked == 1
+        # end-to-end: values updated, row count stable
+        got = {r.id: r.v for r in engine.read("dvu.carry").collect()}
+        assert len(got) == 10 and got[1] == 11.0 and got[3] == 31.0
+
+    def test_update_carry_path_actually_ran(self, spark, engine,
+                                            monkeypatch):
+        """The fallback (a footer pass over the WHOLE dir) must not run:
+        only the staged new files may be footer-read. Rig the collector
+        to reject any directory that is not the update staging dir."""
+        from table_versions_spark import engine as engmod
+
+        real = engmod._collect_version_stats
+        ddl = "id bigint, v double"
+        engine.create_table("dvu.ran", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], ddl), "dvu.ran", "u", "v1")
+
+        def staged_only(version_dir, *a, **k):
+            assert "_upd_staging-" in version_dir, (
+                f"footer pass over non-staging dir: {version_dir}")
+            return real(version_dir, *a, **k)
+
+        monkeypatch.setattr(engmod, "_collect_version_stats", staged_only)
+        engine.update("dvu.ran", {"v": "v * 2"}, "id = 4", "u", "x2",
+                      mode="dv")
+        defn, log = engine._log("dvu.ran")
+        state = log.current_version(defn.name)
+        payload = log.stats_map(defn.name)[state.version.label]
+        assert payload["rows"] == 8
+        assert {r.v for r in engine.read("dvu.ran").where("id = 4")
+                .collect()} == {8.0}
+
+
+class TestCdfDeclaredChangeTypeColumn:
+    def test_row_level_diff_overwrites_declared_change_type(
+            self, spark, engine):
+        """ADVICE r11 #2: a table column literally named _change_type
+        must not break the refined row-level diff — the internal tag
+        overwrites it in the output, matching the kind-literal
+        branches' withColumn semantics."""
+        ddl = "id bigint, _change_type string"
+        engine.create_table("cdf.ctcol", schema_ddl=ddl)
+        engine.insert(spark.createDataFrame([(1, "x"), (2, "y")], ddl),
+                      "cdf.ctcol", "u", "v1")
+        pre = engine.updates("cdf.ctcol")[0].commit_id
+        engine.delete("cdf.ctcol", "id = 1", "u", "dv", mode="dv")
+        ch = engine.read_changes("cdf.ctcol", since_commit=pre,
+                                 row_level=True)
+        assert ch.columns.count("_change_type") == 1
+        assert sorted((r.id, r._change_type) for r in ch.collect()) \
+            == [(1, "delete")]
+
 
 class TestCdfResurrection:
     def test_restore_of_dv_delete_resurrects_rows(self, spark, engine):
